@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.sources.Tables
+
+/** The user-facing engine, mirroring the reference's API surface: load a
+  * table directory, then run SQL text against it (ref:public-surface — the
+  * reference parses SQL itself; Spark-first, we delegate parsing/optimization
+  * /execution to Catalyst + Tungsten, which is the whole point of the
+  * rebuild). `spark.sql` over registered temp views covers the reference's
+  * entire query grammar (projection, DISTINCT, WHERE with AND/OR, aggregates,
+  * GROUP BY, ORDER BY, multi-table equality joins) and far beyond it.
+  */
+final class Engine(val spark: SparkSession, val tables: Tables) {
+
+  /** Register every catalog table as a temp view (idempotent). */
+  def register(): this.type = {
+    tables.names.foreach { n => tables.table(n).createOrReplaceTempView(n) }
+    this
+  }
+
+  /** Run a SQL query against the registered tables. */
+  def sql(query: String): DataFrame = spark.sql(query)
+}
+
+object Engine {
+  /** Open a data directory as an engine (parquet catalog). */
+  def apply(spark: SparkSession, dir: String): Engine =
+    new Engine(spark, Tables(spark, dir)).register()
+}

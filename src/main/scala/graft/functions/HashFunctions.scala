@@ -1,0 +1,267 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static hash kernels, callable both from interpreted `eval` and from
+  * whole-stage-generated Java (Scala objects emit static forwarders). All of
+  * them are deterministic pure functions — no RNG, no time — so results are
+  * stable across partitions, retries, and scale factors.
+  */
+object HashImpl {
+
+  /** splitmix64 finalizer — the standard public-domain 64-bit mixer. */
+  def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** FNV-1a 64 over raw bytes, splitmix-finalized for avalanche. */
+  def hashBytes(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    mix64(h)
+  }
+
+  def hashString(s: UTF8String): Long = hashBytes(s.getBytes)
+
+  /** 64-bit SimHash over a token array: each token contributes ±1 per bit
+    * position of its 64-bit hash; the sign of each accumulated position is
+    * the fingerprint bit. Near-identical token multisets → small Hamming
+    * distance. One pass, O(tokens · 64). */
+  def simhash64(tokens: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = hashString(tokens.getUTF8String(i))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** MinHash signature of length `k`: the j-th component is the minimum of
+    * `mix64(hash(shingle) ^ seed_j)` over all shingles. One hash per shingle,
+    * then k cheap mixes — O(shingles · k) with no allocation beyond the
+    * signature. Empty input → all Long.MaxValue (a well-defined signature
+    * that only matches other empty docs). */
+  def minhash(shingles: ArrayData, k: Int, seed: Long): ArrayData = {
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        val h = hashString(shingles.getUTF8String(i))
+        var j = 0
+        while (j < k) {
+          val v = mix64(h ^ mix64(seed + j))
+          if (v < sig(j)) sig(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** LSH band keys from a minhash signature: `bands` hashes, each over a
+    * contiguous row-group of the signature. Docs sharing any band key are
+    * near-dup candidates — the equi-join key that replaces all-pairs. */
+  def bandKeys(sig: ArrayData, bands: Int): ArrayData = {
+    val n = sig.numElements()
+    val rows = math.max(n / bands, 1)
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 0xcbf29ce484222325L ^ b
+      var j = b * rows
+      val end = math.min(j + rows, n)
+      while (j < end) {
+        h ^= sig.getLong(j)
+        h *= 0x100000001b3L
+        j += 1
+      }
+      out(b) = mix64(h)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Karp–Rabin style polynomial rolling hash over the code points of a
+    * string — the document-fingerprint primitive. */
+  def rollingHash(s: UTF8String): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    while (i < str.length) {
+      h = h * 1000003L + str.charAt(i)
+      i += 1
+    }
+    mix64(h)
+  }
+
+  /** Signed-random-projection LSH bucket for cosine similarity: `nBits`
+    * pseudo-random ±1 hyperplanes (derived from `seed` via mix64 — no stored
+    * plane matrix, so executors need no broadcast). Vectors with high cosine
+    * land in the same bucket with high probability. */
+  def srpBucket(vec: ArrayData, nBits: Int, seed: Long): Int = {
+    val n = vec.numElements()
+    var bucket = 0
+    var b = 0
+    while (b < nBits) {
+      var acc = 0.0
+      var j = 0
+      while (j < n) {
+        val sign = if ((mix64(seed + b.toLong * 131071L + j) & 1L) == 1L) 1.0 else -1.0
+        acc += sign * vec.getFloat(j)
+        j += 1
+      }
+      if (acc > 0) bucket |= (1 << b)
+      b += 1
+    }
+    bucket
+  }
+
+  /** Cosine similarity of two float vectors, accumulated in double,
+    * sequential order (matches a scalar reference implementation). */
+  def cosineF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val d = math.sqrt(na) * math.sqrt(nb)
+    if (d == 0.0) 0.0 else dot / d
+  }
+}
+
+/** SimHash64(array<string>) → long. Codegen calls the static kernel, so the
+  * projection stays inside whole-stage codegen. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpl.simhash64(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.simhash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** MinHashSig(array<string>, k, seed) → array<long> (the signature). */
+case class MinHashSig(child: Expression, k: Int, seed: Long) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpl.minhash(input.asInstanceOf[ArrayData], k, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.minhash($c, $k, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** BandKeys(array<long>, bands) → array<long> LSH band keys. */
+case class BandKeys(child: Expression, bands: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpl.bandKeys(input.asInstanceOf[ArrayData], bands)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.bandKeys($c, $bands)")
+  override protected def withNewChildInternal(newChild: Expression): BandKeys =
+    copy(child = newChild)
+}
+
+/** RollingHash64(string) → long document fingerprint. */
+case class RollingHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpl.rollingHash(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.rollingHash($c)")
+  override protected def withNewChildInternal(newChild: Expression): RollingHash64 =
+    copy(child = newChild)
+}
+
+/** SrpBucket(array<float>, nBits, seed) → int LSH bucket for cosine. */
+case class SrpBucket(child: Expression, nBits: Int, seed: Long) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpl.srpBucket(input.asInstanceOf[ArrayData], nBits, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.srpBucket($c, $nBits, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): SrpBucket =
+    copy(child = newChild)
+}
+
+/** SrpBucketSeeded(array<float>, seed) → int — like [[SrpBucket]] but the
+  * seed is a runtime column, so one explode can fan a vector out to N
+  * independent LSH tables (recall amplification à la MinHash bands). */
+case class SrpBucketSeeded(left: Expression, right: Expression, nBits: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(vec: Any, seed: Any): Any =
+    HashImpl.srpBucket(vec.asInstanceOf[ArrayData], nBits,
+      seed.asInstanceOf[Number].longValue() * 0x9e3779b97f4a7c15L)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, s) =>
+      s"graft.functions.HashImpl.srpBucket($v, $nBits, ((long)$s) * -7046029254386353131L)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SrpBucketSeeded =
+    copy(left = l, right = r)
+}
+
+/** CosineSimF(array<float>, array<float>) → double, the ANN hot-path kernel. */
+case class CosineSimF(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashImpl.cosineF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashImpl.cosineF($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimF =
+    copy(left = l, right = r)
+}
+
+/** Column-API wrappers for the custom expressions. */
+object HashFunctions {
+  private def expr(c: Column): Expression = ColumnBridge.expression(c)
+  private def col(e: Expression): Column = ColumnBridge.column(e)
+
+  def simhash64(tokens: Column): Column = col(SimHash64(expr(tokens)))
+  def minhashSig(shingles: Column, k: Int = 64, seed: Long = 42L): Column =
+    col(MinHashSig(expr(shingles), k, seed))
+  def bandKeys(sig: Column, bands: Int = 16): Column =
+    col(BandKeys(expr(sig), bands))
+  def rollingHash64(text: Column): Column = col(RollingHash64(expr(text)))
+  def srpBucket(vec: Column, nBits: Int = 16, seed: Long = 7L): Column =
+    col(SrpBucket(expr(vec), nBits, seed))
+  def srpBucketSeeded(vec: Column, nBits: Int, seed: Column): Column =
+    col(SrpBucketSeeded(expr(vec), expr(seed), nBits))
+  def cosineSim(a: Column, b: Column): Column = col(CosineSimF(expr(a), expr(b)))
+}

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.HashFunctions
+import graft.sources.Tables
+
+/** Deduplication operators for a training-data pipeline, over `documents`.
+  *
+  * Scale design (100 TB): every variant reduces to hash-partitioned
+  * groupBy/equi-join on a fingerprint or LSH band key. All-pairs comparison is
+  * never materialized — candidate generation is an equi-join on band keys, and
+  * the exact verify stage only runs on candidates.
+  */
+object Dedup {
+
+  private def norm(text: Column): Column = lower(trim(text))
+
+  /** Normalized-text md5 fingerprint (hex string — matches SQL `md5()`). */
+  def fingerprint(text: Column): Column = md5(norm(text))
+
+  /** Exact dedup, group view: one row per distinct content fingerprint with
+    * the surviving doc_id (min) and the duplicate count. Partial-aggregating
+    * hash groupBy on the fingerprint — the canonical shuffle-safe dedup. */
+  def exactGroups(t: Tables): DataFrame =
+    t.documents
+      .groupBy(fingerprint(col("text")).as("fp"))
+      .agg(
+        min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"))
+      .orderBy("fp")
+
+  /** Exact dedup, row view: the surviving rows themselves (left-semi join of
+    * the corpus against the winner set — no row data moves through the agg). */
+  def exactRows(t: Tables): DataFrame = {
+    val withFp = t.documents.withColumn("fp", fingerprint(col("text")))
+    val winners = withFp.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+    withFp
+      .join(winners, Seq("fp", "doc_id"), "left_semi")
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
+  /** Word w-shingles of the normalized text, as strings. w=1 → token set. */
+  def shingles(text: Column, w: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    if (w <= 1) array_distinct(toks)
+    else array_distinct(
+      when(size(toks) >= w,
+        transform(sequence(lit(0), size(toks) - w),
+          i => concat_ws(" ", slice(toks, i + 1, lit(w)))))
+        .otherwise(array(concat_ws(" ", toks))))
+  }
+
+  /** MinHash + LSH near-duplicate candidate pairs.
+    *
+    * shingle → 64-long minhash signature (custom codegen'd expression) →
+    * `bands` LSH band keys → explode → self-equi-join on (band, key) →
+    * distinct pairs → exact signature-agreement estimate → threshold.
+    *
+    * The only shuffles are the band-key join and the final distinct — both
+    * hash-partitioned on bounded keys; nothing is quadratic in corpus size.
+    */
+  def minhashCandidates(t: Tables, w: Int = 2, k: Int = 64, bands: Int = 16,
+                        minEstJaccard: Double = 0.2): DataFrame = {
+    val sigs = t.documents
+      .select(
+        col("doc_id"),
+        HashFunctions.minhashSig(shingles(col("text"), w), k).as("sig"))
+    val banded = sigs.select(
+      col("doc_id"),
+      posexplode(HashFunctions.bandKeys(col("sig"), bands)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_key")
+    val pairs = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // verify stage: estimated Jaccard = fraction of agreeing sig positions
+    val est = pairs
+      .join(sigs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sig", "sig_a"), "doc_a")
+      .join(sigs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sig", "sig_b"), "doc_b")
+      .withColumn("est_jaccard",
+        round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / k, 6))
+    est.filter(col("est_jaccard") >= minEstJaccard)
+      .select("doc_a", "doc_b", "est_jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact token-set Jaccard similarity — the verify stage for LSH
+    * candidates, also usable standalone on a bounded subset. Expressed as
+    * explode + equi-join on token + count ratio: distributed, and exact
+    * integer arithmetic until the final division (oracle-stable). */
+  def jaccardPairs(docs: DataFrame, minJaccard: Double): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(array_distinct(TextAnalysis.tokens(col("text")))).as("token"))
+    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = tok.as("a")
+      .join(tok.as("b"),
+        col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val j = col("n_common").cast("double") /
+      (col("sa.sz") + col("sb.sz") - col("n_common"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .filter(j >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), round(j, 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash fingerprints: 64-bit near-dup signature per document (custom
+    * codegen'd expression). Exact-equal simhash → near-identical token
+    * multiset; grouping by fingerprint is the O(n) near-dup pass. */
+  def simhashFingerprints(t: Tables): DataFrame =
+    t.documents
+      .select(
+        col("doc_id"),
+        HashFunctions.simhash64(TextAnalysis.tokens(col("text"))).as("simhash"))
+      .orderBy("doc_id")
+}

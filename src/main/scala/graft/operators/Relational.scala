@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** The reference's relational query surface (ref:public-surface, SURVEY.md §2
+  * rows 1–14), re-expressed as declarative DataFrame plans so Catalyst gets
+  * pushdown / pruning / join planning. Every operator here compiles to a plan
+  * with: filters and projections pushed into the parquet scan, hash
+  * aggregation with map-side partial aggregates, and broadcast joins for the
+  * dimension side.
+  *
+  * Each method is deterministic (stable total order on a unique key) so the
+  * driver's hash-compare against the DuckDB oracle is well-defined.
+  */
+object Relational {
+
+  /** SELECT * FROM nation ORDER BY n_nationkey — full projection scan. */
+  def selectAll(t: Tables): DataFrame =
+    t.nation.orderBy("n_nationkey")
+
+  /** Column projection — only the named columns reach the scan (ReadSchema). */
+  def projection(t: Tables): DataFrame =
+    t.customer
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_custkey")
+
+  /** DISTINCT over a two-column projection (hash aggregate, partial+final). */
+  def distinctFlags(t: Tables): DataFrame =
+    t.lineitem
+      .select("l_returnflag", "l_linestatus")
+      .distinct()
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** WHERE equality filter — pushed to the parquet scan as PushedFilters. */
+  def filterEq(t: Tables): DataFrame =
+    t.lineitem
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** WHERE range comparisons (>, <=, >=, <) — all pushed down. */
+  def filterRange(t: Tables): DataFrame =
+    t.lineitem
+      .filter(col("l_quantity") > 40.0 && col("l_quantity") <= 48.0 &&
+        col("l_discount") >= 0.02 && col("l_discount") < 0.09)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** WHERE with AND/OR combination (the reference supports one AND or OR;
+    * we support arbitrary boolean trees). */
+  def filterAndOr(t: Tables): DataFrame =
+    t.lineitem
+      .filter((col("l_quantity") < 5.0 && col("l_discount") >= 0.05) ||
+        col("l_returnflag") === "A")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Global SUM aggregates (doubles rounded for oracle hash parity). */
+  def aggSum(t: Tables): DataFrame =
+    t.lineitem.agg(
+      round(sum("l_quantity"), 2).as("sum_qty"),
+      round(sum("l_extendedprice"), 2).as("sum_price"))
+
+  /** Global AVG aggregates. */
+  def aggAvg(t: Tables): DataFrame =
+    t.lineitem.agg(
+      round(avg("l_quantity"), 6).as("avg_qty"),
+      round(avg("l_discount"), 6).as("avg_disc"))
+
+  /** Global MIN / MAX (exact — no rounding needed). Timestamps are formatted
+    * to strings so the oracle compare is dtype-stable. */
+  def aggMinMax(t: Tables): DataFrame =
+    t.lineitem.agg(
+      min("l_extendedprice").as("min_price"),
+      max("l_extendedprice").as("max_price"),
+      date_format(min("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("first_ship"),
+      date_format(max("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("last_ship"))
+
+  /** COUNT(*) and COUNT(DISTINCT). */
+  def aggCount(t: Tables): DataFrame =
+    t.lineitem.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("l_partkey")).as("n_parts"))
+
+  /** GROUP BY + multi-aggregate — TPC-H Q1 shape: scan + pushed filter +
+    * partial/final hash agg + sort. This is also the flagship `entry` query. */
+  def groupByAgg(t: Tables): DataFrame =
+    t.lineitem
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 6).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** ORDER BY DESC/ASC with LIMIT (tie-broken on the unique key → stable). */
+  def orderByLimit(t: Tables): DataFrame =
+    t.orders
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+
+  /** Two-table equality join (FROM lineitem, orders WHERE l_orderkey =
+    * o_orderkey AND o_orderstatus = 'F'). Fact-fact shuffle join; the status
+    * filter is pushed below the join by Catalyst. */
+  def joinTwo(t: Tables): DataFrame =
+    t.lineitem
+      .join(t.orders.filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select("l_orderkey", "l_linenumber", "o_custkey", "o_orderstatus",
+        "l_extendedprice", "o_totalprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Multi-table star join: fact (orders⋈customer) with broadcast dimension
+    * joins (nation, region) — the shape that must hold at 1000 executors:
+    * dims broadcast, only the fact side shuffles. */
+  def joinMulti(t: Tables): DataFrame =
+    t.customer
+      .join(t.orders, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("revenue"))
+      .orderBy("r_name", "n_name")
+
+  /** Tumbling-window aggregation over the events table — the batch twin of
+    * the Structured Streaming operator in [[graft.streaming.EventStreams]].
+    * Window start is formatted to a string for dtype-stable oracle compare. */
+  def eventsWindow(t: Tables): DataFrame =
+    t.events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 4).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("w_start", "event_type")
+
+  /** Top users by activity — groupBy + ORDER BY count DESC + LIMIT. */
+  def eventsTopUsers(t: Tables): DataFrame =
+    t.events
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 4).as("total_value"))
+      .orderBy(col("n_events").desc, col("user_id").asc)
+      .limit(50)
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.HashFunctions
+import graft.sources.Tables
+
+/** Similarity search over the `embeddings` table (`array<float>` vectors).
+  *
+  * Two paths, per SURVEY.md §2 rows 20–21:
+  *  - brute force: exact top-k for a BOUNDED query set — the query side is
+  *    broadcast, the corpus streams through one narrow projection + bounded
+  *    per-query window. Correctness baseline and small-query-set workhorse.
+  *  - LSH (signed random projection): bucket the corpus once, equi-join
+  *    queries to their bucket, rank only within the bucket. The 100 TB path:
+  *    candidate count per query is corpus/2^bits on average, never all-pairs.
+  */
+object Similarity {
+
+  /** Exact brute-force cosine top-k for query vectors `vec_id < nQueries`.
+    * The query side is tiny and broadcast; cosine runs in one codegen'd
+    * kernel ([[graft.functions.CosineSimF]]); ranking is a per-query window
+    * (bounded partitions — safe at any corpus size). */
+  def bruteForceTopK(t: Tables, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val emb = t.embeddings
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", HashFunctions.cosineSim(col("q_emb"), col("embedding")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  /** LSH-bucketed approximate top-k: corpus is bucketed by signed-random-
+    * projection bits; each query only ranks against its own bucket. With
+    * `nBits` bits the expected candidate set is corpus/2^nBits — the plan is
+    * a hash equi-join on the bucket id, never a cross join. */
+  def lshTopK(t: Tables, nQueries: Int = 10, k: Int = 5, nBits: Int = 8): DataFrame = {
+    val emb = t.embeddings
+      .withColumn("bucket", HashFunctions.srpBucket(col("embedding"), nBits, 7L))
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket"))
+    val cand = emb.select(col("vec_id").as("neighbor_id"), col("embedding"), col("bucket"))
+      .join(broadcast(q), "bucket")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", HashFunctions.cosineSim(col("q_emb"), col("embedding")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cand
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  /** Embedding-cosine near-duplicate pairs via multi-table SRP-LSH:
+    * `nTables` independent bucketings of `nBits` bits each (amplifies recall
+    * like MinHash bands — a pair is a candidate if it collides in ANY table),
+    * equi-self-join on (table, bucket), exact cosine verify inside the
+    * bucket only, distinct pairs. Never all-pairs: expected candidates per
+    * table ≈ n²/2^nBits ÷ n per vector. */
+  def embeddingNearDups(t: Tables, minCosine: Double = 0.35,
+                        nBits: Int = 4, nTables: Int = 8): DataFrame = {
+    val tableIds = array((0 until nTables).map(lit): _*)
+    val emb = t.embeddings
+      .select(col("vec_id"), col("embedding"), explode(tableIds).as("tbl"))
+      .withColumn("bucket",
+        HashFunctions.srpBucketSeeded(col("embedding"), nBits, col("tbl")))
+      .select(col("vec_id"), col("embedding"), col("tbl"), col("bucket"))
+    emb.as("a")
+      .join(emb.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.embedding").as("emb_a"), col("b.embedding").as("emb_b"))
+      .distinct()
+      .withColumn("cosine", HashFunctions.cosineSim(col("emb_a"), col("emb_b")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
+      .orderBy("vec_a", "vec_b")
+  }
+}

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.HashFunctions
+import graft.sources.Tables
+
+/** Text-analysis operators for a training-data pipeline, over the
+  * `documents` table. All per-document operators are embarrassingly parallel
+  * narrow transformations (no shuffle); corpus-level ones (top terms) use
+  * explode + partial-aggregating groupBy — never driver-side counting.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization of the normalized text. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** A small English stopword list (enough for ratio features). */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "or", "to", "in", "is", "it")
+
+  /** Per-document token/length statistics. */
+  def textStats(t: Tables): DataFrame =
+    t.documents
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("bigint").as("n_chars_calc"),
+        size(tokens(col("text"))).cast("bigint").as("n_tokens"),
+        round(
+          length(regexp_replace(col("text"), "\\s+", "")).cast("double") /
+            size(tokens(col("text"))), 6).as("avg_token_len"))
+      .orderBy("doc_id")
+
+  /** Corpus-wide top terms: explode → hash agg (map-side partial) → top-k.
+    * Distributed end to end; the LIMIT is the only driver-bound step. */
+  def topTerms(t: Tables, k: Int = 25): DataFrame =
+    t.documents
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(k)
+
+  /** Quality scoring: stopword ratio, punctuation ratio, digit ratio, and a
+    * blended score. Pure narrow projection — scales linearly. */
+  def qualityScore(t: Tables): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTokens = size(toks)
+    val nStop = size(filter(toks, tk => tk.isin(Stopwords: _*)))
+    val nPunct = length(col("text")) - length(regexp_replace(col("text"), "[\\.,!\\?;:]", ""))
+    val nDigit = length(col("text")) - length(regexp_replace(col("text"), "[0-9]", ""))
+    val stopRatio = nStop.cast("double") / nTokens
+    val punctRatio = nPunct.cast("double") / greatest(length(col("text")), lit(1))
+    val digitRatio = nDigit.cast("double") / greatest(length(col("text")), lit(1))
+    // Heuristic quality: long-enough docs with some stopwords, few digits.
+    val score =
+      least(nTokens.cast("double") / 20.0, lit(1.0)) * 0.5 +
+        least(stopRatio * 5.0, lit(1.0)) * 0.3 +
+        (lit(1.0) - least(digitRatio * 10.0, lit(1.0))) * 0.2
+    t.documents
+      .select(
+        col("doc_id"),
+        nTokens.cast("bigint").as("n_tokens"),
+        nStop.cast("bigint").as("n_stop"),
+        round(stopRatio, 6).as("stop_ratio"),
+        round(punctRatio, 6).as("punct_ratio"),
+        round(score, 6).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Language identification via a character n-gram / stopword heuristic:
+    * scores each candidate language by occurrences of its characteristic
+    * trigrams and function words, picks the argmax (deterministic tie-break
+    * on language code). Distributed narrow op; the profile table is a literal
+    * (broadcast-free). */
+  def languageId(t: Tables): DataFrame = {
+    // characteristic function words / trigrams per language (public knowledge)
+    val profiles: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq(" the ", " and ", " of ", " ing ", " to "),
+      "de" -> Seq(" der ", " und ", " die ", " ein ", " sch"),
+      "fr" -> Seq(" le ", " la ", " et ", " les ", " des "),
+      "es" -> Seq(" el ", " la ", " de ", " que ", " los "),
+      "zh" -> Seq("的", "了", "是", "我", "不"))
+    val padded = concat(lit(" "), lower(col("text")), lit(" "))
+    def score(marks: Seq[String]): Column =
+      marks.map { m =>
+        // occurrence count of marker m: (len - len(remove(m))) / len(m)
+        ((length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(m), ""))) / m.length).cast("double")
+      }.reduce(_ + _)
+    val scoreCols = profiles.map { case (lang, marks) =>
+      struct(score(marks).as("s"), lit(lang).as("lang"))
+    }
+    // argmax by (score, lang) — array_max on structs orders by first field
+    val best = array_max(array(scoreCols: _*))
+    t.documents
+      .select(
+        col("doc_id"),
+        best.getField("lang").as("lang_pred"),
+        round(best.getField("s"), 4).as("lang_score"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprint: Karp–Rabin rolling hash of the normalized text
+    * (custom codegen'd Catalyst expression — see
+    * [[graft.functions.RollingHash64]]). */
+  def fingerprints(t: Tables): DataFrame =
+    t.documents
+      .select(
+        col("doc_id"),
+        HashFunctions.rollingHash64(lower(trim(col("text")))).as("fingerprint"))
+      .orderBy("doc_id")
+}

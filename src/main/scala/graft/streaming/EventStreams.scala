@@ -1,0 +1,64 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the `events` stream (`ts` event time).
+  *
+  * These are the streaming twins of the batch operators the oracle checks
+  * (`q_events_window`): identical aggregation logic, plus watermarking so
+  * state is bounded at scale. Specs drive them with `MemoryStream`.
+  */
+object EventStreams {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+
+  final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Watermarked tumbling-window aggregation — the canonical streaming agg.
+    * State per (window, event_type) is dropped once the watermark passes, so
+    * memory is bounded regardless of stream length. */
+  def windowedCounts(events: DataFrame,
+                     watermark: String = "10 minutes",
+                     windowLen: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Session windows via the built-in `session_window` (gap-based), the
+    * declarative + scalable path for sessionization. */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("user_id"), col("n_events"), col("total_value"))
+
+  /** Custom stateful operator: per-user running totals via
+    * `mapGroupsWithState` — the escape hatch for state machines the built-in
+    * aggregations can't express. State is one small case class per user. */
+  def runningUserTotals(spark: SparkSession, events: Dataset[Event]): Dataset[UserRunning] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunning, UserRunning](GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0))
+          val (n, v) = batch.foldLeft((prev.n_events, prev.total_value)) {
+            case ((cn, cv), e) => (cn + 1, cv + e.value)
+          }
+          val next = UserRunning(userId, n, v)
+          state.update(next)
+          next
+      }
+  }
+}
