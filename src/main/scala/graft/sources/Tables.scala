@@ -13,8 +13,17 @@ import org.apache.spark.sql.types.LongType
   * gets predicate pushdown, column pruning and partition pruning for free,
   * which is the scan behavior we want at 100 TB.
   */
-final case class Tables(spark: SparkSession, dir: String) {
-  def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+final case class Tables(spark: SparkSession, dir: String,
+                        overrides: Map[String, DataFrame] = Map.empty) {
+  /** Resolve a table: an injected override wins, else the parquet scan.
+    * Overrides let callers (and tests) substitute any source that yields the
+    * same schema — the operators only see DataFrames. */
+  def table(name: String): DataFrame =
+    overrides.getOrElse(name, spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** A copy of this catalog with one table substituted. */
+  def withTable(name: String, df: DataFrame): Tables =
+    copy(overrides = overrides + (name -> df))
 
   def region: DataFrame = table("region")
   def nation: DataFrame = table("nation")
@@ -28,7 +37,8 @@ final case class Tables(spark: SparkSession, dir: String) {
     * convert to a proper TimestampType (µs) with integer division — double
     * division would lose precision above 2^53. */
   def events: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (!overrides.contains("events"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table("events")
     raw.schema("ts").dataType match {
       case LongType =>

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup: groups partition the corpus, keep_id is the min doc_id of each group") {
+    val groups = Dedup.exactGroups(tables).collect()
+    val total = groups.map(_.getLong(2)).sum
+    assert(total == tables.documents.count())
+    // keeper rows = number of groups
+    assert(Dedup.exactRows(tables).count() == groups.length)
+  }
+
+  test("exact dedup collapses injected duplicates") {
+    // inject: duplicate every doc with doc_id < 10 under a new id
+    val docs = tables.documents
+    val dups = docs.filter($"doc_id" < 10)
+      .withColumn("doc_id", $"doc_id" + 1000000L)
+    val t = tables.withTable("documents", docs.union(dups))
+    val groups = Dedup.exactGroups(t).collect()
+    val nDocs = docs.count()
+    assert(groups.length == nDocs) // same distinct contents as before
+    assert(groups.map(_.getLong(2)).sum == nDocs + 10)
+    // every injected duplicate loses to its original (min doc_id wins)
+    assert(groups.forall(_.getLong(1) < 1000000L))
+  }
+
+  test("minhash LSH finds injected near-duplicates") {
+    val docs = tables.documents
+    // near-dup: copy of each doc_id<5 with one word changed
+    val near = docs.filter($"doc_id" < 5)
+      .withColumn("doc_id", $"doc_id" + 2000000L)
+      .withColumn("text", concat($"text", lit(" extraword")))
+    val t = tables.withTable("documents", docs.union(near))
+    val pairs = Dedup.minhashCandidates(t, w = 2, minEstJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // all 5 (original, near-copy) pairs must surface as candidates
+    (0 until 5).foreach { i =>
+      assert(pairs.contains((i.toLong, i + 2000000L)),
+        s"near-dup pair for doc $i not found; got ${pairs.take(10)}")
+    }
+  }
+
+  test("jaccardPairs computes exact token-set jaccard") {
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "a b c e"), // J(1,2) = 3/5 = 0.6
+      (3L, "x y z w") // J with others = 0
+    ).toDF("doc_id", "text")
+    val got = Dedup.jaccardPairs(docs, 0.5).collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(0) == 1L && got(0).getLong(1) == 2L && got(0).getDouble(2) == 0.6)
+  }
+
+  test("simhash fingerprints: identical docs collide") {
+    val docs = tables.documents
+    val dups = docs.filter($"doc_id" < 3).withColumn("doc_id", $"doc_id" + 3000000L)
+    val t = tables.withTable("documents", docs.union(dups))
+    val fp = Dedup.simhashFingerprints(t).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 3).foreach { i => assert(fp(i.toLong) == fp(i + 3000000L)) }
+  }
+}

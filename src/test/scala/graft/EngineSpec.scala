@@ -1,0 +1,54 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.sources.CsvMetadataSource
+
+/** The reference's user API surface: SQL text over a loaded table directory
+  * (parquet catalog via [[Engine]], or the reference's own CSV+metadata
+  * format via [[CsvMetadataSource]]). */
+class EngineSpec extends SparkSpec {
+
+  lazy val engine: Engine = Engine(spark, sfDir)
+
+  test("engine runs the reference's whole query grammar") {
+    // SELECT * / projection / WHERE with AND-OR / aggregate / GROUP BY /
+    // ORDER BY / DISTINCT / multi-table equality join — one of each
+    assert(engine.sql("SELECT * FROM region").count() == 5)
+    assert(engine.sql("SELECT n_name FROM nation").columns.toSeq == Seq("n_name"))
+    assert(engine.sql(
+      "SELECT COUNT(*) FROM lineitem WHERE l_quantity < 10 AND l_discount > 0.05"
+    ).head().getLong(0) > 0)
+    assert(engine.sql("SELECT DISTINCT l_returnflag FROM lineitem").count() == 3)
+    val grouped = engine.sql(
+      "SELECT l_returnflag, MAX(l_quantity) AS mx FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")
+    assert(grouped.collect().map(_.getDouble(1)).forall(_ <= 50.0))
+    val joined = engine.sql(
+      "SELECT n_name, r_name FROM nation, region WHERE n_regionkey = r_regionkey ORDER BY n_name")
+    assert(joined.count() == 25)
+  }
+
+  test("CSV+metadata source parses the reference's metadata format and reads tables") {
+    val dir = Files.createDirectories(Paths.get("target/test-csv-src"))
+    Files.writeString(dir.resolve("metadata.txt"),
+      """<begin_table>
+        |t1
+        |A
+        |B
+        |<end_table>
+        |<begin_table>
+        |t2
+        |B
+        |C
+        |<end_table>
+        |""".stripMargin)
+    Files.writeString(dir.resolve("t1.csv"), "1,2\n3,4\n")
+    Files.writeString(dir.resolve("t2.csv"), "\"2\",\"20\"\n\"4\",\"40\"\n")
+    val loaded = CsvMetadataSource.loadAll(spark, dir.toString)
+    assert(loaded.keySet == Set("t1", "t2"))
+    assert(loaded("t1").columns.toSeq == Seq("A", "B"))
+    // the reference's join query works over the loaded views
+    val j = spark.sql("SELECT A, C FROM t1, t2 WHERE t1.B = t2.B ORDER BY A").collect()
+    assert(j.map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((1, 20), (3, 40)))
+  }
+}

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.operators.Relational
+
+class RelationalSpec extends SparkSpec {
+
+  test("selectAll returns the full nation table in key order") {
+    val rows = Relational.selectAll(tables).collect()
+    assert(rows.length == 25)
+    assert(rows.map(_.getInt(0)).toSeq == (0 until 25))
+    assert(rows.head.length == 3) // all columns present
+  }
+
+  test("projection keeps only the named columns") {
+    val df = Relational.projection(tables)
+    assert(df.columns.toSeq == Seq("c_custkey", "c_name", "c_acctbal"))
+    assert(df.count() == tables.customer.count())
+  }
+
+  test("projection prunes the parquet scan (ReadSchema)") {
+    val plan = planOf(Relational.projection(tables))
+    // scan must not read the pruned columns
+    assert(!plan.contains("c_mktsegment"), s"scan not pruned:\n$plan")
+  }
+
+  test("distinct yields the 6 (returnflag, linestatus) combinations") {
+    val got = Relational.distinctFlags(tables).collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got.toSeq == Seq("A" -> "F", "A" -> "O", "N" -> "F", "N" -> "O", "R" -> "F", "R" -> "O"))
+  }
+
+  test("filterEq matches a manual count and pushes the filter to the scan") {
+    val df = Relational.filterEq(tables)
+    val expected = tables.lineitem.filter(col("l_returnflag") === "R").count()
+    assert(df.count() == expected && expected > 0)
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]"),
+      s"filter not pushed:\n$plan")
+  }
+
+  test("filterRange honors all four comparison operators") {
+    val rows = Relational.filterRange(tables).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val q = r.getDouble(2); val d = r.getDouble(3)
+      assert(q > 40.0 && q <= 48.0 && d >= 0.02 && d < 0.09)
+    }
+  }
+
+  test("filterAndOr implements the boolean combination") {
+    val rows = Relational.filterAndOr(tables).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val q = r.getDouble(2); val d = r.getDouble(3); val f = r.getString(4)
+      assert((q < 5.0 && d >= 0.05) || f == "A")
+    }
+  }
+
+  test("global aggregates match manual computation") {
+    val li = tables.lineitem.select("l_quantity").collect().map(_.getDouble(0))
+    val Row(sumQty: Double, _) = Relational.aggSum(tables).head()
+    assert(math.abs(sumQty - li.sum) < 0.01)
+    val Row(avgQty: Double, _) = Relational.aggAvg(tables).head()
+    assert(math.abs(avgQty - li.sum / li.length) < 1e-4)
+    val Row(minP: Double, maxP: Double, _, _) = Relational.aggMinMax(tables).head()
+    assert(minP > 0 && maxP > minP)
+    val Row(nRows: Long, nParts: Long) = Relational.aggCount(tables).head()
+    assert(nRows == li.length && nParts > 0 && nParts <= nRows)
+  }
+
+  test("groupByAgg (TPC-H Q1 shape) has partial aggregation and a pushed date filter") {
+    val df = Relational.groupByAgg(tables)
+    val rows = df.collect()
+    assert(rows.length == 6)
+    val plan = planOf(df)
+    assert(plan.contains("HashAggregate"), s"no hash agg:\n$plan")
+    // partial + final pair
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, s"no partial agg:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("LessThanOrEqual(l_shipdate"),
+      s"date filter not pushed:\n$plan")
+  }
+
+  test("orderByLimit returns the global top-100 in DESC order") {
+    val prices = Relational.orderByLimit(tables).collect().map(_.getDouble(1))
+    assert(prices.length == 100)
+    assert(prices.sameElements(prices.sortBy(-_)))
+    val globalMax = tables.orders.agg(max("o_totalprice")).head().getDouble(0)
+    assert(prices.head == globalMax)
+  }
+
+  test("joinTwo matches the key-filtered cardinality") {
+    val df = Relational.joinTwo(tables)
+    val expected = tables.lineitem.join(
+      tables.orders.filter(col("o_orderstatus") === "F"),
+      col("l_orderkey") === col("o_orderkey")).count()
+    assert(df.count() == expected && expected > 0)
+  }
+
+  test("joinMulti broadcasts the dimension tables") {
+    val df = Relational.joinMulti(tables)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), s"dims not broadcast:\n$plan")
+    val rows = df.collect()
+    assert(rows.length == 25) // 25 nations, each in one region
+    // revenue must equal the orders total (every order belongs to one nation)
+    val totalRevenue = rows.map(_.getDouble(3)).sum
+    val ordersTotal = tables.orders.agg(sum("o_totalprice")).head().getDouble(0)
+    assert(math.abs(totalRevenue - ordersTotal) < 1.0)
+  }
+
+  test("eventsWindow buckets all events exactly once") {
+    val df = Relational.eventsWindow(tables)
+    val total = df.agg(sum("n_events")).head().getLong(0)
+    assert(total == tables.events.count())
+  }
+
+  test("eventsTopUsers is ordered by count desc") {
+    val counts = Relational.eventsTopUsers(tables).collect().map(_.getLong(1))
+    assert(counts.sameElements(counts.sortBy(-_)))
+  }
+}

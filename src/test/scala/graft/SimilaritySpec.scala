@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+
+  test("brute-force top-k matches a local exact computation") {
+    val vecs = tables.embeddings.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val got = Similarity.bruteForceTopK(tables, nQueries = 3, k = 4).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    (0L until 3L).foreach { q =>
+      val expected = vecs.filter(_._1 != q)
+        .map { case (id, v) => id -> cos(vecs(q), v) }
+        .toSeq.sortBy { case (id, c) => (-c, id) }.take(4).map(_._1).toSet
+      assert(got(q) == expected, s"query $q: got ${got(q)}, want $expected")
+    }
+  }
+
+  test("brute-force plan broadcasts the query side (no shuffle of the corpus)") {
+    val plan = planOf(Similarity.bruteForceTopK(tables))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"query side not broadcast:\n$plan")
+  }
+
+  test("LSH top-k returns only true in-bucket neighbors with correct cosines") {
+    // every (query, neighbor) pair in the LSH result must also appear in the
+    // brute-force scores with the same cosine value
+    val brute = Similarity.bruteForceTopK(tables, nQueries = 10, k = 500).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.lshTopK(tables, nQueries = 10, k = 5).collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(brute.contains(key) && brute(key) == r.getDouble(2),
+        s"LSH pair $key not consistent with brute force")
+    }
+  }
+
+  test("embeddingNearDups verifies candidates with exact cosine above threshold") {
+    val rows = Similarity.embeddingNearDups(tables, minCosine = 0.3).collect()
+    rows.foreach { r => assert(r.getDouble(2) >= 0.3 && r.getLong(0) < r.getLong(1)) }
+    val plan = planOf(Similarity.embeddingNearDups(tables))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"near-dup must not be all-pairs:\n$plan")
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("windowedCounts aggregates a stream like the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.windowedCounts(input.toDF(), watermark = "5 minutes", windowLen = "10 minutes")
+      .writeStream.format("memory").queryName("wc").outputMode("complete").start()
+    try {
+      input.addData(
+        Event(1, ts(1), 10, "click", 1.0),
+        Event(2, ts(2), 11, "click", 2.0),
+        Event(3, ts(12), 10, "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("wc").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(rows == Set(
+        ("2024-01-01 10:00:00.0", "click", 2L, 3.0),
+        ("2024-01-01 10:10:00.0", "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("sessionWindows merges events within the gap into one session") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionWindows(input.toDF(), gap = "5 minutes")
+      .writeStream.format("memory").queryName("sess").outputMode("complete").start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(3), 1, "click", 1.0), // same session (gap 3 < 5)
+        Event(3, ts(20), 1, "click", 1.0)) // new session
+      q.processAllAvailable()
+      val rows = spark.table("sess").collect()
+      assert(rows.length == 2)
+      val counts = rows.map(_.getLong(3)).sorted.toSeq
+      assert(counts == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("runningUserTotals keeps state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.runningUserTotals(spark, input.toDS())
+      .writeStream.format("memory").queryName("rut").outputMode("update").start()
+    try {
+      input.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 1, "click", 2.0))
+      q.processAllAvailable()
+      input.addData(Event(3, ts(2), 1, "click", 4.0))
+      q.processAllAvailable()
+      // last update for user 1 must carry the running total over both batches
+      val last = spark.table("rut").collect().map(r => (r.getLong(1), r.getDouble(2))).last
+      assert(last == ((3L, 7.0)))
+    } finally q.stop()
+  }
+}

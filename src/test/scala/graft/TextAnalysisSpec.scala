@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("textStats counts tokens and characters") {
+    val t = tables.withTable("documents",
+      Seq((1L, "hello world foo"), (2L, "  one  two  ")).toDF("doc_id", "text"))
+    val rows = TextAnalysis.textStats(t).collect()
+    assert(rows(0).getLong(1) == 15 && rows(0).getLong(2) == 3) // chars, tokens
+    assert(rows(1).getLong(2) == 2) // trim + \s+ split
+  }
+
+  test("topTerms ranks by frequency with alphabetical tie-break") {
+    val t = tables.withTable("documents",
+      Seq((1L, "b b b a a c"), (2L, "a z z")).toDF("doc_id", "text"))
+    val got = TextAnalysis.topTerms(t, 3).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq("a" -> 3L, "b" -> 3L, "z" -> 2L))
+  }
+
+  test("qualityScore features are in range and deterministic") {
+    val rows = TextAnalysis.qualityScore(tables).collect()
+    assert(rows.length == tables.documents.count())
+    rows.foreach { r =>
+      val stop = r.getDouble(3); val punct = r.getDouble(4); val q = r.getDouble(5)
+      assert(stop >= 0 && stop <= 1 && punct >= 0 && punct <= 1 && q >= 0 && q <= 1)
+    }
+  }
+
+  test("languageId picks the language whose markers dominate") {
+    val t = tables.withTable("documents", Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "der hund und die katze und der vogel"),
+      (3L, "le chat et les chiens et le loup"),
+      (4L, "我不是的了好"),
+    ).toDF("doc_id", "text"))
+    val got = TextAnalysis.languageId(t).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en", s"got $got")
+    assert(got(2L) == "de", s"got $got")
+    assert(got(3L) == "fr", s"got $got")
+    assert(got(4L) == "zh", s"got $got")
+  }
+
+  test("fingerprints: equal normalized text → equal fingerprint") {
+    val t = tables.withTable("documents",
+      Seq((1L, "Some Text"), (2L, "  some text "), (3L, "other")).toDF("doc_id", "text"))
+    val fp = TextAnalysis.fingerprints(t).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L) && fp(1L) != fp(3L))
+  }
+}
