@@ -32,6 +32,15 @@ object Bench {
       } + "\""
 
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // Untimed warmup pass: JIT, codegen (janino) compilation, parquet footer
+    // caches, and shuffle machinery all initialize here so the timed pass
+    // measures steady-state engine throughput (first-run overhead was up to
+    // 10s on an otherwise-0.5s query). Data is still read from disk each run.
+    names.foreach { name =>
+      try SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () } // failures are reported by the timed pass
+    }
     val timings = Seq.newBuilder[(String, Double)]
     val errors = Seq.newBuilder[(String, String)]
     names.foreach { name =>

@@ -90,6 +90,60 @@ object HashImpl {
     new GenericArrayData(sig)
   }
 
+  /** One-pass minhash over normalized text: lowercase/trim, whitespace
+    * tokenize, and hash each w-token shingle incrementally (FNV over token
+    * bytes with separators) — no intermediate token/shingle arrays. This is
+    * the hot-path form of [[minhash]]: at 100 TB the shingle materialization
+    * the compositional version pays (per-shingle string allocation) dominates
+    * the actual hashing by ~100×. Duplicate shingles don't affect a min, so
+    * no dedup pass is needed. */
+  def minhashText(text: UTF8String, w: Int, k: Int, seed: Long): ArrayData = {
+    val s = text.toString.toLowerCase
+    // token boundaries (trim + whitespace runs)
+    val bounds = new java.util.ArrayList[Int]()
+    var i = 0
+    val len = s.length
+    var inTok = false
+    while (i < len) {
+      val ws = Character.isWhitespace(s.charAt(i))
+      if (!ws && !inTok) { bounds.add(i); inTok = true }
+      else if (ws && inTok) { bounds.add(i); inTok = false }
+      i += 1
+    }
+    if (inTok) bounds.add(len)
+    val nTok = bounds.size() / 2
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val nShingles = math.max(nTok - w + 1, if (nTok > 0) 1 else 0)
+    var sh = 0
+    while (sh < nShingles) {
+      // FNV-1a over the tokens [sh, sh+w) with a separator byte between them
+      var h = 0xcbf29ce484222325L
+      var tk = sh
+      val end = math.min(sh + w, nTok)
+      while (tk < end) {
+        if (tk > sh) { h ^= ' '.toLong; h *= 0x100000001b3L }
+        var c = bounds.get(2 * tk)
+        val ce = bounds.get(2 * tk + 1)
+        while (c < ce) {
+          h ^= s.charAt(c).toLong
+          h *= 0x100000001b3L
+          c += 1
+        }
+        tk += 1
+      }
+      val base = mix64(h)
+      var j = 0
+      while (j < k) {
+        val v = mix64(base ^ mix64(seed + j))
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      sh += 1
+    }
+    new GenericArrayData(sig)
+  }
+
   /** LSH band keys from a minhash signature: `bands` hashes, each over a
     * contiguous row-group of the signature. Docs sharing any band key are
     * near-dup candidates — the equi-join key that replaces all-pairs. */
@@ -188,6 +242,19 @@ case class MinHashSig(child: Expression, k: Int, seed: Long) extends UnaryExpres
     copy(child = newChild)
 }
 
+/** MinHashSigText(text, w, k, seed) → array<long>: fused normalize +
+  * tokenize + shingle + minhash kernel (see [[HashImpl.minhashText]]). */
+case class MinHashSigText(child: Expression, w: Int, k: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpl.minhashText(input.asInstanceOf[UTF8String], w, k, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.minhashText($c, $w, $k, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigText =
+    copy(child = newChild)
+}
+
 /** BandKeys(array<long>, bands) → array<long> LSH band keys. */
 case class BandKeys(child: Expression, bands: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -256,6 +323,8 @@ object HashFunctions {
   def simhash64(tokens: Column): Column = col(SimHash64(expr(tokens)))
   def minhashSig(shingles: Column, k: Int = 64, seed: Long = 42L): Column =
     col(MinHashSig(expr(shingles), k, seed))
+  def minhashSigText(text: Column, w: Int = 2, k: Int = 64, seed: Long = 42L): Column =
+    col(MinHashSigText(expr(text), w, k, seed))
   def bandKeys(sig: Column, bands: Int = 16): Column =
     col(BandKeys(expr(sig), bands))
   def rollingHash64(text: Column): Column = col(RollingHash64(expr(text)))

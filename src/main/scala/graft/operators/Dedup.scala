@@ -66,7 +66,11 @@ object Dedup {
     val sigs = t.documents
       .select(
         col("doc_id"),
-        HashFunctions.minhashSig(shingles(col("text"), w), k).as("sig"))
+        // fused kernel: normalize+tokenize+shingle+minhash in one pass (the
+        // compositional shingles()+minhashSig() form pays ~100× in per-
+        // shingle array/string allocation, and this lineage is recomputed on
+        // both sides of the self-join below)
+        HashFunctions.minhashSigText(col("text"), w, k).as("sig"))
     val banded = sigs.select(
       col("doc_id"),
       posexplode(HashFunctions.bandKeys(col("sig"), bands)))

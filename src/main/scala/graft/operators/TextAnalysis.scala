@@ -74,29 +74,14 @@ object TextAnalysis {
     * on language code). Distributed narrow op; the profile table is a literal
     * (broadcast-free). */
   def languageId(t: Tables): DataFrame = {
-    // characteristic function words / trigrams per language (public knowledge)
-    val profiles: Seq[(String, Seq[String])] = Seq(
-      "en" -> Seq(" the ", " and ", " of ", " ing ", " to "),
-      "de" -> Seq(" der ", " und ", " die ", " ein ", " sch"),
-      "fr" -> Seq(" le ", " la ", " et ", " les ", " des "),
-      "es" -> Seq(" el ", " la ", " de ", " que ", " los "),
-      "zh" -> Seq("的", "了", "是", "我", "不"))
-    val padded = concat(lit(" "), lower(col("text")), lit(" "))
-    def score(marks: Seq[String]): Column =
-      marks.map { m =>
-        // occurrence count of marker m: (len - len(remove(m))) / len(m)
-        ((length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(m), ""))) / m.length).cast("double")
-      }.reduce(_ + _)
-    val scoreCols = profiles.map { case (lang, marks) =>
-      struct(score(marks).as("s"), lit(lang).as("lang"))
-    }
-    // argmax by (score, lang) — array_max on structs orders by first field
-    val best = array_max(array(scoreCols: _*))
+    // fused single-pass marker scan (see graft.functions.TextImpl — the
+    // one-regexp_replace-per-marker formulation costs 25 regex passes/row)
+    val best = graft.functions.TextFunctions.langId(col("text"))
     t.documents
       .select(
         col("doc_id"),
-        best.getField("lang").as("lang_pred"),
-        round(best.getField("s"), 4).as("lang_score"))
+        best.getField("lang_pred").as("lang_pred"),
+        round(best.getField("lang_score"), 4).as("lang_score"))
       .orderBy("doc_id")
   }
 
