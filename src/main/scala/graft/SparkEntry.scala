@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Analytics, Dedup, Multimodal, Relational, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -59,6 +59,15 @@ object SparkEntry {
     "q_text_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(Tables(s, d))),
     // — multimodal (SURVEY §2 row 27) —
     "q_multimodal_meta" -> ((s, d) => Multimodal.metadata(Tables(s, d))),
+    // — analytics beyond the reference (SURVEY §2 rows 30–37) —
+    "q_window_topk" -> ((s, d) => Analytics.windowTopK(Tables(s, d))),
+    "q_window_running" -> ((s, d) => Analytics.windowRunning(Tables(s, d))),
+    "q_having" -> ((s, d) => Analytics.having(Tables(s, d))),
+    "q_semi_join" -> ((s, d) => Analytics.semiJoin(Tables(s, d))),
+    "q_anti_join" -> ((s, d) => Analytics.antiJoin(Tables(s, d))),
+    "q_union" -> ((s, d) => Analytics.unionKeys(Tables(s, d))),
+    "q_above_avg" -> ((s, d) => Analytics.aboveAvg(Tables(s, d))),
+    "q_asof_join" -> ((s, d) => Analytics.eventsAsOf(Tables(s, d))),
   )
 
   /** DuckDB oracle SQL per query (same column names/aliases as the Spark
@@ -142,5 +151,35 @@ object SparkEntry {
         "(octet_length(encode(text)) % 48) * 16 + 16 AS height, " +
         "CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'webp' END AS format " +
         "FROM documents ORDER BY doc_id"),
+    "q_window_topk" ->
+      ("SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rnk FROM (" +
+        "SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, " +
+        "row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS rnk " +
+        "FROM lineitem) WHERE rnk <= 3 ORDER BY l_returnflag, rnk"),
+    "q_window_running" ->
+      ("SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_date, o_totalprice, " +
+        "round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total " +
+        "FROM orders WHERE o_custkey < 100 ORDER BY o_custkey, o_orderkey"),
+    "q_having" ->
+      ("SELECT l_partkey, count(*) AS n_items, round(sum(l_quantity), 2) AS total_qty " +
+        "FROM lineitem GROUP BY l_partkey HAVING count(*) >= 40 ORDER BY l_partkey"),
+    "q_semi_join" ->
+      ("SELECT c_custkey, c_name FROM customer WHERE EXISTS (" +
+        "SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O') ORDER BY c_custkey"),
+    "q_anti_join" ->
+      ("SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (" +
+        "SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey"),
+    "q_union" ->
+      ("SELECT DISTINCT nationkey FROM (SELECT c_nationkey AS nationkey FROM customer " +
+        "UNION ALL SELECT s_nationkey AS nationkey FROM supplier) ORDER BY nationkey"),
+    "q_above_avg" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+        "WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) ORDER BY o_orderkey"),
+    "q_asof_join" ->
+      ("SELECT e.event_id, e.user_id, strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts, " +
+        "round(p.value, 4) AS purchase_value, strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts " +
+        "FROM (SELECT * FROM events WHERE event_type = 'click') e " +
+        "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p " +
+        "ON e.user_id = p.user_id AND p.ts <= e.ts ORDER BY e.event_id"),
   )
 }

@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Analytical operators beyond the reference's surface: window functions,
+  * point-in-time (as-of) joins, semi/anti joins, set operations, HAVING and
+  * subquery shapes. All expressed as declarative plans (single shuffle +
+  * sort for the window/as-of family — no self-join range explosions).
+  */
+object Analytics {
+
+  /** Top-3 lineitems per return flag by price — bounded per-group top-k via
+    * row_number (partial sort per partition, no global sort of the fact). */
+  def windowTopK(t: Tables, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+    t.lineitem
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .orderBy("l_returnflag", "rnk")
+  }
+
+  /** Per-customer running order total (cumulative window sum). */
+  def windowRunning(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.orders
+      .filter(col("o_custkey") < 100)
+      .withColumn("running_total", round(sum(col("o_totalprice")).over(w), 2))
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("o_date"),
+        col("o_totalprice"), col("running_total"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** GROUP BY ... HAVING: parts appearing on many lineitems. */
+  def having(t: Tables, minCount: Long = 40L): DataFrame =
+    t.lineitem
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_items"), round(sum("l_quantity"), 2).as("total_qty"))
+      .filter(col("n_items") >= minCount)
+      .orderBy("l_partkey")
+
+  /** Left-semi join: customers that have at least one open order. */
+  def semiJoin(t: Tables): DataFrame =
+    t.customer
+      .join(t.orders.filter(col("o_orderstatus") === "O"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Left-anti join: customers with no orders at all (NOT EXISTS). */
+  def antiJoin(t: Tables): DataFrame =
+    t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** UNION (distinct) of two key sets — nationkeys seen on customers or
+    * suppliers. */
+  def unionKeys(t: Tables): DataFrame =
+    t.customer.select(col("c_nationkey").as("nationkey"))
+      .union(t.supplier.select(col("s_nationkey").as("nationkey")))
+      .distinct()
+      .orderBy("nationkey")
+
+  /** Scalar-subquery shape: orders above the average order value. The
+    * average is a one-row broadcast, not a driver round-trip. */
+  def aboveAvg(t: Tables): DataFrame = {
+    val avgPrice = t.orders.agg(avg("o_totalprice").as("a"))
+    t.orders
+      .join(broadcast(avgPrice))
+      .filter(col("o_totalprice") > col("a"))
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** Point-in-time (as-of) join: for each left row, the most recent right
+    * row with the same key and `rightTs <= leftTs`.
+    *
+    * Implemented with the union + sorted-window trick: tag both sides, union
+    * them, and carry the latest right-side values forward with
+    * `last(..., ignoreNulls)` over a (key, ts) window. ONE shuffle + sort,
+    * bounded state — the scalable alternative to a range self-join (which
+    * explodes quadratically on hot keys) and the composition-first answer to
+    * a custom SparkPlan (SURVEY §4).
+    *
+    * @param left      left rows; must contain `key` and `ts`
+    * @param right     right rows; must contain `key`, `ts`, and `valueCols`
+    * @param valueCols right-side columns to carry (as-of values)
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+               valueCols: Seq[String]): DataFrame = {
+    val lTagged = left.withColumn("_side", lit(1))
+      .withColumns(valueCols.map(c => c -> lit(null).cast(right.schema(c).dataType)).toMap)
+    val rTagged = right.select((Seq(key, ts) ++ valueCols).map(col): _*)
+      .withColumn("_side", lit(0))
+    val unioned = lTagged.columns.foldLeft(rTagged) { (acc, c) =>
+      if (acc.columns.contains(c)) acc else acc.withColumn(c, lit(null))
+    }.select(lTagged.columns.map(col): _*).union(lTagged)
+    // right rows sort before left rows at the same (key, ts) so a right row
+    // with ts == left ts IS visible to that left row (ASOF <= semantics)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts).asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = valueCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("_side") === 1).drop("_side")
+  }
+
+  /** As-of query over events: each click joined to the user's most recent
+    * purchase at or before the click. */
+  def eventsAsOf(t: Tables): DataFrame = {
+    val ev = t.events
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("value").as("purchase_value"), col("ts").as("purchase_ts"))
+    asOfJoin(clicks, purchases, "user_id", "ts", Seq("purchase_value", "purchase_ts"))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"),
+        round(col("purchase_value"), 4).as("purchase_value"),
+        date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"))
+      .orderBy("event_id")
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.operators.Analytics
+
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("windowTopK returns at most k rows per group, each group's true maxima") {
+    val rows = Analytics.windowTopK(tables, 3).collect()
+    val byFlag = rows.groupBy(_.getString(0))
+    assert(byFlag.keySet == Set("A", "N", "R"))
+    byFlag.foreach { case (flag, rs) =>
+      assert(rs.length == 3)
+      val globalMax = tables.lineitem.filter(col("l_returnflag") === flag)
+        .agg(max("l_extendedprice")).head().getDouble(0)
+      assert(rs.map(_.getDouble(3)).max == globalMax)
+    }
+  }
+
+  test("windowRunning accumulates per customer in order") {
+    val rows = Analytics.windowRunning(tables).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      var acc = 0.0
+      rs.sortBy(r => (r.getString(2), r.getLong(1))).foreach { r =>
+        acc += r.getDouble(3)
+        assert(math.abs(r.getDouble(4) - acc) < 0.02)
+      }
+    }
+  }
+
+  test("semi + anti join partition the customer set by has-any-order") {
+    val withOrders = tables.customer
+      .join(tables.orders, col("c_custkey") === col("o_custkey"), "left_semi").count()
+    val anti = Analytics.antiJoin(tables).count()
+    assert(withOrders + anti == tables.customer.count())
+  }
+
+  test("unionKeys equals the distinct union of both key sets") {
+    val got = Analytics.unionKeys(tables).collect().map(_.getInt(0)).toSet
+    val c = tables.customer.select("c_nationkey").collect().map(_.getInt(0)).toSet
+    val s = tables.supplier.select("s_nationkey").collect().map(_.getInt(0)).toSet
+    assert(got == (c ++ s))
+  }
+
+  test("aboveAvg keeps exactly the orders above the mean") {
+    val a = tables.orders.agg(avg("o_totalprice")).head().getDouble(0)
+    val expected = tables.orders.filter(col("o_totalprice") > a).count()
+    assert(Analytics.aboveAvg(tables).count() == expected)
+  }
+
+  test("asOfJoin picks the latest right row at or before each left row") {
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val left = Seq((1L, ts(5), "L1"), (1L, ts(10), "L2"), (2L, ts(5), "L3"))
+      .toDF("user_id", "ts", "tag")
+    val right = Seq((1L, ts(4), 100.0), (1L, ts(5), 200.0), (1L, ts(9), 300.0), (3L, ts(1), 999.0))
+      .toDF("user_id", "ts", "v")
+    val got = Analytics.asOfJoin(left, right, "user_id", "ts", Seq("v"))
+      .select("tag", "v").collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(got("L1") == Some(200.0)) // ts == left ts is visible
+    assert(got("L2") == Some(300.0)) // latest before 10:10
+    assert(got("L3") == None) // user 2 has no purchases
+  }
+
+  test("as-of plan is one shuffle+window, not a range self-join") {
+    val plan = planOf(Analytics.eventsAsOf(tables))
+    assert(plan.contains("Window"), s"no window operator:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      s"as-of must not be a join:\n$plan")
+  }
+}
