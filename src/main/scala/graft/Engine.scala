@@ -13,9 +13,11 @@ import graft.sources.Tables
   */
 final class Engine(val spark: SparkSession, val tables: Tables) {
 
-  /** Register every catalog table as a temp view (idempotent). */
+  /** Register every catalog table as a temp view and the engine's custom
+    * SQL functions (idempotent). */
   def register(): this.type = {
     tables.names.foreach { n => tables.table(n).createOrReplaceTempView(n) }
+    GraftExtensions.registerTemp(spark)
     this
   }
 

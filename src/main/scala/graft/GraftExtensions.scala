@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions._
+
+/** Session extensions exposing the engine's custom Catalyst expressions to
+  * SQL users (`spark.sql("SELECT simhash64(...) ...")`).
+  *
+  * Two registration paths:
+  *  - cluster-level: `spark.sql.extensions=graft.GraftExtensions` (or
+  *    `SparkSession.builder().withExtensions(new GraftExtensions)`)
+  *  - session-level: [[GraftExtensions.registerTemp]] on an existing session
+  *    (what [[Engine.register]] uses — no restart needed).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, doc, builder) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name, doc),
+        builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def arg(es: Seq[Expression], i: Int): Int =
+    es(i).eval(null).asInstanceOf[Number].intValue()
+  private def argL(es: Seq[Expression], i: Int): Long =
+    es(i).eval(null).asInstanceOf[Number].longValue()
+
+  /** (name, doc, builder) for every SQL-exposed function. */
+  val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("simhash64", "simhash64(tokens) - 64-bit SimHash of an array of tokens",
+      es => SimHash64(es.head)),
+    ("minhash_sig", "minhash_sig(shingles, k, seed) - minhash signature of a shingle array",
+      es => MinHashSig(es.head, arg(es, 1), argL(es, 2))),
+    ("minhash_sig_text", "minhash_sig_text(text, w, k, seed) - fused tokenize+shingle+minhash",
+      es => MinHashSigText(es.head, arg(es, 1), arg(es, 2), argL(es, 3))),
+    ("band_keys", "band_keys(sig, bands) - LSH band keys of a minhash signature",
+      es => BandKeys(es.head, arg(es, 1))),
+    ("rolling_hash", "rolling_hash(text) - Karp-Rabin rolling-hash fingerprint",
+      es => RollingHash64(es.head)),
+    ("srp_bucket", "srp_bucket(vec, nbits, seed) - signed-random-projection LSH bucket",
+      es => SrpBucket(es.head, arg(es, 1), argL(es, 2))),
+    ("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float vectors",
+      es => CosineSimF(es.head, es(1))),
+    ("lang_id", "lang_id(text) - struct(lang_pred, lang_score) language guess",
+      es => LangId(es.head)))
+
+  /** Register all functions on an existing session (temp functions). */
+  def registerTemp(spark: SparkSession): Unit =
+    functions.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "scala_udf")
+    }
+}

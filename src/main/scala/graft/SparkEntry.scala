@@ -128,6 +128,7 @@ object SparkEntry {
     "q_text_stats" ->
       ("SELECT doc_id, length(text) AS n_chars_calc, " +
         "len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens, " +
+        "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens_bpeish, " +
         "round(length(regexp_replace(text, '\\s+', '', 'g')) / len(string_split_regex(lower(trim(text)), '\\s+')), 6) AS avg_token_len " +
         "FROM documents ORDER BY doc_id"),
     "q_text_topterms" ->

@@ -19,13 +19,21 @@ object TextAnalysis {
   val Stopwords: Seq[String] =
     Seq("the", "a", "an", "of", "and", "or", "to", "in", "is", "it")
 
-  /** Per-document token/length statistics. */
+  /** BPE-style pre-tokenization pattern (public GPT-2-style shape): letter
+    * runs, digit runs, or single non-space symbols — the token count a BPE
+    * tokenizer would start from, minus merges. */
+  val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Per-document token/length statistics: whitespace tokens and a BPE-ish
+    * regex token count. */
   def textStats(t: Tables): DataFrame =
     t.documents
       .select(
         col("doc_id"),
         length(col("text")).cast("bigint").as("n_chars_calc"),
         size(tokens(col("text"))).cast("bigint").as("n_tokens"),
+        size(regexp_extract_all(col("text"), lit(BpeishPattern), lit(0)))
+          .cast("bigint").as("n_tokens_bpeish"),
         round(
           length(regexp_replace(col("text"), "\\s+", "")).cast("double") /
             size(tokens(col("text"))), 6).as("avg_token_len"))

@@ -1,0 +1,53 @@
+package graft
+
+class GraftExtensionsSpec extends SparkSpec {
+
+  lazy val engine: Engine = Engine(spark, sfDir)
+
+  test("custom expressions are callable from SQL after registration") {
+    engine // forces register()
+    val r = spark.sql(
+      """SELECT doc_id,
+        |       simhash64(split(lower(text), '\\s+')) AS sh,
+        |       rolling_hash(text) AS rh,
+        |       minhash_sig_text(text, 2, 16, 42L) AS sig,
+        |       lang_id(text).lang_pred AS lang
+        |FROM documents ORDER BY doc_id LIMIT 3""".stripMargin).collect()
+    assert(r.length == 3)
+    assert(r.forall(_.getSeq[Long](3).length == 16))
+    assert(r.forall(row => row.getString(4).nonEmpty))
+  }
+
+  test("vector functions work in SQL over the embeddings table") {
+    engine
+    val r = spark.sql(
+      """SELECT a.vec_id, cosine_sim(a.embedding, a.embedding) AS self_sim,
+        |       srp_bucket(a.embedding, 8, 7L) AS bucket
+        |FROM embeddings a ORDER BY a.vec_id LIMIT 5""".stripMargin).collect()
+    assert(r.forall(row => math.abs(row.getDouble(1) - 1.0) < 1e-12))
+    assert(r.forall(row => row.getInt(2) >= 0 && row.getInt(2) < 256))
+  }
+
+  test("extensions class injects the same functions at session build time") {
+    import org.apache.spark.sql.SparkSession
+    val prev = spark // force shared session creation first
+    // getOrCreate returns the active session (ignoring extensions), so build
+    // a genuinely new session over the same SparkContext
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val v = s2.sql("SELECT rolling_hash('abc') AS h").head().getLong(0)
+      val expected = graft.functions.HashImpl.rollingHash(
+        org.apache.spark.unsafe.types.UTF8String.fromString("abc"))
+      assert(v == expected)
+    } finally {
+      SparkSession.setActiveSession(prev)
+      SparkSession.setDefaultSession(prev)
+    }
+  }
+}
