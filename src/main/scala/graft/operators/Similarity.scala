@@ -78,12 +78,16 @@ object Similarity {
       .join(emb.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a.embedding").as("emb_a"), col("b.embedding").as("emb_b"))
-      .distinct()
-      .withColumn("cosine", HashFunctions.cosineSim(col("emb_a"), col("emb_b")))
+      // verify BEFORE dedup: the exact-cosine filter runs map-side on each
+      // collision, so only confirmed near-dup id pairs (ids + one double, not
+      // the 256-byte vectors) ever reach the distinct's shuffle. A pair
+      // colliding in several tables recomputes cosine ≤ nTables times —
+      // cheaper at scale than shuffling embeddings as group-by keys.
+      .withColumn("cosine", HashFunctions.cosineSim(col("a.embedding"), col("b.embedding")))
       .filter(col("cosine") >= minCosine)
-      .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cosine"))
+      .groupBy("vec_a", "vec_b")
+      .agg(round(max("cosine"), 6).as("cosine"))
       .orderBy("vec_a", "vec_b")
   }
 }
