@@ -50,6 +50,7 @@ object SparkEntry {
     // — similarity search (SURVEY §2 rows 19–21) —
     "q_ann_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables(s, d))),
     "q_ann_lsh" -> ((s, d) => Similarity.lshTopK(Tables(s, d))),
+    "q_ann_ivf" -> ((s, d) => Similarity.ivfTopK(Tables(s, d))),
     "q_embed_neardup" -> ((s, d) => Similarity.embeddingNearDups(Tables(s, d))),
     // — text analysis (SURVEY §2 rows 22–26) —
     "q_text_stats" -> ((s, d) => TextAnalysis.textStats(Tables(s, d))),

@@ -60,6 +60,67 @@ object Similarity {
       .orderBy("query_id", "neighbor_id")
   }
 
+  /** IVF (inverted-file) ANN: a KMeans coarse quantizer partitions the
+    * corpus into `nList` cells; each query probes its `nProbe` nearest cells
+    * and ranks only those candidates by exact cosine.
+    *
+    * Scale shape: the index build is one MLlib KMeans fit (sampled
+    * iterations, centroids are tiny); assignment is a narrow projection; the
+    * probe is a broadcast equi-join on the cell id — expected candidates per
+    * query ≈ corpus·nProbe/nList, never all-pairs. Vectors are unit-
+    * normalized before clustering so euclidean cells respect cosine
+    * geometry. With nProbe == nList this is exhaustive and must equal the
+    * brute-force top-k (spec-asserted). */
+  def ivfTopK(t: Tables, nQueries: Int = 10, k: Int = 5,
+              nList: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val unitVec = {
+      val d = transform(col("embedding"), x => x.cast("double"))
+      val norm = sqrt(aggregate(d, lit(0.0), (acc, x) => acc + x * x))
+      transform(d, x => x / norm)
+    }
+    val emb = t.embeddings
+      .select(col("vec_id"), col("embedding"), array_to_vector(unitVec).as("features"))
+    val model = new KMeans().setK(nList).setSeed(42L).setMaxIter(10).fit(emb)
+    val assigned = model.transform(emb)
+      .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+
+    val centroids = t.embeddings.sparkSession.createDataFrame(
+      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) })
+      .toDF("cell", "centroid")
+
+    // probe: nProbe nearest cells per query vector (euclidean on unit sphere)
+    val queries = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .withColumn("q_unit", {
+        val d = transform(col("q_emb"), x => x.cast("double"))
+        val norm = sqrt(aggregate(d, lit(0.0), (acc, x) => acc + x * x))
+        transform(d, x => x / norm)
+      })
+    val dist2 = aggregate(
+      zip_with(col("q_unit"), col("centroid"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(dist2.asc, col("cell").asc)
+    val probed = queries.join(broadcast(centroids))
+      .withColumn("rp", row_number().over(wProbe))
+      .filter(col("rp") <= nProbe)
+      .select(col("query_id"), col("q_emb"), col("cell"))
+
+    // candidates: only vectors in probed cells; exact cosine; top-k
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    assigned.select(col("vec_id").as("neighbor_id"), col("embedding"), col("cell"))
+      .join(broadcast(probed), "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", HashFunctions.cosineSim(col("q_emb"), col("embedding")))
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
   /** Embedding-cosine near-duplicate pairs via multi-table SRP-LSH:
     * `nTables` independent bucketings of `nBits` bits each (amplifies recall
     * like MinHash bands — a pair is a candidate if it collides in ANY table),

@@ -47,6 +47,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF with full probing equals brute-force top-k exactly") {
+    val ivf = Similarity.ivfTopK(tables, nQueries = 5, k = 4, nList = 8, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = Similarity.bruteForceTopK(tables, nQueries = 5, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(ivf == brute, s"IVF(full probe) != brute: ${ivf.diff(brute)} / ${brute.diff(ivf)}")
+  }
+
+  test("IVF with partial probing returns valid neighbors with exact cosines") {
+    val brute = Similarity.bruteForceTopK(tables, nQueries = 5, k = 500).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = Similarity.ivfTopK(tables, nQueries = 5, k = 4, nList = 8, nProbe = 2).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(brute.contains(key) && brute(key) == r.getDouble(2))
+    }
+  }
+
   test("embeddingNearDups verifies candidates with exact cosine above threshold") {
     val rows = Similarity.embeddingNearDups(tables, minCosine = 0.3).collect()
     rows.foreach { r => assert(r.getDouble(2) >= 0.3 && r.getLong(0) < r.getLong(1)) }
