@@ -12,15 +12,26 @@ import graft.sources.Tables
   */
 object Analytics {
 
-  /** Top-3 lineitems per return flag by price — bounded per-group top-k via
-    * row_number (partial sort per partition, no global sort of the fact). */
-  def windowTopK(t: Tables, k: Int = 3): DataFrame = {
-    val w = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+  /** Top-3 lineitems per return flag by price. Only 3 groups exist, so a
+    * plain per-group window would sort the whole fact table in 3 reducers —
+    * the low-cardinality window skew. Two-phase (salted) top-k instead:
+    * phase 1 ranks within (group, salt) across `salts`× more reducers and
+    * keeps ≤ k·salts rows per group; phase 2 ranks that tiny survivor set.
+    * Identical result (the global top-k is within the union of per-salt
+    * top-ks), parallelism `groups × salts` instead of `groups`. */
+  def windowTopK(t: Tables, k: Int = 3, salts: Int = 32): DataFrame = {
+    val order = Seq(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+    val pre = Window
+      .partitionBy(col("l_returnflag"), pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(salts)))
+      .orderBy(order: _*)
+    val fin = Window.partitionBy(col("l_returnflag")).orderBy(order: _*)
     t.lineitem
       .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
-      .withColumn("rnk", row_number().over(w))
+      .withColumn("prnk", row_number().over(pre))
+      .filter(col("prnk") <= k)
+      .withColumn("rnk", row_number().over(fin))
       .filter(col("rnk") <= k)
+      .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice", "rnk")
       .orderBy("l_returnflag", "rnk")
   }
 

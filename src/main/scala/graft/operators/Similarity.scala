@@ -83,7 +83,10 @@ object Similarity {
     }
     val emb = t.embeddings
       .select(col("vec_id"), col("embedding"), array_to_vector(unitVec).as("features"))
-    val model = new KMeans().setK(nList).setSeed(42L).setMaxIter(10).fit(emb)
+    // few iterations suffice: IVF correctness doesn't depend on convergence
+    // quality (probing uses the same centroids as assignment), only recall
+    // does, and that plateaus fast on a coarse quantizer
+    val model = new KMeans().setK(nList).setSeed(42L).setMaxIter(5).fit(emb)
     val assigned = model.transform(emb)
       .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
 
