@@ -47,6 +47,7 @@ object SparkEntry {
       Dedup.jaccardPairs(Tables(s, d).documents.filter(col("doc_id") < 200), 0.5)),
     "q_dedup_minhash" -> ((s, d) => Dedup.minhashCandidates(Tables(s, d))),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashFingerprints(Tables(s, d))),
+    "q_dedup_groups" -> ((s, d) => Dedup.nearDupGroups(Tables(s, d))),
     // — similarity search (SURVEY §2 rows 19–21) —
     "q_ann_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables(s, d))),
     "q_ann_lsh" -> ((s, d) => Similarity.lshTopK(Tables(s, d))),

@@ -118,6 +118,31 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Transitive near-duplicate groups: LSH candidate pairs → connected
+    * components → one group id (the component's min doc_id) per document.
+    * Documents with no near-dup edges form singleton groups. Filtering
+    * `doc_id === group_id` afterwards yields the canonical survivor set.
+    *
+    * Components run on GraphX (Pregel-style label propagation — the standard
+    * Spark tool for this; a DataFrame min-label loop would re-shuffle the
+    * edge set once per diameter step anyway). Edge count is bounded by the
+    * LSH candidate volume, not n². */
+  def nearDupGroups(t: Tables, w: Int = 2, minEstJaccard: Double = 0.5): DataFrame = {
+    import org.apache.spark.graphx.Graph
+    val spark = t.spark
+    import spark.implicits._
+    val pairs = minhashCandidates(t, w = w, minEstJaccard = minEstJaccard)
+    val edges = pairs.select("doc_a", "doc_b").as[(Long, Long)].rdd
+    val components = Graph.fromEdgeTuples(edges, defaultValue = 1)
+      .connectedComponents().vertices // (doc_id, min doc_id in component)
+      .toDF("doc_id", "group_id")
+    t.documents.select("doc_id")
+      .join(components, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("group_id"), col("doc_id")).as("group_id"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash fingerprints: 64-bit near-dup signature per document (custom
     * codegen'd expression). Exact-equal simhash → near-identical token
     * multiset; grouping by fingerprint is the O(n) near-dup pass. */

@@ -55,6 +55,25 @@ class DedupSpec extends SparkSpec {
     assert(got(0).getLong(0) == 1L && got(0).getLong(1) == 2L && got(0).getDouble(2) == 0.6)
   }
 
+  test("nearDupGroups merges transitive near-duplicates into one component") {
+    val docs = tables.documents
+    // A ~ B and B ~ C by construction (one-word deltas), so {A,B,C} must group
+    val base = docs.filter($"doc_id" === 0)
+    val b = base.withColumn("doc_id", lit(5000000L))
+      .withColumn("text", concat($"text", lit(" x")))
+    val c = base.withColumn("doc_id", lit(5000001L))
+      .withColumn("text", concat($"text", lit(" x y")))
+    val t = tables.withTable("documents", docs.union(b).union(c))
+    val groups = Dedup.nearDupGroups(t, minEstJaccard = 0.4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups(0L) == 0L && groups(5000000L) == 0L && groups(5000001L) == 0L,
+      s"transitive group broken: ${groups.view.filterKeys(k => k == 0L || k >= 5000000L).toMap}")
+    // untouched docs are singleton groups
+    assert(groups(1L) == 1L)
+    // total coverage: every document got a group
+    assert(groups.size == docs.count() + 2)
+  }
+
   test("simhash fingerprints: identical docs collide") {
     val docs = tables.documents
     val dups = docs.filter($"doc_id" < 3).withColumn("doc_id", $"doc_id" + 3000000L)
