@@ -48,7 +48,9 @@ object GraftExtensions {
     ("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float vectors",
       es => CosineSimF(es.head, es(1))),
     ("lang_id", "lang_id(text) - struct(lang_pred, lang_score) language guess",
-      es => LangId(es.head)))
+      es => LangId(es.head)),
+    ("freq_items", "freq_items(item, k) - SpaceSaving top-k frequent-items sketch (aggregate)",
+      es => FreqItemsSketch(es.head, arg(es, 1))))
 
   /** Register all functions on an existing session (temp functions). */
   def registerTemp(spark: SparkSession): Unit =

@@ -56,6 +56,7 @@ object SparkEntry {
     // — text analysis (SURVEY §2 rows 22–26) —
     "q_text_stats" -> ((s, d) => TextAnalysis.textStats(Tables(s, d))),
     "q_text_topterms" -> ((s, d) => TextAnalysis.topTerms(Tables(s, d))),
+    "q_text_topterms_sketch" -> ((s, d) => TextAnalysis.topTermsSketch(Tables(s, d))),
     "q_text_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables(s, d))),
     "q_text_lang" -> ((s, d) => TextAnalysis.languageId(Tables(s, d))),
     "q_text_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(Tables(s, d))),

@@ -93,6 +93,19 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Corpus-wide frequent terms via the SpaceSaving sketch — the scale path
+    * for top-terms when the vocabulary is too large for an exact groupBy:
+    * one partial+final aggregation pass with a bounded (capacity-sized)
+    * buffer per partition, no per-term shuffle. Every term with frequency
+    * > totalTokens/capacity is guaranteed present. */
+  def topTermsSketch(t: Tables, capacity: Int = 64, k: Int = 25): DataFrame =
+    t.documents
+      .select(explode(tokens(col("text"))).as("token"))
+      .agg(graft.functions.FreqItemsSketch.freqItems(col("token"), capacity).as("sketch"))
+      .select(explode(slice(col("sketch"), 1, k)).as("e"))
+      .select(col("e.item").as("token"), col("e.est_count").as("est_count"),
+        col("e.max_err").as("max_err"))
+
   /** Document fingerprint: Karp–Rabin rolling hash of the normalized text
     * (custom codegen'd Catalyst expression — see
     * [[graft.functions.RollingHash64]]). */

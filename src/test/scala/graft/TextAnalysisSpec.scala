@@ -44,6 +44,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(4L) == "zh", s"got $got")
   }
 
+  test("topTermsSketch honors the SpaceSaving guarantees against exact counts") {
+    val exact = TextAnalysis.topTerms(tables, 1000).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = exact.values.sum
+    val capacity = 64
+    val sketch = TextAnalysis.topTermsSketch(tables, capacity, capacity).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(sketch.nonEmpty)
+    val inSketch = sketch.map(_._1).toSet
+    // guarantee 1: every heavy hitter (freq > n/capacity) is present
+    exact.filter(_._2 > total / capacity).keys.foreach { term =>
+      assert(inSketch.contains(term), s"heavy hitter '$term' missing from sketch")
+    }
+    // guarantee 2: est - err <= true <= est for tracked items
+    sketch.foreach { case (term, est, err) =>
+      val truth = exact.getOrElse(term, 0L)
+      assert(truth <= est && truth >= est - err,
+        s"'$term': true=$truth not in [est-err=${est - err}, est=$est]")
+    }
+  }
+
   test("fingerprints: equal normalized text → equal fingerprint") {
     val t = tables.withTable("documents",
       Seq((1L, "Some Text"), (2L, "  some text "), (3L, "other")).toDF("doc_id", "text"))
