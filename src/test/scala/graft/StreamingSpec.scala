@@ -50,6 +50,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source streaming windowedCounts equals the batch aggregation") {
+    val src = "target/test-stream-src"
+    tables.events.write.mode("overwrite").parquet(src) // µs timestamps
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema).parquet(src)
+    val q = EventStreams.windowedCounts(stream)
+      .writeStream.format("memory").queryName("fwc").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("fwc").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          math.round(r.getDouble(3) * 1e4))).toSet
+      val want = spark.read.parquet(src)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum("value").as("v"))
+        .select(col("window.start"), col("event_type"), col("n"), col("v"))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          math.round(r.getDouble(3) * 1e4))).toSet
+      assert(got == want && got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("runningUserTotals keeps state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
