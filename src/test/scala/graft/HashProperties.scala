@@ -1,0 +1,84 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import graft.functions.HashImpl
+
+/** Pure-kernel property tests (no SparkSession — these run the same code the
+  * codegen'd expressions call). */
+object HashProperties extends Properties("HashImpl") {
+
+  private val token: Gen[String] = Gen.choose(1, 8)
+    .flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+  private val tokenSet: Gen[Set[String]] = Gen.choose(5, 60)
+    .flatMap(n => Gen.listOfN(n, token).map(_.toSet))
+
+  private def arr(items: Iterable[String]): GenericArrayData =
+    new GenericArrayData(items.map(UTF8String.fromString).toArray[Any])
+
+  private def estJaccard(a: Set[String], b: Set[String], k: Int): Double = {
+    val sa = HashImpl.minhash(arr(a), k, 42L)
+    val sb = HashImpl.minhash(arr(b), k, 42L)
+    (0 until k).count(i => sa.getLong(i) == sb.getLong(i)).toDouble / k
+  }
+
+  property("minhash of identical sets is identical") = forAll(tokenSet) { s =>
+    estJaccard(s, s, 32) == 1.0
+  }
+
+  property("minhash estimate within 4 sigma of true jaccard") =
+    forAll(tokenSet, tokenSet) { (a, b) =>
+      val k = 256
+      val j = a.intersect(b).size.toDouble / a.union(b).size
+      val est = estJaccard(a, b, k)
+      val sigma = math.sqrt(j * (1 - j) / k) max 0.01
+      math.abs(est - j) <= 4 * sigma
+    }
+
+  property("minhash is order- and duplication-invariant") = forAll(tokenSet) { s =>
+    val once = HashImpl.minhash(arr(s), 32, 42L)
+    val shuffledDup = HashImpl.minhash(arr(s.toList.reverse ++ s.toList), 32, 42L)
+    (0 until 32).forall(i => once.getLong(i) == shuffledDup.getLong(i))
+  }
+
+  property("simhash of a permuted token multiset is unchanged") =
+    forAll(tokenSet) { s =>
+      HashImpl.simhash64(arr(s.toList)) == HashImpl.simhash64(arr(s.toList.reverse))
+    }
+
+  property("rollingHash distinguishes distinct strings (no accidental collisions)") =
+    forAll(token, token) { (a, b) =>
+      (a == b) == (HashImpl.rollingHash(UTF8String.fromString(a)) ==
+        HashImpl.rollingHash(UTF8String.fromString(b)))
+    }
+
+  property("minhashText equals minhash over explicitly built shingles") =
+    forAll(Gen.choose(2, 20).flatMap(n => Gen.listOfN(n, token))) { toks =>
+      val text = toks.mkString(" ")
+      val w = 2
+      val shingles = if (toks.length >= w) toks.sliding(w).map(_.mkString(" ")).toList
+                     else List(toks.mkString(" "))
+      val fused = HashImpl.minhashText(UTF8String.fromString(text), w, 32, 42L)
+      val composed = HashImpl.minhash(arr(shingles), 32, 42L)
+      // fused hashes UTF-16 chars, composed hashes UTF-8 bytes: identical for
+      // ASCII tokens, which alphaLowerChar guarantees
+      (0 until 32).forall(i => fused.getLong(i) == composed.getLong(i))
+    }
+
+  property("cosine is 1 on self, symmetric, and in [-1, 1]") =
+    forAll(Gen.choose(4, 64).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-100, 100).map(_ / 10.0f)))) { xs =>
+      val nonZero = if (xs.forall(_ == 0f)) 1f :: xs.tail else xs
+      def ad(v: List[Float]) = new GenericArrayData(v.toArray[Any])
+      val a = ad(nonZero)
+      val b = ad(nonZero.reverse)
+      val selfSim = HashImpl.cosineF(a, a)
+      val ab = HashImpl.cosineF(a, b)
+      val ba = HashImpl.cosineF(b, a)
+      Prop(math.abs(selfSim - 1.0) < 1e-9) &&
+        Prop(ab == ba) && Prop(ab >= -1.0 - 1e-9 && ab <= 1.0 + 1e-9)
+    }
+}
