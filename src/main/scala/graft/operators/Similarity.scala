@@ -85,8 +85,16 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), array_to_vector(unitVec).as("features"))
     // few iterations suffice: IVF correctness doesn't depend on convergence
     // quality (probing uses the same centroids as assignment), only recall
-    // does, and that plateaus fast on a coarse quantizer
-    val model = new KMeans().setK(nList).setSeed(42L).setMaxIter(5).fit(emb)
+    // does, and that plateaus fast on a coarse quantizer. The fit input is
+    // coalesced: each KMeans iteration is a full pass, and scheduling dozens
+    // of tiny partitions per pass dominates the actual math — a production
+    // build would fit on a SAMPLE anyway (centroids need ~1000·nList rows,
+    // not the corpus), which is the knob that keeps this bounded at 100 TB.
+    // random init instead of k-means|| — the parallel init alone runs several
+    // extra distributed rounds, and a coarse quantizer doesn't need them
+    val model = new KMeans().setK(nList).setSeed(42L).setMaxIter(5)
+      .setInitMode("random")
+      .fit(emb.select("features").coalesce(2))
     val assigned = model.transform(emb)
       .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
 
