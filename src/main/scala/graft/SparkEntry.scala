@@ -40,6 +40,7 @@ object SparkEntry {
     // — events (batch twins of the streaming ops) —
     "q_events_window" -> ((s, d) => Relational.eventsWindow(Tables(s, d))),
     "q_events_topusers" -> ((s, d) => Relational.eventsTopUsers(Tables(s, d))),
+    "q_events_props" -> ((s, d) => Relational.eventsProps(Tables(s, d))),
     // — dedup (SURVEY §2 rows 15–18) —
     "q_dedup_exact" -> ((s, d) => Dedup.exactGroups(Tables(s, d))),
     "q_dedup_exact_rows" -> ((s, d) => Dedup.exactRows(Tables(s, d))),
@@ -110,6 +111,10 @@ object SparkEntry {
       "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start, event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value FROM events GROUP BY 1, 2 ORDER BY w_start, event_type",
     "q_events_topusers" ->
       "SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS total_value FROM events GROUP BY user_id ORDER BY n_events DESC, user_id ASC LIMIT 50",
+    "q_events_props" ->
+      ("SELECT event_type, count(*) AS n_events, round(avg(k), 6) AS avg_k, min(k) AS min_k, max(k) AS max_k " +
+        "FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events) " +
+        "GROUP BY event_type ORDER BY event_type"),
     "q_dedup_exact" ->
       "SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1 ORDER BY fp",
     "q_dedup_exact_rows" ->

@@ -16,6 +16,10 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // coalesce(1) is load-bearing here: queries end in a global ORDER BY
+      // and a single output file preserves that row order for the driver's
+      // compare. Oracle dumps are sf0.01-sized; this is NOT an engine
+      // operator and never runs at scale.
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

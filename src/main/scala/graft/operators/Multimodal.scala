@@ -59,6 +59,43 @@ object Multimodal {
       Seq("png", "jpg", "webp")(n % 3), h)
   }
 
+  /** A sampled "frame" of a media payload (video frame-sampling stand-in). */
+  final case class Frame(doc_id: Long, frame_idx: Int, offset: Int, frame_checksum: Long)
+
+  /** STUB resize — a real implementation would re-encode pixels; the stub
+    * rescales the metadata and keeps the checksum, which is exactly the
+    * contract the spec pins down (shape transform, content-preserving). */
+  def resizeStub(f: MediaFeatures, w: Int, h: Int): MediaFeatures =
+    f.copy(width = w, height = h)
+
+  /** STUB frame sampler — derives `n` deterministic frame offsets from the
+    * payload (a real video codec would seek keyframes) and a per-frame
+    * checksum over the bytes at each offset. */
+  def frameSampleStub(r: MediaRecord, n: Int): Seq[Frame] = {
+    val len = math.max(r.payload.length, 1)
+    (0 until n).map { i =>
+      val offset = (len.toLong * i / n).toInt
+      var h = 0xcbf29ce484222325L ^ i
+      var j = offset
+      val end = math.min(offset + 16, r.payload.length)
+      while (j < end) { h ^= (r.payload(j) & 0xffL); h *= 0x100000001b3L; j += 1 }
+      Frame(r.doc_id, i, offset, h)
+    }
+  }
+
+  /** Partition-batched resize over decoded features (narrow op). */
+  def resizeFeatures(spark: SparkSession, t: Tables, w: Int, h: Int): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    decodeFeatures(spark, t).mapPartitions(_.map(resizeStub(_, w, h)))
+  }
+
+  /** Partition-batched frame sampling: one payload fans out to `n` frame
+    * rows (flatMap — still narrow, no shuffle). */
+  def frameSample(spark: SparkSession, t: Tables, n: Int = 4): Dataset[Frame] = {
+    import spark.implicits._
+    withPayload(t).as[MediaRecord].mapPartitions(_.flatMap(frameSampleStub(_, n)))
+  }
+
   /** Partition-batched decode: the Scala analogue of `mapInPandas` — one
     * iterator per partition, so a real codec could amortize per-batch setup
     * (model load, native handles) across the partition. Narrow op; output is

@@ -144,6 +144,23 @@ object Relational {
         col("event_type"), col("n_events"), col("sum_value"))
       .orderBy("w_start", "event_type")
 
+  /** Semi-structured extraction: parse the JSON `props` column and
+    * aggregate a typed field per event type. JSON path extraction is
+    * codegen'd (`get_json_object`), so this stays a narrow projection
+    * feeding a partial+final agg. */
+  def eventsProps(t: Tables): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("bigint")
+    t.events
+      .select(col("event_type"), k.as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(avg("k"), 6).as("avg_k"),
+        min("k").as("min_k"),
+        max("k").as("max_k"))
+      .orderBy("event_type")
+  }
+
   /** Top users by activity — groupBy + ORDER BY count DESC + LIMIT. */
   def eventsTopUsers(t: Tables): DataFrame =
     t.events

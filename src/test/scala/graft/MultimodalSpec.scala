@@ -22,6 +22,34 @@ class MultimodalSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("resize changes dimensions and preserves content checksums") {
+    val resized = Multimodal.resizeFeatures(spark, tables, 224, 224).collect()
+    val original = Multimodal.decodeFeatures(spark, tables).collect()
+      .map(f => f.doc_id -> f.checksum).toMap
+    assert(resized.nonEmpty)
+    resized.foreach { f =>
+      assert(f.width == 224 && f.height == 224)
+      assert(f.checksum == original(f.doc_id))
+    }
+  }
+
+  test("frameSample fans each payload into n deterministic in-bounds frames") {
+    val n = 4
+    val frames = Multimodal.frameSample(spark, tables, n).collect()
+    val byDoc = frames.groupBy(_.doc_id)
+    assert(byDoc.size == tables.documents.count())
+    val lens = Multimodal.withPayload(tables).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload").length).toMap
+    byDoc.foreach { case (id, fs) =>
+      assert(fs.map(_.frame_idx).sorted.toSeq == (0 until n))
+      fs.foreach(f => assert(f.offset >= 0 && f.offset < math.max(lens(id), 1)))
+    }
+    // determinism
+    val again = Multimodal.frameSample(spark, tables, n).collect()
+      .map(f => (f.doc_id, f.frame_idx) -> f.frame_checksum).toMap
+    frames.foreach(f => assert(again((f.doc_id, f.frame_idx)) == f.frame_checksum))
+  }
+
   test("payloads are real binary columns") {
     val df = Multimodal.withPayload(tables)
     assert(df.schema("payload").dataType == org.apache.spark.sql.types.BinaryType)
