@@ -16,7 +16,9 @@ final class Engine(val spark: SparkSession, val tables: Tables) {
   /** Register every catalog table as a temp view and the engine's custom
     * SQL functions (idempotent). */
   def register(): this.type = {
-    tables.names.foreach { n => tables.table(n).createOrReplaceTempView(n) }
+    // resolved(), not table(): the typed accessors carry per-table handling
+    // (e.g. the events TIMESTAMP(NANOS) conversion)
+    tables.names.foreach { n => tables.resolved(n).createOrReplaceTempView(n) }
     GraftExtensions.registerTemp(spark)
     this
   }

@@ -25,6 +25,14 @@ final case class Tables(spark: SparkSession, dir: String,
   def withTable(name: String, df: DataFrame): Tables =
     copy(overrides = overrides + (name -> df))
 
+  /** Resolve a table through its typed accessor (so per-table handling like
+    * the events nanos conversion applies) — use this, not [[table]], when
+    * resolving by name generically. */
+  def resolved(name: String): DataFrame = name match {
+    case "events" => events
+    case n => table(n)
+  }
+
   def region: DataFrame = table("region")
   def nation: DataFrame = table("nation")
   def customer: DataFrame = table("customer")

@@ -1,0 +1,50 @@
+#!/usr/bin/env python3
+"""Compare FuzzRunner parquet dumps against DuckDB on the same queries.
+
+Usage: python3 tools/check_fuzz.py [sf_dir] [queries.json] [out_dir]
+"""
+import glob
+import json
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo/tools")
+from check_correctness import canon, table_hash  # noqa: E402
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    qfile = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/target/fuzz_queries.json"
+    out_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/repo/target/fuzz_out"
+    queries = json.load(open(qfile))
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    npass = nfail = 0
+    for name in sorted(queries):
+        sql = queries[name]
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        try:
+            got = canon(pd.concat([pd.read_parquet(f) for f in files]))
+            want = canon(con.sql(sql).df())
+            ok = (list(got.columns) == list(want.columns) and len(got) == len(want)
+                  and table_hash(got) == table_hash(want))
+        except Exception as e:
+            print(f"✗ {name} ERROR {str(e)[:200]}\n  {sql}")
+            nfail += 1
+            continue
+        if ok:
+            npass += 1
+        else:
+            nfail += 1
+            print(f"✗ {name} rows={len(got)}/{len(want)}\n  {sql}")
+    print(f"\nfuzz: {npass}/{npass + nfail} queries match DuckDB")
+    sys.exit(0 if nfail == 0 else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,157 @@
+#!/usr/bin/env python3
+"""Generate random reference-grammar SQL (dialect-neutral ANSI) for the
+Engine.sql ↔ DuckDB differential test.
+
+Grammar mirrors the reference surface: projection / SELECT * / DISTINCT /
+WHERE with comparisons and AND-OR / SUM-AVG-MIN-MAX-COUNT / GROUP BY /
+ORDER BY / two-table equality joins. Deterministic (seeded).
+
+Usage: python3 tools/gen_fuzz_sql.py [n] [out.json]
+"""
+import json
+import random
+import sys
+
+TABLES = {
+    "lineitem": {
+        "num": ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "str": ["l_returnflag", "l_linestatus"],
+        "int": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+        "key": ["l_orderkey", "l_linenumber"],
+    },
+    "orders": {
+        "num": ["o_totalprice"],
+        "str": ["o_orderstatus", "o_orderpriority"],
+        "int": ["o_orderkey", "o_custkey"],
+        "key": ["o_orderkey"],
+    },
+    "customer": {
+        "num": ["c_acctbal"],
+        "str": ["c_name", "c_mktsegment"],
+        "int": ["c_custkey", "c_nationkey"],
+        "key": ["c_custkey"],
+    },
+    "part": {
+        "num": ["p_retailprice"],
+        "str": ["p_brand", "p_type"],
+        "int": ["p_partkey", "p_size"],
+        "key": ["p_partkey"],
+    },
+    "nation": {
+        "num": [],
+        "str": ["n_name"],
+        "int": ["n_nationkey", "n_regionkey"],
+        "key": ["n_nationkey"],
+    },
+}
+STR_VALUES = {
+    "l_returnflag": ["A", "N", "R"], "l_linestatus": ["F", "O"],
+    "o_orderstatus": ["F", "O", "P"],
+    "o_orderpriority": ["1-URGENT", "2-HIGH", "3-MEDIUM"],
+    "c_mktsegment": ["BUILDING", "AUTOMOBILE", "MACHINERY"],
+    "p_brand": ["Brand#1", "Brand#2", "Brand#3"],
+    "p_type": ["STANDARD", "SMALL", "MEDIUM"],
+    "c_name": [], "n_name": [],
+}
+JOINS = [  # (left, right, on-left, on-right)
+    ("lineitem", "orders", "l_orderkey", "o_orderkey"),
+    ("orders", "customer", "o_custkey", "c_custkey"),
+    ("customer", "nation", "c_nationkey", "n_nationkey"),
+    ("lineitem", "part", "l_partkey", "p_partkey"),
+]
+
+
+def pred(rng, t, cols):
+    c = rng.choice(cols["num"] + cols["int"] + cols["str"])
+    if c in cols["str"]:
+        vals = STR_VALUES.get(c) or []
+        if not vals:
+            return f"{c} IS NOT NULL"
+        op = rng.choice(["=", "<>", "<", ">="])
+        return f"{c} {op} '{rng.choice(vals)}'"
+    op = rng.choice(["<", "<=", ">", ">=", "="])
+    if c in cols["int"]:
+        return f"{c} {op} {rng.randint(0, 2000)}"
+    return f"{c} {op} {round(rng.uniform(0, 100), 2)}"
+
+
+def where(rng, t, cols):
+    n = rng.randint(0, 2)
+    if n == 0:
+        return ""
+    parts = [pred(rng, t, cols) for _ in range(n + 1)][: n + 1]
+    conj = rng.choice([" AND ", " OR "])
+    return " WHERE " + conj.join(f"({p})" for p in parts[:2]) if n >= 1 else ""
+
+
+def agg_exprs(rng, cols):
+    out = []
+    for _ in range(rng.randint(1, 3)):
+        kind = rng.choice(["SUM", "AVG", "MIN", "MAX", "COUNT"])
+        # SUM over integers diverges in result dtype (Spark BIGINT vs DuckDB
+        # HUGEINT) even though values agree — keep SUM on double columns
+        if kind == "SUM" and not cols["num"]:
+            kind = "COUNT"
+        if kind == "COUNT":
+            out.append(("COUNT(*)", f"cnt_{len(out)}"))
+        elif kind == "SUM":
+            c = rng.choice(cols["num"])
+            out.append((f"ROUND(SUM({c}), 4)", f"a_{len(out)}"))
+        else:
+            c = rng.choice(cols["num"] + cols["int"])
+            expr = f"ROUND(AVG({c}), 4)" if kind == "AVG" else f"{kind}({c})"
+            out.append((expr, f"a_{len(out)}"))
+    return out
+
+
+def gen_one(rng):
+    shape = rng.choice(["scan", "distinct", "agg", "groupby", "join"])
+    t = rng.choice(list(TABLES))
+    cols = TABLES[t]
+    if shape == "scan":
+        ncols = rng.randint(1, 3)
+        pool = cols["num"] + cols["str"] + cols["int"]
+        sel = sorted(set(rng.sample(pool, min(ncols, len(pool))) + cols["key"]))
+        order = ", ".join(cols["key"])
+        return f"SELECT {', '.join(sel)} FROM {t}{where(rng, t, cols)} ORDER BY {order}"
+    if shape == "distinct":
+        pool = cols["str"] + cols["int"]
+        sel = sorted(set(rng.sample(pool, min(2, len(pool)))))
+        return (f"SELECT DISTINCT {', '.join(sel)} FROM {t}{where(rng, t, cols)} "
+                f"ORDER BY {', '.join(sel)}")
+    if shape == "agg":
+        aggs = agg_exprs(rng, cols)
+        sel = ", ".join(f"{e} AS {a}" for e, a in aggs)
+        return f"SELECT {sel} FROM {t}{where(rng, t, cols)}"
+    if shape == "groupby":
+        g = rng.choice(cols["str"] + cols["int"])
+        aggs = agg_exprs(rng, cols)
+        sel = ", ".join([g] + [f"{e} AS {a}" for e, a in aggs])
+        return (f"SELECT {sel} FROM {t}{where(rng, t, cols)} GROUP BY {g} "
+                f"ORDER BY {g}")
+    lt, rt, lk, rk = rng.choice(JOINS)
+    lcols, rcols = TABLES[lt], TABLES[rt]
+    sel = sorted(set(
+        rng.sample(lcols["num"] + lcols["str"] + lcols["int"], 2) +
+        rng.sample(rcols["num"] + rcols["str"] + rcols["int"], 1) +
+        lcols["key"]))
+    # parenthesize the extra predicates: a bare "... AND p1 OR p2" would let
+    # the OR branch escape the join condition (quasi-cross-join)
+    wbody = where(rng, lt, lcols).replace(" WHERE ", "")
+    w = f" AND ({wbody})" if wbody else ""
+    return (f"SELECT {', '.join(sel)} FROM {lt}, {rt} "
+            f"WHERE {lk} = {rk}{w} ORDER BY {', '.join(lcols['key'])}, {', '.join(sel)}")
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 80
+    out = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/target/fuzz_queries.json"
+    rng = random.Random(20260812)
+    queries = {f"fuzz_{i:03d}": gen_one(rng) for i in range(n)}
+    with open(out, "w") as f:
+        json.dump(queries, f, indent=1)
+    print(f"wrote {n} queries to {out}")
+
+
+if __name__ == "__main__":
+    main()
