@@ -177,7 +177,7 @@ object SparkEntry {
         "SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O') ORDER BY c_custkey"),
     "q_anti_join" ->
       ("SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (" +
-        "SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey"),
+        "SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P') ORDER BY c_custkey"),
     "q_union" ->
       ("SELECT DISTINCT nationkey FROM (SELECT c_nationkey AS nationkey FROM customer " +
         "UNION ALL SELECT s_nationkey AS nationkey FROM supplier) ORDER BY nationkey"),

@@ -65,10 +65,11 @@ object Analytics {
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
 
-  /** Left-anti join: customers with no orders at all (NOT EXISTS). */
+  /** Left-anti join: customers with no pending orders (NOT EXISTS). */
   def antiJoin(t: Tables): DataFrame =
     t.customer
-      .join(t.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(t.orders.filter(col("o_orderstatus") === "P"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
 

@@ -31,11 +31,13 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
-  test("semi + anti join partition the customer set by has-any-order") {
-    val withOrders = tables.customer
-      .join(tables.orders, col("c_custkey") === col("o_custkey"), "left_semi").count()
+  test("semi + anti join partition the customer set by has-pending-order") {
+    val pending = tables.orders.filter(col("o_orderstatus") === "P")
+    val withPending = tables.customer
+      .join(pending, col("c_custkey") === col("o_custkey"), "left_semi").count()
     val anti = Analytics.antiJoin(tables).count()
-    assert(withOrders + anti == tables.customer.count())
+    assert(anti > 0)
+    assert(withPending + anti == tables.customer.count())
   }
 
   test("unionKeys equals the distinct union of both key sets") {
