@@ -47,6 +47,8 @@ object SparkEntry {
     "q_dedup_jaccard" -> ((s, d) =>
       Dedup.jaccardPairs(Tables(s, d).documents.filter(col("doc_id") < 200), 0.5)),
     "q_dedup_minhash" -> ((s, d) => Dedup.minhashCandidates(Tables(s, d))),
+    "q_dedup_ngram" -> ((s, d) =>
+      Dedup.charNgramJaccardPairs(Tables(s, d).documents.filter(col("doc_id") < 60), 3, 0.5)),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashFingerprints(Tables(s, d))),
     "q_dedup_groups" -> ((s, d) => Dedup.nearDupGroups(Tables(s, d))),
     // — similarity search (SURVEY §2 rows 19–21) —
@@ -123,6 +125,17 @@ object SparkEntry {
       ("WITH tok AS (SELECT DISTINCT doc_id, token FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token FROM documents WHERE doc_id < 200)), " +
         "sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id), " +
         "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT doc_a, doc_b, round(n_common / (sa.sz + sb.sz - n_common), 6) AS jaccard " +
+        "FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b " +
+        "WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.5 ORDER BY doc_a, doc_b"),
+    "q_dedup_ngram" ->
+      ("WITH g AS (SELECT DISTINCT doc_id, substring(t, i::INT, 3) AS gram FROM (" +
+        "SELECT doc_id, lower(trim(text)) AS t, " +
+        "unnest(range(1, greatest(length(lower(trim(text))) - 1, 2))) AS i " +
+        "FROM documents WHERE doc_id < 60)), " +
+        "sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id), " +
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common " +
+        "FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
         "SELECT doc_a, doc_b, round(n_common / (sa.sz + sb.sz - n_common), 6) AS jaccard " +
         "FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b " +
         "WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.5 ORDER BY doc_a, doc_b"),

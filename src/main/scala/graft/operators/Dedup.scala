@@ -99,9 +99,26 @@ object Dedup {
     * candidates, also usable standalone on a bounded subset. Expressed as
     * explode + equi-join on token + count ratio: distributed, and exact
     * integer arithmetic until the final division (oracle-stable). */
-  def jaccardPairs(docs: DataFrame, minJaccard: Double): DataFrame = {
-    val tok = docs
-      .select(col("doc_id"), explode(array_distinct(TextAnalysis.tokens(col("text")))).as("token"))
+  def jaccardPairs(docs: DataFrame, minJaccard: Double): DataFrame =
+    jaccardFromElements(
+      docs.select(col("doc_id"),
+        explode(array_distinct(TextAnalysis.tokens(col("text")))).as("token")),
+      minJaccard)
+
+  /** Character n-gram Jaccard — same machinery over sliding character grams
+    * of the normalized text (robust to tokenization differences; the
+    * classic fuzzy-dedup feature for noisy text). */
+  def charNgramJaccardPairs(docs: DataFrame, n: Int, minJaccard: Double): DataFrame = {
+    val t = lower(trim(col("text")))
+    val grams = array_distinct(
+      transform(sequence(lit(1), greatest(length(t) - (n - 1), lit(1))),
+        i => t.substr(i, lit(n))))
+    jaccardFromElements(
+      docs.select(col("doc_id"), explode(grams).as("token")), minJaccard)
+  }
+
+  /** Shared Jaccard core over (doc_id, token) element rows. */
+  private def jaccardFromElements(tok: DataFrame, minJaccard: Double): DataFrame = {
     val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = tok.as("a")
       .join(tok.as("b"),
