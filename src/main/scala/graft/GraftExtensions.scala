@@ -15,13 +15,15 @@ import graft.functions._
   *    (what [[Engine.register]] uses — no restart needed).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, doc, builder) =>
       e.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name, doc),
         builder))
     }
+    e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+  }
 }
 
 object GraftExtensions {

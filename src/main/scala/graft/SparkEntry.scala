@@ -67,6 +67,14 @@ object SparkEntry {
     "q_multimodal_meta" -> ((s, d) => Multimodal.metadata(Tables(s, d))),
     // — analytics beyond the reference (SURVEY §2 rows 30–37) —
     "q_window_topk" -> ((s, d) => Analytics.windowTopK(Tables(s, d))),
+    "q_topk_custom" -> ((s, d) => {
+      val li = Tables(s, d).lineitem
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+      graft.plans.TopK.perGroup(li, Seq("l_returnflag"),
+        Seq(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc), 3)
+        .orderBy(col("l_returnflag"), col("l_extendedprice").desc,
+          col("l_orderkey"), col("l_linenumber"))
+    }),
     "q_window_running" -> ((s, d) => Analytics.windowRunning(Tables(s, d))),
     "q_having" -> ((s, d) => Analytics.having(Tables(s, d))),
     "q_semi_join" -> ((s, d) => Analytics.semiJoin(Tables(s, d))),
@@ -178,6 +186,12 @@ object SparkEntry {
         "SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, " +
         "row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS rnk " +
         "FROM lineitem) WHERE rnk <= 3 ORDER BY l_returnflag, rnk"),
+    "q_topk_custom" ->
+      ("SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice FROM (" +
+        "SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, " +
+        "row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS rnk " +
+        "FROM lineitem) WHERE rnk <= 3 " +
+        "ORDER BY l_returnflag, l_extendedprice DESC, l_orderkey, l_linenumber"),
     "q_window_running" ->
       ("SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_date, o_totalprice, " +
         "round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total " +

@@ -11,4 +11,11 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eager conversion through the session's ColumnNode converter — unlike
+    * [[expression]], this immediately yields real catalyst nodes (e.g. a
+    * catalyst SortOrder for `col.desc`) instead of a lazy wrapper, which is
+    * required when splicing expressions into a custom LogicalPlan. */
+  def expressionEager(spark: org.apache.spark.sql.SparkSession, c: Column): Expression =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].expression(c)
 }
