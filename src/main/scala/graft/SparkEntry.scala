@@ -82,6 +82,22 @@ object SparkEntry {
     "q_union" -> ((s, d) => Analytics.unionKeys(Tables(s, d))),
     "q_above_avg" -> ((s, d) => Analytics.aboveAvg(Tables(s, d))),
     "q_asof_join" -> ((s, d) => Analytics.eventsAsOf(Tables(s, d))),
+    "q_rollup" -> ((s, d) => Analytics.rollup(Tables(s, d))),
+    "q_intersect" -> ((s, d) => Analytics.intersectKeys(Tables(s, d))),
+    "q_except" -> ((s, d) => Analytics.exceptKeys(Tables(s, d))),
+    "q_pivot" -> ((s, d) => Analytics.pivotEvents(Tables(s, d))),
+    // — training-data splits & sampling (SURVEY §2 rows 48–49) —
+    "q_split_assign" -> ((s, d) => {
+      import graft.operators.Sampling
+      Sampling.documentSplits(Tables(s, d))
+    }),
+    "q_sample_stratified" -> ((s, d) => {
+      import graft.operators.Sampling
+      Sampling.stratifiedEvents(Tables(s, d),
+        Map("click" -> 0.5, "view" -> 0.2, "purchase" -> 1.0, "signup" -> 0.1, "error" -> 0.0))
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
   )
 
   /** DuckDB oracle SQL per query (same column names/aliases as the Spark
@@ -211,6 +227,24 @@ object SparkEntry {
     "q_above_avg" ->
       ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
         "WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) ORDER BY o_orderkey"),
+    "q_rollup" ->
+      ("SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty " +
+        "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) " +
+        "ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"),
+    "q_intersect" ->
+      ("SELECT c_nationkey AS nationkey FROM customer INTERSECT " +
+        "SELECT s_nationkey FROM supplier ORDER BY nationkey"),
+    "q_except" ->
+      ("SELECT c_nationkey AS nationkey FROM customer EXCEPT " +
+        "SELECT s_nationkey FROM supplier ORDER BY nationkey"),
+    "q_pivot" ->
+      ("SELECT user_id, " +
+        "count(*) FILTER (WHERE event_type = 'click') AS click, " +
+        "count(*) FILTER (WHERE event_type = 'view') AS view, " +
+        "count(*) FILTER (WHERE event_type = 'purchase') AS purchase, " +
+        "count(*) FILTER (WHERE event_type = 'signup') AS signup, " +
+        "count(*) FILTER (WHERE event_type = 'error') AS error " +
+        "FROM events GROUP BY user_id ORDER BY user_id"),
     "q_asof_join" ->
       ("SELECT e.event_id, e.user_id, strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts, " +
         "round(p.value, 4) AS purchase_value, strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts " +

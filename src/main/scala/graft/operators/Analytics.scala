@@ -92,6 +92,36 @@ object Analytics {
       .orderBy("o_orderkey")
   }
 
+  /** ROLLUP aggregation: subtotals at (flag, status), (flag), and grand
+    * total — one pass, Catalyst expands the grouping sets. */
+  def rollup(t: Tables): DataFrame =
+    t.lineitem
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** INTERSECT: nation keys present on both customers and suppliers. */
+  def intersectKeys(t: Tables): DataFrame =
+    t.customer.select(col("c_nationkey").as("nationkey"))
+      .intersect(t.supplier.select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+
+  /** EXCEPT: nation keys with customers but no suppliers. */
+  def exceptKeys(t: Tables): DataFrame =
+    t.customer.select(col("c_nationkey").as("nationkey"))
+      .except(t.supplier.select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+
+  /** Pivot: event counts per user across event types as columns (bounded,
+    * explicit pivot values — never a driver-side distinct scan). */
+  def pivotEvents(t: Tables): DataFrame =
+    t.events
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id")
+
   /** Point-in-time (as-of) join: for each left row, the most recent right
     * row with the same key and `rightTs <= leftTs`.
     *
