@@ -23,13 +23,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      } + "\""
+    def jstr(s: String): String = graft.util.Json.str(s)
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     // Untimed warmup pass: JIT, codegen (janino) compilation, parquet footer

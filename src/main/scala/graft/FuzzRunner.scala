@@ -29,8 +29,28 @@ object FuzzRunner {
     // minimal JSON object parser for {"name": "sql", ...} (flat, string->string)
     val text = new String(Files.readAllBytes(Paths.get(queriesJson)), "UTF-8")
     val entry = """"(fuzz_\d+)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+    def unescape(s: String): String = {
+      val sb = new StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        if (s.charAt(i) == '\\' && i + 1 < s.length) {
+          s.charAt(i + 1) match {
+            case '"' => sb += '"'; i += 2
+            case '\\' => sb += '\\'; i += 2
+            case '/' => sb += '/'; i += 2
+            case 'n' => sb += '\n'; i += 2
+            case 'r' => sb += '\r'; i += 2
+            case 't' => sb += '\t'; i += 2
+            case 'u' if i + 5 < s.length =>
+              sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
+            case c => sb += c; i += 2
+          }
+        } else { sb += s.charAt(i); i += 1 }
+      }
+      sb.toString
+    }
     val queries = entry.findAllMatchIn(text).map { m =>
-      m.group(1) -> m.group(2).replace("\\\"", "\"").replace("\\\\", "\\")
+      m.group(1) -> unescape(m.group(2))
     }.toSeq
 
     var failed = 0

@@ -28,31 +28,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
-  private def arg(es: Seq[Expression], i: Int): Int =
-    es(i).eval(null).asInstanceOf[Number].intValue()
-  private def argL(es: Seq[Expression], i: Int): Long =
-    es(i).eval(null).asInstanceOf[Number].longValue()
+  private def foldableArg(es: Seq[Expression], i: Int, fn: String): Expression = {
+    require(es.length > i,
+      s"$fn: expected at least ${i + 1} arguments, got ${es.length}")
+    require(es(i).foldable,
+      s"$fn: argument ${i + 1} must be a literal, got ${es(i).sql}")
+    es(i)
+  }
+  private def arg(es: Seq[Expression], i: Int, fn: String): Int =
+    foldableArg(es, i, fn).eval(null).asInstanceOf[Number].intValue()
+  private def argL(es: Seq[Expression], i: Int, fn: String): Long =
+    foldableArg(es, i, fn).eval(null).asInstanceOf[Number].longValue()
 
   /** (name, doc, builder) for every SQL-exposed function. */
   val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("simhash64", "simhash64(tokens) - 64-bit SimHash of an array of tokens",
       es => SimHash64(es.head)),
     ("minhash_sig", "minhash_sig(shingles, k, seed) - minhash signature of a shingle array",
-      es => MinHashSig(es.head, arg(es, 1), argL(es, 2))),
+      es => MinHashSig(es.head, arg(es, 1, "minhash_sig"), argL(es, 2, "minhash_sig"))),
     ("minhash_sig_text", "minhash_sig_text(text, w, k, seed) - fused tokenize+shingle+minhash",
-      es => MinHashSigText(es.head, arg(es, 1), arg(es, 2), argL(es, 3))),
+      es => MinHashSigText(es.head, arg(es, 1, "minhash_sig_text"), arg(es, 2, "minhash_sig_text"), argL(es, 3, "minhash_sig_text"))),
     ("band_keys", "band_keys(sig, bands) - LSH band keys of a minhash signature",
-      es => BandKeys(es.head, arg(es, 1))),
+      es => BandKeys(es.head, arg(es, 1, "band_keys"))),
     ("rolling_hash", "rolling_hash(text) - Karp-Rabin rolling-hash fingerprint",
       es => RollingHash64(es.head)),
     ("srp_bucket", "srp_bucket(vec, nbits, seed) - signed-random-projection LSH bucket",
-      es => SrpBucket(es.head, arg(es, 1), argL(es, 2))),
+      es => SrpBucket(es.head, arg(es, 1, "srp_bucket"), argL(es, 2, "srp_bucket"))),
     ("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float vectors",
       es => CosineSimF(es.head, es(1))),
     ("lang_id", "lang_id(text) - struct(lang_pred, lang_score) language guess",
       es => LangId(es.head)),
     ("freq_items", "freq_items(item, k) - SpaceSaving top-k frequent-items sketch (aggregate)",
-      es => FreqItemsSketch(es.head, arg(es, 1))))
+      es => FreqItemsSketch(es.head, arg(es, 1, "freq_items"))))
 
   /** Register all functions on an existing session (temp functions). */
   def registerTemp(spark: SparkSession): Unit =

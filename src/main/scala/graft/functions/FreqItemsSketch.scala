@@ -17,9 +17,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * at most `capacity` counters; overflow evicts the current minimum and
   * inherits its count as the new item's error bound. Guarantees: every item
   * with true frequency > n/capacity is present, and for any tracked item
-  * `est - err <= true <= est`. Buffers merge associatively (sum matching
-  * counters, keep the top `capacity`), which is what makes the aggregate a
-  * single partial+final pass instead of a full groupBy shuffle. */
+  * `est - err <= true <= est`. Buffers merge (sum matching counters, evict
+  * down to `capacity`), which is what makes the aggregate a single
+  * partial+final pass instead of a full groupBy shuffle. Caveat: like all
+  * SpaceSaving merges, tie-breaking during eviction makes the exact counter
+  * set sensitive to merge order for items near the eviction boundary — the
+  * error bounds above hold under ANY merge order, but tail items of the
+  * top-k can differ between runs when counts tie. Heavy hitters
+  * (freq > n/capacity) are always present regardless. */
 final class FreqSketchBuffer(val capacity: Int) {
   val counts = new mutable.HashMap[String, Long]()
   val errors = new mutable.HashMap[String, Long]()

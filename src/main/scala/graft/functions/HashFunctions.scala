@@ -98,7 +98,9 @@ object HashImpl {
     * the actual hashing by ~100×. Duplicate shingles don't affect a min, so
     * no dedup pass is needed. */
   def minhashText(text: UTF8String, w: Int, k: Int, seed: Long): ArrayData = {
-    val s = text.toString.toLowerCase
+    // Locale.ROOT: default-locale lowercasing is machine-dependent (Turkish
+    // dotless-ı etc.) and would break cross-executor determinism
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
     // token boundaries (trim + whitespace runs)
     val bounds = new java.util.ArrayList[Int]()
     var i = 0
@@ -149,10 +151,14 @@ object HashImpl {
     * near-dup candidates — the equi-join key that replaces all-pairs. */
   def bandKeys(sig: ArrayData, bands: Int): ArrayData = {
     val n = sig.numElements()
-    val rows = math.max(n / bands, 1)
-    val out = new Array[Long](bands)
+    // clamp: more bands than signature positions would emit document-
+    // independent constant keys (an accidental all-pairs join); ceil-sized
+    // rows so every signature position lands in exactly one band
+    val b_eff = math.max(math.min(bands, n), 1)
+    val rows = (n + b_eff - 1) / b_eff
+    val out = new Array[Long](b_eff)
     var b = 0
-    while (b < bands) {
+    while (b < b_eff) {
       var h = 0xcbf29ce484222325L ^ b
       var j = b * rows
       val end = math.min(j + rows, n)

@@ -40,7 +40,8 @@ object TextImpl {
     * lexicographically largest language code (matches the compositional
     * array_max-over-struct formulation). */
   def langBest(text: UTF8String): InternalRow = {
-    val s = " " + text.toString.toLowerCase + " "
+    // Locale.ROOT for machine-independent lowercasing (cross-executor determinism)
+    val s = " " + text.toString.toLowerCase(java.util.Locale.ROOT) + " "
     var bestIdx = 0
     var bestScore = -1.0
     var p = 0

@@ -138,9 +138,17 @@ object Analytics {
     */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
                valueCols: Seq[String]): DataFrame = {
+    // carry ONE nullable struct of all value columns, not each column
+    // independently: per-column last(ignoreNulls) would tear rows when a
+    // right row holds a null in one field (mixing values from different
+    // right rows — a combination that exists nowhere). The struct is null
+    // exactly on left rows, so last(ignoreNulls) picks whole right rows.
     val lTagged = left.withColumn("_side", lit(1))
-      .withColumns(valueCols.map(c => c -> lit(null).cast(right.schema(c).dataType)).toMap)
-    val rTagged = right.select((Seq(key, ts) ++ valueCols).map(col): _*)
+      .withColumn("_vals",
+        lit(null).cast(org.apache.spark.sql.types.StructType(
+          valueCols.map(c => org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))))
+    val rTagged = right
+      .select(col(key), col(ts), struct(valueCols.map(col): _*).as("_vals"))
       .withColumn("_side", lit(0))
     val unioned = lTagged.columns.foldLeft(rTagged) { (acc, c) =>
       if (acc.columns.contains(c)) acc else acc.withColumn(c, lit(null))
@@ -150,10 +158,12 @@ object Analytics {
     val w = Window.partitionBy(col(key))
       .orderBy(col(ts).asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("_side") === 1).drop("_side")
+    val carried = unioned
+      .withColumn("_vals", last(col("_vals"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+    valueCols.foldLeft(carried) { (df, c) =>
+      df.withColumn(c, col("_vals").getField(c))
+    }.drop("_side", "_vals")
   }
 
   /** As-of query over events: each click joined to the user's most recent

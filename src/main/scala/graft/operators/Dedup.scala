@@ -62,7 +62,14 @@ object Dedup {
     * hash-partitioned on bounded keys; nothing is quadratic in corpus size.
     */
   def minhashCandidates(t: Tables, w: Int = 2, k: Int = 64, bands: Int = 16,
-                        minEstJaccard: Double = 0.2): DataFrame = {
+                        minEstJaccard: Double = 0.2): DataFrame =
+    minhashCandidatesCore(t, w, k, bands, minEstJaccard)
+      .orderBy("doc_a", "doc_b") // ordered for the driver's oracle dump only
+
+  /** Unordered candidate pairs — consumers that don't need a total order
+    * (e.g. [[nearDupGroups]]) use this to avoid a pointless global sort. */
+  def minhashCandidatesCore(t: Tables, w: Int = 2, k: Int = 64, bands: Int = 16,
+                            minEstJaccard: Double = 0.2): DataFrame = {
     val sigs = t.documents
       .select(
         col("doc_id"),
@@ -92,7 +99,6 @@ object Dedup {
           .cast("double") / k, 6))
     est.filter(col("est_jaccard") >= minEstJaccard)
       .select("doc_a", "doc_b", "est_jaccard")
-      .orderBy("doc_a", "doc_b")
   }
 
   /** Exact token-set Jaccard similarity — the verify stage for LSH
@@ -148,7 +154,7 @@ object Dedup {
     import org.apache.spark.graphx.Graph
     val spark = t.spark
     import spark.implicits._
-    val pairs = minhashCandidates(t, w = w, minEstJaccard = minEstJaccard)
+    val pairs = minhashCandidatesCore(t, w = w, minEstJaccard = minEstJaccard)
     val edges = pairs.select("doc_a", "doc_b").as[(Long, Long)].rdd
     val components = Graph.fromEdgeTuples(edges, defaultValue = 1)
       .connectedComponents().vertices // (doc_id, min doc_id in component)

@@ -18,6 +18,15 @@ import graft.sources.Tables
   */
 object Similarity {
 
+  /** Unit-normalize a float-array column in double precision; zero vectors
+    * pass through unscaled instead of dividing by zero (NaN would poison
+    * downstream clustering). */
+  private def unitNorm(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val d = transform(c, x => x.cast("double"))
+    val norm = sqrt(aggregate(d, lit(0.0), (acc, x) => acc + x * x))
+    transform(d, x => x / when(norm === 0.0, 1.0).otherwise(norm))
+  }
+
   /** Exact brute-force cosine top-k for query vectors `vec_id < nQueries`.
     * The query side is tiny and broadcast; cosine runs in one codegen'd
     * kernel ([[graft.functions.CosineSimF]]); ranking is a per-query window
@@ -76,13 +85,9 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
-    val unitVec = {
-      val d = transform(col("embedding"), x => x.cast("double"))
-      val norm = sqrt(aggregate(d, lit(0.0), (acc, x) => acc + x * x))
-      transform(d, x => x / norm)
-    }
     val emb = t.embeddings
-      .select(col("vec_id"), col("embedding"), array_to_vector(unitVec).as("features"))
+      .select(col("vec_id"), col("embedding"),
+        array_to_vector(unitNorm(col("embedding"))).as("features"))
     // few iterations suffice: IVF correctness doesn't depend on convergence
     // quality (probing uses the same centroids as assignment), only recall
     // does, and that plateaus fast on a coarse quantizer. The fit input is
@@ -105,11 +110,7 @@ object Similarity {
     // probe: nProbe nearest cells per query vector (euclidean on unit sphere)
     val queries = assigned.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      .withColumn("q_unit", {
-        val d = transform(col("q_emb"), x => x.cast("double"))
-        val norm = sqrt(aggregate(d, lit(0.0), (acc, x) => acc + x * x))
-        transform(d, x => x / norm)
-      })
+      .withColumn("q_unit", unitNorm(col("q_emb")))
     val dist2 = aggregate(
       zip_with(col("q_unit"), col("centroid"), (a, b) => (a - b) * (a - b)),
       lit(0.0), (acc, x) => acc + x)

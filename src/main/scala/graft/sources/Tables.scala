@@ -43,7 +43,13 @@ final case class Tables(spark: SparkSession, dir: String,
   /** The events parquet stores `ts` as TIMESTAMP(NANOS), which Spark's
     * vectorized reader rejects. Read it as raw nanos (legacy conf) and
     * convert to a proper TimestampType (µs) with integer division — double
-    * division would lose precision above 2^53. */
+    * division would lose precision above 2^53.
+    *
+    * Note: the nanosAsLong conf is session-level and must stay set while the
+    * returned plan is alive (the scan re-reads it at execution), so it is
+    * NOT restored here. Other nanos-timestamp parquet reads in the same
+    * session will also see longs — acceptable for this engine's sessions,
+    * surprising if the catalog is mixed into a foreign session. */
   def events: DataFrame = {
     if (!overrides.contains("events"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -66,6 +66,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(got("L3") == None) // user 2 has no purchases
   }
 
+  test("asOfJoin carries whole right rows even when a value column is null") {
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val left = Seq((1L, ts(10), "L")).toDF("user_id", "ts", "tag")
+    // latest right row has v = null: the result must be (null, ts(5)) — the
+    // whole latest row — not a torn (100.0, ts(5)) mixing two right rows
+    val right = Seq(
+      (1L, ts(2), Option(100.0), ts(2)),
+      (1L, ts(5), Option.empty[Double], ts(5)))
+      .toDF("user_id", "ts", "v", "vts")
+    val r = Analytics.asOfJoin(left, right, "user_id", "ts", Seq("v", "vts")).head()
+    assert(r.isNullAt(r.fieldIndex("v")), s"torn row: $r")
+    assert(r.getTimestamp(r.fieldIndex("vts")) == ts(5))
+  }
+
   test("as-of plan is one shuffle+window, not a range self-join") {
     val plan = planOf(Analytics.eventsAsOf(tables))
     assert(plan.contains("Window"), s"no window operator:\n$plan")
