@@ -43,6 +43,15 @@ object EventStreams {
         col("session_window.end").as("s_end"),
         col("user_id"), col("n_events"), col("total_value"))
 
+  /** Streaming deduplication: drop repeated event ids within the watermark
+    * horizon — the streaming twin of exact dedup. State is bounded by the
+    * watermark (old keys are evicted), so it runs forever on an unbounded
+    * stream. */
+  def dedupStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Custom stateful operator: per-user running totals via
     * `mapGroupsWithState` — the escape hatch for state machines the built-in
     * aggregations can't express. State is one small case class per user. */

@@ -73,6 +73,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream drops repeated event ids across micro-batches within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.dedupStream(input.toDF())
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, ts(1), 10, "click", 1.0),
+        Event(1, ts(1), 10, "click", 1.0), // same-batch duplicate
+        Event(2, ts(2), 11, "view", 2.0))
+      q.processAllAvailable()
+      input.addData(Event(1, ts(3), 10, "click", 1.0)) // cross-batch duplicate
+      q.processAllAvailable()
+      val ids = spark.table("dedup").collect().map(_.getLong(0)).sorted
+      assert(ids.sameElements(Array(1L, 2L)), s"got ${ids.toSeq}")
+    } finally q.stop()
+  }
+
   test("runningUserTotals keeps state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
