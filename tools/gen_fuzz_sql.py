@@ -92,22 +92,58 @@ def agg_exprs(rng, cols):
         # HUGEINT) even though values agree — keep SUM on double columns
         if kind == "SUM" and not cols["num"]:
             kind = "COUNT"
+        # FLOOR(x*1e4 + 0.5), not ROUND/printf: decimal rounding of doubles
+        # is engine-specific at repr boundaries (DuckDB round() and Java's
+        # printf both round the SHORTEST DECIMAL REPR — in different
+        # directions — while Spark round() and C printf use the exact binary
+        # value). Pure double arithmetic is bitwise-identical in both
+        # engines, so floor-based fixed-point agrees always.
         if kind == "COUNT":
             out.append(("COUNT(*)", f"cnt_{len(out)}"))
-        elif kind == "SUM":
-            c = rng.choice(cols["num"])
-            out.append((f"ROUND(SUM({c}), 4)", f"a_{len(out)}"))
+        elif kind in ("SUM", "AVG"):
+            c = rng.choice(cols["num"] if kind == "SUM" else cols["num"] + cols["int"])
+            out.append((f"CAST(FLOOR({kind}({c}) * 10000 + 0.5) AS BIGINT)",
+                        f"a_{len(out)}"))
         else:
             c = rng.choice(cols["num"] + cols["int"])
-            expr = f"ROUND(AVG({c}), 4)" if kind == "AVG" else f"{kind}({c})"
-            out.append((expr, f"a_{len(out)}"))
+            out.append((f"{kind}({c})", f"a_{len(out)}"))
     return out
 
 
 def gen_one(rng):
-    shape = rng.choice(["scan", "distinct", "agg", "groupby", "join"])
+    shape = rng.choice(["scan", "distinct", "agg", "groupby", "join",
+                        "groupby2", "having", "limit", "join3"])
     t = rng.choice(list(TABLES))
     cols = TABLES[t]
+    if shape == "groupby2":
+        pool = cols["str"] + cols["int"]
+        gs = sorted(set(rng.sample(pool, min(2, len(pool)))))
+        aggs = agg_exprs(rng, cols)
+        sel = ", ".join(gs + [f"{e} AS {a}" for e, a in aggs])
+        return (f"SELECT {sel} FROM {t}{where(rng, t, cols)} "
+                f"GROUP BY {', '.join(gs)} ORDER BY {', '.join(gs)}")
+    if shape == "having":
+        g = rng.choice(cols["str"] + cols["int"])
+        n = rng.randint(2, 40)
+        return (f"SELECT {g}, COUNT(*) AS n FROM {t}{where(rng, t, cols)} "
+                f"GROUP BY {g} HAVING COUNT(*) >= {n} ORDER BY {g}")
+    if shape == "limit":
+        pool = cols["num"] + cols["int"]
+        o = rng.choice(pool)
+        direction = rng.choice(["ASC", "DESC"])
+        sel = sorted(set([o] + cols["key"]))
+        lim = rng.randint(5, 200)
+        # unique-key tie-break keeps LIMIT deterministic
+        return (f"SELECT {', '.join(sel)} FROM {t}{where(rng, t, cols)} "
+                f"ORDER BY {o} {direction}, {', '.join(cols['key'])} LIMIT {lim}")
+    if shape == "join3":
+        sel = ["l_orderkey", "l_linenumber", "o_custkey", "c_name", "l_quantity"]
+        w = where(rng, "lineitem", TABLES["lineitem"]).replace(" WHERE ", "")
+        extra = f" AND ({w})" if w else ""
+        return ("SELECT " + ", ".join(sel) +
+                " FROM lineitem, orders, customer"
+                " WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey" + extra +
+                " ORDER BY l_orderkey, l_linenumber")
     if shape == "scan":
         ncols = rng.randint(1, 3)
         pool = cols["num"] + cols["str"] + cols["int"]
