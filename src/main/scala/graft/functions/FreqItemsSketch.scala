@@ -46,9 +46,33 @@ final class FreqSketchBuffer(val capacity: Int) {
     }
   }
 
+  /** Minimum counter value if this buffer has ever evicted (i.e. is full) —
+    * an upper bound on the count any UNTRACKED item may have accumulated
+    * here. 0 when not full (nothing was ever evicted). */
+  private def minIfFull: Long =
+    if (counts.size >= capacity) counts.values.min else 0L
+
+  /** Sound mergeable-summary merge (Agarwal et al.'s mergeable heavy
+    * hitters): an item absent from a FULL buffer may still have accumulated
+    * up to that buffer's min counter there, so its contribution is that min,
+    * counted entirely as error. Keeps `true <= est` AND `est - err <= true`
+    * under any merge order; a plain per-item add() would silently
+    * under-estimate items evicted on one side. */
   def mergeIn(other: FreqSketchBuffer): Unit = {
-    other.counts.foreach { case (item, c) =>
-      add(item, c, other.errors.getOrElse(item, 0L))
+    val mA = minIfFull
+    val mB = other.minIfFull
+    val items = counts.keySet ++ other.counts.keySet
+    val merged = items.toSeq.map { item =>
+      val cA = counts.getOrElse(item, mA)
+      val eA = if (counts.contains(item)) errors.getOrElse(item, 0L) else mA
+      val cB = other.counts.getOrElse(item, mB)
+      val eB = if (other.counts.contains(item)) other.errors.getOrElse(item, 0L) else mB
+      (item, cA + cB, eA + eB)
+    }.sortBy { case (item, c, _) => (-c, item) }.take(capacity)
+    counts.clear(); errors.clear()
+    merged.foreach { case (item, c, e) =>
+      counts.update(item, c)
+      if (e > 0) errors.update(item, e)
     }
   }
 }
@@ -65,6 +89,11 @@ case class FreqItemsSketch(
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"freq_items requires a string item column, got ${child.dataType.catalogString}")
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("item", StringType, nullable = false),
     StructField("est_count", LongType, nullable = false),
@@ -98,7 +127,11 @@ case class FreqItemsSketch(
     out.writeInt(buf.capacity)
     out.writeInt(buf.counts.size)
     buf.counts.foreach { case (item, c) =>
-      out.writeUTF(item); out.writeLong(c); out.writeLong(buf.errors.getOrElse(item, 0L))
+      // length-prefixed UTF-8 bytes, not writeUTF: writeUTF throws on any
+      // string whose encoding exceeds 64 KiB (long documents/URLs)
+      val b = item.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b)
+      out.writeLong(c); out.writeLong(buf.errors.getOrElse(item, 0L))
     }
     out.flush(); bos.toByteArray
   }
@@ -108,7 +141,10 @@ case class FreqItemsSketch(
     val buf = new FreqSketchBuffer(in.readInt())
     val n = in.readInt()
     (0 until n).foreach { _ =>
-      val item = in.readUTF(); val c = in.readLong(); val e = in.readLong()
+      val len = in.readInt()
+      val b = new Array[Byte](len); in.readFully(b)
+      val item = new String(b, java.nio.charset.StandardCharsets.UTF_8)
+      val c = in.readLong(); val e = in.readLong()
       buf.counts.update(item, c)
       if (e > 0) buf.errors.update(item, e)
     }

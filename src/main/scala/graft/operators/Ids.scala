@@ -23,8 +23,16 @@ object Ids {
   /** Add a contiguous 0-based `id` column. Two jobs (`zipWithIndex` runs the
     * partition-count pass internally), zero shuffles. One of the rare
     * justified RDD drops: the per-partition offset arithmetic has no
-    * declarative equivalent that avoids a shuffle. */
+    * declarative equivalent that avoids a shuffle.
+    *
+    * Stability caveat: ids follow partition-then-position order, which is
+    * only reproducible when the upstream plan is deterministic (a scan, or
+    * scan+narrow ops). If `df` contains a shuffle, fetch order makes the
+    * row→id mapping vary across runs/retries — sort first, or use
+    * [[hashIds]], when the mapping itself must be reproducible. */
   def contiguousIds(df: DataFrame, idCol: String = "id"): DataFrame = {
+    require(!df.columns.contains(idCol),
+      s"contiguousIds: column '$idCol' already exists in ${df.columns.mkString(", ")}")
     val spark = df.sparkSession
     val schema = df.schema.add(idCol, org.apache.spark.sql.types.LongType, nullable = false)
     val rdd = df.rdd.zipWithIndex().map { case (row, idx) =>

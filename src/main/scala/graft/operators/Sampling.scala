@@ -6,11 +6,15 @@ import graft.sources.Tables
 
 /** Sampling and dataset-split operators for training-data pipelines.
   *
-  * Both are deterministic functions of row content (not of partitioning,
-  * task order, or RNG state), so a 100 TB job re-run after a failure — or on
+  * [[assignSplits]] is a deterministic function of row CONTENT (not of
+  * partitioning, task order, or RNG state): a re-run after a failure — or on
   * a differently-partitioned copy of the data — assigns every row
-  * identically. That property is what makes hash-based splits the standard
-  * for train/eval hygiene: membership is reproducible and auditable.
+  * identically, which is what makes hash-based splits the standard for
+  * train/eval hygiene. [[stratifiedEvents]] is seed-deterministic but
+  * partitioning/row-order dependent (`sampleBy` draws from a per-partition
+  * RNG stream) — use it for statistics, not for membership that must
+  * survive repartitioning; when content-stable sampling is required, filter
+  * on a hash-bucket of the key instead (same trick as assignSplits).
   */
 object Sampling {
 
@@ -22,6 +26,9 @@ object Sampling {
     * "test" -> 5))`. */
   def assignSplits(df: DataFrame, key: Column,
                    weights: Seq[(String, Int)]): DataFrame = {
+    require(weights.nonEmpty, "assignSplits: weights must be non-empty")
+    require(weights.map(_._2).sum <= 100 && weights.forall(_._2 >= 0),
+      s"assignSplits: weights must be non-negative percentages summing to <= 100, got $weights")
     val bucket = pmod(xxhash64(key), lit(100))
     val bounds = weights.scanLeft(0) { case (acc, (_, w)) => acc + w }.tail
     // build when-chains outermost-first: the first matching range wins

@@ -100,6 +100,7 @@ object TopK {
     * Output rows keep the input schema; within-group order is the given
     * order. Registers the planner strategy on the session idempotently. */
   def perGroup(df: DataFrame, groupCols: Seq[String], orderBy: Seq[Column], k: Int): DataFrame = {
+    require(k >= 1, s"TopK.perGroup: k must be >= 1, got $k")
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
       spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ TopKStrategy

@@ -13,10 +13,15 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
 object Bucketing {
 
   /** Write `df` as a bucketed (and in-bucket sorted) catalog table at
-    * `path`. Sorting by the key lets sort-merge joins skip the sort too. */
+    * `path`. The input is repartitioned on the key to exactly `buckets`
+    * partitions first: without it every input task writes its own file per
+    * bucket (tasks × buckets small files), and Spark only trusts the
+    * in-bucket sort — letting sort-merge joins skip their Sort — when each
+    * bucket is a single file. */
   def writeBucketed(df: DataFrame, table: String, path: String,
                     key: String, buckets: Int): Unit =
-    df.write
+    df.repartition(buckets, df.col(key))
+      .write
       .mode(SaveMode.Overwrite)
       .option("path", path)
       .bucketBy(buckets, key)

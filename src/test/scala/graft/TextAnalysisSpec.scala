@@ -65,6 +65,25 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("freq sketch merge keeps est bounds when an item was evicted on one side") {
+    import graft.functions.FreqSketchBuffer
+    // capacity 2; A: x appears 100 times
+    val a = new FreqSketchBuffer(2)
+    (1 to 100).foreach(_ => a.add("x"))
+    // B: x appears 50 times, then y and z evict it
+    val b = new FreqSketchBuffer(2)
+    (1 to 50).foreach(_ => b.add("x"))
+    (1 to 60).foreach(_ => b.add("y"))
+    (1 to 60).foreach(_ => b.add("z"))
+    a.mergeIn(b)
+    // true count of x is 150; a sound merge must keep true <= est and
+    // est - err <= true (the naive per-item merge reported est=100, err=0)
+    val estX = a.counts.getOrElse("x", 0L)
+    val errX = a.errors.getOrElse("x", 0L)
+    assert(estX >= 150L, s"est($estX) underestimates true count 150")
+    assert(estX - errX <= 150L, s"lower bound ${estX - errX} exceeds true count 150")
+  }
+
   test("fingerprints: equal normalized text → equal fingerprint") {
     val t = tables.withTable("documents",
       Seq((1L, "Some Text"), (2L, "  some text "), (3L, "other")).toDF("doc_id", "text"))
