@@ -80,6 +80,40 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getTimestamp(r.fieldIndex("vts")) == ts(5))
   }
 
+  test("asOfJoin matches a naive quadratic reference on randomized data") {
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val rng = new scala.util.Random(20260812L)
+    for (trial <- 1 to 5) {
+      val nUsers = 5
+      val left = (1 to 60).map { i =>
+        (rng.nextInt(nUsers).toLong, ts(rng.nextInt(59)), i.toLong)
+      }
+      val right = (1 to 40).map { _ =>
+        (rng.nextInt(nUsers).toLong, ts(rng.nextInt(59)), rng.nextInt(1000).toDouble)
+      }
+      val lDf = left.toDF("user_id", "ts", "lid")
+      val rDf = right.toDF("user_id", "ts", "v")
+      val got = Analytics.asOfJoin(lDf, rDf, "user_id", "ts", Seq("v"))
+        .select("lid", "v").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+      // naive reference: latest right at or before, tie → the one last in
+      // (ts, insertion) order is unspecified; avoid ties by keeping max v
+      // among max-ts candidates deterministic only when unique — so filter
+      // trials' ties out of the assertion
+      left.foreach { case (u, lts, lid) =>
+        val candidates = right.filter(r => r._1 == u && !r._2.after(lts))
+        if (candidates.isEmpty) {
+          assert(got(lid).isEmpty, s"trial $trial lid=$lid expected no match")
+        } else {
+          val maxTs = candidates.map(_._2.getTime).max
+          val atMax = candidates.filter(_._2.getTime == maxTs).map(_._3).toSet
+          assert(got(lid).nonEmpty && atMax.contains(got(lid).get.asInstanceOf[Double]),
+            s"trial $trial lid=$lid got ${got(lid)} want one of $atMax")
+        }
+      }
+    }
+  }
+
   test("as-of plan is one shuffle+window, not a range self-join") {
     val plan = planOf(Analytics.eventsAsOf(tables))
     assert(plan.contains("Window"), s"no window operator:\n$plan")
