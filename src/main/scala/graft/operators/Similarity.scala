@@ -18,13 +18,20 @@ import graft.sources.Tables
   */
 object Similarity {
 
-  /** Unit-normalize a float-array column in double precision; zero vectors
-    * pass through unscaled instead of dividing by zero (NaN would poison
-    * downstream clustering). */
-  private def unitNorm(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val d = transform(c, x => x.cast("double"))
-    val norm = sqrt(aggregate(d, lit(0.0), (acc, x) => acc + x * x))
-    transform(d, x => x / when(norm === 0.0, 1.0).otherwise(norm))
+  /** Unit-normalize a float-array column into `out` (double precision);
+    * zero vectors pass through unscaled instead of dividing by zero (NaN
+    * would poison downstream clustering). Two-step on purpose: the norm is
+    * materialized as a column first, so the per-element division reads a
+    * bound reference — inlining the aggregate into the transform lambda
+    * re-evaluates it per element (O(d²) per row, and this lineage is
+    * recomputed by every KMeans pass). */
+  private def withUnitNorm(df: DataFrame, in: String, out: String): DataFrame = {
+    val d = transform(col(in), x => x.cast("double"))
+    val tmp = s"_${out}_norm"
+    df.withColumn(tmp, sqrt(aggregate(d, lit(0.0), (acc, x) => acc + x * x)))
+      .withColumn(out,
+        transform(d, x => x / when(col(tmp) === 0.0, 1.0).otherwise(col(tmp))))
+      .drop(tmp)
   }
 
   /** Exact brute-force cosine top-k for query vectors `vec_id < nQueries`.
@@ -97,9 +104,9 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
-    val emb = t.embeddings
+    val emb = withUnitNorm(t.embeddings, "embedding", "_unit")
       .select(col("vec_id"), col("embedding"),
-        array_to_vector(unitNorm(col("embedding"))).as("features"))
+        array_to_vector(col("_unit")).as("features"))
     // few iterations suffice: IVF correctness doesn't depend on convergence
     // quality (probing uses the same centroids as assignment), only recall
     // does, and that plateaus fast on a coarse quantizer. The fit input is
@@ -120,9 +127,10 @@ object Similarity {
       .toDF("cell", "centroid")
 
     // probe: nProbe nearest cells per query vector (euclidean on unit sphere)
-    val queries = assigned.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      .withColumn("q_unit", unitNorm(col("q_emb")))
+    val queries = withUnitNorm(
+      assigned.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+      "q_emb", "q_unit")
     val dist2 = aggregate(
       zip_with(col("q_unit"), col("centroid"), (a, b) => (a - b) * (a - b)),
       lit(0.0), (acc, x) => acc + x)
