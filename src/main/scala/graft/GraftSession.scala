@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Opinionated session factory: the configuration this engine is designed
+  * and benchmarked against, with the extensions (custom SQL functions + the
+  * TopKPerGroup planner strategy) pre-installed.
+  */
+object GraftSession {
+
+  /** Recommended settings; `master` defaults to all local cores, and
+    * `shufflePartitions` should track the cluster's total cores (NOT the
+    * 200 default — at local scale that is pure scheduling overhead, at
+    * cluster scale AQE coalescing trims it back down). */
+  def builder(master: String = "local[*]",
+              shufflePartitions: Int = Runtime.getRuntime.availableProcessors()): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new GraftExtensions)
+
+  /** Build the session and open a data directory as an [[Engine]]. */
+  def open(dir: String, master: String = "local[*]"): Engine = {
+    val spark = builder(master).getOrCreate()
+    Engine(spark, dir)
+  }
+}
