@@ -23,7 +23,13 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .withExtensions(new GraftExtensions)
 
-  /** Build the session and open a data directory as an [[Engine]]. */
+  /** Build the session and open a data directory as an [[Engine]].
+    *
+    * Caveat: `getOrCreate` returns a pre-existing SparkSession unchanged —
+    * extensions and confs only apply when this call actually creates the
+    * session. In a JVM that already has one (notebooks, shared test
+    * runners), configure that session yourself; `Engine.register` still
+    * installs the SQL functions either way. */
   def open(dir: String, master: String = "local[*]"): Engine = {
     val spark = builder(master).getOrCreate()
     Engine(spark, dir)

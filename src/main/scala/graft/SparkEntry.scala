@@ -146,7 +146,7 @@ object SparkEntry {
     "q_dedup_exact_rows" ->
       "SELECT doc_id, lang, source FROM documents WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(lower(trim(text)))) ORDER BY doc_id",
     "q_dedup_jaccard" ->
-      ("WITH tok AS (SELECT DISTINCT doc_id, token FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token FROM documents WHERE doc_id < 200)), " +
+      ("WITH tok AS (SELECT DISTINCT doc_id, token FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token FROM documents WHERE doc_id < 200) WHERE token <> ''), " +
         "sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id), " +
         "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
         "SELECT doc_a, doc_b, round(n_common / (sa.sz + sb.sz - n_common), 6) AS jaccard " +
@@ -172,15 +172,15 @@ object SparkEntry {
         "WHERE rn <= 5 ORDER BY query_id, neighbor_id"),
     "q_text_stats" ->
       ("SELECT doc_id, length(text) AS n_chars_calc, " +
-        "len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens, " +
+        "len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS n_tokens, " +
         "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens_bpeish, " +
-        "round(length(regexp_replace(text, '\\s+', '', 'g')) / len(string_split_regex(lower(trim(text)), '\\s+')), 6) AS avg_token_len " +
+        "round(length(regexp_replace(text, '\\s+', '', 'g')) / len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')), 6) AS avg_token_len " +
         "FROM documents ORDER BY doc_id"),
     "q_text_topterms" ->
-      ("SELECT token, count(*) AS n FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token FROM documents) " +
+      ("SELECT token, count(*) AS n FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token FROM documents) WHERE token <> '' " +
         "GROUP BY token ORDER BY n DESC, token ASC LIMIT 25"),
     "q_text_quality" ->
-      ("WITH base AS (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS toks, " +
+      ("WITH base AS (SELECT doc_id, text, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS toks, " +
         "length(text) AS n_chars FROM documents), " +
         "feat AS (SELECT doc_id, len(toks) AS n_tokens, " +
         "len(list_filter(toks, t -> t IN ('the','a','an','of','and','or','to','in','is','it'))) AS n_stop, " +

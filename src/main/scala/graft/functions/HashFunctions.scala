@@ -92,11 +92,19 @@ object HashImpl {
 
   /** One-pass minhash over normalized text: lowercase/trim, whitespace
     * tokenize, and hash each w-token shingle incrementally (FNV over token
-    * bytes with separators) — no intermediate token/shingle arrays. This is
-    * the hot-path form of [[minhash]]: at 100 TB the shingle materialization
-    * the compositional version pays (per-shingle string allocation) dominates
-    * the actual hashing by ~100×. Duplicate shingles don't affect a min, so
-    * no dedup pass is needed. */
+    * UTF-16 units with separators) — no intermediate token/shingle arrays.
+    * This is the hot-path form of [[minhash]]: at 100 TB the shingle
+    * materialization the compositional version pays (per-shingle string
+    * allocation) dominates the actual hashing by ~100×. Duplicate shingles
+    * don't affect a min, so no dedup pass is needed.
+    *
+    * Comparability contract: signatures from this kernel match
+    * [[minhash]]-over-explicit-shingles for ASCII text (property-tested) but
+    * NOT for non-ASCII text (UTF-16 units here vs UTF-8 bytes there). Use
+    * ONE of the two forms consistently within a similarity comparison;
+    * mixing them across tables makes est-Jaccard meaningless for non-ASCII
+    * content. Tokenization splits on the ASCII whitespace class (same as the
+    * compositional `split(text, "\\s+")`). */
   def minhashText(text: UTF8String, w: Int, k: Int, seed: Long): ArrayData = {
     // Locale.ROOT: default-locale lowercasing is machine-dependent (Turkish
     // dotless-ı etc.) and would break cross-executor determinism
@@ -106,8 +114,11 @@ object HashImpl {
     var i = 0
     val len = s.length
     var inTok = false
+    // ASCII \s class, matching java.util.regex \s (the compositional path)
+    def isWs(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
     while (i < len) {
-      val ws = Character.isWhitespace(s.charAt(i))
+      val ws = isWs(s.charAt(i))
       if (!ws && !inTok) { bounds.add(i); inTok = true }
       else if (ws && inTok) { bounds.add(i); inTok = false }
       i += 1

@@ -138,6 +138,11 @@ object Analytics {
     */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
                valueCols: Seq[String]): DataFrame = {
+    val reserved = Seq("_side", "_vals") ++ valueCols
+    val collisions = left.columns.filter(reserved.contains)
+    require(collisions.isEmpty,
+      s"asOfJoin: left side already has column(s) ${collisions.mkString(", ")} — " +
+        "they would be silently overwritten; rename them first")
     // carry ONE nullable struct of all value columns, not each column
     // independently: per-column last(ignoreNulls) would tear rows when a
     // right row holds a null in one field (mixing values from different

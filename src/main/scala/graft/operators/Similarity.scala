@@ -72,13 +72,16 @@ object Similarity {
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("tbl"), col("bucket"))
+    // cosine BEFORE the dedup (same reasoning as embeddingNearDups): the
+    // distinct then shuffles ids + one double per candidate instead of two
+    // embedding arrays as group-by keys
     val cand = emb.select(col("vec_id").as("neighbor_id"), col("embedding"),
         col("tbl"), col("bucket"))
       .join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), col("q_emb"), col("embedding"))
-      .distinct() // a pair colliding in several tables ranks once
       .withColumn("cosine", HashFunctions.cosineSim(col("q_emb"), col("embedding")))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+      .distinct() // a pair colliding in several tables ranks once
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     cand

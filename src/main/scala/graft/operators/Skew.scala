@@ -11,21 +11,20 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Two-stage ("salted") aggregation: stage 1 aggregates on
-    * (key, salt ∈ [0, salts)) so a hot key's rows spread over `salts`
-    * reducers; stage 2 combines the partials per key. Use for algebraic
-    * aggregates (sum/count/min/max) when one key holds a large fraction of
-    * all rows — e.g. counting events per user when one bot user is 30% of
-    * the stream.
-    *
-    * The salt column is derived from `spark_partition_id` (already random
-    * w.r.t. the key after a scan, and free), not `rand()` — deterministic
-    * per task, so retries don't change results. */
-  def saltedCount(df: DataFrame, key: Column, salts: Int = 16): DataFrame =
-    df.groupBy(key.as("key"), (spark_partition_id() % salts).as("_salt"))
-      .agg(count(lit(1)).as("_partial"))
+  /** Two-stage exact COUNT DISTINCT per key. Plain algebraic aggregates
+    * (count/sum/min/max) don't need salting — map-side partial aggregation
+    * already reduces a hot key to one row per upstream partition before the
+    * shuffle. Distinct aggregation is where skew actually bites: a naive
+    * `groupBy(key).agg(countDistinct(value))` must co-locate every
+    * (key, value) pair of the hot key on one reducer. Stage 1 here
+    * deduplicates on (key, value) — hash-partitioned by BOTH columns, so the
+    * hot key's values spread over the whole cluster — and stage 2 counts the
+    * survivors per key (now at most #distinct-values rows per key). */
+  def countDistinctPerKey(df: DataFrame, key: Column, value: Column): DataFrame =
+    df.select(key.as("key"), value.as("value"))
+      .distinct()
       .groupBy(col("key"))
-      .agg(sum("_partial").as("n"))
+      .agg(count(lit(1)).as("n_distinct"))
 
   /** Salted broadcast-free join for one dominant key set: the fact side gets
     * a random salt in [0, salts); the dimension side is exploded `salts`

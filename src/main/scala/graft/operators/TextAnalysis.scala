@@ -12,8 +12,12 @@ import graft.sources.Tables
   */
 object TextAnalysis {
 
-  /** Whitespace tokenization of the normalized text. */
-  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+  /** Whitespace tokenization of the normalized text. The empty-string guard
+    * matters: `split("", "\\s+")` yields `[""]`, so without it empty or
+    * whitespace-only documents would count one phantom token and "" could
+    * rank as a top term. */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => t =!= "")
 
   /** A small English stopword list (enough for ratio features). */
   val Stopwords: Seq[String] =

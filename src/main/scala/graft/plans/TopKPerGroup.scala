@@ -102,8 +102,12 @@ object TopK {
   def perGroup(df: DataFrame, groupCols: Seq[String], orderBy: Seq[Column], k: Int): DataFrame = {
     require(k >= 1, s"TopK.perGroup: k must be >= 1, got $k")
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
-      spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ TopKStrategy
+    // check-then-append under a lock: concurrent query builders on one
+    // session must not register the strategy twice
+    TopK.synchronized {
+      if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
+        spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ TopKStrategy
+      }
     }
     val sortOrder = orderBy.map { c =>
       ColumnBridge.expressionEager(spark, c) match {

@@ -6,16 +6,24 @@ import graft.operators.Skew
 class SkewSpec extends SparkSpec {
   import spark.implicits._
 
-  test("saltedCount equals a plain count per key under heavy skew") {
-    // one hot key with 90% of rows
+  test("countDistinctPerKey equals a plain countDistinct under heavy skew") {
+    // one hot key with 90% of rows and many distinct values
     val df = spark.range(0, 10000)
-      .select(when($"id" % 10 === 0, $"id" % 7).otherwise(lit(999L)).as("k"))
-    val got = Skew.saltedCount(df, col("k")).collect()
+      .select(
+        when($"id" % 10 === 0, $"id" % 7).otherwise(lit(999L)).as("k"),
+        ($"id" % 500).as("v"))
+    val got = Skew.countDistinctPerKey(df, col("k"), col("v")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val want = df.groupBy("k").count().collect()
+    val want = df.groupBy("k").agg(countDistinct("v").as("n")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == want)
-    assert(got(999L) == 9000L)
+    // v % 10 == 0 values only occur on ids divisible by 10, which route to
+    // the non-hot keys: 500 - 50 = 450 distinct values reach key 999
+    assert(got(999L) == 450L)
+    // the stage-1 exchange spreads on (key, value), not key alone
+    val plan = planOf(Skew.countDistinctPerKey(df, col("k"), col("v")))
+    assert(plan.contains("hashpartitioning(key") && plan.contains("value"),
+      s"stage-1 not partitioned by both columns:\n$plan")
   }
 
   test("saltedJoin matches a plain join result under skew") {
