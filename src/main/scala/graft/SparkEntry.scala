@@ -41,6 +41,10 @@ object SparkEntry {
     "q_events_window" -> ((s, d) => Relational.eventsWindow(Tables(s, d))),
     "q_events_topusers" -> ((s, d) => Relational.eventsTopUsers(Tables(s, d))),
     "q_events_props" -> ((s, d) => Relational.eventsProps(Tables(s, d))),
+    "q_outer_join" -> ((s, d) => Relational.outerJoin(Tables(s, d))),
+    "q_case_expr" -> ((s, d) => Relational.caseExpr(Tables(s, d))),
+    "q_string_funcs" -> ((s, d) => Relational.stringFuncs(Tables(s, d))),
+    "q_date_parts" -> ((s, d) => Relational.dateParts(Tables(s, d))),
     // — dedup (SURVEY §2 rows 15–18) —
     "q_dedup_exact" -> ((s, d) => Dedup.exactGroups(Tables(s, d))),
     "q_dedup_exact_rows" -> ((s, d) => Dedup.exactRows(Tables(s, d))),
@@ -141,6 +145,21 @@ object SparkEntry {
       ("SELECT event_type, count(*) AS n_events, round(avg(k), 6) AS avg_k, min(k) AS min_k, max(k) AS max_k " +
         "FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events) " +
         "GROUP BY event_type ORDER BY event_type"),
+    "q_outer_join" ->
+      ("SELECT c_custkey, c_name, coalesce(p.cnt, 0) AS n_pending FROM customer " +
+        "LEFT OUTER JOIN (SELECT o_custkey, count(*) AS cnt FROM orders WHERE o_orderstatus = 'P' GROUP BY o_custkey) p " +
+        "ON c_custkey = p.o_custkey ORDER BY c_custkey"),
+    "q_case_expr" ->
+      ("SELECT CASE WHEN l_quantity < 10 THEN 'low' WHEN l_quantity < 35 THEN 'mid' ELSE 'high' END AS qty_band, " +
+        "count(*) AS n FROM lineitem GROUP BY 1 ORDER BY qty_band"),
+    "q_string_funcs" ->
+      ("SELECT p_partkey, upper(p_brand) AS brand_uc, substring(p_type, 1, 3) AS type_prefix, " +
+        "concat_ws('-', p_brand, p_type) AS brand_type, length(p_name) AS name_len " +
+        "FROM part ORDER BY p_partkey"),
+    "q_date_parts" ->
+      ("SELECT year(o_orderdate) AS o_year, month(o_orderdate) AS o_month, " +
+        "count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue " +
+        "FROM orders GROUP BY 1, 2 ORDER BY o_year, o_month"),
     "q_dedup_exact" ->
       "SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1 ORDER BY fp",
     "q_dedup_exact_rows" ->

@@ -144,6 +144,49 @@ object Relational {
         col("event_type"), col("n_events"), col("sum_value"))
       .orderBy("w_start", "event_type")
 
+  /** LEFT OUTER join: every customer with their pending-order count (zero
+    * when none match — the COALESCE-after-outer-join shape). */
+  def outerJoin(t: Tables): DataFrame = {
+    val pending = t.orders.filter(col("o_orderstatus") === "P")
+      .groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+    t.customer
+      .join(pending, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(col("c_custkey"), col("c_name"),
+        coalesce(col("cnt"), lit(0L)).as("n_pending"))
+      .orderBy("c_custkey")
+  }
+
+  /** CASE expression: quantity banding. */
+  def caseExpr(t: Tables): DataFrame =
+    t.lineitem
+      .select(col("l_orderkey"), col("l_linenumber"),
+        when(col("l_quantity") < 10, "low")
+          .when(col("l_quantity") < 35, "mid")
+          .otherwise("high").as("qty_band"))
+      .groupBy("qty_band")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("qty_band")
+
+  /** String functions: upper/substring/concat/length over part names. */
+  def stringFuncs(t: Tables): DataFrame =
+    t.part
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_uc"),
+        substring(col("p_type"), 1, 3).as("type_prefix"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+        length(col("p_name")).cast("bigint").as("name_len"))
+      .orderBy("p_partkey")
+
+  /** Date part extraction + grouping: orders per year/month. */
+  def dateParts(t: Tables): DataFrame =
+    t.orders
+      .groupBy(
+        year(col("o_orderdate")).cast("bigint").as("o_year"),
+        month(col("o_orderdate")).cast("bigint").as("o_month"))
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
+      .orderBy("o_year", "o_month")
+
   /** Semi-structured extraction: parse the JSON `props` column and
     * aggregate a typed field per event type. JSON path extraction is
     * codegen'd (`get_json_object`), so this stays a narrow projection
