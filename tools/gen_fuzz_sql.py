@@ -112,9 +112,26 @@ def agg_exprs(rng, cols):
 
 def gen_one(rng):
     shape = rng.choice(["scan", "distinct", "agg", "groupby", "join",
-                        "groupby2", "having", "limit", "join3"])
+                        "groupby2", "having", "limit", "join3",
+                        "leftjoin", "case"])
     t = rng.choice(list(TABLES))
     cols = TABLES[t]
+    if shape == "leftjoin":
+        lt, rt, lk, rk = rng.choice(JOINS)
+        rcols = TABLES[rt]
+        rv = rng.choice(rcols["num"] + rcols["int"] + rcols["str"])
+        sel = sorted(set(TABLES[lt]["key"]))
+        w = where(rng, rt, rcols).replace(" WHERE ", "")
+        sub = f"(SELECT {rk}, {rv} FROM {rt}{' WHERE (' + w + ')' if w else ''}) r"
+        return (f"SELECT {', '.join(sel)}, r.{rv} FROM {lt} "
+                f"LEFT JOIN {sub} ON {lk} = r.{rk} "
+                f"ORDER BY {', '.join(sel)}, r.{rv} NULLS FIRST")
+    if shape == "case":
+        c = rng.choice(cols["num"] + cols["int"])
+        cut1, cut2 = sorted(rng.sample(range(0, 2000), 2))
+        return (f"SELECT CASE WHEN {c} < {cut1} THEN 'a' WHEN {c} < {cut2} THEN 'b' "
+                f"ELSE 'c' END AS band, COUNT(*) AS n FROM {t}{where(rng, t, cols)} "
+                f"GROUP BY 1 ORDER BY band")
     if shape == "groupby2":
         pool = cols["str"] + cols["int"]
         gs = sorted(set(rng.sample(pool, min(2, len(pool)))))
