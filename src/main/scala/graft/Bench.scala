@@ -25,7 +25,10 @@ object Bench {
 
     def jstr(s: String): String = graft.util.Json.str(s)
 
+    // optional comma-separated filter for local iteration; driver passes none
+    val only = args.headOption.map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // Untimed warmup pass: JIT, codegen (janino) compilation, parquet footer
     // caches, and shuffle machinery all initialize here so the timed pass
     // measures steady-state engine throughput (first-run overhead was up to
@@ -35,6 +38,12 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () } // failures are reported by the timed pass
     }
+    // the warmup exists for JIT/codegen/parquet-footer warmup (infra), NOT
+    // result reuse: operators that persist() intermediates (the set-sim
+    // family) would otherwise serve the timed pass straight from the
+    // CacheManager via canonical-plan matching, and the "measurement" would
+    // be a cache read. Dropping cached data keeps the timed pass honest.
+    spark.catalog.clearCache()
     val timings = Seq.newBuilder[(String, Double)]
     val errors = Seq.newBuilder[(String, String)]
     names.foreach { name =>

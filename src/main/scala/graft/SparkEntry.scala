@@ -48,11 +48,10 @@ object SparkEntry {
     // — dedup (SURVEY §2 rows 15–18) —
     "q_dedup_exact" -> ((s, d) => Dedup.exactGroups(Tables(s, d))),
     "q_dedup_exact_rows" -> ((s, d) => Dedup.exactRows(Tables(s, d))),
-    "q_dedup_jaccard" -> ((s, d) =>
-      Dedup.jaccardPairs(Tables(s, d).documents.filter(col("doc_id") < 200), 0.5)),
+    "q_dedup_jaccard" -> ((s, d) => Dedup.jaccardPairs(Tables(s, d).documents, 0.5)),
     "q_dedup_minhash" -> ((s, d) => Dedup.minhashCandidates(Tables(s, d))),
     "q_dedup_ngram" -> ((s, d) =>
-      Dedup.charNgramJaccardPairs(Tables(s, d).documents.filter(col("doc_id") < 60), 3, 0.5)),
+      Dedup.charNgramJaccardPairs(Tables(s, d).documents, 3, 0.5)),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashFingerprints(Tables(s, d))),
     "q_dedup_groups" -> ((s, d) => Dedup.nearDupGroups(Tables(s, d))),
     // — similarity search (SURVEY §2 rows 19–21) —
@@ -165,7 +164,7 @@ object SparkEntry {
     "q_dedup_exact_rows" ->
       "SELECT doc_id, lang, source FROM documents WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(lower(trim(text)))) ORDER BY doc_id",
     "q_dedup_jaccard" ->
-      ("WITH tok AS (SELECT DISTINCT doc_id, token FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token FROM documents WHERE doc_id < 200) WHERE token <> ''), " +
+      ("WITH tok AS (SELECT DISTINCT doc_id, token FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token FROM documents) WHERE token <> ''), " +
         "sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id), " +
         "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
         "SELECT doc_a, doc_b, round(n_common / (sa.sz + sb.sz - n_common), 6) AS jaccard " +
@@ -175,7 +174,7 @@ object SparkEntry {
       ("WITH g AS (SELECT DISTINCT doc_id, substring(t, i::INT, 3) AS gram FROM (" +
         "SELECT doc_id, lower(trim(text)) AS t, " +
         "unnest(range(1, greatest(length(lower(trim(text))) - 1, 2))) AS i " +
-        "FROM documents WHERE doc_id < 60)), " +
+        "FROM documents)), " +
         "sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id), " +
         "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common " +
         "FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2) " +

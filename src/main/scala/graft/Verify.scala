@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // driver contract is (sfDir, outDir); a third comma-separated name list
+    // restricts the dump for local iteration
+    val (sfDir, outDir, only) = args match {
+      case Array(s, o)     => (s, o, None)
+      case Array(s, o, ns) => (s, o, Some(ns.split(",").toSet))
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -15,7 +20,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       // coalesce(1) is load-bearing here: queries end in a global ORDER BY
       // and a single output file preserves that row order for the driver's
       // compare. Oracle dumps are sf0.01-sized; this is NOT an engine

@@ -184,6 +184,49 @@ object HashImpl {
     new GenericArrayData(out)
   }
 
+  /** Distinct character n-grams of the normalized (trim + lowercase) text,
+    * in first-occurrence order — the fused single-pass form of
+    * `array_distinct(transform(sequence(1, greatest(len-(n-1), 1)),
+    * i => lower(trim(text)).substr(i, n)))`, which it must match exactly
+    * (property-tested): same normalization primitives as Spark's
+    * `trim`/`lower` (UTF8String.trim/toLowerCase), same short-input
+    * behavior (texts shorter than `n` emit one truncated gram; empty text
+    * emits the empty gram — `substr(1, n)` semantics).
+    *
+    * Why a kernel: `substr(i, n)` on a UTF8String seeks from the start of
+    * the string on every call (no random code-point access), so the
+    * compositional gram extraction is O(len²) per document. This pass
+    * records the byte offset of every code point once and slices grams by
+    * offset — O(len·n) and one string allocation per distinct gram. */
+  def charNgrams(text: UTF8String, n: Int): ArrayData = {
+    val s = text.trim().toLowerCase()
+    val bytes = s.getBytes
+    val numChars = s.numChars()
+    // byte offset of each code point (+ end sentinel)
+    val starts = new Array[Int](numChars + 1)
+    var i = 0
+    var c = 0
+    while (i < bytes.length) {
+      starts(c) = i
+      val b = bytes(i)
+      i += (if ((b & 0x80) == 0) 1
+            else if ((b & 0xE0) == 0xC0) 2
+            else if ((b & 0xF0) == 0xE0) 3
+            else 4)
+      c += 1
+    }
+    starts(numChars) = bytes.length
+    val nGrams = math.max(numChars - n + 1, 1)
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var p = 0
+    while (p < nGrams) {
+      val end = math.min(p + n, numChars)
+      seen.add(UTF8String.fromBytes(bytes, starts(p), starts(end) - starts(p)))
+      p += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
   /** Karp–Rabin style polynomial rolling hash over the code points of a
     * string — the document-fingerprint primitive. */
   def rollingHash(s: UTF8String): Long = {
@@ -217,6 +260,46 @@ object HashImpl {
       b += 1
     }
     bucket
+  }
+
+  /** Jaccard similarity of two equal-width bitset fingerprints
+    * (array<long> masks): popcount(a∧b) / popcount(a∨b). Integer
+    * arithmetic until the final division — bit-for-bit equal to
+    * `n_common / (|a| + |b| - n_common)` computed from element counts,
+    * which is what a SQL oracle computes. Empty union → 0.0. */
+  def maskJaccard(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var inter = 0L
+    var union = 0L
+    var i = 0
+    while (i < n) {
+      val x = a.getLong(i)
+      val y = b.getLong(i)
+      inter += java.lang.Long.bitCount(x & y)
+      union += java.lang.Long.bitCount(x | y)
+      i += 1
+    }
+    if (union == 0L) 0.0 else inter.toDouble / union.toDouble
+  }
+
+  /** Jaccard similarity of two SORTED int-id arrays via a merge-style
+    * intersection count — O(|a|+|b|), no per-call hash set (unlike
+    * array_intersect). The large-dictionary fallback kernel. */
+  def sortedJaccard(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0L
+    while (i < na && j < nb) {
+      val x = a.getInt(i)
+      val y = b.getInt(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = na.toLong + nb.toLong - inter
+    if (union == 0L) 0.0 else inter.toDouble / union.toDouble
   }
 
   /** Cosine similarity of two float vectors, accumulated in double,
@@ -283,6 +366,18 @@ case class BandKeys(child: Expression, bands: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** CharNGrams(text, n) → array<string>: distinct n-grams of the normalized
+  * text (fused trim+lower+slice+dedup — see [[HashImpl.charNgrams]]). */
+case class CharNGrams(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpl.charNgrams(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.charNgrams($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): CharNGrams =
+    copy(child = newChild)
+}
+
 /** RollingHash64(string) → long document fingerprint. */
 case class RollingHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -321,6 +416,33 @@ case class SrpBucketSeeded(left: Expression, right: Expression, nBits: Int)
     copy(left = l, right = r)
 }
 
+/** MaskJaccard(array<long>, array<long>) → double — bitset-fingerprint
+  * Jaccard, the set-similarity verify hot path. A single fused kernel
+  * matters here: expressed compositionally (per-word element_at + bit_count
+  * + sum), Catalyst inlines the whole sum into the join condition AND the
+  * output projection, evaluating it up to 3× per candidate pair. */
+case class MaskJaccard(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashImpl.maskJaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashImpl.maskJaccard($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MaskJaccard =
+    copy(left = l, right = r)
+}
+
+/** SortedJaccard(array<int>, array<int>) → double — merge-intersection
+  * Jaccard over sorted id arrays (the large-dictionary verify kernel). */
+case class SortedJaccard(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashImpl.sortedJaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashImpl.sortedJaccard($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedJaccard =
+    copy(left = l, right = r)
+}
+
 /** CosineSimF(array<float>, array<float>) → double, the ANN hot-path kernel. */
 case class CosineSimF(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -345,9 +467,12 @@ object HashFunctions {
   def bandKeys(sig: Column, bands: Int = 16): Column =
     col(BandKeys(expr(sig), bands))
   def rollingHash64(text: Column): Column = col(RollingHash64(expr(text)))
+  def charNgrams(text: Column, n: Int): Column = col(CharNGrams(expr(text), n))
   def srpBucket(vec: Column, nBits: Int = 16, seed: Long = 7L): Column =
     col(SrpBucket(expr(vec), nBits, seed))
   def srpBucketSeeded(vec: Column, nBits: Int, seed: Column): Column =
     col(SrpBucketSeeded(expr(vec), expr(seed), nBits))
   def cosineSim(a: Column, b: Column): Column = col(CosineSimF(expr(a), expr(b)))
+  def maskJaccard(a: Column, b: Column): Column = col(MaskJaccard(expr(a), expr(b)))
+  def sortedJaccard(a: Column, b: Column): Column = col(SortedJaccard(expr(a), expr(b)))
 }

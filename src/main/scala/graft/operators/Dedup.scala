@@ -41,14 +41,18 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** Word w-shingles of the normalized text, as strings. w=1 → token set. */
+  /** Word w-shingles of the normalized text, as strings. w=1 → token set.
+    * A document with NO tokens yields an EMPTY shingle array (not a [""]
+    * artifact from concat_ws) — matching the fused minhashText kernel's
+    * all-sentinel signature for empty documents (property-tested). */
   def shingles(text: Column, w: Int): Column = {
     val toks = TextAnalysis.tokens(text)
     if (w <= 1) array_distinct(toks)
     else array_distinct(
-      when(size(toks) >= w,
-        transform(sequence(lit(0), size(toks) - w),
-          i => concat_ws(" ", slice(toks, i + 1, lit(w)))))
+      when(size(toks) === 0, array().cast("array<string>"))
+        .when(size(toks) >= w,
+          transform(sequence(lit(0), size(toks) - w),
+            i => concat_ws(" ", slice(toks, i + 1, lit(w)))))
         .otherwise(array(concat_ws(" ", toks))))
   }
 
@@ -101,45 +105,33 @@ object Dedup {
       .select("doc_a", "doc_b", "est_jaccard")
   }
 
-  /** Exact token-set Jaccard similarity — the verify stage for LSH
-    * candidates, also usable standalone on a bounded subset. Expressed as
-    * explode + equi-join on token + count ratio: distributed, and exact
-    * integer arithmetic until the final division (oracle-stable). */
-  def jaccardPairs(docs: DataFrame, minJaccard: Double): DataFrame =
-    jaccardFromElements(
+  /** Exact token-set Jaccard similarity over the WHOLE corpus — the verify
+    * stage for LSH candidates and a standalone exact near-dup pass. Runs on
+    * the [[SetSimilarity]] engine (dictionary-encode → collapse identical
+    * sets → candidate pairs → exact bitset verify), which replaces the naive
+    * token self-join whose cost is quadratic in per-token document
+    * frequency. `maxDf` optionally drops corpus-scale stopwords first
+    * (changes the result; mirror it in any oracle). */
+  def jaccardPairs(docs: DataFrame, minJaccard: Double,
+                   maxDf: Option[Long] = None): DataFrame =
+    SetSimilarity.jaccardSelfJoin(
       docs.select(col("doc_id"),
         explode(array_distinct(TextAnalysis.tokens(col("text")))).as("token")),
-      minJaccard)
+      minJaccard, maxDf)
 
-  /** Character n-gram Jaccard — same machinery over sliding character grams
+  /** Character n-gram Jaccard — same engine over sliding character grams
     * of the normalized text (robust to tokenization differences; the
     * classic fuzzy-dedup feature for noisy text). */
-  def charNgramJaccardPairs(docs: DataFrame, n: Int, minJaccard: Double): DataFrame = {
-    val t = lower(trim(col("text")))
-    val grams = array_distinct(
-      transform(sequence(lit(1), greatest(length(t) - (n - 1), lit(1))),
-        i => t.substr(i, lit(n))))
-    jaccardFromElements(
-      docs.select(col("doc_id"), explode(grams).as("token")), minJaccard)
-  }
-
-  /** Shared Jaccard core over (doc_id, token) element rows. */
-  private def jaccardFromElements(tok: DataFrame, minJaccard: Double): DataFrame = {
-    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = tok.as("a")
-      .join(tok.as("b"),
-        col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-    val j = col("n_common").cast("double") /
-      (col("sa.sz") + col("sb.sz") - col("n_common"))
-    inter
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .filter(j >= minJaccard)
-      .select(col("doc_a"), col("doc_b"), round(j, 6).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
-  }
+  def charNgramJaccardPairs(docs: DataFrame, n: Int, minJaccard: Double,
+                            maxDf: Option[Long] = None): DataFrame =
+    // fused extraction kernel: the compositional transform+substr form is
+    // O(len²) per document (substr seeks from the string start per call) —
+    // the kernel records code-point offsets once and is property-tested
+    // equal to the compositional form (HashProperties)
+    SetSimilarity.jaccardSelfJoin(
+      docs.select(col("doc_id"),
+        explode(HashFunctions.charNgrams(col("text"), n)).as("token")),
+      minJaccard, maxDf)
 
   /** Transitive near-duplicate groups: LSH candidate pairs → connected
     * components → one group id (the component's min doc_id) per document.

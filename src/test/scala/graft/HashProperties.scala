@@ -56,16 +56,43 @@ object HashProperties extends Properties("HashImpl") {
     }
 
   property("minhashText equals minhash over explicitly built shingles") =
-    forAll(Gen.choose(2, 20).flatMap(n => Gen.listOfN(n, token))) { toks =>
-      val text = toks.mkString(" ")
+    forAll(Gen.oneOf(
+      Gen.choose(2, 20).flatMap(n => Gen.listOfN(n, token)),
+      Gen.const(List.empty[String]), // empty + whitespace-only documents must
+      Gen.const(List.empty[String])  // agree too (all-MaxValue signatures)
+    ).flatMap(identity(_))) { toks =>
+      val text = if (toks.isEmpty) "   " else toks.mkString(" ")
       val w = 2
-      val shingles = if (toks.length >= w) toks.sliding(w).map(_.mkString(" ")).toList
-                     else List(toks.mkString(" "))
+      // mirrors Dedup.shingles: no tokens → no shingles (empty signature)
+      val shingles =
+        if (toks.isEmpty) Nil
+        else if (toks.length >= w) toks.sliding(w).map(_.mkString(" ")).toList
+        else List(toks.mkString(" "))
       val fused = HashImpl.minhashText(UTF8String.fromString(text), w, 32, 42L)
       val composed = HashImpl.minhash(arr(shingles), 32, 42L)
       // fused hashes UTF-16 chars, composed hashes UTF-8 bytes: identical for
       // ASCII tokens, which alphaLowerChar guarantees
       (0 until 32).forall(i => fused.getLong(i) == composed.getLong(i))
+    }
+
+  property("charNgrams kernel equals the compositional substr form") =
+    forAll(Gen.oneOf(
+      Gen.const(""),
+      Gen.const("   "),
+      Gen.choose(0, 40).flatMap(n => Gen.listOfN(n,
+        Gen.oneOf(Gen.alphaChar, Gen.numChar, Gen.oneOf(' ', '.', ',', '!')))
+        .map(_.mkString)))) { s =>
+      val n = 3
+      // the compositional reference: lower(trim(text)).substr(i, n) for
+      // i in 1..greatest(len-(n-1), 1), then array_distinct (first-occurrence
+      // order). BMP-only inputs keep String.substring == code-point slicing.
+      val t = UTF8String.fromString(s).trim().toLowerCase().toString
+      val len = t.length
+      val expected = (0 until math.max(len - (n - 1), 1))
+        .map(i => t.substring(i, math.min(i + n, len))).distinct.toList
+      val got = HashImpl.charNgrams(UTF8String.fromString(s), n)
+      val gotList = (0 until got.numElements()).map(got.getUTF8String(_).toString).toList
+      gotList == expected
     }
 
   property("cosine is 1 on self, symmetric, and in [-1, 1]") =

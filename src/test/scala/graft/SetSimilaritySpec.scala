@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, SetSimilarity}
+
+class SetSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** The naive reference formulation (explode + token self-join + count
+    * ratio) — exactly what the DuckDB oracle computes. Quadratic in document
+    * frequency; test-only. */
+  private def naive(elems: DataFrame, minJaccard: Double,
+                    maxDf: Option[Long]): Set[(Long, Long, Double)] = {
+    val tok = maxDf match {
+      case Some(m) =>
+        val kept = elems.groupBy("token").agg(count(lit(1)).as("_df"))
+          .filter(col("_df") <= m).select("token")
+        elems.join(kept, "token").select("doc_id", "token")
+      case None => elems
+    }
+    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val j = col("n_common").cast("double") /
+      (col("sa.sz") + col("sb.sz") - col("n_common"))
+    tok.as("a")
+      .join(tok.as("b"),
+        col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .filter(j >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), round(j, 6).as("jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+  }
+
+  private def run(elems: DataFrame, minJ: Double, maxDf: Option[Long] = None,
+                  denseMaxSets: Long = 200000,
+                  maskMaxVocab: Int = 4096): Set[(Long, Long, Double)] =
+    SetSimilarity.jaccardSelfJoin(elems, minJ, maxDf, denseMaxSets, maskMaxVocab)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  // fixture: identical sets (1,2), overlapping (3), disjoint (4), and a
+  // stopword "hot" carried by everyone
+  private def fixture: DataFrame = Seq(
+    (1L, "hot a b c"),
+    (2L, "c hot b a"),       // identical set as 1 → jaccard 1.0
+    (3L, "hot a b d"),       // J(1,3) = 3/5 with hot, 2/4 without
+    (4L, "hot x y z"),       // only shares the stopword
+    (5L, "")                 // no tokens at all
+  ).toDF("doc_id", "text")
+
+  private def elemsOf(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+      explode(array_distinct(expr(
+        "filter(split(lower(trim(text)), '\\\\s+'), t -> t != '')"))).as("token"))
+
+  test("matches the naive formulation on the fixture (identical, overlapping, disjoint, empty)") {
+    val e = elemsOf(fixture)
+    val expected = naive(e, 0.5, None)
+    assert(run(e, 0.5) == expected)
+    // sanity on content, not just equality: the identical pair is 1.0, the
+    // overlap pair is 3/5, the stopword-only pairs fall under the threshold
+    assert(expected.contains((1L, 2L, 1.0)))
+    assert(expected.contains((1L, 3L, 0.6)) && expected.contains((2L, 3L, 0.6)))
+    assert(!expected.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(!expected.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("matches naive at threshold 0: every sharing pair surfaces, non-sharing pairs never do") {
+    val e = elemsOf(fixture)
+    assert(run(e, 0.0) == naive(e, 0.0, None))
+  }
+
+  test("maxDf cutoff drops hot tokens on both sides identically") {
+    val e = elemsOf(fixture)
+    // df("hot") = 4 > 3 → dropped; doc 4 then shares nothing
+    val expected = naive(e, 0.4, Some(3L))
+    val got = run(e, 0.4, maxDf = Some(3L))
+    assert(got == expected)
+    assert(got.contains((1L, 2L, 1.0)))
+    assert(got.contains((1L, 3L, 0.5))) // 2/4 once "hot" is gone
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("the df cutoff is applied below the candidate join (plan shape)") {
+    val df = SetSimilarity.jaccardSelfJoin(elemsOf(fixture), 0.5, maxDf = Some(3L))
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("_df"), s"df-cutoff filter missing from plan:\n$plan")
+  }
+
+  test("prefix path (PPJoin) produces exactly the dense-path result") {
+    val e = elemsOf(fixture)
+    val dense = run(e, 0.5)
+    val prefix = run(e, 0.5, denseMaxSets = 1) // force prefix filtering
+    assert(prefix == dense)
+  }
+
+  test("sorted-array kernel (large-vocab fallback) equals the mask kernel") {
+    val e = elemsOf(fixture)
+    val mask = run(e, 0.5)
+    val sorted = run(e, 0.5, maskMaxVocab = 0) // force sortedJaccard path
+    assert(sorted == mask)
+  }
+
+  test("prefix path never plans a cartesian product") {
+    val df = SetSimilarity.jaccardSelfJoin(elemsOf(fixture), 0.5, denseMaxSets = 1)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
+  }
+
+  test("char-ngram variant matches its naive formulation on real docs") {
+    val docs = tables.documents.filter(col("doc_id") < 40)
+    val grams = docs.select(col("doc_id"),
+      explode(graft.functions.HashFunctions.charNgrams(col("text"), 3)).as("token"))
+    assert(Dedup.charNgramJaccardPairs(docs, 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      == naive(grams, 0.5, None))
+  }
+}
