@@ -112,16 +112,31 @@ object Similarity {
         array_to_vector(col("_unit")).as("features"))
     // few iterations suffice: IVF correctness doesn't depend on convergence
     // quality (probing uses the same centroids as assignment), only recall
-    // does, and that plateaus fast on a coarse quantizer. The fit input is
-    // coalesced: each KMeans iteration is a full pass, and scheduling dozens
-    // of tiny partitions per pass dominates the actual math — a production
-    // build would fit on a SAMPLE anyway (centroids need ~1000·nList rows,
-    // not the corpus), which is the knob that keeps this bounded at 100 TB.
-    // random init instead of k-means|| — the parallel init alone runs several
-    // extra distributed rounds, and a coarse quantizer doesn't need them
+    // does, and that plateaus fast on a coarse quantizer. random init
+    // instead of k-means|| — the parallel init alone runs several extra
+    // distributed rounds, and a coarse quantizer doesn't need them.
+    // The quantizer is fit on a SEEDED SAMPLE, never the corpus: centroids
+    // need ~1000·nList rows, and at 100 TB a full-corpus fit makes the
+    // index build the dominant cost (each KMeans iteration is a complete
+    // pass over the data). One metadata-cheap count sizes the sample
+    // fraction; the limit caps it exactly, and the small sample is cached
+    // across the KMeans iterations. Full-probe ≡ brute-force still holds
+    // (spec-asserted): assignment and probing use the SAME centroids
+    // regardless of where they were fit.
+    val sampleTarget = 1000L * nList
+    val corpusSize = emb.count()
+    val fitInput =
+      if (corpusSize <= sampleTarget) emb.select("features").coalesce(2)
+      else emb.select("features")
+        // 1.2× oversample so the limit is actually reached w.h.p.
+        .sample(withReplacement = false,
+          math.min(1.0, 1.2 * sampleTarget.toDouble / corpusSize), seed = 42L)
+        .limit(sampleTarget.toInt)
+    val cachedFit = fitInput.cache()
     val model = new KMeans().setK(nList).setSeed(42L).setMaxIter(5)
       .setInitMode("random")
-      .fit(emb.select("features").coalesce(2))
+      .fit(cachedFit)
+    cachedFit.unpersist(blocking = false)
     val assigned = model.transform(emb)
       .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
 
