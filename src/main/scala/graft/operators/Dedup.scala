@@ -137,20 +137,28 @@ object Dedup {
     * components → one group id (the component's min doc_id) per document.
     * Documents with no near-dup edges form singleton groups. Filtering
     * `doc_id === group_id` afterwards yields the canonical survivor set.
+    * Edge count is bounded by the LSH candidate volume, not n².
     *
-    * Components run on GraphX (Pregel-style label propagation — the standard
-    * Spark tool for this; a DataFrame min-label loop would re-shuffle the
-    * edge set once per diameter step anyway). Edge count is bounded by the
-    * LSH candidate volume, not n². */
-  def nearDupGroups(t: Tables, w: Int = 2, minEstJaccard: Double = 0.5): DataFrame = {
-    import org.apache.spark.graphx.Graph
+    * Two interchangeable component engines (spec-asserted equal):
+    *  - GraphX Pregel (`useGraphx = true`, default) — the established tool;
+    *  - [[ConnectedComponents]] alternating large-star/small-star on plain
+    *    DataFrames — the de-risked path (GraphX is in maintenance mode
+    *    upstream) with O(log n) rounds and AQE skew handling. */
+  def nearDupGroups(t: Tables, w: Int = 2, minEstJaccard: Double = 0.5,
+                    useGraphx: Boolean = true): DataFrame = {
     val spark = t.spark
     import spark.implicits._
     val pairs = minhashCandidatesCore(t, w = w, minEstJaccard = minEstJaccard)
-    val edges = pairs.select("doc_a", "doc_b").as[(Long, Long)].rdd
-    val components = Graph.fromEdgeTuples(edges, defaultValue = 1)
-      .connectedComponents().vertices // (doc_id, min doc_id in component)
-      .toDF("doc_id", "group_id")
+    val components =
+      if (useGraphx) {
+        import org.apache.spark.graphx.Graph
+        val edges = pairs.select("doc_a", "doc_b").as[(Long, Long)].rdd
+        Graph.fromEdgeTuples(edges, defaultValue = 1)
+          .connectedComponents().vertices // (doc_id, min doc_id in component)
+          .toDF("doc_id", "group_id")
+      } else
+        ConnectedComponents.run(pairs.select("doc_a", "doc_b"))
+          .toDF("doc_id", "group_id")
     t.documents.select("doc_id")
       .join(components, Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{ConnectedComponents, Dedup}
+
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ccMap(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents.run(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def graphxMap(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import org.apache.spark.graphx.Graph
+    Graph.fromEdgeTuples(spark.createDataset(edges).rdd, defaultValue = 1)
+      .connectedComponents().vertices.collect().toMap
+  }
+
+  test("chain of diameter 19 contracts to a single component (O(log n) rounds)") {
+    val chain = (0L until 19L).map(i => (i, i + 1))
+    val got = ccMap(chain)
+    assert(got.size == 20)
+    assert(got.values.toSet == Set(0L), s"chain did not fully contract: $got")
+  }
+
+  test("matches GraphX on a chain plus separate clique and isolated pair") {
+    val edges = (0L until 15L).map(i => (i, i + 1)) ++ // chain 0..15
+      Seq((100L, 101L), (101L, 102L), (100L, 102L)) ++ // triangle
+      Seq((200L, 201L)) // pair
+    assert(ccMap(edges) == graphxMap(edges))
+  }
+
+  test("edge direction and duplicates are irrelevant") {
+    val e1 = Seq((1L, 2L), (2L, 3L))
+    val e2 = Seq((3L, 2L), (2L, 1L), (1L, 2L), (1L, 2L))
+    assert(ccMap(e1) == ccMap(e2))
+  }
+
+  test("nearDupGroups produces identical groups on both component engines") {
+    val docs = tables.documents
+    // transitive chain: A ~ B ~ C via one-word deltas (same as DedupSpec)
+    val base = docs.filter($"doc_id" === 0)
+    val b = base.withColumn("doc_id", lit(5000000L))
+      .withColumn("text", concat($"text", lit(" x")))
+    val c = base.withColumn("doc_id", lit(5000001L))
+      .withColumn("text", concat($"text", lit(" x y")))
+    val t = tables.withTable("documents", docs.union(b).union(c))
+    val viaGraphx = Dedup.nearDupGroups(t, minEstJaccard = 0.4, useGraphx = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaDF = Dedup.nearDupGroups(t, minEstJaccard = 0.4, useGraphx = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaGraphx == viaDF)
+    assert(viaDF(5000001L) == 0L) // the transitive group actually formed
+  }
+}
