@@ -78,6 +78,16 @@ object SparkEntry {
         .orderBy(col("l_returnflag"), col("l_extendedprice").desc,
           col("l_orderkey"), col("l_linenumber"))
     }),
+    "q_topk_ranked" -> ((s, d) => {
+      // the rank-emitting mode of the custom operator: drop-in for the
+      // row_number window shape (same hash as q_window_topk's oracle)
+      val li = Tables(s, d).lineitem
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+      graft.plans.TopK.perGroup(li, Seq("l_returnflag"),
+        Seq(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc), 3,
+        rankCol = Some("rnk"))
+        .orderBy(col("l_returnflag"), col("rnk"))
+    }),
     "q_window_running" -> ((s, d) => Analytics.windowRunning(Tables(s, d))),
     "q_having" -> ((s, d) => Analytics.having(Tables(s, d))),
     "q_semi_join" -> ((s, d) => Analytics.semiJoin(Tables(s, d))),
@@ -89,6 +99,24 @@ object SparkEntry {
     "q_intersect" -> ((s, d) => Analytics.intersectKeys(Tables(s, d))),
     "q_except" -> ((s, d) => Analytics.exceptKeys(Tables(s, d))),
     "q_pivot" -> ((s, d) => Analytics.pivotEvents(Tables(s, d))),
+    // — reference interchange format end to end (SURVEY §2 row 1) —
+    "q_csv_engine" -> ((s, d) => {
+      import graft.sources.CsvMetadataSource
+      // round-trip the reference's actual on-disk contract: parquet tables →
+      // headerless CSV + metadata.txt → CsvMetadataSource.loadAll → SQL in
+      // the reference's comma-join grammar. All-integer columns, like the
+      // reference's tables.
+      val t = Tables(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graft_csv_").toString
+      CsvMetadataSource.writeTables(dir, Seq(
+        "ref_orders" -> t.orders.select(
+          col("o_orderkey").cast("int"), col("o_custkey").cast("int")),
+        "ref_customer" -> t.customer.select(
+          col("c_custkey").cast("int"), col("c_nationkey").cast("int"))))
+      CsvMetadataSource.loadAll(s, dir)
+      s.sql("SELECT c_nationkey, COUNT(*) AS n_orders FROM ref_orders, ref_customer " +
+        "WHERE o_custkey = c_custkey GROUP BY c_nationkey ORDER BY c_nationkey")
+    }),
     // — training-data splits & sampling (SURVEY §2 rows 48–49) —
     "q_split_assign" -> ((s, d) => {
       import graft.operators.Sampling
@@ -226,6 +254,11 @@ object SparkEntry {
         "row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS rnk " +
         "FROM lineitem) WHERE rnk <= 3 " +
         "ORDER BY l_returnflag, l_extendedprice DESC, l_orderkey, l_linenumber"),
+    "q_topk_ranked" ->
+      ("SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rnk FROM (" +
+        "SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, " +
+        "row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS rnk " +
+        "FROM lineitem) WHERE rnk <= 3 ORDER BY l_returnflag, rnk"),
     "q_window_running" ->
       ("SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_date, o_totalprice, " +
         "round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total " +
@@ -263,6 +296,9 @@ object SparkEntry {
         "count(*) FILTER (WHERE event_type = 'signup') AS signup, " +
         "count(*) FILTER (WHERE event_type = 'error') AS error " +
         "FROM events GROUP BY user_id ORDER BY user_id"),
+    "q_csv_engine" ->
+      ("SELECT c_nationkey, count(*) AS n_orders FROM orders JOIN customer " +
+        "ON o_custkey = c_custkey GROUP BY c_nationkey ORDER BY c_nationkey"),
     "q_asof_join" ->
       ("SELECT e.event_id, e.user_id, strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts, " +
         "round(p.value, 4) AS purchase_value, strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts " +

@@ -5,11 +5,12 @@ import scala.collection.mutable
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.graftbridge.{ColumnBridge, DatasetBridge}
+import org.apache.spark.sql.types.IntegerType
 
 /** Whole-operator top-k per group — the SURVEY §4 tier-(c) custom operator.
   *
@@ -25,13 +26,23 @@ import org.apache.spark.sql.graftbridge.{ColumnBridge, DatasetBridge}
   * Per-partition state is O(groups·k) rows; nothing is globally sorted. The
   * same partial/final split as hash aggregation — heaps are mergeable the
   * way partial aggregates are.
+  *
+  * With `rankAttr` set, the FINAL phase appends the 1-based within-group
+  * rank (row_number semantics under `order`) — the partial phase stays
+  * rank-free, since pre-shuffle ranks would be meaningless. This makes the
+  * operator a drop-in for the common `row_number() ... WHERE rn <= k`
+  * window shape, rank column included.
   */
 case class TopKPerGroup(
     groupExprs: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
+    rankAttr: Option[Attribute],
     child: LogicalPlan) extends UnaryNode {
-  override def output: Seq[Attribute] = child.output
+  override def output: Seq[Attribute] = child.output ++ rankAttr
+  // the rank attribute is born here, not consumed from the child
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr.toSeq)
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroup =
     copy(child = newChild)
 }
@@ -41,9 +52,14 @@ case class TopKPerGroupExec(
     order: Seq[SortOrder],
     k: Int,
     finalPhase: Boolean,
+    rankAttr: Option[Attribute],
     child: SparkPlan) extends UnaryExecNode {
 
-  override def output: Seq[Attribute] = child.output
+  override def output: Seq[Attribute] =
+    if (finalPhase) child.output ++ rankAttr else child.output
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(
+      if (finalPhase) rankAttr.toSeq else Nil)
 
   override def requiredChildDistribution: Seq[Distribution] =
     if (finalPhase) ClusteredDistribution(groupExprs) :: Nil
@@ -56,6 +72,8 @@ case class TopKPerGroupExec(
     val groupRef = groupExprs
     val schema = child.output
     val kk = k
+    val emitRank = finalPhase && rankAttr.isDefined
+    val outputRef = output
     child.execute().mapPartitions ({ iter =>
       val ordering = RowOrdering.create(orderRef, schema)
       val groupProj = UnsafeProjection.create(groupRef, schema)
@@ -76,7 +94,22 @@ case class TopKPerGroupExec(
           heap.enqueue(row.copy())
         }
       }
-      heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
+      if (!emitRank)
+        heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
+      else {
+        // append the 1-based rank; rows leave the heap worst-first, so the
+        // reversed iterator is best-first = rank order
+        val toUnsafe = UnsafeProjection.create(outputRef, outputRef)
+        val joined = new JoinedRow
+        val rankRow = new GenericInternalRow(1)
+        heaps.valuesIterator.flatMap { h =>
+          val best: Iterator[InternalRow] = h.dequeueAll.reverseIterator
+          best.zipWithIndex.map { case (row, i) =>
+            rankRow.setInt(0, i + 1)
+            toUnsafe(joined(row, rankRow))
+          }
+        }
+      }
     }, preservesPartitioning = true)
   }
 
@@ -87,9 +120,9 @@ case class TopKPerGroupExec(
 /** Planner strategy: logical TopKPerGroup → partial + final exec pair. */
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerGroup(g, o, k, child) =>
-      val partial = TopKPerGroupExec(g, o, k, finalPhase = false, planLater(child))
-      TopKPerGroupExec(g, o, k, finalPhase = true, partial) :: Nil
+    case TopKPerGroup(g, o, k, rank, child) =>
+      val partial = TopKPerGroupExec(g, o, k, finalPhase = false, None, planLater(child))
+      TopKPerGroupExec(g, o, k, finalPhase = true, rank, partial) :: Nil
     case _ => Nil
   }
 }
@@ -98,9 +131,18 @@ object TopKStrategy extends SparkStrategy {
 object TopK {
   /** First `k` rows of each group under `orderBy` (use `col(...).asc/.desc`).
     * Output rows keep the input schema; within-group order is the given
-    * order. Registers the planner strategy on the session idempotently. */
-  def perGroup(df: DataFrame, groupCols: Seq[String], orderBy: Seq[Column], k: Int): DataFrame = {
+    * order. Registers the planner strategy on the session idempotently.
+    *
+    * @param rankCol when set, append a 1-based within-group rank column of
+    *                this name (row_number semantics) — makes the operator a
+    *                drop-in for `row_number() OVER (...) WHERE rn <= k` */
+  def perGroup(df: DataFrame, groupCols: Seq[String], orderBy: Seq[Column], k: Int,
+               rankCol: Option[String] = None): DataFrame = {
     require(k >= 1, s"TopK.perGroup: k must be >= 1, got $k")
+    rankCol.foreach { n =>
+      require(!df.columns.contains(n),
+        s"TopK.perGroup: rank column '$n' collides with an input column")
+    }
     val spark = df.sparkSession
     // check-then-append under a lock: concurrent query builders on one
     // session must not register the strategy twice
@@ -117,6 +159,8 @@ object TopK {
     }
     val groupExprs: Seq[Expression] =
       groupCols.map(c => ColumnBridge.expressionEager(spark, df(c)))
-    DatasetBridge.ofRows(spark, TopKPerGroup(groupExprs, sortOrder, k, df.queryExecution.analyzed))
+    val rankAttr = rankCol.map(n => AttributeReference(n, IntegerType, nullable = false)())
+    DatasetBridge.ofRows(spark,
+      TopKPerGroup(groupExprs, sortOrder, k, rankAttr, df.queryExecution.analyzed))
   }
 }

@@ -61,6 +61,23 @@ object CsvMetadataSource {
       .csv(s"$dir/${meta.name}.csv")
   }
 
+  /** Write DataFrames of integer columns as a reference-format data
+    * directory: headerless `<name>.csv` per table (a directory of part
+    * files — the loader's distributed reader takes either) plus one
+    * `metadata.txt` declaring every table's columns. Round-trips through
+    * [[loadAll]]; the inverse of the reference's on-disk layout. */
+  def writeTables(dir: String, tables: Seq[(String, DataFrame)]): Unit = {
+    tables.foreach { case (name, df) =>
+      df.write.mode("overwrite").option("header", "false").csv(s"$dir/$name.csv")
+    }
+    val meta = tables.map { case (name, df) =>
+      (s"<begin_table>" +: name +: df.columns.toSeq :+ "<end_table>").mkString("\n")
+    }.mkString("", "\n", "\n")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "metadata.txt"),
+      meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   /** Load every table declared in `dir/metadata.txt` and register each as a
     * temp view so `spark.sql` serves the reference's full query surface. */
   def loadAll(spark: SparkSession, dir: String,

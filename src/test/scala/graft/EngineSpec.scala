@@ -11,6 +11,19 @@ class EngineSpec extends SparkSpec {
 
   lazy val engine: Engine = Engine(spark, sfDir)
 
+  test("a partial data directory still serves the tables it has") {
+    val dir = Files.createTempDirectory("graft_partial_")
+    for (t <- Seq("nation", "region"))
+      Files.copy(Paths.get(s"$sfDir/$t.parquet"), dir.resolve(s"$t.parquet"))
+    // engine construction must NOT throw on the 8 missing tables
+    val partial = Engine(spark, dir.toString)
+    assert(partial.sql("SELECT count(*) AS n FROM nation").head().getLong(0) == 25)
+    assert(partial.sql(
+      "SELECT n_name FROM nation, region WHERE n_regionkey = r_regionkey").count() == 25)
+    // re-register the full catalog for the other suites sharing this session
+    engine.register()
+  }
+
   test("engine runs the reference's whole query grammar") {
     // SELECT * / projection / WHERE with AND-OR / aggregate / GROUP BY /
     // ORDER BY / DISTINCT / multi-table equality join — one of each

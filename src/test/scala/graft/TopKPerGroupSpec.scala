@@ -11,6 +11,27 @@ class TopKPerGroupSpec extends SparkSpec {
     Seq(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc),
     k)
 
+  test("rank-emitting mode matches the row_number window formulation exactly") {
+    val ranked = TopK.perGroup(
+      tables.lineitem.select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"),
+      Seq("l_returnflag"),
+      Seq(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc),
+      3, rankCol = Some("rnk"))
+      .collect()
+      .map(r => (r.getAs[String]("l_returnflag"), r.getAs[Long]("l_orderkey"),
+        r.getAs[Int]("l_linenumber"), r.getAs[Int]("rnk"))).toSet
+    val window = graft.operators.Analytics.windowTopK(tables, 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getAs[Int]("rnk"))).toSet
+    assert(ranked == window, s"diff: ${ranked.diff(window)} / ${window.diff(ranked)}")
+  }
+
+  test("rank column name collision is rejected") {
+    intercept[IllegalArgumentException] {
+      TopK.perGroup(tables.lineitem, Seq("l_returnflag"),
+        Seq(col("l_extendedprice").desc), 3, rankCol = Some("l_orderkey"))
+    }
+  }
+
   test("custom operator result equals the window-based top-k") {
     val got = run(3).collect()
       .map(r => (r.getAs[String]("l_returnflag"), r.getAs[Long]("l_orderkey"),
