@@ -14,11 +14,29 @@ import graft.sources.Tables
 final class Engine(val spark: SparkSession, val tables: Tables) {
 
   /** Register every catalog table as a temp view and the engine's custom
-    * SQL functions (idempotent). */
+    * SQL functions (idempotent).
+    *
+    * Tables whose backing files are absent are SKIPPED with a one-line
+    * warning instead of failing the whole engine: a relational-only data
+    * directory (no documents/embeddings) still serves every query that
+    * doesn't touch the missing tables — the reference engine likewise only
+    * loads what its metadata file lists.
+    *
+    * Side effect note: resolving `events` sets the session-level
+    * `spark.sql.legacy.parquet.nanosAsLong` conf (the scan re-reads it at
+    * execution, so it cannot be scoped narrower) — see [[sources.Tables]]. */
   def register(): this.type = {
     // resolved(), not table(): the typed accessors carry per-table handling
     // (e.g. the events TIMESTAMP(NANOS) conversion)
-    tables.names.foreach { n => tables.resolved(n).createOrReplaceTempView(n) }
+    tables.names.foreach { n =>
+      try tables.resolved(n).createOrReplaceTempView(n)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          System.err.println(
+            s"[graft] skipping table '$n' (not readable from ${tables.dir}): " +
+              e.getMessage.linesIterator.next())
+      }
+    }
     GraftExtensions.registerTemp(spark)
     this
   }

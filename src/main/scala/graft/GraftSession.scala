@@ -25,6 +25,12 @@ object GraftSession {
 
   /** Build the session and open a data directory as an [[Engine]].
     *
+    * Note: registering the `events` table sets the session-level
+    * `spark.sql.legacy.parquet.nanosAsLong` conf as a read side effect
+    * (TIMESTAMP(NANOS) parquet; the conf must stay set while plans over it
+    * are alive). Other nanos-timestamp parquet reads in the same session
+    * will then also surface longs — see [[sources.Tables.events]].
+    *
     * Caveat: `getOrCreate` returns a pre-existing SparkSession unchanged —
     * extensions and confs only apply when this call actually creates the
     * session. In a JVM that already has one (notebooks, shared test

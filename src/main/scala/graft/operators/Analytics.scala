@@ -159,9 +159,14 @@ object Analytics {
       if (acc.columns.contains(c)) acc else acc.withColumn(c, lit(null))
     }.select(lTagged.columns.map(col): _*).union(lTagged)
     // right rows sort before left rows at the same (key, ts) so a right row
-    // with ts == left ts IS visible to that left row (ASOF <= semantics)
+    // with ts == left ts IS visible to that left row (ASOF <= semantics).
+    // `_vals` as the final sort key breaks ties among right rows sharing
+    // (key, ts) DETERMINISTICALLY (last() then always picks the max struct)
+    // — without it the winner would be whichever row the shuffle happened
+    // to deliver last. Requires valueCols to be orderable types (structs
+    // order lexicographically by field).
     val w = Window.partitionBy(col(key))
-      .orderBy(col(ts).asc, col("_side").asc)
+      .orderBy(col(ts).asc, col("_side").asc, col("_vals").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned
       .withColumn("_vals", last(col("_vals"), ignoreNulls = true).over(w))

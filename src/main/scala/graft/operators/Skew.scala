@@ -34,8 +34,13 @@ object Skew {
     * distribution is skewed. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  salts: Int = 16): DataFrame = {
+    // salt = hash of the WHOLE fact row: deterministic across runs/retries
+    // and provably uniform across distinct rows — a partition-id/row-index
+    // derivation gives hot-key rows clustered in few partitions correlated
+    // salt offsets. Identical duplicate rows share a salt (acceptable: a
+    // dimension join is row-wise, so co-locating identical rows is harmless).
     val saltedFact = fact.withColumn("_salt",
-      (spark_partition_id() * 31 + monotonically_increasing_id() % salts).cast("int") % salts)
+      pmod(hash(fact.columns.map(col): _*), lit(salts)))
     val saltedDim = dim.withColumn("_salt",
       explode(array((0 until salts).map(lit): _*)))
     saltedFact.join(saltedDim, Seq(key, "_salt")).drop("_salt")

@@ -36,4 +36,16 @@ class SkewSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
     assert(got == want && got.nonEmpty)
   }
+
+  test("saltedJoin spreads a hot key's rows (near-)uniformly across salts") {
+    // one key carries ALL rows — the worst case the salt exists for
+    val salts = 16
+    val fact = spark.range(0, 10000).select(lit(7L).as("k"), $"id".as("v"))
+    val perSalt = fact
+      .withColumn("_salt", pmod(hash(fact.columns.map(col): _*), lit(salts)))
+      .groupBy("_salt").count().collect().map(r => r.getLong(1))
+    assert(perSalt.length == salts, s"only ${perSalt.length} salts used")
+    val spread = perSalt.max.toDouble / perSalt.min
+    assert(spread < 2.0, s"per-salt row counts too skewed (${spread}x): ${perSalt.toList}")
+  }
 }
