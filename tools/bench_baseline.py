@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Measure the DuckDB baseline: wall-time of every oracle SQL query at a
+given scale factor, fully materialized (CREATE TEMP TABLE AS ... including
+each query's ORDER BY), so the work matches what graft.Bench forces with its
+noop sink. Writes BASELINE.md + baseline JSON.
+
+Usage: python3 tools/bench_baseline.py [sf_dir] [oracle_sql.json] [out_md]
+"""
+import json
+import sys
+import time
+
+import duckdb
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    qfile = (sys.argv[2] if len(sys.argv) > 2
+             else "/root/repo/target/verify_out/oracle_sql.json")
+    out_md = sys.argv[3] if len(sys.argv) > 3 else "/root/repo/BASELINE.md"
+    oracle = json.load(open(qfile))
+    con = duckdb.connect()
+    nthreads = con.execute("SELECT current_setting('threads')").fetchone()[0]
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    timings = {}
+    for i, name in enumerate(sorted(oracle)):
+        # warmup run (buffer cache, plan), then one timed materialized run —
+        # mirrors graft.Bench's untimed-warmup + timed-pass protocol
+        for timed in (False, True):
+            con.execute(f"DROP TABLE IF EXISTS _b{i}")
+            t0 = time.time()
+            try:
+                con.execute(f"CREATE TEMP TABLE _b{i} AS {oracle[name]}")
+                dt = time.time() - t0
+            except Exception as e:
+                timings[name] = None
+                print(f"✗ {name}: {str(e)[:120]}")
+                break
+            if timed:
+                timings[name] = dt
+                print(f"{name}: {dt:.3f}s")
+        con.execute(f"DROP TABLE IF EXISTS _b{i}")
+    ok = {k: v for k, v in timings.items() if v is not None}
+    total = sum(ok.values())
+    with open(out_md, "w") as f:
+        f.write("# BASELINE — measured DuckDB timings\n\n")
+        f.write(f"DuckDB {duckdb.__version__}, {nthreads} threads, "
+                f"dataset `{sf_dir}`.\n\n")
+        f.write("Each row is the wall-time of one oracle SQL query (the same "
+                "SQL the driver's correctness gate runs), fully MATERIALIZED "
+                "into a temp table including its ORDER BY — matching what "
+                "`graft.Bench` forces through its noop sink. One untimed "
+                "warmup run precedes the timed run, mirroring Bench's "
+                "protocol. Rows-only queries (no SQL oracle: LSH/minhash/"
+                "simhash/language-id/fingerprint/sampling) have no baseline "
+                "row; compare them on absolute Bench numbers only.\n\n")
+        f.write("| query | duckdb_sec |\n|---|---|\n")
+        for name in sorted(ok):
+            f.write(f"| {name} | {ok[name]:.3f} |\n")
+        f.write(f"| **total ({len(ok)} queries)** | **{total:.3f}** |\n")
+        f.write(f"\nRegenerate: `python3 tools/bench_baseline.py {sf_dir}`\n")
+    json.dump({"sf": sf_dir, "duckdb": duckdb.__version__,
+               "threads": nthreads, "total_sec": total, "queries": timings},
+              open(out_md.replace(".md", "_duckdb.json"), "w"), indent=1)
+    print(f"\ntotal {total:.2f}s over {len(ok)} queries → {out_md}")
+
+
+if __name__ == "__main__":
+    main()

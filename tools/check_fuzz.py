@@ -14,6 +14,27 @@ sys.path.insert(0, "/root/repo/tools")
 from check_correctness import canon, table_hash  # noqa: E402
 
 
+def tolerant_equal(got, want):
+    """Exact equality except quantized double aggregates (a_*/rs_* columns
+    from FLOOR(x*10000+0.5)), which may land on opposite sides of the floor
+    boundary when Spark's parallel partial sums and DuckDB's sequential sum
+    differ by an ulp — allow ±1 there."""
+    if list(got.columns) != list(want.columns) or len(got) != len(want):
+        return False
+    for c in got.columns:
+        g, w = got[c], want[c]
+        if c.startswith(("a_", "rs_")) and pd.api.types.is_numeric_dtype(g) \
+                and pd.api.types.is_numeric_dtype(w):
+            sentinel = -2**60
+            if not ((g.fillna(sentinel).astype("int64")
+                     - w.fillna(sentinel).astype("int64")).abs() <= 1).all():
+                return False
+        else:
+            if not (g.map(repr) == w.map(repr)).all():
+                return False
+    return True
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     qfile = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/target/fuzz_queries.json"
@@ -32,7 +53,8 @@ def main():
             got = canon(pd.concat([pd.read_parquet(f) for f in files]))
             want = canon(con.sql(sql).df())
             ok = (list(got.columns) == list(want.columns) and len(got) == len(want)
-                  and table_hash(got) == table_hash(want))
+                  and table_hash(got) == table_hash(want)) \
+                or tolerant_equal(got, want)
         except Exception as e:
             print(f"✗ {name} ERROR {str(e)[:200]}\n  {sql}")
             nfail += 1

@@ -4,7 +4,9 @@ Engine.sql ↔ DuckDB differential test.
 
 Grammar mirrors the reference surface: projection / SELECT * / DISTINCT /
 WHERE with comparisons and AND-OR / SUM-AVG-MIN-MAX-COUNT / GROUP BY /
-ORDER BY / two-table equality joins. Deterministic (seeded).
+ORDER BY / two-table equality joins — plus the engine's extended surface:
+LEFT JOIN, CASE banding, HAVING, window rank + running sum,
+INTERSECT/EXCEPT, scalar subqueries. Deterministic (seeded).
 
 Usage: python3 tools/gen_fuzz_sql.py [n] [out.json]
 """
@@ -113,9 +115,48 @@ def agg_exprs(rng, cols):
 def gen_one(rng):
     shape = rng.choice(["scan", "distinct", "agg", "groupby", "join",
                         "groupby2", "having", "limit", "join3",
-                        "leftjoin", "case"])
+                        "leftjoin", "case", "window_rank", "window_runsum",
+                        "setop", "scalar_sub"])
     t = rng.choice(list(TABLES))
     cols = TABLES[t]
+    if shape == "window_rank":
+        g = rng.choice(cols["str"] + [cols["int"][-1]])
+        o = rng.choice(cols["num"] + cols["int"])
+        keys = cols["key"]
+        k = rng.randint(1, 5)
+        # the window ORDER BY ends with the unique key → total order → the
+        # rank is deterministic in both engines
+        inner = f"{o} {rng.choice(['ASC', 'DESC'])}, {', '.join(keys)}"
+        sel = sorted(set([g, o] + keys))
+        return (f"SELECT {', '.join(sel)}, rn FROM (SELECT {', '.join(sel)}, "
+                f"ROW_NUMBER() OVER (PARTITION BY {g} ORDER BY {inner}) AS rn "
+                f"FROM {t}{where(rng, t, cols)}) sub "
+                f"WHERE rn <= {k} ORDER BY {g}, rn")
+    if shape == "window_runsum":
+        c = rng.choice(cols["int"])
+        keys = cols["key"]
+        sel = sorted(set([c] + keys))
+        # integer running sum is exact in both engines; CAST: DuckDB SUM(int)
+        # is HUGEINT, Spark's is BIGINT
+        return (f"SELECT {', '.join(sel)}, "
+                f"CAST(SUM({c}) OVER (ORDER BY {', '.join(keys)} "
+                f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS rs_0 "
+                f"FROM {t}{where(rng, t, cols)} ORDER BY {', '.join(keys)}")
+    if shape == "setop":
+        op = rng.choice(["INTERSECT", "EXCEPT"])
+        c = rng.choice(cols["int"] +
+                       [s for s in cols["str"] if STR_VALUES.get(s)])
+        p1, p2 = pred(rng, t, cols), pred(rng, t, cols)
+        return (f"SELECT {c} FROM {t} WHERE {p1} {op} "
+                f"SELECT {c} FROM {t} WHERE {p2} ORDER BY {c}")
+    if shape == "scalar_sub":
+        c = rng.choice(cols["int"])
+        sel = sorted(set(cols["key"] + [c]))
+        # AVG over ints: exact integer numerator → identical double in both
+        # engines (a double-column AVG would diverge by summation order)
+        return (f"SELECT {', '.join(sel)} FROM {t} "
+                f"WHERE {c} > (SELECT AVG({c}) FROM {t}) "
+                f"ORDER BY {', '.join(sel)}")
     if shape == "leftjoin":
         lt, rt, lk, rk = rng.choice(JOINS)
         rcols = TABLES[rt]
