@@ -302,6 +302,29 @@ object HashImpl {
     if (union == 0L) 0.0 else inter.toDouble / union.toDouble
   }
 
+  /** Index of the euclidean-nearest centroid for a double vector, against
+    * a flat row-major centroid matrix (k × d) — the IVF assignment kernel.
+    * Ties break toward the lower cell id (strict `<`). */
+  def nearestCell(vec: ArrayData, cents: Array[Double], d: Int): Int = {
+    val k = cents.length / d
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < k) {
+      var dist = 0.0
+      var j = 0
+      val off = c * d
+      while (j < d) {
+        val df = vec.getDouble(j) - cents(off + j)
+        dist += df * df
+        j += 1
+      }
+      if (dist < bestD) { bestD = dist; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** Cosine similarity of two float vectors, accumulated in double,
     * sequential order (matches a scalar reference implementation). */
   def cosineF(a: ArrayData, b: ArrayData): Double = {
@@ -416,6 +439,22 @@ case class SrpBucketSeeded(left: Expression, right: Expression, nBits: Int)
     copy(left = l, right = r)
 }
 
+/** NearestCell(array<double>) → int: euclidean-nearest centroid id against
+  * a plan-embedded flat centroid matrix (added to generated code as a
+  * reference object — centroids are quantizer-sized, a few KB). */
+case class NearestCell(child: Expression, cents: Array[Double], d: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpl.nearestCell(input.asInstanceOf[ArrayData], cents, d)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", cents, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.nearestCell($c, $centsRef, $d)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): NearestCell =
+    copy(child = newChild)
+}
+
 /** MaskJaccard(array<long>, array<long>) → double — bitset-fingerprint
   * Jaccard, the set-similarity verify hot path. A single fused kernel
   * matters here: expressed compositionally (per-word element_at + bit_count
@@ -474,5 +513,10 @@ object HashFunctions {
     col(SrpBucketSeeded(expr(vec), expr(seed), nBits))
   def cosineSim(a: Column, b: Column): Column = col(CosineSimF(expr(a), expr(b)))
   def maskJaccard(a: Column, b: Column): Column = col(MaskJaccard(expr(a), expr(b)))
+  def nearestCell(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+    val d = centroids.head.length
+    require(centroids.forall(_.length == d), "ragged centroid matrix")
+    col(NearestCell(expr(vec), centroids.flatten.toArray, d))
+  }
   def sortedJaccard(a: Column, b: Column): Column = col(SortedJaccard(expr(a), expr(b)))
 }

@@ -91,72 +91,104 @@ object Similarity {
       .orderBy("query_id", "neighbor_id")
   }
 
+  /** Seeded Lloyd's iterations over an in-memory sample — the quantizer
+    * fit. Driver-local ON PURPOSE: the training input is a BOUNDED sample
+    * (≤ ~1000·k rows, a few MB) regardless of corpus size — the shape
+    * production ANN systems use for coarse-quantizer training — and a
+    * distributed KMeans over sample-sized data pays one full job per
+    * iteration in pure scheduling overhead (measured: the fit dominated
+    * q_ann_ivf's bench time). Deterministic: seeded init, sequential
+    * accumulation, empty cells keep their previous centroid. */
+  private[operators] def fitCentroids(sample: Array[Array[Double]], k: Int,
+                                      iters: Int, seed: Long): Array[Array[Double]] = {
+    require(sample.length >= k,
+      s"IVF fit: need at least k=$k sample vectors, got ${sample.length}")
+    val d = sample(0).length
+    val rnd = new scala.util.Random(seed)
+    var cents = rnd.shuffle(sample.indices.toVector).take(k)
+      .map(sample(_).clone).toArray
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](d))
+      val cnt = new Array[Int](k)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var dist = 0.0; var j = 0
+          while (j < d) { val df = v(j) - cents(c)(j); dist += df * df; j += 1 }
+          if (dist < bestD) { bestD = dist; best = c }
+          c += 1
+        }
+        val s = sums(best); var j = 0
+        while (j < d) { s(j) += v(j); j += 1 }
+        cnt(best) += 1
+      }
+      cents = Array.tabulate(k) { c =>
+        if (cnt(c) == 0) cents(c) else sums(c).map(_ / cnt(c))
+      }
+    }
+    cents
+  }
+
   /** IVF (inverted-file) ANN: a KMeans coarse quantizer partitions the
     * corpus into `nList` cells; each query probes its `nProbe` nearest cells
     * and ranks only those candidates by exact cosine.
     *
-    * Scale shape: the index build is one MLlib KMeans fit (sampled
-    * iterations, centroids are tiny); assignment is a narrow projection; the
-    * probe is a broadcast equi-join on the cell id — expected candidates per
-    * query ≈ corpus·nProbe/nList, never all-pairs. Vectors are unit-
-    * normalized before clustering so euclidean cells respect cosine
-    * geometry. With nProbe == nList this is exhaustive and must equal the
-    * brute-force top-k (spec-asserted). */
+    * Scale shape: the quantizer trains on a seeded bounded sample
+    * ([[fitCentroids]]); assignment is a narrow codegen'd projection
+    * ([[graft.functions.NearestCell]] against the broadcast-as-literal
+    * centroids); the probe is a broadcast equi-join on the cell id —
+    * expected candidates per query ≈ corpus·nProbe/nList, never all-pairs.
+    * Vectors are unit-normalized before clustering so euclidean cells
+    * respect cosine geometry. With nProbe == nList this is exhaustive and
+    * must equal the brute-force top-k (spec-asserted — which holds for ANY
+    * centroids, since assignment and probing share them). */
   def ivfTopK(t: Tables, nQueries: Int = 10, k: Int = 5,
               nList: Int = 16, nProbe: Int = 4): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-
     val emb = withUnitNorm(t.embeddings, "embedding", "_unit")
-      .select(col("vec_id"), col("embedding"),
-        array_to_vector(col("_unit")).as("features"))
-    // few iterations suffice: IVF correctness doesn't depend on convergence
-    // quality (probing uses the same centroids as assignment), only recall
-    // does, and that plateaus fast on a coarse quantizer. random init
-    // instead of k-means|| — the parallel init alone runs several extra
-    // distributed rounds, and a coarse quantizer doesn't need them.
-    // The quantizer is fit on a SEEDED SAMPLE, never the corpus: centroids
-    // need ~1000·nList rows, and at 100 TB a full-corpus fit makes the
-    // index build the dominant cost (each KMeans iteration is a complete
-    // pass over the data). One metadata-cheap count sizes the sample
-    // fraction; the limit caps it exactly, and the small sample is cached
-    // across the KMeans iterations. Full-probe ≡ brute-force still holds
-    // (spec-asserted): assignment and probing use the SAME centroids
-    // regardless of where they were fit.
+      .select(col("vec_id"), col("embedding"), col("_unit"))
+    // the sample collect is the only driver materialization, bounded by
+    // sampleTarget rows; one metadata-cheap count sizes the fraction
     val sampleTarget = 1000L * nList
     val corpusSize = emb.count()
-    val fitInput =
-      if (corpusSize <= sampleTarget) emb.select("features").coalesce(2)
-      else emb.select("features")
+    val sampleDF =
+      if (corpusSize <= sampleTarget) emb.select("_unit")
+      else emb.select("_unit")
         // 1.2× oversample so the limit is actually reached w.h.p.
         .sample(withReplacement = false,
           math.min(1.0, 1.2 * sampleTarget.toDouble / corpusSize), seed = 42L)
         .limit(sampleTarget.toInt)
-    val cachedFit = fitInput.cache()
-    val model = new KMeans().setK(nList).setSeed(42L).setMaxIter(5)
-      .setInitMode("random")
-      .fit(cachedFit)
-    cachedFit.unpersist(blocking = false)
-    val assigned = model.transform(emb)
-      .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+    val sample = sampleDF.collect().map(_.getSeq[Double](0).toArray)
+    val cents = fitCentroids(sample, nList, iters = 5, seed = 42L)
 
-    val centroids = t.embeddings.sparkSession.createDataFrame(
-      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) })
-      .toDF("cell", "centroid")
+    val assigned = emb
+      .withColumn("cell",
+        HashFunctions.nearestCell(col("_unit"), cents.map(_.toSeq).toSeq))
+      .select(col("vec_id"), col("embedding"), col("cell"))
 
-    // probe: nProbe nearest cells per query vector (euclidean on unit sphere)
-    val queries = withUnitNorm(
-      assigned.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
-      "q_emb", "q_unit")
-    val dist2 = aggregate(
-      zip_with(col("q_unit"), col("centroid"), (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, x) => acc + x)
-    val wProbe = Window.partitionBy(col("query_id")).orderBy(dist2.asc, col("cell").asc)
-    val probed = queries.join(broadcast(centroids))
-      .withColumn("rp", row_number().over(wProbe))
-      .filter(col("rp") <= nProbe)
-      .select(col("query_id"), col("q_emb"), col("cell"))
+    // probe: nProbe nearest cells per query vector (euclidean on unit
+    // sphere), computed on the DRIVER — the query set is bounded by this
+    // API's contract (same reasoning as bruteForceTopK's broadcast side)
+    // and the centroids are already local from the fit, so a distributed
+    // probe would spend several AQE stages shuffling ~nQueries·nList rows.
+    val spark = t.embeddings.sparkSession
+    val queryRows = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding"), col("_unit"))
+      .collect()
+    val probedRows = queryRows.flatMap { r =>
+      val qid = r.getLong(0)
+      val qEmb = r.getSeq[Float](1)
+      val qUnit = r.getSeq[Double](2).toArray
+      val d2 = cents.zipWithIndex.map { case (c, i) =>
+        var dist = 0.0; var j = 0
+        while (j < c.length) { val df = qUnit(j) - c(j); dist += df * df; j += 1 }
+        (dist, i)
+      }
+      d2.sortBy { case (dist, i) => (dist, i) }.take(nProbe)
+        .map { case (_, cell) => (qid, qEmb, cell) }
+    }
+    val probed = spark.createDataFrame(probedRows.toSeq)
+      .toDF("query_id", "q_emb", "cell")
 
     // candidates: only vectors in probed cells; exact cosine; top-k
     val wRank = Window.partitionBy(col("query_id"))
