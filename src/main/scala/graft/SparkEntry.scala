@@ -95,6 +95,8 @@ object SparkEntry {
     "q_union" -> ((s, d) => Analytics.unionKeys(Tables(s, d))),
     "q_above_avg" -> ((s, d) => Analytics.aboveAvg(Tables(s, d))),
     "q_asof_join" -> ((s, d) => Analytics.eventsAsOf(Tables(s, d))),
+    "q_sessionize" -> ((s, d) => Analytics.sessionize(Tables(s, d))),
+    "q_percentiles" -> ((s, d) => Analytics.groupPercentiles(Tables(s, d))),
     "q_rollup" -> ((s, d) => Analytics.rollup(Tables(s, d))),
     "q_intersect" -> ((s, d) => Analytics.intersectKeys(Tables(s, d))),
     "q_except" -> ((s, d) => Analytics.exceptKeys(Tables(s, d))),
@@ -278,6 +280,25 @@ object SparkEntry {
     "q_above_avg" ->
       ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
         "WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) ORDER BY o_orderkey"),
+    "q_sessionize" ->
+      ("WITH lagged AS (SELECT user_id, ts, event_id, " +
+        "lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us " +
+        "FROM events), " +
+        "brk AS (SELECT user_id, ts, event_id, " +
+        "CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END AS b " +
+        "FROM lagged), " +
+        "sess AS (SELECT user_id, ts, " +
+        "CAST(SUM(b) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx FROM brk) " +
+        "SELECT user_id, session_idx, count(*) AS n_events, " +
+        "strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start, " +
+        "strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end " +
+        "FROM sess GROUP BY user_id, session_idx ORDER BY user_id, session_idx"),
+    "q_percentiles" ->
+      ("SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty, " +
+        "round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty, " +
+        "round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "q_rollup" ->
       ("SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty " +
         "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) " +

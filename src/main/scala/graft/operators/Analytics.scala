@@ -176,6 +176,49 @@ object Analytics {
     }.drop("_side", "_vals")
   }
 
+  /** Batch sessionization — the batch twin of the streaming session windows
+    * (streaming/EventStreams.scala): a new session starts when the gap to
+    * the user's previous event exceeds `gapMinutes`. Classic two-window
+    * composition: lag() marks the breaks, a running sum over the breaks
+    * numbers the sessions, then one hash aggregation per (user, session).
+    * Scale shape: both windows partition by user_id (bounded per-user
+    * state, hash-distributed across the cluster), the gap arithmetic is on
+    * integer epoch-micros (no timestamp-type subtleties), and the final
+    * aggregation is partial+final. */
+  def sessionize(t: Tables, gapMinutes: Int = 30): DataFrame = {
+    val wOrder = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val wRun = wOrder.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapMicros = gapMinutes.toLong * 60L * 1000000L
+    t.events
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("_prev", lag(unix_micros(col("ts")), 1).over(wOrder))
+      .withColumn("_brk",
+        when(col("_prev").isNull ||
+          unix_micros(col("ts")) - col("_prev") > gapMicros, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("_brk")).over(wRun))
+      .groupBy("user_id", "session_idx")
+      .agg(
+        count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  /** Exact per-group percentiles (median + p90) — the order-statistics
+    * surface. Spark's `percentile` aggregate computes the exact
+    * linear-interpolated quantile (quantile_cont semantics) with partial
+    * aggregation; for corpus-scale columns where exactness isn't needed,
+    * `percentile_approx` (t-digest-style sketch) is the one-word swap. */
+  def groupPercentiles(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
+        round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50_price"))
+      .orderBy("l_returnflag")
+
   /** As-of query over events: each click joined to the user's most recent
     * purchase at or before the click. */
   def eventsAsOf(t: Tables): DataFrame = {

@@ -47,6 +47,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == (c ++ s))
   }
 
+  test("sessionize splits on gaps greater than the threshold, inclusive boundaries") {
+    def ts(min: Int) = Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    val ev = Seq(
+      (1L, ts(0), 100L), (1L, ts(10), 101L), (1L, ts(40), 102L), // 30-min gap exactly → SAME session
+      (1L, ts(59), 103L),                                        // 19 min → same
+      (2L, ts(0), 200L), (2L, ts(31), 201L)                      // 31 min → new session
+    ).toDF("user_id", "ts", "event_id")
+    val got = Analytics.sessionize(tables.withTable("events", ev))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(got == List((1L, 1L, 4L), (2L, 1L, 1L), (2L, 2L, 1L)), s"got $got")
+  }
+
+  test("groupPercentiles matches a locally computed interpolated quantile") {
+    val rows = Analytics.groupPercentiles(tables).collect()
+    val byFlag = tables.lineitem.select("l_returnflag", "l_quantity").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    def q(v: Array[Double], p: Double): Double = {
+      val rank = p * (v.length - 1)
+      val lo = rank.toInt
+      val g = rank - lo
+      if (lo + 1 < v.length) v(lo) * (1 - g) + v(lo + 1) * g else v(lo)
+    }
+    rows.foreach { r =>
+      val v = byFlag(r.getString(0))
+      assert(math.abs(r.getDouble(1) - q(v, 0.5)) < 1e-6)
+      assert(math.abs(r.getDouble(2) - q(v, 0.9)) < 1e-6)
+    }
+  }
+
   test("aboveAvg keeps exactly the orders above the mean") {
     val a = tables.orders.agg(avg("o_totalprice")).head().getDouble(0)
     val expected = tables.orders.filter(col("o_totalprice") > a).count()
