@@ -54,6 +54,11 @@ object SparkEntry {
       Dedup.charNgramJaccardPairs(Tables(s, d).documents, 3, 0.5)),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashFingerprints(Tables(s, d))),
     "q_dedup_groups" -> ((s, d) => Dedup.nearDupGroups(Tables(s, d))),
+    "q_dedup_lsh_verified" -> ((s, d) => Dedup.lshVerifiedPairs(Tables(s, d))),
+    "q_decontaminate" -> ((s, d) => {
+      val t = Tables(s, d)
+      Dedup.decontaminate(t.documents, t.documents.filter(col("doc_id") < 20))
+    }),
     // — similarity search (SURVEY §2 rows 19–21) —
     "q_ann_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables(s, d))),
     "q_ann_lsh" -> ((s, d) => Similarity.lshTopK(Tables(s, d))),
@@ -211,6 +216,17 @@ object SparkEntry {
         "SELECT doc_a, doc_b, round(n_common / (sa.sz + sb.sz - n_common), 6) AS jaccard " +
         "FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b " +
         "WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.5 ORDER BY doc_a, doc_b"),
+    "q_decontaminate" ->
+      ("WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s " +
+        "FROM (SELECT doc_id, tk, unnest(range(1, len(tk)-1)) AS i FROM toks)), " +
+        "bg AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20), " +
+        "tot AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id), " +
+        "hit AS (SELECT sh.doc_id, count(*) AS n_hit FROM sh JOIN bg USING(s) GROUP BY sh.doc_id) " +
+        "SELECT t.doc_id, n_shingles, coalesce(n_hit, 0) AS n_hit, " +
+        "round(coalesce(n_hit, 0) / n_shingles, 6) AS contamination " +
+        "FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id " +
+        "WHERE coalesce(n_hit, 0) / n_shingles <= 0.05 ORDER BY t.doc_id"),
     "q_ann_topk" ->
       ("SELECT query_id, neighbor_id, cosine FROM (" +
         "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +

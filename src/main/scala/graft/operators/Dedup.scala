@@ -44,9 +44,20 @@ object Dedup {
   /** Word w-shingles of the normalized text, as strings. w=1 → token set.
     * A document with NO tokens yields an EMPTY shingle array (not a [""]
     * artifact from concat_ws) — matching the fused minhashText kernel's
-    * all-sentinel signature for empty documents (property-tested). */
-  def shingles(text: Column, w: Int): Column = {
-    val toks = TextAnalysis.tokens(text)
+    * all-sentinel signature for empty documents (property-tested).
+    *
+    * NOTE: this form embeds the tokenizer inside the per-position lambda,
+    * which re-tokenizes once per shingle position — fine for literals and
+    * tests; hot paths should project [[TextAnalysis.tokens]] into a column
+    * first and call [[shinglesOfTokens]] on the attribute. */
+  def shingles(text: Column, w: Int): Column =
+    shinglesOfTokens(TextAnalysis.tokens(text), w)
+
+  /** w-shingles over an ALREADY-MATERIALIZED token-array column. Pass an
+    * attribute (a projected column), not a nested expression: every
+    * reference of `toks` inside the transform lambda re-evaluates it per
+    * element. */
+  def shinglesOfTokens(toks: Column, w: Int): Column = {
     if (w <= 1) array_distinct(toks)
     else array_distinct(
       when(size(toks) === 0, array().cast("array<string>"))
@@ -132,6 +143,67 @@ object Dedup {
       docs.select(col("doc_id"),
         explode(HashFunctions.charNgrams(col("text"), n)).as("token")),
       minJaccard, maxDf)
+
+  /** Benchmark decontamination — the eval-hygiene pass of a training-data
+    * pipeline: drop documents whose word w-shingle overlap with a (small)
+    * benchmark corpus exceeds `maxOverlap`, so evaluation material never
+    * leaks into training data.
+    *
+    * Scale shape: the benchmark shingle set is tiny (it's an eval set) and
+    * arrives broadcast; the per-document hit count is one equi-join on the
+    * shingle string plus two partial+final aggregations — linear in corpus
+    * size, no self-join anywhere. Overlap is thresholded on the exact
+    * (unrounded) ratio.
+    *
+    * @return surviving documents: (doc_id, n_shingles, n_hit, contamination)
+    */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, w: Int = 3,
+                    maxOverlap: Double = 0.05): DataFrame = {
+    def shingleRows(d: DataFrame): DataFrame = d
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_tk"))
+      .select(col("doc_id"), explode(shinglesOfTokens(col("_tk"), w)).as("sh"))
+    val dSh = shingleRows(docs)
+    val bSh = shingleRows(benchmark).select("sh").distinct()
+    // ONE pass over the corpus shingles: left-join the broadcast benchmark
+    // set and count total + matched in the same aggregation (two consumers
+    // of dSh would run the shingle extraction twice)
+    val frac = col("n_hit").cast("double") / col("n_shingles")
+    dSh.join(broadcast(bSh.withColumn("_b", lit(1))), Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), count(col("_b")).as("n_hit"))
+      .filter(frac <= maxOverlap)
+      .select(col("doc_id"), col("n_shingles"), col("n_hit"),
+        round(frac, 6).as("contamination"))
+      .orderBy("doc_id")
+  }
+
+  /** The composed near-dup pipeline at its scale shape: MinHash-LSH
+    * candidate generation (bounded candidate volume, equi-join on band
+    * keys) followed by EXACT Jaccard verification of only those candidate
+    * pairs — never an all-pairs exact pass. The verify is one join per pair
+    * side against the per-document sorted shingle sets plus an
+    * array-intersection ratio; cost is O(candidates · set size). */
+  def lshVerifiedPairs(t: Tables, w: Int = 2, minEstJaccard: Double = 0.2,
+                       minJaccard: Double = 0.5): DataFrame = {
+    val cand = minhashCandidatesCore(t, w = w, minEstJaccard = minEstJaccard)
+      .select("doc_a", "doc_b")
+    // persisted: both join sides consume the per-doc shingle sets; without
+    // the cache the extraction runs once per side
+    val sets = t.documents
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_tk"))
+      .select(col("doc_id"), sort_array(shinglesOfTokens(col("_tk"), w)).as("_sh"))
+      .persist()
+    val inter = size(array_intersect(col("_sa"), col("_sb"))).cast("long")
+    val j = col("n_common").cast("double") /
+      (size(col("_sa")) + size(col("_sb")) - col("n_common"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("_sh").as("_sa")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("_sh").as("_sb")), "doc_b")
+      .withColumn("n_common", inter)
+      .filter(j >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), round(j, 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
 
   /** Transitive near-duplicate groups: LSH candidate pairs → connected
     * components → one group id (the component's min doc_id) per document.

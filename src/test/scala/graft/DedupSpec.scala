@@ -74,6 +74,40 @@ class DedupSpec extends SparkSpec {
     assert(groups.size == docs.count() + 2)
   }
 
+  test("decontaminate drops benchmark copies and keeps unrelated docs") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"),
+      (3L, "alpha beta gamma delta epsilon zeta") // exact copy of the benchmark doc
+    ).toDF("doc_id", "text")
+    val benchmark = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.decontaminate(docs, benchmark, w = 3, maxOverlap = 0.5)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toMap
+    assert(kept.keySet == Set(2L), s"got $kept")
+    assert(kept(2L) == 0.0)
+  }
+
+  test("lshVerifiedPairs = exact jaccard restricted to LSH candidates") {
+    val verified = Dedup.lshVerifiedPairs(tables, w = 2, minEstJaccard = 0.2, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(verified.nonEmpty)
+    // recompute each pair's exact shingle jaccard locally and compare
+    val sh = tables.documents
+      .select($"doc_id", Dedup.shingles($"text", 2).as("sh")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    verified.foreach { case (a, b, j) =>
+      val expect = sh(a).intersect(sh(b)).size.toDouble / sh(a).union(sh(b)).size
+      assert(expect >= 0.5 && math.abs(j - expect) < 1e-6,
+        s"pair ($a,$b): reported $j, exact $expect")
+    }
+    // and no verified pair can beat the threshold without being a candidate —
+    // every emitted pair IS a candidate by construction; check subset property
+    val cand = Dedup.minhashCandidates(tables, w = 2, minEstJaccard = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified.forall(p => cand.contains((p._1, p._2))))
+  }
+
   test("simhash fingerprints: identical docs collide") {
     val docs = tables.documents
     val dups = docs.filter($"doc_id" < 3).withColumn("doc_id", $"doc_id" + 3000000L)
