@@ -59,7 +59,13 @@ object GraftExtensions {
     ("lang_id", "lang_id(text) - struct(lang_pred, lang_score) language guess",
       es => LangId(es.head)),
     ("freq_items", "freq_items(item, k) - SpaceSaving top-k frequent-items sketch (aggregate)",
-      es => FreqItemsSketch(es.head, arg(es, 1, "freq_items"))))
+      es => FreqItemsSketch(es.head, arg(es, 1, "freq_items"))),
+    ("char_ngrams", "char_ngrams(text, n) - distinct character n-grams of the normalized text",
+      es => CharNGrams(es.head, arg(es, 1, "char_ngrams"))),
+    ("mask_jaccard", "mask_jaccard(a, b) - Jaccard of two equal-width bitset fingerprints (array<long>)",
+      es => MaskJaccard(es.head, es(1))),
+    ("sorted_jaccard", "sorted_jaccard(a, b) - Jaccard of two sorted int-id arrays (merge intersection)",
+      es => SortedJaccard(es.head, es(1))))
 
   /** Register all functions on an existing session (temp functions). */
   def registerTemp(spark: SparkSession): Unit =

@@ -18,6 +18,18 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.forall(row => row.getString(4).nonEmpty))
   }
 
+  test("set-similarity kernels are callable from SQL") {
+    engine
+    val r = spark.sql(
+      """SELECT char_ngrams('Hello hello', 3) AS grams,
+        |       mask_jaccard(array(7L), array(3L)) AS mj,
+        |       sorted_jaccard(array(1, 2, 3), array(2, 3, 4)) AS sj""".stripMargin)
+      .collect()(0)
+    assert(r.getSeq[String](0).contains("llo"))
+    assert(r.getDouble(1) == 2.0 / 3.0) // popcount(7&3)=2, popcount(7|3)=3
+    assert(r.getDouble(2) == 0.5)       // |{2,3}| / |{1,2,3,4}|
+  }
+
   test("vector functions work in SQL over the embeddings table") {
     engine
     val r = spark.sql(
