@@ -32,6 +32,10 @@ final class Engine(val spark: SparkSession, val tables: Tables) {
       try tables.resolved(n).createOrReplaceTempView(n)
       catch {
         case e: org.apache.spark.sql.AnalysisException =>
+          // ALSO drop any same-named view left by a previous Engine on this
+          // session — skipping must not silently serve another directory's
+          // data for this catalog's table name
+          spark.catalog.dropTempView(n)
           System.err.println(
             s"[graft] skipping table '$n' (not readable from ${tables.dir}): " +
               e.getMessage.linesIterator.next())

@@ -268,7 +268,9 @@ object HashImpl {
     * `n_common / (|a| + |b| - n_common)` computed from element counts,
     * which is what a SQL oracle computes. Empty union → 0.0. */
   def maskJaccard(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val na = a.numElements()
+    val nb = b.numElements()
+    val n = math.min(na, nb)
     var inter = 0L
     var union = 0L
     var i = 0
@@ -278,6 +280,16 @@ object HashImpl {
       inter += java.lang.Long.bitCount(x & y)
       union += java.lang.Long.bitCount(x | y)
       i += 1
+    }
+    // unequal widths (SQL callers): the longer fingerprint's tail words
+    // intersect nothing but still belong to the union — silently dropping
+    // them would overstate similarity
+    val longer = if (na >= nb) a else b
+    var j = n
+    val m = math.max(na, nb)
+    while (j < m) {
+      union += java.lang.Long.bitCount(longer.getLong(j))
+      j += 1
     }
     if (union == 0L) 0.0 else inter.toDouble / union.toDouble
   }

@@ -45,6 +45,14 @@ import org.apache.spark.sql.functions._
   * only trades candidate-generation cost. Output is always
   * `(doc_a, doc_b, jaccard)` with `doc_a < doc_b`, jaccard rounded to 6dp,
   * thresholded on the UNROUNDED value (oracle parity at the boundary).
+  *
+  * Cache lifecycle: the small derived tables (dictionary, per-doc sets,
+  * members, set pairs) are persisted because the expansion and the final
+  * sort's sampling pass would otherwise re-run the quadratic core; they
+  * stay cached for the session (the returned DataFrame is lazy, so the
+  * operator cannot know when it is safe to unpersist). Long-lived sessions
+  * cycling many corpora should `spark.catalog.clearCache()` between them —
+  * graft.Bench does exactly that between its warmup and timed passes.
   */
 object SetSimilarity {
 

@@ -99,10 +99,12 @@ object Similarity {
     * iteration in pure scheduling overhead (measured: the fit dominated
     * q_ann_ivf's bench time). Deterministic: seeded init, sequential
     * accumulation, empty cells keep their previous centroid. */
-  private[operators] def fitCentroids(sample: Array[Array[Double]], k: Int,
+  private[operators] def fitCentroids(sample: Array[Array[Double]], k0: Int,
                                       iters: Int, seed: Long): Array[Array[Double]] = {
-    require(sample.length >= k,
-      s"IVF fit: need at least k=$k sample vectors, got ${sample.length}")
+    require(sample.nonEmpty, "IVF fit: empty sample")
+    // degrade gracefully on tiny corpora: fewer vectors than requested
+    // cells just means fewer cells (every vector its own cell in the limit)
+    val k = math.min(k0, sample.length)
     val d = sample(0).length
     val rnd = new scala.util.Random(seed)
     var cents = rnd.shuffle(sample.indices.toVector).take(k)
@@ -159,6 +161,17 @@ object Similarity {
           math.min(1.0, 1.2 * sampleTarget.toDouble / corpusSize), seed = 42L)
         .limit(sampleTarget.toInt)
     val sample = sampleDF.collect().map(_.getSeq[Double](0).toArray)
+    if (sample.isEmpty)
+      // empty corpus → empty result with the right shape, not a crash
+      return t.embeddings.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("query_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("neighbor_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cosine",
+            org.apache.spark.sql.types.DoubleType))))
     val cents = fitCentroids(sample, nList, iters = 5, seed = 42L)
 
     val assigned = emb

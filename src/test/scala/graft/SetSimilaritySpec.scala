@@ -109,6 +109,11 @@ class SetSimilaritySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
   }
 
+  test("empty element input yields an empty result, not a failure") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "token")
+    assert(SetSimilarity.jaccardSelfJoin(empty, 0.5).count() == 0)
+  }
+
   test("char-ngram variant matches its naive formulation on real docs") {
     val docs = tables.documents.filter(col("doc_id") < 40)
     val grams = docs.select(col("doc_id"),

@@ -15,16 +15,18 @@ from check_correctness import canon, table_hash  # noqa: E402
 
 
 def tolerant_equal(got, want):
-    """Exact equality except quantized double aggregates (a_*/rs_* columns
-    from FLOOR(x*10000+0.5)), which may land on opposite sides of the floor
-    boundary when Spark's parallel partial sums and DuckDB's sequential sum
-    differ by an ulp — allow ±1 there."""
+    """Exact equality except FLOOR-quantized double aggregates — the q_*
+    columns the generator emits as CAST(FLOOR(x*10000+0.5) AS BIGINT) —
+    which may land on opposite sides of the floor boundary when Spark's
+    parallel partial sums and DuckDB's sequential sum differ by an ulp:
+    those integer columns get ±1. Everything else (raw MIN/MAX, COUNT,
+    exact integer running sums, keys) must match exactly."""
     if list(got.columns) != list(want.columns) or len(got) != len(want):
         return False
     for c in got.columns:
         g, w = got[c], want[c]
-        if c.startswith(("a_", "rs_")) and pd.api.types.is_numeric_dtype(g) \
-                and pd.api.types.is_numeric_dtype(w):
+        if c.startswith("q_") and pd.api.types.is_integer_dtype(g) \
+                and pd.api.types.is_integer_dtype(w):
             sentinel = -2**60
             if not ((g.fillna(sentinel).astype("int64")
                      - w.fillna(sentinel).astype("int64")).abs() <= 1).all():

@@ -103,9 +103,11 @@ def agg_exprs(rng, cols):
         if kind == "COUNT":
             out.append(("COUNT(*)", f"cnt_{len(out)}"))
         elif kind in ("SUM", "AVG"):
+            # q_ prefix = FLOOR-quantized double aggregate; ONLY these get the
+            # checker's ±1 boundary tolerance (MIN/MAX/COUNT stay exact)
             c = rng.choice(cols["num"] if kind == "SUM" else cols["num"] + cols["int"])
             out.append((f"CAST(FLOOR({kind}({c}) * 10000 + 0.5) AS BIGINT)",
-                        f"a_{len(out)}"))
+                        f"q_{len(out)}"))
         else:
             c = rng.choice(cols["num"] + cols["int"])
             out.append((f"{kind}({c})", f"a_{len(out)}"))
