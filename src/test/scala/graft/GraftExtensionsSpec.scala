@@ -28,6 +28,10 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getSeq[String](0).contains("llo"))
     assert(r.getDouble(1) == 2.0 / 3.0) // popcount(7&3)=2, popcount(7|3)=3
     assert(r.getDouble(2) == 0.5)       // |{2,3}| / |{1,2,3,4}|
+    // width mismatch: the longer fingerprint's tail joins the union
+    val mm = spark.sql("SELECT mask_jaccard(array(7L), array(3L, -1L)) AS j")
+      .collect()(0).getDouble(0)
+    assert(mm == 2.0 / 67.0, s"got $mm") // inter 2, union 3 + 64 tail bits
   }
 
   test("vector functions work in SQL over the embeddings table") {
