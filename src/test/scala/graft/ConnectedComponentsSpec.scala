@@ -30,6 +30,17 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(ccMap(edges) == graphxMap(edges))
   }
 
+  test("randomized differential: matches GraphX on seeded random graphs") {
+    val rnd = new scala.util.Random(42L)
+    for (trial <- 0 until 3) {
+      val nNodes = 40 + trial * 20
+      val edges = Seq.fill(nNodes) {
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong)
+      }.filter(e => e._1 != e._2)
+      assert(ccMap(edges) == graphxMap(edges), s"trial $trial diverged")
+    }
+  }
+
   test("edge direction and duplicates are irrelevant") {
     val e1 = Seq((1L, 2L), (2L, 3L))
     val e2 = Seq((3L, 2L), (2L, 1L), (1L, 2L), (1L, 2L))

@@ -109,6 +109,24 @@ class SetSimilaritySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
   }
 
+  test("randomized differential: dense, prefix, and sorted paths all equal naive") {
+    val rnd = new scala.util.Random(20260812L)
+    val alphabet = ('a' to 'j').map(_.toString)
+    // degenerate-ish corpus on purpose: tiny alphabet, heavy overlap —
+    // the regime the real documents table is in
+    val docs = (0 until 40).map { i =>
+      val n = 2 + rnd.nextInt(8)
+      (i.toLong, Seq.fill(n)(alphabet(rnd.nextInt(alphabet.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val e = elemsOf(docs)
+    for (minJ <- Seq(0.3, 0.5, 0.8)) {
+      val expected = naive(e, minJ, None)
+      assert(run(e, minJ) == expected, s"dense path diverged at τ=$minJ")
+      assert(run(e, minJ, denseMaxSets = 1) == expected, s"prefix path diverged at τ=$minJ")
+      assert(run(e, minJ, maskMaxVocab = 0) == expected, s"sorted path diverged at τ=$minJ")
+    }
+  }
+
   test("empty element input yields an empty result, not a failure") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "token")
     assert(SetSimilarity.jaccardSelfJoin(empty, 0.5).count() == 0)
