@@ -130,6 +130,22 @@ object SparkEntry {
       s.sql("SELECT c_nationkey, COUNT(*) AS n_orders FROM ref_orders, ref_customer " +
         "WHERE o_custkey = c_custkey GROUP BY c_nationkey ORDER BY c_nationkey")
     }),
+    "q_jsonl_roundtrip" -> ((s, d) => {
+      import graft.sources.JsonlCorpus
+      // documents → JSONL (the LLM-corpus interchange format) → tolerant
+      // schema-enforced read-back; written once per dataset like the CSV
+      // round-trip. Oracle runs against the original parquet — equality
+      // proves the JSONL path is lossless.
+      val t = Tables(s, d)
+      val dir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_jsonl_${Integer.toHexString(d.hashCode)}").toString
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
+        t.documents.write.json(dir)
+      val docs = JsonlCorpus.clean(
+        JsonlCorpus.read(s, dir, t.documents.schema))
+      docs.select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
+    }),
     // — training-data splits & sampling (SURVEY §2 rows 48–49) —
     "q_split_assign" -> ((s, d) => {
       import graft.operators.Sampling
@@ -344,6 +360,8 @@ object SparkEntry {
         "count(*) FILTER (WHERE event_type = 'signup') AS signup, " +
         "count(*) FILTER (WHERE event_type = 'error') AS error " +
         "FROM events GROUP BY user_id ORDER BY user_id"),
+    "q_jsonl_roundtrip" ->
+      "SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id",
     "q_csv_engine" ->
       ("SELECT c_nationkey, count(*) AS n_orders FROM orders JOIN customer " +
         "ON o_custkey = c_custkey GROUP BY c_nationkey ORDER BY c_nationkey"),
