@@ -27,9 +27,12 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     timings = {}
     for i, name in enumerate(sorted(oracle)):
-        # warmup run (buffer cache, plan), then one timed materialized run —
-        # mirrors graft.Bench's untimed-warmup + timed-pass protocol
-        for timed in (False, True):
+        # warmup run (buffer cache, plan), then MEDIAN of three timed
+        # materialized runs: single-shot DuckDB times on the heavy queries
+        # swing ±50% run to run in this environment, which would make the
+        # baseline comparison a coin flip
+        samples = []
+        for run in range(4):
             con.execute(f"DROP TABLE IF EXISTS _b{i}")
             t0 = time.time()
             try:
@@ -39,9 +42,12 @@ def main():
                 timings[name] = None
                 print(f"✗ {name}: {str(e)[:120]}")
                 break
-            if timed:
-                timings[name] = dt
-                print(f"{name}: {dt:.3f}s")
+            if run > 0:
+                samples.append(dt)
+        if samples:
+            timings[name] = sorted(samples)[len(samples) // 2]
+            print(f"{name}: {timings[name]:.3f}s (runs: "
+                  + ", ".join(f"{s:.3f}" for s in samples) + ")")
         con.execute(f"DROP TABLE IF EXISTS _b{i}")
     ok = {k: v for k, v in timings.items() if v is not None}
     total = sum(ok.values())
@@ -49,12 +55,13 @@ def main():
         f.write("# BASELINE — measured DuckDB timings\n\n")
         f.write(f"DuckDB {duckdb.__version__}, {nthreads} threads, "
                 f"dataset `{sf_dir}`.\n\n")
-        f.write("Each row is the wall-time of one oracle SQL query (the same "
-                "SQL the driver's correctness gate runs), fully MATERIALIZED "
-                "into a temp table including its ORDER BY — matching what "
-                "`graft.Bench` forces through its noop sink. One untimed "
-                "warmup run precedes the timed run, mirroring Bench's "
-                "protocol. Rows-only queries (no SQL oracle: LSH/minhash/"
+        f.write("Each row is the MEDIAN wall-time of three runs of one "
+                "oracle SQL query (the same SQL the driver's correctness "
+                "gate runs), fully MATERIALIZED into a temp table including "
+                "its ORDER BY — matching what `graft.Bench` forces through "
+                "its noop sink. One untimed warmup run precedes the timed "
+                "runs, mirroring Bench's protocol. Rows-only queries (no "
+                "SQL oracle: LSH/minhash/"
                 "simhash/language-id/fingerprint/sampling) have no baseline "
                 "row; compare them on absolute Bench numbers only.\n\n")
         f.write("| query | duckdb_sec |\n|---|---|\n")
