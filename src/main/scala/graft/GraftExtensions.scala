@@ -62,7 +62,7 @@ object GraftExtensions {
       es => FreqItemsSketch(es.head, arg(es, 1, "freq_items"))),
     ("char_ngrams", "char_ngrams(text, n) - distinct character n-grams of the normalized text",
       es => CharNGrams(es.head, arg(es, 1, "char_ngrams"))),
-    ("mask_jaccard", "mask_jaccard(a, b) - Jaccard of two equal-width bitset fingerprints (array<long>)",
+    ("mask_jaccard", "mask_jaccard(a, b) - Jaccard of two bitset fingerprints (array<long>); on width mismatch the longer fingerprint's tail counts toward the union",
       es => MaskJaccard(es.head, es(1))),
     ("sorted_jaccard", "sorted_jaccard(a, b) - Jaccard of two sorted int-id arrays (merge intersection)",
       es => SortedJaccard(es.head, es(1))))

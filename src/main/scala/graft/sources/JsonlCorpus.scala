@@ -29,6 +29,9 @@ object JsonlCorpus {
     * schema's plus [[CorruptCol]], which holds the raw line for malformed
     * records (null for clean ones). Blank lines are skipped. */
   def read(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
+    require(!schema.fieldNames.contains(CorruptCol),
+      s"JsonlCorpus.read: schema must not already contain '$CorruptCol' — " +
+        "the reader adds it as the quarantine channel")
     val withCorrupt = schema.add(CorruptCol, "string")
     spark.read.text(dir)
       .filter(length(trim(col("value"))) > 0)

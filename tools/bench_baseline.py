@@ -32,6 +32,7 @@ def main():
         # swing ±50% run to run in this environment, which would make the
         # baseline comparison a coin flip
         samples = []
+        failed = False
         for run in range(4):
             con.execute(f"DROP TABLE IF EXISTS _b{i}")
             t0 = time.time()
@@ -39,12 +40,15 @@ def main():
                 con.execute(f"CREATE TEMP TABLE _b{i} AS {oracle[name]}")
                 dt = time.time() - t0
             except Exception as e:
+                # any failure disqualifies the query entirely — a partial
+                # sample set must not masquerade as a healthy median
                 timings[name] = None
+                failed = True
                 print(f"✗ {name}: {str(e)[:120]}")
                 break
             if run > 0:
                 samples.append(dt)
-        if samples:
+        if not failed and samples:
             timings[name] = sorted(samples)[len(samples) // 2]
             print(f"{name}: {timings[name]:.3f}s (runs: "
                   + ", ".join(f"{s:.3f}" for s in samples) + ")")
