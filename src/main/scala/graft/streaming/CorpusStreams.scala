@@ -1,0 +1,47 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Streaming twins of the corpus-hygiene operators: continuously arriving
+  * documents filtered against a FIXED benchmark set.
+  *
+  * Decontamination streams STATELESSLY: the benchmark shingle set is small
+  * (it's an eval set) and embedded as a literal/broadcast, so each incoming
+  * document is scored in one narrow projection — no aggregation state, no
+  * watermark needed, arbitrary stream length. This is the shape that
+  * matters at ingest time: score-and-drop before anything lands in the
+  * training corpus.
+  */
+object CorpusStreams {
+
+  /** Filter a (streaming or batch) documents frame down to rows whose word
+    * w-shingle overlap with `benchmarkShingles` is ≤ `maxOverlap`. Output
+    * adds the same (n_shingles, n_hit, contamination) columns as the batch
+    * [[graft.operators.Dedup.decontaminate]], whose semantics this matches
+    * exactly (spec-asserted). */
+  def decontaminated(docs: DataFrame, benchmarkShingles: Seq[String],
+                     w: Int = 3, maxOverlap: Double = 0.05): DataFrame = {
+    val bench = lit(benchmarkShingles.toArray)
+    val nHit = size(array_intersect(col("_sh"), bench)).cast("long")
+    val nSh = size(col("_sh")).cast("long")
+    val frac = nHit.cast("double") / nSh
+    docs
+      .withColumn("_tk", TextAnalysis.tokens(col("text")))
+      .withColumn("_sh", Dedup.shinglesOfTokens(col("_tk"), w))
+      .filter(nSh > 0 && frac <= maxOverlap)
+      .withColumn("n_shingles", nSh)
+      .withColumn("n_hit", nHit)
+      .withColumn("contamination", round(frac, 6))
+      .drop("_tk", "_sh")
+  }
+
+  /** Collect a benchmark corpus' distinct shingle set (driver-side; the
+    * benchmark is eval-sized by definition). */
+  def benchmarkShingles(benchmark: DataFrame, w: Int = 3): Seq[String] =
+    benchmark
+      .select(explode(Dedup.shinglesOfTokens(
+        TextAnalysis.tokens(col("text")), w)).as("sh"))
+      .distinct().collect().map(_.getString(0)).toSeq
+}

@@ -106,4 +106,31 @@ class StreamingSpec extends SparkSpec {
       assert(last == ((3L, 7.0)))
     } finally q.stop()
   }
+
+  test("streaming decontamination matches the batch operator exactly") {
+    import graft.streaming.CorpusStreams
+    implicit val sqlCtx = spark.sqlContext
+    val docs = tables.documents.limit(120)
+    val benchmark = tables.documents.filter(col("doc_id") < 10)
+    val bench = CorpusStreams.benchmarkShingles(benchmark, w = 3)
+    val want = graft.operators.Dedup
+      .decontaminate(docs, benchmark, w = 3, maxOverlap = 0.05)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val input = MemoryStream[(Long, String)]
+    val q = CorpusStreams.decontaminated(
+        input.toDF().toDF("doc_id", "text"), bench, w = 3, maxOverlap = 0.05)
+      .select("doc_id", "n_shingles", "n_hit", "contamination")
+      .writeStream.format("memory").queryName("decon").outputMode("append").start()
+    try {
+      val rows = docs.select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      input.addData(rows.take(60).toSeq) // two micro-batches
+      q.processAllAvailable()
+      input.addData(rows.drop(60).toSeq)
+      q.processAllAvailable()
+      val got = spark.table("decon").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got == want && got.nonEmpty, s"stream/batch diverged: ${got.size} vs ${want.size}")
+    } finally q.stop()
+  }
 }
