@@ -42,6 +42,18 @@ object ConnectedComponents {
       .distinct()
       .localCheckpoint()
 
+    // convergence: a cheap (count, hash-sum) signature gates the EXACT
+    // except-in-both-directions check, so the two anti-joins run only on
+    // the (usually single) round where the signature stops moving — the
+    // per-round job count is what dominates wall-clock on small edge sets
+    def sig(df: DataFrame): (Long, Long) = {
+      // bit_xor: order-independent and overflow-free (a SUM of 64-bit
+      // hashes trips ANSI overflow); edges are distinct, so xor-cancel of
+      // duplicates cannot occur
+      val r = df.agg(count(lit(1)), expr("bit_xor(xxhash64(src, dst))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var prevSig = sig(e)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -67,7 +79,10 @@ object ConnectedComponents {
         .distinct()
         .localCheckpoint()
 
-      converged = small.except(e).isEmpty && e.except(small).isEmpty
+      val s = sig(small)
+      converged = s == prevSig &&
+        small.except(e).isEmpty && e.except(small).isEmpty
+      prevSig = s
       e = small
       iter += 1
     }

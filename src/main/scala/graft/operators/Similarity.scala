@@ -216,6 +216,23 @@ object Similarity {
       .orderBy("query_id", "neighbor_id")
   }
 
+  /** Transitive embedding near-duplicate groups — the embedding twin of
+    * [[Dedup.nearDupGroups]]: SRP-LSH candidate pairs → connected
+    * components (DataFrame large-star/small-star) → one group id (the
+    * component's min vec_id) per vector; vectors with no near-dup edges are
+    * singletons. Edge volume is bounded by the LSH candidate count. */
+  def embeddingNearDupGroups(t: Tables, minCosine: Double = 0.35,
+                             nBits: Int = 4, nTables: Int = 8): DataFrame = {
+    val pairs = embeddingNearDups(t, minCosine, nBits, nTables)
+    val comps = ConnectedComponents.run(pairs.select("vec_a", "vec_b"))
+      .toDF("vec_id", "group_id")
+    t.embeddings.select("vec_id")
+      .join(comps, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("group_id"), col("vec_id")).as("group_id"))
+      .orderBy("vec_id")
+  }
+
   /** Embedding-cosine near-duplicate pairs via multi-table SRP-LSH:
     * `nTables` independent bucketings of `nBits` bits each (amplifies recall
     * like MinHash bands — a pair is a candidate if it collides in ANY table),

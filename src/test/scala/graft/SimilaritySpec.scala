@@ -66,6 +66,20 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("embeddingNearDupGroups: every pair shares a group, group id is the component min") {
+    val groups = graft.operators.Similarity.embeddingNearDupGroups(tables, minCosine = 0.3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = graft.operators.Similarity.embeddingNearDups(tables, minCosine = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(groups.size == tables.embeddings.count()) // total coverage
+    pairs.foreach { case (a, b) =>
+      assert(groups(a) == groups(b), s"pair ($a,$b) split across groups")
+      assert(groups(a) <= math.min(a, b))
+    }
+    // group representatives are members of their own group
+    groups.values.foreach(g => assert(groups(g) == g))
+  }
+
   test("embeddingNearDups verifies candidates with exact cosine above threshold") {
     val rows = Similarity.embeddingNearDups(tables, minCosine = 0.3).collect()
     rows.foreach { r => assert(r.getDouble(2) >= 0.3 && r.getLong(0) < r.getLong(1)) }
