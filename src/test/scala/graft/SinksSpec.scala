@@ -22,6 +22,27 @@ class SinksSpec extends SparkSpec {
     assert(dirs.count(_.startsWith("n_regionkey=")) == 5)
   }
 
+  test("partition filters prune at the scan, not post-read (plan-asserted)") {
+    // the 100 TB behavior partitioned layouts exist for: a filter on the
+    // partition column must reach the scan as a PartitionFilter (directory
+    // pruning — 1 of 5 dirs read), not as a row-level post-filter
+    Sinks.write(tables.nation, s"$base/nation_prune",
+      Sinks.WriteSpec(partitionBy = Seq("n_regionkey")))
+    val one = spark.read.parquet(s"$base/nation_prune")
+      .filter(col("n_regionkey") === 0)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("n_regionkey"), s"no partition filter at the scan:\n$plan")
+    // structural check: the scan SELECTS one of the five hive partitions
+    // (inputFiles would lie here — it reports the relation pre-pruning)
+    val scans = one.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, s"no file scan in plan:\n$plan")
+    assert(scans.head.selectedPartitions.partitionCount == 1,
+      s"expected 1 pruned partition, scanned ${scans.head.selectedPartitions.partitionCount}")
+  }
+
   test("csv sink roundtrips with header") {
     val df = tables.region
     Sinks.writeCsv(df, s"$base/region_csv")
