@@ -52,6 +52,14 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static enrichment: each incoming event joined to a static
+    * dimension on `key` — the canonical ingest-time enrichment shape.
+    * The static side is broadcast (re-planned per micro-batch, so a
+    * refreshed dimension table is picked up on file sources); left join so
+    * unmatched events survive with nulls rather than vanishing. */
+  def enriched(events: DataFrame, dim: DataFrame, key: String = "user_id"): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Custom stateful operator: per-user running totals via
     * `mapGroupsWithState` — the escape hatch for state machines the built-in
     * aggregations can't express. State is one small case class per user. */

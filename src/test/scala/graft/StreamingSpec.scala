@@ -107,6 +107,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins each event to the broadcast dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((10L, "gold"), (11L, "silver")).toDF("user_id", "tier")
+    val input = MemoryStream[Event]
+    val q = EventStreams.enriched(input.toDF(), dim)
+      .select("event_id", "user_id", "tier")
+      .writeStream.format("memory").queryName("enr").outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, ts(0), 10, "click", 1.0),
+        Event(2, ts(1), 11, "view", 2.0),
+        Event(3, ts(2), 99, "click", 3.0)) // no dimension row → null tier
+      q.processAllAvailable()
+      val got = spark.table("enr").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+      assert(got == Map(1L -> Some("gold"), 2L -> Some("silver"), 3L -> None))
+    } finally q.stop()
+  }
+
   test("streaming decontamination matches the batch operator exactly") {
     import graft.streaming.CorpusStreams
     implicit val sqlCtx = spark.sqlContext
