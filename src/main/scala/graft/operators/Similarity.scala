@@ -223,7 +223,7 @@ object Similarity {
     * singletons. Edge volume is bounded by the LSH candidate count. */
   def embeddingNearDupGroups(t: Tables, minCosine: Double = 0.35,
                              nBits: Int = 4, nTables: Int = 8): DataFrame = {
-    val pairs = embeddingNearDups(t, minCosine, nBits, nTables)
+    val pairs = embeddingNearDupsCore(t, minCosine, nBits, nTables)
     val comps = ConnectedComponents.run(pairs.select("vec_a", "vec_b"))
       .toDF("vec_id", "group_id")
     t.embeddings.select("vec_id")
@@ -240,7 +240,15 @@ object Similarity {
     * bucket only, distinct pairs. Never all-pairs: expected candidates per
     * table ≈ n²/2^nBits ÷ n per vector. */
   def embeddingNearDups(t: Tables, minCosine: Double = 0.35,
-                        nBits: Int = 4, nTables: Int = 8): DataFrame = {
+                        nBits: Int = 4, nTables: Int = 8): DataFrame =
+    embeddingNearDupsCore(t, minCosine, nBits, nTables)
+      .orderBy("vec_a", "vec_b") // ordered for the driver's oracle dump only
+
+  /** Unordered near-dup pairs — consumers that don't need a total order
+    * (e.g. [[embeddingNearDupGroups]]) use this to avoid a pointless
+    * global sort, mirroring [[Dedup.minhashCandidatesCore]]. */
+  def embeddingNearDupsCore(t: Tables, minCosine: Double = 0.35,
+                            nBits: Int = 4, nTables: Int = 8): DataFrame = {
     val tableIds = array((0 until nTables).map(lit): _*)
     val emb = t.embeddings
       .select(col("vec_id"), col("embedding"), explode(tableIds).as("tbl"))
@@ -261,6 +269,5 @@ object Similarity {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cosine"))
       .groupBy("vec_a", "vec_b")
       .agg(round(max("cosine"), 6).as("cosine"))
-      .orderBy("vec_a", "vec_b")
   }
 }

@@ -54,9 +54,12 @@ object EventStreams {
 
   /** Stream-static enrichment: each incoming event joined to a static
     * dimension on `key` — the canonical ingest-time enrichment shape.
-    * The static side is broadcast (re-planned per micro-batch, so a
-    * refreshed dimension table is picked up on file sources); left join so
-    * unmatched events survive with nulls rather than vanishing. */
+    * The static side is broadcast; left join so unmatched events survive
+    * with nulls rather than vanishing. Note: for file-backed dimensions
+    * the FILE LISTING is captured when the dimension DataFrame is created
+    * — files added to the directory later are NOT picked up until the
+    * catalog is refreshed or the query restarts (use a Delta-style source
+    * or restart-on-refresh for slowly changing dimensions). */
   def enriched(events: DataFrame, dim: DataFrame, key: String = "user_id"): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
