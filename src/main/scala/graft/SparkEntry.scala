@@ -21,17 +21,37 @@ object SparkEntry {
     Relational.groupByAgg(Tables(spark, "/root/testdata/sf0.001"))
 
   /** Write-once round-trip directory for the interchange-format queries:
-    * keyed on the dataset path, written on first use per marker file, and
-    * reused by later invocations (bench warmup + timed), so the timed pass
-    * measures the READ path and /tmp doesn't accumulate copies. The marker
-    * must be something the WRITER creates last — a bare directory-exists
-    * check would permanently trust a half-written dir after a crash. */
+    * keyed on the dataset path PLUS a content fingerprint of its files
+    * (path, size, mtime — rsync's quick-check triple), written on first use
+    * per marker file, and reused by later invocations (bench warmup +
+    * timed), so the timed pass measures the READ path and /tmp doesn't
+    * accumulate copies. The fingerprint means a regenerated dataset at the
+    * same path gets a FRESH directory instead of silently serving stale
+    * round-trip data, and two dataset paths can never collide (the
+    * fingerprint hashes the full path string too, so even an unlikely
+    * 128-bit digest collision needs identical paths). The marker must be
+    * something the WRITER creates last — a bare directory-exists check
+    * would permanently trust a half-written dir after a crash. */
   private def roundtripDir(prefix: String, dataset: String, marker: String)
                           (write: String => Unit): String = {
-    val dir = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      s"${prefix}_${Integer.toHexString(dataset.hashCode)}").toString
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, marker)))
+    import java.nio.file.{Files, Path, Paths}
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(dataset.getBytes("UTF-8"))
+    val root = Paths.get(dataset)
+    if (Files.isDirectory(root)) {
+      val stream = Files.walk(root)
+      try {
+        stream.filter(Files.isRegularFile(_)).sorted().forEach { (p: Path) =>
+          md.update(
+            s"${root.relativize(p)}|${Files.size(p)}|${Files.getLastModifiedTime(p).toMillis}"
+              .getBytes("UTF-8"))
+        }
+      } finally stream.close()
+    }
+    val fp = md.digest().map("%02x".format(_)).mkString.take(16)
+    val dir = Paths.get(
+      System.getProperty("java.io.tmpdir"), s"${prefix}_$fp").toString
+    if (!Files.exists(Paths.get(dir, marker)))
       write(dir)
     dir
   }

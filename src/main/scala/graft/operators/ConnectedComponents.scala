@@ -33,6 +33,13 @@ object ConnectedComponents {
   def run(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val src = edges.columns(0)
     val dst = edges.columns(1)
+    // every node mentioned by ANY edge — including nodes whose only edges
+    // are self-loops, which the contraction below never sees (they'd
+    // otherwise be silently dropped from the output, breaking the
+    // one-row-per-node contract)
+    val nodes = edges
+      .select(explode(array(col(src).cast("long"), col(dst).cast("long"))).as("id"))
+      .distinct()
     var e = edges
       .select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
@@ -87,10 +94,13 @@ object ConnectedComponents {
       iter += 1
     }
 
-    // fixed point is a star forest: every member points at its root.
-    // Roots appear only on the dst side — give them a self row.
+    // fixed point is a star forest: every member points at its root. Left-
+    // joining from the full node set covers roots (dst-side only — no
+    // mapping row) and self-loop-only nodes (no non-loop edges at all):
+    // both become their own component.
     e.select(col("src").as("id"), col("dst").as("component"))
-      .union(e.select(col("dst").as("id"), col("dst").as("component")).distinct())
+      .join(nodes, Seq("id"), "right")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
       .distinct()
   }
 }

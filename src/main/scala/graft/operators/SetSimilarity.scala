@@ -48,11 +48,12 @@ import org.apache.spark.sql.functions._
   *
   * Cache lifecycle: the small derived tables (dictionary, per-doc sets,
   * members, set pairs) are persisted because the expansion and the final
-  * sort's sampling pass would otherwise re-run the quadratic core; they
-  * stay cached for the session (the returned DataFrame is lazy, so the
-  * operator cannot know when it is safe to unpersist). Long-lived sessions
-  * cycling many corpora should `spark.catalog.clearCache()` between them —
-  * graft.Bench does exactly that between its warmup and timed passes.
+  * sort's sampling pass would otherwise re-run the quadratic core. The
+  * operator is EAGER so those caches never outlive the call: the result
+  * pair set is materialized with `localCheckpoint` (executor-local blocks,
+  * released by the ContextCleaner when the returned plan is collected) and
+  * every intermediate cache is unpersisted before returning — a long-lived
+  * session cycling many corpora accumulates nothing.
   */
 object SetSimilarity {
 
@@ -74,11 +75,18 @@ object SetSimilarity {
     * @param maskMaxVocab max dictionary size for the bitset verify kernel
     *                    (memory per set = vocab/8 bytes); larger
     *                    vocabularies verify via array_intersect
+    * @param eager       materialize the result and release all intermediate
+    *                    caches before returning (the default; see the cache-
+    *                    lifecycle note above). `false` returns the fully
+    *                    lazy plan WITH its intermediates still cached — a
+    *                    plan-inspection/debugging hook; callers own the
+    *                    caches (`spark.catalog.clearCache()`)
     */
   def jaccardSelfJoin(elems: DataFrame, minJaccard: Double,
                       maxDf: Option[Long] = None,
                       denseMaxSets: Long = 200000,
-                      maskMaxVocab: Int = 4096): DataFrame = {
+                      maskMaxVocab: Int = 4096,
+                      eager: Boolean = true): DataFrame = {
     // 1. document frequency + optional hot-token cutoff. The join back to
     // `elems` is 1:1 per element row (no blow-up); AQE handles partition
     // skew on hot tokens.
@@ -200,6 +208,14 @@ object SetSimilarity {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         lit(1.0).as("jaccard"))
     val out = if (minJaccard <= 1.0) cross.union(intra) else cross
-    out.orderBy("doc_a", "doc_b")
+    if (!eager) return out.orderBy("doc_a", "doc_b")
+    // eager: materialize the (bounded, post-threshold) pair set once, then
+    // release every intermediate cache — the final ORDER BY's sampling pass
+    // reads the checkpointed blocks, not the quadratic lineage, and callers
+    // never need to clearCache() after us
+    val materialized = out.localCheckpoint()
+    Seq(dict, perDoc, members, sets, setPairs)
+      .foreach(_.unpersist(blocking = false))
+    materialized.orderBy("doc_a", "doc_b")
   }
 }

@@ -41,6 +41,13 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("self-loop-only nodes get a singleton row (one row per mentioned node)") {
+    // node 7 appears ONLY in a self-loop; node 9's self-loop coexists with a
+    // real edge — both must appear exactly once, 7 as its own component
+    val got = ccMap(Seq((1L, 2L), (7L, 7L), (9L, 9L), (2L, 9L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 9L -> 1L, 7L -> 7L))
+  }
+
   test("edge direction and duplicates are irrelevant") {
     val e1 = Seq((1L, 2L), (2L, 3L))
     val e2 = Seq((3L, 2L), (2L, 1L), (1L, 2L), (1L, 2L))

@@ -84,9 +84,13 @@ class SetSimilaritySpec extends SparkSpec {
   }
 
   test("the df cutoff is applied below the candidate join (plan shape)") {
-    val df = SetSimilarity.jaccardSelfJoin(elemsOf(fixture), 0.5, maxDf = Some(3L))
+    // eager=false: the default eagerly checkpoints, which truncates the
+    // inspectable lineage to a LogicalRDD
+    val df = SetSimilarity.jaccardSelfJoin(elemsOf(fixture), 0.5,
+      maxDf = Some(3L), eager = false)
     val plan = df.queryExecution.optimizedPlan.toString
     assert(plan.contains("_df"), s"df-cutoff filter missing from plan:\n$plan")
+    spark.catalog.clearCache() // lazy mode leaves intermediates cached by design
   }
 
   test("prefix path (PPJoin) produces exactly the dense-path result") {

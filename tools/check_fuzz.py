@@ -20,9 +20,20 @@ def tolerant_equal(got, want):
     which may land on opposite sides of the floor boundary when Spark's
     parallel partial sums and DuckDB's sequential sum differ by an ulp:
     those integer columns get ±1. Everything else (raw MIN/MAX, COUNT,
-    exact integer running sums, keys) must match exactly."""
+    exact integer running sums, keys) must match exactly.
+
+    Rows are re-sorted by the NON-q_ columns only before comparing: canon()
+    sorts by all columns, so two rows whose q_ values straddle the floor
+    boundary differently in the two engines would land in different sort
+    positions and misalign the row-by-row compare even though every row is
+    within tolerance. The generated shapes always have unique group keys
+    per row, so the non-q_ columns are a total order."""
     if list(got.columns) != list(want.columns) or len(got) != len(want):
         return False
+    keys = [c for c in got.columns if not c.startswith("q_")]
+    if keys:
+        got = got.sort_values(keys, kind="mergesort").reset_index(drop=True)
+        want = want.sort_values(keys, kind="mergesort").reset_index(drop=True)
     for c in got.columns:
         g, w = got[c], want[c]
         if c.startswith("q_") and pd.api.types.is_integer_dtype(g) \
