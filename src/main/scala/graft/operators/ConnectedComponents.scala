@@ -33,15 +33,22 @@ object ConnectedComponents {
   def run(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val src = edges.columns(0)
     val dst = edges.columns(1)
+    // materialize the CALLER'S edge plan exactly once: both `nodes` and the
+    // contracted seed below branch from it, and upstream is often the most
+    // expensive stage of the whole job (for the near-dup callers it's the
+    // full LSH candidate join + similarity verify) — deriving the branches
+    // from the raw plan would re-execute that pipeline per branch
+    val ecp = edges
+      .select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
+      .localCheckpoint()
     // every node mentioned by ANY edge — including nodes whose only edges
     // are self-loops, which the contraction below never sees (they'd
     // otherwise be silently dropped from the output, breaking the
     // one-row-per-node contract)
-    val nodes = edges
-      .select(explode(array(col(src).cast("long"), col(dst).cast("long"))).as("id"))
+    val nodes = ecp
+      .select(explode(array(col("src"), col("dst"))).as("id"))
       .distinct()
-    var e = edges
-      .select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
+    var e = ecp
       .filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("dst2"),
         greatest(col("src"), col("dst")).as("src"))

@@ -187,8 +187,11 @@ object Dedup {
                        minJaccard: Double = 0.5): DataFrame = {
     val cand = minhashCandidatesCore(t, w = w, minEstJaccard = minEstJaccard)
       .select("doc_a", "doc_b")
-    // persisted: both join sides consume the per-doc shingle sets; without
-    // the cache the extraction runs once per side
+    // persisted for the ONE materializing execution below, and released
+    // before this function returns — a persist that outlives the call
+    // accumulates block-manager residency across a long-lived session
+    // (round-4 finding). Both join sides consume the per-doc shingle sets;
+    // without the cache the extraction runs once per side.
     val sets = t.documents
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_tk"))
       .select(col("doc_id"), sort_array(shinglesOfTokens(col("_tk"), w)).as("_sh"))
@@ -196,13 +199,18 @@ object Dedup {
     val inter = size(array_intersect(col("_sa"), col("_sb"))).cast("long")
     val j = col("n_common").cast("double") /
       (size(col("_sa")) + size(col("_sb")) - col("n_common"))
-    cand
+    val verified = cand
       .join(sets.select(col("doc_id").as("doc_a"), col("_sh").as("_sa")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("_sh").as("_sb")), "doc_b")
       .withColumn("n_common", inter)
       .filter(j >= minJaccard)
       .select(col("doc_a"), col("doc_b"), round(j, 6).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
+      // checkpointed so the final ORDER BY's range-partitioner sampling
+      // pass re-reads this (small, post-threshold) pair set instead of
+      // re-running the whole LSH candidate pipeline a second time
+      .localCheckpoint()
+    sets.unpersist(blocking = false)
+    verified.orderBy("doc_a", "doc_b")
   }
 
   /** Transitive near-duplicate groups: LSH candidate pairs → connected

@@ -49,11 +49,16 @@ import org.apache.spark.sql.functions._
   * Cache lifecycle: the small derived tables (dictionary, per-doc sets,
   * members, set pairs) are persisted because the expansion and the final
   * sort's sampling pass would otherwise re-run the quadratic core. The
-  * operator is EAGER so those caches never outlive the call: the result
-  * pair set is materialized with `localCheckpoint` (executor-local blocks,
-  * released by the ContextCleaner when the returned plan is collected) and
-  * every intermediate cache is unpersisted before returning — a long-lived
-  * session cycling many corpora accumulates nothing.
+  * operator is EAGER so those caches never outlive the call: the
+  * PRE-EXPANSION frames — the set-level pairs and the doc→set membership,
+  * both strictly smaller than the expanded doc-pair output (that reduction
+  * is exactly what the collapse step buys) — are materialized with
+  * `localCheckpoint` (executor-local blocks, released by the
+  * ContextCleaner when the returned plan is collected), every named cache
+  * is unpersisted before returning, and the doc-pair expansion STREAMS
+  * from the checkpointed blocks. Materializing the expansion itself would
+  * pin Θ(output) rows in block-manager memory for the life of the result —
+  * measured in round 4 to slow unrelated queries sharing the session ~8×.
   */
 object SetSimilarity {
 
@@ -120,14 +125,18 @@ object SetSimilarity {
       .persist()
 
     // 2. collapse identical sets; `members` maps every doc to its set rep.
-    // Persisted: it feeds both sides of the cross-set expansion AND both
+    // Materialized: it feeds both sides of the cross-set expansion AND both
     // sides of the intra-set pair join (4 consumers), and the final sort's
     // range-partitioner sampling pass re-executes every consumer once more.
+    // Eager mode checkpoints it (linear in corpus size — one row per doc;
+    // lineage truncated, so the element pipeline never re-runs after the
+    // upstream caches are released below); lazy mode persists and leaves
+    // the caches to the caller.
     val reps = perDoc.groupBy("ids")
       .agg(min("doc_id").as("set_id"), count(lit(1)).as("m"))
-    val members = perDoc.join(reps.select("ids", "set_id"), "ids")
+    val membersRaw = perDoc.join(reps.select("ids", "set_id"), "ids")
       .select("set_id", "doc_id")
-      .persist()
+    val members = if (eager) membersRaw.localCheckpoint() else membersRaw.persist()
 
     val useMask = vocab <= maskMaxVocab
     val nWords = ((vocab + 63) / 64).toInt.max(1)
@@ -187,13 +196,17 @@ object SetSimilarity {
     val j =
       if (useMask) graft.functions.HashFunctions.maskJaccard(col("repr_a"), col("repr_b"))
       else graft.functions.HashFunctions.sortedJaccard(col("repr_a"), col("repr_b"))
-    // persisted: the S²/2 candidate evaluation must not re-run when the
-    // final ORDER BY's sampling pass walks the plan a second time
-    val setPairs = cand
+    // materialized: the S²/2 candidate evaluation must not re-run when the
+    // expansion's two join sides and the final ORDER BY's sampling pass
+    // each walk the plan. Eager mode checkpoints the SET-level pairs —
+    // post-threshold and pre-expansion, the smallest frame the quadratic
+    // core produces — which truncates the lineage so every upstream cache
+    // can be released before the caller ever executes the result.
+    val setPairsRaw = cand
       .withColumn("_j", j)
       .filter(col("_j") >= minJaccard && col("_j") > 0.0)
       .select(col("set_a"), col("set_b"), round(col("_j"), 6).as("jaccard"))
-      .persist()
+    val setPairs = if (eager) setPairsRaw.localCheckpoint() else setPairsRaw.persist()
 
     // expand back to document pairs: cross-set pairs inherit the set-level
     // jaccard; same-set pairs are identical sets (jaccard exactly 1.0)
@@ -209,13 +222,12 @@ object SetSimilarity {
         lit(1.0).as("jaccard"))
     val out = if (minJaccard <= 1.0) cross.union(intra) else cross
     if (!eager) return out.orderBy("doc_a", "doc_b")
-    // eager: materialize the (bounded, post-threshold) pair set once, then
-    // release every intermediate cache — the final ORDER BY's sampling pass
-    // reads the checkpointed blocks, not the quadratic lineage, and callers
-    // never need to clearCache() after us
-    val materialized = out.localCheckpoint()
-    Seq(dict, perDoc, members, sets, setPairs)
-      .foreach(_.unpersist(blocking = false))
-    materialized.orderBy("doc_a", "doc_b")
+    // eager: `members` and `setPairs` are already checkpointed above, so
+    // the quadratic core can never re-run — release every named cache and
+    // let the doc-pair expansion STREAM. The ORDER BY's sampling pass
+    // re-reads the (small) checkpointed blocks, never the lineage, and the
+    // Θ(output) expansion is never pinned in block-manager memory.
+    Seq(dict, perDoc, sets).foreach(_.unpersist(blocking = false))
+    out.orderBy("doc_a", "doc_b")
   }
 }

@@ -108,6 +108,16 @@ class DedupSpec extends SparkSpec {
     assert(verified.forall(p => cand.contains((p._1, p._2))))
   }
 
+  test("lshVerifiedPairs releases its shingle cache before returning") {
+    spark.catalog.clearCache() // start from a clean CacheManager
+    val res = Dedup.lshVerifiedPairs(tables, w = 2, minEstJaccard = 0.2, minJaccard = 0.5)
+    assert(org.apache.spark.sql.graftbridge.CacheBridge.noDatasetCaches(spark),
+      "the per-doc shingle cache must be unpersisted before the call returns")
+    assert(res.count() > 0)
+    assert(org.apache.spark.sql.graftbridge.CacheBridge.noDatasetCaches(spark),
+      "consuming the result must not leave caches behind")
+  }
+
   test("simhash fingerprints: identical docs collide") {
     val docs = tables.documents
     val dups = docs.filter($"doc_id" < 3).withColumn("doc_id", $"doc_id" + 3000000L)

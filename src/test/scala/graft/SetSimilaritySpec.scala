@@ -131,6 +131,17 @@ class SetSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("eager mode releases every Dataset cache before returning") {
+    spark.catalog.clearCache() // start from a clean CacheManager
+    val res = SetSimilarity.jaccardSelfJoin(elemsOf(fixture), 0.5)
+    assert(org.apache.spark.sql.graftbridge.CacheBridge.noDatasetCaches(spark),
+      "intermediate caches must be unpersisted before the call returns")
+    // consuming the streamed expansion must not re-register anything either
+    assert(res.count() > 0)
+    assert(org.apache.spark.sql.graftbridge.CacheBridge.noDatasetCaches(spark),
+      "consuming the result must not leave caches behind")
+  }
+
   test("empty element input yields an empty result, not a failure") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "token")
     assert(SetSimilarity.jaccardSelfJoin(empty, 0.5).count() == 0)
