@@ -54,24 +54,48 @@ object Similarity {
       .orderBy("query_id", "neighbor_id")
   }
 
+  /** XOR masks for every bucket within Hamming distance ≤ `h` of a probe
+    * bucket (identity mask first). Enumerated by choosing flipped-bit
+    * subsets — O(nBits^h) masks, never a 2^nBits sweep. */
+  private[graft] def hammingMasks(nBits: Int, h: Int): Seq[Int] = {
+    def combos(from: Int, choose: Int): Seq[Int] =
+      if (choose == 0) Seq(0)
+      else (from until nBits).flatMap(b => combos(b + 1, choose - 1).map(_ | (1 << b)))
+    (0 to h).flatMap(combos(0, _))
+  }
+
   /** LSH-bucketed approximate top-k: the corpus is bucketed by signed-
     * random-projection bits in `nTables` independent tables (recall
     * amplification: a candidate only needs to collide in ONE table); each
-    * query ranks against the union of its buckets. Expected candidate
-    * fraction ≤ nTables/2^nBits; the plan is a hash equi-join on
-    * (table, bucket), never a cross join. Measured at sf0.1 (random
-    * vectors — LSH's worst case): 1 table ≈ 0.13 recall@10, 8 tables ≈ 0.5
-    * at half the brute-force candidate cost. */
-  def lshTopK(t: Tables, nQueries: Int = 10, k: Int = 5, nBits: Int = 8,
-              nTables: Int = 4): DataFrame = {
+    * query ranks against the union of its buckets. The plan is a hash
+    * equi-join on (table, bucket), never a cross join.
+    *
+    * `probeHamming` adds multiprobe (Lv et al., "Multi-Probe LSH",
+    * VLDB'07 — public algorithm): each query additionally probes every
+    * bucket within that Hamming distance of its own, ON THE QUERY SIDE
+    * ONLY — the bounded broadcast side fans out ×(1 + nBits + …), the
+    * corpus is still bucketed exactly once per table. A near neighbor that
+    * lands one projection bit away stops being a miss, which is most
+    * misses: per-bit disagreement is θ/π, so single-bit misses dominate.
+    * Expected candidate fraction ≤ nTables·nProbeBuckets/2^nBits. Measured
+    * at sf0.1 via [[graft.RecallEval]] (random vectors — LSH's worst
+    * case), recall@10 at MEASURED candidate fraction: 8×4-bit exact-probe
+    * = 0.69 @ 0.41, while the default 8×12-bit h=3 = 0.89 @ 0.46 — more
+    * recall per candidate than exact probing reaches at any table count
+    * (see PLANS.md for the full frontier). */
+  def lshTopK(t: Tables, nQueries: Int = 10, k: Int = 5, nBits: Int = 12,
+              nTables: Int = 8, probeHamming: Int = 3): DataFrame = {
     val tableIds = array((0 until nTables).map(lit): _*)
     val emb = t.embeddings
       .select(col("vec_id"), col("embedding"), explode(tableIds).as("tbl"))
       .withColumn("bucket",
         HashFunctions.srpBucketSeeded(col("embedding"), nBits, col("tbl")))
+    val masks = hammingMasks(nBits, probeHamming)
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        col("tbl"), col("bucket"))
+        col("tbl"),
+        explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*))
+          .as("bucket"))
     // cosine BEFORE the dedup (same reasoning as embeddingNearDups): the
     // distinct then shuffles ids + one double per candidate instead of two
     // embedding arrays as group-by keys

@@ -47,6 +47,34 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("multiprobe masks enumerate exactly the Hamming ball, identity first") {
+    val m = Similarity.hammingMasks(4, 2)
+    assert(m.head == 0)
+    assert(m.toSet == (0 until 16).filter(Integer.bitCount(_) <= 2).toSet)
+    assert(m.size == m.distinct.size)
+    // radius nBits = the full cube
+    assert(Similarity.hammingMasks(3, 3).toSet == (0 until 8).toSet)
+  }
+
+  test("multiprobe recall dominates exact probing at the same tables/bits") {
+    val brute = Similarity.bruteForceTopK(tables, nQueries = 10, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(h: Int): Double = {
+      val got = Similarity.lshTopK(tables, nQueries = 10, k = 5,
+        nBits = 8, nTables = 4, probeHamming = h).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(brute).size.toDouble / brute.size
+    }
+    val r0 = recall(0)
+    val r2 = recall(2)
+    assert(r2 >= r0, s"multiprobe recall $r2 below exact-probe recall $r0")
+    // probing the whole Hamming cube IS brute force (every bucket probed)
+    val full = Similarity.lshTopK(tables, nQueries = 10, k = 5,
+      nBits = 4, nTables = 1, probeHamming = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == brute, "full-radius multiprobe must equal brute force")
+  }
+
   test("IVF with full probing equals brute-force top-k exactly") {
     val ivf = Similarity.ivfTopK(tables, nQueries = 5, k = 4, nList = 8, nProbe = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
