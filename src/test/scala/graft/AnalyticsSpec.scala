@@ -143,6 +143,46 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("asOfJoin is permutation-invariant, including right-side (key, ts) ties") {
+    // The tie-break (ordering the window by `_vals` so last() always picks
+    // the max struct) is the subtlest ordering argument in the repo: without
+    // it the winner among right rows sharing (key, ts) would be whichever
+    // row the shuffle delivered last. Property: the FULL result is identical
+    // under any input row order and any physical partitioning — on a fixture
+    // dense with exactly the ties that would expose nondeterminism.
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val leftRows = Seq(
+      (1L, ts(10), "L1"), (1L, ts(10), "L1b"), // duplicate left (key, ts)
+      (1L, ts(20), "L2"), (2L, ts(5), "L3"),
+      (2L, ts(30), "L4"), (3L, ts(1), "L5"))   // user 3: no right rows
+    val rightRows = Seq(
+      (1L, ts(10), Option(5.0), "r1"), (1L, ts(10), Option(7.0), "r2"),
+      (1L, ts(10), Option(7.0), "r0"),          // tie in ts AND first value col
+      (1L, ts(15), Option.empty[Double], "r3"), // null inside a tie-break field
+      (1L, ts(15), Option(1.0), "r4"),
+      (2L, ts(5), Option(2.0), "r5"), (2L, ts(5), Option(2.0), "r6"),
+      (2L, ts(2), Option(9.0), "r7"))
+    def result(seed: Long): Seq[String] = {
+      val rnd = new scala.util.Random(seed)
+      val l = rnd.shuffle(leftRows).toDF("user_id", "ts", "tag")
+        .repartition(1 + rnd.nextInt(5))
+      val r = rnd.shuffle(rightRows).toDF("user_id", "ts", "v", "rid")
+        .repartition(1 + rnd.nextInt(5))
+      Analytics.asOfJoin(l, r, "user_id", "ts", Seq("v", "rid"))
+        .select("user_id", "tag", "v", "rid").collect()
+        .map(row => row.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    }
+    val baseline = result(0L)
+    assert(baseline.nonEmpty)
+    val prop = org.scalacheck.Prop.forAll(
+      org.scalacheck.Gen.choose(1L, Long.MaxValue)) { seed =>
+      result(seed) == baseline
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, s"permutation changed the as-of result: ${res.status}")
+  }
+
   test("as-of plan is one shuffle+window, not a range self-join") {
     val plan = planOf(Analytics.eventsAsOf(tables))
     assert(plan.contains("Window"), s"no window operator:\n$plan")
