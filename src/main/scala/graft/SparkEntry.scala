@@ -108,6 +108,13 @@ object SparkEntry {
     "q_text_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables(s, d))),
     "q_text_lang" -> ((s, d) => TextAnalysis.languageId(Tables(s, d))),
     "q_text_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(Tables(s, d))),
+    "q_quality_gopher" -> ((s, d) => TextAnalysis.gopherFilter(Tables(s, d))),
+    "q_tfidf" -> ((s, d) => TextAnalysis.tfIdfTopTerms(Tables(s, d))),
+    "q_pii_redact" -> ((s, d) => TextAnalysis.piiCounts(Tables(s, d))),
+    "q_pack_sequences" -> ((s, d) => {
+      import graft.operators.Packing
+      Packing.packDocuments(Tables(s, d))
+    }),
     // — multimodal (SURVEY §2 row 27) —
     "q_multimodal_meta" -> ((s, d) => Multimodal.metadata(Tables(s, d))),
     // — analytics beyond the reference (SURVEY §2 rows 30–37) —
@@ -315,6 +322,31 @@ object SparkEntry {
         "round(n_punct / greatest(n_chars, 1), 6) AS punct_ratio, " +
         "round(least(n_tokens / 20.0, 1.0) * 0.5 + least((n_stop / n_tokens) * 5.0, 1.0) * 0.3 + (1.0 - least((n_digit / greatest(n_chars, 1)) * 10.0, 1.0)) * 0.2, 6) AS quality " +
         "FROM feat ORDER BY doc_id"),
+    "q_quality_gopher" ->
+      ("WITH base AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk FROM documents), " +
+        "tri AS (SELECT doc_id, tk, CASE WHEN len(tk) >= 3 THEN [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] FOR i IN range(1, len(tk) - 1)] ELSE [] END AS g3 FROM base), " +
+        "m AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens, " +
+        "round(coalesce(list_aggregate(list_transform(tk, t -> length(t)), 'sum'), 0) * 1.0 / greatest(len(tk), 1), 6) AS mean_tok_len, " +
+        "CASE WHEN len(g3) > 0 THEN round(1.0 - len(list_distinct(g3)) * 1.0 / len(g3), 6) ELSE 0.0 END AS dup3_frac, " +
+        "CASE WHEN len(list_intersect(tk, ['the','a','an','of','and','or','to','in','is','it'])) > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS has_stop FROM tri) " +
+        "SELECT doc_id, n_tokens, mean_tok_len, dup3_frac, has_stop, " +
+        "CASE WHEN n_tokens BETWEEN 5 AND 1000 AND mean_tok_len BETWEEN 2 AND 10 " +
+        "AND dup3_frac <= 0.3 AND has_stop = 1 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS pass " +
+        "FROM m ORDER BY doc_id"),
+    "q_tfidf" ->
+      ("WITH tok AS (SELECT doc_id, token, count(*) AS tf FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token FROM documents) WHERE token <> '' GROUP BY doc_id, token), " +
+        "dfreq AS (SELECT token, count(*) AS df FROM tok GROUP BY token), " +
+        "n AS (SELECT count(*) AS n_docs FROM documents), " +
+        "scored AS (SELECT doc_id, tok.token AS token, round(tf * ln(n_docs * 1.0 / df), 6) AS tfidf FROM tok JOIN dfreq ON tok.token = dfreq.token CROSS JOIN n), " +
+        "ranked AS (SELECT doc_id, token, tfidf, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS BIGINT) AS rk FROM scored) " +
+        "SELECT doc_id, token, tfidf, rk FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk"),
+    "q_pii_redact" ->
+      ("WITH s1 AS (SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS ne, " +
+        "regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS re FROM documents), " +
+        "s2 AS (SELECT doc_id, ne, len(regexp_extract_all(re, '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b')) AS ni, " +
+        "regexp_replace(re, '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g') AS ri FROM s1) " +
+        "SELECT doc_id, CAST(ne + ni + len(regexp_extract_all(ri, '\\+?\\d[\\d\\s().-]{7,}\\d')) AS BIGINT) AS n_redactions " +
+        "FROM s2 ORDER BY doc_id"),
     "q_multimodal_meta" ->
       ("SELECT doc_id, octet_length(encode(text)) AS byte_len, " +
         "(octet_length(encode(text)) % 64) * 16 + 16 AS width, " +

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Sequence packing — the final assembly step of an LLM training-data
+  * pipeline: greedily pack documents into fixed-size context windows
+  * ("bins") so training batches waste as little padding as possible.
+  *
+  * Algorithm: hash-shard the corpus, then NEXT-FIT within each shard in
+  * doc_id order — a document goes into the shard's current bin if it fits,
+  * else it opens a new one. Next-fit (not best-fit/FFD) on purpose: it is
+  * single-pass, O(1)-state, order-deterministic, and its packing quality
+  * loss vs FFD is bounded and small when documents are much shorter than
+  * the context (the training-corpus regime).
+  *
+  * Scale shape (100 TB): ONE shuffle (repartition by shard) + an in-
+  * partition sort + a single sequential pass per shard with two longs of
+  * state — no driver collection, no global sort, no per-bin shuffle.
+  * Shard count scales with the cluster (shards ≫ executors); each shard's
+  * pass is independent, so the packing parallelism is exactly the shard
+  * count. Bin ids are (shard, bin_idx) pairs — globally unique without any
+  * cross-shard coordination.
+  *
+  * Determinism: shard = hash(doc_id), order = doc_id within shard — the
+  * output is a pure function of the input rows, independent of input
+  * partitioning or arrival order (spec-asserted under repartitioning).
+  *
+  * Oversized documents (n_tokens > contextLen) get a bin of their own
+  * (callers truncate or split downstream); they never block packing.
+  */
+object Packing {
+
+  def packDocuments(t: Tables, contextLen: Int = 256,
+                    nShards: Int = 8): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val docs = t.documents
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).as("n_tokens"))
+      .withColumn("shard",
+        pmod(xxhash64(col("doc_id")), lit(nShards.toLong)).cast("int"))
+    docs.select(col("shard"), col("doc_id"), col("n_tokens"))
+      .as[(Int, Long, Int)]
+      // every row of a shard lands in exactly one partition, sorted by
+      // doc_id; a partition may hold several whole shards — the pass below
+      // resets its state at each shard boundary
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "doc_id")
+      .mapPartitions { it =>
+        var shard = Int.MinValue
+        var bin = -1L
+        var used = 0L
+        it.map { case (sh, id, nt) =>
+          if (sh != shard) { shard = sh; bin = -1L; used = 0L }
+          // bin < 0 = no bin open yet (NOT a sentinel `used` value, which
+          // would overflow the addition); else next-fit on remaining room
+          if (bin < 0L || used + nt > contextLen) { bin += 1; used = 0L }
+          used += nt
+          (id, sh, bin, nt.toLong)
+        }
+      }
+      .toDF("doc_id", "shard", "bin_idx", "n_tokens")
+      .orderBy("doc_id")
+  }
+}

@@ -135,4 +135,124 @@ object TextAnalysis {
         col("doc_id"),
         HashFunctions.rollingHash64(lower(trim(col("text")))).as("fingerprint"))
       .orderBy("doc_id")
+
+  /** Gopher-style heuristic document filter (Rae et al., "Scaling Language
+    * Models: ... Gopher", 2021 §A1.1 — public rule family): token-count
+    * bounds, mean-token-length bounds, a repetition signal (fraction of
+    * positional 3-grams that are duplicates within the document), and a
+    * must-contain-a-stopword rule. Emits the per-document metrics plus the
+    * verdict, so the filter doubles as a quality-metrics table.
+    *
+    * Scale shape: pure narrow projection — every metric is computed from
+    * the token array of its own row (the 3-gram list included), no shuffle,
+    * no UDF; linear in corpus size and fully codegen'd. Comparisons run on
+    * the ROUNDED metrics so the emitted values and the verdict can never
+    * disagree (and the SQL oracle can mirror them exactly). */
+  def gopherFilter(t: Tables,
+                   minTokens: Int = 5, maxTokens: Int = 1000,
+                   minMeanLen: Double = 2.0, maxMeanLen: Double = 10.0,
+                   maxDup3: Double = 0.3): DataFrame = {
+    val base = t.documents.select(col("doc_id"), tokens(col("text")).as("_tk"))
+    // positional 3-grams — NOT distinct'd (duplicates are the signal)
+    val withTri = base.select(col("doc_id"), col("_tk"),
+      when(size(col("_tk")) >= 3,
+        transform(sequence(lit(0), size(col("_tk")) - 3),
+          i => concat_ws(" ", slice(col("_tk"), i + 1, lit(3)))))
+        .otherwise(array().cast("array<string>")).as("_g3"))
+    val metrics = withTri.select(
+      col("doc_id"),
+      size(col("_tk")).cast("bigint").as("n_tokens"),
+      round(
+        aggregate(col("_tk"), lit(0L), (acc, tk) => acc + length(tk)).cast("double") /
+          greatest(size(col("_tk")), lit(1)), 6).as("mean_tok_len"),
+      when(size(col("_g3")) > 0,
+        round(lit(1.0) -
+          size(array_distinct(col("_g3"))).cast("double") / size(col("_g3")), 6))
+        .otherwise(lit(0.0)).as("dup3_frac"),
+      when(arrays_overlap(col("_tk"),
+        array(Stopwords.map(lit): _*)), lit(1L)).otherwise(lit(0L)).as("has_stop"))
+    metrics.select(
+      col("doc_id"), col("n_tokens"), col("mean_tok_len"), col("dup3_frac"),
+      col("has_stop"),
+      when(col("n_tokens").between(minTokens, maxTokens) &&
+        col("mean_tok_len").between(minMeanLen, maxMeanLen) &&
+        col("dup3_frac") <= maxDup3 &&
+        col("has_stop") === 1L, lit(1L)).otherwise(lit(0L)).as("pass"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-document TF-IDF top-k terms: tf = in-document term count, idf =
+    * ln(N/df) over the corpus. The classic relevance weighting — surfaces
+    * what a document is ABOUT, where raw top-terms surfaces what the corpus
+    * repeats.
+    *
+    * Scale shape: explode → (doc, token) partial+final hash agg; df is a
+    * second hash agg over the (already tiny) per-doc vocabulary; the corpus
+    * size joins in as a broadcast single row; ranking is a per-document
+    * window (bounded by the doc's distinct-token count). Ranking compares
+    * the ROUNDED score (then token asc): scores that are equal in exact
+    * arithmetic can differ in the last ulp between engines when computed
+    * through different ln() paths, and ranking on the rounded value keeps
+    * the emitted rows and any SQL oracle's rows identical. */
+  def tfIdfTopTerms(t: Tables, k: Int = 3): DataFrame = {
+    val tf = t.documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = t.documents.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("token").asc)
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("token"), col("tfidf"), col("rk").cast("bigint").as("rk"))
+      .orderBy("doc_id", "rk")
+  }
+
+  /** PII patterns (public, deliberately simple shapes — RE2-compatible so
+    * a DuckDB oracle can run the same regex): emails, IPv4 addresses, and
+    * phone-like digit runs with separators. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val PhonePattern = "\\+?\\d[\\d\\s().-]{7,}\\d"
+
+  /** PII redaction — the scrubbing pass of a training-data pipeline:
+    * replace emails, IPv4 addresses, and phone-like sequences with typed
+    * placeholders, and count what was redacted. Sequential passes in a
+    * fixed order (email → IP → phone) because the pattern languages
+    * overlap — an IPv4 is also a digits-with-separators run, so IPs must
+    * leave the text before the phone pass sees it; each count is taken on
+    * that pass's own input. Pure narrow projection, no shuffle. */
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val afterEmail = regexp_replace(col(textCol), EmailPattern, "<EMAIL>")
+    val afterIp = regexp_replace(col("_re"), Ipv4Pattern, "<IP>")
+    val afterPhone = regexp_replace(col("_ri"), PhonePattern, "<PHONE>")
+    docs
+      .withColumn("_ne", size(regexp_extract_all(col(textCol), lit(EmailPattern), lit(0))))
+      .withColumn("_re", afterEmail)
+      .withColumn("_ni", size(regexp_extract_all(col("_re"), lit(Ipv4Pattern), lit(0))))
+      .withColumn("_ri", afterIp)
+      .withColumn("_np", size(regexp_extract_all(col("_ri"), lit(PhonePattern), lit(0))))
+      .withColumn("text_redacted", afterPhone)
+      .withColumn("n_redactions",
+        (col("_ne") + col("_ni") + col("_np")).cast("bigint"))
+      .drop("_ne", "_re", "_ni", "_ri", "_np")
+  }
+
+  /** Driver-facing PII query: redaction counts over `documents`. The
+    * synthetic corpus contains no PII, so the interesting assertion is the
+    * differential one — Spark and the SQL oracle must agree the count is
+    * zero for the SAME regexes; the positive behavior (real emails/IPs/
+    * phones get typed placeholders) is spec-tested on a fixture
+    * (TextAnalysisSpec). */
+  def piiCounts(t: Tables): DataFrame =
+    redactPii(t.documents)
+      .select(col("doc_id"), col("n_redactions"))
+      .orderBy("doc_id")
 }

@@ -90,4 +90,61 @@ class TextAnalysisSpec extends SparkSpec {
     val fp = TextAnalysis.fingerprints(t).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fp(1L) == fp(2L) && fp(1L) != fp(3L))
   }
+
+  test("gopherFilter: each rule rejects its violation, clean docs pass") {
+    val t = tables.withTable("documents", Seq(
+      (1L, "the quick brown fox jumps over a lazy dog today"), // clean → pass
+      (2L, "one two"),                                         // too few tokens
+      (3L, "pneumonoultramicroscopic silicovolcanoconiosis " +
+        "the antidisestablishmentarianism floccinaucinihilipilification"), // mean len > 10
+      (4L, "the cat sat the cat sat the cat sat the cat sat"), // dup3_frac high
+      (5L, "quick brown fox jumps over lazy dog today now")    // no stopword
+    ).toDF("doc_id", "text"))
+    val got = TextAnalysis.gopherFilter(t).collect()
+      .map(r => r.getLong(0) -> r.getLong(r.fieldIndex("pass"))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 0L, 3L -> 0L, 4L -> 0L, 5L -> 0L), got.toString)
+    // metric spot-check: doc 4 has 12 tokens → 10 trigrams, 3 distinct
+    val d4 = TextAnalysis.gopherFilter(t).filter($"doc_id" === 4L).head()
+    assert(d4.getDouble(d4.fieldIndex("dup3_frac")) == 0.7)
+  }
+
+  test("tfIdfTopTerms: corpus-wide terms score zero, distinctive terms rank first") {
+    val t = tables.withTable("documents", Seq(
+      (1L, "common zebra zebra common"),
+      (2L, "common yak common"),
+      (3L, "common common xray")).toDF("doc_id", "text"))
+    val rows = TextAnalysis.tfIdfTopTerms(t, k = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    // "common" is in every doc → idf = ln(1) = 0 → never outranks a
+    // distinctive term; each doc's rank-1 term is its unique one
+    val rank1 = rows.filter(_._4 == 1L).map(r => r._1 -> r._2).toMap
+    assert(rank1 == Map(1L -> "zebra", 2L -> "yak", 3L -> "xray"), rows.mkString(", "))
+    assert(rows.filter(_._2 == "common").forall(_._3 == 0.0))
+    // tf weighting: zebra appears twice → score 2·ln(3)
+    val z = rows.find(r => r._1 == 1L && r._2 == "zebra").get._3
+    assert(math.abs(z - math.round(2 * math.log(3) * 1e6) / 1e6) < 1e-9)
+  }
+
+  test("redactPii replaces emails, IPs, and phones with typed placeholders") {
+    val docs = Seq(
+      (1L, "contact alice@example.com or bob.smith+tag@sub.domain.org now"),
+      (2L, "server at 192.168.0.1 and 10.0.0.255 responded"),
+      (3L, "call +1 (555) 123-4567 or 555-867-5309 today"),
+      (4L, "nothing sensitive here at all")).toDF("doc_id", "text")
+    val got = TextAnalysis.redactPii(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(r.fieldIndex("text_redacted")),
+        r.getLong(r.fieldIndex("n_redactions")))).toMap
+    assert(got(1L) == ("contact <EMAIL> or <EMAIL> now", 2L))
+    assert(got(2L) == ("server at <IP> and <IP> responded", 2L))
+    assert(got(3L)._2 == 2L)
+    assert(got(3L)._1 == "call <PHONE> or <PHONE> today", got(3L)._1)
+    assert(got(4L) == ("nothing sensitive here at all", 0L))
+  }
+
+  test("redactPii: an IPv4 is redacted as <IP>, never half-eaten by the phone pass") {
+    val docs = Seq((1L, "ip 172.16.254.1 logged")).toDF("doc_id", "text")
+    val r = TextAnalysis.redactPii(docs).head()
+    assert(r.getString(r.fieldIndex("text_redacted")) == "ip <IP> logged")
+    assert(r.getLong(r.fieldIndex("n_redactions")) == 1L)
+  }
 }
