@@ -156,8 +156,18 @@ object SetSimilarity {
     val nSets = sets.count()
 
     // 3. candidate set pairs
-    val a = sets.select(col("set_id").as("set_a"), col("repr").as("repr_a"))
-    val b = sets.select(col("set_id").as("set_b"), col("repr").as("repr_b"))
+    val a = sets.select(col("set_id").as("set_a"), col("repr").as("repr_a"),
+      size(col("ids")).as("sz_a"))
+    val b = sets.select(col("set_id").as("set_b"), col("repr").as("repr_b"),
+      size(col("ids")).as("sz_b"))
+    // length filter (PPJoin family): J(a,b) ≤ min(|a|,|b|)/max(|a|,|b|), so
+    // J ≥ τ needs the sizes within a factor 1/τ of each other. Two integer
+    // comparisons ahead of the popcount kernel in the pair condition —
+    // free when sizes are uniform (this corpus), and on a Zipfian corpus
+    // it prunes the long-tail×head pairs before any bitset work.
+    val lengthOk =
+      col("sz_a").cast("double") >= lit(minJaccard) * col("sz_b") &&
+        col("sz_b").cast("double") >= lit(minJaccard) * col("sz_a")
     val cand =
       if (nSets <= denseMaxSets)
         // the stream side arrives from a groupBy whose tiny output AQE
@@ -166,7 +176,7 @@ object SetSimilarity {
         // numbered repartition (which AQE never re-coalesces) spreads the
         // quadratic work across the cluster.
         a.repartition(elems.sparkSession.sparkContext.defaultParallelism)
-          .join(broadcast(b), col("set_a") < col("set_b"))
+          .join(broadcast(b), col("set_a") < col("set_b") && lengthOk)
       else {
         // PPJoin prefix: p = |s| − ⌈τ·|s|⌉ + 1, plus one slack element to be
         // robust to floating-point wobble in ⌈τ·|s|⌉ (verification is exact,
@@ -182,6 +192,7 @@ object SetSimilarity {
           .select(col("pa.set_id").as("set_a"), col("pb.set_id").as("set_b"))
           .distinct()
           .join(a, "set_a").join(b, "set_b")
+          .filter(lengthOk) // cheap int pre-filter ahead of the verify kernel
       }
 
     // 4. exact verify. ONE fused kernel per pair — intersection and union
