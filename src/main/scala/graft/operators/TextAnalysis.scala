@@ -151,34 +151,52 @@ object TextAnalysis {
   def gopherFilter(t: Tables,
                    minTokens: Int = 5, maxTokens: Int = 1000,
                    minMeanLen: Double = 2.0, maxMeanLen: Double = 10.0,
-                   maxDup3: Double = 0.3): DataFrame = {
-    val base = t.documents.select(col("doc_id"), tokens(col("text")).as("_tk"))
+                   maxDup3: Double = 0.3): DataFrame =
+    gopherMetrics(t.documents, minTokens, maxTokens, minMeanLen, maxMeanLen,
+      maxDup3)
+      .select("doc_id", "n_tokens", "mean_tok_len", "dup3_frac", "has_stop",
+        "pass")
+      .orderBy("doc_id")
+
+  /** Column-level core of [[gopherFilter]]: appends the metric + `pass`
+    * columns and PRESERVES the input columns. Narrow and sort-free, so it
+    * composes into Structured Streaming ingest pipelines unchanged
+    * ([[graft.streaming.CorpusStreams.hygienic]]) as well as the ordered
+    * batch query above. Staged projections on purpose: `_tk`/`_g3` are
+    * materialized as attributes first so each is computed once per row,
+    * not once per referencing expression (the repo's measured
+    * re-evaluation trap). */
+  def gopherMetrics(docs: DataFrame,
+                    minTokens: Int = 5, maxTokens: Int = 1000,
+                    minMeanLen: Double = 2.0, maxMeanLen: Double = 10.0,
+                    maxDup3: Double = 0.3): DataFrame = {
+    val base = docs.withColumn("_tk", tokens(col("text")))
     // positional 3-grams — NOT distinct'd (duplicates are the signal)
-    val withTri = base.select(col("doc_id"), col("_tk"),
+    val withTri = base.withColumn("_g3",
       when(size(col("_tk")) >= 3,
         transform(sequence(lit(0), size(col("_tk")) - 3),
           i => concat_ws(" ", slice(col("_tk"), i + 1, lit(3)))))
-        .otherwise(array().cast("array<string>")).as("_g3"))
-    val metrics = withTri.select(
-      col("doc_id"),
-      size(col("_tk")).cast("bigint").as("n_tokens"),
-      round(
+        .otherwise(array().cast("array<string>")))
+    val metrics = withTri
+      .withColumn("n_tokens", size(col("_tk")).cast("bigint"))
+      .withColumn("mean_tok_len", round(
         aggregate(col("_tk"), lit(0L), (acc, tk) => acc + length(tk)).cast("double") /
-          greatest(size(col("_tk")), lit(1)), 6).as("mean_tok_len"),
-      when(size(col("_g3")) > 0,
-        round(lit(1.0) -
-          size(array_distinct(col("_g3"))).cast("double") / size(col("_g3")), 6))
-        .otherwise(lit(0.0)).as("dup3_frac"),
-      when(arrays_overlap(col("_tk"),
-        array(Stopwords.map(lit): _*)), lit(1L)).otherwise(lit(0L)).as("has_stop"))
-    metrics.select(
-      col("doc_id"), col("n_tokens"), col("mean_tok_len"), col("dup3_frac"),
-      col("has_stop"),
-      when(col("n_tokens").between(minTokens, maxTokens) &&
-        col("mean_tok_len").between(minMeanLen, maxMeanLen) &&
-        col("dup3_frac") <= maxDup3 &&
-        col("has_stop") === 1L, lit(1L)).otherwise(lit(0L)).as("pass"))
-      .orderBy("doc_id")
+          greatest(size(col("_tk")), lit(1)), 6))
+      .withColumn("dup3_frac",
+        when(size(col("_g3")) > 0,
+          round(lit(1.0) -
+            size(array_distinct(col("_g3"))).cast("double") / size(col("_g3")), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("has_stop",
+        when(arrays_overlap(col("_tk"),
+          array(Stopwords.map(lit): _*)), lit(1L)).otherwise(lit(0L)))
+    metrics
+      .withColumn("pass",
+        when(col("n_tokens").between(minTokens, maxTokens) &&
+          col("mean_tok_len").between(minMeanLen, maxMeanLen) &&
+          col("dup3_frac") <= maxDup3 &&
+          col("has_stop") === 1L, lit(1L)).otherwise(lit(0L)))
+      .drop("_tk", "_g3")
   }
 
   /** Per-document TF-IDF top-k terms: tf = in-document term count, idf =

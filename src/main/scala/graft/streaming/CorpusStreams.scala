@@ -44,4 +44,22 @@ object CorpusStreams {
       .select(explode(Dedup.shinglesOfTokens(
         TextAnalysis.tokens(col("text")), w)).as("sh"))
       .distinct().collect().map(_.getString(0)).toSeq
+
+  /** Streaming ingest hygiene: keep only documents that pass the
+    * Gopher-style quality rules ([[graft.operators.TextAnalysis
+    * .gopherMetrics]]), then redact PII from the survivors
+    * ([[graft.operators.TextAnalysis.redactPii]]) — the
+    * filter-then-scrub order every ingest pipeline wants (no cycles spent
+    * scrubbing documents that were about to be dropped).
+    *
+    * Both stages are STATELESS narrow projections (the quality verdict is
+    * a pure function of the row's own token array, redaction is a regex
+    * pass over the row's text), so the stream needs no watermark, holds no
+    * state, joins nothing, and runs at any stream length — identical
+    * semantics to the batch operators (spec-asserted in StreamingSpec). */
+  def hygienic(docs: DataFrame): DataFrame =
+    TextAnalysis.redactPii(
+      TextAnalysis.gopherMetrics(docs)
+        .filter(col("pass") === 1L)
+        .drop("n_tokens", "mean_tok_len", "dup3_frac", "has_stop", "pass"))
 }

@@ -126,6 +126,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ingest hygiene (quality filter + PII redaction) matches batch") {
+    import graft.streaming.CorpusStreams
+    import graft.operators.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    // real docs (all PII-free, most pass) + synthetic edge rows: a PII
+    // carrier that passes the filter, and a too-short doc that must drop
+    val extra = Seq(
+      (900001L, "the server at 192.168.0.1 mailed alice@example.com a long enough note today ok"),
+      (900002L, "too short"))
+    val docs = tables.documents.limit(80).select("doc_id", "text")
+      .union(extra.toDF("doc_id", "text"))
+    val want = CorpusStreams.hygienic(docs)
+      .select("doc_id", "text_redacted", "n_redactions").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(want.exists(_._1 == 900001L), "the PII row must survive the filter")
+    assert(!want.exists(_._1 == 900002L), "the short row must be dropped")
+    assert(want.find(_._1 == 900001L).get._2 ==
+      "the server at <IP> mailed <EMAIL> a long enough note today ok")
+    val input = MemoryStream[(Long, String)]
+    val q = CorpusStreams.hygienic(input.toDF().toDF("doc_id", "text"))
+      .select("doc_id", "text_redacted", "n_redactions")
+      .writeStream.format("memory").queryName("hygiene").outputMode("append").start()
+    try {
+      val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+      input.addData(rows.take(40).toSeq) // two micro-batches
+      q.processAllAvailable()
+      input.addData(rows.drop(40).toSeq)
+      q.processAllAvailable()
+      val got = spark.table("hygiene").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == want && got.nonEmpty, s"stream/batch diverged: ${got.size} vs ${want.size}")
+    } finally q.stop()
+  }
+
   test("streaming decontamination matches the batch operator exactly") {
     import graft.streaming.CorpusStreams
     implicit val sqlCtx = spark.sqlContext
