@@ -213,10 +213,20 @@ object TextAnalysis {
     * through different ln() paths, and ranking on the rounded value keeps
     * the emitted rows and any SQL oracle's rows identical. */
   def tfIdfTopTerms(t: Tables, k: Int = 3): DataFrame = {
+    // checkpointed: tf feeds BOTH the scoring join and the df aggregation,
+    // and without materialization each branch re-runs the corpus scan +
+    // explode + aggregate (plans don't dedup — canonical subtree reuse is
+    // defeated by per-branch column pruning, verified with .explain). The
+    // window-over-token alternative (df via count() OVER (PARTITION BY
+    // token)) needs no second pass but puts every occurrence of a hot
+    // token in ONE window partition — Zipfian-corpus skew the two-level
+    // aggregate shape here handles with map-side partial aggregation.
+    // Executor-local blocks, freed by the ContextCleaner with the result.
     val tf = t.documents
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy("doc_id", "token")
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val nDocs = t.documents.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(dfreq, "token")
