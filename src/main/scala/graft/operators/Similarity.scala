@@ -240,6 +240,35 @@ object Similarity {
       .orderBy("query_id", "neighbor_id")
   }
 
+  /** Symmetric per-vector int8 quantization — the storage/serving
+    * compression step of an embedding pipeline (4× smaller than float32,
+    * the standard first rung before product quantization): scale =
+    * max|v_i|/127, q_i = round(v_i/scale) ∈ [−127, 127]. Zero vectors keep
+    * scale 1 (quantize to zeros) rather than dividing by zero.
+    *
+    * Emits the quantized codes plus per-vector diagnostics (scale, max
+    * absolute reconstruction error — bounded by scale/2 by construction,
+    * spec-asserted along with reconstruction cosine). Pure narrow
+    * projection: staged so the double view and the scale are materialized
+    * attributes (computed once per row, not once per referencing
+    * expression), no shuffle, linear at any corpus size. */
+  def quantizeEmbeddings(t: Tables): DataFrame = {
+    val maxAbs = aggregate(col("_d"), lit(0.0), (a, x) => greatest(a, abs(x)))
+    t.embeddings
+      .withColumn("_d", transform(col("embedding"), x => x.cast("double")))
+      .withColumn("_s", maxAbs / 127.0)
+      .withColumn("scale", when(col("_s") === 0.0, 1.0).otherwise(col("_s")))
+      .withColumn("q", transform(col("_d"), x => round(x / col("scale")).cast("int")))
+      .withColumn("max_err",
+        aggregate(
+          zip_with(col("_d"), col("q"),
+            (x, qi) => abs(qi.cast("double") * col("scale") - x)),
+          lit(0.0), (a, e) => greatest(a, e)))
+      .select(col("vec_id"), round(col("scale"), 9).as("scale"), col("q"),
+        round(col("max_err"), 9).as("max_err"))
+      .orderBy("vec_id")
+  }
+
   /** Transitive embedding near-duplicate groups — the embedding twin of
     * [[Dedup.nearDupGroups]]: SRP-LSH candidate pairs → connected
     * components (DataFrame large-star/small-star) → one group id (the

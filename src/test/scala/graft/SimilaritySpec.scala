@@ -94,6 +94,36 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("quantizeEmbeddings: codes in [-127,127], error <= scale/2, cosine preserved") {
+    val orig = tables.embeddings.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val rows = Similarity.quantizeEmbeddings(tables).collect()
+    assert(rows.length == orig.size)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val scale = r.getDouble(1)
+      val q = r.getSeq[Int](2)
+      val maxErr = r.getDouble(3)
+      assert(q.forall(c => c >= -127 && c <= 127), s"vec $id code out of range")
+      // reconstruction: |q_i*scale - v_i| <= scale/2 (+ rounding slack)
+      assert(maxErr <= scale / 2 + 1e-9, s"vec $id err $maxErr > scale/2 ${scale / 2}")
+      val v = orig(id)
+      val dq = q.map(_ * scale).toArray
+      val dot = v.zip(dq).map { case (a, b) => a * b }.sum
+      val cos = dot / (math.sqrt(v.map(x => x * x).sum) * math.sqrt(dq.map(x => x * x).sum))
+      assert(cos > 0.995, s"vec $id reconstruction cosine $cos")
+    }
+  }
+
+  test("quantizeEmbeddings: zero vectors quantize to zeros without dividing by zero") {
+    import org.apache.spark.sql.functions._
+    val t = tables.withTable("embeddings",
+      tables.embeddings.limit(1)
+        .withColumn("embedding", expr("transform(embedding, x -> cast(0.0 as float))")))
+    val r = Similarity.quantizeEmbeddings(t).head()
+    assert(r.getDouble(1) == 1.0 && r.getSeq[Int](2).forall(_ == 0) && r.getDouble(3) == 0.0)
+  }
+
   test("embeddingNearDupGroups: every pair shares a group, group id is the component min") {
     val groups = graft.operators.Similarity.embeddingNearDupGroups(tables, minCosine = 0.3)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
