@@ -101,6 +101,7 @@ object SparkEntry {
     "q_ann_ivf" -> ((s, d) => Similarity.ivfTopK(Tables(s, d))),
     "q_embed_neardup" -> ((s, d) => Similarity.embeddingNearDups(Tables(s, d))),
     "q_embed_quantize" -> ((s, d) => Similarity.quantizeEmbeddings(Tables(s, d))),
+    "q_ann_int8" -> ((s, d) => Similarity.int8TopK(Tables(s, d))),
     "q_embed_groups" -> ((s, d) => Similarity.embeddingNearDupGroups(Tables(s, d))),
     // — text analysis (SURVEY §2 rows 22–26) —
     "q_text_stats" -> ((s, d) => TextAnalysis.textStats(Tables(s, d))),

@@ -269,6 +269,36 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Exact top-k over the int8-quantized codes — the search half of the
+    * quantization story: per-vector symmetric scales CANCEL in cosine
+    * (cos(s_a·q_a, s_b·q_b) = cos(q_a, q_b)), so search runs on the 4×
+    * smaller codes with no scale arithmetic at all, through the same
+    * codegen'd cosine kernel (codes cast to float, a narrow per-element
+    * transform). Same plan shape as [[bruteForceTopK]]: broadcast bounded
+    * query side, one streaming pass over the corpus, bounded per-query
+    * window. Fidelity vs the float path is spec-asserted (recall and
+    * per-pair cosine deltas). */
+  def int8TopK(t: Tables, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val codesF = transform(col("q"), x => x.cast("float"))
+    val codes = t.embeddings
+      .withColumn("_d", transform(col("embedding"), x => x.cast("double")))
+      .withColumn("_s", aggregate(col("_d"), lit(0.0), (a, x) => greatest(a, abs(x))) / 127.0)
+      .withColumn("_sz", when(col("_s") === 0.0, 1.0).otherwise(col("_s")))
+      .withColumn("q", transform(col("_d"), x => round(x / col("_sz")).cast("int")))
+      .select(col("vec_id"), codesF.as("qf"))
+    val qry = codes.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("qf").as("q_emb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    codes.select(col("vec_id").as("neighbor_id"), col("qf"))
+      .join(broadcast(qry), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", HashFunctions.cosineSim(col("q_emb"), col("qf")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
   /** Transitive embedding near-duplicate groups — the embedding twin of
     * [[Dedup.nearDupGroups]]: SRP-LSH candidate pairs → connected
     * components (DataFrame large-star/small-star) → one group id (the

@@ -124,6 +124,22 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getDouble(1) == 1.0 && r.getSeq[Int](2).forall(_ == 0) && r.getDouble(3) == 0.0)
   }
 
+  test("int8TopK: high recall and tight cosine agreement vs the float path") {
+    val k = 10
+    val brute = Similarity.bruteForceTopK(tables, nQueries = 10, k = k).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    val int8 = Similarity.int8TopK(tables, nQueries = 10, k = k).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    val bKeys = brute.map(_._1).toSet
+    val recall = int8.count(p => bKeys.contains(p._1)).toDouble / bKeys.size
+    assert(recall >= 0.9, s"int8 recall@$k = $recall")
+    // every agreeing pair's quantized cosine is within int8 noise of float
+    val bMap = brute.toMap
+    int8.filter(p => bMap.contains(p._1)).foreach { case (key, c) =>
+      assert(math.abs(c - bMap(key)) < 0.02, s"pair $key: int8 $c vs float ${bMap(key)}")
+    }
+  }
+
   test("embeddingNearDupGroups: every pair shares a group, group id is the component min") {
     val groups = graft.operators.Similarity.embeddingNearDupGroups(tables, minCosine = 0.3)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
