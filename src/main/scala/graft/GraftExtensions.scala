@@ -65,7 +65,9 @@ object GraftExtensions {
     ("mask_jaccard", "mask_jaccard(a, b) - Jaccard of two bitset fingerprints (array<long>); on width mismatch the longer fingerprint's tail counts toward the union",
       es => MaskJaccard(es.head, es(1))),
     ("sorted_jaccard", "sorted_jaccard(a, b) - Jaccard of two sorted int-id arrays (merge intersection)",
-      es => SortedJaccard(es.head, es(1))))
+      es => SortedJaccard(es.head, es(1))),
+    ("dup3_frac", "dup3_frac(tokens) - fraction of positional 3-grams that are duplicates (repetition signal)",
+      es => Dup3Frac(es.head)))
 
   /** Register all functions on an existing session (temp functions). */
   def registerTemp(spark: SparkSession): Unit =

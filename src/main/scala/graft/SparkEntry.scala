@@ -325,10 +325,10 @@ object SparkEntry {
         "round(least(n_tokens / 20.0, 1.0) * 0.5 + least((n_stop / n_tokens) * 5.0, 1.0) * 0.3 + (1.0 - least((n_digit / greatest(n_chars, 1)) * 10.0, 1.0)) * 0.2, 6) AS quality " +
         "FROM feat ORDER BY doc_id"),
     "q_quality_gopher" ->
-      ("WITH base AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk FROM documents), " +
-        "tri AS (SELECT doc_id, tk, CASE WHEN len(tk) >= 3 THEN [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] FOR i IN range(1, len(tk) - 1)] ELSE [] END AS g3 FROM base), " +
+      ("WITH base AS (SELECT doc_id, text, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk FROM documents), " +
+        "tri AS (SELECT doc_id, text, tk, CASE WHEN len(tk) >= 3 THEN [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] FOR i IN range(1, len(tk) - 1)] ELSE [] END AS g3 FROM base), " +
         "m AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens, " +
-        "round(coalesce(list_aggregate(list_transform(tk, t -> length(t)), 'sum'), 0) * 1.0 / greatest(len(tk), 1), 6) AS mean_tok_len, " +
+        "round(length(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / greatest(len(tk), 1), 6) AS mean_tok_len, " +
         "CASE WHEN len(g3) > 0 THEN round(1.0 - len(list_distinct(g3)) * 1.0 / len(g3), 6) ELSE 0.0 END AS dup3_frac, " +
         "CASE WHEN len(list_intersect(tk, ['the','a','an','of','and','or','to','in','is','it'])) > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS has_stop FROM tri) " +
         "SELECT doc_id, n_tokens, mean_tok_len, dup3_frac, has_stop, " +

@@ -227,6 +227,32 @@ object HashImpl {
     new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
   }
 
+  /** Fraction of a document's positional 3-grams that are duplicates
+    * (1 − distinct/total; 0 for documents under 3 tokens) — the Gopher-rule
+    * repetition signal.
+    *
+    * Why a kernel: the compositional form materializes the whole trigram
+    * array (one `concat_ws` string allocation per position) and then
+    * `array_distinct`s it, all through interpreted higher-order-function
+    * lambdas outside whole-stage codegen. This pass dedups (t[i], t[i+1],
+    * t[i+2]) TUPLES in one loop — no gram strings are ever built, and
+    * tuple-distinct equals string-distinct because whitespace-split tokens
+    * cannot contain the join separator (property-tested vs the
+    * compositional form in HashProperties). */
+  def dup3Frac(tokens: ArrayData): Double = {
+    val n = tokens.numElements()
+    if (n < 3) return 0.0
+    val total = n - 2
+    val seen = new java.util.HashSet[(UTF8String, UTF8String, UTF8String)](total * 2)
+    var i = 0
+    while (i < total) {
+      seen.add((tokens.getUTF8String(i), tokens.getUTF8String(i + 1),
+        tokens.getUTF8String(i + 2)))
+      i += 1
+    }
+    1.0 - seen.size.toDouble / total
+  }
+
   /** Karp–Rabin style polynomial rolling hash over the code points of a
     * string — the document-fingerprint primitive. */
   def rollingHash(s: UTF8String): Long = {
@@ -414,6 +440,16 @@ case class CharNGrams(child: Expression, n: Int) extends UnaryExpression {
 }
 
 /** RollingHash64(string) → long document fingerprint. */
+case class Dup3Frac(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpl.dup3Frac(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.dup3Frac($c)")
+  override protected def withNewChildInternal(newChild: Expression): Dup3Frac =
+    copy(child = newChild)
+}
+
 case class RollingHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override protected def nullSafeEval(input: Any): Any =
@@ -518,6 +554,7 @@ object HashFunctions {
   def bandKeys(sig: Column, bands: Int = 16): Column =
     col(BandKeys(expr(sig), bands))
   def rollingHash64(text: Column): Column = col(RollingHash64(expr(text)))
+  def dup3Frac(tokens: Column): Column = col(Dup3Frac(expr(tokens)))
   def charNgrams(text: Column, n: Int): Column = col(CharNGrams(expr(text), n))
   def srpBucket(vec: Column, nBits: Int = 16, seed: Long = 7L): Column =
     col(SrpBucket(expr(vec), nBits, seed))

@@ -156,6 +156,10 @@ object TextAnalysis {
       maxDup3)
       .select("doc_id", "n_tokens", "mean_tok_len", "dup3_frac", "has_stop",
         "pass")
+      // checkpointed: the ORDER BY's sampling pass would otherwise run the
+      // trigram-building projection a second time; the metric rows are a
+      // tiny fraction of the corpus (6 scalars/doc, no text)
+      .localCheckpoint()
       .orderBy("doc_id")
 
   /** Column-level core of [[gopherFilter]]: appends the metric + `pass`
@@ -171,22 +175,21 @@ object TextAnalysis {
                     minMeanLen: Double = 2.0, maxMeanLen: Double = 10.0,
                     maxDup3: Double = 0.3): DataFrame = {
     val base = docs.withColumn("_tk", tokens(col("text")))
-    // positional 3-grams — NOT distinct'd (duplicates are the signal)
-    val withTri = base.withColumn("_g3",
-      when(size(col("_tk")) >= 3,
-        transform(sequence(lit(0), size(col("_tk")) - 3),
-          i => concat_ws(" ", slice(col("_tk"), i + 1, lit(3)))))
-        .otherwise(array().cast("array<string>")))
-    val metrics = withTri
+    val metrics = base
       .withColumn("n_tokens", size(col("_tk")).cast("bigint"))
+      // sum of token lengths == length of the text with ALL whitespace
+      // stripped (lower/trim don't change counts) — one codegen'd regex
+      // pass instead of an interpreted per-element lambda (the same
+      // formulation textStats uses; measurably cheaper)
       .withColumn("mean_tok_len", round(
-        aggregate(col("_tk"), lit(0L), (acc, tk) => acc + length(tk)).cast("double") /
+        length(regexp_replace(col("text"), "\\s+", "")).cast("double") /
           greatest(size(col("_tk")), lit(1)), 6))
+      // repetition signal via the fused Dup3Frac kernel: the compositional
+      // transform+concat_ws+array_distinct form allocates one gram string
+      // per position through interpreted HOF lambdas (measured ~2× slower
+      // end to end); the kernel dedups token triples in one pass
       .withColumn("dup3_frac",
-        when(size(col("_g3")) > 0,
-          round(lit(1.0) -
-            size(array_distinct(col("_g3"))).cast("double") / size(col("_g3")), 6))
-          .otherwise(lit(0.0)))
+        round(graft.functions.HashFunctions.dup3Frac(col("_tk")), 6))
       .withColumn("has_stop",
         when(arrays_overlap(col("_tk"),
           array(Stopwords.map(lit): _*)), lit(1L)).otherwise(lit(0L)))
@@ -196,7 +199,7 @@ object TextAnalysis {
           col("mean_tok_len").between(minMeanLen, maxMeanLen) &&
           col("dup3_frac") <= maxDup3 &&
           col("has_stop") === 1L, lit(1L)).otherwise(lit(0L)))
-      .drop("_tk", "_g3")
+      .drop("_tk")
   }
 
   /** Per-document TF-IDF top-k terms: tf = in-document term count, idf =
@@ -228,11 +231,14 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint()
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val nDocs = t.documents.agg(count(lit(1)).as("n_docs"))
+    // driver-side corpus count, folded in as a literal: count(*) over
+    // parquet reads row-group metadata only (footer statistics), and the
+    // literal saves a single-row aggregate + cross-join stage per run —
+    // the same bounded-driver-action shape as ivfTopK's sample sizing
+    val nDocs = t.documents.count().toDouble
     val scored = tf.join(dfreq, "token")
-      .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
-        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+        round(col("tf") * log(lit(nDocs) / col("df")), 6))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("token").asc)

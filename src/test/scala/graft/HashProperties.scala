@@ -44,6 +44,16 @@ object HashProperties extends Properties("HashImpl") {
     (0 until 32).forall(i => once.getLong(i) == shuffledDup.getLong(i))
   }
 
+  property("dup3Frac equals the compositional distinct-trigram formulation") =
+    forAll(Gen.choose(0, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "ab", "x")))) { toks =>
+      val grams = toks.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toList
+      val expected =
+        if (grams.isEmpty) 0.0 else 1.0 - grams.distinct.size.toDouble / grams.size
+      val got = HashImpl.dup3Frac(arr(toks))
+      math.abs(got - expected) < 1e-12
+    }
+
   property("simhash of a permuted token multiset is unchanged") =
     forAll(tokenSet) { s =>
       HashImpl.simhash64(arr(s.toList)) == HashImpl.simhash64(arr(s.toList.reverse))
