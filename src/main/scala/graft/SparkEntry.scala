@@ -117,6 +117,10 @@ object SparkEntry {
       import graft.operators.Packing
       Packing.packDocuments(Tables(s, d))
     }),
+    "q_chunk_docs" -> ((s, d) => {
+      import graft.operators.Packing
+      Packing.chunkDocuments(Tables(s, d))
+    }),
     // — multimodal (SURVEY §2 row 27) —
     "q_multimodal_meta" -> ((s, d) => Multimodal.metadata(Tables(s, d))),
     // — analytics beyond the reference (SURVEY §2 rows 30–37) —
@@ -342,6 +346,14 @@ object SparkEntry {
         "scored AS (SELECT doc_id, tok.token AS token, round(tf * ln(n_docs * 1.0 / df), 6) AS tfidf FROM tok JOIN dfreq ON tok.token = dfreq.token CROSS JOIN n), " +
         "ranked AS (SELECT doc_id, token, tfidf, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS BIGINT) AS rk FROM scored) " +
         "SELECT doc_id, token, tfidf, rk FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk"),
+    "q_chunk_docs" ->
+      ("WITH base AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk FROM documents), " +
+        "nn AS (SELECT doc_id, tk, CASE WHEN len(tk) <= 8 THEN 1 ELSE 1 + CAST(floor((len(tk) - 9) / 24.0) AS INT) END AS nc FROM base WHERE len(tk) > 0), " +
+        "ch AS (SELECT doc_id, tk, unnest(range(0, nc)) AS k FROM nn) " +
+        "SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx, " +
+        "array_to_string(tk[k*24 + 1 : k*24 + 32], ' ') AS chunk_text, " +
+        "CAST(len(tk[k*24 + 1 : k*24 + 32]) AS BIGINT) AS n_chunk_tokens " +
+        "FROM ch ORDER BY doc_id, chunk_idx"),
     "q_pii_redact" ->
       ("WITH s1 AS (SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS ne, " +
         "regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS re FROM documents), " +

@@ -32,6 +32,46 @@ import graft.sources.Tables
   */
 object Packing {
 
+  /** Document chunking — the embedding/retrieval prep step: split each
+    * document into fixed-size token windows with overlap, so long
+    * documents embed within a model's context and adjacent chunks share
+    * `overlap` tokens of continuity.
+    *
+    * Chunk starts step by `chunkTokens − overlap`; the last chunk starts
+    * at the final stride position that still adds uncovered tokens
+    * (`start < n − overlap`), so every token is covered and no chunk is a
+    * strict suffix of its predecessor. Documents with ≤ overlap tokens
+    * yield one whole-document chunk; empty documents yield none.
+    *
+    * Scale shape: pure narrow projection + posexplode — per-row arithmetic
+    * decides the chunk count, slices share the one materialized token
+    * array, nothing shuffles but the final (oracle-only) sort. */
+  def chunkDocuments(t: Tables, chunkTokens: Int = 32,
+                     overlap: Int = 8): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap $overlap must be in [0, chunkTokens=$chunkTokens)")
+    val stride = chunkTokens - overlap
+    val chunks = t.documents
+      .withColumn("_tk", TextAnalysis.tokens(col("text")))
+      .withColumn("_n", size(col("_tk")))
+      .filter(col("_n") > 0)
+      .withColumn("_nc",
+        when(col("_n") <= overlap, lit(1))
+          .otherwise(lit(1) +
+            floor((col("_n") - lit(overlap + 1)).cast("double") / stride).cast("int")))
+      .select(col("doc_id"), col("_tk"),
+        posexplode(transform(sequence(lit(0), col("_nc") - 1),
+          k => k * stride)))
+      .withColumnRenamed("pos", "chunk_idx")
+      .withColumn("_chunk", slice(col("_tk"), col("col") + 1, lit(chunkTokens)))
+    chunks.select(
+      col("doc_id"),
+      col("chunk_idx").cast("bigint").as("chunk_idx"),
+      concat_ws(" ", col("_chunk")).as("chunk_text"),
+      size(col("_chunk")).cast("bigint").as("n_chunk_tokens"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   def packDocuments(t: Tables, contextLen: Int = 256,
                     nShards: Int = 8): DataFrame = {
     val spark = t.spark

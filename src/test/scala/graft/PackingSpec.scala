@@ -56,6 +56,45 @@ class PackingSpec extends SparkSpec {
     assert(again == base)
   }
 
+  test("chunking covers every token with the declared overlap") {
+    val chunkTokens = 12
+    val overlap = 4
+    val stride = chunkTokens - overlap
+    val docs = tables.documents.limit(60)
+    val toks = docs
+      .select(col("doc_id"), graft.operators.TextAnalysis.tokens(col("text")).as("tk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val chunks = graft.operators.Packing
+      .chunkDocuments(tables.withTable("documents", docs), chunkTokens, overlap)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .groupBy(_._1)
+    toks.filter(_._2.nonEmpty).foreach { case (id, tk) =>
+      val cs = chunks(id).sortBy(_._2)
+      // chunk k starts at k*stride and is exactly the slice of the tokens
+      cs.foreach { case (_, k, text, n) =>
+        val expect = tk.slice((k * stride).toInt, (k * stride).toInt + chunkTokens)
+        assert(text == expect.mkString(" "), s"doc $id chunk $k")
+        assert(n == expect.size)
+      }
+      // full coverage: the last chunk reaches the final token
+      val (_, lastK, _, lastN) = cs.last
+      assert(lastK * stride + lastN == tk.size, s"doc $id tail uncovered")
+      // no chunk is a strict suffix of its predecessor (it adds tokens)
+      assert(cs.forall { case (_, k, _, n) => k == 0 || n > overlap },
+        s"doc $id has a redundant tail chunk")
+    }
+    assert(chunks.nonEmpty)
+  }
+
+  test("chunking edge docs: <= overlap tokens -> one whole chunk; empty -> none") {
+    val t = tables.withTable("documents",
+      Seq((1L, "a b c"), (2L, ""), (3L, "   ")).toDF("doc_id", "text"))
+    val got = graft.operators.Packing.chunkDocuments(t, chunkTokens = 8, overlap = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.toSeq == Seq((1L, 0L, "a b c")))
+  }
+
   test("packing per-doc token counts match textStats") {
     val fromPack = packed.select("doc_id", "n_tokens")
     val fromStats = TextAnalysis.textStats(tables)
