@@ -204,6 +204,14 @@ object SparkEntry {
         .groupBy("event_type").agg(count(lit(1)).as("n"))
         .orderBy("event_type")
     }),
+    "q_mixture" -> ((s, d) => {
+      import graft.operators.Sampling
+      // skewed targets over three of the corpus' uniform sources: src0
+      // binds (it must carry 60%), so it keeps everything and the others
+      // downsample to match
+      Sampling.mixtureBySource(Tables(s, d),
+        Map("src0" -> 0.6, "src1" -> 0.25, "src2" -> 0.15))
+    }),
   )
 
   /** DuckDB oracle SQL per query (same column names/aliases as the Spark

@@ -51,4 +51,53 @@ object Sampling {
     * The scale property: sampling is a narrow map-side filter, no shuffle. */
   def stratifiedEvents(t: Tables, fractions: Map[String, Double], seed: Long = 42L): DataFrame =
     t.events.stat.sampleBy("event_type", fractions, seed)
+
+  /** Token-weighted source-mixture rebalancing — the data-mixture step of
+    * a pretraining pipeline ("web 60%, books 30%, code 10%" BY TOKENS, not
+    * by documents): downsample each source so kept-token shares match
+    * `targets`, keeping as much data as the targets allow.
+    *
+    * Water-filling: the largest achievable token total is N* = min over
+    * targeted sources of tokens_s / p_s (the scarcest source relative to
+    * its target binds everything); each source then keeps the fraction
+    * p_s · N* ÷ tokens_s of its tokens — the binding source keeps 100%,
+    * sources with no target are dropped. Membership is a deterministic
+    * content-hash filter (same doc set on any partitioning or re-run —
+    * the [[assignSplits]] property), so realized shares approximate the
+    * targets at document granularity.
+    *
+    * Scale shape: one partial+final aggregation over sources (output =
+    * one row per source — driver-bounded by construction), then a narrow
+    * hash filter; no other shuffle.
+    *
+    * @return kept documents as (doc_id, source, n_tokens) plus the
+    *         per-source keep fraction applied
+    */
+  def mixtureBySource(t: Tables, targets: Map[String, Double]): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(p => p > 0 && p <= 1.0) &&
+      math.abs(targets.values.sum - 1.0) < 1e-9,
+      s"mixtureBySource: targets must be positive proportions summing to 1, got $targets")
+    val withTokens = t.documents
+      .select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("bigint").as("n_tokens"))
+    val avail = withTokens.groupBy("source")
+      .agg(sum("n_tokens").as("tok")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = targets.keySet.diff(avail.keySet)
+    require(missing.isEmpty, s"mixtureBySource: no documents for source(s) $missing")
+    val nStar = targets.map { case (s, p) => avail(s) / p }.min
+    val keep = targets.map { case (s, p) => s -> math.min(1.0, p * nStar / avail(s)) }
+    // deterministic content-hash membership, per-source threshold
+    val denom = 1000000L
+    val bucket = pmod(xxhash64(col("doc_id")), lit(denom))
+    val keepExpr = keep.foldLeft(lit(-1L)) { case (acc, (s, f)) =>
+      when(col("source") === s, lit((f * denom).round)).otherwise(acc)
+    }
+    withTokens
+      .withColumn("keep_frac",
+        round(keepExpr.cast("double") / denom, 6))
+      .filter(bucket < keepExpr)
+      .select("doc_id", "source", "n_tokens", "keep_frac")
+      .orderBy("doc_id")
+  }
 }

@@ -46,4 +46,39 @@ class SamplingSpec extends SparkSpec {
     val plan = planOf(Sampling.stratifiedEvents(tables, Map("click" -> 0.5)))
     assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
   }
+
+  test("mixtureBySource: binding source keeps all, realized token shares track targets") {
+    val targets = Map("src0" -> 0.6, "src1" -> 0.25, "src2" -> 0.15)
+    val kept = Sampling.mixtureBySource(tables, targets).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // untargeted sources are dropped entirely
+    assert(kept.map(_._2).toSet == targets.keySet)
+    // sources are uniform (~equal token totals), so src0 (target 0.6) binds:
+    // it keeps everything, the others downsample
+    val keepFrac = kept.groupBy(_._2).map { case (s, rs) => s -> rs.head._4 }
+    assert(keepFrac("src0") == 1.0, s"binding source must keep all: $keepFrac")
+    assert(keepFrac("src1") < 0.5 && keepFrac("src2") < 0.4, keepFrac.toString)
+    // realized token shares approximate the targets (doc-level hash
+    // granularity on a small corpus → loose tolerance)
+    val tokBySource = kept.groupBy(_._2).map { case (s, rs) => s -> rs.map(_._3).sum.toDouble }
+    val total = tokBySource.values.sum
+    targets.foreach { case (s, p) =>
+      val realized = tokBySource(s) / total
+      assert(math.abs(realized - p) < 0.12, s"$s realized $realized target $p")
+    }
+    // membership is content-deterministic: identical on a reshuffled input
+    val again = Sampling.mixtureBySource(
+      tables.withTable("documents", tables.documents.orderBy(rand(7)).repartition(5)),
+      targets).collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(again.toSeq == kept.toSeq)
+  }
+
+  test("mixtureBySource rejects malformed targets and missing sources") {
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureBySource(tables, Map("src0" -> 0.5)) // doesn't sum to 1
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureBySource(tables, Map("nope" -> 1.0)) // unknown source
+    }
+  }
 }
