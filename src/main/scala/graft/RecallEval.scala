@@ -40,24 +40,11 @@ object RecallEval {
     // the exact-cosine rank stage, over nQ·(corpus−1) brute-force pairs.
     // The analytic bound nTables·probes/2^nBits ignores cross-table overlap
     // and uneven bucket occupancy, so it overshoots badly at high probe
-    // counts — compare costs on this number.
-    import org.apache.spark.sql.functions._
-    import graft.functions.HashFunctions
+    // counts — compare costs on this number. Measured through the SAME
+    // Similarity.lshCandidates join the operator executes.
     val corpus = t.embeddings.count()
     def actualFrac(nBits: Int, nTables: Int, h: Int): Double = {
-      val tableIds = array((0 until nTables).map(lit): _*)
-      val emb = t.embeddings
-        .select(col("vec_id"), col("embedding"), explode(tableIds).as("tbl"))
-        .withColumn("bucket",
-          HashFunctions.srpBucketSeeded(col("embedding"), nBits, col("tbl")))
-      val masks = Similarity.hammingMasks(nBits, h)
-      val q = emb.filter(col("vec_id") < nQ)
-        .select(col("vec_id").as("query_id"), col("tbl"),
-          explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*))
-            .as("bucket"))
-      val nCand = emb.select(col("vec_id").as("neighbor_id"), col("tbl"), col("bucket"))
-        .join(q, Seq("tbl", "bucket"))
-        .filter(col("neighbor_id") =!= col("query_id"))
+      val nCand = Similarity.lshCandidates(t, nQ, nBits, nTables, h)
         .select("query_id", "neighbor_id").distinct().count()
       nCand.toDouble / (nQ.toDouble * (corpus - 1))
     }

@@ -85,6 +85,28 @@ object Similarity {
     * (see PLANS.md for the full frontier). */
   def lshTopK(t: Tables, nQueries: Int = 10, k: Int = 5, nBits: Int = 12,
               nTables: Int = 8, probeHamming: Int = 3): DataFrame = {
+    // cosine BEFORE the dedup (same reasoning as embeddingNearDups): the
+    // distinct then shuffles ids + one double per candidate instead of two
+    // embedding arrays as group-by keys
+    val cand = lshCandidates(t, nQueries, nBits, nTables, probeHamming)
+      .withColumn("cosine", HashFunctions.cosineSim(col("q_emb"), col("embedding")))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+      .distinct() // a pair colliding in several tables ranks once
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cand
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  /** The (table, bucket) candidate equi-join shared by [[lshTopK]] and the
+    * [[graft.RecallEval]] measurement harness — one definition, so the
+    * measured candidate fraction can never drift from what the operator
+    * actually joins. Multiprobe expands the bounded query side only. */
+  private[graft] def lshCandidates(t: Tables, nQueries: Int, nBits: Int,
+                                   nTables: Int, probeHamming: Int): DataFrame = {
     val tableIds = array((0 until nTables).map(lit): _*)
     val emb = t.embeddings
       .select(col("vec_id"), col("embedding"), explode(tableIds).as("tbl"))
@@ -96,23 +118,11 @@ object Similarity {
         col("tbl"),
         explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*))
           .as("bucket"))
-    // cosine BEFORE the dedup (same reasoning as embeddingNearDups): the
-    // distinct then shuffles ids + one double per candidate instead of two
-    // embedding arrays as group-by keys
-    val cand = emb.select(col("vec_id").as("neighbor_id"), col("embedding"),
+    emb.select(col("vec_id").as("neighbor_id"), col("embedding"),
         col("tbl"), col("bucket"))
       .join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", HashFunctions.cosineSim(col("q_emb"), col("embedding")))
-      .select(col("query_id"), col("neighbor_id"), col("cosine"))
-      .distinct() // a pair colliding in several tables ranks once
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    cand
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
-      .orderBy("query_id", "neighbor_id")
+      .select("query_id", "neighbor_id", "q_emb", "embedding")
   }
 
   /** Seeded Lloyd's iterations over an in-memory sample — the quantizer
