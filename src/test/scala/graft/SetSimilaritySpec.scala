@@ -113,6 +113,35 @@ class SetSimilaritySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
   }
 
+  test("Zipfian corpus differential: skewed dfs, all paths, with and without maxDf") {
+    // the large-corpus regime the length filter + prefix path target:
+    // a few corpus-scale stopwords, a long rare tail, varied doc lengths
+    val rnd = new scala.util.Random(20260813L)
+    val vocabSize = 60
+    // Zipf: token v has weight 1/(v+1); sample by inverse CDF
+    val weights = (0 until vocabSize).map(v => 1.0 / (v + 1))
+    val cum = weights.scanLeft(0.0)(_ + _).tail
+    val total = cum.last
+    def draw(): String = {
+      val x = rnd.nextDouble() * total
+      s"t${cum.indexWhere(x <= _)}"
+    }
+    val docs = (0 until 50).map { i =>
+      val n = 3 + rnd.nextInt(15) // varied lengths → length filter exercised
+      (i.toLong, Seq.fill(n)(draw()).mkString(" "))
+    }.toDF("doc_id", "text")
+    val e = elemsOf(docs)
+    for (maxDf <- Seq(None, Some(20L)); minJ <- Seq(0.3, 0.6)) {
+      val expected = naive(e, minJ, maxDf)
+      assert(run(e, minJ, maxDf) == expected,
+        s"dense path diverged (maxDf=$maxDf τ=$minJ)")
+      assert(run(e, minJ, maxDf, denseMaxSets = 1) == expected,
+        s"prefix path diverged (maxDf=$maxDf τ=$minJ)")
+      assert(run(e, minJ, maxDf, maskMaxVocab = 0) == expected,
+        s"sorted path diverged (maxDf=$maxDf τ=$minJ)")
+    }
+  }
+
   test("randomized differential: dense, prefix, and sorted paths all equal naive") {
     val rnd = new scala.util.Random(20260812L)
     val alphabet = ('a' to 'j').map(_.toString)
