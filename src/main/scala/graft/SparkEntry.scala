@@ -91,6 +91,14 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashFingerprints(Tables(s, d))),
     "q_dedup_groups" -> ((s, d) => Dedup.nearDupGroups(Tables(s, d))),
     "q_dedup_lsh_verified" -> ((s, d) => Dedup.lshVerifiedPairs(Tables(s, d))),
+    "q_dedup_incremental" -> ((s, d) => {
+      // daily-ingest shape: docs >= 400 arrive as the new batch, the rest
+      // are the stored corpus
+      val t = Tables(s, d)
+      Dedup.dedupeIncrement(
+        t.documents.filter(col("doc_id") < 400),
+        t.documents.filter(col("doc_id") >= 400))
+    }),
     "q_decontaminate" -> ((s, d) => {
       val t = Tables(s, d)
       Dedup.decontaminate(t.documents, t.documents.filter(col("doc_id") < 20))

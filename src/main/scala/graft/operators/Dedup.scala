@@ -246,6 +246,54 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Incremental dedup — the daily-ingest shape: which rows of a NEW batch
+    * survive against an EXISTING corpus? Three passes, none quadratic:
+    *
+    *  1. in-batch exact: keep one row (min doc_id) per fingerprint;
+    *  2. cross exact: anti-join the batch's fingerprints against the
+    *     existing corpus' (in production the right side is the stored
+    *     fingerprint index, not a rescan);
+    *  3. cross near-dup: MinHash band keys of the batch equi-joined to
+    *     band keys of the corpus — candidate volume is bounded by the
+    *     BATCH size (the small side) times collision rate, never
+    *     corpus² — then the signature-agreement estimate thresholds, and
+    *     one final anti-join drops batch rows with any hit.
+    *
+    * Returns surviving batch rows (doc_id, lang, source). Deterministic:
+    * every pass is a pure function of content. */
+  def dedupeIncrement(existing: DataFrame, incoming: DataFrame, w: Int = 2,
+                      k: Int = 64, bands: Int = 16,
+                      minEstJaccard: Double = 0.5): DataFrame = {
+    def sigs(d: DataFrame): DataFrame = d.select(
+      col("doc_id"),
+      HashFunctions.minhashSigText(col("text"), w, k).as("sig"))
+    def banded(d: DataFrame): DataFrame = sigs(d).select(
+      col("doc_id"), col("sig"),
+      posexplode(HashFunctions.bandKeys(col("sig"), bands)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+
+    val withFp = incoming.withColumn("fp", fingerprint(col("text")))
+    val batchExact = withFp
+      .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+    val inBatch = withFp.join(batchExact, Seq("fp", "doc_id"), "left_semi")
+    val crossExact = inBatch.join(
+      existing.select(fingerprint(col("text")).as("fp")),
+      Seq("fp"), "left_anti")
+
+    val candHits = banded(crossExact.select("doc_id", "text")).as("n")
+      .join(banded(existing.select("doc_id", "text")).as("o"),
+        col("n.band") === col("o.band") && col("n.band_key") === col("o.band_key"))
+      .withColumn("est",
+        size(filter(zip_with(col("n.sig"), col("o.sig"), (x, y) => x === y), b => b))
+          .cast("double") / k)
+      .filter(col("est") >= minEstJaccard)
+      .select(col("n.doc_id").as("doc_id")).distinct()
+    crossExact
+      .join(candHits, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
   /** SimHash fingerprints: 64-bit near-dup signature per document (custom
     * codegen'd expression). Exact-equal simhash → near-identical token
     * multiset; grouping by fingerprint is the O(n) near-dup pass. */

@@ -118,6 +118,29 @@ class DedupSpec extends SparkSpec {
       "consuming the result must not leave caches behind")
   }
 
+  test("dedupeIncrement: exact, in-batch, and near dups drop; fresh docs survive") {
+    val existing = tables.documents.filter($"doc_id" < 50)
+    val ex = existing.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val incoming = Seq(
+      (1000L, ex(0L), "en", "batch"),                   // exact copy of corpus doc
+      (1001L, "novel zebra quartz lattice prism omega", "en", "batch"), // fresh…
+      (1002L, "novel zebra quartz lattice prism omega", "en", "batch"), // …in-batch dup
+      (1003L, ex(1L) + " tail", "en", "batch"),         // near-dup of corpus doc
+      (1004L, "utterly unrelated xylophone vortex glyph nimbus ember", "en", "batch"))
+      .toDF("doc_id", "text", "lang", "source")
+    val kept = Dedup.dedupeIncrement(existing, incoming)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1001L, 1004L), s"survivors: $kept")
+  }
+
+  test("dedupeIncrement candidate volume is bounded by the batch (plan: no corpus self-join)") {
+    val existing = tables.documents.filter($"doc_id" < 400)
+    val incoming = tables.documents.filter($"doc_id" >= 400)
+    val plan = planOf(Dedup.dedupeIncrement(existing, incoming))
+    assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
+  }
+
   test("simhash fingerprints: identical docs collide") {
     val docs = tables.documents
     val dups = docs.filter($"doc_id" < 3).withColumn("doc_id", $"doc_id" + 3000000L)

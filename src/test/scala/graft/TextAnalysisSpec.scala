@@ -141,6 +141,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(4L) == ("nothing sensitive here at all", 0L))
   }
 
+  test("redactPii is idempotent: placeholders match none of the patterns") {
+    val docs = Seq(
+      (1L, "contact alice@example.com or call +1 (555) 123-4567 at 10.0.0.1"),
+      (2L, "plain text stays plain")).toDF("doc_id", "text")
+    val once = TextAnalysis.redactPii(docs)
+      .select(col("doc_id"), col("text_redacted").as("text"))
+    val twice = TextAnalysis.redactPii(once).collect()
+    assert(twice.nonEmpty)
+    twice.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_redactions")) == 0L,
+        "second pass must find nothing")
+      assert(r.getString(r.fieldIndex("text_redacted")) ==
+        r.getString(r.fieldIndex("text")), "second pass must not change text")
+    }
+  }
+
   test("redactPii: an IPv4 is redacted as <IP>, never half-eaten by the phone pass") {
     val docs = Seq((1L, "ip 172.16.254.1 logged")).toDF("doc_id", "text")
     val r = TextAnalysis.redactPii(docs).head()
