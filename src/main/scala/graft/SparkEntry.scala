@@ -121,6 +121,7 @@ object SparkEntry {
     "q_quality_gopher" -> ((s, d) => TextAnalysis.gopherFilter(Tables(s, d))),
     "q_tfidf" -> ((s, d) => TextAnalysis.tfIdfTopTerms(Tables(s, d))),
     "q_pii_redact" -> ((s, d) => TextAnalysis.piiCounts(Tables(s, d))),
+    "q_lm_score" -> ((s, d) => TextAnalysis.lmScore(Tables(s, d))),
     "q_pack_sequences" -> ((s, d) => {
       import graft.operators.Packing
       Packing.packDocuments(Tables(s, d))
@@ -362,6 +363,16 @@ object SparkEntry {
         "scored AS (SELECT doc_id, tok.token AS token, round(tf * ln(n_docs * 1.0 / df), 6) AS tfidf FROM tok JOIN dfreq ON tok.token = dfreq.token CROSS JOIN n), " +
         "ranked AS (SELECT doc_id, token, tfidf, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS BIGINT) AS rk FROM scored) " +
         "SELECT doc_id, token, tfidf, rk FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk"),
+    "q_lm_score" ->
+      ("WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk FROM documents), " +
+        "bi AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2 FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM toks WHERE len(tk) >= 2)), " +
+        "c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2), " +
+        "c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1), " +
+        "v AS (SELECT count(DISTINCT w) AS vocab FROM (SELECT w1 AS w FROM bi UNION ALL SELECT w2 FROM bi)) " +
+        "SELECT doc_id, count(*) AS n_bigrams, " +
+        "round(avg(-ln((c2 + 1) * 1.0 / (c1 + vocab))), 6) AS avg_nll " +
+        "FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v " +
+        "GROUP BY doc_id ORDER BY doc_id"),
     "q_chunk_docs" ->
       ("WITH base AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk FROM documents), " +
         "nn AS (SELECT doc_id, tk, CASE WHEN len(tk) <= 8 THEN 1 ELSE 1 + CAST(floor((len(tk) - 9) / 24.0) AS INT) END AS nc FROM base WHERE len(tk) > 0), " +

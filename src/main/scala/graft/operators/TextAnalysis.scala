@@ -249,6 +249,44 @@ object TextAnalysis {
       .orderBy("doc_id", "rk")
   }
 
+  /** Self-trained bigram language-model scoring (the CCNet-style
+    * statistical quality signal, public method family): train add-one-
+    * smoothed bigram statistics ON THE CORPUS ITSELF, then score each
+    * document by its average per-bigram negative log-likelihood —
+    * template-like documents score low (predictable), outliers score
+    * high. No external model; exact and deterministic, so it
+    * hash-verifies against a SQL oracle.
+    *
+    * Scale shape: bigram extraction is a narrow per-row transform +
+    * explode; the count tables are partial+final hash aggregations whose
+    * output is vocabulary-bounded (|V| and ≤|V|² rows — Spark/AQE
+    * broadcasts them when small, shuffle-joins when a web-scale
+    * vocabulary makes them big); the per-document score is one more
+    * aggregation. Nothing is quadratic in corpus size. */
+  def lmScore(t: Tables): DataFrame = {
+    val bi = t.documents
+      .withColumn("_tk", tokens(col("text")))
+      .filter(size(col("_tk")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("_tk")) - 2),
+          i => struct(element_at(col("_tk"), i + 1).as("w1"),
+            element_at(col("_tk"), i + 2).as("w2")))).as("_b"))
+      .select(col("doc_id"), col("_b.w1").as("w1"), col("_b.w2").as("w2"))
+      // the count tables and the per-doc score all read this — one
+      // extraction pass, not three (same reuse reasoning as tfIdfTopTerms)
+      .localCheckpoint()
+    val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
+    val vocab = bi.select(col("w1")).union(bi.select(col("w2")))
+      .distinct().count().toDouble
+    bi.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .withColumn("_nll",
+        -log((col("c2") + 1).cast("double") / (col("c1") + vocab)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), round(avg("_nll"), 6).as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
   /** PII patterns (public, deliberately simple shapes — RE2-compatible so
     * a DuckDB oracle can run the same regex): emails, IPv4 addresses, and
     * phone-like digit runs with separators. */

@@ -125,6 +125,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(z - math.round(2 * math.log(3) * 1e6) / 1e6) < 1e-9)
   }
 
+  test("lmScore matches hand-computed smoothed bigram NLL on a tiny corpus") {
+    val t = tables.withTable("documents", Seq(
+      (1L, "a b a b a b"), // bigrams (a,b)×3, (b,a)×2
+      (2L, "x y"),         // one rare bigram
+      (3L, "q"),           // no bigrams → no row
+      (4L, "")).toDF("doc_id", "text"))
+    val got = TextAnalysis.lmScore(t).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == Set(1L, 2L))
+    // c2: (a,b)=3 (b,a)=2 (x,y)=1; c1: a=3 b=2 x=1; vocab {a,b,x,y} = 4
+    val nll1 = (3 * -math.log((3 + 1.0) / (3 + 4)) + 2 * -math.log((2 + 1.0) / (2 + 4))) / 5
+    val nll2 = -math.log((1 + 1.0) / (1 + 4))
+    assert(got(1L)._1 == 5L && got(2L)._1 == 1L)
+    assert(math.abs(got(1L)._2 - math.round(nll1 * 1e6) / 1e6) < 1e-9, got(1L).toString)
+    assert(math.abs(got(2L)._2 - math.round(nll2 * 1e6) / 1e6) < 1e-9, got(2L).toString)
+    // the predictable template doc scores LOWER (more likely) than the rare one
+    assert(got(1L)._2 < got(2L)._2)
+  }
+
   test("redactPii replaces emails, IPs, and phones with typed placeholders") {
     val docs = Seq(
       (1L, "contact alice@example.com or bob.smith+tag@sub.domain.org now"),
