@@ -161,6 +161,7 @@ object SparkEntry {
     "q_asof_join" -> ((s, d) => Analytics.eventsAsOf(Tables(s, d))),
     "q_sessionize" -> ((s, d) => Analytics.sessionize(Tables(s, d))),
     "q_percentiles" -> ((s, d) => Analytics.groupPercentiles(Tables(s, d))),
+    "q_percentiles_approx" -> ((s, d) => Analytics.groupPercentilesApprox(Tables(s, d))),
     "q_rollup" -> ((s, d) => Analytics.rollup(Tables(s, d))),
     "q_intersect" -> ((s, d) => Analytics.intersectKeys(Tables(s, d))),
     "q_except" -> ((s, d) => Analytics.exceptKeys(Tables(s, d))),

@@ -205,11 +205,26 @@ object Analytics {
       .orderBy("user_id", "session_idx")
   }
 
+  /** Approximate per-group percentiles — the corpus-scale path the exact
+    * variant's scaladoc promises: `percentile_approx` keeps a bounded
+    * (accuracy-sized) sketch per group instead of buffering every value,
+    * so memory per group is O(accuracy) regardless of group size. Error
+    * is rank-bounded by 1/accuracy (spec-asserted against the exact
+    * aggregate). Columns mirror [[groupPercentiles]]. */
+  def groupPercentilesApprox(t: Tables, accuracy: Int = 10000): DataFrame =
+    t.lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr(s"percentile_approx(l_quantity, 0.5, $accuracy)"), 6).as("p50_qty"),
+        round(expr(s"percentile_approx(l_quantity, 0.9, $accuracy)"), 6).as("p90_qty"),
+        round(expr(s"percentile_approx(l_extendedprice, 0.5, $accuracy)"), 6).as("p50_price"))
+      .orderBy("l_returnflag")
+
   /** Exact per-group percentiles (median + p90) — the order-statistics
     * surface. Spark's `percentile` aggregate computes the exact
     * linear-interpolated quantile (quantile_cont semantics) with partial
     * aggregation; for corpus-scale columns where exactness isn't needed,
-    * `percentile_approx` (t-digest-style sketch) is the one-word swap. */
+    * [[groupPercentilesApprox]] is the bounded-memory swap. */
   def groupPercentiles(t: Tables): DataFrame =
     t.lineitem
       .groupBy("l_returnflag")

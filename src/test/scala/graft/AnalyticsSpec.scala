@@ -143,6 +143,22 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("approximate percentiles track the exact aggregate within sketch error") {
+    val exact = Analytics.groupPercentiles(tables).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val approx = Analytics.groupPercentilesApprox(tables).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(approx.keySet == exact.keySet && approx.nonEmpty)
+    exact.foreach { case (g, (p50q, p90q, p50p)) =>
+      val (a50q, a90q, a50p) = approx(g)
+      // rank error 1/accuracy; on these value ranges that is a tight
+      // absolute bound (quantity spans ~1..50, price ~1k..100k)
+      assert(math.abs(a50q - p50q) <= 1.0, s"$g p50_qty $a50q vs $p50q")
+      assert(math.abs(a90q - p90q) <= 1.0, s"$g p90_qty $a90q vs $p90q")
+      assert(math.abs(a50p - p50p) / p50p <= 0.02, s"$g p50_price $a50p vs $p50p")
+    }
+  }
+
   test("asOfJoin is permutation-invariant, including right-side (key, ts) ties") {
     // The tie-break (ordering the window by `_vals` so last() always picks
     // the max struct) is the subtlest ordering argument in the repo: without
