@@ -95,6 +95,13 @@ class PackingSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 0L, "a b c")))
   }
 
+  test("packing plans exactly one hash shuffle (the shard exchange)") {
+    val plan = planOf(Packing.packDocuments(tables, contextLen = contextLen))
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 1,
+      s"expected exactly the shard exchange, found $hashExchanges:\n$plan")
+  }
+
   test("packing per-doc token counts match textStats") {
     val fromPack = packed.select("doc_id", "n_tokens")
     val fromStats = TextAnalysis.textStats(tables)

@@ -125,6 +125,13 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(z - math.round(2 * math.log(3) * 1e6) / 1e6) < 1e-9)
   }
 
+  test("quality metrics and PII redaction stay narrow (no Exchange in the plan)") {
+    val m = planOf(TextAnalysis.gopherMetrics(tables.documents))
+    assert(!m.contains("Exchange"), s"gopherMetrics must not shuffle:\n$m")
+    val p = planOf(TextAnalysis.redactPii(tables.documents))
+    assert(!p.contains("Exchange"), s"redactPii must not shuffle:\n$p")
+  }
+
   test("lmScore matches hand-computed smoothed bigram NLL on a tiny corpus") {
     val t = tables.withTable("documents", Seq(
       (1L, "a b a b a b"), // bigrams (a,b)×3, (b,a)×2
