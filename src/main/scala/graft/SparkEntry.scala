@@ -108,7 +108,7 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, d) => Similarity.lshTopK(Tables(s, d))),
     "q_ann_ivf" -> ((s, d) => Similarity.ivfTopK(Tables(s, d))),
     "q_embed_neardup" -> ((s, d) => Similarity.embeddingNearDups(Tables(s, d))),
-    "q_embed_quantize" -> ((s, d) => Similarity.quantizeEmbeddings(Tables(s, d))),
+    "q_embed_quantize" -> ((s, d) => Similarity.quantizeDiagnostics(Tables(s, d))),
     "q_ann_int8" -> ((s, d) => Similarity.int8TopK(Tables(s, d))),
     "q_embed_groups" -> ((s, d) => Similarity.embeddingNearDupGroups(Tables(s, d))),
     // — text analysis (SURVEY §2 rows 22–26) —
@@ -472,6 +472,20 @@ object SparkEntry {
     "q_csv_engine" ->
       ("SELECT c_nationkey, count(*) AS n_orders FROM orders JOIN customer " +
         "ON o_custkey = c_custkey GROUP BY c_nationkey ORDER BY c_nationkey"),
+    "q_embed_quantize" ->
+      // scales/errors FLOOR-quantized to int64 at 1e-9 (pure double
+      // arithmetic — engine-agnostic, unlike decimal round); the code
+      // checksum is exact integer arithmetic
+      ("WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS s0 FROM d), " +
+        "sc AS (SELECT vec_id, v, CASE WHEN s0 = 0.0 THEN 1.0 ELSE s0 END AS scale FROM s), " +
+        "per AS (SELECT vec_id, scale, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM sc), " +
+        "q AS (SELECT vec_id, scale, i, x, CAST(round(x / scale) AS BIGINT) AS qi FROM per) " +
+        "SELECT vec_id, CAST(sum(qi) AS BIGINT) AS code_sum, " +
+        "CAST(sum(qi * i) AS BIGINT) AS code_wsum, " +
+        "CAST(FLOOR(any_value(scale) * 1000000000.0 + 0.5) AS BIGINT) AS scale_q, " +
+        "CAST(FLOOR(max(abs(qi * scale - x)) * 1000000000.0 + 0.5) AS BIGINT) AS max_err_q " +
+        "FROM q GROUP BY vec_id ORDER BY vec_id"),
     "q_asof_join" ->
       ("SELECT e.event_id, e.user_id, strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts, " +
         "round(p.value, 4) AS purchase_value, strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts " +

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.HashFunctions
@@ -250,34 +250,62 @@ object Similarity {
       .orderBy("query_id", "neighbor_id")
   }
 
-  /** Symmetric per-vector int8 quantization — the storage/serving
-    * compression step of an embedding pipeline (4× smaller than float32,
-    * the standard first rung before product quantization): scale =
-    * max|v_i|/127, q_i = round(v_i/scale) ∈ [−127, 127]. Zero vectors keep
-    * scale 1 (quantize to zeros) rather than dividing by zero.
-    *
-    * Emits the quantized codes plus per-vector diagnostics (scale, max
-    * absolute reconstruction error — bounded by scale/2 by construction,
-    * spec-asserted along with reconstruction cosine). Pure narrow
-    * projection: staged so the double view and the scale are materialized
-    * attributes (computed once per row, not once per referencing
-    * expression), no shuffle, linear at any corpus size. */
-  def quantizeEmbeddings(t: Tables): DataFrame = {
+  /** The staged int8-code projection shared by [[quantizeEmbeddings]],
+    * [[quantizeDiagnostics]] and [[int8TopK]]: adds `_d` (double view of the
+    * embedding), `scale` (symmetric per-vector scale max|v_i|/127, zero
+    * vectors keep scale 1 so they quantize to zeros instead of dividing by
+    * zero) and `q` (int8 codes round(v_i/scale) ∈ [−127, 127]). Staged so
+    * the double view and the scale are materialized attributes (computed
+    * once per row, not once per referencing expression); pure narrow
+    * projection, no shuffle, linear at any corpus size. */
+  private def withInt8Codes(df: DataFrame): DataFrame = {
     val maxAbs = aggregate(col("_d"), lit(0.0), (a, x) => greatest(a, abs(x)))
-    t.embeddings
-      .withColumn("_d", transform(col("embedding"), x => x.cast("double")))
+    df.withColumn("_d", transform(col("embedding"), x => x.cast("double")))
       .withColumn("_s", maxAbs / 127.0)
       .withColumn("scale", when(col("_s") === 0.0, 1.0).otherwise(col("_s")))
       .withColumn("q", transform(col("_d"), x => round(x / col("scale")).cast("int")))
-      .withColumn("max_err",
-        aggregate(
-          zip_with(col("_d"), col("q"),
-            (x, qi) => abs(qi.cast("double") * col("scale") - x)),
-          lit(0.0), (a, e) => greatest(a, e)))
+  }
+
+  /** Per-element absolute reconstruction error folded to its per-vector max
+    * (bounded by scale/2 by construction, spec-asserted). Expects the
+    * [[withInt8Codes]] columns. */
+  private val maxErrCol: Column =
+    aggregate(
+      zip_with(col("_d"), col("q"),
+        (x, qi) => abs(qi.cast("double") * col("scale") - x)),
+      lit(0.0), (a, e) => greatest(a, e))
+
+  /** Symmetric per-vector int8 quantization — the storage/serving
+    * compression step of an embedding pipeline (4× smaller than float32,
+    * the standard first rung before product quantization). Emits the
+    * quantized codes plus per-vector diagnostics (scale, max absolute
+    * reconstruction error) for programmatic callers; the driver-checked
+    * query surface is [[quantizeDiagnostics]] (scalar columns only). */
+  def quantizeEmbeddings(t: Tables): DataFrame =
+    withInt8Codes(t.embeddings)
+      .withColumn("max_err", maxErrCol)
       .select(col("vec_id"), round(col("scale"), 9).as("scale"), col("q"),
         round(col("max_err"), 9).as("max_err"))
       .orderBy("vec_id")
-  }
+
+  /** Scalar-only quantization diagnostics — the oracle-checkable view of
+    * [[quantizeEmbeddings]] (raw code arrays can't be hash-compared by the
+    * driver's column-sorting checker, and scalars make the semantics
+    * SQL-expressible): an order-sensitive integer checksum of the codes
+    * (sum and position-weighted sum — pure int64 arithmetic, bitwise
+    * reproducible in any engine) plus the scale and max reconstruction
+    * error FLOOR-quantized to integers at 1e-9 (engine-agnostic: pure
+    * double arithmetic, no decimal-repr rounding divergence). */
+  def quantizeDiagnostics(t: Tables): DataFrame =
+    withInt8Codes(t.embeddings)
+      .withColumn("max_err", maxErrCol)
+      .select(col("vec_id"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x).as("code_sum"),
+        aggregate(transform(col("q"), (x, i) => x.cast("long") * (i + 1)),
+          lit(0L), (a, x) => a + x).as("code_wsum"),
+        floor(col("scale") * lit(1000000000.0) + 0.5).cast("long").as("scale_q"),
+        floor(col("max_err") * lit(1000000000.0) + 0.5).cast("long").as("max_err_q"))
+      .orderBy("vec_id")
 
   /** Exact top-k over the int8-quantized codes — the search half of the
     * quantization story: per-vector symmetric scales CANCEL in cosine
@@ -289,13 +317,8 @@ object Similarity {
     * window. Fidelity vs the float path is spec-asserted (recall and
     * per-pair cosine deltas). */
   def int8TopK(t: Tables, nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val codesF = transform(col("q"), x => x.cast("float"))
-    val codes = t.embeddings
-      .withColumn("_d", transform(col("embedding"), x => x.cast("double")))
-      .withColumn("_s", aggregate(col("_d"), lit(0.0), (a, x) => greatest(a, abs(x))) / 127.0)
-      .withColumn("_sz", when(col("_s") === 0.0, 1.0).otherwise(col("_s")))
-      .withColumn("q", transform(col("_d"), x => round(x / col("_sz")).cast("int")))
-      .select(col("vec_id"), codesF.as("qf"))
+    val codes = withInt8Codes(t.embeddings)
+      .select(col("vec_id"), transform(col("q"), x => x.cast("float")).as("qf"))
     val qry = codes.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("qf").as("q_emb"))
     val w = Window.partitionBy(col("query_id"))

@@ -124,6 +124,24 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getDouble(1) == 1.0 && r.getSeq[Int](2).forall(_ == 0) && r.getDouble(3) == 0.0)
   }
 
+  test("quantizeDiagnostics: scalar view is consistent with the codes operator") {
+    val codes = Similarity.quantizeEmbeddings(tables).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getSeq[Int](2), r.getDouble(3)))).toMap
+    val diags = Similarity.quantizeDiagnostics(tables).collect()
+    assert(diags.length == codes.size)
+    diags.foreach { r =>
+      val id = r.getLong(0)
+      val (scale, q, maxErr) = codes(id)
+      assert(r.getLong(1) == q.map(_.toLong).sum, s"vec $id code_sum")
+      assert(r.getLong(2) == q.zipWithIndex.map { case (c, i) => c.toLong * (i + 1) }.sum,
+        s"vec $id code_wsum")
+      // scale/max_err in the codes view are round(_, 9); the FLOOR-quantized
+      // diagnostics agree with them to the same 1e-9 grid
+      assert(math.abs(r.getLong(3) - scale * 1e9) <= 1, s"vec $id scale_q")
+      assert(math.abs(r.getLong(4) - maxErr * 1e9) <= 1, s"vec $id max_err_q")
+    }
+  }
+
   test("int8TopK: high recall and tight cosine agreement vs the float path") {
     val k = 10
     val brute = Similarity.bruteForceTopK(tables, nQueries = 10, k = k).collect()
