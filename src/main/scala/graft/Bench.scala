@@ -44,6 +44,15 @@ object Bench {
     // CacheManager via canonical-plan matching, and the "measurement" would
     // be a cache read. Dropping cached data keeps the timed pass honest.
     spark.catalog.clearCache()
+    // localCheckpoint RDD blocks are NOT freed by clearCache (they live in
+    // the block manager until the ContextCleaner collects the plan), so the
+    // checkpoint-bearing operators would otherwise accumulate residency
+    // across the alphabetical query order and, on a memory-pressured
+    // machine, inflate later heavy queries 4-5× (round-5 driver snapshot).
+    // Synchronous on purpose: blocking=false would race the next timing.
+    def dropLingeringRdds(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    dropLingeringRdds()
     // optional local-iteration knob: median of N timed runs per query —
     // the heavy quadratic queries swing ±30% run to run, and a median
     // separates real regressions from noise. The driver passes nothing,
@@ -57,9 +66,17 @@ object Bench {
         val times = (1 to runs).map { _ =>
           val t0 = System.nanoTime()
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
+          val dt = (System.nanoTime() - t0) / 1e9
+          // between timed executions, not inside them: a query's own
+          // checkpoint blocks must not outlive its measurement window
+          dropLingeringRdds()
+          dt
         }.sorted
-        timings += name -> times(times.size / 2)
+        // true median: even run counts average the two middle values
+        // (times(n/2) alone is the upper-middle — it reports the MAX of 2)
+        val mid = times.size / 2
+        timings += name ->
+          (if (times.size % 2 == 1) times(mid) else (times(mid - 1) + times(mid)) / 2.0)
       } catch {
         case e: Throwable =>
           errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
