@@ -20,6 +20,22 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("windowTopK plans a partial WindowGroupLimit below the exchange") {
+    // the skew story: each map task keeps only its local top-k per group, so
+    // the low-cardinality reducers never see the full fact table
+    val plan = planOf(Analytics.windowTopK(tables, 3))
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$plan")
+    val partialIdx = plan.indexOf("WindowGroupLimit")
+    assert(plan.indexOf("WindowGroupLimit", partialIdx + 1) > 0,
+      s"expected both partial and final WindowGroupLimit:\n$plan")
+  }
+
+  test("saltedWindowTopK is result-identical to the plain window form") {
+    val plain = Analytics.windowTopK(tables, 3).collect().toSeq
+    val salted = Analytics.saltedWindowTopK(tables, 3).collect().toSeq
+    assert(plain == salted)
+  }
+
   test("windowRunning accumulates per customer in order") {
     val rows = Analytics.windowRunning(tables).collect()
     rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
