@@ -99,6 +99,29 @@ object SparkEntry {
         t.documents.filter(col("doc_id") < 400),
         t.documents.filter(col("doc_id") >= 400))
     }),
+    "q_dedup_indexed" -> ((s, d) => {
+      // the stored-index form of q_dedup_incremental (same batch/corpus
+      // split): the corpus fingerprint+signature+band index is written as
+      // bucketed tables ONCE per dataset (warmup pays it; timed passes and
+      // later sessions attach) and the batch probes the STORED index — no
+      // corpus text rescan; candidate texts only are fetched for exact
+      // verify. Spec-asserted result-equal to the rescan path.
+      import graft.operators.DedupIndex
+      val t = Tables(s, d)
+      val corpus = t.documents.filter(col("doc_id") < 400)
+      // "c400" versions the index DEFINITION (corpus split + params): the
+      // roundtrip fingerprint only covers the dataset files, so a definition
+      // change must land in a fresh directory and fresh catalog names
+      def prefix(dir: String) = "gdidx_c400_" + dir.split('_').last
+      val dir = roundtripDir("graft_dedupidx_c400", d, "_INDEX_OK") { out =>
+        DedupIndex.buildIndex(s, corpus, prefix(out), out)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(out, "_INDEX_OK"), "ok")
+      }
+      val idx = DedupIndex.attachIndex(s, prefix(dir), dir)
+      DedupIndex.dedupeAgainstIndex(
+        s, t.documents.filter(col("doc_id") >= 400), idx, corpus)
+    }),
     "q_decontaminate" -> ((s, d) => {
       val t = Tables(s, d)
       Dedup.decontaminate(t.documents, t.documents.filter(col("doc_id") < 20))

@@ -246,32 +246,69 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** (doc_id, sig) minhash signatures of a (doc_id, text, …) frame —
+    * shared by the incremental paths and [[DedupIndex]]. */
+  private[graft] def minhashSigs(d: DataFrame, w: Int, k: Int): DataFrame =
+    d.select(col("doc_id"),
+      HashFunctions.minhashSigText(col("text"), w, k).as("sig"))
+
+  /** (doc_id, sig, band, band_key) LSH band rows of a signature frame. */
+  private[graft] def minhashBandRows(sigFrame: DataFrame, bands: Int): DataFrame =
+    sigFrame.select(col("doc_id"), col("sig"),
+      posexplode(HashFunctions.bandKeys(col("sig"), bands)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+
+  /** Fraction of agreeing minhash signature positions — the Jaccard
+    * estimator shared by every candidate-verification stage. */
+  private[operators] def sigAgreement(a: Column, b: Column, k: Int): Column =
+    size(filter(zip_with(a, b, (x, y) => x === y), m => m)).cast("double") / k
+
+  /** Batch doc_ids whose candidate (batch, corpus) pairs survive EXACT
+    * shingle-Jaccard verification — the false-positive guard on the MinHash
+    * estimate (an estimator hit alone would silently discard novel
+    * documents). Shingle extraction runs only on candidate-involved docs on
+    * BOTH sides (left-semi prune), so cost is O(candidates · set size),
+    * never a corpus rescan. */
+  private[operators] def exactCrossVerifiedIds(cand: DataFrame, batch: DataFrame,
+      corpus: DataFrame, w: Int, minJaccard: Double): DataFrame = {
+    def sets(d: DataFrame, ids: DataFrame): DataFrame = d
+      .join(ids, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_tk"))
+      .select(col("doc_id"), shinglesOfTokens(col("_tk"), w).as("_sh"))
+    val bSets = sets(batch, cand.select("doc_id").distinct())
+    val cSets = sets(corpus, cand.select(col("corp_id").as("doc_id")).distinct())
+      .select(col("doc_id").as("corp_id"), col("_sh").as("_sb"))
+    val nCommon = size(array_intersect(col("_sh"), col("_sb"))).cast("double")
+    val j = nCommon / (size(col("_sh")) + size(col("_sb")) - nCommon)
+    cand.join(bSets, "doc_id").join(cSets, "corp_id")
+      .filter(j >= minJaccard)
+      .select("doc_id").distinct()
+  }
+
   /** Incremental dedup — the daily-ingest shape: which rows of a NEW batch
-    * survive against an EXISTING corpus? Three passes, none quadratic:
+    * survive against an EXISTING corpus? Four passes, none quadratic:
     *
     *  1. in-batch exact: keep one row (min doc_id) per fingerprint;
     *  2. cross exact: anti-join the batch's fingerprints against the
-    *     existing corpus' (in production the right side is the stored
-    *     fingerprint index, not a rescan);
-    *  3. cross near-dup: MinHash band keys of the batch equi-joined to
-    *     band keys of the corpus — candidate volume is bounded by the
-    *     BATCH size (the small side) times collision rate, never
-    *     corpus² — then the signature-agreement estimate thresholds, and
-    *     one final anti-join drops batch rows with any hit.
+    *     existing corpus' (this form rescans the corpus text; the stored-
+    *     index form a daily 100 TB ingest actually runs is
+    *     [[DedupIndex.dedupeAgainstIndex]], spec-asserted result-equal);
+    *  3. cross near-dup candidates: MinHash band keys of the batch
+    *     equi-joined to band keys of the corpus — candidate volume is
+    *     bounded by the BATCH size (the small side) times collision rate,
+    *     never corpus² — thresholded on the signature-agreement estimate;
+    *  4. exact verify (`minJaccard`): candidate pairs are confirmed by
+    *     exact shingle Jaccard before a batch row is dropped — an
+    *     estimator false positive must not silently discard a novel
+    *     document. One final anti-join drops batch rows with a VERIFIED
+    *     duplicate.
     *
     * Returns surviving batch rows (doc_id, lang, source). Deterministic:
     * every pass is a pure function of content. */
   def dedupeIncrement(existing: DataFrame, incoming: DataFrame, w: Int = 2,
                       k: Int = 64, bands: Int = 16,
-                      minEstJaccard: Double = 0.5): DataFrame = {
-    def sigs(d: DataFrame): DataFrame = d.select(
-      col("doc_id"),
-      HashFunctions.minhashSigText(col("text"), w, k).as("sig"))
-    def banded(d: DataFrame): DataFrame = sigs(d).select(
-      col("doc_id"), col("sig"),
-      posexplode(HashFunctions.bandKeys(col("sig"), bands)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
-
+                      minEstJaccard: Double = 0.5,
+                      minJaccard: Double = 0.5): DataFrame = {
     val withFp = incoming.withColumn("fp", fingerprint(col("text")))
     val batchExact = withFp
       .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
@@ -280,16 +317,18 @@ object Dedup {
       existing.select(fingerprint(col("text")).as("fp")),
       Seq("fp"), "left_anti")
 
-    val candHits = banded(crossExact.select("doc_id", "text")).as("n")
-      .join(banded(existing.select("doc_id", "text")).as("o"),
+    val cand = minhashBandRows(
+        minhashSigs(crossExact.select("doc_id", "text"), w, k), bands).as("n")
+      .join(minhashBandRows(minhashSigs(existing.select("doc_id", "text"), w, k), bands).as("o"),
         col("n.band") === col("o.band") && col("n.band_key") === col("o.band_key"))
-      .withColumn("est",
-        size(filter(zip_with(col("n.sig"), col("o.sig"), (x, y) => x === y), b => b))
-          .cast("double") / k)
-      .filter(col("est") >= minEstJaccard)
-      .select(col("n.doc_id").as("doc_id")).distinct()
+      // estimate BEFORE the distinct: runs map-side per collision, so only
+      // id pairs (not 64-long signatures) reach the distinct's shuffle
+      .filter(sigAgreement(col("n.sig"), col("o.sig"), k) >= minEstJaccard)
+      .select(col("n.doc_id").as("doc_id"), col("o.doc_id").as("corp_id"))
+      .distinct()
+    val verified = exactCrossVerifiedIds(cand, crossExact, existing, w, minJaccard)
     crossExact
-      .join(candHits, Seq("doc_id"), "left_anti")
+      .join(verified, Seq("doc_id"), "left_anti")
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")
   }

@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, DedupIndex}
+
+class DedupIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshPrefix(): String = s"gdidx_test_${System.nanoTime()}"
+
+  test("dedupeAgainstIndex is result-equal to the rescan path") {
+    val corpus = tables.documents.filter($"doc_id" >= 300)
+    val batch = tables.documents.filter($"doc_id" < 300)
+    val dir = Files.createTempDirectory("gdidx").toString
+    val idx = DedupIndex.buildIndex(spark, corpus, freshPrefix(), dir)
+    val viaIndex = DedupIndex.dedupeAgainstIndex(spark, batch, idx, corpus)
+      .collect().toSeq
+    val rescan = Dedup.dedupeIncrement(corpus, batch).collect().toSeq
+    assert(viaIndex == rescan)
+    assert(viaIndex.nonEmpty)
+  }
+
+  test("attachIndex registers a previously written index without rewriting data") {
+    val corpus = tables.documents.filter($"doc_id" >= 450)
+    val batch = tables.documents.filter($"doc_id" < 50)
+    val dir = Files.createTempDirectory("gdidx_attach").toString
+    val pfx = freshPrefix()
+    val built = DedupIndex.buildIndex(spark, corpus, pfx, dir)
+    val want = DedupIndex.dedupeAgainstIndex(spark, batch, built, corpus)
+      .collect().toSeq
+    // simulate a NEW session: drop the catalog entries, keep the files
+    Seq(built.fp, built.sig, built.band).foreach(t => spark.sql(s"DROP TABLE $t"))
+    val mtimes = Files.walk(java.nio.file.Paths.get(dir)).toArray.length
+    val attached = DedupIndex.attachIndex(spark, pfx, dir)
+    assert(Files.walk(java.nio.file.Paths.get(dir)).toArray.length == mtimes,
+      "attach must not write files")
+    val got = DedupIndex.dedupeAgainstIndex(spark, batch, attached, corpus)
+      .collect().toSeq
+    assert(got == want)
+  }
+
+  test("index probes shuffle only the batch side (one hash Exchange, bucketed scan)") {
+    val corpus = tables.documents.filter($"doc_id" >= 300)
+    val batch = tables.documents.filter($"doc_id" < 100)
+    val dir = Files.createTempDirectory("gdidx_plan").toString
+    val idx = DedupIndex.buildIndex(spark, corpus, freshPrefix(), dir)
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val fpProbe = batch.select(Dedup.fingerprint(col("text")).as("fp"))
+        .join(spark.table(idx.fp), Seq("fp"), "left_anti")
+      val fpPlan = planOf(fpProbe)
+      assert("Exchange hashpartitioning".r.findAllIn(fpPlan).size == 1,
+        s"fp anti-join must shuffle only the batch side:\n$fpPlan")
+      assert(fpPlan.contains("SelectedBucketsCount") || fpPlan.contains("Bucketed: true"),
+        s"fp probe must read the bucketed index:\n$fpPlan")
+
+      val bandProbe = Dedup.minhashBandRows(
+          Dedup.minhashSigs(batch.select("doc_id", "text"), 2, 64), 16)
+        .select("band", "band_key", "doc_id")
+        .join(spark.table(idx.band), Seq("band", "band_key"))
+      val bandPlan = planOf(bandProbe)
+      assert("Exchange hashpartitioning".r.findAllIn(bandPlan).size == 1,
+        s"band join must shuffle only the batch side:\n$bandPlan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
+  test("index path drops exact, in-batch, and verified near dups; novel docs survive") {
+    val corpus = tables.documents.filter($"doc_id" < 50)
+    val ex = corpus.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val incoming = Seq(
+      (1000L, ex(0L), "en", "batch"),                   // exact dup of corpus
+      (1001L, "novel zebra quartz lattice prism omega", "en", "batch"),
+      (1002L, "novel zebra quartz lattice prism omega", "en", "batch"), // in-batch dup
+      (1003L, ex(1L) + " tail", "en", "batch"),         // near-dup of corpus doc
+      (1004L, "utterly unrelated xylophone vortex glyph nimbus ember", "en", "batch"))
+      .toDF("doc_id", "text", "lang", "source")
+    val dir = Files.createTempDirectory("gdidx_mini").toString
+    val idx = DedupIndex.buildIndex(spark, corpus, freshPrefix(), dir)
+    val kept = DedupIndex.dedupeAgainstIndex(spark, incoming, idx, corpus)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1001L, 1004L), s"survivors: $kept")
+  }
+}
