@@ -2,6 +2,60 @@ package graft
 
 import graft.functions.HashImpl
 
+/** Shared 64-bit wrapping-arithmetic SQL primitives for the kernel oracles
+  * ([[MinhashOracleSql]], [[KernelOracleSql]]): DuckDB has no native
+  * wrapping 64-bit multiply, so products run as HUGEINT (int128) with an
+  * explicit 32-bit split mod 2^64; values cross into SQL as unsigned and
+  * convert to signed BIGINT exactly where the engine compares or emits
+  * signed. splitmix64 is staged through projection columns (z1/z2/z3) —
+  * inlining the whole finalizer as one expression re-evaluates shared
+  * subtrees ~128× (measured: 58 s → 2.5 s at sf0.01). */
+private[graft] object SqlInt64 {
+  val M64 = "18446744073709551616" // 2^64
+  val HALF = "9223372036854775808" // 2^63
+  def u(x: Long): String = java.lang.Long.toUnsignedString(x)
+  val FnvOff = u(0xcbf29ce484222325L)
+  val FnvPrime = u(0x100000001b3L)
+  private val C1 = u(0x9e3779b97f4a7c15L)
+  private val C2 = u(0xbf58476d1ce4e5b9L)
+  private val C3 = u(0x94d049bb133111ebL)
+
+  /** (a*b) mod 2^64 via 32-bit split — each HUGEINT product stays < 2^65. */
+  def mulmod(a: String, b: String): String =
+    s"(((($a) % 4294967296) * (($b) % 4294967296) + " +
+      s"((((($a) // 4294967296) * (($b) % 4294967296) + " +
+      s"(($a) % 4294967296) * (($b) // 4294967296)) % 4294967296) * 4294967296)) % $M64)"
+
+  // splitmix64 staged as three projection steps over short column refs
+  def mixStage1(x: String) = s"((($x) + $C1) % $M64)"
+  def mixStage2(z1: String) = mulmod(s"xor($z1, $z1 >> 30)", C2)
+  def mixStage3(z2: String) = mulmod(s"xor($z2, $z2 >> 27)", C3)
+  def mixOut(z3: String) = s"xor($z3, $z3 >> 31)"
+
+  /** Three chained CTE stages computing mix64 of `in` into column `out`,
+    * starting from CTE `from`; pass-through of `carry` columns. */
+  def mixCtes(prefix: String, from: String, in: String, out: String,
+              carry: String): String =
+    s"""${prefix}1 AS (SELECT $carry, ${mixStage1(in)} AS z1 FROM $from),
+${prefix}2 AS (SELECT $carry, ${mixStage2("z1")} AS z2 FROM ${prefix}1),
+${prefix}3 AS (SELECT $carry, ${mixStage3("z2")} AS z3 FROM ${prefix}2),
+$prefix AS (SELECT $carry, ${mixOut("z3")} AS $out FROM ${prefix}3)"""
+
+  def signedB(x: String) =
+    s"CAST((CASE WHEN ($x) >= $HALF THEN ($x) - $M64 ELSE ($x) END) AS BIGINT)"
+  def signedH(x: String) =
+    s"(CASE WHEN ($x) >= $HALF THEN ($x) - $M64 ELSE ($x) END)"
+  def unsigned(x: String) =
+    s"(CASE WHEN ($x) < 0 THEN CAST(($x) AS HUGEINT) + $M64 ELSE CAST(($x) AS HUGEINT) END)"
+
+  /** FNV-1a 64 fold over the characters of string column `s` (ASCII:
+    * code points ≡ UTF-16 units ≡ UTF-8 bytes — the kernels' domain). */
+  def fnvFoldChars(s: String): String =
+    s"list_reduce(list_prepend(CAST($FnvOff AS HUGEINT), " +
+      s"list_transform(string_split($s, ''), c -> CAST(unicode(c) AS HUGEINT))), " +
+      s"(acc, c) -> ${mulmod("xor(acc, c)", FnvPrime)})"
+}
+
 /** DuckDB oracle SQL for the MinHash-LSH queries — an INDEPENDENT
   * re-derivation of the fixed-seed hash arithmetic in portable SQL, so the
   * band-join candidate generation itself (not just its output shape) is
@@ -10,15 +64,9 @@ import graft.functions.HashImpl
   * The kernels are public arithmetic (FNV-1a 64 over the shingle
   * characters, splitmix64 finalizer, per-position mix with seed-derived
   * constants, FNV fold over signature row-groups for band keys — see
-  * [[graft.functions.HashImpl]]); DuckDB has no native 64-bit wrapping
-  * multiply, so products run as HUGEINT (int128) with an explicit 32-bit
-  * split mod 2^64. mix64 is staged through projection columns (z1/z2/z3) —
-  * inlining the whole finalizer as one expression re-evaluates shared
-  * subtrees ~128× (measured: 58 s → 2.5 s at sf0.01). The 64 per-position
-  * constants mix64(seed + j) are seed-derived at generation time with the
-  * same public mixer the engine uses. Values cross into SQL as unsigned
-  * (HUGEINT) and convert to signed BIGINT exactly where the engine
-  * compares as signed (signature MIN, emitted band keys).
+  * [[graft.functions.HashImpl]]). The 64 per-position constants
+  * mix64(seed + j) are seed-derived at generation time with the same
+  * public mixer the engine uses.
   *
   * Caveats mirrored from the kernel contract: ASCII text only (the fused
   * kernel hashes UTF-16 units, this SQL hashes code points — identical for
@@ -28,32 +76,7 @@ import graft.functions.HashImpl
   * docs; the corpus has none at any SF — checked, and harmless for the
   * queries' ≥-threshold outputs unless two empty docs coexist). */
 object MinhashOracleSql {
-
-  private val M64 = "18446744073709551616" // 2^64
-  private val HALF = "9223372036854775808" // 2^63
-  private def u(x: Long): String = java.lang.Long.toUnsignedString(x)
-  private val FnvOff = u(0xcbf29ce484222325L)
-  private val FnvPrime = u(0x100000001b3L)
-  private val C1 = u(0x9e3779b97f4a7c15L)
-  private val C2 = u(0xbf58476d1ce4e5b9L)
-  private val C3 = u(0x94d049bb133111ebL)
-
-  /** (a*b) mod 2^64 via 32-bit split — each HUGEINT product stays < 2^65. */
-  private def mulmod(a: String, b: String): String =
-    s"(((($a) % 4294967296) * (($b) % 4294967296) + " +
-      s"((((($a) // 4294967296) * (($b) % 4294967296) + " +
-      s"(($a) % 4294967296) * (($b) // 4294967296)) % 4294967296) * 4294967296)) % $M64)"
-
-  // splitmix64 staged as three projection steps over short column refs
-  private def mixStage1(x: String) = s"((($x) + $C1) % $M64)"
-  private def mixStage2(z1: String) = mulmod(s"xor($z1, $z1 >> 30)", C2)
-  private def mixStage3(z2: String) = mulmod(s"xor($z2, $z2 >> 27)", C3)
-  private def mixOut(z3: String) = s"xor($z3, $z3 >> 31)"
-
-  private def signed(x: String) =
-    s"(CASE WHEN ($x) >= $HALF THEN ($x) - $M64 ELSE ($x) END)"
-  private def unsigned(x: String) =
-    s"(CASE WHEN ($x) < 0 THEN CAST(($x) AS HUGEINT) + $M64 ELSE CAST(($x) AS HUGEINT) END)"
+  import SqlInt64._
 
   /** The 64 per-position constants mix64(seed + j), exactly as the
     * signature kernel derives them (HashImpl.minhashText). */
@@ -61,42 +84,31 @@ object MinhashOracleSql {
     (0 until k).map(j => s"($j, CAST(${u(HashImpl.mix64(seed + j))} AS HUGEINT))")
       .mkString(", ")
 
-  private val fnvFold =
-    s"list_reduce(list_prepend(CAST($FnvOff AS HUGEINT), " +
-      "list_transform(string_split(s, ''), c -> CAST(unicode(c) AS HUGEINT))), " +
-      s"(acc, c) -> ${mulmod("xor(acc, c)", FnvPrime)})"
-
   private val bandFold =
     s"list_reduce(list_prepend(xor(CAST($FnvOff AS HUGEINT), CAST(band AS HUGEINT)), sigu), " +
       s"(acc, u) -> ${mulmod("xor(acc, u)", FnvPrime)})"
 
   /** Shared CTE chain: tokens → w=2 shingles (1-token docs emit the
     * whole-doc shingle, matching the kernel) → FNV+mix64 base hash →
-    * 64-position signature (min over shingles, SIGNED compare) → 16 band
-    * keys (FNV fold over 4-position row-groups) → band-collision candidate
-    * pairs → signature-agreement estimate. */
+    * k-position signature (min over shingles, SIGNED compare) → band keys
+    * (FNV fold over k/bands-position row-groups) → band-collision
+    * candidate pairs → signature-agreement estimate. */
   private def sigCtes(k: Int, bands: Int, seed: Long): String = {
     val rows = k / bands
     s"""toks AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk FROM documents),
 sh0 AS (SELECT doc_id, tk, unnest(range(1, greatest(len(tk), 2))) AS i FROM toks WHERE len(tk) >= 1),
 sh AS (SELECT DISTINCT doc_id, CASE WHEN len(tk) >= 2 THEN tk[i] || ' ' || tk[i+1] ELSE tk[1] END AS s FROM sh0),
-h0 AS (SELECT doc_id, $fnvFold AS hraw FROM sh),
-h1 AS (SELECT doc_id, ${mixStage1("hraw")} AS z1 FROM h0),
-h2 AS (SELECT doc_id, ${mixStage2("z1")} AS z2 FROM h1),
-h3 AS (SELECT doc_id, ${mixStage3("z2")} AS z3 FROM h2),
-hb AS (SELECT doc_id, ${mixOut("z3")} AS base FROM h3),
+h0 AS (SELECT doc_id, ${fnvFoldChars("s")} AS hraw FROM sh),
+${mixCtes("hb", "h0", "hraw", "base", "doc_id")},
 ks(j, kj) AS (VALUES ${kjValues(k, seed)}),
-v1 AS (SELECT doc_id, j, ${mixStage1("xor(base, kj)")} AS z1 FROM hb CROSS JOIN ks),
-v2 AS (SELECT doc_id, j, ${mixStage2("z1")} AS z2 FROM v1),
-v3 AS (SELECT doc_id, j, ${mixStage3("z2")} AS z3 FROM v2),
-sig AS (SELECT doc_id, j, min(${signed(mixOut("z3"))}) AS sv FROM v3 GROUP BY doc_id, j),
+v0 AS (SELECT doc_id, j, xor(base, kj) AS x0 FROM hb CROSS JOIN ks),
+${mixCtes("vv", "v0", "x0", "vh", "doc_id, j")},
+sig AS (SELECT doc_id, j, min(${signedH("vh")}) AS sv FROM vv GROUP BY doc_id, j),
 sgl AS (SELECT doc_id, list(sv ORDER BY j) AS sigl FROM sig GROUP BY doc_id),
 bnd0 AS (SELECT doc_id, band, list_transform(sigl[band*$rows + 1 : band*$rows + $rows], v -> ${unsigned("v")}) AS sigu FROM sgl CROSS JOIN (SELECT unnest(range(0, $bands)) AS band)),
 b0 AS (SELECT doc_id, band, $bandFold AS braw FROM bnd0),
-b1 AS (SELECT doc_id, band, ${mixStage1("braw")} AS z1 FROM b0),
-b2 AS (SELECT doc_id, band, ${mixStage2("z1")} AS z2 FROM b1),
-b3 AS (SELECT doc_id, band, ${mixStage3("z2")} AS z3 FROM b2),
-bk AS (SELECT doc_id, band, ${signed(mixOut("z3"))} AS band_key FROM b3),
+${mixCtes("bb", "b0", "braw", "bh", "doc_id, band")},
+bk AS (SELECT doc_id, band, ${signedB("bh")} AS band_key FROM bb),
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
 est AS (SELECT doc_a, doc_b, round(sum(CASE WHEN sa.sv = sb.sv THEN 1 ELSE 0 END) / $k.0, 6) AS est_jaccard FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b AND sa.j = sb.j GROUP BY doc_a, doc_b)"""
   }
@@ -119,4 +131,87 @@ ssz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
 cpairs AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= $minEst),
 inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common FROM cpairs c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b AND a.s = b.s GROUP BY c.doc_a, c.doc_b)
 SELECT doc_a, doc_b, round(n_common / (sa.sz + sb.sz - n_common), 6) AS jaccard FROM inter JOIN ssz sa ON sa.doc_id = doc_a JOIN ssz sb ON sb.doc_id = doc_b WHERE n_common / (sa.sz + sb.sz - n_common) >= $minJaccard ORDER BY doc_a, doc_b"""
+}
+
+/** DuckDB oracle SQL for the remaining hash-kernel queries: SimHash
+  * fingerprints, Karp–Rabin rolling-hash fingerprints, and the two
+  * xxHash64-membership operators (split assignment, source mixture).
+  * Same arithmetic machinery as [[MinhashOracleSql]]; xxHash64 of one
+  * 8-byte block (Spark's `xxhash64(bigint)`, seed 42) is the standard
+  * public algorithm — single round + avalanche, ~12 staged ops. */
+object KernelOracleSql {
+  import SqlInt64._
+
+  /** Oracle for q_dedup_simhash ([[graft.operators.Dedup.simhashFingerprints]]):
+    * per-token FNV-1a + mix64, ±1 votes per bit position over the token
+    * MULTISET (no dedup), sign of each vote is the fingerprint bit.
+    * Docs with no tokens get simhash 0 (all votes are -1 ties). */
+  def simhashFingerprints: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS token FROM documents),
+h0 AS (SELECT doc_id, ${fnvFoldChars("token")} AS hraw FROM tok),
+${mixCtes("hh", "h0", "hraw", "h", "doc_id")},
+bits AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END) AS vote FROM hh CROSS JOIN (SELECT unnest(range(0, 64)) AS b) GROUP BY doc_id, b),
+sh AS (SELECT doc_id, sum(CASE WHEN vote > 0 THEN CAST(1 AS HUGEINT) << b ELSE CAST(0 AS HUGEINT) END) AS uh FROM bits GROUP BY doc_id)
+SELECT d.doc_id, ${signedB("coalesce(uh, 0)")} AS simhash FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id ORDER BY d.doc_id"""
+
+  /** Oracle for q_text_fingerprint ([[graft.operators.TextAnalysis.fingerprints]]):
+    * Karp–Rabin fold h = h·1000003 + char over the normalized text's code
+    * points, splitmix64-finalized. */
+  def rollingFingerprints: String = {
+    val fold = "list_reduce(list_prepend(CAST(0 AS HUGEINT), " +
+      "list_transform(string_split(lower(trim(text)), ''), c -> CAST(unicode(c) AS HUGEINT))), " +
+      s"(acc, c) -> (${mulmod("acc", "1000003")} + c) % $M64)"
+    s"""WITH h0 AS (SELECT doc_id, $fold AS hraw FROM documents),
+${mixCtes("hh", "h0", "hraw", "h", "doc_id")}
+SELECT doc_id, ${signedB("h")} AS fingerprint FROM hh ORDER BY doc_id"""
+  }
+
+  // xxHash64 primes (public algorithm constants)
+  private val P1 = u(0x9E3779B185EBCA87L)
+  private val P2 = u(0xC2B2AE3D27D4EB4FL)
+  private val P3 = u(0x165667B19E3779F9L)
+  private val P4 = u(0x85EBCA77C2B2AE63L)
+  private val P5 = u(0x27D4EB2F165667C5L)
+  private def rotl(x: String, r: Int): String =
+    s"((((($x) << $r) % $M64) + (($x) >> ${64 - r})) % $M64)"
+
+  /** CTE chain computing Spark's `xxhash64(bigint)` (seed 42, one 8-byte
+    * block + avalanche) of column `doc_id` from CTE `src` into column
+    * `xxh`. MATERIALIZED: DuckDB inlines plain CTEs, and the staged chain
+    * re-inlined per reference goes exponential (measured 11 s → 0.0 s). */
+  private def xxhCtes(seed: Long): String =
+    s"""x0 AS MATERIALIZED (SELECT *, ${unsigned("doc_id")} AS ku FROM src),
+x1 AS MATERIALIZED (SELECT *, ${mulmod("ku", P2)} AS m1 FROM x0),
+x2 AS MATERIALIZED (SELECT *, ${mulmod(rotl("m1", 31), P1)} AS k1 FROM x1),
+x3 AS MATERIALIZED (SELECT *, xor(($seed + $P5 + 8) % $M64, k1) AS hx FROM x2),
+x4 AS MATERIALIZED (SELECT *, (${mulmod(rotl("hx", 27), P1)} + $P4) % $M64 AS ha FROM x3),
+x5 AS MATERIALIZED (SELECT *, ${mulmod("xor(ha, ha >> 33)", P2)} AS hb FROM x4),
+x6 AS MATERIALIZED (SELECT *, ${mulmod("xor(hb, hb >> 29)", P3)} AS hc FROM x5),
+xx AS MATERIALIZED (SELECT *, xor(hc, hc >> 32) AS xxh FROM x6)"""
+
+  /** Oracle for q_split_assign ([[graft.operators.Sampling.documentSplits]]:
+    * 90/5/5 over pmod(xxhash64(doc_id), 100)). */
+  def splitAssign: String =
+    s"""WITH src AS (SELECT doc_id, n_chars FROM documents),
+${xxhCtes(42L)},
+asg AS (SELECT doc_id, n_chars, (((${signedB("xxh")}) % 100) + 100) % 100 AS bucket FROM xx),
+lab AS (SELECT doc_id, n_chars, CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split FROM asg)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs, round(avg(n_chars), 6) AS avg_chars FROM lab GROUP BY split ORDER BY split"""
+
+  /** Oracle for q_mixture ([[graft.operators.Sampling.mixtureBySource]]
+    * with the query's targets src0 0.6 / src1 0.25 / src2 0.15): the
+    * water-filling N-star = min of tokens_s/p_s and the per-source keep
+    * thresholds round(min(1, p·Nstar/tokens)·1e6) are re-derived in SQL;
+    * membership is pmod(xxhash64(doc_id), 1e6) < threshold, exactly as
+    * the operator computes it. */
+  def mixture: String =
+    s"""WITH tk AS MATERIALIZED (SELECT doc_id, source, CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS BIGINT) AS n_tokens FROM documents),
+tgt(source, p) AS (VALUES ('src0', 0.6), ('src1', 0.25), ('src2', 0.15)),
+avail AS (SELECT source, sum(n_tokens) AS tok FROM tk GROUP BY source),
+nstar AS (SELECT min(tok / p) AS ns FROM avail JOIN tgt USING (source)),
+keepf AS (SELECT source, CAST(round(least(1.0, p * ns / tok) * 1000000) AS BIGINT) AS kexpr FROM avail JOIN tgt USING (source) CROSS JOIN nstar),
+src AS (SELECT tk.doc_id, tk.source, tk.n_tokens, kexpr FROM tk JOIN keepf USING (source)),
+${xxhCtes(42L)},
+flt AS (SELECT doc_id, source, n_tokens, kexpr, (((${signedB("xxh")}) % 1000000) + 1000000) % 1000000 AS bucket FROM xx)
+SELECT doc_id, source, n_tokens, round(CAST(kexpr AS DOUBLE) / 1000000, 6) AS keep_frac FROM flt WHERE bucket < kexpr ORDER BY doc_id"""
 }

@@ -305,10 +305,14 @@ object SparkEntry {
         "FROM orders GROUP BY 1, 2 ORDER BY o_year, o_month"),
     "q_dedup_exact" ->
       "SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1 ORDER BY fp",
-    // the MinHash band-join pipelines, re-derived in portable SQL (HUGEINT
-    // wrapping arithmetic) — see MinhashOracleSql
+    // the hash-kernel pipelines, re-derived in portable SQL (HUGEINT
+    // wrapping arithmetic) — see MinhashOracleSql / KernelOracleSql
     "q_dedup_minhash" -> MinhashOracleSql.minhashCandidates(),
     "q_dedup_lsh_verified" -> MinhashOracleSql.lshVerifiedPairs(),
+    "q_dedup_simhash" -> KernelOracleSql.simhashFingerprints,
+    "q_text_fingerprint" -> KernelOracleSql.rollingFingerprints,
+    "q_split_assign" -> KernelOracleSql.splitAssign,
+    "q_mixture" -> KernelOracleSql.mixture,
     "q_dedup_exact_rows" ->
       "SELECT doc_id, lang, source FROM documents WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(lower(trim(text)))) ORDER BY doc_id",
     "q_dedup_jaccard" ->
