@@ -91,8 +91,7 @@ object MinhashOracleSql {
   /** Shared CTE chain: tokens → w=2 shingles (1-token docs emit the
     * whole-doc shingle, matching the kernel) → FNV+mix64 base hash →
     * k-position signature (min over shingles, SIGNED compare) → band keys
-    * (FNV fold over k/bands-position row-groups) → band-collision
-    * candidate pairs → signature-agreement estimate. */
+    * (FNV fold over k/bands-position row-groups). */
   private def sigCtes(k: Int, bands: Int, seed: Long): String = {
     val rows = k / bands
     s"""toks AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk FROM documents),
@@ -108,16 +107,20 @@ sgl AS (SELECT doc_id, list(sv ORDER BY j) AS sigl FROM sig GROUP BY doc_id),
 bnd0 AS (SELECT doc_id, band, list_transform(sigl[band*$rows + 1 : band*$rows + $rows], v -> ${unsigned("v")}) AS sigu FROM sgl CROSS JOIN (SELECT unnest(range(0, $bands)) AS band)),
 b0 AS (SELECT doc_id, band, $bandFold AS braw FROM bnd0),
 ${mixCtes("bb", "b0", "braw", "bh", "doc_id, band")},
-bk AS (SELECT doc_id, band, ${signedB("bh")} AS band_key FROM bb),
-cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-est AS (SELECT doc_a, doc_b, round(sum(CASE WHEN sa.sv = sb.sv THEN 1 ELSE 0 END) / $k.0, 6) AS est_jaccard FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b AND sa.j = sb.j GROUP BY doc_a, doc_b)"""
+bk AS (SELECT doc_id, band, ${signedB("bh")} AS band_key FROM bb)"""
   }
+
+  /** Self-join candidate pairs + signature-agreement estimate over the
+    * [[sigCtes]] relations (the q_dedup_minhash pipeline shape). */
+  private def selfEstCtes(k: Int): String =
+    s"""cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+est AS (SELECT doc_a, doc_b, round(sum(CASE WHEN sa.sv = sb.sv THEN 1 ELSE 0 END) / $k.0, 6) AS est_jaccard FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b AND sa.j = sb.j GROUP BY doc_a, doc_b)"""
 
   /** Oracle for q_dedup_minhash ([[graft.operators.Dedup.minhashCandidates]]
     * defaults: w=2, k=64, bands=16, minEstJaccard=0.2). */
   def minhashCandidates(k: Int = 64, bands: Int = 16, seed: Long = 42L,
                         minEst: Double = 0.2): String =
-    s"WITH ${sigCtes(k, bands, seed)} " +
+    s"WITH ${sigCtes(k, bands, seed)}, ${selfEstCtes(k)} " +
       s"SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= $minEst " +
       "ORDER BY doc_a, doc_b"
 
@@ -126,11 +129,33 @@ est AS (SELECT doc_a, doc_b, round(sum(CASE WHEN sa.sv = sb.sv THEN 1 ELSE 0 END
     * est ≥ 0.2, exact w=2-shingle Jaccard ≥ 0.5 on candidates only). */
   def lshVerifiedPairs(k: Int = 64, bands: Int = 16, seed: Long = 42L,
                        minEst: Double = 0.2, minJaccard: Double = 0.5): String =
-    s"""WITH ${sigCtes(k, bands, seed)},
+    s"""WITH ${sigCtes(k, bands, seed)}, ${selfEstCtes(k)},
 ssz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
 cpairs AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= $minEst),
 inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common FROM cpairs c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b AND a.s = b.s GROUP BY c.doc_a, c.doc_b)
 SELECT doc_a, doc_b, round(n_common / (sa.sz + sb.sz - n_common), 6) AS jaccard FROM inter JOIN ssz sa ON sa.doc_id = doc_a JOIN ssz sb ON sb.doc_id = doc_b WHERE n_common / (sa.sz + sb.sz - n_common) >= $minJaccard ORDER BY doc_a, doc_b"""
+
+  /** Oracle for q_dedup_incremental AND q_dedup_indexed (spec-asserted
+    * result-equal; both default w=2, k=64, bands=16, est ≥ 0.5, exact
+    * verify ≥ 0.5; batch = doc_id ≥ `batchFrom`, corpus = the rest): the
+    * full daily-ingest pipeline — in-batch exact dedup, cross exact
+    * anti-join, batch-bounded band-collision candidates, signature
+    * estimate, exact shingle-Jaccard verify — re-derived over the same
+    * signature relations. */
+  def incrementalSurvivors(batchFrom: Long = 400L, k: Int = 64, bands: Int = 16,
+                           seed: Long = 42L, minEst: Double = 0.5,
+                           minJaccard: Double = 0.5): String =
+    s"""WITH ${sigCtes(k, bands, seed)},
+fpb AS (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents),
+bex AS (SELECT fp, min(doc_id) AS doc_id FROM fpb WHERE doc_id >= $batchFrom GROUP BY fp),
+cx AS (SELECT b.doc_id FROM bex b WHERE NOT EXISTS (SELECT 1 FROM fpb c WHERE c.doc_id < $batchFrom AND c.fp = b.fp)),
+cand AS (SELECT DISTINCT n.doc_id, o.doc_id AS corp_id FROM bk n JOIN bk o ON n.band = o.band AND n.band_key = o.band_key WHERE n.doc_id IN (SELECT doc_id FROM cx) AND o.doc_id < $batchFrom),
+cest AS (SELECT c.doc_id, c.corp_id, sum(CASE WHEN sa.sv = sb.sv THEN 1 ELSE 0 END) / $k.0 AS est FROM cand c JOIN sig sa ON sa.doc_id = c.doc_id JOIN sig sb ON sb.doc_id = c.corp_id AND sa.j = sb.j GROUP BY c.doc_id, c.corp_id),
+cpairs AS (SELECT doc_id, corp_id FROM cest WHERE est >= $minEst),
+inter AS (SELECT c.doc_id, c.corp_id, count(*) AS n_common FROM cpairs c JOIN sh a ON a.doc_id = c.doc_id JOIN sh b ON b.doc_id = c.corp_id AND a.s = b.s GROUP BY c.doc_id, c.corp_id),
+ssz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+ver AS (SELECT DISTINCT i.doc_id FROM inter i JOIN ssz sa ON sa.doc_id = i.doc_id JOIN ssz sb ON sb.doc_id = i.corp_id WHERE i.n_common / (sa.sz + sb.sz - i.n_common) >= $minJaccard)
+SELECT d.doc_id, d.lang, d.source FROM documents d WHERE d.doc_id IN (SELECT doc_id FROM cx) AND d.doc_id NOT IN (SELECT doc_id FROM ver) ORDER BY d.doc_id"""
 }
 
 /** DuckDB oracle SQL for the remaining hash-kernel queries: SimHash
@@ -165,6 +190,24 @@ SELECT d.doc_id, ${signedB("coalesce(uh, 0)")} AS simhash FROM documents d LEFT 
 ${mixCtes("hh", "h0", "hraw", "h", "doc_id")}
 SELECT doc_id, ${signedB("h")} AS fingerprint FROM hh ORDER BY doc_id"""
   }
+
+  /** Oracle for q_ann_int8 ([[graft.operators.Similarity.int8TopK]]):
+    * int8 codes re-derived as in the q_embed_quantize oracle, then exact
+    * brute-force cosine top-k over the codes. All dot/norm sums are
+    * integer-valued (codes ≤ 127, 64 dims → ≤ 2^20), so accumulation
+    * order can't perturb them and the cosine doubles are bit-identical
+    * to the engine's sequential kernel; ranking runs on the unrounded
+    * cosine with the same neighbor_id tie-break. */
+  def annInt8(nQueries: Int = 10, topK: Int = 5): String =
+    s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS s0 FROM d),
+sc AS (SELECT vec_id, v, CASE WHEN s0 = 0.0 THEN 1.0 ELSE s0 END AS scale FROM s),
+codes AS MATERIALIZED (SELECT vec_id, list_transform(v, x -> CAST(CAST(round(x / scale) AS BIGINT) AS DOUBLE)) AS q FROM sc),
+norms AS MATERIALIZED (SELECT vec_id, list_sum(list_transform(q, x -> x * x)) AS nrm FROM codes),
+pairs AS (SELECT qr.vec_id AS query_id, c.vec_id AS neighbor_id, list_dot_product(qr.q, c.q) AS dot, nq.nrm AS na, nc.nrm AS nb FROM codes qr JOIN codes c ON c.vec_id <> qr.vec_id JOIN norms nq ON nq.vec_id = qr.vec_id JOIN norms nc ON nc.vec_id = c.vec_id WHERE qr.vec_id < $nQueries),
+scored AS (SELECT query_id, neighbor_id, CASE WHEN sqrt(na) * sqrt(nb) = 0.0 THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nb)) END AS cos FROM pairs),
+ranked AS (SELECT query_id, neighbor_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn FROM scored)
+SELECT query_id, neighbor_id, round(cos, 6) AS cosine FROM ranked WHERE rn <= $topK ORDER BY query_id, neighbor_id"""
 
   // xxHash64 primes (public algorithm constants)
   private val P1 = u(0x9E3779B185EBCA87L)

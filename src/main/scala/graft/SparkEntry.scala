@@ -310,6 +310,9 @@ object SparkEntry {
     "q_dedup_minhash" -> MinhashOracleSql.minhashCandidates(),
     "q_dedup_lsh_verified" -> MinhashOracleSql.lshVerifiedPairs(),
     "q_dedup_simhash" -> KernelOracleSql.simhashFingerprints,
+    "q_dedup_incremental" -> MinhashOracleSql.incrementalSurvivors(),
+    "q_dedup_indexed" -> MinhashOracleSql.incrementalSurvivors(),
+    "q_ann_int8" -> KernelOracleSql.annInt8(),
     "q_text_fingerprint" -> KernelOracleSql.rollingFingerprints,
     "q_split_assign" -> KernelOracleSql.splitAssign,
     "q_mixture" -> KernelOracleSql.mixture,
