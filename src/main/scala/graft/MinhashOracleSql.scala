@@ -156,6 +156,110 @@ inter AS (SELECT c.doc_id, c.corp_id, count(*) AS n_common FROM cpairs c JOIN sh
 ssz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
 ver AS (SELECT DISTINCT i.doc_id FROM inter i JOIN ssz sa ON sa.doc_id = i.doc_id JOIN ssz sb ON sb.doc_id = i.corp_id WHERE i.n_common / (sa.sz + sb.sz - i.n_common) >= $minJaccard)
 SELECT d.doc_id, d.lang, d.source FROM documents d WHERE d.doc_id IN (SELECT doc_id FROM cx) AND d.doc_id NOT IN (SELECT doc_id FROM ver) ORDER BY d.doc_id"""
+
+  /** Oracle for q_dedup_groups ([[graft.operators.Dedup.nearDupGroups]]
+    * defaults: candidate pairs at est ≥ 0.5 → connected components → min
+    * doc_id per component, singletons keep their own id). Components run
+    * as a recursive CTE propagating every reachable id and taking the min
+    * — rows are bounded by Σ component-size², and near-dup components are
+    * small by construction. */
+  def nearDupGroups(k: Int = 64, bands: Int = 16, seed: Long = 42L,
+                    minEst: Double = 0.5): String =
+    s"""WITH RECURSIVE ${sigCtes(k, bands, seed)}, ${selfEstCtes(k)},
+e AS MATERIALIZED (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= $minEst),
+eb AS MATERIALIZED (SELECT doc_a AS an, doc_b AS bn FROM e UNION ALL SELECT doc_b, doc_a FROM e),
+r(n, m) AS (SELECT an, an FROM eb UNION SELECT eb.bn, r.m FROM r JOIN eb ON eb.an = r.n),
+comp AS (SELECT n AS doc_id, min(m) AS gid FROM r GROUP BY n)
+SELECT d.doc_id, coalesce(comp.gid, d.doc_id) AS group_id FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc_id ORDER BY d.doc_id"""
+}
+
+/** DuckDB oracle SQL for the signed-random-projection (SRP) LSH queries:
+  * embedding near-dup pairs, their transitive groups, and multiprobe ANN
+  * top-k. The ±1 hyperplane signs are seed-derived constants
+  * (mix64(tbl·φ + b·131071 + j) & 1 — [[graft.functions.HashImpl.srpBucket]])
+  * embedded as 64-bit sign masks per (table, bit); dot products and
+  * norms fold SEQUENTIALLY over the double-cast floats (list_reduce) so
+  * every accumulated double is bit-identical to the engine's scalar
+  * kernels, and bucket bits / cosine thresholds compare the exact same
+  * values on both sides. */
+object SrpOracleSql {
+  import graft.functions.HashImpl
+
+  /** Unsigned 64-bit sign mask for (table, hyperplane-bit): bit j set iff
+    * the kernel's sign for dimension j is +1. */
+  private def signMask(tbl: Int, b: Int, dims: Int = 64): String = {
+    val seed = tbl.toLong * 0x9e3779b97f4a7c15L
+    var m = BigInt(0)
+    var j = 0
+    while (j < dims) {
+      if ((HashImpl.mix64(seed + b.toLong * 131071L + j) & 1L) == 1L)
+        m = m.setBit(j)
+      j += 1
+    }
+    m.toString
+  }
+
+  private def maskRows(nTables: Int, nBits: Int): String =
+    (for { t <- 0 until nTables; b <- 0 until nBits }
+      yield s"($t, $b, CAST(${signMask(t, b)} AS HUGEINT))").mkString(", ")
+
+  /** Shared CTEs: double view, sign masks, per-(vec, table, bit)
+    * sequential signed sums, 2^nBits buckets, per-vector norms. */
+  private def srpCtes(nBits: Int, nTables: Int): String =
+    s"""d AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+msk(tbl, b, m) AS (VALUES ${maskRows(nTables, nBits)}),
+accs AS (SELECT vec_id, tbl, b, list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(v, (x, i) -> CASE WHEN (m >> (i - 1)) % 2 = 1 THEN x ELSE -x END)), (a, bb) -> a + bb) AS acc FROM d CROSS JOIN msk),
+bkt AS MATERIALIZED (SELECT vec_id, tbl, sum(CASE WHEN acc > 0.0 THEN (1 << b) ELSE 0 END) AS bucket FROM accs GROUP BY vec_id, tbl),
+norms AS MATERIALIZED (SELECT vec_id, list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(v, x -> x * x)), (a, bb) -> a + bb) AS nrm FROM d)"""
+
+  /** Sequential-fold cosine over candidate pairs (aliases da/db/na/nb). */
+  private val pairCosine =
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(da.v, (x, i) -> x * db.v[i])), (a, bb) -> a + bb)"
+
+  /** Oracle for q_embed_neardup
+    * ([[graft.operators.Similarity.embeddingNearDups]] defaults:
+    * minCosine 0.35, nBits 4, nTables 8). */
+  def embedNearDups(minCosine: Double = 0.35, nBits: Int = 4,
+                    nTables: Int = 8): String =
+    s"""WITH ${srpCtes(nBits, nTables)},
+cpair AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b FROM bkt a JOIN bkt b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+sc AS (SELECT p.vec_a, p.vec_b, $pairCosine AS dot, na.nrm AS na, nb.nrm AS nb FROM cpair p JOIN d da ON da.vec_id = p.vec_a JOIN d db ON db.vec_id = p.vec_b JOIN norms na ON na.vec_id = p.vec_a JOIN norms nb ON nb.vec_id = p.vec_b),
+cosed AS (SELECT vec_a, vec_b, CASE WHEN sqrt(na) * sqrt(nb) = 0.0 THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nb)) END AS cos FROM sc)
+SELECT vec_a, vec_b, round(max(cos), 6) AS cosine FROM cosed WHERE cos >= $minCosine GROUP BY vec_a, vec_b ORDER BY vec_a, vec_b"""
+
+  /** Oracle for q_embed_groups
+    * ([[graft.operators.Similarity.embeddingNearDupGroups]]): the near-dup
+    * pairs above → recursive-CTE connected components → min vec_id per
+    * component, singletons keep their own id. */
+  def embedGroups(minCosine: Double = 0.35, nBits: Int = 4,
+                  nTables: Int = 8): String =
+    s"""WITH RECURSIVE ${srpCtes(nBits, nTables)},
+cpair AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b FROM bkt a JOIN bkt b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+sc AS (SELECT p.vec_a, p.vec_b, $pairCosine AS dot, na.nrm AS na, nb.nrm AS nb FROM cpair p JOIN d da ON da.vec_id = p.vec_a JOIN d db ON db.vec_id = p.vec_b JOIN norms na ON na.vec_id = p.vec_a JOIN norms nb ON nb.vec_id = p.vec_b),
+e AS MATERIALIZED (SELECT vec_a, vec_b FROM sc WHERE (CASE WHEN sqrt(na) * sqrt(nb) = 0.0 THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nb)) END) >= $minCosine),
+eb AS MATERIALIZED (SELECT vec_a AS an, vec_b AS bn FROM e UNION ALL SELECT vec_b, vec_a FROM e),
+r(n, m) AS (SELECT an, an FROM eb UNION SELECT eb.bn, r.m FROM r JOIN eb ON eb.an = r.n),
+comp AS (SELECT n AS vec_id, min(m) AS gid FROM r GROUP BY n)
+SELECT emb.vec_id, coalesce(comp.gid, emb.vec_id) AS group_id FROM embeddings emb LEFT JOIN comp ON emb.vec_id = comp.vec_id ORDER BY emb.vec_id"""
+
+  /** Oracle for q_ann_lsh ([[graft.operators.Similarity.lshTopK]] defaults:
+    * 10 queries, k=5, nBits=12, nTables=8, probeHamming=3): the query side
+    * probes every bucket within Hamming distance ≤ h (mask list generated
+    * with the operator's own [[graft.operators.Similarity.hammingMasks]]),
+    * candidates rank by the same sequential-fold cosine. */
+  def annLsh(nQueries: Int = 10, topK: Int = 5, nBits: Int = 12,
+             nTables: Int = 8, probeHamming: Int = 3): String = {
+    val probeRows = graft.operators.Similarity.hammingMasks(nBits, probeHamming)
+      .map(m => s"($m)").mkString(", ")
+    s"""WITH ${srpCtes(nBits, nTables)},
+pm(pmask) AS (VALUES $probeRows),
+qb AS (SELECT vec_id AS query_id, tbl, xor(bucket, pmask) AS bucket FROM bkt CROSS JOIN pm WHERE vec_id < $nQueries),
+cpair AS (SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id FROM qb q JOIN bkt c ON c.tbl = q.tbl AND c.bucket = q.bucket AND c.vec_id <> q.query_id),
+sc AS (SELECT p.query_id, p.neighbor_id, list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(da.v, (x, i) -> x * db.v[i])), (a, bb) -> a + bb) AS dot, na.nrm AS na, nb.nrm AS nb FROM cpair p JOIN d da ON da.vec_id = p.query_id JOIN d db ON db.vec_id = p.neighbor_id JOIN norms na ON na.vec_id = p.query_id JOIN norms nb ON nb.vec_id = p.neighbor_id),
+cosed AS (SELECT query_id, neighbor_id, CASE WHEN sqrt(na) * sqrt(nb) = 0.0 THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nb)) END AS cos FROM sc),
+ranked AS (SELECT query_id, neighbor_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn FROM cosed)
+SELECT query_id, neighbor_id, round(cos, 6) AS cosine FROM ranked WHERE rn <= $topK ORDER BY query_id, neighbor_id"""
+  }
 }
 
 /** DuckDB oracle SQL for the remaining hash-kernel queries: SimHash

@@ -313,6 +313,10 @@ object SparkEntry {
     "q_dedup_incremental" -> MinhashOracleSql.incrementalSurvivors(),
     "q_dedup_indexed" -> MinhashOracleSql.incrementalSurvivors(),
     "q_ann_int8" -> KernelOracleSql.annInt8(),
+    "q_dedup_groups" -> MinhashOracleSql.nearDupGroups(),
+    "q_embed_neardup" -> SrpOracleSql.embedNearDups(),
+    "q_embed_groups" -> SrpOracleSql.embedGroups(),
+    "q_ann_lsh" -> SrpOracleSql.annLsh(),
     "q_text_fingerprint" -> KernelOracleSql.rollingFingerprints,
     "q_split_assign" -> KernelOracleSql.splitAssign,
     "q_mixture" -> KernelOracleSql.mixture,
