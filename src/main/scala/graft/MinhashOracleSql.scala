@@ -345,6 +345,43 @@ asg AS (SELECT doc_id, n_chars, (((${signedB("xxh")}) % 100) + 100) % 100 AS buc
 lab AS (SELECT doc_id, n_chars, CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split FROM asg)
 SELECT split, CAST(count(*) AS BIGINT) AS n_docs, round(avg(n_chars), 6) AS avg_chars FROM lab GROUP BY split ORDER BY split"""
 
+  /** Oracle for q_pack_sequences ([[graft.operators.Packing.packDocuments]]
+    * defaults: contextLen 256, 8 shards): shard = pmod(xxhash64(doc_id),
+    * nShards), then the per-shard NEXT-FIT recurrence runs as a recursive
+    * CTE over the doc_id-ranked rows — each iteration advances every shard
+    * by one document, so the working set stays at nShards rows and the
+    * iteration count is the largest shard size. Integer state only; bit-
+    * exact against the engine's sequential per-partition pass. */
+  def packSequences(contextLen: Int = 256, nShards: Int = 8): String =
+    s"""WITH RECURSIVE src AS (SELECT doc_id, CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS BIGINT) AS nt FROM documents),
+${xxhCtes(42L)},
+dd AS MATERIALIZED (SELECT doc_id, nt, CAST(((((${signedB("xxh")}) % $nShards) + $nShards) % $nShards) AS INTEGER) AS shard FROM xx),
+dr AS MATERIALIZED (SELECT doc_id, nt, shard, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rk FROM dd),
+r(shard, rk, doc_id, nt, bin, used) AS (
+  SELECT shard, rk, doc_id, nt, CAST(0 AS BIGINT), nt FROM dr WHERE rk = 1
+  UNION ALL
+  SELECT d.shard, d.rk, d.doc_id, d.nt, CASE WHEN r.used + d.nt > $contextLen THEN r.bin + 1 ELSE r.bin END, CASE WHEN r.used + d.nt > $contextLen THEN d.nt ELSE r.used + d.nt END FROM r JOIN dr d ON d.shard = r.shard AND d.rk = r.rk + 1)
+SELECT doc_id, shard, bin AS bin_idx, nt AS n_tokens FROM r ORDER BY doc_id"""
+
+  /** Oracle for q_text_lang ([[graft.operators.TextAnalysis.languageId]]):
+    * per-language marker-occurrence scores over the space-padded lowercased
+    * text — non-overlapping counts via length-delta replace, identical to
+    * the kernel's indexOf scan — with the kernel's largest-code tie-break
+    * (ORDER BY score DESC, lang DESC). The marker table is generated from
+    * [[graft.functions.TextImpl.Profiles]] so the two can't drift. */
+  def textLang: String = {
+    val scores = graft.functions.TextImpl.Profiles.map { case (lang, markers) =>
+      val parts = markers
+        .map(m => s"(length(s) - length(replace(s, '$m', ''))) // ${m.length}")
+        .mkString(" + ")
+      s"SELECT doc_id, '$lang' AS lang, CAST($parts AS DOUBLE) AS score FROM padded"
+    }.mkString(" UNION ALL ")
+    s"""WITH padded AS MATERIALIZED (SELECT doc_id, ' ' || lower(text) || ' ' AS s FROM documents),
+scores AS ($scores),
+ranked AS (SELECT doc_id, lang, score, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn FROM scores)
+SELECT doc_id, lang AS lang_pred, round(score, 4) AS lang_score FROM ranked WHERE rn = 1 ORDER BY doc_id"""
+  }
+
   /** Oracle for q_mixture ([[graft.operators.Sampling.mixtureBySource]]
     * with the query's targets src0 0.6 / src1 0.25 / src2 0.15): the
     * water-filling N-star = min of tokens_s/p_s and the per-source keep

@@ -314,6 +314,8 @@ object SparkEntry {
     "q_dedup_indexed" -> MinhashOracleSql.incrementalSurvivors(),
     "q_ann_int8" -> KernelOracleSql.annInt8(),
     "q_dedup_groups" -> MinhashOracleSql.nearDupGroups(),
+    "q_pack_sequences" -> KernelOracleSql.packSequences(),
+    "q_text_lang" -> KernelOracleSql.textLang,
     "q_embed_neardup" -> SrpOracleSql.embedNearDups(),
     "q_embed_groups" -> SrpOracleSql.embedGroups(),
     "q_ann_lsh" -> SrpOracleSql.annLsh(),
