@@ -64,10 +64,16 @@ def main():
                 "gate runs), fully MATERIALIZED into a temp table including "
                 "its ORDER BY — matching what `graft.Bench` forces through "
                 "its noop sink. One untimed warmup run precedes the timed "
-                "runs, mirroring Bench's protocol. Rows-only queries (no "
-                "SQL oracle: LSH/minhash/"
-                "simhash/language-id/fingerprint/sampling) have no baseline "
-                "row; compare them on absolute Bench numbers only.\n\n")
+                "runs, mirroring Bench's protocol. The hash-kernel queries "
+                "(minhash/LSH/simhash/SRP/xxhash families) run as portable-"
+                "SQL re-derivations of the engine's custom kernels "
+                "(MinhashOracleSql/KernelOracleSql/SrpOracleSql) — DuckDB "
+                "has no native equivalents, so their baseline rows measure "
+                "SQL-expressed semantics, not a tuned native implementation; "
+                "read per-query ratios on those rows with that in mind. "
+                "Rows-only queries (IVF/approx-percentiles/stratified-"
+                "sample/freq-sketch — approximate or RNG-based by design) "
+                "have no baseline row.\n\n")
         f.write("| query | duckdb_sec |\n|---|---|\n")
         for name in sorted(ok):
             f.write(f"| {name} | {ok[name]:.3f} |\n")
