@@ -227,20 +227,35 @@ sc AS (SELECT p.vec_a, p.vec_b, $pairCosine AS dot, na.nrm AS na, nb.nrm AS nb F
 cosed AS (SELECT vec_a, vec_b, CASE WHEN sqrt(na) * sqrt(nb) = 0.0 THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nb)) END AS cos FROM sc)
 SELECT vec_a, vec_b, round(max(cos), 6) AS cosine FROM cosed WHERE cos >= $minCosine GROUP BY vec_a, vec_b ORDER BY vec_a, vec_b"""
 
+  /** Shared CTE chain for the component queries: SRP buckets → candidate
+    * pairs → cosine-verified edges → recursive-CTE connected components
+    * (`comp(vec_id, gid)`, min-id canonical; singletons absent). */
+  private def compCtes(minCosine: Double, nBits: Int, nTables: Int): String =
+    s"""${srpCtes(nBits, nTables)},
+cpair AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b FROM bkt a JOIN bkt b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+sc AS (SELECT p.vec_a, p.vec_b, $pairCosine AS dot, na.nrm AS na, nb.nrm AS nb FROM cpair p JOIN d da ON da.vec_id = p.vec_a JOIN d db ON db.vec_id = p.vec_b JOIN norms na ON na.vec_id = p.vec_a JOIN norms nb ON nb.vec_id = p.vec_b),
+e AS MATERIALIZED (SELECT vec_a, vec_b FROM sc WHERE (CASE WHEN sqrt(na) * sqrt(nb) = 0.0 THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nb)) END) >= $minCosine),
+eb AS MATERIALIZED (SELECT vec_a AS an, vec_b AS bn FROM e UNION ALL SELECT vec_b, vec_a FROM e),
+r(n, m) AS (SELECT an, an FROM eb UNION SELECT eb.bn, r.m FROM r JOIN eb ON eb.an = r.n),
+comp AS (SELECT n AS vec_id, min(m) AS gid FROM r GROUP BY n)"""
+
   /** Oracle for q_embed_groups
     * ([[graft.operators.Similarity.embeddingNearDupGroups]]): the near-dup
     * pairs above → recursive-CTE connected components → min vec_id per
     * component, singletons keep their own id. */
   def embedGroups(minCosine: Double = 0.35, nBits: Int = 4,
                   nTables: Int = 8): String =
-    s"""WITH RECURSIVE ${srpCtes(nBits, nTables)},
-cpair AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b FROM bkt a JOIN bkt b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
-sc AS (SELECT p.vec_a, p.vec_b, $pairCosine AS dot, na.nrm AS na, nb.nrm AS nb FROM cpair p JOIN d da ON da.vec_id = p.vec_a JOIN d db ON db.vec_id = p.vec_b JOIN norms na ON na.vec_id = p.vec_a JOIN norms nb ON nb.vec_id = p.vec_b),
-e AS MATERIALIZED (SELECT vec_a, vec_b FROM sc WHERE (CASE WHEN sqrt(na) * sqrt(nb) = 0.0 THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nb)) END) >= $minCosine),
-eb AS MATERIALIZED (SELECT vec_a AS an, vec_b AS bn FROM e UNION ALL SELECT vec_b, vec_a FROM e),
-r(n, m) AS (SELECT an, an FROM eb UNION SELECT eb.bn, r.m FROM r JOIN eb ON eb.an = r.n),
-comp AS (SELECT n AS vec_id, min(m) AS gid FROM r GROUP BY n)
+    s"""WITH RECURSIVE ${compCtes(minCosine, nBits, nTables)}
 SELECT emb.vec_id, coalesce(comp.gid, emb.vec_id) AS group_id FROM embeddings emb LEFT JOIN comp ON emb.vec_id = comp.vec_id ORDER BY emb.vec_id"""
+
+  /** Oracle for q_dedup_semantic
+    * ([[graft.operators.Similarity.semanticDedup]]): the component
+    * canonicals only — rows whose group id is their own vec_id — with the
+    * vector's label. */
+  def semanticSurvivors(minCosine: Double = 0.35, nBits: Int = 4,
+                        nTables: Int = 8): String =
+    s"""WITH RECURSIVE ${compCtes(minCosine, nBits, nTables)}
+SELECT emb.vec_id, emb.label FROM embeddings emb LEFT JOIN comp ON emb.vec_id = comp.vec_id WHERE coalesce(comp.gid, emb.vec_id) = emb.vec_id ORDER BY emb.vec_id"""
 
   /** Oracle for q_ann_lsh ([[graft.operators.Similarity.lshTopK]] defaults:
     * 10 queries, k=5, nBits=12, nTables=8, probeHamming=3): the query side
@@ -260,6 +275,21 @@ cosed AS (SELECT query_id, neighbor_id, CASE WHEN sqrt(na) * sqrt(nb) = 0.0 THEN
 ranked AS (SELECT query_id, neighbor_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn FROM cosed)
 SELECT query_id, neighbor_id, round(cos, 6) AS cosine FROM ranked WHERE rn <= $topK ORDER BY query_id, neighbor_id"""
   }
+
+  /** Oracle for q_knn_classify
+    * ([[graft.operators.Similarity.knnClassify]]): the q_ann_topk
+    * brute-force neighbor ranking (DuckDB's native cosine — the ranked
+    * set is already proven hash-equal to the engine's kernel by
+    * q_ann_topk), then a majority vote over the neighbors' labels with
+    * the engine's (votes DESC, label ASC) tie-break. */
+  def knnClassify(nQueries: Int = 10, topK: Int = 5): String =
+    s"""WITH nb AS (SELECT query_id, neighbor_id FROM (
+SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS rn
+FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id WHERE q.vec_id < $nQueries) WHERE rn <= $topK),
+votes AS (SELECT nb.query_id, e.label AS pred_label, count(*) AS votes FROM nb JOIN embeddings e ON e.vec_id = nb.neighbor_id GROUP BY 1, 2),
+ranked AS (SELECT query_id, pred_label, votes, row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, pred_label ASC) AS rn FROM votes)
+SELECT query_id, pred_label, votes FROM ranked WHERE rn = 1 ORDER BY query_id"""
 }
 
 /** DuckDB oracle SQL for the remaining hash-kernel queries: SimHash

@@ -176,6 +176,18 @@ object SparkEntry {
         .orderBy(col("l_returnflag"), col("rnk"))
     }),
     "q_window_running" -> ((s, d) => Analytics.windowRunning(Tables(s, d))),
+    "q_lead_lag" -> ((s, d) => Analytics.eventGaps(Tables(s, d))),
+    "q_ntile" -> ((s, d) => Analytics.sourceDeciles(Tables(s, d))),
+    "q_cube" -> ((s, d) => Analytics.cubeAgg(Tables(s, d))),
+    "q_corr_stats" -> ((s, d) => Analytics.corrStats(Tables(s, d))),
+    "q_histogram" -> ((s, d) => Analytics.priceHistogram(Tables(s, d))),
+    "q_range_join" -> ((s, d) => Analytics.clicksBeforePurchase(Tables(s, d))),
+    "q_mode_user" -> ((s, d) => Analytics.modalEventType(Tables(s, d))),
+    "q_approx_distinct" -> ((s, d) => Analytics.approxDistinctUsers(Tables(s, d))),
+    "q_events_sliding" -> ((s, d) => Analytics.slidingWindowCounts(Tables(s, d))),
+    "q_dedup_semantic" -> ((s, d) => Similarity.semanticDedup(Tables(s, d))),
+    "q_knn_classify" -> ((s, d) => Similarity.knnClassify(Tables(s, d))),
+    "q_embed_centroids" -> ((s, d) => Similarity.labelCentroids(Tables(s, d))),
     "q_having" -> ((s, d) => Analytics.having(Tables(s, d))),
     "q_semi_join" -> ((s, d) => Analytics.semiJoin(Tables(s, d))),
     "q_anti_join" -> ((s, d) => Analytics.antiJoin(Tables(s, d))),
@@ -526,6 +538,53 @@ object SparkEntry {
         "CAST(FLOOR(any_value(scale) * 1000000000.0 + 0.5) AS BIGINT) AS scale_q, " +
         "CAST(FLOOR(max(abs(qi * scale - x)) * 1000000000.0 + 0.5) AS BIGINT) AS max_err_q " +
         "FROM q GROUP BY vec_id ORDER BY vec_id"),
+    "q_lead_lag" ->
+      ("SELECT user_id, event_id, gap_us, next_type FROM (" +
+        "SELECT user_id, event_id, " +
+        "epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us, " +
+        "coalesce(lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id), '') AS next_type " +
+        "FROM events) WHERE gap_us IS NOT NULL ORDER BY user_id, event_id"),
+    "q_ntile" ->
+      ("WITH tok AS (SELECT doc_id, source, len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS n_tokens FROM documents), " +
+        "tiled AS (SELECT source, n_tokens, CAST(ntile(10) OVER (PARTITION BY source ORDER BY n_tokens, doc_id) AS BIGINT) AS decile FROM tok) " +
+        "SELECT source, decile, count(*) AS n_docs, min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens " +
+        "FROM tiled GROUP BY source, decile ORDER BY source, decile"),
+    "q_cube" ->
+      ("SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty " +
+        "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) " +
+        "ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"),
+    "q_corr_stats" ->
+      ("SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr, " +
+        "round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar, " +
+        "round(stddev_samp(l_quantity), 4) AS qty_stddev, " +
+        "round(stddev_samp(l_extendedprice), 2) AS price_stddev " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q_histogram" ->
+      ("SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket, count(*) AS n_orders, " +
+        "round(min(o_totalprice), 2) AS min_price, round(max(o_totalprice), 2) AS max_price " +
+        "FROM orders GROUP BY 1 ORDER BY bucket"),
+    "q_range_join" ->
+      ("SELECT p.event_id, p.user_id, count(c.event_id) AS n_recent_clicks " +
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
+        "LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c " +
+        "ON c.user_id = p.user_id AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000 AND epoch_us(c.ts) < epoch_us(p.ts) " +
+        "GROUP BY p.event_id, p.user_id ORDER BY p.event_id"),
+    "q_mode_user" ->
+      ("WITH cnt AS (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2), " +
+        "rk AS (SELECT user_id, event_type, n, row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type ASC) AS rn FROM cnt) " +
+        "SELECT user_id, event_type, n FROM rk WHERE rn = 1 ORDER BY user_id"),
+    "q_events_sliding" ->
+      ("WITH ex AS (SELECT make_timestamp((epoch_us(ts) // 1800000000 - k) * 1800000000) AS w_start_ts, event_type, value " +
+        "FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)) " +
+        "SELECT strftime(w_start_ts, '%Y-%m-%d %H:%M:%S') AS w_start, event_type, " +
+        "count(*) AS n_events, round(sum(value), 4) AS sum_value " +
+        "FROM ex GROUP BY 1, 2 ORDER BY w_start, event_type"),
+    "q_dedup_semantic" -> SrpOracleSql.semanticSurvivors(),
+    "q_knn_classify" -> SrpOracleSql.knnClassify(),
+    "q_embed_centroids" ->
+      ("SELECT label, CAST(i AS BIGINT) AS dim, count(*) AS n_vecs, round(avg(x), 6) AS centroid " +
+        "FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x, generate_subscripts(embedding, 1) AS i FROM embeddings) " +
+        "GROUP BY label, i ORDER BY label, dim"),
     "q_asof_join" ->
       ("SELECT e.event_id, e.user_id, strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts, " +
         "round(p.value, 4) AS purchase_value, strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts " +

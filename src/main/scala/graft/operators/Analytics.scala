@@ -256,6 +256,163 @@ object Analytics {
         round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50_price"))
       .orderBy("l_returnflag")
 
+  /** Per-user event gaps: lag() gives the microseconds since the user's
+    * previous event, lead() the type of the next one — the row-adjacent
+    * window pair that powers funnel/dwell-time features. One shuffle,
+    * user-partitioned (bounded per-user state at any corpus size); the gap
+    * arithmetic stays on integer epoch-micros. First events (no
+    * predecessor) are dropped; the last event's missing successor is the
+    * empty string so the output stays hashable. */
+  def eventGaps(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    t.events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("next_type", coalesce(lead(col("event_type"), 1).over(w), lit("")))
+      .filter(col("gap_us").isNotNull)
+      .select("user_id", "event_id", "gap_us", "next_type")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Per-source document-length deciles: ntile(10) over (n_tokens, doc_id)
+    * within each source, then one aggregation per (source, decile). The
+    * window partitions by source — per-partition state is bounded by the
+    * source's size, and a global decile at corpus scale is the
+    * percentile-threshold banding ([[groupPercentilesApprox]] thresholds +
+    * CASE), not a single-partition window; this row establishes the ntile
+    * surface on the partitioned shape. The (n_tokens, doc_id) order is
+    * total, so tile assignment is deterministic on both engines. */
+  def sourceDeciles(t: Tables): DataFrame = {
+    val nTokens = size(filter(
+      split(lower(trim(col("text"))), "\\s+"), tk => tk =!= ""))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_tokens").asc, col("doc_id").asc)
+    t.documents
+      .select(col("doc_id"), col("source"), nTokens.as("n_tokens"))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy("source", "decile")
+      .agg(count(lit(1)).as("n_docs"),
+        min("n_tokens").as("min_tokens"), max("n_tokens").as("max_tokens"))
+      .orderBy("source", "decile")
+  }
+
+  /** CUBE aggregation: all four grouping sets of (flag, status) in one
+    * pass — Catalyst expands the sets and the aggregation stays
+    * partial+final, so the extra sets cost map-side work, not extra
+    * shuffles. */
+  def cubeAgg(t: Tables): DataFrame =
+    t.lineitem
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Bivariate statistics per group: Pearson correlation, sample
+    * covariance, and sample stddevs of quantity vs price. All four are
+    * single-pass mergeable moment aggregates (partial+final — no second
+    * scan for the means); rounding keeps the oracle compare clear of
+    * summation-order ulp drift. */
+  def corrStats(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        round(corr("l_quantity", "l_extendedprice"), 4).as("qty_price_corr"),
+        round(covar_samp("l_quantity", "l_extendedprice"), 2).as("qty_price_covar"),
+        round(stddev_samp("l_quantity"), 4).as("qty_stddev"),
+        round(stddev_samp("l_extendedprice"), 2).as("price_stddev"))
+      .orderBy("l_returnflag")
+
+  /** Fixed-width histogram of order totals: integer bucket arithmetic
+    * (floor(x / width)) — deterministic on every engine, no
+    * data-dependent bin edges to disagree on — then one hash aggregation.
+    * The classic distribution-profiling scan: narrow projection, one
+    * shuffle of (bucket → partials). */
+  def priceHistogram(t: Tables, width: Double = 25000.0): DataFrame =
+    t.orders
+      .select(floor(col("o_totalprice") / width).cast("long").as("bucket"),
+        col("o_totalprice"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_orders"),
+        round(min("o_totalprice"), 2).as("min_price"),
+        round(max("o_totalprice"), 2).as("max_price"))
+      .orderBy("bucket")
+
+  /** Time-bounded range join: for each purchase, the number of clicks by
+    * the same user in the preceding hour. The scale shape is the BINNED
+    * range join: both sides get an hour-granularity time bin, the purchase
+    * side probes its own bin and the previous one (a bounded fan-out of 2,
+    * on the purchase side only), and the join is a plain EQUI-join on
+    * (user, bin) with the exact range predicate applied map-side — never
+    * an inequality-only join that degenerates to per-key cross products.
+    * Each (purchase, click) pair can match in at most one bin (the click's
+    * bin is a single value), so no post-join dedup is needed. */
+  def clicksBeforePurchase(t: Tables, windowMinutes: Int = 60): DataFrame = {
+    val winUs = windowMinutes.toLong * 60L * 1000000L
+    val binned = t.events.withColumn("_us", unix_micros(col("ts")))
+      .withColumn("_bin", floor(col("_us") / winUs))
+    val clicks = binned.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("_us").as("c_us"), col("_bin").as("c_bin"))
+    val purchases = binned.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("_us").as("p_us"),
+        explode(array(col("_bin"), col("_bin") - 1)).as("p_bin"))
+    val counts = purchases
+      .join(clicks,
+        col("user_id") === col("c_user") && col("p_bin") === col("c_bin") &&
+          col("c_us") >= col("p_us") - winUs && col("c_us") < col("p_us"))
+      .groupBy("event_id")
+      .agg(count(lit(1)).as("n"))
+    t.events.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id")
+      .join(counts, Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("n"), lit(0L)).as("n_recent_clicks"))
+      .orderBy("event_id")
+  }
+
+  /** Deterministic per-group mode: the most frequent event type per user,
+    * tie-broken by type name so both engines agree. Two-phase: one
+    * partial+final count aggregation shrinks the data to (user, type)
+    * cardinality, then the row_number window ranks those tiny per-user
+    * sets (InferWindowGroupLimit plants the partial group-limit below the
+    * exchange). Never `mode()` itself — its tie winner is
+    * engine-arbitrary. */
+  def modalEventType(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("n").desc, col("event_type").asc)
+    t.events
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_type", "n")
+      .orderBy("user_id")
+  }
+
+  /** Approximate distinct users per event type: HyperLogLog++ sketch
+    * (`approx_count_distinct`), constant memory per group regardless of
+    * cardinality and mergeable across partitions — the corpus-scale swap
+    * for exact COUNT(DISTINCT)'s full per-group key shuffle. rsd 0.5% —
+    * the spec bounds the observed error against the exact count. Sketch
+    * internals are engine-specific, so this is a rows-only query. */
+  def approxDistinctUsers(t: Tables, rsd: Double = 0.005): DataFrame =
+    t.events
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"))
+      .orderBy("event_type")
+
+  /** Sliding-window event counts: hour-long windows every 30 minutes —
+    * each event lands in exactly length/slide = 2 windows. Spark's
+    * `window()` expands the assignment map-side (a bounded fan-out, like
+    * the range join's bins) and the aggregation stays partial+final; the
+    * streaming twin is the same expression over readStream. */
+  def slidingWindowCounts(t: Tables): DataFrame =
+    t.events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("w_start", "event_type")
+
   /** As-of query over events: each click joined to the user's most recent
     * purchase at or before the click. */
   def eventsAsOf(t: Tables): DataFrame = {

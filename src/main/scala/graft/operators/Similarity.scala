@@ -386,4 +386,54 @@ object Similarity {
       .groupBy("vec_a", "vec_b")
       .agg(round(max("cosine"), 6).as("cosine"))
   }
+
+  /** Semantic dedup: keep ONE representative per embedding near-dup group
+    * (the component's canonical min vec_id — [[embeddingNearDupGroups]]'
+    * group id), drop the rest. The SemDeDup-style pass a training corpus
+    * runs after exact/fuzzy text dedup; survivors carry their label for
+    * downstream mixture accounting. Cost is the group operator itself
+    * (LSH-bounded edges + O(log n) CC rounds) plus one broadcast-sized
+    * join back to the metadata. */
+  def semanticDedup(t: Tables, minCosine: Double = 0.35,
+                    nBits: Int = 4, nTables: Int = 8): DataFrame =
+    embeddingNearDupGroups(t, minCosine, nBits, nTables)
+      .filter(col("vec_id") === col("group_id"))
+      .join(t.embeddings.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .select("vec_id", "label")
+      .orderBy("vec_id")
+
+  /** kNN label vote: classify each query vector by the majority label of
+    * its k exact nearest neighbors ([[bruteForceTopK]] — broadcast query
+    * side, corpus streams once). Vote counting is a tiny aggregation over
+    * nQueries·k rows; ties break on the smaller label so both engines
+    * agree. The scale path swaps the brute-force neighbor stage for
+    * [[lshTopK]] — the vote logic is identical. */
+  def knnClassify(t: Tables, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val neighbors = bruteForceTopK(t, nQueries, k)
+    val labels = t.embeddings.select(col("vec_id").as("neighbor_id"), col("label"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("pred_label").asc)
+    neighbors
+      .join(broadcast(labels), Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("label").as("pred_label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("query_id", "pred_label", "votes")
+      .orderBy("query_id")
+  }
+
+  /** Per-label embedding centroids, one row per (label, dimension):
+    * posexplode fans each vector into (label, dim, x) triples map-side and
+    * the mean is a plain partial+final aggregation — each partition
+    * reduces to labels×dims partials before the shuffle, so the shuffle
+    * volume is bounded by the label-space, not the corpus. Emitted 1-based
+    * (dim ∈ [1, d]) to match SQL's array subscripts. The label-space
+    * summary that drives cluster pruning and IVF-style seeding. */
+  def labelCentroids(t: Tables): DataFrame =
+    t.embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("_pos", "_x")))
+      .groupBy(col("label"), (col("_pos") + 1).cast("long").as("dim"))
+      .agg(count(lit(1)).as("n_vecs"), round(avg(col("_x").cast("double")), 6).as("centroid"))
+      .orderBy("label", "dim")
 }

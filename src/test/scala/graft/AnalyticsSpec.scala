@@ -221,4 +221,142 @@ class AnalyticsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
       s"as-of must not be a join:\n$plan")
   }
+
+  private def micros(t: Timestamp): Long =
+    t.getTime / 1000 * 1000000L + t.getNanos / 1000
+
+  test("eventGaps matches a per-user sequential recompute") {
+    val events = tables.events.select("user_id", "ts", "event_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+    val got = Analytics.eventGaps(tables).collect()
+      .map(r => r.getLong(1) -> (r.getLong(0), r.getLong(2), r.getString(3))).toMap
+    val byUser = events.groupBy(_._1)
+    assert(got.size == events.length - byUser.size) // first event per user dropped
+    byUser.foreach { case (u, rs) =>
+      val sorted = rs.sortBy(r => (micros(r._2), r._3))
+      sorted.sliding(2).filter(_.length == 2).zipWithIndex.foreach { case (pair, i) =>
+        val (prev, cur) = (pair(0), pair(1))
+        val (gu, gap, nxt) = got(cur._3)
+        assert(gu == u && gap == micros(cur._2) - micros(prev._2),
+          s"user $u event ${cur._3}: gap $gap")
+        val expectNext = if (i + 2 < sorted.length) sorted(i + 2)._4 else ""
+        assert(nxt == expectNext, s"user $u event ${cur._3}: next '$nxt' vs '$expectNext'")
+      }
+    }
+  }
+
+  test("sourceDeciles: full coverage, balanced tiles, non-decreasing token ranges") {
+    val rows = Analytics.sourceDeciles(tables).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4)))
+    assert(rows.map(_._3).sum == tables.documents.count())
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val ordered = rs.sortBy(_._2)
+      assert(ordered.map(_._2).toSeq == (1L to 10L), s"$src deciles")
+      // ntile balance: tile sizes differ by at most one
+      assert(ordered.map(_._3).max - ordered.map(_._3).min <= 1, s"$src unbalanced")
+      ordered.foreach { case (_, _, _, lo, hi) => assert(lo <= hi) }
+      ordered.sliding(2).filter(_.length == 2).foreach { w =>
+        assert(w(0)._5 <= w(1)._4, s"$src deciles ${w(0)._2}/${w(1)._2} overlap")
+      }
+    }
+  }
+
+  test("cubeAgg: all four grouping sets present and additive") {
+    val rows = Analytics.cubeAgg(tables).collect()
+    val total = tables.lineitem.count()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1 && grand.head.getLong(2) == total)
+    val leaves = rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+    assert(leaves.map(_.getLong(2)).sum == total)
+    val flagMargins = rows.filter(r => !r.isNullAt(0) && r.isNullAt(1))
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    leaves.groupBy(_.getString(0)).foreach { case (flag, rs) =>
+      assert(flagMargins(flag) == rs.map(_.getLong(2)).sum, s"flag $flag margin")
+    }
+    val statusMargins = rows.filter(r => r.isNullAt(0) && !r.isNullAt(1))
+    assert(statusMargins.map(_.getLong(2)).sum == total)
+  }
+
+  test("corrStats matches a driver-side moment recompute") {
+    val data = tables.lineitem.select("l_returnflag", "l_quantity", "l_extendedprice")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val got = Analytics.corrStats(tables).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.keySet == data.map(_._1).toSet)
+    data.groupBy(_._1).foreach { case (flag, rs) =>
+      val n = rs.length.toDouble
+      val (mq, mp) = (rs.map(_._2).sum / n, rs.map(_._3).sum / n)
+      val cov = rs.map(r => (r._2 - mq) * (r._3 - mp)).sum / (n - 1)
+      val (sq, sp) = (math.sqrt(rs.map(r => math.pow(r._2 - mq, 2)).sum / (n - 1)),
+        math.sqrt(rs.map(r => math.pow(r._3 - mp, 2)).sum / (n - 1)))
+      val (gc, gcov, gsq, gsp) = got(flag)
+      assert(math.abs(gc - cov / (sq * sp)) < 1e-3, s"$flag corr")
+      assert(math.abs(gcov - cov) / cov < 1e-4, s"$flag covar")
+      assert(math.abs(gsq - sq) < 1e-3 && math.abs(gsp - sp) / sp < 1e-4, s"$flag stddev")
+    }
+  }
+
+  test("priceHistogram buckets are exhaustive and internally consistent") {
+    val rows = Analytics.priceHistogram(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(_._2).sum == tables.orders.count())
+    rows.foreach { case (b, n, lo, hi) =>
+      assert(n > 0 && lo <= hi)
+      assert(lo >= b * 25000.0 && hi < (b + 1) * 25000.0, s"bucket $b bounds [$lo,$hi]")
+    }
+  }
+
+  test("clicksBeforePurchase matches brute force and avoids cross-product plans") {
+    val events = tables.events.select("event_id", "user_id", "ts", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), micros(r.getTimestamp(2)), r.getString(3)))
+    val clicks = events.filter(_._4 == "click")
+    val winUs = 3600L * 1000000L
+    val expected = events.filter(_._4 == "purchase").map { p =>
+      p._1 -> clicks.count(c => c._2 == p._2 && c._3 >= p._3 - winUs && c._3 < p._3).toLong
+    }.toMap
+    val got = Analytics.clicksBeforePurchase(tables).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == expected)
+    val plan = planOf(Analytics.clicksBeforePurchase(tables))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"range join must stay an equi-join:\n$plan")
+  }
+
+  test("modalEventType picks each user's most frequent type, smallest-name tie-break") {
+    val counts = tables.events.select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(identity).map { case ((u, t), hits) => (u, t, hits.length.toLong) }
+    val expected = counts.groupBy(_._1).map { case (u, rs) =>
+      val best = rs.toSeq.sortBy(r => (-r._3, r._2)).head
+      u -> (best._2, best._3)
+    }
+    val got = Analytics.modalEventType(tables).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got == expected)
+  }
+
+  test("approxDistinctUsers tracks exact COUNT DISTINCT within the sketch rsd") {
+    val exact = tables.events.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = Analytics.approxDistinctUsers(tables).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (t, n) =>
+      assert(math.abs(approx(t) - n).toDouble / n <= 0.05, s"$t: ${approx(t)} vs $n")
+    }
+  }
+
+  test("slidingWindowCounts assigns every event to exactly length/slide windows") {
+    val rows = Analytics.slidingWindowCounts(tables).collect()
+    val nEvents = tables.events.count()
+    assert(rows.map(_.getLong(2)).sum == 2 * nEvents)
+    val sumValue = tables.events.agg(sum("value")).head().getDouble(0)
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 2 * sumValue) < 0.01)
+    // window starts land on the 30-minute grid
+    rows.foreach { r =>
+      val m = r.getString(0).substring(14, 16).toInt
+      assert(m == 0 || m == 30, s"off-grid window start ${r.getString(0)}")
+    }
+  }
 }

@@ -179,4 +179,52 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"near-dup must not be all-pairs:\n$plan")
   }
+
+  test("semanticDedup keeps exactly the canonical representative of each group") {
+    val groups = Similarity.embeddingNearDupGroups(tables).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val survivors = Similarity.semanticDedup(tables).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(survivors.keySet == groups.values.toSet) // one survivor per component
+    val labels = tables.embeddings.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    survivors.foreach { case (id, l) =>
+      assert(groups(id) == id, s"survivor $id is not its group's canonical")
+      assert(l == labels(id))
+    }
+  }
+
+  test("knnClassify is the majority label of the brute-force neighbor set") {
+    val neighbors = Similarity.bruteForceTopK(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val labels = tables.embeddings.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val expected = neighbors.groupBy(_._1).map { case (q, ns) =>
+      val votes = ns.map(n => labels(n._2)).groupBy(identity)
+        .map { case (l, hits) => (l, hits.length.toLong) }.toSeq
+      val best = votes.sortBy(v => (-v._2, v._1)).head
+      q -> best
+    }
+    val got = Similarity.knnClassify(tables).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(got == expected && got.size == 10)
+  }
+
+  test("labelCentroids emits one dense row per (label, dim) with the exact mean") {
+    val vecs = tables.embeddings.collect()
+      .map(r => (r.getInt(2), r.getSeq[Float](1).toArray))
+    val dims = vecs.head._2.length
+    val rows = Similarity.labelCentroids(tables).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val nLabels = vecs.map(_._1).distinct.length
+    assert(rows.size == nLabels * dims)
+    vecs.groupBy(_._1).foreach { case (label, rs) =>
+      (1 to dims).foreach { d =>
+        val xs = rs.map(_._2(d - 1).toDouble)
+        val (n, c) = rows((label, d.toLong))
+        assert(n == rs.length)
+        assert(math.abs(c - xs.sum / xs.length) < 1e-5, s"$label dim $d")
+      }
+    }
+  }
 }
