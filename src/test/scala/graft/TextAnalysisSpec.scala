@@ -189,4 +189,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getString(r.fieldIndex("text_redacted")) == "ip <IP> logged")
     assert(r.getLong(r.fieldIndex("n_redactions")) == 1L)
   }
+
+  test("pmiBigrams matches a driver-side PMI recompute, no shuffle before the counts") {
+    val toks = tables.documents.collect().map { r =>
+      r.getString(r.fieldIndex("text")).toLowerCase.trim
+        .split("\\s+").filter(_.nonEmpty).toSeq
+    }
+    val uni = toks.flatten.groupBy(identity).map { case (w, hits) => w -> hits.length.toLong }
+    val n1 = uni.values.sum.toDouble
+    val big = toks.filter(_.length >= 2)
+      .flatMap(tk => tk.zip(tk.tail))
+      .groupBy(identity).map { case (p, hits) => p -> hits.length.toLong }
+    val n2 = big.values.sum.toDouble
+    val expected = big.toSeq.filter(_._2 >= 10).map { case ((a, b), c) =>
+      val pmi = math.log((c / n2) / ((uni(a) / n1) * (uni(b) / n1)))
+      (a, b, c, BigDecimal(pmi).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(r => (-r._4, r._1, r._2)).take(30)
+    val got = TextAnalysis.pmiBigrams(tables).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == 30)
+    assert(got.toSeq == expected)
+  }
 }
