@@ -428,4 +428,15 @@ src AS (SELECT tk.doc_id, tk.source, tk.n_tokens, kexpr FROM tk JOIN keepf USING
 ${xxhCtes(42L)},
 flt AS (SELECT doc_id, source, n_tokens, kexpr, (((${signedB("xxh")}) % 1000000) + 1000000) % 1000000 AS bucket FROM xx)
 SELECT doc_id, source, n_tokens, round(CAST(kexpr AS DOUBLE) / 1000000, 6) AS keep_frac FROM flt WHERE bucket < kexpr ORDER BY doc_id"""
+
+  /** Oracle for q_weighted_sample
+    * ([[graft.operators.Sampling.weightedSample]]): the hash-keyed A-ES
+    * ranking re-derived — u from the same xxhash64(doc_id) bucket
+    * arithmetic, key = ln(u)/n_tokens, top-k by (key DESC, doc_id). */
+  def weightedSample(k: Int = 50, denom: Long = 1L << 20): String =
+    s"""WITH src AS (SELECT doc_id, source, CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS BIGINT) AS n_tokens FROM documents),
+${xxhCtes(42L)},
+keyed AS (SELECT doc_id, source, n_tokens, ln((((((${signedB("xxh")}) % $denom) + $denom) % $denom) + 0.5) / $denom) / n_tokens AS k FROM xx WHERE n_tokens > 0),
+top AS (SELECT doc_id, source, n_tokens FROM keyed ORDER BY k DESC, doc_id ASC LIMIT $k)
+SELECT doc_id, source, n_tokens FROM top ORDER BY doc_id"""
 }

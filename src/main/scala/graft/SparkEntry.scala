@@ -249,6 +249,10 @@ object SparkEntry {
       import graft.operators.Sampling
       Sampling.documentSplits(Tables(s, d))
     }),
+    "q_weighted_sample" -> ((s, d) => {
+      import graft.operators.Sampling
+      Sampling.weightedSample(Tables(s, d))
+    }),
     "q_sample_stratified" -> ((s, d) => {
       import graft.operators.Sampling
       Sampling.stratifiedEvents(Tables(s, d),
@@ -340,6 +344,7 @@ object SparkEntry {
     "q_ann_lsh" -> SrpOracleSql.annLsh(),
     "q_text_fingerprint" -> KernelOracleSql.rollingFingerprints,
     "q_split_assign" -> KernelOracleSql.splitAssign,
+    "q_weighted_sample" -> KernelOracleSql.weightedSample(),
     "q_mixture" -> KernelOracleSql.mixture,
     "q_dedup_exact_rows" ->
       "SELECT doc_id, lang, source FROM documents WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(lower(trim(text)))) ORDER BY doc_id",

@@ -100,4 +100,30 @@ object Sampling {
       .select("doc_id", "source", "n_tokens", "keep_frac")
       .orderBy("doc_id")
   }
+
+  /** Deterministic weighted sample WITHOUT replacement, k documents with
+    * probability ∝ token count — Efraimidis–Spirakis A-ES keyed on a
+    * CONTENT hash instead of an RNG: u = uniform(0,1) derived from
+    * xxhash64(doc_id), key = ln(u)/w, global top-k by key. Like
+    * [[assignSplits]], membership is a pure function of content —
+    * partition-count- and task-order-independent, reproducible across
+    * re-runs and engines (the SQL oracle re-derives the identical
+    * arithmetic). One narrow scan + TakeOrdered per-partition heaps; no
+    * corpus shuffle at any scale. Zero-token documents carry zero weight
+    * and are excluded (ln(u)/0 is undefined — they can never win). */
+  def weightedSample(t: Tables, k: Int = 50,
+                     denom: Int = 1 << 20): DataFrame = {
+    val nTokens = size(filter(
+      split(lower(trim(col("text"))), "\\s+"), tk => tk =!= ""))
+    val u = (pmod(xxhash64(col("doc_id")), lit(denom.toLong)).cast("double") +
+      lit(0.5)) / lit(denom.toDouble)
+    t.documents
+      .select(col("doc_id"), col("source"), nTokens.cast("bigint").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("_key", log(u) / col("n_tokens"))
+      .orderBy(col("_key").desc, col("doc_id").asc)
+      .limit(k)
+      .select("doc_id", "source", "n_tokens")
+      .orderBy("doc_id")
+  }
 }

@@ -32,6 +32,23 @@ object EventStreams {
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Watermarked SLIDING-window aggregation — the streaming twin of
+    * [[graft.operators.Analytics.slidingWindowCounts]]: hour-long windows
+    * every 30 minutes, each event expanded map-side into its
+    * length/slide = 2 windows. Same bounded-state story as the tumbling
+    * form: a (window, type) group is finalized and dropped once the
+    * watermark passes the window end. */
+  def slidingCounts(events: DataFrame,
+                    watermark: String = "10 minutes",
+                    windowLen: String = "1 hour",
+                    slide: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
   /** Session windows via the built-in `session_window` (gap-based), the
     * declarative + scalable path for sessionization. */
   def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =

@@ -81,4 +81,34 @@ class SamplingSpec extends SparkSpec {
       Sampling.mixtureBySource(tables, Map("nope" -> 1.0)) // unknown source
     }
   }
+
+  test("weightedSample matches a driver-side A-ES recompute and is repartition-stable") {
+    val k = 50
+    val got = Sampling.weightedSample(tables, k).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.length == k && got.map(_._1).toSeq == got.map(_._1).sorted.toSeq)
+    // driver-side recompute from the engine's own hash (xxhash64 via a
+    // 1-column query) — the ranking arithmetic is then re-derived locally
+    val hashed = tables.documents
+      .select(col("doc_id"), col("source"),
+        size(filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= ""))
+          .cast("bigint").as("n_tokens"),
+        pmod(xxhash64(col("doc_id")), lit(1L << 20)).as("bucket"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val expected = hashed.filter(_._3 > 0).map { case (id, src, nt, b) =>
+      (id, src, nt, math.log((b + 0.5) / (1L << 20).toDouble) / nt)
+    }.sortBy(r => (-r._4, r._1)).take(k)
+      .map(r => (r._1, r._2, r._3)).sortBy(_._1)
+    assert(got.toSeq == expected.toSeq)
+    // long documents must be overrepresented vs a uniform draw
+    val meanSampled = got.map(_._3).sum.toDouble / k
+    val meanAll = hashed.map(_._3).sum.toDouble / hashed.length
+    assert(meanSampled > meanAll, s"sampled mean $meanSampled <= corpus mean $meanAll")
+    // content-determinism: identical on a reshuffled, repartitioned input
+    val again = Sampling.weightedSample(
+      tables.withTable("documents", tables.documents.orderBy(rand(3)).repartition(7)), k)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(again.toSeq == got.toSeq)
+  }
 }

@@ -73,6 +73,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming slidingCounts equals the batch sliding-window operator") {
+    val src = "target/test-stream-slide"
+    tables.events.write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema).parquet(src)
+    val q = EventStreams.slidingCounts(stream)
+      .writeStream.format("memory").queryName("fsc").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      // date_format in the session tz on BOTH sides (never Timestamp.valueOf,
+      // which would parse in the JVM-default zone)
+      val got = spark.table("fsc")
+        .select(date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val want = graft.operators.Analytics.slidingWindowCounts(
+        tables.withTable("events", spark.read.parquet(src))).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got == want && got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("dedupStream drops repeated event ids across micro-batches within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
