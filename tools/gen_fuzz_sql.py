@@ -118,9 +118,51 @@ def gen_one(rng):
     shape = rng.choice(["scan", "distinct", "agg", "groupby", "join",
                         "groupby2", "having", "limit", "join3",
                         "leftjoin", "case", "window_rank", "window_runsum",
-                        "setop", "scalar_sub"])
+                        "setop", "scalar_sub",
+                        "cube", "rollup", "ntile", "leadlag", "percent_rank"])
     t = rng.choice(list(TABLES))
     cols = TABLES[t]
+    if shape in ("cube", "rollup"):
+        # grouping sets: explicit NULLS FIRST everywhere (Spark defaults
+        # NULLS FIRST on ASC, DuckDB defaults NULLS LAST)
+        pool = cols["str"] + cols["int"]
+        gs = sorted(set(rng.sample(pool, min(2, len(pool)))))
+        kw = "CUBE" if shape == "cube" else "ROLLUP"
+        order = ", ".join(f"{g} NULLS FIRST" for g in gs)
+        # HAVING n > 0: on an EMPTY input DuckDB emits the standard's
+        # grand-total row (n=0) while Spark's Expand emits nothing; the
+        # HAVING is an identity on non-empty inputs (every grouping-set row
+        # counts >= 1) and aligns the empty case
+        return (f"SELECT {', '.join(gs)}, COUNT(*) AS n FROM {t}"
+                f"{where(rng, t, cols)} GROUP BY {kw} ({', '.join(gs)}) "
+                f"HAVING COUNT(*) > 0 ORDER BY {order}")
+    if shape == "ntile":
+        c = rng.choice(cols["num"] + cols["int"])
+        k = rng.randint(2, 12)
+        keys = cols["key"]
+        sel = sorted(set([c] + keys))
+        # the window ORDER BY ends with the unique key → total order →
+        # deterministic tile assignment on both engines
+        return (f"SELECT {', '.join(sel)}, NTILE({k}) OVER "
+                f"(ORDER BY {c}, {', '.join(keys)}) AS tile FROM {t}"
+                f"{where(rng, t, cols)} ORDER BY {', '.join(keys)}")
+    if shape == "leadlag":
+        c = rng.choice(cols["num"] + cols["int"])
+        keys = cols["key"]
+        fn = rng.choice(["LAG", "LEAD"])
+        sel = sorted(set([c] + keys))
+        # LAG/LEAD copy raw column values (no arithmetic) → exact compare
+        return (f"SELECT {', '.join(sel)}, {fn}({c}) OVER "
+                f"(ORDER BY {', '.join(keys)}) AS adj FROM {t}"
+                f"{where(rng, t, cols)} ORDER BY {', '.join(keys)}")
+    if shape == "percent_rank":
+        c = rng.choice(cols["num"] + cols["int"])
+        keys = cols["key"]
+        sel = sorted(set([c] + keys))
+        return (f"SELECT {', '.join(sel)}, CAST(FLOOR(PERCENT_RANK() OVER "
+                f"(ORDER BY {c}, {', '.join(keys)}) * 10000 + 0.5) AS BIGINT) "
+                f"AS q_pr FROM {t}{where(rng, t, cols)} "
+                f"ORDER BY {', '.join(keys)}")
     if shape == "window_rank":
         g = rng.choice(cols["str"] + [cols["int"][-1]])
         o = rng.choice(cols["num"] + cols["int"])
