@@ -127,13 +127,31 @@ est AS (SELECT doc_a, doc_b, round(sum(CASE WHEN sa.sv = sb.sv THEN 1 ELSE 0 END
   /** Oracle for q_dedup_lsh_verified
     * ([[graft.operators.Dedup.lshVerifiedPairs]] defaults: candidates at
     * est ≥ 0.2, exact w=2-shingle Jaccard ≥ 0.5 on candidates only). */
-  def lshVerifiedPairs(k: Int = 64, bands: Int = 16, seed: Long = 42L,
-                       minEst: Double = 0.2, minJaccard: Double = 0.5): String =
-    s"""WITH ${sigCtes(k, bands, seed)}, ${selfEstCtes(k)},
+  /** Shared CTE chain ending in `vpairs(doc_a, doc_b, jac)` — the
+    * LSH-candidate → exact-shingle-Jaccard-verified pair set both
+    * [[lshVerifiedPairs]] and [[nearDupRates]] read. */
+  private def verifiedCtes(k: Int, bands: Int, seed: Long,
+                           minEst: Double, minJaccard: Double): String =
+    s"""${sigCtes(k, bands, seed)}, ${selfEstCtes(k)},
 ssz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
 cpairs AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= $minEst),
-inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common FROM cpairs c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b AND a.s = b.s GROUP BY c.doc_a, c.doc_b)
-SELECT doc_a, doc_b, round(n_common / (sa.sz + sb.sz - n_common), 6) AS jaccard FROM inter JOIN ssz sa ON sa.doc_id = doc_a JOIN ssz sb ON sb.doc_id = doc_b WHERE n_common / (sa.sz + sb.sz - n_common) >= $minJaccard ORDER BY doc_a, doc_b"""
+inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common FROM cpairs c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b AND a.s = b.s GROUP BY c.doc_a, c.doc_b),
+vpairs AS (SELECT doc_a, doc_b, n_common / (sa.sz + sb.sz - n_common) AS jac FROM inter JOIN ssz sa ON sa.doc_id = doc_a JOIN ssz sb ON sb.doc_id = doc_b WHERE n_common / (sa.sz + sb.sz - n_common) >= $minJaccard)"""
+
+  def lshVerifiedPairs(k: Int = 64, bands: Int = 16, seed: Long = 42L,
+                       minEst: Double = 0.2, minJaccard: Double = 0.5): String =
+    s"""WITH ${verifiedCtes(k, bands, seed, minEst, minJaccard)}
+SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM vpairs ORDER BY doc_a, doc_b"""
+
+  /** Oracle for q_dedup_rates ([[graft.operators.Dedup.nearDupRates]]):
+    * the verified pair set labeled with each side's source, pair order
+    * normalized (least/greatest) so (a,b) and (b,a) collapse, counted per
+    * source pair. */
+  def nearDupRates(k: Int = 64, bands: Int = 16, seed: Long = 42L,
+                   minEst: Double = 0.2, minJaccard: Double = 0.5): String =
+    s"""WITH ${verifiedCtes(k, bands, seed, minEst, minJaccard)},
+lab AS (SELECT least(da.source, db.source) AS source_a, greatest(da.source, db.source) AS source_b FROM vpairs v JOIN documents da ON da.doc_id = v.doc_a JOIN documents db ON db.doc_id = v.doc_b)
+SELECT source_a, source_b, count(*) AS n_pairs FROM lab GROUP BY source_a, source_b ORDER BY source_a, source_b"""
 
   /** Oracle for q_dedup_incremental AND q_dedup_indexed (spec-asserted
     * result-equal; both default w=2, k=64, bands=16, est ≥ 0.5, exact

@@ -91,6 +91,7 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashFingerprints(Tables(s, d))),
     "q_dedup_groups" -> ((s, d) => Dedup.nearDupGroups(Tables(s, d))),
     "q_dedup_lsh_verified" -> ((s, d) => Dedup.lshVerifiedPairs(Tables(s, d))),
+    "q_dedup_rates" -> ((s, d) => Dedup.nearDupRates(Tables(s, d))),
     "q_dedup_incremental" -> ((s, d) => {
       // daily-ingest shape: docs >= 400 arrive as the new batch, the rest
       // are the stored corpus
@@ -332,6 +333,7 @@ object SparkEntry {
     // wrapping arithmetic) — see MinhashOracleSql / KernelOracleSql
     "q_dedup_minhash" -> MinhashOracleSql.minhashCandidates(),
     "q_dedup_lsh_verified" -> MinhashOracleSql.lshVerifiedPairs(),
+    "q_dedup_rates" -> MinhashOracleSql.nearDupRates(),
     "q_dedup_simhash" -> KernelOracleSql.simhashFingerprints,
     "q_dedup_incremental" -> MinhashOracleSql.incrementalSurvivors(),
     "q_dedup_indexed" -> MinhashOracleSql.incrementalSurvivors(),

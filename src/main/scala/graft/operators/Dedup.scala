@@ -213,6 +213,25 @@ object Dedup {
     verified.orderBy("doc_a", "doc_b")
   }
 
+  /** Dedup observability: verified near-dup pair counts per SOURCE pair —
+    * the report a corpus operator actually watches (which feeds duplicate
+    * which; is a crawl re-ingesting another source). Pair order is
+    * normalized (least/greatest) so (a,b) and (b,a) land in one bucket.
+    * Cost is [[lshVerifiedPairs]] itself plus two broadcast-sized joins
+    * to the (doc_id, source) projection and a source²-bounded count. */
+  def nearDupRates(t: Tables, w: Int = 2, minEstJaccard: Double = 0.2,
+                   minJaccard: Double = 0.5): DataFrame = {
+    val src = t.documents.select(col("doc_id"), col("source"))
+    lshVerifiedPairs(t, w, minEstJaccard, minJaccard)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("_sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("_sb")), "doc_b")
+      .select(least(col("_sa"), col("_sb")).as("source_a"),
+        greatest(col("_sa"), col("_sb")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Transitive near-duplicate groups: LSH candidate pairs → connected
     * components → one group id (the component's min doc_id) per document.
     * Documents with no near-dup edges form singleton groups. Filtering

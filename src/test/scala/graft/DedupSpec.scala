@@ -148,4 +148,18 @@ class DedupSpec extends SparkSpec {
     val fp = Dedup.simhashFingerprints(t).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     (0 until 3).foreach { i => assert(fp(i.toLong) == fp(i + 3000000L)) }
   }
+
+  test("nearDupRates is the source-pair histogram of the verified pair set") {
+    val sources = tables.documents.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = Dedup.lshVerifiedPairs(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = pairs.map { case (a, b) =>
+      val (sa, sb) = (sources(a), sources(b))
+      if (sa <= sb) (sa, sb) else (sb, sa)
+    }.groupBy(identity).map { case (k, hits) => k -> hits.length.toLong }
+    val got = Dedup.nearDupRates(tables).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == expected && got.values.sum == pairs.length)
+  }
 }
