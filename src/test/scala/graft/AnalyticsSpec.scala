@@ -400,6 +400,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == byNation && got.nonEmpty)
   }
 
+  test("tpchQ3 plans pushed filters and a TakeOrdered top-10, not a global sort") {
+    val q = Analytics.tpchQ3(tables)
+    val plan = planOf(q)
+    assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$plan")
+    val scans = plan.split("\n").filter(_.contains("PushedFilters"))
+    assert(scans.exists(_.contains("o_orderdate")) && scans.exists(_.contains("l_shipdate")),
+      s"date filters not pushed to scans:\n${scans.mkString("\n")}")
+  }
+
+  test("tpchQ5 keeps the nation residual on the supplier join (no extra shuffle)") {
+    val plan = planOf(Analytics.tpchQ5(tables))
+    assert(!plan.contains("CartesianProduct"), s"cartesian in Q5:\n$plan")
+    // the dimension tier arrives broadcast
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast dim join:\n$plan")
+  }
+
   test("rollingUserValue equals a quadratic trailing-window recompute") {
     val events = tables.events.select("user_id", "event_id", "ts", "value").collect()
       .map(r => (r.getLong(0), r.getLong(1), micros(r.getTimestamp(2)), r.getDouble(3)))
