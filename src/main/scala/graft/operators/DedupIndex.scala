@@ -84,6 +84,38 @@ object DedupIndex {
     t
   }
 
+  /** APPEND new documents to a stored index — the write-back that closes
+    * the daily-ingest loop: dedup today's batch against the index
+    * ([[dedupeAgainstIndex]]), then append the SURVIVORS' fingerprint /
+    * signature / band rows so tomorrow's batch probes a grown index. One
+    * kernel pass over the new text (same single-projection shape as
+    * [[buildIndex]]); `insertInto` writes through the catalog tables'
+    * bucket spec, so the appended files land bucketed on the probe keys
+    * and every later probe keeps its one-Exchange plan. Column order is
+    * positional in `insertInto` — kept exactly as [[buildIndex]] wrote
+    * it. Grown-index equivalence to a from-scratch rebuild is
+    * spec-asserted (DedupIndexSpec). */
+  def appendToIndex(spark: SparkSession, newDocs: DataFrame,
+                    idx: IndexTables, w: Int = 2, k: Int = 64,
+                    bands: Int = 16): Unit = {
+    val rddsBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val base = newDocs.select(col("doc_id"),
+        Dedup.fingerprint(col("text")).as("fp"),
+        graft.functions.HashFunctions.minhashSigText(col("text"), w, k).as("sig"))
+      .localCheckpoint()
+    try {
+      base.select("fp", "doc_id")
+        .write.mode(SaveMode.Append).insertInto(idx.fp)
+      base.select("doc_id", "sig")
+        .write.mode(SaveMode.Append).insertInto(idx.sig)
+      Dedup.minhashBandRows(base, bands).select("band", "band_key", "doc_id")
+        .write.mode(SaveMode.Append).insertInto(idx.band)
+    } finally
+      spark.sparkContext.getPersistentRDDs
+        .filter { case (id, _) => !rddsBefore.contains(id) }
+        .values.foreach(_.unpersist(blocking = false))
+  }
+
   /** Incremental dedup of `incoming` against the STORED index — result-
     * equal to [[Dedup.dedupeIncrement]] (spec-asserted) without rescanning
     * the corpus text:

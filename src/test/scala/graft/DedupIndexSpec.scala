@@ -84,4 +84,37 @@ class DedupIndexSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(kept == Set(1001L, 1004L), s"survivors: $kept")
   }
+
+  test("appendToIndex grows the index so day-2 probes see day-1 survivors") {
+    val corpus = tables.documents.filter($"doc_id" >= 400) // day 0 store
+    val day1 = tables.documents.filter($"doc_id" >= 200 && $"doc_id" < 300)
+    val day2 = tables.documents.filter($"doc_id" < 100)
+    val dir = Files.createTempDirectory("gdidx_grow").toString
+    val idx = DedupIndex.buildIndex(spark, corpus, freshPrefix(), dir)
+
+    // day 1: dedup against the store, append the survivors
+    val kept1 = DedupIndex.dedupeAgainstIndex(spark, day1, idx, corpus)
+    val survivors1 = day1.join(kept1.select("doc_id"), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    DedupIndex.appendToIndex(spark, survivors1, idx)
+    val grownCorpus = corpus.unionByName(survivors1.select(corpus.columns.map(col): _*))
+
+    // day 2 against the GROWN index ≡ the rescan path over the grown corpus
+    val got = DedupIndex.dedupeAgainstIndex(spark, day2, idx, grownCorpus,
+        minEstJaccard = 0.5).collect().toSeq
+    val want = Dedup.dedupeIncrement(grownCorpus, day2).collect().toSeq
+    assert(got == want && got.nonEmpty)
+
+    // and the appended files respect the bucket layout: probes stay
+    // one-Exchange after the append
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = day2.select(Dedup.fingerprint(col("text")).as("fp"))
+        .join(spark.table(idx.fp), Seq("fp"), "left_anti")
+      val plan = planOf(probe)
+      assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+        s"grown fp probe must still shuffle only the batch side:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
 }
