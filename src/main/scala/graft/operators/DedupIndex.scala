@@ -110,6 +110,14 @@ object DedupIndex {
         .write.mode(SaveMode.Append).insertInto(idx.sig)
       Dedup.minhashBandRows(base, bands).select("band", "band_key", "doc_id")
         .write.mode(SaveMode.Append).insertInto(idx.band)
+      // table-relation caches are PER SESSION, and insertInto refreshes
+      // only the session it ran in — which in a foreachBatch sink is the
+      // micro-batch CLONE, not the session later probes read through
+      // (measured: the probe session kept serving the pre-append file
+      // listing). Refresh the passed session explicitly so the contract
+      // "probe after append sees the grown index" holds for the handle
+      // the caller actually uses.
+      Seq(idx.fp, idx.sig, idx.band).foreach(spark.catalog.refreshTable)
     } finally
       spark.sparkContext.getPersistentRDDs
         .filter { case (id, _) => !rddsBefore.contains(id) }

@@ -64,6 +64,46 @@ object CorpusStreams {
       .join(fpIndex.select(col("fp").as("_fp")), Seq("_fp"), "left_anti")
       .drop("_fp")
 
+  /** The FULL streaming ingest loop as a foreachBatch sink: per
+    * micro-batch, dedup the batch against the persisted index
+    * ([[graft.operators.DedupIndex.dedupeAgainstIndex]] — exact fp
+    * anti-join + band-probe + exact verify, batch-side-only shuffles),
+    * hand the survivors to `sink`, and APPEND their fp/sig/band rows
+    * through the index's bucket spec
+    * ([[graft.operators.DedupIndex.appendToIndex]]) so the NEXT batch
+    * probes a grown index.
+    *
+    * The dedup "state" lives entirely in the STORE, not in Spark's state
+    * store: a restart resumes against the same index (no watermark
+    * horizon, no state rebuild), and an independent writer growing the
+    * same index is picked up batch-over-batch — the property the
+    * stream-static anti-join alone ([[dedupedAgainstIndex]]) provides
+    * read-only, completed here with the write-back. In-batch duplicates
+    * are collapsed by the dedup pass itself (min doc_id per fingerprint,
+    * as in the batch twin).
+    *
+    * Returns the started query; idempotency across batch REPLAYS is the
+    * store's concern (exactly-once appends need a transactional table
+    * format underneath — documented, out of scope for plain parquet). */
+  def ingestLoop(spark: org.apache.spark.sql.SparkSession,
+                 docs: DataFrame,
+                 idx: graft.operators.DedupIndex.IndexTables,
+                 corpusText: () => DataFrame,
+                 sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val kept = graft.operators.DedupIndex
+          .dedupeAgainstIndex(spark, batch, idx, corpusText())
+        val survivors = batch
+          .join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
+          .localCheckpoint()
+        sink(survivors)
+        graft.operators.DedupIndex.appendToIndex(spark, survivors, idx)
+        ()
+      }
+      .start()
+
   /** Streaming ingest hygiene: keep only documents that pass the
     * Gopher-style quality rules ([[graft.operators.TextAnalysis
     * .gopherMetrics]]), then redact PII from the survivors

@@ -218,6 +218,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingestLoop drops cross-BATCH dups via the grown index, with zero Spark state") {
+    import graft.streaming.CorpusStreams
+    import graft.operators.DedupIndex
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = tables.documents.filter(col("doc_id") < 40)
+      .select("doc_id", "text", "lang", "source").localCheckpoint()
+    val idxDir = java.nio.file.Files.createTempDirectory("gdidx_loop").toString
+    val textDir = java.nio.file.Files.createTempDirectory("gdidx_loop_text").toString
+    val idx = DedupIndex.buildIndex(spark, corpus,
+      s"gdidx_loop_${System.nanoTime()}", idxDir)
+    corpus.write.mode("overwrite").parquet(textDir) // the corpus text store
+    val outDir = java.nio.file.Files.createTempDirectory("gdidx_loop_out").toString
+
+    val freshA = "aurora basilisk chrysalis dormant ember fjord glacier harbinger"
+    val freshB = "ivory jubilee kestrel labyrinth meridian nocturne obsidian pinnacle"
+    val corpusDup = corpus.select("text").head().getString(0)
+    val input = MemoryStream[(Long, String, String, String)]
+    val q = CorpusStreams.ingestLoop(
+      spark,
+      input.toDF().toDF("doc_id", "text", "lang", "source"),
+      idx,
+      () => spark.read.parquet(textDir),
+      survivors => {
+        survivors.write.mode("append").parquet(outDir)
+        survivors.write.mode("append").parquet(textDir) // grow the text store too
+      })
+    try {
+      // batch 1: one fresh doc + a corpus duplicate (must drop)
+      input.addData(Seq((9001L, freshA, "en", "s1"), (9002L, corpusDup, "en", "s1")))
+      q.processAllAvailable()
+      // batch 2: a NEAR-dup of batch-1's survivor (must drop — the index
+      // grew), plus one genuinely fresh doc
+      input.addData(Seq((9003L, freshA + " coda", "en", "s2"),
+        (9004L, freshB, "en", "s2")))
+      q.processAllAvailable()
+      val got = spark.read.parquet(outDir).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(got == Set(9001L, 9004L), s"survivors: $got")
+      // the grown index carries exactly the survivors' fingerprints
+      val appended = spark.table(idx.fp).count() - corpus.count()
+      assert(appended == 2L, s"appended fp rows: $appended")
+    } finally q.stop()
+  }
+
   test("streaming decontamination matches the batch operator exactly") {
     import graft.streaming.CorpusStreams
     implicit val sqlCtx = spark.sqlContext
