@@ -204,6 +204,7 @@ object SparkEntry {
     "q_asof_join" -> ((s, d) => Analytics.eventsAsOf(Tables(s, d))),
     "q_sessionize" -> ((s, d) => Analytics.sessionize(Tables(s, d))),
     "q_percentiles" -> ((s, d) => Analytics.groupPercentiles(Tables(s, d))),
+    "q_percentiles_lowcard" -> ((s, d) => Analytics.groupPercentilesLowCard(Tables(s, d))),
     "q_percentiles_approx" -> ((s, d) => Analytics.groupPercentilesApprox(Tables(s, d))),
     "q_rollup" -> ((s, d) => Analytics.rollup(Tables(s, d))),
     "q_intersect" -> ((s, d) => Analytics.intersectKeys(Tables(s, d))),
@@ -510,6 +511,10 @@ object SparkEntry {
         "strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start, " +
         "strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end " +
         "FROM sess GROUP BY user_id, session_idx ORDER BY user_id, session_idx"),
+    "q_percentiles_lowcard" ->
+      ("SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty, " +
+        "round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "q_percentiles" ->
       ("SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty, " +
         "round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty, " +

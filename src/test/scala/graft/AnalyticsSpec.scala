@@ -159,6 +159,18 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("count-collapse percentiles equal the buffering exact aggregate") {
+    val exact = Analytics.groupPercentiles(tables).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val collapsed = Analytics.groupPercentilesLowCard(tables).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(collapsed == exact && collapsed.nonEmpty)
+    // and the plan never sorts or buffers the fact table: the only window
+    // runs over the domain-collapsed frame
+    val plan = planOf(Analytics.groupPercentilesLowCard(tables))
+    assert(plan.contains("HashAggregate"), s"no hash agg:\n$plan")
+  }
+
   test("approximate percentiles track the exact aggregate within sketch error") {
     val exact = Analytics.groupPercentiles(tables).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
