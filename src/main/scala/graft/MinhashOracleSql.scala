@@ -280,19 +280,39 @@ SELECT emb.vec_id, emb.label FROM embeddings emb LEFT JOIN comp ON emb.vec_id = 
     * probes every bucket within Hamming distance ≤ h (mask list generated
     * with the operator's own [[graft.operators.Similarity.hammingMasks]]),
     * candidates rank by the same sequential-fold cosine. */
-  def annLsh(nQueries: Int = 10, topK: Int = 5, nBits: Int = 12,
-             nTables: Int = 8, probeHamming: Int = 3): String = {
+  /** Shared CTE chain ending in `ranked(query_id, neighbor_id, cos, rn)` —
+    * the multiprobe LSH neighbor ranking both [[annLsh]] and
+    * [[knnClassifyLsh]] read. */
+  private def annLshCtes(nQueries: Int, nBits: Int, nTables: Int,
+                         probeHamming: Int): String = {
     val probeRows = graft.operators.Similarity.hammingMasks(nBits, probeHamming)
       .map(m => s"($m)").mkString(", ")
-    s"""WITH ${srpCtes(nBits, nTables)},
+    s"""${srpCtes(nBits, nTables)},
 pm(pmask) AS (VALUES $probeRows),
 qb AS (SELECT vec_id AS query_id, tbl, xor(bucket, pmask) AS bucket FROM bkt CROSS JOIN pm WHERE vec_id < $nQueries),
 cpair AS (SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id FROM qb q JOIN bkt c ON c.tbl = q.tbl AND c.bucket = q.bucket AND c.vec_id <> q.query_id),
 sc AS (SELECT p.query_id, p.neighbor_id, list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(da.v, (x, i) -> x * db.v[i])), (a, bb) -> a + bb) AS dot, na.nrm AS na, nb.nrm AS nb FROM cpair p JOIN d da ON da.vec_id = p.query_id JOIN d db ON db.vec_id = p.neighbor_id JOIN norms na ON na.vec_id = p.query_id JOIN norms nb ON nb.vec_id = p.neighbor_id),
 cosed AS (SELECT query_id, neighbor_id, CASE WHEN sqrt(na) * sqrt(nb) = 0.0 THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nb)) END AS cos FROM sc),
-ranked AS (SELECT query_id, neighbor_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn FROM cosed)
-SELECT query_id, neighbor_id, round(cos, 6) AS cosine FROM ranked WHERE rn <= $topK ORDER BY query_id, neighbor_id"""
+ranked AS (SELECT query_id, neighbor_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn FROM cosed)"""
   }
+
+  def annLsh(nQueries: Int = 10, topK: Int = 5, nBits: Int = 12,
+             nTables: Int = 8, probeHamming: Int = 3): String =
+    s"""WITH ${annLshCtes(nQueries, nBits, nTables, probeHamming)}
+SELECT query_id, neighbor_id, round(cos, 6) AS cosine FROM ranked WHERE rn <= $topK ORDER BY query_id, neighbor_id"""
+
+  /** Oracle for q_knn_lsh
+    * ([[graft.operators.Similarity.knnClassifyLsh]]): the [[annLsh]]
+    * multiprobe neighbor ranking, then the same majority vote as the
+    * exact-kNN oracle with the engine's (votes DESC, label ASC)
+    * tie-break. */
+  def knnClassifyLsh(nQueries: Int = 10, topK: Int = 5, nBits: Int = 12,
+                     nTables: Int = 8, probeHamming: Int = 3): String =
+    s"""WITH ${annLshCtes(nQueries, nBits, nTables, probeHamming)},
+nb AS (SELECT query_id, neighbor_id FROM ranked WHERE rn <= $topK),
+votes AS (SELECT nb.query_id, e.label AS pred_label, count(*) AS votes FROM nb JOIN embeddings e ON e.vec_id = nb.neighbor_id GROUP BY 1, 2),
+vranked AS (SELECT query_id, pred_label, votes, row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, pred_label ASC) AS rn FROM votes)
+SELECT query_id, pred_label, votes FROM vranked WHERE rn = 1 ORDER BY query_id"""
 
   /** Oracle for q_knn_classify
     * ([[graft.operators.Similarity.knnClassify]]): the q_ann_topk

@@ -195,6 +195,7 @@ object SparkEntry {
     "q_events_sliding" -> ((s, d) => Analytics.slidingWindowCounts(Tables(s, d))),
     "q_dedup_semantic" -> ((s, d) => Similarity.semanticDedup(Tables(s, d))),
     "q_knn_classify" -> ((s, d) => Similarity.knnClassify(Tables(s, d))),
+    "q_knn_lsh" -> ((s, d) => Similarity.knnClassifyLsh(Tables(s, d))),
     "q_embed_centroids" -> ((s, d) => Similarity.labelCentroids(Tables(s, d))),
     "q_having" -> ((s, d) => Analytics.having(Tables(s, d))),
     "q_semi_join" -> ((s, d) => Analytics.semiJoin(Tables(s, d))),
@@ -600,6 +601,7 @@ object SparkEntry {
         "FROM ex GROUP BY 1, 2 ORDER BY w_start, event_type"),
     "q_dedup_semantic" -> SrpOracleSql.semanticSurvivors(),
     "q_knn_classify" -> SrpOracleSql.knnClassify(),
+    "q_knn_lsh" -> SrpOracleSql.knnClassifyLsh(),
     "q_tpch_q3" ->
       ("SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, " +
         "strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority " +

@@ -402,19 +402,18 @@ object Similarity {
       .select("vec_id", "label")
       .orderBy("vec_id")
 
-  /** kNN label vote: classify each query vector by the majority label of
-    * its k exact nearest neighbors ([[bruteForceTopK]] — broadcast query
-    * side, corpus streams once). Vote counting is a tiny aggregation over
-    * nQueries·k rows; ties break on the smaller label so both engines
-    * agree. The scale path swaps the brute-force neighbor stage for
-    * [[lshTopK]] — the vote logic is identical. */
-  def knnClassify(t: Tables, nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val neighbors = bruteForceTopK(t, nQueries, k)
-    val labels = t.embeddings.select(col("vec_id").as("neighbor_id"), col("label"))
+  /** Majority label vote over a (query_id, neighbor_id) neighbor set.
+    * Broadcast direction is the scale story: the neighbor set is
+    * nQueries·k rows by construction (bounded, broadcast build side) while
+    * the label table is CORPUS-sized and must stream through the probe
+    * side — the inverted hint would be a driver OOM at 100 TB. Vote
+    * counting is then a tiny aggregation; ties break on the smaller label
+    * so both engines agree. */
+  private def majorityVote(neighbors: DataFrame, labels: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("votes").desc, col("pred_label").asc)
-    neighbors
-      .join(broadcast(labels), Seq("neighbor_id"))
+    labels
+      .join(broadcast(neighbors.select("query_id", "neighbor_id")), Seq("neighbor_id"))
       .groupBy(col("query_id"), col("label").as("pred_label"))
       .agg(count(lit(1)).as("votes"))
       .withColumn("rn", row_number().over(w))
@@ -422,6 +421,26 @@ object Similarity {
       .select("query_id", "pred_label", "votes")
       .orderBy("query_id")
   }
+
+  /** kNN label vote: classify each query vector by the majority label of
+    * its k exact nearest neighbors ([[bruteForceTopK]] — broadcast query
+    * side, corpus streams once). The corpus-scale swap is
+    * [[knnClassifyLsh]]: identical vote logic over the LSH-bucketed
+    * neighbor stage (no exhaustive scan per query). */
+  def knnClassify(t: Tables, nQueries: Int = 10, k: Int = 5): DataFrame =
+    majorityVote(bruteForceTopK(t, nQueries, k),
+      t.embeddings.select(col("vec_id").as("neighbor_id"), col("label")))
+
+  /** kNN label vote over the [[lshTopK]] multiprobe neighbor stage — the
+    * graded scale path: neighbor candidates come from the (table, bucket)
+    * equi-join instead of an exhaustive corpus scan per query, and the
+    * vote logic ([[majorityVote]]) is shared verbatim with the exact
+    * path. */
+  def knnClassifyLsh(t: Tables, nQueries: Int = 10, k: Int = 5,
+                     nBits: Int = 12, nTables: Int = 8,
+                     probeHamming: Int = 3): DataFrame =
+    majorityVote(lshTopK(t, nQueries, k, nBits, nTables, probeHamming),
+      t.embeddings.select(col("vec_id").as("neighbor_id"), col("label")))
 
   /** Per-label embedding centroids, one row per (label, dimension):
     * posexplode fans each vector into (label, dim, x) triples map-side and

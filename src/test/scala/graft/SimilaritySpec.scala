@@ -210,6 +210,40 @@ class SimilaritySpec extends SparkSpec {
     assert(got == expected && got.size == 10)
   }
 
+  test("knnClassify broadcasts only query-bounded sides, never the corpus labels") {
+    // every broadcast build side must descend from the vec_id < nQueries
+    // query bound — the corpus-sized label projection has no such filter,
+    // so a broadcast subtree without one would be the driver-OOM shape
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Similarity.knnClassify(tables).queryExecution.executedPlan
+      val builds = plan.collect {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+      }
+      assert(builds.nonEmpty, "expected broadcast build sides in the knn plan")
+      builds.foreach { b =>
+        assert(b.child.exists(_.toString.contains("vec_id#")) &&
+          b.child.toString.contains("< 10"),
+          s"corpus-sized broadcast build side:\n$b")
+      }
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
+  test("knnClassifyLsh votes over exactly the lshTopK neighbor set") {
+    val neighbors = Similarity.lshTopK(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val labels = tables.embeddings.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val expected = neighbors.groupBy(_._1).map { case (q, ns) =>
+      val votes = ns.map(n => labels(n._2)).groupBy(identity)
+        .map { case (l, hits) => (l, hits.length.toLong) }.toSeq
+      q -> votes.sortBy(v => (-v._2, v._1)).head
+    }
+    val got = Similarity.knnClassifyLsh(tables).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(got == expected && got.size == 10)
+  }
+
   test("labelCentroids emits one dense row per (label, dim) with the exact mean") {
     val vecs = tables.embeddings.collect()
       .map(r => (r.getInt(2), r.getSeq[Float](1).toArray))
