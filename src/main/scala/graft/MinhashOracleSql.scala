@@ -157,9 +157,11 @@ SELECT source_a, source_b, count(*) AS n_pairs FROM lab GROUP BY source_a, sourc
     * result-equal; both default w=2, k=64, bands=16, est ≥ 0.5, exact
     * verify ≥ 0.5; batch = doc_id ≥ `batchFrom`, corpus = the rest): the
     * full daily-ingest pipeline — in-batch exact dedup, cross exact
-    * anti-join, batch-bounded band-collision candidates, signature
-    * estimate, exact shingle-Jaccard verify — re-derived over the same
-    * signature relations. */
+    * anti-join, IN-BATCH near-dup pass (band self-join + exact verify;
+    * the larger id of a verified in-batch pair drops), batch-bounded
+    * band-collision candidates vs the corpus, signature estimate, exact
+    * shingle-Jaccard verify — re-derived over the same signature
+    * relations. */
   def incrementalSurvivors(batchFrom: Long = 400L, k: Int = 64, bands: Int = 16,
                            seed: Long = 42L, minEst: Double = 0.5,
                            minJaccard: Double = 0.5): String =
@@ -167,13 +169,18 @@ SELECT source_a, source_b, count(*) AS n_pairs FROM lab GROUP BY source_a, sourc
 fpb AS (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents),
 bex AS (SELECT fp, min(doc_id) AS doc_id FROM fpb WHERE doc_id >= $batchFrom GROUP BY fp),
 cx AS (SELECT b.doc_id FROM bex b WHERE NOT EXISTS (SELECT 1 FROM fpb c WHERE c.doc_id < $batchFrom AND c.fp = b.fp)),
+ssz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+bcand AS (SELECT DISTINCT a.doc_id, b.doc_id AS corp_id FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id > b.doc_id WHERE a.doc_id IN (SELECT doc_id FROM cx) AND b.doc_id IN (SELECT doc_id FROM cx)),
+best AS (SELECT c.doc_id, c.corp_id, sum(CASE WHEN sa.sv = sb.sv THEN 1 ELSE 0 END) / $k.0 AS est FROM bcand c JOIN sig sa ON sa.doc_id = c.doc_id JOIN sig sb ON sb.doc_id = c.corp_id AND sa.j = sb.j GROUP BY c.doc_id, c.corp_id),
+bpairs AS (SELECT doc_id, corp_id FROM best WHERE est >= $minEst),
+binter AS (SELECT c.doc_id, c.corp_id, count(*) AS n_common FROM bpairs c JOIN sh a ON a.doc_id = c.doc_id JOIN sh b ON b.doc_id = c.corp_id AND a.s = b.s GROUP BY c.doc_id, c.corp_id),
+bver AS (SELECT DISTINCT i.doc_id FROM binter i JOIN ssz sa ON sa.doc_id = i.doc_id JOIN ssz sb ON sb.doc_id = i.corp_id WHERE i.n_common / (sa.sz + sb.sz - i.n_common) >= $minJaccard),
 cand AS (SELECT DISTINCT n.doc_id, o.doc_id AS corp_id FROM bk n JOIN bk o ON n.band = o.band AND n.band_key = o.band_key WHERE n.doc_id IN (SELECT doc_id FROM cx) AND o.doc_id < $batchFrom),
 cest AS (SELECT c.doc_id, c.corp_id, sum(CASE WHEN sa.sv = sb.sv THEN 1 ELSE 0 END) / $k.0 AS est FROM cand c JOIN sig sa ON sa.doc_id = c.doc_id JOIN sig sb ON sb.doc_id = c.corp_id AND sa.j = sb.j GROUP BY c.doc_id, c.corp_id),
 cpairs AS (SELECT doc_id, corp_id FROM cest WHERE est >= $minEst),
 inter AS (SELECT c.doc_id, c.corp_id, count(*) AS n_common FROM cpairs c JOIN sh a ON a.doc_id = c.doc_id JOIN sh b ON b.doc_id = c.corp_id AND a.s = b.s GROUP BY c.doc_id, c.corp_id),
-ssz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
 ver AS (SELECT DISTINCT i.doc_id FROM inter i JOIN ssz sa ON sa.doc_id = i.doc_id JOIN ssz sb ON sb.doc_id = i.corp_id WHERE i.n_common / (sa.sz + sb.sz - i.n_common) >= $minJaccard)
-SELECT d.doc_id, d.lang, d.source FROM documents d WHERE d.doc_id IN (SELECT doc_id FROM cx) AND d.doc_id NOT IN (SELECT doc_id FROM ver) ORDER BY d.doc_id"""
+SELECT d.doc_id, d.lang, d.source FROM documents d WHERE d.doc_id IN (SELECT doc_id FROM cx) AND d.doc_id NOT IN (SELECT doc_id FROM ver) AND d.doc_id NOT IN (SELECT doc_id FROM bver) ORDER BY d.doc_id"""
 
   /** Oracle for q_dedup_groups ([[graft.operators.Dedup.nearDupGroups]]
     * defaults: candidate pairs at est ≥ 0.5 → connected components → min

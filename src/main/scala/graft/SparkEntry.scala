@@ -110,11 +110,12 @@ object SparkEntry {
       import graft.operators.DedupIndex
       val t = Tables(s, d)
       val corpus = t.documents.filter(col("doc_id") < 400)
-      // "c400" versions the index DEFINITION (corpus split + params): the
-      // roundtrip fingerprint only covers the dataset files, so a definition
-      // change must land in a fresh directory and fresh catalog names
-      def prefix(dir: String) = "gdidx_c400_" + dir.split('_').last
-      val dir = roundtripDir("graft_dedupidx_c400", d, "_INDEX_OK") { out =>
+      // "c400b" versions the index DEFINITION (corpus split + params +
+      // bloom sidecar): the roundtrip fingerprint only covers the dataset
+      // files, so a definition change must land in a fresh directory and
+      // fresh catalog names
+      def prefix(dir: String) = "gdidx_c400b_" + dir.split('_').last
+      val dir = roundtripDir("graft_dedupidx_c400b", d, "_INDEX_OK") { out =>
         DedupIndex.buildIndex(s, corpus, prefix(out), out)
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(out, "_INDEX_OK"), "ok")
@@ -636,10 +637,12 @@ object SparkEntry {
         "bg AS (SELECT tk[i] AS w1, tk[i+1] AS w2 FROM toks, unnest(generate_series(1, len(tk)-1)) AS u(i) WHERE len(tk) >= 2), " +
         "bc AS (SELECT w1, w2, count(*) AS n_ab FROM bg GROUP BY 1, 2), " +
         "uc AS (SELECT w, count(*) AS n_w FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY 1), " +
-        "tot AS (SELECT (SELECT sum(n_ab) FROM bc) AS n2, (SELECT sum(n_w) FROM uc) AS n1) " +
-        "SELECT w1, w2, n_ab, round(ln((n_ab / n2) / ((a.n_w / n1) * (b.n_w / n1))), 4) AS pmi " +
-        "FROM bc JOIN uc a ON a.w = bc.w1 JOIN uc b ON b.w = bc.w2 CROSS JOIN tot " +
-        "WHERE n_ab >= 10 ORDER BY pmi DESC, w1, w2 LIMIT 30"),
+        "tot AS (SELECT (SELECT sum(n_ab) FROM bc) AS n2, (SELECT sum(n_w) FROM uc) AS n1), " +
+        // rank on the PMI-monotone ratio (IEEE-exact ×/÷ in the engine's
+        // exact op order — ln is the only libm-divergent op, kept as payload)
+        "sc AS (SELECT w1, w2, n_ab, CAST(n_ab AS DOUBLE) * n1 * n1 / (CAST(n2 AS DOUBLE) * a.n_w * b.n_w) AS r " +
+        "FROM bc JOIN uc a ON a.w = bc.w1 JOIN uc b ON b.w = bc.w2 CROSS JOIN tot WHERE n_ab >= 10) " +
+        "SELECT w1, w2, n_ab, round(ln(r), 4) AS pmi FROM sc ORDER BY r DESC, w1, w2 LIMIT 30"),
     "q_embed_centroids" ->
       ("SELECT label, CAST(i AS BIGINT) AS dim, count(*) AS n_vecs, round(avg(x), 6) AS centroid " +
         "FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x, generate_subscripts(embedding, 1) AS i FROM embeddings) " +

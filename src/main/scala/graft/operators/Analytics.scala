@@ -269,9 +269,12 @@ object Analytics {
       val (vLo, vHi) = (vAt(floor(pos)), vAt(ceil(pos)))
       round(vLo + min(pos - floor(pos)) * (vHi - vLo), 6)
     }
+    // aliases track the requested quantiles (a non-default call must not
+    // emit columns named for the defaults)
+    def alias(p: Double) = s"p${math.round(p * 100)}_qty"
     cum.join(broadcast(totals), "l_returnflag")
       .groupBy("l_returnflag")
-      .agg(quantile(p1).as("p50_qty"), quantile(p2).as("p90_qty"))
+      .agg(quantile(p1).as(alias(p1)), quantile(p2).as(alias(p2)))
       .orderBy("l_returnflag")
   }
 

@@ -304,19 +304,51 @@ object Dedup {
       .select("doc_id").distinct()
   }
 
+  /** Batch doc_ids dropped by the IN-BATCH near-dup pass: LSH band
+    * self-join among the batch's own rows (larger id probes smaller),
+    * signature-agreement estimate, exact shingle-Jaccard verify — a row is
+    * dropped iff it verifies against a SMALLER-id row of the same batch.
+    * Without this stage two near-identical (but not byte-identical)
+    * documents arriving in the same batch would BOTH survive an
+    * index-probe dedup — the one hole a batch-vs-corpus probe can't see.
+    *
+    * Greedy by id, not transitive-component: a row whose smaller near-dup
+    * partner was itself dropped is still dropped. For training-data dedup
+    * that over-drop is the safe direction (a duplicate must never be
+    * re-admitted); the transitive-exact variant is [[nearDupGroups]]. The
+    * batch side is small by definition, so the self-join is batch-bounded. */
+  private[graft] def inBatchNearDupIds(batchSigs: DataFrame, batch: DataFrame,
+      w: Int, k: Int, bands: Int, minEstJaccard: Double,
+      minJaccard: Double): DataFrame = {
+    val rows = minhashBandRows(batchSigs, bands)
+    val cand = rows.as("a")
+      .join(rows.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") > col("b.doc_id"))
+      // estimate before the distinct, as in the cross stage: ids only shuffle
+      .filter(sigAgreement(col("a.sig"), col("b.sig"), k) >= minEstJaccard)
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("corp_id"))
+      .distinct()
+    exactCrossVerifiedIds(cand, batch, batch, w, minJaccard)
+  }
+
   /** Incremental dedup — the daily-ingest shape: which rows of a NEW batch
-    * survive against an EXISTING corpus? Four passes, none quadratic:
+    * survive against an EXISTING corpus? Five passes, none quadratic:
     *
     *  1. in-batch exact: keep one row (min doc_id) per fingerprint;
     *  2. cross exact: anti-join the batch's fingerprints against the
     *     existing corpus' (this form rescans the corpus text; the stored-
     *     index form a daily 100 TB ingest actually runs is
     *     [[DedupIndex.dedupeAgainstIndex]], spec-asserted result-equal);
-    *  3. cross near-dup candidates: MinHash band keys of the batch
+    *  3. in-batch near-dup ([[inBatchNearDupIds]]): band self-join + exact
+    *     verify among the batch's own rows — two near-identical docs in
+    *     one batch can't both survive;
+    *  4. cross near-dup candidates: MinHash band keys of the batch
     *     equi-joined to band keys of the corpus — candidate volume is
     *     bounded by the BATCH size (the small side) times collision rate,
     *     never corpus² — thresholded on the signature-agreement estimate;
-    *  4. exact verify (`minJaccard`): candidate pairs are confirmed by
+    *  5. exact verify (`minJaccard`): candidate pairs are confirmed by
     *     exact shingle Jaccard before a batch row is dropped — an
     *     estimator false positive must not silently discard a novel
     *     document. One final anti-join drops batch rows with a VERIFIED
@@ -336,8 +368,10 @@ object Dedup {
       existing.select(fingerprint(col("text")).as("fp")),
       Seq("fp"), "left_anti")
 
-    val cand = minhashBandRows(
-        minhashSigs(crossExact.select("doc_id", "text"), w, k), bands).as("n")
+    val batchSigs = minhashSigs(crossExact.select("doc_id", "text"), w, k)
+    val inBatchNear = inBatchNearDupIds(
+      batchSigs, crossExact, w, k, bands, minEstJaccard, minJaccard)
+    val cand = minhashBandRows(batchSigs, bands).as("n")
       .join(minhashBandRows(minhashSigs(existing.select("doc_id", "text"), w, k), bands).as("o"),
         col("n.band") === col("o.band") && col("n.band_key") === col("o.band_key"))
       // estimate BEFORE the distinct: runs map-side per collision, so only
@@ -348,6 +382,7 @@ object Dedup {
     val verified = exactCrossVerifiedIds(cand, crossExact, existing, w, minJaccard)
     crossExact
       .join(verified, Seq("doc_id"), "left_anti")
+      .join(inBatchNear, Seq("doc_id"), "left_anti")
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")
   }

@@ -25,10 +25,93 @@ import org.apache.spark.sql.functions._
   * the probe plans). */
 object DedupIndex {
 
-  /** The three table names derived from a caller-chosen prefix. */
-  final case class IndexTables(fp: String, sig: String, band: String)
-  def tablesFor(prefix: String): IndexTables =
-    IndexTables(s"${prefix}_fp", s"${prefix}_sig", s"${prefix}_band")
+  /** The three table names derived from a caller-chosen prefix, plus the
+    * storage directory (where the Bloom pre-probe sidecar lives). */
+  final case class IndexTables(fp: String, sig: String, band: String, dir: String)
+  def tablesFor(prefix: String, dir: String): IndexTables =
+    IndexTables(s"${prefix}_fp", s"${prefix}_sig", s"${prefix}_band", dir)
+
+  // — Bloom pre-probe sidecar —
+  // xxhash64(fp) longs of every indexed document, serialized in the
+  // spark.util.sketch format (the same binary Spark's own runtime
+  // `might_contain` reads). At 100 TB the fp anti-join otherwise probes a
+  // corpus-sized table per batch; the broadcast-sized sidecar turns every
+  // definitely-novel fingerprint (the common case on a healthy crawl) into
+  // a scan-free rejection on the batch side, and only MAYBE rows reach the
+  // bucketed anti-join. No false negatives by construction, so the probe
+  // result is exactly equal with or without the sidecar (spec-asserted).
+  private val BloomFpp = 0.01
+  private def bloomPath(dir: String) = new org.apache.hadoop.fs.Path(dir, "fp.bloom")
+  private def bloomMetaPath(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, "fp.bloom.meta")
+
+  /** Build a filter over a (… fp …) frame with the given sizing — a
+    * distributed aggregation (`stat.bloomFilter`), never a driver collect
+    * of the fingerprints. Identical sizing params yield structurally
+    * compatible filters (same bit count / hash count), which is what lets
+    * [[appendToIndex]] OR-merge a batch filter into the stored one. */
+  private def buildBloom(fps: DataFrame, expectedItems: Long,
+                         fpp: Double): org.apache.spark.util.sketch.BloomFilter =
+    fps.select(xxhash64(col("fp")).as("h"))
+      .stat.bloomFilter("h", math.max(expectedItems, 1L), fpp)
+
+  /** Write the sidecar plus its sizing meta (expectedItems + fpp — the
+    * parameters a later append must reuse to build a merge-compatible
+    * batch filter; the serialized sketch alone doesn't expose them). */
+  private def writeBloom(spark: SparkSession, bf: org.apache.spark.util.sketch.BloomFilter,
+                         dir: String, expectedItems: Long): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = bloomPath(dir)
+    val out = p.getFileSystem(conf).create(p, true)
+    try bf.writeTo(out) finally out.close()
+    val mp = bloomMetaPath(dir)
+    val mout = mp.getFileSystem(conf).create(mp, true)
+    try mout.write(s"$expectedItems $BloomFpp".getBytes("UTF-8")) finally mout.close()
+  }
+
+  private def loadBloomMeta(spark: SparkSession, dir: String): Option[(Long, Double)] = {
+    val mp = bloomMetaPath(dir)
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(mp)) None
+    else {
+      val in = fs.open(mp)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val parts = txt.trim.split(' ')
+      Some((parts(0).toLong, parts(1).toDouble))
+    }
+  }
+
+  /** Load the sidecar if present (absent for pre-sidecar indexes — the
+    * probe then degrades gracefully to the plain anti-join). */
+  private[graft] def loadBloom(spark: SparkSession,
+                                   dir: String): Option[org.apache.spark.util.sketch.BloomFilter] = {
+    val p = bloomPath(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+      finally in.close()
+    }
+  }
+
+  /** `might_contain(bloom, xxhash64(fp))` as a Column — Spark's codegen'd
+    * Bloom probe (the expression InjectRuntimeFilter plants), fed our
+    * persisted sidecar bytes as a literal. */
+  private def mightContainFp(bloomBytes: Array[Byte]): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal
+          .create(bloomBytes, org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.graftbridge.ColumnBridge
+          .expression(xxhash64(col("fp")))))
+
+  private def bloomBytes(bf: org.apache.spark.util.sketch.BloomFilter): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
 
   /** Compute the index of `corpus` (ONE pass over its text — fingerprint
     * and signature kernels run in the same projection) and persist it as
@@ -39,7 +122,7 @@ object DedupIndex {
   def buildIndex(spark: SparkSession, corpus: DataFrame, prefix: String,
                  dir: String, w: Int = 2, k: Int = 64, bands: Int = 16,
                  buckets: Int = 8): IndexTables = {
-    val t = tablesFor(prefix)
+    val t = tablesFor(prefix, dir)
     val rddsBefore = spark.sparkContext.getPersistentRDDs.keySet
     val base = corpus.select(col("doc_id"),
         Dedup.fingerprint(col("text")).as("fp"),
@@ -57,6 +140,13 @@ object DedupIndex {
       write(base.select("doc_id", "sig"), t.sig, Seq("doc_id"), s"$dir/sig")
       write(Dedup.minhashBandRows(base, bands).select("band", "band_key", "doc_id"),
         t.band, Seq("band", "band_key"), s"$dir/band")
+      // Bloom sidecar, sized 4× the build-time corpus so daily appends
+      // have headroom before the false-positive rate degrades (a stale-ish
+      // fpp only costs extra anti-join traffic, never correctness; rebuild
+      // cadence is the store's concern, like compaction)
+      val expected = 4L * base.count()
+      writeBloom(spark, buildBloom(base.select("fp"), expected, BloomFpp),
+        dir, expected)
     } finally
       spark.sparkContext.getPersistentRDDs
         .filter { case (id, _) => !rddsBefore.contains(id) }
@@ -71,7 +161,7 @@ object DedupIndex {
     * catalog. */
   def attachIndex(spark: SparkSession, prefix: String, dir: String,
                   buckets: Int = 8): IndexTables = {
-    val t = tablesFor(prefix)
+    val t = tablesFor(prefix, dir)
     def ddl(table: String, schema: String, keys: String, path: String): Unit =
       if (!spark.catalog.tableExists(table))
         spark.sql(
@@ -104,6 +194,18 @@ object DedupIndex {
         graft.functions.HashFunctions.minhashSigText(col("text"), w, k).as("sig"))
       .localCheckpoint()
     try {
+      // Bloom sidecar FIRST, tables after: a crash between the two leaves
+      // the bloom with extra bits set for rows that never landed — pure
+      // false positives, harmless. The reverse order would leave appended
+      // rows invisible to the pre-filter (false NEGATIVES), re-admitting
+      // their duplicates forever. Merge = OR of two filters built with the
+      // stored sizing params (single-writer ingest assumed, as for any
+      // non-transactional append).
+      loadBloomMeta(spark, idx.dir).zip(loadBloom(spark, idx.dir))
+        .foreach { case ((expected, fpp), stored) =>
+          stored.mergeInPlace(buildBloom(base.select("fp"), expected, fpp))
+          writeBloom(spark, stored, idx.dir, expected)
+        }
       base.select("fp", "doc_id")
         .write.mode(SaveMode.Append).insertInto(idx.fp)
       base.select("doc_id", "sig")
@@ -129,12 +231,22 @@ object DedupIndex {
     * the corpus text:
     *
     *  1. in-batch exact dedup (min doc_id per fingerprint);
-    *  2. anti-join batch fingerprints against the bucketed fp table;
-    *  3. band equi-join batch band rows against the bucketed band table —
+    *  2. Bloom pre-probe (when the sidecar exists): batch fingerprints
+    *     that the broadcast-sized filter rejects are DEFINITELY novel and
+    *     skip the anti-join entirely — at 100 TB that's most of a healthy
+    *     crawl, and the corpus-sized fp table is never touched for them;
+    *     only MAYBE rows anti-join the bucketed fp table. No false
+    *     negatives, so the result is exactly the plain anti-join's
+    *     (spec-asserted);
+    *  3. in-batch NEAR-dup pass ([[Dedup.inBatchNearDupIds]]): band
+    *     self-join + exact verify among the batch's own rows, so two
+    *     near-identical docs in one batch can't both survive (and both
+    *     enter the index);
+    *  4. band equi-join batch band rows against the bucketed band table —
     *     candidate volume bounded by the batch side; collision pairs are
     *     deduped FIRST (ids only through the shuffle), then the stored
     *     signatures join back by doc_id for the agreement estimate;
-    *  4. exact shingle-Jaccard verify of surviving candidate pairs —
+    *  5. exact shingle-Jaccard verify of surviving candidate pairs —
     *     `corpusText` is probed ONLY for candidate doc_ids (left-semi
     *     prune), the bounded point-lookup a production store serves.
     *
@@ -147,10 +259,19 @@ object DedupIndex {
     val withFp = incoming.withColumn("fp", Dedup.fingerprint(col("text")))
     val batchExact = withFp.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
     val inBatch = withFp.join(batchExact, Seq("fp", "doc_id"), "left_semi")
-    val crossExact = inBatch.join(
-      spark.table(idx.fp).select("fp"), Seq("fp"), "left_anti")
+    val crossExact = loadBloom(spark, idx.dir) match {
+      case Some(bf) =>
+        val probe = mightContainFp(bloomBytes(bf))
+        inBatch.filter(!probe).unionByName(
+          inBatch.filter(probe)
+            .join(spark.table(idx.fp).select("fp"), Seq("fp"), "left_anti"))
+      case None =>
+        inBatch.join(spark.table(idx.fp).select("fp"), Seq("fp"), "left_anti")
+    }
 
     val batchSigs = Dedup.minhashSigs(crossExact.select("doc_id", "text"), w, k)
+    val inBatchNear = Dedup.inBatchNearDupIds(
+      batchSigs, crossExact, w, k, bands, minEstJaccard, minJaccard)
     val collisions = Dedup.minhashBandRows(batchSigs, bands)
       .select("band", "band_key", "doc_id").as("n")
       .join(spark.table(idx.band).as("o"),
@@ -167,6 +288,7 @@ object DedupIndex {
       cand, crossExact, corpusText, w, minJaccard)
     crossExact
       .join(verified, Seq("doc_id"), "left_anti")
+      .join(inBatchNear, Seq("doc_id"), "left_anti")
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")
   }

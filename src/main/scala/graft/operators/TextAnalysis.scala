@@ -332,11 +332,20 @@ object TextAnalysis {
     * PMI(a,b) = ln( p(ab) / (p(a)·p(b)) ) with p from corpus counts. The
     * bigram stream is built map-side by zipping each token array with its
     * tail (no self-join, no shuffle before the count aggregations); both
-    * count tables are VOCABULARY-bounded, so the unigram side broadcasts
-    * onto the bigram side twice and the totals ride along as a broadcast
-    * 1-row cross join. minCount keeps the classic low-frequency PMI
-    * explosion out (a 2-count pair of rare words dominates otherwise).
-    * Ties on rounded PMI break lexicographically — deterministic top-k. */
+    * count tables are vocabulary-bounded, but a web-scale vocabulary
+    * (URLs, typos) can exceed broadcast limits, so the unigram joins are
+    * deliberately UNHINTED — AQE broadcasts them while they fit and falls
+    * back to shuffle joins when they don't. minCount keeps the classic
+    * low-frequency PMI explosion out (a 2-count pair of rare words
+    * dominates otherwise).
+    *
+    * Ranking runs on the PMI-monotone count RATIO n_ab·N₁²/(N₂·n_a·n_b)
+    * computed with IEEE-exact ops only (integer-valued doubles through ×
+    * and ÷, identical operation order in the SQL oracle) — ln() is the
+    * one libm-vs-JVM-divergent op, and ranking on its rounded output made
+    * the top-k boundary 1-ulp-fragile. The emitted `pmi` column still
+    * carries round(ln(ratio), 4) as the human-readable payload. Ties
+    * break lexicographically — deterministic top-k. */
   def pmiBigrams(t: Tables, minCount: Long = 10, topK: Int = 30): DataFrame = {
     val tk = tokens(col("text"))
     val docs = t.documents
@@ -353,15 +362,19 @@ object TextAnalysis {
       .groupBy("w").agg(count(lit(1)).as("n_w"))
     val totals = bigramCounts.agg(sum("n_ab").as("_n2"))
       .crossJoin(unigrams.agg(sum("n_w").as("_n1")))
-    val pmi = log((col("n_ab") / col("_n2")) /
-      ((col("n_a") / col("_n1")) * (col("n_b") / col("_n1"))))
+    // left-assoc × chains, double from the first factor: the exact op
+    // sequence the oracle SQL mirrors
+    val ratio = col("n_ab").cast("double") * col("_n1") * col("_n1") /
+      (col("_n2").cast("double") * col("n_a") * col("n_b"))
     bigramCounts
       .filter(col("n_ab") >= minCount)
-      .join(broadcast(unigrams.select(col("w").as("w1"), col("n_w").as("n_a"))), Seq("w1"))
-      .join(broadcast(unigrams.select(col("w").as("w2"), col("n_w").as("n_b"))), Seq("w2"))
-      .crossJoin(broadcast(totals))
-      .select(col("w1"), col("w2"), col("n_ab"), round(pmi, 4).as("pmi"))
-      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .join(unigrams.select(col("w").as("w1"), col("n_w").as("n_a")), Seq("w1"))
+      .join(unigrams.select(col("w").as("w2"), col("n_w").as("n_b")), Seq("w2"))
+      .crossJoin(totals)
+      .select(col("w1"), col("w2"), col("n_ab"), ratio.as("_r"),
+        round(log(ratio), 4).as("pmi"))
+      .orderBy(col("_r").desc, col("w1").asc, col("w2").asc)
       .limit(topK)
+      .drop("_r")
   }
 }

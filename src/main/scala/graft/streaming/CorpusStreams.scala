@@ -79,30 +79,73 @@ object CorpusStreams {
     * same index is picked up batch-over-batch — the property the
     * stream-static anti-join alone ([[dedupedAgainstIndex]]) provides
     * read-only, completed here with the write-back. In-batch duplicates
-    * are collapsed by the dedup pass itself (min doc_id per fingerprint,
-    * as in the batch twin).
+    * are collapsed by the dedup pass itself — exact (min doc_id per
+    * fingerprint) AND near (band self-join + exact verify), so two
+    * near-identical docs in one micro-batch can't both enter the index.
     *
-    * Returns the started query; idempotency across batch REPLAYS is the
-    * store's concern (exactly-once appends need a transactional table
-    * format underneath — documented, out of scope for plain parquet). */
+    * Failure semantics (`commitDir` enables the replay guard):
+    *  - a replayed batch whose commit marker exists is SKIPPED outright —
+    *    no recompute, no double delivery, index row count unchanged
+    *    (spec-asserted);
+    *  - crash BETWEEN sink and append (marker absent): the replay
+    *    recomputes the same survivors against the unchanged index and
+    *    delivers them again — at-least-once delivery, the standard
+    *    foreachBatch contract (a doc_id-keyed sink dedupes);
+    *  - crash AFTER append, before the marker: the replay's survivors are
+    *    EMPTY (the batch's own fingerprints now hit the index), so nothing
+    *    double-appends and nothing re-delivers. This is also why sink runs
+    *    BEFORE append: the reverse order would make an append-then-crash
+    *    replay compute empty survivors that were never delivered — silent
+    *    data loss, not duplicate delivery.
+    * Multi-table appends are individually atomic but not mutually
+    * transactional; a crash INSIDE appendToIndex can leave fp rows without
+    * their sig/band twins (exact dedup still holds; that doc's near-dup
+    * bands go dark until a rebuild — a transactional table format closes
+    * this last window). */
   def ingestLoop(spark: org.apache.spark.sql.SparkSession,
                  docs: DataFrame,
                  idx: graft.operators.DedupIndex.IndexTables,
                  corpusText: () => DataFrame,
-                 sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+                 sink: DataFrame => Unit,
+                 commitDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val kept = graft.operators.DedupIndex
-          .dedupeAgainstIndex(spark, batch, idx, corpusText())
-        val survivors = batch
-          .join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
-          .localCheckpoint()
-        sink(survivors)
-        graft.operators.DedupIndex.appendToIndex(spark, survivors, idx)
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processIngestBatch(spark, batch, batchId, idx, corpusText, sink, commitDir)
       }
       .start()
+
+  /** One micro-batch of [[ingestLoop]], exposed for direct testing of the
+    * replay/idempotency contract. Every RDD this batch pins (the survivors
+    * localCheckpoint and any operator-internal checkpoint) is unpersisted
+    * before returning, so a long-running stream holds ZERO residual blocks
+    * between batches (spec-asserted via getPersistentRDDs). */
+  def processIngestBatch(spark: org.apache.spark.sql.SparkSession,
+                         batch: DataFrame, batchId: Long,
+                         idx: graft.operators.DedupIndex.IndexTables,
+                         corpusText: () => DataFrame,
+                         sink: DataFrame => Unit,
+                         commitDir: Option[String] = None): Unit = {
+    val marker = commitDir.map(cd =>
+      new org.apache.hadoop.fs.Path(cd, f"batch-$batchId%020d.committed"))
+    val fs = marker.map(_.getFileSystem(spark.sparkContext.hadoopConfiguration))
+    if (marker.zip(fs).exists { case (m, f) => f.exists(m) }) return
+    val rddsBefore = spark.sparkContext.getPersistentRDDs.keySet
+    try {
+      val kept = graft.operators.DedupIndex
+        .dedupeAgainstIndex(spark, batch, idx, corpusText())
+      val survivors = batch
+        .join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
+        .localCheckpoint()
+      sink(survivors)
+      graft.operators.DedupIndex.appendToIndex(spark, survivors, idx)
+      // marker LAST: it asserts both side effects completed
+      marker.zip(fs).foreach { case (m, f) => f.create(m, true).close() }
+    } finally
+      spark.sparkContext.getPersistentRDDs
+        .filter { case (id, _) => !rddsBefore.contains(id) }
+        .values.foreach(_.unpersist(blocking = false))
+  }
 
   /** Streaming ingest hygiene: keep only documents that pass the
     * Gopher-style quality rules ([[graft.operators.TextAnalysis

@@ -483,9 +483,15 @@ class AnalyticsSpec extends SparkSpec {
     rows.sortBy(_._1).sliding(2).filter(_.length == 2).foreach { w =>
       assert(w(0)._4 <= w(1)._3, s"bands ${w(0)._1}/${w(1)._1} overlap")
     }
-    // sketch accuracy 10000 on 500 docs => exact deciles, each band ~n/10
+    // sketch accuracy 10000 on 500 docs => exact decile thresholds, so a
+    // band can deviate from n/10 only by boundary TIES (equal token counts
+    // always band together) — bound by the largest tie group, not n/10
+    val maxTie = tables.documents
+      .select(graft.operators.TextAnalysis.tokens(col("text")).as("_tk"))
+      .groupBy(size(col("_tk"))).count()
+      .agg(max("count")).head().getLong(0)
     rows.foreach { case (d, c, _, _) =>
-      assert(math.abs(c - n / 10.0) <= n / 10.0 + 1, s"band $d size $c")
+      assert(math.abs(c - n / 10.0) <= maxTie + 1, s"band $d size $c (maxTie $maxTie)")
     }
   }
 

@@ -85,6 +85,48 @@ class DedupIndexSpec extends SparkSpec {
     assert(kept == Set(1001L, 1004L), s"survivors: $kept")
   }
 
+  test("two near-identical docs in the SAME batch yield one survivor") {
+    val corpus = tables.documents.filter($"doc_id" < 50)
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango"
+    val incoming = Seq(
+      (2000L, base, "en", "batch"),
+      // near-dup of 2000 — NOT byte-identical, so the exact fp stage
+      // can't see it; only the in-batch band self-join can
+      (2001L, base + " uniform", "en", "batch"),
+      (2002L, "wholly different vocabulary nothing shared with the pair", "en", "batch"))
+      .toDF("doc_id", "text", "lang", "source")
+    val dir = Files.createTempDirectory("gdidx_inbatch").toString
+    val idx = DedupIndex.buildIndex(spark, corpus, freshPrefix(), dir)
+    val kept = DedupIndex.dedupeAgainstIndex(spark, incoming, idx, corpus)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2000L, 2002L), s"survivors: $kept")
+    // the rescan twin applies the same in-batch pass
+    val rescan = Dedup.dedupeIncrement(corpus, incoming)
+      .collect().map(_.getLong(0)).toSet
+    assert(rescan == kept)
+  }
+
+  test("bloom pre-probe is in the plan, rejects nothing it shouldn't, result exact") {
+    val corpus = tables.documents.filter($"doc_id" >= 300)
+    val batch = tables.documents.filter($"doc_id" < 100)
+    val dir = Files.createTempDirectory("gdidx_bloom").toString
+    val idx = DedupIndex.buildIndex(spark, corpus, freshPrefix(), dir)
+    assert(DedupIndex.loadBloom(spark, idx.dir).isDefined, "sidecar missing")
+    // the probe plan carries the might_contain pre-filter on the batch side
+    val probed = DedupIndex.dedupeAgainstIndex(spark, batch, idx, corpus)
+    assert(planOf(probed).contains("might_contain"),
+      "bloom pre-filter absent from the probe plan")
+    // result equality with the sidecar-free rescan path
+    val want = Dedup.dedupeIncrement(corpus, batch).collect().toSeq
+    assert(probed.collect().toSeq == want)
+    // no false negatives: re-probing the corpus itself must drop EVERY row
+    // (a false negative would route an indexed fp around the anti-join)
+    val self = DedupIndex.dedupeAgainstIndex(spark,
+      corpus.select("doc_id", "text", "lang", "source"), idx, corpus)
+    assert(self.count() == 0L, "bloom false negative re-admitted an indexed doc")
+  }
+
   test("appendToIndex grows the index so day-2 probes see day-1 survivors") {
     val corpus = tables.documents.filter($"doc_id" >= 400) // day 0 store
     val day1 = tables.documents.filter($"doc_id" >= 200 && $"doc_id" < 300)

@@ -262,6 +262,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("processIngestBatch: replays are no-ops and batches leave zero residual RDDs") {
+    import graft.streaming.CorpusStreams
+    import graft.operators.DedupIndex
+    val corpus = tables.documents.filter(col("doc_id") < 40)
+      .select("doc_id", "text", "lang", "source").localCheckpoint()
+    val idxDir = java.nio.file.Files.createTempDirectory("gdidx_replay").toString
+    val textDir = java.nio.file.Files.createTempDirectory("gdidx_replay_text").toString
+    val commitDir = java.nio.file.Files.createTempDirectory("gdidx_replay_commit").toString
+    val idx = DedupIndex.buildIndex(spark, corpus,
+      s"gdidx_replay_${System.nanoTime()}", idxDir)
+    corpus.write.mode("overwrite").parquet(textDir)
+    val outDir = java.nio.file.Files.createTempDirectory("gdidx_replay_out").toString
+    import spark.implicits._
+    val batch = Seq(
+      (9101L, "quasar nebula pulsar meridian zephyr obelisk", "en", "s1"),
+      (9102L, "tundra mesa archipelago savanna steppe fjordland", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    var sinkCalls = 0
+    def sink(df: org.apache.spark.sql.DataFrame): Unit = {
+      sinkCalls += 1
+      df.write.mode("append").parquet(outDir)
+    }
+    val rddsBefore = spark.sparkContext.getPersistentRDDs.keySet
+    CorpusStreams.processIngestBatch(spark, batch, 7L, idx,
+      () => spark.read.parquet(textDir), sink, Some(commitDir))
+    assert(spark.sparkContext.getPersistentRDDs.keySet == rddsBefore,
+      "a processed batch must release every RDD it pinned")
+    val fpAfter = spark.table(idx.fp).count()
+    assert(fpAfter == corpus.count() + 2, "both fresh docs must be indexed")
+    // REPLAY of the committed epoch: no recompute, no delivery, no append
+    CorpusStreams.processIngestBatch(spark, batch, 7L, idx,
+      () => spark.read.parquet(textDir), sink, Some(commitDir))
+    assert(sinkCalls == 1, "replay must not re-deliver")
+    assert(spark.table(idx.fp).count() == fpAfter, "replay must not re-append")
+    assert(spark.read.parquet(outDir).count() == 2)
+  }
+
   test("streaming decontamination matches the batch operator exactly") {
     import graft.streaming.CorpusStreams
     implicit val sqlCtx = spark.sqlContext
