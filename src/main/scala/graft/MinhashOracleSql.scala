@@ -188,14 +188,45 @@ SELECT d.doc_id, d.lang, d.source FROM documents d WHERE d.doc_id IN (SELECT doc
     * as a recursive CTE propagating every reachable id and taking the min
     * — rows are bounded by Σ component-size², and near-dup components are
     * small by construction. */
-  def nearDupGroups(k: Int = 64, bands: Int = 16, seed: Long = 42L,
-                    minEst: Double = 0.5): String =
-    s"""WITH RECURSIVE ${sigCtes(k, bands, seed)}, ${selfEstCtes(k)},
+  /** Shared CTE chain for the component queries — candidate pairs at
+    * `minEst` → recursive-CTE connected components → `grp(doc_id,
+    * group_id)` with min-id canonicals and singletons kept. */
+  private def groupsCtes(k: Int, minEst: Double): String =
+    s"""${selfEstCtes(k)},
 e AS MATERIALIZED (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= $minEst),
 eb AS MATERIALIZED (SELECT doc_a AS an, doc_b AS bn FROM e UNION ALL SELECT doc_b, doc_a FROM e),
 r(n, m) AS (SELECT an, an FROM eb UNION SELECT eb.bn, r.m FROM r JOIN eb ON eb.an = r.n),
-comp AS (SELECT n AS doc_id, min(m) AS gid FROM r GROUP BY n)
-SELECT d.doc_id, coalesce(comp.gid, d.doc_id) AS group_id FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc_id ORDER BY d.doc_id"""
+comp AS (SELECT n AS doc_id, min(m) AS gid FROM r GROUP BY n),
+grp AS (SELECT d.doc_id, coalesce(comp.gid, d.doc_id) AS group_id FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc_id)"""
+
+  def nearDupGroups(k: Int = 64, bands: Int = 16, seed: Long = 42L,
+                    minEst: Double = 0.5): String =
+    s"""WITH RECURSIVE ${sigCtes(k, bands, seed)}, ${groupsCtes(k, minEst)}
+SELECT doc_id, group_id FROM grp ORDER BY doc_id"""
+
+  /** Oracle for q_dedup_cluster_sizes
+    * ([[graft.operators.Dedup.dedupClusterSizes]]): the [[nearDupGroups]]
+    * components folded to a (cluster_size, n_clusters) histogram,
+    * singletons included. */
+  def dedupClusterSizes(k: Int = 64, bands: Int = 16, seed: Long = 42L,
+                        minEst: Double = 0.5): String =
+    s"""WITH RECURSIVE ${sigCtes(k, bands, seed)}, ${groupsCtes(k, minEst)},
+cs AS (SELECT group_id, count(*) AS cluster_size FROM grp GROUP BY group_id)
+SELECT cluster_size, count(*) AS n_clusters FROM cs GROUP BY cluster_size ORDER BY cluster_size"""
+
+  /** Oracle for q_text_simsearch ([[graft.operators.Dedup.textSimSearch]]):
+    * query band rows (doc_id < nQueries) equi-joined to the corpus band
+    * rows, per-pair signature-agreement estimate, per-query top-k with the
+    * engine's (est DESC, neighbor ASC) tie-break. Agreement is m/k with
+    * k a power of two — dyadic, so the rank order is engine-exact. */
+  def textSimSearch(nQueries: Long = 10, topK: Int = 5, k: Int = 64,
+                    bands: Int = 16, seed: Long = 42L): String =
+    s"""WITH ${sigCtes(k, bands, seed)},
+qb AS (SELECT doc_id AS query_id, band, band_key FROM bk WHERE doc_id < $nQueries),
+cp AS (SELECT DISTINCT q.query_id, c.doc_id AS neighbor_id FROM qb q JOIN bk c ON c.band = q.band AND c.band_key = q.band_key AND c.doc_id <> q.query_id),
+agr AS (SELECT cp.query_id, cp.neighbor_id, round(sum(CASE WHEN sa.sv = sb.sv THEN 1 ELSE 0 END) / $k.0, 6) AS est_jaccard FROM cp JOIN sig sa ON sa.doc_id = cp.query_id JOIN sig sb ON sb.doc_id = cp.neighbor_id AND sa.j = sb.j GROUP BY cp.query_id, cp.neighbor_id),
+rk AS (SELECT query_id, neighbor_id, est_jaccard, row_number() OVER (PARTITION BY query_id ORDER BY est_jaccard DESC, neighbor_id ASC) AS rn FROM agr)
+SELECT query_id, neighbor_id, est_jaccard FROM rk WHERE rn <= $topK ORDER BY query_id, neighbor_id"""
 }
 
 /** DuckDB oracle SQL for the signed-random-projection (SRP) LSH queries:

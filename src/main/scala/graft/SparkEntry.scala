@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Analytics, Dedup, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Analytics, Dedup, Multimodal, Packing, Relational, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -209,6 +209,13 @@ object SparkEntry {
     "q_percentiles_lowcard" -> ((s, d) => Analytics.groupPercentilesLowCard(Tables(s, d))),
     "q_percentiles_approx" -> ((s, d) => Analytics.groupPercentilesApprox(Tables(s, d))),
     "q_rollup" -> ((s, d) => Analytics.rollup(Tables(s, d))),
+    "q_grouping_sets" -> ((s, d) => Analytics.groupingSetsAgg(Tables(s, d))),
+    "q_first_last" -> ((s, d) => Analytics.firstLastEvents(Tables(s, d))),
+    "q_mad" -> ((s, d) => Analytics.groupMad(Tables(s, d))),
+    "q_text_simsearch" -> ((s, d) => Dedup.textSimSearch(Tables(s, d))),
+    "q_dedup_cluster_sizes" -> ((s, d) => Dedup.dedupClusterSizes(Tables(s, d))),
+    "q_vocab_oov" -> ((s, d) => TextAnalysis.vocabOov(Tables(s, d))),
+    "q_passage_dup" -> ((s, d) => Packing.passageDupScores(Tables(s, d))),
     "q_intersect" -> ((s, d) => Analytics.intersectKeys(Tables(s, d))),
     "q_except" -> ((s, d) => Analytics.exceptKeys(Tables(s, d))),
     "q_pivot" -> ((s, d) => Analytics.pivotEvents(Tables(s, d))),
@@ -526,6 +533,45 @@ object SparkEntry {
       ("SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty " +
         "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) " +
         "ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"),
+    "q_grouping_sets" ->
+      ("SELECT l_returnflag, l_linestatus, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty " +
+        "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ()) " +
+        "ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"),
+    "q_first_last" ->
+      ("SELECT DISTINCT user_id, " +
+        "first_value(event_type) OVER w AS first_type, " +
+        "last_value(event_type) OVER w AS last_type, " +
+        "count(*) OVER w AS n_events FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
+        "ORDER BY user_id"),
+    "q_mad" ->
+      ("WITH m AS (SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med " +
+        "FROM lineitem GROUP BY l_returnflag) " +
+        "SELECT l.l_returnflag, round(min(med), 6) AS median_qty, " +
+        "round(quantile_cont(abs(l.l_quantity - med), 0.5), 6) AS mad_qty " +
+        "FROM lineitem l JOIN m USING (l_returnflag) " +
+        "GROUP BY l.l_returnflag ORDER BY l.l_returnflag"),
+    "q_text_simsearch" -> MinhashOracleSql.textSimSearch(),
+    "q_dedup_cluster_sizes" -> MinhashOracleSql.dedupClusterSizes(),
+    "q_vocab_oov" ->
+      ("WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS w FROM documents), " +
+        "vc AS (SELECT w, count(*) AS n_w FROM toks GROUP BY w), " +
+        "vocab AS (SELECT w FROM (SELECT w, row_number() OVER (ORDER BY n_w DESC, w ASC) AS rn FROM vc) WHERE rn <= 16), " +
+        "sc AS (SELECT t.doc_id, count(*) AS n_tokens, count(v.w) AS n_in " +
+        "FROM toks t LEFT JOIN vocab v ON v.w = t.w GROUP BY t.doc_id) " +
+        "SELECT doc_id, n_tokens, n_tokens - n_in AS n_oov, " +
+        "round(CAST(n_tokens - n_in AS DOUBLE) / n_tokens, 6) AS oov_frac " +
+        "FROM sc ORDER BY doc_id"),
+    "q_passage_dup" ->
+      ("WITH base AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk FROM documents), " +
+        "nn AS (SELECT doc_id, tk, 1 + CAST(floor((len(tk) - 1) / 32.0) AS INT) AS nc FROM base WHERE len(tk) > 0), " +
+        "ch AS (SELECT doc_id, array_to_string(tk[k*32 + 1 : k*32 + 32], ' ') AS p " +
+        "FROM (SELECT doc_id, tk, unnest(range(0, nc)) AS k FROM nn)), " +
+        "sh2 AS (SELECT p FROM (SELECT p, count(DISTINCT doc_id) AS nd FROM ch GROUP BY p) WHERE nd >= 2) " +
+        "SELECT c.doc_id, count(*) AS n_passages, count(s.p) AS n_shared, " +
+        "round(CAST(count(s.p) AS DOUBLE) / count(*), 6) AS shared_frac " +
+        "FROM ch c LEFT JOIN sh2 s ON s.p = c.p GROUP BY c.doc_id ORDER BY c.doc_id"),
     "q_intersect" ->
       ("SELECT c_nationkey AS nationkey FROM customer INTERSECT " +
         "SELECT s_nationkey FROM supplier ORDER BY nationkey"),

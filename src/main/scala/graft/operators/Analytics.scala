@@ -292,6 +292,57 @@ object Analytics {
         round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50_price"))
       .orderBy("l_returnflag")
 
+  /** Explicit GROUPING SETS — the general form behind ROLLUP/CUBE: the
+    * caller names exactly which aggregation granularities to emit (here
+    * per-returnflag, per-linestatus, and the grand total — NOT the
+    * (rf, ls) cross that CUBE would add). One Expand + one aggregation,
+    * same plan family as the rollup/cube rows. */
+  def groupingSetsAgg(t: Tables): DataFrame =
+    t.lineitem
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** First/last event per user — the session-entry/exit report:
+    * first_value/last_value over the full per-user frame (explicit
+    * unbounded frame: last_value under the default running frame is just
+    * the current row — the classic window trap), deduped to one row per
+    * user. Per-user partitions are bounded; tie-break on event_id makes
+    * the order total. */
+  def firstLastEvents(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t.events
+      .select(col("user_id"),
+        first_value(col("event_type")).over(w).as("first_type"),
+        last_value(col("event_type")).over(w).as("last_type"),
+        count(lit(1)).over(w).as("n_events"))
+      .distinct()
+      .orderBy("user_id")
+  }
+
+  /** Median absolute deviation per group — the robust spread statistic
+    * ([[zScoreOutliers]]' moment pass breaks on heavy tails; MAD doesn't).
+    * Two exact-percentile aggregations: the per-group median (group-space
+    * shuffle), broadcast back onto the facts, then the median of the
+    * absolute deviations. Same deliberate exact-order-statistics surface
+    * as [[groupPercentiles]]; the bounded-memory swaps are the sketch and
+    * count-collapse twins. */
+  def groupMad(t: Tables): DataFrame = {
+    val med = t.lineitem.groupBy("l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.5)").as("_med"))
+    t.lineitem.select(col("l_returnflag"), col("l_quantity"))
+      .join(broadcast(med), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(round(first(col("_med")), 6).as("median_qty"),
+        round(expr("percentile(abs(l_quantity - _med), 0.5)"), 6).as("mad_qty"))
+      .orderBy("l_returnflag")
+  }
+
   /** Per-user event gaps: lag() gives the microseconds since the user's
     * previous event, lead() the type of the next one — the row-adjacent
     * window pair that powers funnel/dwell-time features. One shuffle,

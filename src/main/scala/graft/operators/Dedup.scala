@@ -387,6 +387,55 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Text similarity SEARCH — the text twin of the embedding ANN rows:
+    * for each query document (doc_id < `nQueries`), the `topK` most
+    * similar corpus documents by estimated Jaccard (minhash signature
+    * agreement), with candidates from LSH band collisions only.
+    *
+    * Scale shape mirrors [[graft.operators.Similarity.lshTopK]]: the
+    * corpus is banded ONCE; the bounded query band rows broadcast onto
+    * them as a (band, band_key) equi-join — expected candidates per query
+    * are collision-rate-bounded, never a corpus scan per query. Ranking
+    * is a per-query window over the candidate set. The agreement estimate
+    * is m/k with k=64 — a dyadic rational, exactly representable, so the
+    * rank order is engine-exact (no ulp fragility). */
+  def textSimSearch(t: Tables, nQueries: Long = 10, topK: Int = 5,
+                    w: Int = 2, k: Int = 64, bands: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sigs = minhashSigs(t.documents.select("doc_id", "text"), w, k)
+    val banded = minhashBandRows(sigs, bands)
+    val qBands = banded.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"), col("sig").as("_qsig"),
+        col("band"), col("band_key"))
+    val cand = banded
+      .join(broadcast(qBands), Seq("band", "band_key"))
+      .filter(col("doc_id") =!= col("query_id"))
+      // estimate map-side per collision; only (ids, est) reach the distinct
+      .withColumn("est_jaccard", round(sigAgreement(col("sig"), col("_qsig"), k), 6))
+      .select(col("query_id"), col("doc_id").as("neighbor_id"), col("est_jaccard"))
+      .distinct()
+    val rank = Window.partitionBy(col("query_id"))
+      .orderBy(col("est_jaccard").desc, col("neighbor_id").asc)
+    cand.withColumn("rn", row_number().over(rank))
+      .filter(col("rn") <= topK)
+      .select("query_id", "neighbor_id", "est_jaccard")
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  /** Dedup observability: the cluster-SIZE histogram of the transitive
+    * near-dup groups — the first report run after a dedup pass (a fat
+    * tail of giant clusters means boilerplate or a crawler loop, not
+    * ordinary duplication). One aggregation over [[nearDupGroups]]'
+    * output: component sizes, then (size, n_clusters); singletons
+    * included, so the size-weighted sum equals the corpus count
+    * (spec-asserted). */
+  def dedupClusterSizes(t: Tables, w: Int = 2,
+                        minEstJaccard: Double = 0.5): DataFrame =
+    nearDupGroups(t, w, minEstJaccard)
+      .groupBy("group_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .orderBy("cluster_size")
+
   /** SimHash fingerprints: 64-bit near-dup signature per document (custom
     * codegen'd expression). Exact-equal simhash → near-identical token
     * multiset; grouping by fingerprint is the O(n) near-dup pass. */

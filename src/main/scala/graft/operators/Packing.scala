@@ -72,6 +72,34 @@ object Packing {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Passage-level duplication scoring — the boilerplate detector: split
+    * every document into NON-overlapping fixed token windows
+    * ([[chunkDocuments]] with overlap 0), count how many of each
+    * document's passages also occur (verbatim) in at least one OTHER
+    * document, and report the shared fraction. A high shared_frac with a
+    * low whole-doc duplication rate is the signature of templated
+    * boilerplate — the duplication that doc-level dedup cannot see.
+    *
+    * Scale shape: one hash aggregation keyed on the passage text for the
+    * cross-doc occurrence counts (shuffle bounded by distinct-passage
+    * count), one broadcast-free equi-join back on the passage key, one
+    * per-doc aggregation. No self-join, nothing quadratic. */
+  def passageDupScores(t: Tables, passageTokens: Int = 32): DataFrame = {
+    val passages = chunkDocuments(t, passageTokens, overlap = 0)
+      .select(col("doc_id"), col("chunk_text").as("_p"))
+    val shared = passages
+      .groupBy("_p").agg(countDistinct(col("doc_id")).as("_docs"))
+      .filter(col("_docs") >= 2)
+      .select(col("_p"), lit(1).as("_shared"))
+    passages.join(shared, Seq("_p"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_passages"),
+        count(col("_shared")).as("n_shared"))
+      .withColumn("shared_frac",
+        round(col("n_shared").cast("double") / col("n_passages"), 6))
+      .orderBy("doc_id")
+  }
+
   def packDocuments(t: Tables, contextLen: Int = 256,
                     nShards: Int = 8): DataFrame = {
     val spark = t.spark

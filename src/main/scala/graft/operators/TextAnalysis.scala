@@ -328,6 +328,35 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_redactions"))
       .orderBy("doc_id")
 
+  /** Vocabulary build + out-of-vocabulary rate — the coverage check run
+    * before committing to a tokenizer/vocab size: the top-`vocabSize`
+    * corpus tokens by frequency (count DESC, token ASC — a deterministic
+    * boundary) form the vocabulary; each document is then scored by the
+    * fraction of its token INSTANCES falling outside it. Two aggregations
+    * plus one broadcast-sized join (the vocabulary is vocabSize rows by
+    * construction — broadcast-safe at any corpus size); documents with
+    * zero tokens have no coverage to report and are absent, as in
+    * [[textStats]]' token-free caveat. */
+  def vocabOov(t: Tables, vocabSize: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = t.documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    val rank = Window.orderBy(col("n_w").desc, col("w").asc)
+    val vocab = toks.groupBy("w").agg(count(lit(1)).as("n_w"))
+      // the single-partition window is over the VOCABULARY (bounded),
+      // never the corpus — same shape as every top-k-of-aggregates row
+      .withColumn("rn", row_number().over(rank))
+      .filter(col("rn") <= vocabSize)
+      .select(col("w"), lit(1).as("_in_vocab"))
+    toks.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        (count(lit(1)) - count(col("_in_vocab"))).as("n_oov"))
+      .withColumn("oov_frac",
+        round(col("n_oov").cast("double") / col("n_tokens"), 6))
+      .orderBy("doc_id")
+  }
+
   /** Top bigram collocations by pointwise mutual information:
     * PMI(a,b) = ln( p(ab) / (p(a)·p(b)) ) with p from corpus counts. The
     * bigram stream is built map-side by zipping each token array with its

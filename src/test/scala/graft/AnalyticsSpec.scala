@@ -495,6 +495,54 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("groupingSetsAgg emits exactly the named granularities, no cross terms") {
+    val li = tables.lineitem.select("l_returnflag", "l_linestatus", "l_quantity")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    def agg(rows: Array[(String, String, Double)]) =
+      (rows.length.toLong, math.round(rows.map(_._3).sum * 100) / 100.0)
+    val byRf = li.groupBy(_._1).map { case (rf, rs) => (Option(rf), Option.empty[String]) -> agg(rs) }
+    val byLs = li.groupBy(_._2).map { case (ls, rs) => (Option.empty[String], Option(ls)) -> agg(rs) }
+    val total = Map((Option.empty[String], Option.empty[String]) -> agg(li))
+    val expected = byRf ++ byLs ++ total
+    val got = Analytics.groupingSetsAgg(tables).collect().map { r =>
+      (Option(r.getString(0)), Option(r.getString(1))) -> (r.getLong(2), r.getDouble(3))
+    }.toMap
+    assert(got == expected)
+    assert(got.size == byRf.size + byLs.size + 1, "no (rf, ls) cross rows")
+  }
+
+  test("firstLastEvents picks each user's chronological entry and exit") {
+    val ev = tables.events.select("user_id", "ts", "event_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getString(3)))
+    val expected = ev.groupBy(_._1).map { case (u, rs) =>
+      val sorted = rs.sortBy(r => (r._2, r._3))
+      u -> (sorted.head._4, sorted.last._4, rs.length.toLong)
+    }
+    val got = Analytics.firstLastEvents(tables).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getLong(3))).toMap
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("groupMad equals the driver-side median-absolute-deviation recompute") {
+    def quantileCont(xs: Array[Double], p: Double): Double = {
+      val s = xs.sorted
+      val pos = (s.length - 1) * p
+      val (lo, hi) = (s(pos.toInt), s(math.ceil(pos).toInt))
+      lo + (pos - math.floor(pos)) * (hi - lo)
+    }
+    val li = tables.lineitem.select("l_returnflag", "l_quantity")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val expected = li.groupBy(_._1).map { case (rf, rs) =>
+      val xs = rs.map(_._2)
+      val med = quantileCont(xs, 0.5)
+      rf -> (math.round(med * 1e6) / 1e6,
+        math.round(quantileCont(xs.map(x => math.abs(x - med)), 0.5) * 1e6) / 1e6)
+    }
+    val got = Analytics.groupMad(tables).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got == expected)
+  }
+
   test("slidingWindowCounts assigns every event to exactly length/slide windows") {
     val rows = Analytics.slidingWindowCounts(tables).collect()
     val nEvents = tables.events.count()

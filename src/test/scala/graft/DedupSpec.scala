@@ -149,6 +149,34 @@ class DedupSpec extends SparkSpec {
     (0 until 3).foreach { i => assert(fp(i.toLong) == fp(i + 3000000L)) }
   }
 
+  test("textSimSearch ranks band-collision candidates by exact signature agreement") {
+    val sigs = graft.operators.Dedup
+      .minhashSigs(tables.documents.select("doc_id", "text"), 2, 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val got = Dedup.textSimSearch(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (_, rows) => assert(rows.length <= 5) }
+    got.foreach { case (q, n, est) =>
+      val agree = sigs(q).zip(sigs(n)).count { case (a, b) => a == b }
+      assert(est == math.round(agree / 64.0 * 1e6) / 1e6, s"pair ($q,$n)")
+      assert(n != q)
+    }
+  }
+
+  test("dedupClusterSizes histogram covers the whole corpus") {
+    val sizes = Dedup.nearDupGroups(tables).collect()
+      .map(_.getLong(1)).groupBy(identity).map(_._2.length.toLong)
+    val expected = sizes.groupBy(identity)
+      .map { case (sz, hits) => sz -> hits.size.toLong }
+    val got = Dedup.dedupClusterSizes(tables).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    val n = tables.documents.count()
+    assert(got.map { case (sz, c) => sz * c }.sum == n,
+      "size-weighted sum must equal the corpus count")
+  }
+
   test("nearDupRates is the source-pair histogram of the verified pair set") {
     val sources = tables.documents.select("doc_id", "source").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap

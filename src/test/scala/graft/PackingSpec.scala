@@ -102,6 +102,36 @@ class PackingSpec extends SparkSpec {
       s"expected exactly the shard exchange, found $hashExchanges:\n$plan")
   }
 
+  test("passageDupScores flags exactly the passages shared across documents") {
+    // 40 tokens → 2 non-overlapping 32-token passages per doc (32 + 8)
+    val words = (0 until 40).map(i => s"w$i")
+    val docA = words.mkString(" ")
+    val docB = (words.take(32) ++ (0 until 8).map(i => s"x$i")).mkString(" ") // shares passage 0 with A
+    val docC = (0 until 40).map(i => s"y$i").mkString(" ")                    // shares nothing
+    val docs = Seq((1L, docA, "en", "s"), (2L, docB, "en", "s"), (3L, docC, "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val t = tables.withTable("documents", docs)
+    val got = Packing.passageDupScores(t).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) == ((2L, 1L, 0.5)), s"doc 1: ${got(1L)}")
+    assert(got(2L) == ((2L, 1L, 0.5)), s"doc 2: ${got(2L)}")
+    assert(got(3L) == ((2L, 0L, 0.0)), s"doc 3: ${got(3L)}")
+  }
+
+  test("passageDupScores on the corpus is consistent with the chunker") {
+    val chunks = Packing.chunkDocuments(tables, 32, overlap = 0)
+      .select("doc_id", "chunk_text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val sharedTexts = chunks.groupBy(_._2)
+      .filter(_._2.map(_._1).distinct.length >= 2).keySet
+    val expected = chunks.groupBy(_._1).map { case (d, cs) =>
+      d -> (cs.length.toLong, cs.count(c => sharedTexts(c._2)).toLong)
+    }
+    val got = Packing.passageDupScores(tables).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected)
+  }
+
   test("packing per-doc token counts match textStats") {
     val fromPack = packed.select("doc_id", "n_tokens")
     val fromStats = TextAnalysis.textStats(tables)

@@ -201,13 +201,37 @@ class TextAnalysisSpec extends SparkSpec {
       .flatMap(tk => tk.zip(tk.tail))
       .groupBy(identity).map { case (p, hits) => p -> hits.length.toLong }
     val n2 = big.values.sum.toDouble
+    // rank on the PMI-monotone ratio exactly as the operator does (ln only
+    // decorates the payload), same op order
     val expected = big.toSeq.filter(_._2 >= 10).map { case ((a, b), c) =>
-      val pmi = math.log((c / n2) / ((uni(a) / n1) * (uni(b) / n1)))
-      (a, b, c, BigDecimal(pmi).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
-    }.sortBy(r => (-r._4, r._1, r._2)).take(30)
+      val r = c.toDouble * n1 * n1 / (n2 * uni(a) * uni(b))
+      (a, b, c, r,
+        BigDecimal(math.log(r)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(t => (-t._4, t._1, t._2)).take(30)
+      .map { case (a, b, c, _, pmi) => (a, b, c, pmi) }
     val got = TextAnalysis.pmiBigrams(tables).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
     assert(got.length == 30)
     assert(got.toSeq == expected)
+  }
+
+  test("vocabOov: full-vocabulary coverage is zero OOV; top-1 vocab counts exactly") {
+    val toks = tables.documents.collect().flatMap { r =>
+      val id = r.getLong(r.fieldIndex("doc_id"))
+      r.getString(r.fieldIndex("text")).toLowerCase.trim
+        .split("\\s+").filter(_.nonEmpty).map(id -> _)
+    }
+    val nVocab = toks.map(_._2).distinct.length
+    val full = TextAnalysis.vocabOov(tables, vocabSize = nVocab).collect()
+    assert(full.nonEmpty && full.forall(_.getDouble(3) == 0.0))
+    // top-1 vocabulary: OOV = every instance of any non-modal token
+    val top = toks.map(_._2).groupBy(identity).map { case (w, h) => (w, h.length) }
+      .toSeq.sortBy { case (w, c) => (-c, w) }.head._1
+    val expected = toks.groupBy(_._1).map { case (d, ws) =>
+      d -> (ws.length.toLong, ws.count(_._2 != top).toLong)
+    }
+    val got = TextAnalysis.vocabOov(tables, vocabSize = 1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected)
   }
 }
