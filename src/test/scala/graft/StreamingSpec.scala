@@ -4,8 +4,9 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Dataset
 import graft.streaming.EventStreams
-import graft.streaming.EventStreams.Event
+import graft.streaming.EventStreams.{Event, UserRunning}
 
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -260,6 +261,41 @@ class StreamingSpec extends SparkSpec {
       val appended = spark.table(idx.fp).count() - corpus.count()
       assert(appended == 2L, s"appended fp rows: $appended")
     } finally q.stop()
+  }
+
+  test("stateful runningUserTotals survives a stop/restart from its checkpoint") {
+    // the operational property that makes custom state usable in
+    // production: the mapGroupsWithState store recovers from the
+    // checkpoint, so totals after a restart include pre-restart batches
+    // (were state lost, the post-restart totals would count batch 2 only)
+    // the memory sink refuses checkpoint recovery, so capture each
+    // micro-batch through foreachBatch (recovery-capable) into a
+    // last-write-wins map keyed by user
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val seen = new java.util.concurrent.ConcurrentHashMap[Long, (Long, Double)]()
+    val input = MemoryStream[Event]
+    val totals = EventStreams.runningUserTotals(spark, input.toDS())
+    def start() = totals.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: Dataset[UserRunning], _: Long) =>
+        batch.collect().foreach(u => seen.put(u.user_id, (u.n_events, u.total_value)))
+      }
+      .start()
+    val q1 = start()
+    try {
+      input.addData(Event(1, ts(1), 10, "click", 1.0), Event(2, ts(2), 10, "view", 2.0))
+      q1.processAllAvailable()
+      assert(seen.get(10L) == ((2L, 3.0)), s"pre-restart totals: $seen")
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      input.addData(Event(3, ts(3), 10, "click", 4.0), Event(4, ts(4), 11, "view", 8.0))
+      q2.processAllAvailable()
+      assert(seen.get(10L) == ((3L, 7.0)), s"user 10 state lost across restart: $seen")
+      assert(seen.get(11L) == ((1L, 8.0)), s"user 11 missing: $seen")
+    } finally q2.stop()
   }
 
   test("processIngestBatch: replays are no-ops and batches leave zero residual RDDs") {
