@@ -124,6 +124,19 @@ est AS (SELECT doc_a, doc_b, round(sum(CASE WHEN sa.sv = sb.sv THEN 1 ELSE 0 END
       s"SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= $minEst " +
       "ORDER BY doc_a, doc_b"
 
+  /** Oracle for q_minhash_srcsim
+    * ([[graft.operators.Dedup.sourceSignatureSimilarity]] defaults):
+    * per-source elementwise-min merge of the doc signatures from
+    * [[sigCtes]]'s `sig`, then pairwise position-agreement. */
+  def sourceSimilarity(k: Int = 64, bands: Int = 16, seed: Long = 42L): String =
+    s"WITH ${sigCtes(k, bands, seed)}, " +
+      "msig AS (SELECT d.source, s.j, min(s.sv) AS sv FROM sig s " +
+      "JOIN documents d USING (doc_id) GROUP BY d.source, s.j) " +
+      "SELECT a.source AS source_a, b.source AS source_b, " +
+      s"round(sum(CASE WHEN a.sv = b.sv THEN 1 ELSE 0 END) / $k.0, 6) AS est_union_jaccard " +
+      "FROM msig a JOIN msig b ON a.j = b.j AND a.source < b.source " +
+      "GROUP BY 1, 2 ORDER BY source_a, source_b"
+
   /** Oracle for q_dedup_lsh_verified
     * ([[graft.operators.Dedup.lshVerifiedPairs]] defaults: candidates at
     * est ≥ 0.2, exact w=2-shingle Jaccard ≥ 0.5 on candidates only). */

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Analytics, Dedup, Multimodal, Packing, Relational, Similarity, TextAnalysis}
+import graft.operators.{Analytics, Dedup, Graph, Multimodal, Packing, Relational, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -219,6 +219,14 @@ object SparkEntry {
     "q_intersect" -> ((s, d) => Analytics.intersectKeys(Tables(s, d))),
     "q_except" -> ((s, d) => Analytics.exceptKeys(Tables(s, d))),
     "q_pivot" -> ((s, d) => Analytics.pivotEvents(Tables(s, d))),
+    "q_funnel" -> ((s, d) => Analytics.funnelSteps(Tables(s, d))),
+    "q_retention" -> ((s, d) => Analytics.retentionCohorts(Tables(s, d))),
+    "q_pagerank" -> ((s, d) => Graph.pageRank(Tables(s, d))),
+    "q_argmax_doc" -> ((s, d) => TextAnalysis.longestDocPerSource(Tables(s, d))),
+    "q_zipf_slope" -> ((s, d) => TextAnalysis.zipfSlope(Tables(s, d))),
+    "q_length_band" -> ((s, d) => TextAnalysis.lengthBandFilter(Tables(s, d))),
+    "q_minhash_srcsim" -> ((s, d) => Dedup.sourceSignatureSimilarity(Tables(s, d))),
+    "q_embed_pca" -> ((s, d) => Similarity.topPrincipalComponent(Tables(s, d))),
     // — reference interchange format end to end (SURVEY §2 row 1) —
     "q_csv_engine" -> ((s, d) => {
       import graft.sources.CsvMetadataSource
@@ -699,5 +707,80 @@ object SparkEntry {
         "FROM (SELECT * FROM events WHERE event_type = 'click') e " +
         "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p " +
         "ON e.user_id = p.user_id AND p.ts <= e.ts ORDER BY e.event_id"),
+    "q_funnel" ->
+      ("WITH s1 AS (SELECT user_id, min(ts) AS entry FROM events WHERE event_type = 'view' GROUP BY user_id), " +
+        "s2 AS (SELECT e.user_id, min(e.ts) AS entry FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.entry WHERE e.event_type = 'click' GROUP BY e.user_id), " +
+        "s3 AS (SELECT e.user_id, min(e.ts) AS entry FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.entry WHERE e.event_type = 'purchase' GROUP BY e.user_id), " +
+        "c AS (SELECT 1 AS step, 'view' AS event_type, count(*) AS n_users FROM s1 " +
+        "UNION ALL SELECT 2, 'click', count(*) FROM s2 " +
+        "UNION ALL SELECT 3, 'purchase', count(*) FROM s3) " +
+        "SELECT step, event_type, n_users, round(n_users / (SELECT n_users FROM c WHERE step = 1), 6) AS conversion " +
+        "FROM c ORDER BY step"),
+    "q_retention" ->
+      ("WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), " +
+        "cohorts AS (SELECT user_id, min(day) AS cohort FROM days GROUP BY user_id), " +
+        "sizes AS (SELECT cohort, count(*) AS sz FROM cohorts GROUP BY cohort), " +
+        "active AS (SELECT c.cohort, date_diff('day', c.cohort, d.day) AS day_offset, count(*) AS n_active " +
+        "FROM days d JOIN cohorts c ON d.user_id = c.user_id GROUP BY 1, 2) " +
+        "SELECT strftime(a.cohort, '%Y-%m-%d') AS cohort_day, a.day_offset, a.n_active, " +
+        "round(a.n_active / s.sz, 6) AS retention " +
+        "FROM active a JOIN sizes s ON a.cohort = s.cohort ORDER BY cohort_day, day_offset"),
+    "q_pagerank" ->
+      ("WITH pairs AS (SELECT DISTINCT 's' || l_suppkey AS a, 'c' || o_custkey AS b " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), " +
+        "edges AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs), " +
+        "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src), " +
+        "nn AS (SELECT count(*) AS n FROM deg), " +
+        "r0 AS (SELECT src AS node, 1.0 / (SELECT n FROM nn) AS rank FROM deg), " +
+        "c1 AS (SELECT e.dst AS node, sum(r.rank / g.deg) AS inr FROM edges e " +
+        "JOIN deg g ON e.src = g.src JOIN r0 r ON r.node = e.src GROUP BY e.dst), " +
+        "r1 AS (SELECT g.src AS node, 0.15 / (SELECT n FROM nn) + 0.85 * coalesce(c1.inr, 0) AS rank " +
+        "FROM deg g LEFT JOIN c1 ON c1.node = g.src), " +
+        "c2 AS (SELECT e.dst AS node, sum(r.rank / g.deg) AS inr FROM edges e " +
+        "JOIN deg g ON e.src = g.src JOIN r1 r ON r.node = e.src GROUP BY e.dst), " +
+        "r2 AS (SELECT g.src AS node, 0.15 / (SELECT n FROM nn) + 0.85 * coalesce(c2.inr, 0) AS rank " +
+        "FROM deg g LEFT JOIN c2 ON c2.node = g.src), " +
+        "c3 AS (SELECT e.dst AS node, sum(r.rank / g.deg) AS inr FROM edges e " +
+        "JOIN deg g ON e.src = g.src JOIN r2 r ON r.node = e.src GROUP BY e.dst), " +
+        "r3 AS (SELECT g.src AS node, 0.15 / (SELECT n FROM nn) + 0.85 * coalesce(c3.inr, 0) AS rank " +
+        "FROM deg g LEFT JOIN c3 ON c3.node = g.src) " +
+        "SELECT node, round(rank * (SELECT n FROM nn), 6) AS rank_x_n FROM r3 ORDER BY node"),
+    "q_argmax_doc" ->
+      ("SELECT source, count(*) AS n_docs, max(n_chars) AS max_chars, " +
+        "arg_max(doc_id, n_chars * 100000000 + doc_id) AS longest_doc_id " +
+        "FROM documents GROUP BY source ORDER BY source"),
+    "q_zipf_slope" ->
+      ("WITH toks AS (SELECT source, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS w FROM documents), " +
+        "counts AS (SELECT source, w, count(*) AS n FROM toks GROUP BY source, w), " +
+        "ranked AS (SELECT source, w, n, row_number() OVER (PARTITION BY source ORDER BY n DESC, w ASC) AS rnk FROM counts) " +
+        "SELECT source, count(*) AS n_terms, round(regr_slope(ln(n), ln(rnk)), 6) AS zipf_slope " +
+        "FROM ranked WHERE rnk <= 100 GROUP BY source ORDER BY source"),
+    "q_length_band" ->
+      ("WITH bands AS (SELECT lang, quantile_cont(n_chars, 0.05) AS lo, quantile_cont(n_chars, 0.95) AS hi " +
+        "FROM documents GROUP BY lang) " +
+        "SELECT d.lang, count(*) AS n_docs, " +
+        "CAST(sum(CASE WHEN d.n_chars >= b.lo AND d.n_chars <= b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+        "round(min(b.lo), 6) AS p_lo, round(min(b.hi), 6) AS p_hi " +
+        "FROM documents d JOIN bands b ON d.lang = b.lang GROUP BY d.lang ORDER BY d.lang"),
+    "q_minhash_srcsim" -> MinhashOracleSql.sourceSimilarity(),
+    "q_embed_pca" ->
+      ("WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS j, unnest(CAST(embedding AS DOUBLE[])) AS xj FROM embeddings), " +
+        "dims AS (SELECT count(DISTINCT j) AS d FROM x), " +
+        "v0 AS (SELECT DISTINCT j, 1.0 / sqrt((SELECT d FROM dims)) AS vj FROM x), " +
+        "s1 AS (SELECT vec_id, sum(xj * vj) AS s FROM x JOIN v0 USING (j) GROUP BY vec_id), " +
+        "y1 AS (SELECT j, sum(xj * s) AS y FROM x JOIN s1 USING (vec_id) GROUP BY j), " +
+        "n1 AS (SELECT sqrt(sum(y * y)) AS nrm FROM y1), " +
+        "v1 AS (SELECT j, y / (SELECT nrm FROM n1) AS vj FROM y1), " +
+        "s2 AS (SELECT vec_id, sum(xj * vj) AS s FROM x JOIN v1 USING (j) GROUP BY vec_id), " +
+        "y2 AS (SELECT j, sum(xj * s) AS y FROM x JOIN s2 USING (vec_id) GROUP BY j), " +
+        "n2 AS (SELECT sqrt(sum(y * y)) AS nrm FROM y2), " +
+        "v2 AS (SELECT j, y / (SELECT nrm FROM n2) AS vj FROM y2), " +
+        "s3 AS (SELECT vec_id, sum(xj * vj) AS s FROM x JOIN v2 USING (j) GROUP BY vec_id), " +
+        "y3 AS (SELECT j, sum(xj * s) AS y FROM x JOIN s3 USING (vec_id) GROUP BY j), " +
+        "n3 AS (SELECT sqrt(sum(y * y)) AS nrm FROM y3), " +
+        "v3 AS (SELECT j, y / (SELECT nrm FROM n3) AS vj FROM y3), " +
+        "sgn AS (SELECT CASE WHEN vj < 0 THEN -1.0 ELSE 1.0 END AS sg FROM v3 ORDER BY abs(vj) DESC, j ASC LIMIT 1) " +
+        "SELECT CAST(j AS BIGINT) AS dim, round((SELECT sg FROM sgn) * vj, 6) AS loading, " +
+        "round((SELECT nrm FROM n3), 4) AS eigenvalue FROM v3 ORDER BY dim"),
   )
 }

@@ -667,4 +667,60 @@ object Analytics {
         date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"))
       .orderBy("event_id")
   }
+
+  /** Ordered three-step funnel (view → click → purchase): a user counts for
+    * step k only with a step-k event STRICTLY after their step-(k-1) entry
+    * time. Each stage is a per-user min-timestamp aggregation followed by a
+    * user-keyed equi-join against the next step's events — every
+    * intermediate is bounded by user cardinality, and the fact table is
+    * scanned once per step with the step filter pushed to the scan. The
+    * final 3-row summary joins the step-1 count as a 1-row broadcast for
+    * the conversion denominator; no window over the fact table anywhere. */
+  def funnelSteps(t: Tables,
+                  steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    val ev = t.events.select(col("user_id"), col("event_type"), col("ts"))
+    // entry(k): per-user earliest qualifying timestamp for step k
+    val first = ev.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min("ts").as("_entry"))
+    val entries = steps.tail.scanLeft(first) { (prev, step) =>
+      ev.filter(col("event_type") === step)
+        .join(prev.select(col("user_id"), col("_entry").as("_prev")), "user_id")
+        .filter(col("ts") > col("_prev"))
+        .groupBy("user_id").agg(min("ts").as("_entry"))
+    }
+    val counts = entries.zip(steps.zipWithIndex).map { case (df, (step, i)) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("step"), lit(step).as("event_type"), col("n_users"))
+    }.reduce(_.unionByName(_))
+    val base = counts.filter(col("step") === 1)
+      .select(col("n_users").as("_base"))
+    counts.crossJoin(broadcast(base))
+      .select(col("step"), col("event_type"), col("n_users"),
+        round(col("n_users") / col("_base"), 6).as("conversion"))
+      .orderBy("step")
+  }
+
+  /** Daily retention cohorts: users grouped by their first active day;
+    * for each (cohort_day, day_offset) the count of cohort members active
+    * that day and the retention rate vs the cohort's size. Two user-keyed
+    * aggregations (first day, distinct active days) and one user-keyed
+    * equi-join — at corpus scale both sides are user-cardinality-bounded
+    * and co-partitioned by the join key, and the cohort-size denominator
+    * joins back as a cohort-day-sized broadcast. No windows, no
+    * day×day self-join. */
+  def retentionCohorts(t: Tables): DataFrame = {
+    val days = t.events
+      .select(col("user_id"), to_date(col("ts")).as("_day")).distinct()
+    val cohorts = days.groupBy("user_id").agg(min("_day").as("_cohort"))
+    val active = days.join(cohorts, "user_id")
+      .groupBy(col("_cohort"),
+        datediff(col("_day"), col("_cohort")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = cohorts.groupBy("_cohort").agg(count(lit(1)).as("_size"))
+    active.join(broadcast(sizes), "_cohort")
+      .select(date_format(col("_cohort"), "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset"), col("n_active"),
+        round(col("n_active") / col("_size"), 6).as("retention"))
+      .orderBy("cohort_day", "day_offset")
+  }
 }

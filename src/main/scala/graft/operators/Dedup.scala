@@ -445,4 +445,28 @@ object Dedup {
         col("doc_id"),
         HashFunctions.simhash64(TextAnalysis.tokens(col("text"))).as("simhash"))
       .orderBy("doc_id")
+
+  /** Cross-source similarity from MERGED MinHash signatures: the per-source
+    * elementwise-min of its documents' signatures is exactly the signature
+    * of the UNION of their shingle sets (min is associative), so one
+    * corpus pass yields a sources×k sketch table and every source pair's
+    * union-Jaccard estimate comes from comparing sketches — corpus-size-
+    * independent after the scan. This mergeability is the property that
+    * matters at 100 TB: per-partition partial mins combine map-side, the
+    * shuffle carries sources×k rows, and the pairwise stage runs on a
+    * table whose size never grows with the corpus. */
+  def sourceSignatureSimilarity(t: Tables, w: Int = 2, k: Int = 64): DataFrame = {
+    val merged = t.documents
+      .select(col("source"),
+        posexplode(HashFunctions.minhashSigText(col("text"), w, k))
+          .as(Seq("j", "sv")))
+      .groupBy("source", "j").agg(min("sv").as("sv"))
+    merged.as("a")
+      .join(merged.as("b"),
+        col("a.j") === col("b.j") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(round(sum(when(col("a.sv") === col("b.sv"), 1L).otherwise(0L))
+        .cast("double") / k, 6).as("est_union_jaccard"))
+      .orderBy("source_a", "source_b")
+  }
 }

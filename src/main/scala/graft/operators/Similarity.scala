@@ -455,4 +455,43 @@ object Similarity {
       .groupBy(col("label"), (col("_pos") + 1).cast("long").as("dim"))
       .agg(count(lit(1)).as("n_vecs"), round(avg(col("_x").cast("double")), 6).as("centroid"))
       .orderBy("label", "dim")
+
+  /** Top principal component of the embedding matrix by fixed-iteration
+    * power method (Mises–Pollaczek 1929 — public algorithm): v ←
+    * Xᵀ(Xv)/‖Xᵀ(Xv)‖, `iters` times from the uniform unit vector. Each
+    * round is two corpus passes that never materialize the d×d Gram
+    * matrix: the row scores s=Xv are a narrow map with v as a broadcast
+    * literal, and y=Xᵀs is a d-key aggregation (map-side partial combine →
+    * d rows per partition). Only the d-vector v crosses the driver between
+    * rounds — bounded by dimension, not corpus. Fixed iterations keep it
+    * deterministic (oracle-checkable); the sign is normalized so the
+    * largest-magnitude loading is positive (eigenvectors are sign-
+    * ambiguous, and summation order must not pick the sign). */
+  def topPrincipalComponent(t: Tables, iters: Int = 3): DataFrame = {
+    val xa = t.embeddings.select(col("vec_id"),
+      transform(col("embedding"), e => e.cast("double")).as("x"))
+    val dim = xa.select(size(col("x"))).head().getInt(0)
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    var lastNorm = 0.0
+    for (_ <- 1 to iters) {
+      val vlit = typedlit(v.toSeq)
+      val y = xa
+        .withColumn("_s", aggregate(zip_with(col("x"), vlit, (a, b) => a * b),
+          lit(0.0), (acc, e) => acc + e))
+        .select(posexplode(col("x")).as(Seq("_pos", "_xj")), col("_s"))
+        .groupBy("_pos").agg(sum(col("_xj") * col("_s")).as("_y"))
+        .orderBy("_pos").collect().map(_.getDouble(1))
+      lastNorm = math.sqrt(y.map(a => a * a).sum)
+      v = y.map(_ / lastNorm)
+    }
+    val jstar = v.indices.minBy(j => (-math.abs(v(j)), j))
+    val fixed = if (v(jstar) < 0) v.map(x => -x) else v
+    val spark = t.spark
+    import spark.implicits._
+    fixed.zipWithIndex.toSeq
+      .map { case (x, j) => (j + 1L, x) }.toDF("dim", "_l")
+      .select(col("dim"), round(col("_l"), 6).as("loading"),
+        round(lit(lastNorm), 4).as("eigenvalue"))
+      .orderBy("dim")
+  }
 }

@@ -406,4 +406,61 @@ object TextAnalysis {
       .limit(topK)
       .drop("_r")
   }
+
+  /** Per-source longest document via `max_by` over a composite key
+    * (n_chars then doc_id, folded into one integer so the winner is
+    * deterministic under ties — bare `max_by`'s tie choice is
+    * engine-arbitrary). One partial+final aggregation, source-cardinality
+    * output, no window and no sort of the corpus. */
+  def longestDocPerSource(t: Tables): DataFrame = {
+    // n_chars ≤ ~1e7 per doc, doc_id < 1e8: the fold is collision-free
+    val key = col("n_chars") * lit(100000000L) + col("doc_id")
+    t.documents
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        max("n_chars").as("max_chars"),
+        max_by(col("doc_id"), key).as("longest_doc_id"))
+      .orderBy("source")
+  }
+
+  /** Zipf slope per source: regress ln(frequency) on ln(rank) over each
+    * source's top-`topV` terms (rank ties broken by term so both engines
+    * rank identically). The term-count aggregation is partial+final; the
+    * per-source ranking windows run on vocabulary-sized data, never the
+    * corpus; `regr_slope` is a distributive moment aggregate. A natural-
+    * language corpus slope sits near -1 (Zipf's law) — a strong deviation
+    * flags templated or synthetic text. */
+  def zipfSlope(t: Tables, topV: Int = 100): DataFrame = {
+    val counts = t.documents
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("n").desc, col("w").asc)
+    counts.withColumn("_rank", row_number().over(w))
+      .filter(col("_rank") <= topV)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_terms"),
+        round(expr("regr_slope(ln(n), ln(_rank))"), 6).as("zipf_slope"))
+      .orderBy("source")
+  }
+
+  /** Per-language length-band filter: keep documents whose n_chars lies in
+    * the language's [p5, p95] interpolated-percentile band — the standard
+    * outlier-length cleanup before training. The band comes from one
+    * per-language aggregation (language-cardinality output) broadcast back
+    * onto the corpus scan, so the filter itself is a narrow map — no sort,
+    * no second shuffle of the corpus. */
+  def lengthBandFilter(t: Tables, lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    val bands = t.documents.groupBy("lang")
+      .agg(expr(s"percentile(n_chars, $lo)").as("_lo"),
+        expr(s"percentile(n_chars, $hi)").as("_hi"))
+    t.documents.join(broadcast(bands), "lang")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_chars") >= col("_lo") && col("n_chars") <= col("_hi"), 1L)
+          .otherwise(0L)).as("n_kept"),
+        round(min("_lo"), 6).as("p_lo"),
+        round(min("_hi"), 6).as("p_hi"))
+      .orderBy("lang")
+  }
 }

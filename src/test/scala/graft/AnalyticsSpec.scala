@@ -555,4 +555,39 @@ class AnalyticsSpec extends SparkSpec {
       assert(m == 0 || m == 30, s"off-grid window start ${r.getString(0)}")
     }
   }
+
+  test("funnelSteps matches a driver-side strictly-ordered recompute") {
+    val rows = Analytics.funnelSteps(tables).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 3))
+    assert(rows(0)._3 >= rows(1)._3 && rows(1)._3 >= rows(2)._3)
+    assert(rows(0)._4 == 1.0)
+    val evs = tables.events
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val s1 = evs.filter(_._2 == "view").groupBy(_._1)
+      .map { case (u, es) => u -> es.map(_._3).min }
+    val s2 = evs.filter(e => e._2 == "click" && s1.get(e._1).exists(e._3 > _))
+      .groupBy(_._1).map { case (u, es) => u -> es.map(_._3).min }
+    val s3 = evs.filter(e => e._2 == "purchase" && s2.get(e._1).exists(e._3 > _))
+      .groupBy(_._1).map { case (u, es) => u -> es.map(_._3).min }
+    assert(rows.map(_._3).toSeq == Seq(s1.size.toLong, s2.size.toLong, s3.size.toLong))
+  }
+
+  test("retentionCohorts: offset-0 rows are the cohorts themselves at rate 1") {
+    val rows = Analytics.retentionCohorts(tables).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val zero = rows.filter(_._2 == 0L)
+    assert(zero.nonEmpty)
+    assert(zero.forall(_._4 == 1.0))
+    // cohort masses partition the user base
+    val users = tables.events.select("user_id").distinct().count()
+    assert(zero.map(_._3).sum == users)
+    // no row exceeds its cohort size, and rates are consistent with it
+    val sizes = zero.map(r => r._1 -> r._3).toMap
+    rows.foreach { case (c, _, n, rate) =>
+      assert(n <= sizes(c))
+      assert(math.abs(rate - n.toDouble / sizes(c)) < 1e-6)
+    }
+  }
 }

@@ -190,4 +190,29 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(got == expected && got.values.sum == pairs.length)
   }
+
+  test("sourceSignatureSimilarity merges per-doc signatures as the union minhash") {
+    val rows = Dedup.sourceSignatureSimilarity(tables).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    rows.foreach { case (a, b, e) =>
+      assert(a < b)
+      assert(e >= 0.0 && e <= 1.0)
+    }
+    val srcs = tables.documents.select("source").distinct().count().toInt
+    assert(rows.length == srcs * (srcs - 1) / 2)
+    // merged-min property: elementwise min of the member docs' signatures IS
+    // the union's signature; agreement fraction must match exactly
+    val sigs = tables.documents
+      .select(org.apache.spark.sql.functions.col("source"),
+        graft.functions.HashFunctions.minhashSigText(
+          org.apache.spark.sql.functions.col("text"), 2, 64).as("sig"))
+      .collect().map(r => (r.getString(0), r.getSeq[Long](1)))
+    val merged = sigs.groupBy(_._1).map { case (s, xs) =>
+      s -> (0 until 64).map(j => xs.map(_._2(j)).min)
+    }
+    rows.foreach { case (a, b, e) =>
+      val est = (0 until 64).count(j => merged(a)(j) == merged(b)(j)) / 64.0
+      assert(math.abs(e - math.round(est * 1e6) / 1e6) < 1e-9, s"$a/$b")
+    }
+  }
 }

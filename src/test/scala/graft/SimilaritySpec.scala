@@ -261,4 +261,37 @@ class SimilaritySpec extends SparkSpec {
       }
     }
   }
+
+  test("topPrincipalComponent matches a driver-side power iteration") {
+    val rows = Similarity.topPrincipalComponent(tables).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == (1L to 64L))
+    // unit vector, positive peak (sign convention), positive eigenvalue
+    assert(math.abs(rows.map(r => r._2 * r._2).sum - 1.0) < 1e-6)
+    val peak = rows.minBy(r => (-math.abs(r._2), r._1))
+    assert(peak._2 > 0.0)
+    assert(rows.head._3 > 0.0)
+    val xs = tables.embeddings.select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    var v = Array.fill(64)(1.0 / 8.0)
+    var nrm = 0.0
+    for (_ <- 1 to 3) {
+      val y = Array.fill(64)(0.0)
+      xs.foreach { x =>
+        var s = 0.0
+        var j = 0
+        while (j < 64) { s += x(j) * v(j); j += 1 }
+        j = 0
+        while (j < 64) { y(j) += s * x(j); j += 1 }
+      }
+      nrm = math.sqrt(y.map(a => a * a).sum)
+      v = y.map(_ / nrm)
+    }
+    val jstar = v.indices.minBy(j => (-math.abs(v(j)), j))
+    val fixed = if (v(jstar) < 0) v.map(x => -x) else v
+    rows.foreach { case (d, l, e) =>
+      assert(math.abs(l - fixed(d.toInt - 1)) < 1e-5, s"dim $d")
+      assert(math.abs(e - nrm) < 1e-3 * nrm)
+    }
+  }
 }

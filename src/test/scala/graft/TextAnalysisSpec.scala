@@ -234,4 +234,47 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got == expected)
   }
+
+  test("longestDocPerSource picks the max-length doc with deterministic ties") {
+    val rows = TextAnalysis.longestDocPerSource(tables).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docs = tables.documents.select("source", "doc_id", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val bySrc = docs.groupBy(_._1)
+    assert(rows.map(_._1).toSet == bySrc.keySet)
+    rows.foreach { case (s, nd, mx, id) =>
+      val ds = bySrc(s)
+      assert(nd == ds.length)
+      assert(mx == ds.map(_._3).max)
+      // composite key (n_chars, doc_id): ties resolve to the LARGEST doc_id
+      assert(id == ds.filter(_._3 == mx).map(_._2).max, s"source $s")
+    }
+  }
+
+  test("zipfSlope is non-positive and ranks at most topV terms per source") {
+    val rows = TextAnalysis.zipfSlope(tables).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (s, nTerms, slope) =>
+      assert(nTerms <= 100, s)
+      // frequency is non-increasing in rank, so the log-log slope can't be
+      // positive
+      assert(slope <= 0.0, s"source $s slope $slope")
+    }
+  }
+
+  test("lengthBandFilter keeps the central p5–p95 mass per language") {
+    val rows = TextAnalysis.lengthBandFilter(tables).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, n, kept, lo, hi) =>
+      assert(lo <= hi, lang)
+      assert(kept <= n, lang)
+      assert(kept.toDouble / n >= 0.8, s"$lang kept $kept of $n")
+      // driver-side recompute of the kept count from the emitted band
+      val chars = tables.documents.filter(org.apache.spark.sql.functions.col("lang") === lang)
+        .select("n_chars").collect().map(_.getLong(0))
+      assert(kept == chars.count(c => c >= lo && c <= hi), lang)
+    }
+  }
 }
