@@ -227,6 +227,8 @@ object SparkEntry {
     "q_length_band" -> ((s, d) => TextAnalysis.lengthBandFilter(Tables(s, d))),
     "q_minhash_srcsim" -> ((s, d) => Dedup.sourceSignatureSimilarity(Tables(s, d))),
     "q_embed_pca" -> ((s, d) => Similarity.topPrincipalComponent(Tables(s, d))),
+    "q_token_bpe" -> ((s, d) => TextAnalysis.bpeTokenStats(Tables(s, d))),
+    "q_rate_anomaly" -> ((s, d) => Analytics.rateAnomalies(Tables(s, d))),
     // — reference interchange format end to end (SURVEY §2 row 1) —
     "q_csv_engine" -> ((s, d) => {
       import graft.sources.CsvMetadataSource
@@ -763,6 +765,19 @@ object SparkEntry {
         "round(min(b.lo), 6) AS p_lo, round(min(b.hi), 6) AS p_hi " +
         "FROM documents d JOIN bands b ON d.lang = b.lang GROUP BY d.lang ORDER BY d.lang"),
     "q_minhash_srcsim" -> MinhashOracleSql.sourceSimilarity(),
+    "q_token_bpe" ->
+      ("SELECT doc_id, " +
+        "CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS BIGINT) AS n_ws_tokens, " +
+        "CAST(len(regexp_extract_all(lower(trim(text)), ' ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+')) AS BIGINT) AS n_bpe_tokens, " +
+        "round(n_chars / greatest(len(regexp_extract_all(lower(trim(text)), ' ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+')), 1), 6) AS chars_per_token " +
+        "FROM documents ORDER BY doc_id"),
+    "q_rate_anomaly" ->
+      ("WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n_events FROM events GROUP BY 1, 2), " +
+        "m AS (SELECT event_type, avg(n_events) AS mu, stddev_samp(n_events) AS sd FROM hourly GROUP BY 1) " +
+        "SELECT h.event_type, strftime(h.h, '%Y-%m-%d %H:%M:%S') AS hour, h.n_events, " +
+        "round((h.n_events - m.mu) / m.sd, 4) AS sigma " +
+        "FROM hourly h JOIN m ON h.event_type = m.event_type " +
+        "WHERE m.sd > 0 AND abs(h.n_events - m.mu) > 2.0 * m.sd ORDER BY h.event_type, hour"),
     "q_embed_pca" ->
       ("WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS j, unnest(CAST(embedding AS DOUBLE[])) AS xj FROM embeddings), " +
         "dims AS (SELECT count(DISTINCT j) AS d FROM x), " +

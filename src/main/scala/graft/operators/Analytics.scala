@@ -668,6 +668,29 @@ object Analytics {
       .orderBy("event_id")
   }
 
+  /** Event-rate anomaly detection: hour-bucket counts per event type,
+    * flagged when a bucket deviates from the type's mean by more than
+    * `tau` sample standard deviations. Same broadcast-moments shape as
+    * [[zscoreOutliers]] but over a time-bucketed series: the moment
+    * aggregates are distributive (partial+final), the per-type moments
+    * broadcast back onto the bucket counts, and nothing ever sorts or
+    * windows the raw event stream. */
+  def rateAnomalies(t: Tables, tau: Double = 2.0): DataFrame = {
+    val hourly = t.events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("_h"))
+      .agg(count(lit(1)).as("n_events"))
+    val moments = hourly.groupBy("event_type")
+      .agg(avg("n_events").as("_mu"), stddev_samp("n_events").as("_sd"))
+    hourly.join(broadcast(moments), "event_type")
+      .filter(col("_sd") > 0 &&
+        abs(col("n_events") - col("_mu")) > lit(tau) * col("_sd"))
+      .select(col("event_type"),
+        date_format(col("_h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("n_events"),
+        round((col("n_events") - col("_mu")) / col("_sd"), 4).as("sigma"))
+      .orderBy("event_type", "hour")
+  }
+
   /** Ordered three-step funnel (view → click → purchase): a user counts for
     * step k only with a step-k event STRICTLY after their step-(k-1) entry
     * time. Each stage is a per-user min-timestamp aggregation followed by a

@@ -39,7 +39,10 @@ object Graph {
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .select(col("a").as("src"), col("b").as("dst"))
       .localCheckpoint()
+    // node-cardinality; checkpointed so the 3 rounds read cached blocks
+    // instead of re-aggregating the edge list each time
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("_deg"))
+      .localCheckpoint()
     val nodes = outdeg.select(col("src").as("node"))
     val n = nodes.count()
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))

@@ -444,6 +444,28 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** BPE-style pre-tokenization statistics: a GPT-2-like pretokenizer
+    * regex (space-prefixed letter runs / digit runs / punctuation runs —
+    * simplified to the lookahead-free subset both JVM regex and RE2
+    * support identically) counted per document, next to the whitespace
+    * token count and the bytes-per-token compression proxy. Pure narrow
+    * projection — one scan, no shuffle beyond the output sort; the
+    * regex runs codegen'd via `regexp_extract_all`. */
+  def bpeTokenStats(t: Tables): DataFrame = {
+    // backslash-free on purpose: the same literal runs under JVM regex and
+    // DuckDB's RE2 with identical semantics, so the oracle needs no
+    // escape-translation layer
+    val bpe = size(expr(
+      "regexp_extract_all(lower(trim(text)), ' ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+', 0)"))
+    t.documents
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+        bpe.cast("long").as("n_bpe_tokens"),
+        round(col("n_chars").cast("double") /
+          greatest(bpe, lit(1)).cast("double"), 6).as("chars_per_token"))
+      .orderBy("doc_id")
+  }
+
   /** Per-language length-band filter: keep documents whose n_chars lies in
     * the language's [p5, p95] interpolated-percentile band — the standard
     * outlier-length cleanup before training. The band comes from one

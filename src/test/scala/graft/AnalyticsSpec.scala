@@ -574,6 +574,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.map(_._3).toSeq == Seq(s1.size.toLong, s2.size.toLong, s3.size.toLong))
   }
 
+  test("rateAnomalies flags exactly the hour buckets beyond tau sigma") {
+    val rows = Analytics.rateAnomalies(tables).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    rows.foreach { case (_, _, _, sigma) => assert(math.abs(sigma) > 2.0) }
+    // driver-side recompute of the flagged set
+    val hourly = tables.events
+      .select(col("event_type"), date_trunc("hour", col("ts")).cast("long").as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).map { case ((et, h), hits) => (et, h, hits.length.toLong) }
+    val expected = hourly.groupBy(_._1).flatMap { case (et, buckets) =>
+      val ns = buckets.map(_._3.toDouble).toSeq
+      val mu = ns.sum / ns.size
+      val sd = math.sqrt(ns.map(x => (x - mu) * (x - mu)).sum / (ns.size - 1))
+      buckets.filter(b => sd > 0 && math.abs(b._3 - mu) > 2.0 * sd)
+        .map(b => (et, b._2, b._3))
+    }.toSet
+    assert(rows.map(r => (r._1, r._2, r._3)).length == expected.size)
+  }
+
   test("retentionCohorts: offset-0 rows are the cohorts themselves at rate 1") {
     val rows = Analytics.retentionCohorts(tables).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

@@ -263,6 +263,23 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("bpeTokenStats matches a driver-side regex recompute") {
+    val rows = TextAnalysis.bpeTokenStats(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val docs = tables.documents.select("doc_id", "text", "n_chars").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val pat = " ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+".r
+    rows.foreach { case (d, nWs, nBpe, cpt) =>
+      val (text, nChars) = docs(d)
+      val lower = text.trim.toLowerCase
+      val ws = lower.split("\\s+").count(_.nonEmpty)
+      val bpe = pat.findAllIn(lower).length
+      assert(nWs == ws, s"doc $d ws")
+      assert(nBpe == bpe, s"doc $d bpe")
+      assert(math.abs(cpt - nChars.toDouble / math.max(bpe, 1)) < 1e-5, s"doc $d cpt")
+    }
+  }
+
   test("lengthBandFilter keeps the central p5–p95 mass per language") {
     val rows = TextAnalysis.lengthBandFilter(tables).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
