@@ -19,6 +19,8 @@ object EventStreams {
 
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 
+  final case class FunnelProgress(user_id: Long, step: Int, entry_us: Long)
+
   /** Watermarked tumbling-window aggregation — the canonical streaming agg.
     * State per (window, event_type) is dropped once the watermark passes, so
     * memory is bounded regardless of stream length. */
@@ -96,6 +98,43 @@ object EventStreams {
           val next = UserRunning(userId, n, v)
           state.update(next)
           next
+      }
+  }
+
+  /** Streaming funnel state machine — the streaming twin of
+    * [[graft.operators.Analytics.funnelSteps]]. Per-user state is one
+    * (current step, entry time) pair — bounded by user cardinality, never
+    * by stream length. An event advances the state only when its type is
+    * the NEXT step's and (past step 1) its timestamp is strictly after
+    * the current entry — the same strict ordering the batch funnel
+    * enforces, so a replayed or repeated event can never advance a user
+    * twice. Within a micro-batch events are folded in (event-time,
+    * event_id) order because the group iterator's order is unspecified;
+    * with batches arriving in time order the final states match the batch
+    * funnel exactly (spec-asserted). Late cross-batch arrivals would need
+    * watermark-bounded buffering on top — documented, not implemented.
+    *
+    * Emits each touched user's progress per batch (state only advances,
+    * so the max step per user across the output IS the final state). */
+  def funnelProgress(spark: SparkSession, events: Dataset[Event],
+                     steps: Seq[String] = Seq("view", "click", "purchase")): Dataset[FunnelProgress] = {
+    import spark.implicits._
+    // full-precision micros: getTime truncated to seconds + the nanos field
+    def us(t: Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelProgress, FunnelProgress](GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[FunnelProgress]) =>
+          var cur = state.getOption.getOrElse(FunnelProgress(userId, 0, Long.MinValue))
+          batch.toArray.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+            if (cur.step < steps.length && e.event_type == steps(cur.step)) {
+              val eus = us(e.ts)
+              if (cur.step == 0 || eus > cur.entry_us)
+                cur = FunnelProgress(userId, cur.step + 1, eus)
+            }
+          }
+          state.update(cur)
+          cur
       }
   }
 }

@@ -361,4 +361,29 @@ class StreamingSpec extends SparkSpec {
       assert(got == want && got.nonEmpty, s"stream/batch diverged: ${got.size} vs ${want.size}")
     } finally q.stop()
   }
+
+  test("streaming funnelProgress matches the batch funnel on time-split batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val evs = tables.events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().sortBy(_.ts.getTime)
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val input = MemoryStream[Event]
+    val q = EventStreams.funnelProgress(spark, input.toDS())
+      .writeStream.format("memory").queryName("funl").outputMode("update").start()
+    try {
+      input.addData(b1.toSeq)
+      q.processAllAvailable()
+      input.addData(b2.toSeq)
+      q.processAllAvailable()
+      // state only advances: the max step per user is the final state
+      val finalStep = spark.table("funl").collect()
+        .map(r => (r.getLong(0), r.getInt(1)))
+        .groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).max }
+      val stepCounts = (1 to 3).map(k => finalStep.count(_._2 >= k).toLong)
+      val batch = graft.operators.Analytics.funnelSteps(tables).collect()
+        .map(_.getLong(2)).toSeq
+      assert(stepCounts == batch, s"stream $stepCounts vs batch $batch")
+    } finally q.stop()
+  }
 }
