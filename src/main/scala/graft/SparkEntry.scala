@@ -229,6 +229,8 @@ object SparkEntry {
     "q_embed_pca" -> ((s, d) => Similarity.topPrincipalComponent(Tables(s, d))),
     "q_token_bpe" -> ((s, d) => TextAnalysis.bpeTokenStats(Tables(s, d))),
     "q_rate_anomaly" -> ((s, d) => Analytics.rateAnomalies(Tables(s, d))),
+    "q_string_agg" -> ((s, d) => Analytics.langsPerSource(Tables(s, d))),
+    "q_cooccur_lift" -> ((s, d) => Analytics.coOccurrenceLift(Tables(s, d))),
     // — reference interchange format end to end (SURVEY §2 row 1) —
     "q_csv_engine" -> ((s, d) => {
       import graft.sources.CsvMetadataSource
@@ -771,6 +773,23 @@ object SparkEntry {
         "CAST(len(regexp_extract_all(lower(trim(text)), ' ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+')) AS BIGINT) AS n_bpe_tokens, " +
         "round(n_chars / greatest(len(regexp_extract_all(lower(trim(text)), ' ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+')), 1), 6) AS chars_per_token " +
         "FROM documents ORDER BY doc_id"),
+    "q_string_agg" ->
+      ("WITH dl AS (SELECT DISTINCT source, lang FROM documents), " +
+        "ag AS (SELECT source, string_agg(lang, ',' ORDER BY lang) AS langs FROM dl GROUP BY source), " +
+        "cnt AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source) " +
+        "SELECT c.source, c.n_docs, a.langs FROM cnt c JOIN ag a ON a.source = c.source ORDER BY c.source"),
+    "q_cooccur_lift" ->
+      ("WITH baskets AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type FROM events), " +
+        "pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_ab " +
+        "FROM baskets a JOIN baskets b ON a.user_id = b.user_id AND a.day = b.day AND a.event_type < b.event_type " +
+        "GROUP BY 1, 2), " +
+        "singles AS (SELECT event_type, count(*) AS n_one FROM baskets GROUP BY 1), " +
+        "total AS (SELECT count(*) AS n FROM baskets) " +
+        "SELECT p.type_a, p.type_b, p.n_ab, " +
+        "round((p.n_ab * t.n) / (sa.n_one * sb.n_one), 6) AS lift " +
+        "FROM pairs p JOIN singles sa ON sa.event_type = p.type_a " +
+        "JOIN singles sb ON sb.event_type = p.type_b CROSS JOIN total t " +
+        "ORDER BY p.type_a, p.type_b"),
     "q_rate_anomaly" ->
       ("WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n_events FROM events GROUP BY 1, 2), " +
         "m AS (SELECT event_type, avg(n_events) AS mu, stddev_samp(n_events) AS sd FROM hourly GROUP BY 1) " +

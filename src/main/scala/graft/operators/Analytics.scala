@@ -668,6 +668,47 @@ object Analytics {
       .orderBy("event_id")
   }
 
+  /** Ordered string aggregation: each source's distinct languages as one
+    * comma-joined, alphabetically-sorted string. `collect_set` alone is
+    * partition-order-nondeterministic — the explicit `sort_array` is what
+    * makes the row reproducible (and oracle-comparable). Set cardinality
+    * is language-vocabulary-bounded, so the aggregation state stays tiny
+    * at any corpus size. */
+  def langsPerSource(t: Tables): DataFrame =
+    t.documents
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        concat_ws(",", sort_array(collect_set(col("lang")))).as("langs"))
+      .orderBy("source")
+
+  /** Market-basket co-occurrence with lift: a basket is one (user, day);
+    * pairs of distinct event types sharing a basket are counted and scored
+    * by lift = P(ab)/(P(a)P(b)). The basket table is (user, day, type)
+    * DISTINCT — the self-join runs co-partitioned on the basket key with
+    * fan-out bounded by the type vocabulary (≤ |types|² per basket), never
+    * by event volume; the singles/total tables are type- and
+    * basket-cardinality-bounded broadcasts. */
+  def coOccurrenceLift(t: Tables): DataFrame = {
+    val baskets = t.events
+      .select(col("user_id"), to_date(col("ts")).as("_day"), col("event_type"))
+      .distinct()
+    val pairs = baskets.as("a")
+      .join(baskets.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a._day") === col("b._day") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val singles = baskets.groupBy(col("event_type")).agg(count(lit(1)).as("n_one"))
+    val total = baskets.agg(count(lit(1)).as("_n"))
+    pairs
+      .join(broadcast(singles.select(col("event_type").as("type_a"), col("n_one").as("_na"))), "type_a")
+      .join(broadcast(singles.select(col("event_type").as("type_b"), col("n_one").as("_nb"))), "type_b")
+      .crossJoin(broadcast(total))
+      .select(col("type_a"), col("type_b"), col("n_ab"),
+        round((col("n_ab") * col("_n")) / (col("_na") * col("_nb")), 6).as("lift"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** Event-rate anomaly detection: hour-bucket counts per event type,
     * flagged when a bucket deviates from the type's mean by more than
     * `tau` sample standard deviations. Same broadcast-moments shape as

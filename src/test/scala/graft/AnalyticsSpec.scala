@@ -574,6 +574,41 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.map(_._3).toSeq == Seq(s1.size.toLong, s2.size.toLong, s3.size.toLong))
   }
 
+  test("langsPerSource emits sorted distinct language lists") {
+    val rows = Analytics.langsPerSource(tables).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val docs = tables.documents.select("source", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val bySrc = docs.groupBy(_._1)
+    assert(rows.map(_._1).toSet == bySrc.keySet)
+    rows.foreach { case (s, n, langs) =>
+      assert(n == bySrc(s).length)
+      assert(langs == bySrc(s).map(_._2).distinct.sorted.mkString(","), s)
+    }
+  }
+
+  test("coOccurrenceLift counts basket pairs with exact lift") {
+    val rows = Analytics.coOccurrenceLift(tables).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val baskets = tables.events
+      .select(col("user_id"), to_date(col("ts")).as("d"), col("event_type"))
+      .distinct().collect()
+      .map(r => ((r.getLong(0), r.getDate(1).toString), r.getString(2)))
+    val pairCounts = baskets.groupBy(_._1).values.toSeq
+      .flatMap { b =>
+        val ts: Seq[String] = b.map(_._2).toSeq
+        for { a <- ts; c <- ts if a < c } yield (a, c)
+      }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val singles = baskets.groupBy(_._2).map { case (t, v) => t -> v.length.toLong }
+    val n = baskets.length.toLong
+    assert(rows.map(r => (r._1, r._2) -> r._3).toMap == pairCounts)
+    rows.foreach { case (a, b, nab, lift) =>
+      val expect = (nab * n).toDouble / (singles(a) * singles(b))
+      assert(math.abs(lift - math.round(expect * 1e6) / 1e6) < 1e-9, s"$a/$b")
+    }
+  }
+
   test("rateAnomalies flags exactly the hour buckets beyond tau sigma") {
     val rows = Analytics.rateAnomalies(tables).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
