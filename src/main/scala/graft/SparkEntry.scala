@@ -786,7 +786,7 @@ object SparkEntry {
         "singles AS (SELECT event_type, count(*) AS n_one FROM baskets GROUP BY 1), " +
         "total AS (SELECT count(*) AS n FROM baskets) " +
         "SELECT p.type_a, p.type_b, p.n_ab, " +
-        "round((p.n_ab * t.n) / (sa.n_one * sb.n_one), 6) AS lift " +
+        "round((CAST(p.n_ab AS DOUBLE) * CAST(t.n AS DOUBLE)) / (CAST(sa.n_one AS DOUBLE) * CAST(sb.n_one AS DOUBLE)), 6) AS lift " +
         "FROM pairs p JOIN singles sa ON sa.event_type = p.type_a " +
         "JOIN singles sb ON sb.event_type = p.type_b CROSS JOIN total t " +
         "ORDER BY p.type_a, p.type_b"),

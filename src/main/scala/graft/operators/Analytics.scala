@@ -705,7 +705,12 @@ object Analytics {
       .join(broadcast(singles.select(col("event_type").as("type_b"), col("n_one").as("_nb"))), "type_b")
       .crossJoin(broadcast(total))
       .select(col("type_a"), col("type_b"), col("n_ab"),
-        round((col("n_ab") * col("_n")) / (col("_na") * col("_nb")), 6).as("lift"))
+        // doubles BEFORE the multiplies: basket counts at corpus scale can
+        // push n_ab·N past int64 (an ANSI overflow); double products are
+        // exact below 2^53 and carry ~1e-16 relative error above — far
+        // inside the 6-decimal rounding either way
+        round((col("n_ab").cast("double") * col("_n").cast("double")) /
+          (col("_na").cast("double") * col("_nb").cast("double")), 6).as("lift"))
       .orderBy("type_a", "type_b")
   }
 
