@@ -363,6 +363,17 @@ object HashImpl {
     best
   }
 
+  /** Dot product of a float vector against a constant double vector,
+    * accumulated in double, sequential order (the power-iteration row
+    * score — same arithmetic the oracle SQL's sum(xj*vj) performs). */
+  def dotRef(a: ArrayData, v: Array[Double]): Double = {
+    val n = math.min(a.numElements(), v.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getFloat(i).toDouble * v(i); i += 1 }
+    s
+  }
+
   /** Cosine similarity of two float vectors, accumulated in double,
     * sequential order (matches a scalar reference implementation). */
   def cosineF(a: ArrayData, b: ArrayData): Double = {
@@ -503,6 +514,23 @@ case class NearestCell(child: Expression, cents: Array[Double], d: Int)
     copy(child = newChild)
 }
 
+/** DotRef(array<float>) → double: dot product against a plan-embedded
+  * constant vector (the power-iteration hot path). The compositional
+  * `aggregate(zip_with(...))` form runs interpreted lambda calls per
+  * element; this stays inside whole-stage codegen like [[NearestCell]],
+  * with the d-sized vector added as a generated-code reference object. */
+case class DotRef(child: Expression, v: Array[Double]) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpl.dotRef(input.asInstanceOf[ArrayData], v)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vRef = ctx.addReferenceObj("vec", v, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.dotRef($c, $vRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): DotRef =
+    copy(child = newChild)
+}
+
 /** MaskJaccard(array<long>, array<long>) → double — bitset-fingerprint
   * Jaccard, the set-similarity verify hot path. A single fused kernel
   * matters here: expressed compositionally (per-word element_at + bit_count
@@ -561,6 +589,7 @@ object HashFunctions {
   def srpBucketSeeded(vec: Column, nBits: Int, seed: Column): Column =
     col(SrpBucketSeeded(expr(vec), expr(seed), nBits))
   def cosineSim(a: Column, b: Column): Column = col(CosineSimF(expr(a), expr(b)))
+  def dotRef(a: Column, v: Array[Double]): Column = col(DotRef(expr(a), v))
   def maskJaccard(a: Column, b: Column): Column = col(MaskJaccard(expr(a), expr(b)))
   def nearestCell(vec: Column, centroids: Seq[Seq[Double]]): Column = {
     val d = centroids.head.length

@@ -468,18 +468,18 @@ object Similarity {
     * largest-magnitude loading is positive (eigenvectors are sign-
     * ambiguous, and summation order must not pick the sign). */
   def topPrincipalComponent(t: Tables, iters: Int = 3): DataFrame = {
-    val xa = t.embeddings.select(col("vec_id"),
-      transform(col("embedding"), e => e.cast("double")).as("x"))
-    val dim = xa.select(size(col("x"))).head().getInt(0)
+    val xa = t.embeddings.select(col("vec_id"), col("embedding"))
+    val dim = xa.select(size(col("embedding"))).head().getInt(0)
     var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
     var lastNorm = 0.0
     for (_ <- 1 to iters) {
-      val vlit = typedlit(v.toSeq)
+      // codegen'd fused dot product (HashFunctions.DotRef) — the
+      // compositional aggregate(zip_with(...)) form pays an interpreted
+      // lambda call per element, O(n·d) of them per pass
       val y = xa
-        .withColumn("_s", aggregate(zip_with(col("x"), vlit, (a, b) => a * b),
-          lit(0.0), (acc, e) => acc + e))
-        .select(posexplode(col("x")).as(Seq("_pos", "_xj")), col("_s"))
-        .groupBy("_pos").agg(sum(col("_xj") * col("_s")).as("_y"))
+        .withColumn("_s", HashFunctions.dotRef(col("embedding"), v))
+        .select(posexplode(col("embedding")).as(Seq("_pos", "_xj")), col("_s"))
+        .groupBy("_pos").agg(sum(col("_xj").cast("double") * col("_s")).as("_y"))
         .orderBy("_pos").collect().map(_.getDouble(1))
       lastNorm = math.sqrt(y.map(a => a * a).sum)
       v = y.map(_ / lastNorm)

@@ -67,6 +67,16 @@ class HashFunctionsSpec extends SparkSpec {
     assert(got == dot / (math.sqrt(na) * math.sqrt(nb)))
   }
 
+  test("dotRef matches a local double-precision dot product") {
+    val a = Array.tabulate(64)(i => (math.sin(i) * 0.5).toFloat)
+    val v = Array.tabulate(64)(i => math.cos(i) * 0.25)
+    val got = Seq(Tuple1(a)).toDF("a")
+      .select(HashFunctions.dotRef($"a", v).as("d")).head().getDouble(0)
+    var dot = 0.0
+    for (i <- 0 until 64) dot += a(i).toDouble * v(i)
+    assert(got == dot)
+  }
+
   test("custom expressions survive whole-stage codegen over real data") {
     // force the codegen path on a real table (not just literals)
     val df = tables.documents.select(
