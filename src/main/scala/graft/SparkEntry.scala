@@ -231,6 +231,8 @@ object SparkEntry {
     "q_rate_anomaly" -> ((s, d) => Analytics.rateAnomalies(Tables(s, d))),
     "q_string_agg" -> ((s, d) => Analytics.langsPerSource(Tables(s, d))),
     "q_cooccur_lift" -> ((s, d) => Analytics.coOccurrenceLift(Tables(s, d))),
+    "q_tpch_q7" -> ((s, d) => Analytics.tpchQ7(Tables(s, d))),
+    "q_tpch_q10" -> ((s, d) => Analytics.tpchQ10(Tables(s, d))),
     // — reference interchange format end to end (SURVEY §2 row 1) —
     "q_csv_engine" -> ((s, d) => {
       import graft.sources.CsvMetadataSource
@@ -773,6 +775,27 @@ object SparkEntry {
         "CAST(len(regexp_extract_all(lower(trim(text)), ' ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+')) AS BIGINT) AS n_bpe_tokens, " +
         "round(n_chars / greatest(len(regexp_extract_all(lower(trim(text)), ' ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+')), 1), 6) AS chars_per_token " +
         "FROM documents ORDER BY doc_id"),
+    "q_tpch_q7" ->
+      ("SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, " +
+        "CAST(year(l_shipdate) AS INT) AS l_year, " +
+        "CAST((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) + 50) // 100 AS DOUBLE) / 100.0 AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation n1 ON s_nationkey = n1.n_nationkey " +
+        "JOIN nation n2 ON c_nationkey = n2.n_nationkey " +
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01' " +
+        "AND ((n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_12') OR (n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_11')) " +
+        "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
+    "q_tpch_q10" ->
+      ("SELECT c_custkey, c_name, n_name, " +
+        "CAST((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) + 50) // 100 AS DOUBLE) / 100.0 AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "WHERE l_returnflag = 'R' " +
+        "AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01' " +
+        "GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey ASC LIMIT 20"),
     "q_string_agg" ->
       ("WITH dl AS (SELECT DISTINCT source, lang FROM documents), " +
         "ag AS (SELECT source, string_agg(lang, ',' ORDER BY lang) AS langs FROM dl GROUP BY source), " +

@@ -571,6 +571,85 @@ object Analytics {
       .orderBy(col("revenue").desc, col("n_name").asc)
   }
 
+  /** Discounted revenue in EXACT integer units of 1e-4 dollars:
+    * round(price·100)·(100 − round(discount·100)). TPC-H money columns
+    * are 2-decimal, so this is lossless — and an integer sum is
+    * order-independent, unlike the float `price·(1−discount)` sum whose
+    * last-ulp varies with partition order and flips a round(…, 2)
+    * boundary between engines (observed on Q10 at sf0.01). */
+  private def moneyRevE4: Column =
+    round(col("l_extendedprice") * 100, 0).cast("long") *
+      (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))
+
+  /** Exact money sum (decimal accumulator — no int64 overflow at corpus
+    * scale): half-up to CENTS while still in exact integer space —
+    * (sum+50) div 100 — then one IEEE division by 100.0. A final
+    * `round(double, 2)` would NOT be engine-portable: Spark rounds the
+    * shortest decimal string of the double, DuckDB the binary value, and
+    * they disagree whenever the quotient prints as …x5 (observed on Q10:
+    * 307843.595 → .60 vs .59). Integer cents sidestep the class. */
+  private def moneySum(e4: Column): Column =
+    floor((sum(e4.cast("decimal(38,0)")) + lit(50)) / lit(100))
+      .cast("double") / 100.0
+
+  /** TPC-H Q7 shape (volume shipping): bilateral trade between two named
+    * nations by ship year. The OR'd nation-pair predicate evaluates over
+    * two BROADCAST nation tiers (supplier's and customer's) as a residual
+    * on the fact joins — never a shuffle of its own; the date filter
+    * pushes to the lineitem scan; final agg is (2 × years) groups. */
+  def tpchQ7(t: Tables, nationA: String = "NATION_11", nationB: String = "NATION_12",
+             from: String = "1996-01-01", until: String = "1998-01-01"): DataFrame = {
+    val n1 = t.nation.select(col("n_nationkey").as("_sk"), col("n_name").as("supp_nation"))
+      .filter(col("supp_nation").isin(nationA, nationB))
+    val n2 = t.nation.select(col("n_nationkey").as("_ck"), col("n_name").as("cust_nation"))
+      .filter(col("cust_nation").isin(nationA, nationB))
+    t.lineitem
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp_ntz") &&
+        col("l_shipdate") < lit(until).cast("timestamp_ntz"))
+      .select(col("l_orderkey"), col("l_suppkey"), year(col("l_shipdate")).as("l_year"),
+        moneyRevE4.as("volume"))
+      .join(t.orders.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t.supplier.select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(t.customer.select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("_sk"))
+      .join(broadcast(n2), col("c_nationkey") === col("_ck"))
+      .filter((col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+        (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(moneySum(col("volume")).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q10 shape (returned-item reporting): top-20 customers by
+    * revenue lost to returns in one quarter. Date + returnflag filters
+    * push to the scans, the nation dim broadcasts, the aggregation is
+    * customer-keyed partial+final, and the top-20 runs as
+    * TakeOrderedAndProject on the ROUNDED revenue with c_custkey as the
+    * deterministic tie-break (ordering on the raw float sum would let a
+    * 1-ulp cross-engine difference reorder the boundary). */
+  def tpchQ10(t: Tables, from: String = "1996-01-01",
+              until: String = "1996-04-01", k: Int = 20): DataFrame = {
+    val ord = t.orders
+      .filter(col("o_orderdate") >= lit(from).cast("timestamp_ntz") &&
+        col("o_orderdate") < lit(until).cast("timestamp_ntz"))
+      .select("o_orderkey", "o_custkey")
+    t.lineitem
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), moneyRevE4.as("rev"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer.select("c_custkey", "c_name", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation.select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(moneySum(col("rev")).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(k)
+  }
+
   /** Rolling time-range aggregate: each event's trailing-hour sum/count of
     * the same user's values, as a RANGE window frame over integer epoch
     * micros — one shuffle on user_id, bounded per-user state, and (unlike

@@ -428,6 +428,56 @@ class AnalyticsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast dim join:\n$plan")
   }
 
+  test("tpchQ7 bilateral revenue matches an exact-cents recompute") {
+    val names = tables.nation.collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    val sup = tables.supplier.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val cust = tables.customer.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val ord = tables.orders.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (from, until) = (java.time.LocalDateTime.parse("1996-01-01T00:00:00"),
+      java.time.LocalDateTime.parse("1998-01-01T00:00:00"))
+    val wanted = Set("NATION_11", "NATION_12")
+    val e4 = tables.lineitem
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+      .collect().flatMap { r =>
+        val d = r.getAs[java.time.LocalDateTime](4)
+        if (d.isBefore(from) || !d.isBefore(until)) None
+        else for {
+          ck <- ord.get(r.getLong(0))
+          sn = names(sup(r.getLong(1))); cn = names(cust(ck))
+          if wanted(sn) && wanted(cn) && sn != cn
+        } yield ((sn, cn, d.getYear),
+          math.round(r.getDouble(2) * 100) * (100L - math.round(r.getDouble(3) * 100)))
+      }
+    val expected = e4.groupBy(_._1).map { case (k, rs) =>
+      k -> ((rs.map(_._2).sum + 50) / 100) / 100.0
+    }
+    val got = Analytics.tpchQ7(tables).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)) -> r.getDouble(3)).toMap
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("tpchQ10 top-20 plans TakeOrdered with pushed filters and matches a recompute") {
+    val plan = planOf(Analytics.tpchQ10(tables))
+    assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$plan")
+    assert(plan.split("\n").filter(_.contains("PushedFilters"))
+      .exists(_.contains("l_returnflag")), "returnflag not pushed")
+    val ord = tables.orders.collect()
+      .filter { r =>
+        val d = r.getAs[java.time.LocalDateTime](4)
+        !d.isBefore(java.time.LocalDateTime.parse("1996-01-01T00:00:00")) &&
+          d.isBefore(java.time.LocalDateTime.parse("1996-04-01T00:00:00"))
+      }.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val custRev = tables.lineitem
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount").collect()
+      .flatMap(r => ord.get(r.getLong(0)).map(_ ->
+        (math.round(r.getDouble(1) * 100) * (100L - math.round(r.getDouble(2) * 100)))))
+      .groupBy(_._1).map { case (c, rs) => c -> ((rs.map(_._2).sum + 50) / 100) / 100.0 }
+    val expected = custRev.toSeq.sortBy { case (c, v) => (-v, c) }.take(20)
+    val got = Analytics.tpchQ10(tables).collect().map(r => (r.getLong(0), r.getDouble(3)))
+    assert(got.toSeq == expected)
+  }
+
   test("rollingUserValue equals a quadratic trailing-window recompute") {
     val events = tables.events.select("user_id", "event_id", "ts", "value").collect()
       .map(r => (r.getLong(0), r.getLong(1), micros(r.getTimestamp(2)), r.getDouble(3)))
