@@ -233,6 +233,7 @@ object SparkEntry {
     "q_cooccur_lift" -> ((s, d) => Analytics.coOccurrenceLift(Tables(s, d))),
     "q_tpch_q7" -> ((s, d) => Analytics.tpchQ7(Tables(s, d))),
     "q_tpch_q10" -> ((s, d) => Analytics.tpchQ10(Tables(s, d))),
+    "q_multi_distinct" -> ((s, d) => Analytics.multiDistinct(Tables(s, d))),
     // — reference interchange format end to end (SURVEY §2 row 1) —
     "q_csv_engine" -> ((s, d) => {
       import graft.sources.CsvMetadataSource
@@ -787,6 +788,11 @@ object SparkEntry {
         "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01' " +
         "AND ((n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_12') OR (n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_11')) " +
         "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
+    "q_multi_distinct" ->
+      ("SELECT l_returnflag, count(*) AS n_rows, " +
+        "count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps, " +
+        "count(DISTINCT l_orderkey) AS n_orders " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "q_tpch_q10" ->
       ("SELECT c_custkey, c_name, n_name, " +
         "CAST((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) + 50) // 100 AS DOUBLE) / 100.0 AS revenue " +

@@ -571,6 +571,21 @@ object Analytics {
       .orderBy(col("revenue").desc, col("n_name").asc)
   }
 
+  /** Multiple COUNT(DISTINCT …) over different columns in ONE aggregation
+    * — Catalyst plans this via Expand (one input row fans out per distinct
+    * column) + two-level aggregation, so each distinct set deduplicates in
+    * partial aggregates map-side instead of one shuffle per distinct
+    * column. The classic "how many parts/suppliers/orders per flag"
+    * cardinality report. */
+  def multiDistinct(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy("l_returnflag")
+
   /** Discounted revenue in EXACT integer units of 1e-4 dollars:
     * round(price·100)·(100 − round(discount·100)). TPC-H money columns
     * are 2-decimal, so this is lossless — and an integer sum is

@@ -659,6 +659,20 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("multiDistinct plans one Expand-based aggregation matching a recompute") {
+    val plan = planOf(Analytics.multiDistinct(tables))
+    assert(plan.contains("Expand"), s"no Expand in multi-distinct plan:\n$plan")
+    val rows = Analytics.multiDistinct(tables).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val li = tables.lineitem.select("l_returnflag", "l_partkey", "l_suppkey", "l_orderkey")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = li.groupBy(_._1).map { case (f, rs) =>
+      f -> (rs.length.toLong, rs.map(_._2).distinct.length.toLong,
+        rs.map(_._3).distinct.length.toLong, rs.map(_._4).distinct.length.toLong)
+    }
+    assert(rows == expected)
+  }
+
   test("rateAnomalies flags exactly the hour buckets beyond tau sigma") {
     val rows = Analytics.rateAnomalies(tables).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
