@@ -234,6 +234,7 @@ object SparkEntry {
     "q_tpch_q7" -> ((s, d) => Analytics.tpchQ7(Tables(s, d))),
     "q_tpch_q10" -> ((s, d) => Analytics.tpchQ10(Tables(s, d))),
     "q_multi_distinct" -> ((s, d) => Analytics.multiDistinct(Tables(s, d))),
+    "q_corpus_final" -> ((s, d) => graft.operators.Pipeline.finalCorpus(Tables(s, d))),
     // — reference interchange format end to end (SURVEY §2 row 1) —
     "q_csv_engine" -> ((s, d) => {
       import graft.sources.CsvMetadataSource
@@ -788,6 +789,21 @@ object SparkEntry {
         "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01' " +
         "AND ((n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_12') OR (n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_11')) " +
         "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
+    "q_corpus_final" ->
+      ("WITH fpd AS (SELECT doc_id, lang, source, n_chars, text, md5(lower(trim(text))) AS f FROM documents), " +
+        "win AS (SELECT f, min(doc_id) AS doc_id FROM fpd GROUP BY f), " +
+        "ded AS (SELECT fpd.* FROM fpd JOIN win ON fpd.f = win.f AND fpd.doc_id = win.doc_id), " +
+        "base AS (SELECT doc_id, text, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk FROM ded), " +
+        "tri AS (SELECT doc_id, text, tk, CASE WHEN len(tk) >= 3 THEN [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] FOR i IN range(1, len(tk) - 1)] ELSE [] END AS g3 FROM base), " +
+        "m AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens, " +
+        "round(length(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / greatest(len(tk), 1), 6) AS mean_tok_len, " +
+        "CASE WHEN len(g3) > 0 THEN round(1.0 - len(list_distinct(g3)) * 1.0 / len(g3), 6) ELSE 0.0 END AS dup3_frac, " +
+        "CASE WHEN len(list_intersect(tk, ['the','a','an','of','and','or','to','in','is','it'])) > 0 THEN 1 ELSE 0 END AS has_stop FROM tri), " +
+        "qual AS (SELECT doc_id FROM m WHERE n_tokens BETWEEN 5 AND 1000 AND mean_tok_len BETWEEN 2 AND 10 AND dup3_frac <= 0.3 AND has_stop = 1), " +
+        "bands AS (SELECT lang, quantile_cont(n_chars, 0.05) AS lo, quantile_cont(n_chars, 0.95) AS hi FROM documents GROUP BY lang) " +
+        "SELECT d.doc_id, d.lang, d.source, d.n_chars FROM ded d " +
+        "JOIN qual ON qual.doc_id = d.doc_id JOIN bands b ON d.lang = b.lang " +
+        "WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi ORDER BY d.doc_id"),
     "q_multi_distinct" ->
       ("SELECT l_returnflag, count(*) AS n_rows, " +
         "count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps, " +
