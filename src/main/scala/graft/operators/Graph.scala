@@ -39,16 +39,17 @@ object Graph {
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .select(col("a").as("src"), col("b").as("dst"))
       .localCheckpoint()
-    // node-cardinality; checkpointed so the 3 rounds read cached blocks
-    // instead of re-aggregating the edge list each time
-    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("_deg"))
+    // pre-join each edge with its source's out-degree ONCE and checkpoint:
+    // the per-round work drops to a single src-keyed join against the rank
+    // table plus the dst-keyed sum — one SMJ per round instead of two
+    val edgesDeg = edges
+      .join(edges.groupBy("src").agg(count(lit(1)).as("_deg")), "src")
       .localCheckpoint()
-    val nodes = outdeg.select(col("src").as("node"))
+    val nodes = edgesDeg.select(col("src").as("node")).distinct()
     val n = nodes.count()
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
     for (_ <- 1 to iters) {
-      val contribs = edges
-        .join(outdeg, "src")
+      val contribs = edgesDeg
         .join(ranks.select(col("node").as("src"), col("rank")), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") / col("_deg")).as("_in"))
