@@ -235,6 +235,8 @@ object SparkEntry {
     "q_tpch_q10" -> ((s, d) => Analytics.tpchQ10(Tables(s, d))),
     "q_multi_distinct" -> ((s, d) => Analytics.multiDistinct(Tables(s, d))),
     "q_corpus_final" -> ((s, d) => graft.operators.Pipeline.finalCorpus(Tables(s, d))),
+    "q_token_entropy" -> ((s, d) => TextAnalysis.tokenEntropy(Tables(s, d))),
+    "q_kmeans" -> ((s, d) => Similarity.kmeans(Tables(s, d))),
     // — reference interchange format end to end (SURVEY §2 row 1) —
     "q_csv_engine" -> ((s, d) => {
       import graft.sources.CsvMetadataSource
@@ -789,6 +791,27 @@ object SparkEntry {
         "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01' " +
         "AND ((n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_12') OR (n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_11')) " +
         "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
+    "q_kmeans" ->
+      ("WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS j, unnest(CAST(embedding AS DOUBLE[])) AS xj FROM embeddings), " +
+        "c0 AS (SELECT CAST(vec_id AS INT) AS cell, j, xj AS cj FROM x WHERE vec_id < 8), " +
+        "d1 AS (SELECT x.vec_id, c.cell, sum((x.xj - c.cj) * (x.xj - c.cj)) AS dist FROM x JOIN c0 c ON x.j = c.j GROUP BY x.vec_id, c.cell), " +
+        "a1 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn FROM d1) t WHERE rn = 1), " +
+        "u1 AS (SELECT a.cell, x.j, avg(x.xj) AS cj FROM x JOIN a1 a ON x.vec_id = a.vec_id GROUP BY a.cell, x.j), " +
+        "c1 AS (SELECT c0.cell, c0.j, coalesce(u1.cj, c0.cj) AS cj FROM c0 LEFT JOIN u1 ON u1.cell = c0.cell AND u1.j = c0.j), " +
+        "d2 AS (SELECT x.vec_id, c.cell, sum((x.xj - c.cj) * (x.xj - c.cj)) AS dist FROM x JOIN c1 c ON x.j = c.j GROUP BY x.vec_id, c.cell), " +
+        "a2 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn FROM d2) t WHERE rn = 1), " +
+        "u2 AS (SELECT a.cell, x.j, avg(x.xj) AS cj FROM x JOIN a2 a ON x.vec_id = a.vec_id GROUP BY a.cell, x.j), " +
+        "c2 AS (SELECT c1.cell, c1.j, coalesce(u2.cj, c1.cj) AS cj FROM c1 LEFT JOIN u2 ON u2.cell = c1.cell AND u2.j = c1.j), " +
+        "n2 AS (SELECT cell, count(*) AS n FROM a2 GROUP BY cell) " +
+        "SELECT c2.cell, CAST(c2.j AS BIGINT) AS dim, round(c2.cj, 6) AS centroid, coalesce(n2.n, 0) AS n_vecs " +
+        "FROM c2 LEFT JOIN n2 ON n2.cell = c2.cell ORDER BY c2.cell, dim"),
+    "q_token_entropy" ->
+      ("WITH counts AS (SELECT doc_id, w, count(*) AS c FROM " +
+        "(SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS w FROM documents) " +
+        "GROUP BY doc_id, w) " +
+        "SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, " +
+        "round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy " +
+        "FROM counts GROUP BY doc_id ORDER BY doc_id"),
     "q_corpus_final" ->
       ("WITH fpd AS (SELECT doc_id, lang, source, n_chars, text, md5(lower(trim(text))) AS f FROM documents), " +
         "win AS (SELECT f, min(doc_id) AS doc_id FROM fpd GROUP BY f), " +

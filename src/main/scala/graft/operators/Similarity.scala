@@ -456,6 +456,48 @@ object Similarity {
       .agg(count(lit(1)).as("n_vecs"), round(avg(col("_x").cast("double")), 6).as("centroid"))
       .orderBy("label", "dim")
 
+  /** Deterministic Lloyd k-means over the embeddings: seeds are the first
+    * `k` vectors by vec_id, `iters` fixed rounds — no RNG, so the result
+    * is oracle-checkable. Per round the ASSIGNMENT is a narrow map
+    * through the codegen'd [[graft.functions.NearestCell]] kernel (k×d
+    * centroid matrix plan-embedded — quantizer-sized) and the UPDATE is a
+    * (k·d)-key partial+final average: the corpus never shuffles on more
+    * than k·d keys and only the centroid matrix crosses the driver. A
+    * cell that empties keeps its previous centroid (both engines).
+    * Emits the post-round centroids with the final assignment counts. */
+  def kmeans(t: Tables, k: Int = 8, iters: Int = 2): DataFrame = {
+    val xa = t.embeddings.select(col("vec_id"),
+      transform(col("embedding"), e => e.cast("double")).as("x"))
+    var cents: Array[Array[Double]] = xa.filter(col("vec_id") < k)
+      .orderBy("vec_id").collect()
+      .map(_.getSeq[Double](1).toArray)
+    var counts = Map.empty[Int, Long]
+    for (round <- 1 to iters) {
+      val assigned = xa.withColumn("_cell",
+        HashFunctions.nearestCell(col("x"), cents.toSeq.map(_.toSeq)))
+      val rows = assigned
+        .select(col("_cell"), posexplode(col("x")).as(Seq("_pos", "_v")))
+        .groupBy("_cell", "_pos")
+        .agg(avg("_v").as("_m"), count(lit(1)).as("_n"))
+        .collect()
+      val next = cents.map(_.clone())
+      rows.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      counts = rows.filter(_.getInt(1) == 0)
+        .map(r => r.getInt(0) -> r.getLong(3)).toMap
+      cents = next
+    }
+    val spark = t.spark
+    import spark.implicits._
+    cents.zipWithIndex.flatMap { case (c, cell) =>
+      c.zipWithIndex.map { case (v, j) =>
+        (cell, j + 1L, v, counts.getOrElse(cell, 0L))
+      }
+    }.toSeq.toDF("cell", "dim", "_c", "n_vecs")
+      .select(col("cell"), col("dim"), round(col("_c"), 6).as("centroid"),
+        col("n_vecs"))
+      .orderBy("cell", "dim")
+  }
+
   /** Top principal component of the embedding matrix by fixed-iteration
     * power method (Mises–Pollaczek 1929 — public algorithm): v ←
     * Xᵀ(Xv)/‖Xᵀ(Xv)‖, `iters` times from the uniform unit vector. Each

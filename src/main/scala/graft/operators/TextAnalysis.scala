@@ -466,6 +466,27 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Per-document token (Shannon) entropy — low entropy flags repetitive /
+    * templated text, high entropy flags noise; a standard quality signal
+    * next to [[gopherMetrics]]' dup3_frac. Computed as ln(n) − Σc·ln(c)/n
+    * from per-doc token counts: one explode → (doc, token)-keyed
+    * partial+final count → doc-keyed sum. Both shuffles are keyed by doc
+    * (and doc+token), so the reduce state is bounded by per-doc vocabulary
+    * — never corpus vocabulary. ln() is libm-vs-JVM 1-ulp divergent; the
+    * round-6 payload follows the accepted q_lm_score precedent. */
+  def tokenEntropy(t: Tables): DataFrame = {
+    val counts = t.documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("_c"))
+    counts.groupBy("doc_id")
+      .agg(sum("_c").as("n_tokens"),
+        sum(col("_c").cast("double") * log(col("_c"))).as("_clnc"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(log(col("n_tokens")) - col("_clnc") / col("n_tokens"), 6)
+          .as("entropy"))
+      .orderBy("doc_id")
+  }
+
   /** Per-language length-band filter: keep documents whose n_chars lies in
     * the language's [p5, p95] interpolated-percentile band — the standard
     * outlier-length cleanup before training. The band comes from one

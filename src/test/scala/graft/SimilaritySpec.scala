@@ -262,6 +262,40 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("kmeans matches a driver-side Lloyd recompute with deterministic seeds") {
+    val rows = Similarity.kmeans(tables).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val vecs = tables.embeddings.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    val d = vecs.head._2.length
+    var cents = vecs.filter(_._1 < 8).map(_._2.clone())
+    var assign = Map.empty[Long, Int]
+    for (_ <- 1 to 2) {
+      assign = vecs.map { case (id, x) =>
+        id -> cents.indices.minBy { c =>
+          var s = 0.0; var j = 0
+          while (j < d) { val t = x(j) - cents(c)(j); s += t * t; j += 1 }
+          (s, c)
+        }
+      }.toMap
+      val vmap = vecs.toMap
+      val next = cents.map(_.clone())
+      assign.groupBy(_._2).foreach { case (c, ms) =>
+        val members = ms.keys.toSeq.map(vmap)
+        (0 until d).foreach(j => next(c)(j) = members.map(_(j)).sum / members.size)
+      }
+      cents = next
+    }
+    val nByCell = assign.groupBy(_._2).map { case (c, ms) => c -> ms.size.toLong }
+    assert(rows.length == 8 * d)
+    rows.foreach { case (cell, dim, cv, n) =>
+      assert(math.abs(cv - cents(cell)(dim.toInt - 1)) < 1e-5, s"cell $cell dim $dim")
+      assert(n == nByCell.getOrElse(cell, 0L), s"cell $cell count")
+    }
+    assert(nByCell.values.sum == vecs.length.toLong)
+  }
+
   test("topPrincipalComponent matches a driver-side power iteration") {
     val rows = Similarity.topPrincipalComponent(tables).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))

@@ -280,6 +280,23 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("tokenEntropy matches a driver-side recompute and is bounded by ln(n)") {
+    val rows = TextAnalysis.tokenEntropy(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val docs = tables.documents.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { case (d, n, h) =>
+      val toks = docs(d).trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      assert(n == toks.length, s"doc $d")
+      val counts = toks.groupBy(identity).map(_._2.length)
+      val expect = math.log(n.toDouble) -
+        counts.map(c => c * math.log(c.toDouble)).sum / n
+      assert(math.abs(h - expect) < 1e-5, s"doc $d")
+      // the emitted value is round(·, 6): allow the half-step of that grid
+      assert(h >= -5e-7 && h <= math.log(n.toDouble) + 5e-7, s"doc $d bounds")
+    }
+  }
+
   test("lengthBandFilter keeps the central p5–p95 mass per language") {
     val rows = TextAnalysis.lengthBandFilter(tables).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
