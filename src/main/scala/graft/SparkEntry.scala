@@ -237,6 +237,8 @@ object SparkEntry {
     "q_corpus_final" -> ((s, d) => graft.operators.Pipeline.finalCorpus(Tables(s, d))),
     "q_token_entropy" -> ((s, d) => TextAnalysis.tokenEntropy(Tables(s, d))),
     "q_kmeans" -> ((s, d) => Similarity.kmeans(Tables(s, d))),
+    "q_cumulative_users" -> ((s, d) => Analytics.cumulativeUsers(Tables(s, d))),
+    "q_quantity_share" -> ((s, d) => Analytics.quantityShare(Tables(s, d))),
     // — reference interchange format end to end (SURVEY §2 row 1) —
     "q_csv_engine" -> ((s, d) => {
       import graft.sources.CsvMetadataSource
@@ -791,6 +793,17 @@ object SparkEntry {
         "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01' " +
         "AND ((n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_12') OR (n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_11')) " +
         "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
+    "q_cumulative_users" ->
+      ("WITH fd AS (SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id), " +
+        "daily AS (SELECT day, count(*) AS new_users FROM fd GROUP BY day) " +
+        "SELECT strftime(day, '%Y-%m-%d') AS day, new_users, " +
+        "CAST(sum(new_users) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users " +
+        "FROM daily ORDER BY day"),
+    "q_quantity_share" ->
+      ("WITH agg AS (SELECT l_returnflag, sum(l_quantity) AS qty FROM lineitem GROUP BY l_returnflag), " +
+        "t AS (SELECT sum(qty) AS tot FROM agg) " +
+        "SELECT l_returnflag, round(qty, 2) AS qty, round(qty / t.tot, 6) AS share " +
+        "FROM agg CROSS JOIN t ORDER BY l_returnflag"),
     "q_kmeans" ->
       ("WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS j, unnest(CAST(embedding AS DOUBLE[])) AS xj FROM embeddings), " +
         "c0 AS (SELECT CAST(vec_id AS INT) AS cell, j, xj AS cj FROM x WHERE vec_id < 8), " +

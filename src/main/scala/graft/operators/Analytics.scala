@@ -808,6 +808,39 @@ object Analytics {
       .orderBy("type_a", "type_b")
   }
 
+  /** Cumulative distinct users by day via the FIRST-TOUCH transformation:
+    * a user contributes to the cumulative-unique curve exactly on their
+    * first active day, so `count distinct over an unbounded window` —
+    * whose state grows with the full user set per frame — collapses to a
+    * user-keyed min-day aggregation, a day-keyed count, and a running sum
+    * over the day-cardinality series. Every stage's state is bounded; the
+    * naive windowed COUNT(DISTINCT) is not. */
+  def cumulativeUsers(t: Tables): DataFrame = {
+    val firstDays = t.events
+      .groupBy("user_id").agg(min(to_date(col("ts"))).as("_day"))
+      .groupBy("_day").agg(count(lit(1)).as("new_users"))
+    val w = Window.orderBy(col("_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    firstDays
+      .select(date_format(col("_day"), "yyyy-MM-dd").as("day"),
+        col("new_users"), sum("new_users").over(w).as("cum_users"))
+      .orderBy("day")
+  }
+
+  /** Ratio-to-report: each return flag's share of total quantity, the
+    * percent-of-total window shape. The share denominator is a one-row
+    * broadcast over the GROUP-cardinality aggregate — the raw table never
+    * windows. */
+  def quantityShare(t: Tables): DataFrame = {
+    val agg = t.lineitem.groupBy("l_returnflag")
+      .agg(sum("l_quantity").as("qty"))
+    val total = agg.agg(sum("qty").as("_t"))
+    agg.crossJoin(broadcast(total))
+      .select(col("l_returnflag"), round(col("qty"), 2).as("qty"),
+        round(col("qty") / col("_t"), 6).as("share"))
+      .orderBy("l_returnflag")
+  }
+
   /** Event-rate anomaly detection: hour-bucket counts per event type,
     * flagged when a bucket deviates from the type's mean by more than
     * `tau` sample standard deviations. Same broadcast-moments shape as

@@ -673,6 +673,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows == expected)
   }
 
+  test("cumulativeUsers is monotone and ends at the distinct user count") {
+    val rows = Analytics.cumulativeUsers(tables).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
+    assert(rows.map(_._2).sum == rows.last._3)
+    rows.sliding(2).filter(_.length == 2).foreach { w =>
+      assert(w(1)._3 == w(0)._3 + w(1)._2, "running sum broken")
+    }
+    val users = tables.events.select("user_id").distinct().count()
+    assert(rows.last._3 == users)
+  }
+
+  test("quantityShare shares sum to 1 and match per-flag fractions") {
+    val rows = Analytics.quantityShare(tables).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-5)
+    val tot = rows.map(_._2).sum
+    rows.foreach { case (f, q, s) =>
+      assert(math.abs(s - q / tot) < 1e-5, f)
+    }
+  }
+
   test("rateAnomalies flags exactly the hour buckets beyond tau sigma") {
     val rows = Analytics.rateAnomalies(tables).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
