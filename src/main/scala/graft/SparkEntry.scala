@@ -238,6 +238,7 @@ object SparkEntry {
     "q_token_entropy" -> ((s, d) => TextAnalysis.tokenEntropy(Tables(s, d))),
     "q_kmeans" -> ((s, d) => Similarity.kmeans(Tables(s, d))),
     "q_cumulative_users" -> ((s, d) => Analytics.cumulativeUsers(Tables(s, d))),
+    "q_transitions" -> ((s, d) => Analytics.eventTransitions(Tables(s, d))),
     "q_quantity_share" -> ((s, d) => Analytics.quantityShare(Tables(s, d))),
     // — reference interchange format end to end (SURVEY §2 row 1) —
     "q_csv_engine" -> ((s, d) => {
@@ -793,6 +794,13 @@ object SparkEntry {
         "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01' " +
         "AND ((n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_12') OR (n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_11')) " +
         "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
+    "q_transitions" ->
+      ("WITH pairs AS (SELECT event_type AS prev, " +
+        "lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS next FROM events), " +
+        "cnt AS (SELECT prev, next, count(*) AS n FROM pairs WHERE next IS NOT NULL GROUP BY prev, next), " +
+        "tot AS (SELECT prev, CAST(sum(n) AS BIGINT) AS t FROM cnt GROUP BY prev) " +
+        "SELECT c.prev, c.next, c.n, round(c.n / t.t, 6) AS p " +
+        "FROM cnt c JOIN tot t ON t.prev = c.prev ORDER BY c.prev, c.next"),
     "q_cumulative_users" ->
       ("WITH fd AS (SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id), " +
         "daily AS (SELECT day, count(*) AS new_users FROM fd GROUP BY day) " +

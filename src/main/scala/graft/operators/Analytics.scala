@@ -808,6 +808,27 @@ object Analytics {
       .orderBy("type_a", "type_b")
   }
 
+  /** First-order Markov transition matrix over per-user event sequences:
+    * P(next | prev) from lead() pairs. One user-keyed window (ties broken
+    * by event_id so both engines pair identically), then a
+    * (types²)-cardinality aggregation with the per-prev denominator
+    * joined back as a type-cardinality broadcast. The canonical
+    * behavior-model feature at any event volume. */
+  def eventTransitions(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val pairs = t.events
+      .select(col("user_id"), col("event_type").as("prev"),
+        lead(col("event_type"), 1).over(w).as("next"))
+      .filter(col("next").isNotNull)
+      .groupBy("prev", "next").agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("prev").agg(sum("n").as("_t"))
+    pairs.join(broadcast(totals), "prev")
+      .select(col("prev"), col("next"), col("n"),
+        round(col("n") / col("_t"), 6).as("p"))
+      .orderBy("prev", "next")
+  }
+
   /** Cumulative distinct users by day via the FIRST-TOUCH transformation:
     * a user contributes to the cumulative-unique curve exactly on their
     * first active day, so `count distinct over an unbounded window` —

@@ -673,6 +673,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows == expected)
   }
 
+  test("eventTransitions rows are per-prev probability distributions") {
+    val rows = Analytics.eventTransitions(tables).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (prev, rs) =>
+      assert(math.abs(rs.map(_._4).sum - 1.0) < 1e-4, s"prev $prev")
+    }
+    // pair count conservation: one transition per event except each
+    // user's last
+    val users = tables.events.select("user_id").distinct().count()
+    val events = tables.events.count()
+    assert(rows.map(_._3).sum == events - users)
+  }
+
   test("cumulativeUsers is monotone and ends at the distinct user count") {
     val rows = Analytics.cumulativeUsers(tables).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
