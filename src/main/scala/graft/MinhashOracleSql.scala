@@ -124,6 +124,21 @@ est AS (SELECT doc_a, doc_b, round(sum(CASE WHEN sa.sv = sb.sv THEN 1 ELSE 0 END
       s"SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= $minEst " +
       "ORDER BY doc_a, doc_b"
 
+  /** Oracle for q_containment ([[graft.operators.Dedup.containmentPairs]]
+    * defaults: candidates at est ≥ 0.1, containment = n_common/min-size
+    * ≥ 0.5 over w=2 shingles). */
+  def containmentPairs(k: Int = 64, bands: Int = 16, seed: Long = 42L,
+                       minEst: Double = 0.1, minCont: Double = 0.5): String =
+    s"WITH ${sigCtes(k, bands, seed)}, ${selfEstCtes(k)}, " +
+      s"cpairs AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= $minEst), " +
+      "ssz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), " +
+      "inter AS (SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_common FROM cpairs c " +
+      "JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b AND a.s = b.s " +
+      "GROUP BY c.doc_a, c.doc_b) " +
+      "SELECT i.doc_a, i.doc_b, i.n_common, round(i.n_common / least(sa.sz, sb.sz), 6) AS containment " +
+      "FROM inter i JOIN ssz sa ON sa.doc_id = i.doc_a JOIN ssz sb ON sb.doc_id = i.doc_b " +
+      s"WHERE i.n_common / least(sa.sz, sb.sz) >= $minCont ORDER BY i.doc_a, i.doc_b"
+
   /** Oracle for q_minhash_srcsim
     * ([[graft.operators.Dedup.sourceSignatureSimilarity]] defaults):
     * per-source elementwise-min merge of the doc signatures from

@@ -239,6 +239,8 @@ object SparkEntry {
     "q_kmeans" -> ((s, d) => Similarity.kmeans(Tables(s, d))),
     "q_cumulative_users" -> ((s, d) => Analytics.cumulativeUsers(Tables(s, d))),
     "q_transitions" -> ((s, d) => Analytics.eventTransitions(Tables(s, d))),
+    "q_containment" -> ((s, d) => Dedup.containmentPairs(Tables(s, d))),
+    "q_lang_confusion" -> ((s, d) => TextAnalysis.langConfusion(Tables(s, d))),
     "q_quantity_share" -> ((s, d) => Analytics.quantityShare(Tables(s, d))),
     // — reference interchange format end to end (SURVEY §2 row 1) —
     "q_csv_engine" -> ((s, d) => {
@@ -794,6 +796,11 @@ object SparkEntry {
         "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01' " +
         "AND ((n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_12') OR (n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_11')) " +
         "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
+    "q_containment" -> MinhashOracleSql.containmentPairs(),
+    "q_lang_confusion" ->
+      ("WITH pred AS (" + KernelOracleSql.textLang + ") " +
+        "SELECT d.lang, p.lang_pred, count(*) AS n_docs FROM documents d " +
+        "JOIN pred p ON p.doc_id = d.doc_id GROUP BY 1, 2 ORDER BY 1, 2"),
     "q_transitions" ->
       ("WITH pairs AS (SELECT event_type AS prev, " +
         "lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS next FROM events), " +

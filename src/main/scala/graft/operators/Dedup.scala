@@ -213,6 +213,37 @@ object Dedup {
     verified.orderBy("doc_a", "doc_b")
   }
 
+  /** Excerpt/containment detection: LSH candidates scored by CONTAINMENT
+    * — n_common / |smaller shingle set| — instead of Jaccard. A long
+    * document quoting a short one wholesale scores ~1 here while the
+    * pair's Jaccard stays low: exactly the asymmetric-duplication case
+    * (boilerplate headers, quoted passages, excerpt re-posts) a
+    * Jaccard-thresholded pass misses. Same bounded LSH candidate
+    * machinery — only the verify formula changes; the candidate recall
+    * limit (extreme asymmetry dilutes the MinHash estimate below the
+    * band threshold) is the documented trade for never going all-pairs. */
+  def containmentPairs(t: Tables, w: Int = 2, minEstJaccard: Double = 0.1,
+                       minContainment: Double = 0.5): DataFrame = {
+    val cand = minhashCandidatesCore(t, w = w, minEstJaccard = minEstJaccard)
+      .select("doc_a", "doc_b")
+    val sets = t.documents
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_tk"))
+      .select(col("doc_id"), sort_array(shinglesOfTokens(col("_tk"), w)).as("_sh"))
+      .persist()
+    val c = col("n_common").cast("double") /
+      least(size(col("_sa")), size(col("_sb")))
+    val scored = cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("_sh").as("_sa")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("_sh").as("_sb")), "doc_b")
+      .withColumn("n_common", size(array_intersect(col("_sa"), col("_sb"))).cast("long"))
+      .filter(c >= minContainment)
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        round(c, 6).as("containment"))
+      .localCheckpoint()
+    sets.unpersist(blocking = false)
+    scored.orderBy("doc_a", "doc_b")
+  }
+
   /** Dedup observability: verified near-dup pair counts per SOURCE pair —
     * the report a corpus operator actually watches (which feeds duplicate
     * which; is a crawl re-ingesting another source). Pair order is

@@ -113,6 +113,18 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Language-ID confusion matrix: labeled `lang` vs detected `lang_pred`
+    * counts — the accuracy report that tells you whether the heuristic
+    * detector can be trusted per language before filtering on it. Narrow
+    * detector map + one (langs²)-cardinality aggregation. */
+  def langConfusion(t: Tables): DataFrame = {
+    val best = graft.functions.TextFunctions.langId(col("text"))
+    t.documents
+      .select(col("lang"), best.getField("lang_pred").as("lang_pred"))
+      .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "lang_pred")
+  }
+
   /** Corpus-wide frequent terms via the SpaceSaving sketch — the scale path
     * for top-terms when the vocabulary is too large for an exact groupBy:
     * one partial+final aggregation pass with a bounded (capacity-sized)

@@ -191,6 +191,29 @@ class DedupSpec extends SparkSpec {
     assert(got == expected && got.values.sum == pairs.length)
   }
 
+  test("containmentPairs scores |A∩B|/min-size and dominates Jaccard") {
+    val rows = Dedup.containmentPairs(tables).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows.nonEmpty)
+    rows.values.foreach { case (_, c) => assert(c >= 0.5 && c <= 1.0 + 1e-9) }
+    // recompute from shingle sets for every emitted pair
+    val sets = tables.documents.select(
+      org.apache.spark.sql.functions.col("doc_id"),
+      Dedup.shingles(org.apache.spark.sql.functions.col("text"), 2).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    rows.foreach { case ((a, b), (n, c)) =>
+      val inter = (sets(a) & sets(b)).size
+      assert(n == inter, s"$a/$b n_common")
+      val expect = inter.toDouble / math.min(sets(a).size, sets(b).size)
+      assert(math.abs(c - math.round(expect * 1e6) / 1e6) < 1e-9, s"$a/$b")
+    }
+    // containment ≥ Jaccard on every Jaccard-verified pair that was emitted
+    Dedup.lshVerifiedPairs(tables).collect().foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      rows.get(k).foreach { case (_, c) => assert(c >= r.getDouble(2) - 1e-9) }
+    }
+  }
+
   test("sourceSignatureSimilarity merges per-doc signatures as the union minhash") {
     val rows = Dedup.sourceSignatureSimilarity(tables).collect()
       .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))

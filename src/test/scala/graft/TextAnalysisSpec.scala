@@ -280,6 +280,19 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("langConfusion partitions the corpus and agrees with languageId") {
+    val rows = TextAnalysis.langConfusion(tables).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.map(_._3).sum == tables.documents.count())
+    val preds = TextAnalysis.languageId(tables).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val langs = tables.documents.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = langs.toSeq.map { case (d, l) => (l, preds(d)) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(rows.map(r => (r._1, r._2) -> r._3).toMap == expected)
+  }
+
   test("tokenEntropy matches a driver-side recompute and is bounded by ln(n)") {
     val rows = TextAnalysis.tokenEntropy(tables).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
