@@ -241,6 +241,7 @@ object SparkEntry {
     "q_transitions" -> ((s, d) => Analytics.eventTransitions(Tables(s, d))),
     "q_containment" -> ((s, d) => Dedup.containmentPairs(Tables(s, d))),
     "q_lang_confusion" -> ((s, d) => TextAnalysis.langConfusion(Tables(s, d))),
+    "q_media_bytestats" -> ((s, d) => Multimodal.byteStats(Tables(s, d))),
     "q_quantity_share" -> ((s, d) => Analytics.quantityShare(Tables(s, d))),
     // — reference interchange format end to end (SURVEY §2 row 1) —
     "q_csv_engine" -> ((s, d) => {
@@ -796,6 +797,12 @@ object SparkEntry {
         "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01' " +
         "AND ((n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_12') OR (n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_11')) " +
         "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
+    "q_media_bytestats" ->
+      ("WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents), " +
+        "cnt AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c) " +
+        "SELECT doc_id, CAST(sum(n) AS BIGINT) AS byte_len, 'unknown' AS sniffed, " +
+        "round((ln(sum(n)) - sum(n * ln(n)) / sum(n)) / ln(2), 6) AS byte_entropy " +
+        "FROM cnt GROUP BY doc_id ORDER BY doc_id"),
     "q_containment" -> MinhashOracleSql.containmentPairs(),
     "q_lang_confusion" ->
       ("WITH pred AS (" + KernelOracleSql.textLang + ") " +

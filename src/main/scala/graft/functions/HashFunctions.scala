@@ -363,6 +363,43 @@ object HashImpl {
     best
   }
 
+  /** Shannon entropy of a byte payload in bits/byte: ln(n) − Σc·ln(c)/n
+    * over the 256-bin byte histogram, divided by ln 2. Real corrupt-media
+    * signal — truncated/zero-padded blobs score near 0, encrypted or
+    * well-compressed media near 8, text ~4–5. Histogram bins iterate in
+    * ascending byte order (deterministic accumulation). */
+  def byteEntropy(a: Array[Byte]): Double = {
+    if (a.length == 0) return 0.0
+    val h = new Array[Long](256)
+    var i = 0
+    while (i < a.length) { h(a(i) & 0xff) += 1; i += 1 }
+    val n = a.length.toDouble
+    var s = 0.0
+    var b = 0
+    while (b < 256) {
+      val c = h(b)
+      if (c > 0) s += c * math.log(c.toDouble)
+      b += 1
+    }
+    (math.log(n) - s / n) / math.log(2.0)
+  }
+
+  /** Magic-byte container sniff over a binary payload — the real format
+    * check a media pipeline runs before trusting a file extension
+    * (jpeg/png/gif/RIFF-wav/pdf, else "unknown"). Public magic numbers. */
+  def mediaFormat(a: Array[Byte]): UTF8String = {
+    def at(i: Int): Int = if (i < a.length) a(i) & 0xff else -1
+    val f =
+      if (at(0) == 0xFF && at(1) == 0xD8 && at(2) == 0xFF) "jpeg"
+      else if (at(0) == 0x89 && at(1) == 0x50 && at(2) == 0x4E && at(3) == 0x47) "png"
+      else if (at(0) == 0x47 && at(1) == 0x49 && at(2) == 0x46 && at(3) == 0x38) "gif"
+      else if (at(0) == 0x52 && at(1) == 0x49 && at(2) == 0x46 && at(3) == 0x46 &&
+        at(8) == 0x57 && at(9) == 0x41 && at(10) == 0x56 && at(11) == 0x45) "wav"
+      else if (at(0) == 0x25 && at(1) == 0x50 && at(2) == 0x44 && at(3) == 0x46) "pdf"
+      else "unknown"
+    UTF8String.fromString(f)
+  }
+
   /** Dot product of a float vector against a constant double vector,
     * accumulated in double, sequential order (the power-iteration row
     * score — same arithmetic the oracle SQL's sum(xj*vj) performs). */
@@ -468,6 +505,28 @@ case class RollingHash64(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.rollingHash($c)")
   override protected def withNewChildInternal(newChild: Expression): RollingHash64 =
+    copy(child = newChild)
+}
+
+/** ByteEntropy(binary) → double bits/byte (see [[HashImpl.byteEntropy]]). */
+case class ByteEntropy(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpl.byteEntropy(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.byteEntropy($c)")
+  override protected def withNewChildInternal(newChild: Expression): ByteEntropy =
+    copy(child = newChild)
+}
+
+/** MediaFormat(binary) → string magic-byte sniff (see [[HashImpl.mediaFormat]]). */
+case class MediaFormat(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpl.mediaFormat(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.mediaFormat($c)")
+  override protected def withNewChildInternal(newChild: Expression): MediaFormat =
     copy(child = newChild)
 }
 
@@ -590,6 +649,8 @@ object HashFunctions {
     col(SrpBucketSeeded(expr(vec), expr(seed), nBits))
   def cosineSim(a: Column, b: Column): Column = col(CosineSimF(expr(a), expr(b)))
   def dotRef(a: Column, v: Array[Double]): Column = col(DotRef(expr(a), v))
+  def byteEntropy(payload: Column): Column = col(ByteEntropy(expr(payload)))
+  def mediaFormat(payload: Column): Column = col(MediaFormat(expr(payload)))
   def maskJaccard(a: Column, b: Column): Column = col(MaskJaccard(expr(a), expr(b)))
   def nearestCell(vec: Column, centroids: Seq[Seq[Double]]): Column = {
     val d = centroids.head.length

@@ -44,6 +44,25 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** REAL byte-level payload features — no codec required, so nothing here
+    * is stubbed: byte length, magic-byte container sniff (jpeg/png/gif/
+    * wav/pdf — the check a media pipeline runs before trusting an
+    * extension), and byte-entropy in bits/byte (truncated or zero-padded
+    * blobs score near 0, encrypted/well-compressed media near 8 — the
+    * cheap corrupt-file signal). Both kernels are codegen'd expressions;
+    * the whole query is one narrow projection. On this corpus the payloads
+    * are UTF-8 text bytes, so the sniff reports "unknown" (spec feeds real
+    * JPEG/PNG/WAV headers to pin the magic logic) and the oracle mirrors
+    * the entropy arithmetic over characters — byte-identical for ASCII. */
+  def byteStats(t: Tables): DataFrame =
+    withPayload(t)
+      .select(col("doc_id"),
+        length(col("payload")).cast("long").as("byte_len"),
+        graft.functions.HashFunctions.mediaFormat(col("payload")).as("sniffed"),
+        round(graft.functions.HashFunctions.byteEntropy(col("payload")), 6)
+          .as("byte_entropy"))
+      .orderBy("doc_id")
+
   /** STUB decode kernel — stands in for an image/audio codec (libs not in
     * this container). Deterministic: derives "dimensions" and a checksum from
     * the payload bytes, so specs can assert exact values. A real deployment

@@ -57,4 +57,35 @@ class MultimodalSpec extends SparkSpec {
     val text = tables.documents.orderBy("doc_id").head().getAs[String]("text")
     assert(new String(first.getAs[Array[Byte]]("payload"), "UTF-8") == text)
   }
+
+  test("mediaFormat sniffs real magic bytes; byteEntropy hits its bounds") {
+    import graft.functions.HashImpl
+    def sniff(bytes: Int*) = HashImpl.mediaFormat(bytes.map(_.toByte).toArray).toString
+    assert(sniff(0xFF, 0xD8, 0xFF, 0xE0) == "jpeg")
+    assert(sniff(0x89, 0x50, 0x4E, 0x47, 0x0D) == "png")
+    assert(sniff(0x47, 0x49, 0x46, 0x38) == "gif")
+    assert(sniff(0x52, 0x49, 0x46, 0x46, 1, 2, 3, 4, 0x57, 0x41, 0x56, 0x45) == "wav")
+    assert(sniff(0x25, 0x50, 0x44, 0x46) == "pdf")
+    assert(sniff(0x00, 0x01, 0x02) == "unknown")
+    assert(sniff(0x52, 0x49, 0x46, 0x46, 1, 2, 3, 4, 0x41, 0x56, 0x49, 0x20) == "unknown") // RIFF but not WAVE
+    // entropy bounds: constant payload → 0 bits; all 256 bytes once → 8 bits
+    assert(HashImpl.byteEntropy(Array.fill(100)(7.toByte)) == 0.0)
+    assert(math.abs(HashImpl.byteEntropy((0 until 256).map(_.toByte).toArray) - 8.0) < 1e-12)
+    assert(HashImpl.byteEntropy(Array.emptyByteArray) == 0.0)
+  }
+
+  test("byteStats matches a driver-side byte recompute on real docs") {
+    val rows = Multimodal.byteStats(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    val texts = tables.documents.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { case (d, len, sniffed, h) =>
+      val bytes = texts(d).getBytes("UTF-8")
+      assert(len == bytes.length, s"doc $d")
+      assert(sniffed == "unknown")
+      val expect = graft.functions.HashImpl.byteEntropy(bytes)
+      assert(math.abs(h - math.round(expect * 1e6) / 1e6) < 1e-9, s"doc $d")
+      assert(h > 0.0 && h < 8.0)
+    }
+  }
 }
