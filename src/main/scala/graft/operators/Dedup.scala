@@ -81,10 +81,38 @@ object Dedup {
     minhashCandidatesCore(t, w, k, bands, minEstJaccard)
       .orderBy("doc_a", "doc_b") // ordered for the driver's oracle dump only
 
+  /** Drop LSH band buckets larger than `cap` before a band self-join. A
+    * boilerplate-heavy corpus puts millions of near-identical documents
+    * into ONE (band, band_key) bucket, and the self-join's pair fan-out is
+    * quadratic IN THE BUCKET — AQE skew-split spreads the shuffle but not
+    * the pair explosion, so a mega-bucket is a non-starter at 100 TB
+    * regardless of partitioning. The cap is the standard production guard:
+    * one count aggregation finds the (few) hot buckets, a broadcast
+    * anti-join removes their band rows.
+    *
+    * RECALL TRADE (documented, spec-pinned): a pair whose ONLY collisions
+    * are in dropped buckets is missed. With `bands` independent bands a
+    * true near-dup pair collides in many bands w.h.p., so in practice hot-
+    * bucket members still pair through their non-degenerate bands — and a
+    * bucket over the cap is near-certainly boilerplate whose members also
+    * share other bands. Exactness is restored by cap = ∞ (None). */
+  private[graft] def dropHotBuckets(banded: DataFrame,
+                                    maxBucketSize: Option[Long]): DataFrame =
+    maxBucketSize match {
+      case None => banded
+      case Some(cap) =>
+        val hot = banded.groupBy("band", "band_key")
+          .agg(count(lit(1)).as("_bn"))
+          .filter(col("_bn") > cap)
+          .select("band", "band_key")
+        banded.join(broadcast(hot), Seq("band", "band_key"), "left_anti")
+    }
+
   /** Unordered candidate pairs — consumers that don't need a total order
     * (e.g. [[nearDupGroups]]) use this to avoid a pointless global sort. */
   def minhashCandidatesCore(t: Tables, w: Int = 2, k: Int = 64, bands: Int = 16,
-                            minEstJaccard: Double = 0.2): DataFrame = {
+                            minEstJaccard: Double = 0.2,
+                            maxBucketSize: Option[Long] = None): DataFrame = {
     val sigs = t.documents
       .select(
         col("doc_id"),
@@ -93,11 +121,11 @@ object Dedup {
         // shingle array/string allocation, and this lineage is recomputed on
         // both sides of the self-join below)
         HashFunctions.minhashSigText(col("text"), w, k).as("sig"))
-    val banded = sigs.select(
+    val banded = dropHotBuckets(sigs.select(
       col("doc_id"),
       posexplode(HashFunctions.bandKeys(col("sig"), bands)))
       .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_key")
+      .withColumnRenamed("col", "band_key"), maxBucketSize)
     val pairs = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") &&

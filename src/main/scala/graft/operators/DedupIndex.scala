@@ -57,16 +57,32 @@ object DedupIndex {
 
   /** Write the sidecar plus its sizing meta (expectedItems + fpp — the
     * parameters a later append must reuse to build a merge-compatible
-    * batch filter; the serialized sketch alone doesn't expose them). */
+    * batch filter; the serialized sketch alone doesn't expose them).
+    * Each file is written to a temp path and RENAMED over the old one:
+    * an in-place truncate-then-write would leave a half-written sidecar
+    * on a crash mid-rewrite, and `appendToIndex`'s crash analysis ("a
+    * crash between bloom and table writes only adds false positives")
+    * holds only if the bloom write itself is all-or-nothing. Rename is
+    * atomic on HDFS and local fs; readers that still catch a torn file
+    * (non-atomic object stores) degrade to the plain anti-join via
+    * [[loadBloom]]'s parse guard. */
   private def writeBloom(spark: SparkSession, bf: org.apache.spark.util.sketch.BloomFilter,
                          dir: String, expectedItems: Long): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val p = bloomPath(dir)
-    val out = p.getFileSystem(conf).create(p, true)
-    try bf.writeTo(out) finally out.close()
-    val mp = bloomMetaPath(dir)
-    val mout = mp.getFileSystem(conf).create(mp, true)
-    try mout.write(s"$expectedItems $BloomFpp".getBytes("UTF-8")) finally mout.close()
+    def replaceWith(target: org.apache.hadoop.fs.Path)(
+        write: java.io.OutputStream => Unit): Unit = {
+      val fs = target.getFileSystem(conf)
+      val tmp = new org.apache.hadoop.fs.Path(
+        target.getParent, s".${target.getName}.tmp")
+      val out = fs.create(tmp, true)
+      try write(out) finally out.close()
+      fs.delete(target, false)
+      if (!fs.rename(tmp, target))
+        throw new java.io.IOException(s"rename $tmp -> $target failed")
+    }
+    replaceWith(bloomPath(dir))(bf.writeTo)
+    replaceWith(bloomMetaPath(dir))(
+      _.write(s"$expectedItems $BloomFpp".getBytes("UTF-8")))
   }
 
   private def loadBloomMeta(spark: SparkSession, dir: String): Option[(Long, Double)] = {
@@ -77,13 +93,21 @@ object DedupIndex {
       val in = fs.open(mp)
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-      val parts = txt.trim.split(' ')
-      Some((parts(0).toLong, parts(1).toDouble))
+      // a torn meta (non-atomic store) reads as garbage — treat as absent,
+      // same degradation contract as loadBloom
+      scala.util.Try {
+        val parts = txt.trim.split(' ')
+        (parts(0).toLong, parts(1).toDouble)
+      }.toOption
     }
   }
 
   /** Load the sidecar if present (absent for pre-sidecar indexes — the
-    * probe then degrades gracefully to the plain anti-join). */
+    * probe then degrades gracefully to the plain anti-join). A sidecar
+    * that exists but fails to PARSE (torn write on a store without atomic
+    * rename) also degrades to None — the pre-probe is an optimization,
+    * never a correctness dependency, so a damaged sidecar must not wedge
+    * every subsequent ingest batch until manual repair. */
   private[graft] def loadBloom(spark: SparkSession,
                                    dir: String): Option[org.apache.spark.util.sketch.BloomFilter] = {
     val p = bloomPath(dir)
@@ -92,6 +116,7 @@ object DedupIndex {
     else {
       val in = fs.open(p)
       try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+      catch { case _: java.io.IOException => None }
       finally in.close()
     }
   }
@@ -159,19 +184,94 @@ object DedupIndex {
     * tables — the "new day, same index" path: no data is read or written,
     * only bucket metadata is registered. No-op for tables already in the
     * catalog. */
+  /** The three tables' (schema DDL, bucket keys, data subdir) — one source
+    * of truth shared by [[attachIndex]] (register) and [[compactIndex]]
+    * (re-register after rewrite). */
+  private val tableSpecs: Seq[(IndexTables => String, String, String, String)] = Seq(
+    ((t: IndexTables) => t.fp, "fp STRING, doc_id BIGINT", "fp", "fp"),
+    ((t: IndexTables) => t.sig, "doc_id BIGINT, sig ARRAY<BIGINT>", "doc_id", "sig"),
+    ((t: IndexTables) => t.band, "band INT, band_key BIGINT, doc_id BIGINT",
+      "band, band_key", "band"))
+
+  private def registerDdl(spark: SparkSession, table: String, schema: String,
+                          keys: String, path: String, buckets: Int): Unit =
+    if (!spark.catalog.tableExists(table))
+      spark.sql(
+        s"""CREATE TABLE $table ($schema) USING PARQUET
+           |CLUSTERED BY ($keys) SORTED BY ($keys) INTO $buckets BUCKETS
+           |LOCATION '$path'""".stripMargin)
+
   def attachIndex(spark: SparkSession, prefix: String, dir: String,
                   buckets: Int = 8): IndexTables = {
     val t = tablesFor(prefix, dir)
-    def ddl(table: String, schema: String, keys: String, path: String): Unit =
-      if (!spark.catalog.tableExists(table))
-        spark.sql(
-          s"""CREATE TABLE $table ($schema) USING PARQUET
-             |CLUSTERED BY ($keys) SORTED BY ($keys) INTO $buckets BUCKETS
-             |LOCATION '$path'""".stripMargin)
-    ddl(t.fp, "fp STRING, doc_id BIGINT", "fp", s"$dir/fp")
-    ddl(t.sig, "doc_id BIGINT, sig ARRAY<BIGINT>", "doc_id", s"$dir/sig")
-    ddl(t.band, "band INT, band_key BIGINT, doc_id BIGINT", "band, band_key", s"$dir/band")
+    tableSpecs.foreach { case (name, schema, keys, sub) =>
+      registerDdl(spark, name(t), schema, keys, s"$dir/$sub", buckets)
+    }
     t
+  }
+
+  /** COMPACT a grown index: [[appendToIndex]] adds a handful of small files
+    * per batch forever (per-bucket, per-append parquet parts), so a daily
+    * loop's file count — and with it listing time, footer reads, and task
+    * fan-out — grows linearly with batch count. Compaction rewrites each
+    * table through its own bucket spec (one job per table: read, hash-
+    * repartition on the bucket keys, write ~one file per bucket) and
+    * rebuilds the Bloom sidecar from the actual post-compaction
+    * fingerprints at the configured FPP — un-inflating the false-positive
+    * rate that appends degrade (append merges never add bits-per-item).
+    *
+    * The rewrite is EXCHANGE-FREE: the bucketed scan is forced on
+    * (autoBucketedScan would disable it here — no join/agg consumes the
+    * distribution — and the planner's rule ordering then both elides the
+    * repartition AND drops the bucket alignment, fanning each size-based
+    * task into every bucket: measured 168 files → 43, not 8). With the
+    * bucketed read forced, input partitions align 1:1 with output buckets,
+    * the repartition is elided as genuinely redundant, and each task
+    * streams one bucket's many small files into one file — no shuffle at
+    * any corpus size.
+    *
+    * Stages into `<sub>_stage` subdirs and swaps via fs rename, keeping
+    * the canonical `$dir/{fp,sig,band}` layout that [[attachIndex]]
+    * expects, then re-registers the catalog entries. Probe plans are
+    * unchanged by construction — same bucket count, same keys
+    * (spec-asserted one-Exchange + result-equality). Not crash-atomic
+    * across tables (a table format with transactional swap is the
+    * production answer); single-writer maintenance assumed, same as
+    * [[appendToIndex]]. */
+  def compactIndex(spark: SparkSession, idx: IndexTables,
+                   buckets: Int = 8): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val autoScanKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val autoScanOld = spark.conf.get(autoScanKey)
+    spark.conf.set(autoScanKey, "false")
+    try tableSpecs.foreach { case (name, schema, keys, sub) =>
+      val table = name(idx)
+      val keyCols = keys.split(",").map(_.trim)
+      val dataPath = new org.apache.hadoop.fs.Path(s"${idx.dir}/$sub")
+      val stagePath = new org.apache.hadoop.fs.Path(s"${idx.dir}/${sub}_stage")
+      val stageTable = s"${table}_stage"
+      val src = spark.table(table)
+      src.repartition(buckets, keyCols.map(src.col): _*)
+        .write.mode(SaveMode.Overwrite)
+        .option("path", stagePath.toString)
+        .bucketBy(buckets, keyCols.head, keyCols.tail: _*)
+        .sortBy(keyCols.head, keyCols.tail: _*)
+        .saveAsTable(stageTable)
+      // swap: drop catalog entries (external tables — data stays), replace
+      // the canonical dir with the staged one, re-register at the same path
+      spark.sql(s"DROP TABLE $stageTable")
+      spark.sql(s"DROP TABLE $table")
+      val fs = dataPath.getFileSystem(conf)
+      fs.delete(dataPath, true)
+      if (!fs.rename(stagePath, dataPath))
+        throw new java.io.IOException(s"rename $stagePath -> $dataPath failed")
+      registerDdl(spark, table, schema, keys, dataPath.toString, buckets)
+    } finally spark.conf.set(autoScanKey, autoScanOld)
+    // fresh sidecar over the real row count — restores the build-time FPP
+    // headroom policy (4× expected items) regardless of append history
+    val fps = spark.table(idx.fp).select("fp")
+    val expected = 4L * fps.count()
+    writeBloom(spark, buildBloom(fps, expected, BloomFpp), idx.dir, expected)
   }
 
   /** APPEND new documents to a stored index — the write-back that closes
@@ -255,7 +355,8 @@ object DedupIndex {
                          idx: IndexTables, corpusText: DataFrame,
                          w: Int = 2, k: Int = 64, bands: Int = 16,
                          minEstJaccard: Double = 0.5,
-                         minJaccard: Double = 0.5): DataFrame = {
+                         minJaccard: Double = 0.5,
+                         maxBucketSize: Option[Long] = None): DataFrame = {
     val withFp = incoming.withColumn("fp", Dedup.fingerprint(col("text")))
     val batchExact = withFp.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
     val inBatch = withFp.join(batchExact, Seq("fp", "doc_id"), "left_semi")
@@ -272,9 +373,15 @@ object DedupIndex {
     val batchSigs = Dedup.minhashSigs(crossExact.select("doc_id", "text"), w, k)
     val inBatchNear = Dedup.inBatchNearDupIds(
       batchSigs, crossExact, w, k, bands, minEstJaccard, minJaccard)
+    // optional hot-bucket cap on the STORED side: a boilerplate mega-bucket
+    // in the index makes every batch's band join quadratic in that bucket;
+    // the cap drops it (recall trade documented at [[Dedup.dropHotBuckets]]).
+    // Default None — the probe is exactly the rescan path's equal.
+    val storedBand = Dedup.dropHotBuckets(
+      spark.table(idx.band).select("band", "band_key", "doc_id"), maxBucketSize)
     val collisions = Dedup.minhashBandRows(batchSigs, bands)
       .select("band", "band_key", "doc_id").as("n")
-      .join(spark.table(idx.band).as("o"),
+      .join(storedBand.as("o"),
         col("n.band") === col("o.band") && col("n.band_key") === col("o.band_key"))
       .select(col("n.doc_id").as("doc_id"), col("o.doc_id").as("corp_id"))
       .distinct()

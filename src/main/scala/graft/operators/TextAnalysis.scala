@@ -350,15 +350,15 @@ object TextAnalysis {
     * zero tokens have no coverage to report and are absent, as in
     * [[textStats]]' token-free caveat. */
   def vocabOov(t: Tables, vocabSize: Int = 16): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = t.documents
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
-    val rank = Window.orderBy(col("n_w").desc, col("w").asc)
+    // top-V boundary via orderBy+limit, which plans as TakeOrderedAndProject:
+    // per-partition bounded heaps reduce to one V-row merge, so the unigram
+    // table — web-scale: every typo and URL in the crawl — never funnels
+    // through a single-partition Window (spec-asserted plan shape)
     val vocab = toks.groupBy("w").agg(count(lit(1)).as("n_w"))
-      // the single-partition window is over the VOCABULARY (bounded),
-      // never the corpus — same shape as every top-k-of-aggregates row
-      .withColumn("rn", row_number().over(rank))
-      .filter(col("rn") <= vocabSize)
+      .orderBy(col("n_w").desc, col("w").asc)
+      .limit(vocabSize)
       .select(col("w"), lit(1).as("_in_vocab"))
     toks.join(broadcast(vocab), Seq("w"), "left")
       .groupBy("doc_id")

@@ -127,6 +127,100 @@ class DedupIndexSpec extends SparkSpec {
     assert(self.count() == 0L, "bloom false negative re-admitted an indexed doc")
   }
 
+  test("probe-side hot-bucket cap drops stored mega-buckets, high cap is exact") {
+    // stored corpus: 40 boilerplate docs sharing every band bucket
+    val boiler = (0 until 40).map(i =>
+      (i.toLong, "terms of service all rights reserved contact us privacy policy", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val dir = Files.createTempDirectory("gdidx_cap").toString
+    val idx = DedupIndex.buildIndex(spark, boiler, freshPrefix(), dir)
+    val batch = Seq(
+      (500L, "terms of service all rights reserved contact us privacy policies", "en", "b"),
+      (501L, "completely novel content about rivers and foxes and quiet dogs", "en", "b"))
+      .toDF("doc_id", "text", "lang", "source")
+    val default = DedupIndex.dedupeAgainstIndex(spark, batch, idx, boiler)
+      .collect().map(_.getLong(0)).toSet
+    assert(default == Set(501L), s"near-dup of boilerplate must drop: $default")
+    // cap below 40: the stored mega-buckets are dropped, so the boilerplate
+    // near-dup is MISSED (the documented recall trade) and both survive
+    val capped = DedupIndex.dedupeAgainstIndex(spark, batch, idx, boiler,
+        maxBucketSize = Some(10L))
+      .collect().map(_.getLong(0)).toSet
+    assert(capped == Set(500L, 501L), s"got $capped")
+    // cap above every stored bucket: exact
+    val high = DedupIndex.dedupeAgainstIndex(spark, batch, idx, boiler,
+        maxBucketSize = Some(1000L))
+      .collect().map(_.getLong(0)).toSet
+    assert(high == default)
+  }
+
+  test("a torn bloom sidecar degrades to the plain anti-join, never an error") {
+    val corpus = tables.documents.filter($"doc_id" >= 300)
+    val batch = tables.documents.filter($"doc_id" < 100)
+    val dir = Files.createTempDirectory("gdidx_torn").toString
+    val idx = DedupIndex.buildIndex(spark, corpus, freshPrefix(), dir)
+    val want = DedupIndex.dedupeAgainstIndex(spark, batch, idx, corpus)
+      .collect().toSeq
+    // simulate a torn write on a store without atomic rename: truncate the
+    // sidecar mid-file so readFrom fails
+    val bloomFile = java.nio.file.Paths.get(dir, "fp.bloom")
+    val bytes = Files.readAllBytes(bloomFile)
+    Files.write(bloomFile, bytes.take(bytes.length / 2))
+    assert(DedupIndex.loadBloom(spark, dir).isEmpty,
+      "torn sidecar must parse as absent")
+    val got = DedupIndex.dedupeAgainstIndex(spark, batch, idx, corpus)
+    assert(!planOf(got).contains("might_contain"),
+      "torn sidecar must drop the pre-filter from the plan")
+    assert(got.collect().toSeq == want)
+    // writes go through a temp+rename, so no .tmp residue ever persists
+    assert(!Files.list(java.nio.file.Paths.get(dir)).toArray
+      .map(_.toString).exists(_.endsWith(".tmp")))
+  }
+
+  test("compactIndex collapses file count, preserves results and the one-Exchange probe") {
+    val corpus = tables.documents.filter($"doc_id" >= 350)
+    val dir = Files.createTempDirectory("gdidx_compact").toString
+    val idx = DedupIndex.buildIndex(spark, corpus, freshPrefix(), dir)
+    // several small appends → many small per-bucket files
+    var grown = corpus
+    for (lo <- Seq(50L, 100L, 150L, 200L, 250L)) {
+      val day = tables.documents.filter($"doc_id" >= lo && $"doc_id" < lo + 50)
+      val kept = DedupIndex.dedupeAgainstIndex(spark, day, idx, grown)
+      val survivors = day.join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
+        .localCheckpoint()
+      DedupIndex.appendToIndex(spark, survivors, idx)
+      grown = grown.unionByName(survivors.select(grown.columns.map(col): _*))
+        .localCheckpoint()
+    }
+    val batch = tables.documents.filter($"doc_id" < 50)
+    val want = DedupIndex.dedupeAgainstIndex(spark, batch, idx, grown)
+      .collect().toSeq
+    def parquetFiles(sub: String): Int =
+      Files.walk(java.nio.file.Paths.get(dir, sub)).toArray
+        .map(_.toString).count(_.endsWith(".parquet"))
+    val before = parquetFiles("fp")
+    DedupIndex.compactIndex(spark, idx)
+    val after = parquetFiles("fp")
+    assert(after < before, s"fp files $before -> $after: compaction must collapse")
+    assert(after <= 8, s"at most one file per bucket expected, got $after")
+    // result-equality after the rewrite, bloom rebuilt and consistent
+    val got = DedupIndex.dedupeAgainstIndex(spark, batch, idx, grown)
+    assert(got.collect().toSeq == want)
+    assert(DedupIndex.loadBloom(spark, dir).isDefined, "bloom must be rebuilt")
+    // probe stays one-Exchange against the compacted bucketed layout
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = batch.select(Dedup.fingerprint(col("text")).as("fp"))
+        .join(spark.table(idx.fp), Seq("fp"), "left_anti")
+      val plan = planOf(probe)
+      assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+        s"compacted fp probe must still shuffle only the batch side:\n$plan")
+      assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+        s"compacted probe must read the bucketed index:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("appendToIndex grows the index so day-2 probes see day-1 survivors") {
     val corpus = tables.documents.filter($"doc_id" >= 400) // day 0 store
     val day1 = tables.documents.filter($"doc_id" >= 200 && $"doc_id" < 300)

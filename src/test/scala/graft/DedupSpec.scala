@@ -44,6 +44,34 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("hot-bucket cap bounds mega-bucket pair explosion; off or high cap is exact") {
+    import graft.sources.Tables
+    // degenerate corpus: 40 byte-identical boilerplate docs (every band
+    // collides in ONE 40-row bucket → 16 × 780 raw pairs) + one genuine
+    // near-dup pair of unrelated text
+    val boiler = (0 until 40).map(i =>
+      (i.toLong, "terms of service all rights reserved contact us privacy policy", "en", "web"))
+    val pair = Seq(
+      (100L, "quick brown fox jumps over the lazy dog near the river bank", "en", "web"),
+      (101L, "quick brown fox jumps over the lazy dog near the river bend", "en", "web"))
+    val docs = (boiler ++ pair).toDF("doc_id", "text", "lang", "source")
+    val t = Tables(spark, sfDir).withTable("documents", docs)
+    val uncapped = Dedup.minhashCandidatesCore(t, minEstJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size == 40 * 39 / 2 + 1, s"got ${uncapped.size}")
+    // cap below the mega-bucket size: boilerplate pairs vanish (their only
+    // buckets are dropped), the genuine pair SURVIVES via its own buckets
+    val capped = Dedup.minhashCandidatesCore(t, minEstJaccard = 0.5,
+        maxBucketSize = Some(10L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((100L, 101L)), s"got $capped")
+    // a cap above every bucket size changes nothing (exactness restored)
+    val high = Dedup.minhashCandidatesCore(t, minEstJaccard = 0.5,
+        maxBucketSize = Some(1000L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(high == uncapped)
+  }
+
   test("jaccardPairs computes exact token-set jaccard") {
     val docs = Seq(
       (1L, "a b c d"),

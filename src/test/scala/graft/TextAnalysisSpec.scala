@@ -235,6 +235,14 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("vocabOov plans the vocabulary boundary as TakeOrderedAndProject, not a global Window") {
+    val plan = TextAnalysis.vocabOov(tables).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$plan")
+    // the only acceptable Window is none at all: the old single-partition
+    // row_number funnelled the full unigram table through one task
+    assert(!plan.contains("Window"), s"unexpected Window in plan:\n$plan")
+  }
+
   test("longestDocPerSource picks the max-length doc with deterministic ties") {
     val rows = TextAnalysis.longestDocPerSource(tables).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
