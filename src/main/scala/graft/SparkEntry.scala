@@ -242,6 +242,7 @@ object SparkEntry {
     "q_containment" -> ((s, d) => Dedup.containmentPairs(Tables(s, d))),
     "q_lang_confusion" -> ((s, d) => TextAnalysis.langConfusion(Tables(s, d))),
     "q_media_bytestats" -> ((s, d) => Multimodal.byteStats(Tables(s, d))),
+    "q_media_decode" -> ((s, d) => Multimodal.imageDecodeStats(Tables(s, d))),
     "q_quantity_share" -> ((s, d) => Analytics.quantityShare(Tables(s, d))),
     // — reference interchange format end to end (SURVEY §2 row 1) —
     "q_csv_engine" -> ((s, d) => {
@@ -730,7 +731,9 @@ object SparkEntry {
         "c AS (SELECT 1 AS step, 'view' AS event_type, count(*) AS n_users FROM s1 " +
         "UNION ALL SELECT 2, 'click', count(*) FROM s2 " +
         "UNION ALL SELECT 3, 'purchase', count(*) FROM s3) " +
-        "SELECT step, event_type, n_users, round(n_users / (SELECT n_users FROM c WHERE step = 1), 6) AS conversion " +
+        "SELECT step, event_type, n_users, " +
+        "CASE WHEN (SELECT n_users FROM c WHERE step = 1) > 0 " +
+        "THEN round(n_users / (SELECT n_users FROM c WHERE step = 1), 6) END AS conversion " +
         "FROM c ORDER BY step"),
     "q_retention" ->
       ("WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), " +
@@ -797,13 +800,41 @@ object SparkEntry {
         "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01' " +
         "AND ((n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_12') OR (n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_11')) " +
         "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
+    // byte-exact mirror of the Spark kernels: entropy over UTF-8 BYTES (not
+    // characters), the magic sniff re-derived on the blob (ASCII-start
+    // magics GIF8/RIFF+WAVE/%PDF CAN occur in text; FF D8 / 89 50 can't in
+    // valid UTF-8 but the full CASE keeps the mirror honest), and empty
+    // documents emitted as (0, 'unknown', 0.0) exactly as Spark does
     "q_media_bytestats" ->
-      ("WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents), " +
-        "cnt AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c) " +
-        "SELECT doc_id, CAST(sum(n) AS BIGINT) AS byte_len, 'unknown' AS sniffed, " +
-        "round((ln(sum(n)) - sum(n * ln(n)) / sum(n)) / ln(2), 6) AS byte_entropy " +
-        "FROM cnt GROUP BY doc_id ORDER BY doc_id"),
+      ("WITH b AS (SELECT doc_id, to_hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents), " +
+        "m AS (SELECT doc_id, hx, n, " +
+        "CASE WHEN substring(hx, 1, 6) = 'FFD8FF' THEN 'jpeg' " +
+        "WHEN substring(hx, 1, 8) = '89504E47' THEN 'png' " +
+        "WHEN substring(hx, 1, 8) = '47494638' THEN 'gif' " +
+        "WHEN substring(hx, 1, 8) = '52494646' AND substring(hx, 17, 8) = '57415645' THEN 'wav' " +
+        "WHEN substring(hx, 1, 8) = '25504446' THEN 'pdf' " +
+        "ELSE 'unknown' END AS sniffed FROM b), " +
+        "pos AS (SELECT doc_id, hx, n, sniffed, unnest(generate_series(1, CAST(n AS BIGINT))) AS i FROM m WHERE n > 0), " +
+        "cnt AS (SELECT doc_id, n, sniffed, substring(hx, CAST(2 * i - 1 AS INT), 2) AS byte, count(*) AS c " +
+        "FROM pos GROUP BY doc_id, n, sniffed, byte) " +
+        "SELECT doc_id, CAST(n AS BIGINT) AS byte_len, sniffed, " +
+        "round((ln(CAST(n AS DOUBLE)) - sum(c * ln(CAST(c AS DOUBLE))) / n) / ln(2), 6) AS byte_entropy " +
+        "FROM cnt GROUP BY doc_id, n, sniffed " +
+        "UNION ALL SELECT doc_id, CAST(0 AS BIGINT), 'unknown', 0.0 FROM m WHERE n = 0 " +
+        "ORDER BY doc_id"),
     "q_containment" -> MinhashOracleSql.containmentPairs(),
+    // the oracle re-derives the synthetic images' generation formula; Spark
+    // emits what the REAL codec decoded from the real PNG bytes — a hash
+    // match proves the encode→decode round trip recovered every pixel
+    // (integer-valued doubles sum exactly, so avg() is order-independent)
+    "q_media_decode" ->
+      ("WITH dims AS (SELECT doc_id, CAST(n_chars % 16 + 1 AS BIGINT) AS width, " +
+        "CAST(doc_id % 12 + 1 AS BIGINT) AS height FROM documents), " +
+        "xs AS (SELECT doc_id, width, height, unnest(generate_series(0, width - 1)) AS x FROM dims), " +
+        "px AS (SELECT doc_id, width, height, x, unnest(generate_series(0, height - 1)) AS y FROM xs) " +
+        "SELECT doc_id, 'png' AS format, width, height, " +
+        "round(avg(CAST((31 * doc_id + 7 * x + 13 * y) % 256 AS DOUBLE)), 6) AS mean_gray " +
+        "FROM px GROUP BY doc_id, width, height ORDER BY doc_id"),
     "q_lang_confusion" ->
       ("WITH pred AS (" + KernelOracleSql.textLang + ") " +
         "SELECT d.lang, p.lang_pred, count(*) AS n_docs FROM documents d " +
@@ -824,7 +855,8 @@ object SparkEntry {
     "q_quantity_share" ->
       ("WITH agg AS (SELECT l_returnflag, sum(l_quantity) AS qty FROM lineitem GROUP BY l_returnflag), " +
         "t AS (SELECT sum(qty) AS tot FROM agg) " +
-        "SELECT l_returnflag, round(qty, 2) AS qty, round(qty / t.tot, 6) AS share " +
+        "SELECT l_returnflag, round(qty, 2) AS qty, " +
+        "CASE WHEN t.tot <> 0 THEN round(qty / t.tot, 6) END AS share " +
         "FROM agg CROSS JOIN t ORDER BY l_returnflag"),
     "q_kmeans" ->
       ("WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS j, unnest(CAST(embedding AS DOUBLE[])) AS xj FROM embeddings), " +

@@ -858,7 +858,8 @@ object Analytics {
     val total = agg.agg(sum("qty").as("_t"))
     agg.crossJoin(broadcast(total))
       .select(col("l_returnflag"), round(col("qty"), 2).as("qty"),
-        round(col("qty") / col("_t"), 6).as("share"))
+        // same NULL-on-zero-total convention as funnelSteps' conversion
+        when(col("_t") =!= 0, round(col("qty") / col("_t"), 6)).as("share"))
       .orderBy("l_returnflag")
   }
 
@@ -913,7 +914,11 @@ object Analytics {
       .select(col("n_users").as("_base"))
     counts.crossJoin(broadcast(base))
       .select(col("step"), col("event_type"), col("n_users"),
-        round(col("n_users") / col("_base"), 6).as("conversion"))
+        // degenerate-corpus guard: with zero step-1 users Spark's non-ANSI
+        // divide yields NULL while DuckDB's double division yields NaN —
+        // pin the NULL convention explicitly and mirror it in the oracle
+        when(col("_base") > 0,
+          round(col("n_users") / col("_base"), 6)).as("conversion"))
       .orderBy("step")
   }
 

@@ -468,9 +468,15 @@ object Similarity {
   def kmeans(t: Tables, k: Int = 8, iters: Int = 2): DataFrame = {
     val xa = t.embeddings.select(col("vec_id"),
       transform(col("embedding"), e => e.cast("double")).as("x"))
-    var cents: Array[Array[Double]] = xa.filter(col("vec_id") < k)
-      .orderBy("vec_id").collect()
-      .map(_.getSeq[Double](1).toArray)
+    val seedRows = xa.filter(col("vec_id") < k).orderBy("vec_id").collect()
+    // cell c is seeded POSITIONALLY from vec_id c (the contract the SQL
+    // oracle keys its cells on); a gap in [0, k) would silently shift every
+    // later cell's numbering against the oracle — fail loudly instead
+    require(seedRows.length == k &&
+      seedRows.zipWithIndex.forall { case (r, i) => r.getLong(0) == i },
+      s"kmeans seeding requires vec_ids exactly 0..${k - 1}; got " +
+        seedRows.map(_.getLong(0)).mkString("[", ",", "]"))
+    var cents: Array[Array[Double]] = seedRows.map(_.getSeq[Double](1).toArray)
     var counts = Map.empty[Int, Long]
     for (round <- 1 to iters) {
       val assigned = xa.withColumn("_cell",

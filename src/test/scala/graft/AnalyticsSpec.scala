@@ -624,6 +624,17 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.map(_._3).toSeq == Seq(s1.size.toLong, s2.size.toLong, s3.size.toLong))
   }
 
+  test("funnelSteps with zero step-1 users yields NULL conversions, not a crash") {
+    // degenerate corpus: no 'view' events at all — the conversion
+    // denominator is 0 and the pinned convention is NULL in both engines
+    val t = tables.withTable("events",
+      tables.events.filter(col("event_type") =!= "view"))
+    val rows = Analytics.funnelSteps(t).collect()
+    assert(rows.length == 3)
+    assert(rows.forall(_.getLong(2) == 0L))
+    assert(rows.forall(_.isNullAt(3)), "conversion must be NULL when base is 0")
+  }
+
   test("langsPerSource emits sorted distinct language lists") {
     val rows = Analytics.langsPerSource(tables).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getString(2)))

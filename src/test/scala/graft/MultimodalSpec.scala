@@ -74,6 +74,49 @@ class MultimodalSpec extends SparkSpec {
     assert(HashImpl.byteEntropy(Array.emptyByteArray) == 0.0)
   }
 
+  test("decodeImage parses real PNG/JPEG/BMP/GIF bytes; corrupt bytes quarantine") {
+    def encode(fmt: String, w: Int, h: Int, gray: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, (gray << 16) | (gray << 8) | gray)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    // PNG is lossless: dimensions AND pixels round-trip exactly
+    val png = Multimodal.decodeImage(1L, encode("png", 17, 9, 100)).get
+    assert(png.format == "png" && png.width == 17 && png.height == 9
+      && png.mean_gray == 100.0)
+    // JPEG is lossy: dimensions exact, constant-gray mean within codec error
+    val jpg = Multimodal.decodeImage(2L, encode("jpg", 32, 8, 100)).get
+    assert(jpg.format.startsWith("jp") && jpg.width == 32 && jpg.height == 8
+      && math.abs(jpg.mean_gray - 100.0) < 3.0)
+    val bmp = Multimodal.decodeImage(3L, encode("bmp", 5, 5, 0)).get
+    assert(bmp.format == "bmp" && bmp.width == 5 && bmp.mean_gray == 0.0)
+    val gif = Multimodal.decodeImage(4L, encode("gif", 3, 7, 255)).get
+    assert(gif.format == "gif" && gif.height == 7 && gif.mean_gray == 255.0)
+    // bytes no codec recognizes → None (quarantine), never a crash
+    assert(Multimodal.decodeImage(5L, "not an image at all".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeImage(6L, Array.emptyByteArray).isEmpty)
+  }
+
+  test("imageDecodeStats: real decode over synthetic PNGs matches the generation formula") {
+    val rows = Multimodal.imageDecodeStats(tables).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val dims = tables.documents.select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.length == dims.size, "every synthetic image must decode")
+    rows.foreach { case (id, fmt, w, h, mean) =>
+      assert(fmt == "png")
+      assert(w == dims(id) % 16 + 1 && h == id % 12 + 1, s"doc $id dims")
+      val px = for (x <- 0L until w; y <- 0L until h) yield (31 * id + 7 * x + 13 * y) % 256
+      val expect = px.sum.toDouble / px.length
+      assert(mean == math.round(expect * 1e6) / 1e6
+        || math.abs(mean - expect) < 1e-9, s"doc $id mean $mean vs $expect")
+    }
+  }
+
   test("byteStats matches a driver-side byte recompute on real docs") {
     val rows = Multimodal.byteStats(tables).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
