@@ -20,15 +20,35 @@ object Graph {
     * data-dependent round.
     *
     * Scale notes: the edge list is derived once (lineitem⋈orders projected
-    * to two keys — both filters/columns pushed to the scans) and
-    * localCheckpoint'd so the per-round branches don't re-run the join.
-    * Each round shuffles edges on `src` (the same key every round — a
-    * co-partitioned cache on a cluster reuses the exchange) and aggregates
-    * contributions on `dst`; ranks never leave the executors and the
-    * output is node-cardinality. Undirected edges mean every node has
-    * out-degree ≥ 1: no dangling-mass term, rank mass is conserved by
-    * construction. */
+    * to two keys — both filters/columns pushed to the scans), pre-joined
+    * with its source out-degrees, then `repartition($"src").persist()`.
+    * A cached DataFrame RETAINS `hashpartitioning(src)` in its plan
+    * (unlike a `localCheckpoint`, whose leaf reports unknown partitioning
+    * — that cost `iters` full re-shuffles of the corpus-sized edge table,
+    * round-8 verdict), so every round's src-keyed join plans exchange-free
+    * on the edge side and only the node-cardinality rank table moves.
+    * Contributions aggregate map-side partial on `dst`; ranks never leave
+    * the executors and the output is node-cardinality. The final result is
+    * eagerly materialized (it's the query's own output size) so the edge
+    * cache can be released before returning — no block-manager residency
+    * outlives the call (SetSimilarity's eager-lifecycle pattern).
+    * Undirected edges mean every node has out-degree ≥ 1: no dangling-mass
+    * term, rank mass is conserved by construction. */
   def pageRank(t: Tables, iters: Int = 3, d: Double = 0.85): DataFrame = {
+    val (ranks, release) = pageRankPlan(t, iters, d)
+    // eager: materializes the node-cardinality result, after which the
+    // returned plan reads the checkpoint and holds no reference to the
+    // edge cache — safe to release it before the caller executes anything
+    val out = ranks.localCheckpoint()
+    release()
+    out
+  }
+
+  /** The lazy composed plan plus a cache-release thunk — split out so plan
+    * specs can assert the edge side plans exchange-free across all rounds
+    * before materialization. Callers MUST invoke the thunk when done. */
+  private[graft] def pageRankPlan(
+      t: Tables, iters: Int, d: Double): (DataFrame, () => Unit) = {
     val pairs = t.lineitem.select(col("l_orderkey"), col("l_suppkey"))
       .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
@@ -38,15 +58,19 @@ object Graph {
     val edges = pairs
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .select(col("a").as("src"), col("b").as("dst"))
-      .localCheckpoint()
-    // pre-join each edge with its source's out-degree ONCE and checkpoint:
-    // the per-round work drops to a single src-keyed join against the rank
-    // table plus the dst-keyed sum — one SMJ per round instead of two
+      .persist()
+    // pre-join each edge with its source's out-degree ONCE into the
+    // persisted, src-partitioned edge table: the per-round work drops to a
+    // single src-keyed join against the rank table plus the dst-keyed sum
     val edgesDeg = edges
       .join(edges.groupBy("src").agg(count(lit(1)).as("_deg")), "src")
-      .localCheckpoint()
+      .repartition(col("src"))
+      .persist()
+    // nodes inherits hashpartitioning(src→node) through the alias, so the
+    // distinct aggregates without an Exchange over the cache
     val nodes = edgesDeg.select(col("src").as("node")).distinct()
-    val n = nodes.count()
+    val n = nodes.count() // materializes edgesDeg (and edges) fully
+    edges.unpersist(blocking = false) // edgesDeg cache is now self-contained
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
     for (_ <- 1 to iters) {
       val contribs = edgesDeg
@@ -57,7 +81,9 @@ object Graph {
         .select(col("node"),
           (lit((1.0 - d) / n) + lit(d) * coalesce(col("_in"), lit(0.0))).as("rank"))
     }
-    ranks.select(col("node"), round(col("rank") * n, 6).as("rank_x_n"))
+    val out = ranks
+      .select(col("node"), round(col("rank") * n, 6).as("rank_x_n"))
       .orderBy("node")
+    (out, () => edgesDeg.unpersist(blocking = false))
   }
 }
