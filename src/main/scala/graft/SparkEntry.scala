@@ -243,6 +243,7 @@ object SparkEntry {
     "q_lang_confusion" -> ((s, d) => TextAnalysis.langConfusion(Tables(s, d))),
     "q_media_bytestats" -> ((s, d) => Multimodal.byteStats(Tables(s, d))),
     "q_media_decode" -> ((s, d) => Multimodal.imageDecodeStats(Tables(s, d))),
+    "q_media_audio" -> ((s, d) => Multimodal.audioDecodeStats(Tables(s, d))),
     "q_quantity_share" -> ((s, d) => Analytics.quantityShare(Tables(s, d))),
     // — reference interchange format end to end (SURVEY §2 row 1) —
     "q_csv_engine" -> ((s, d) => {
@@ -835,6 +836,22 @@ object SparkEntry {
         "SELECT doc_id, 'png' AS format, width, height, " +
         "round(avg(CAST((31 * doc_id + 7 * x + 13 * y) % 256 AS DOUBLE)), 6) AS mean_gray " +
         "FROM px GROUP BY doc_id, width, height ORDER BY doc_id"),
+    // the oracle re-derives the synthetic WAVs' generation formula; Spark
+    // emits what the REAL javax.sound.sampled parser decoded from the real
+    // WAV bytes — a hash match proves the encode→decode round trip
+    // recovered every 16-bit sample (integer sum of squares is exact; IEEE
+    // sqrt is correctly rounded, so both engines agree bit-for-bit)
+    "q_media_audio" ->
+      ("WITH params AS (SELECT doc_id, 8000 * (1 + doc_id % 3) AS sample_rate, " +
+        "(n_chars % 400) + 100 AS n FROM documents), " +
+        "samples AS (SELECT doc_id, unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS i FROM params), " +
+        "vals AS (SELECT doc_id, ((31 * doc_id + 17 * i) % 2048) - 1024 AS s FROM samples), " +
+        "agg AS (SELECT doc_id, sum(s * s) AS sumsq FROM vals GROUP BY doc_id) " +
+        "SELECT p.doc_id, CAST(p.sample_rate AS BIGINT) AS sample_rate, " +
+        "CAST(1 AS BIGINT) AS channels, CAST(p.n AS BIGINT) AS n_frames, " +
+        "round(p.n * 1000.0 / p.sample_rate, 6) AS duration_ms, " +
+        "round(sqrt(CAST(a.sumsq AS DOUBLE) / p.n), 6) AS rms " +
+        "FROM params p JOIN agg a USING (doc_id) ORDER BY p.doc_id"),
     "q_lang_confusion" ->
       ("WITH pred AS (" + KernelOracleSql.textLang + ") " +
         "SELECT d.lang, p.lang_pred, count(*) AS n_docs FROM documents d " +

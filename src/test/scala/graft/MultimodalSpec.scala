@@ -117,6 +117,71 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decodeImage reads grayscale rasters exactly (no sRGB conversion)") {
+    // r8 ADVICE: getRGB routes TYPE_BYTE_GRAY through a linear-gray→sRGB
+    // conversion; the raster path must recover the raw sample value
+    val gray = 100
+    val img = new java.awt.image.BufferedImage(
+      6, 4, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    for (y <- 0 until 4; x <- 0 until 6) raster.setSample(x, y, 0, gray)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val f = Multimodal.decodeImage(1L, bos.toByteArray).get
+    assert(f.width == 6 && f.height == 4)
+    assert(f.mean_gray == gray.toDouble, s"grayscale sample distorted: ${f.mean_gray}")
+  }
+
+  test("decodeAudio parses real WAV bytes exactly; non-audio quarantines") {
+    def wav(rate: Int, samples: Array[Int]): Array[Byte] = {
+      val pcm = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        pcm(2 * i) = (s & 0xff).toByte; pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val samples = Array(0, 1000, -1000, 32767, -32768, 17)
+    val f = Multimodal.decodeAudio(1L, wav(16000, samples)).get
+    assert(f.sample_rate == 16000 && f.channels == 1 && f.n_frames == samples.length)
+    val expectRms = math.sqrt(samples.map(s => s.toLong * s).sum.toDouble / samples.length)
+    assert(f.rms == expectRms, s"rms ${f.rms} vs $expectRms")
+    assert(f.duration_ms == samples.length * 1000.0 / 16000.0)
+    // bytes no parser recognizes → None (quarantine), never a crash
+    assert(Multimodal.decodeAudio(2L, "not audio".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeAudio(3L, Array.emptyByteArray).isEmpty)
+    // a real image is a parseable container but not audio → quarantine
+    val img = new java.awt.image.BufferedImage(
+      2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    assert(Multimodal.decodeAudio(4L, bos.toByteArray).isEmpty)
+  }
+
+  test("audioDecodeStats: real decode over synthetic WAVs matches the generation formula") {
+    val rows = Multimodal.audioDecodeStats(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    val chars = tables.documents.select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.length == chars.size, "every synthetic WAV must decode")
+    rows.foreach { case (id, rate, ch, frames, durMs, rms) =>
+      val n = (chars(id) % 400) + 100
+      assert(rate == 8000 * (1 + id % 3) && ch == 1 && frames == n, s"doc $id header")
+      assert(durMs == math.round(n * 1000.0 / rate * 1e6) / 1e6, s"doc $id duration")
+      val sumsq = (0L until n).map { i =>
+        val s = ((31 * id + 17 * i) % 2048) - 1024; s * s
+      }.sum
+      val expect = math.sqrt(sumsq.toDouble / n)
+      assert(rms == math.round(expect * 1e6) / 1e6, s"doc $id rms $rms vs $expect")
+    }
+  }
+
   test("byteStats matches a driver-side byte recompute on real docs") {
     val rows = Multimodal.byteStats(tables).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
