@@ -447,6 +447,41 @@ scored AS (SELECT query_id, neighbor_id, CASE WHEN sqrt(na) * sqrt(nb) = 0.0 THE
 ranked AS (SELECT query_id, neighbor_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn FROM scored)
 SELECT query_id, neighbor_id, round(cos, 6) AS cosine FROM ranked WHERE rn <= $topK ORDER BY query_id, neighbor_id"""
 
+  /** Oracle for q_ann_ivf ([[graft.operators.Similarity.ivfTopK]]): the
+    * ENTIRE pipeline re-derived — unit-normalize, train the coarse
+    * quantizer (first-`nList`-by-vec_id init, `iters` Lloyd rounds over
+    * the deterministic `vec_id < sampleTarget` training sample, empty
+    * cells keep their centroid, ties to the lowest cell), assign the full
+    * corpus to final cells, probe each query's `nProbe` nearest cells,
+    * exact cosine over the probed candidates, top-`topK`. The iteration
+    * CTEs are generated by a loop so the chain depth always matches the
+    * operator's `lloydIters`. MATERIALIZED on the reused CTEs — DuckDB
+    * re-inlines plain CTEs per reference and the iterated chain would go
+    * exponential (same lesson as xxhCtes). */
+  def annIvf(nQueries: Int = 10, topK: Int = 5, nList: Int = 16,
+             nProbe: Int = 4, iters: Int = 2, sampleTarget: Long = 16000L): String = {
+    val lloyd = (1 to iters).map { r =>
+      s"""d$r AS (SELECT u.vec_id, c.cell, sum((u.uj - c.cj) * (u.uj - c.cj)) AS dist FROM ut u JOIN c${r - 1} c ON c.j = u.j GROUP BY u.vec_id, c.cell),
+a$r AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn FROM d$r) WHERE rn = 1),
+m$r AS (SELECT a.cell, u.j, avg(u.uj) AS cj FROM ut u JOIN a$r a ON a.vec_id = u.vec_id GROUP BY a.cell, u.j),
+c$r AS MATERIALIZED (SELECT p.cell, p.j, coalesce(m.cj, p.cj) AS cj FROM c${r - 1} p LEFT JOIN m$r m ON m.cell = p.cell AND m.j = p.j)"""
+    }.mkString(",\n")
+    s"""WITH x AS MATERIALIZED (SELECT vec_id, generate_subscripts(embedding, 1) AS j, unnest(CAST(embedding AS DOUBLE[])) AS xj FROM embeddings),
+nrm AS (SELECT vec_id, sqrt(sum(xj * xj)) AS nn FROM x GROUP BY vec_id),
+u AS MATERIALIZED (SELECT x.vec_id, x.j, CASE WHEN n.nn = 0 THEN x.xj ELSE x.xj / n.nn END AS uj FROM x JOIN nrm n ON n.vec_id = x.vec_id),
+ut AS MATERIALIZED (SELECT * FROM u WHERE vec_id < $sampleTarget),
+seeds AS (SELECT vec_id, rn - 1 AS cell FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn FROM (SELECT DISTINCT vec_id FROM ut)) WHERE rn <= $nList),
+c0 AS MATERIALIZED (SELECT s.cell, u.j, u.uj AS cj FROM seeds s JOIN ut u ON u.vec_id = s.vec_id),
+$lloyd,
+df AS MATERIALIZED (SELECT u.vec_id, c.cell, sum((u.uj - c.cj) * (u.uj - c.cj)) AS dist FROM u JOIN c$iters c ON c.j = u.j GROUP BY u.vec_id, c.cell),
+af AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn FROM df) WHERE rn = 1),
+probes AS (SELECT query_id, cell FROM (SELECT vec_id AS query_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn FROM df WHERE vec_id < $nQueries) WHERE rn <= $nProbe),
+cand AS (SELECT p.query_id, a.vec_id AS neighbor_id FROM probes p JOIN af a ON a.cell = p.cell WHERE a.vec_id <> p.query_id),
+scored AS (SELECT c.query_id, c.neighbor_id, list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cos FROM cand c JOIN embeddings q ON q.vec_id = c.query_id JOIN embeddings e ON e.vec_id = c.neighbor_id),
+ranked AS (SELECT query_id, neighbor_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn FROM scored)
+SELECT query_id, neighbor_id, round(cos, 6) AS cosine FROM ranked WHERE rn <= $topK ORDER BY query_id, neighbor_id"""
+  }
+
   // xxHash64 primes (public algorithm constants)
   private val P1 = u(0x9E3779B185EBCA87L)
   private val P2 = u(0xC2B2AE3D27D4EB4FL)

@@ -374,6 +374,10 @@ object SparkEntry {
     "q_dedup_incremental" -> MinhashOracleSql.incrementalSurvivors(),
     "q_dedup_indexed" -> MinhashOracleSql.incrementalSurvivors(),
     "q_ann_int8" -> KernelOracleSql.annInt8(),
+    // promoted from rows-only in round 9: the quantizer fit is now
+    // RNG-free (first-k init over a vec_id-ordered deterministic sample),
+    // so the full train→assign→probe→rank pipeline is SQL-replayable
+    "q_ann_ivf" -> KernelOracleSql.annIvf(),
     "q_dedup_groups" -> MinhashOracleSql.nearDupGroups(),
     "q_pack_sequences" -> KernelOracleSql.packSequences(),
     "q_text_lang" -> KernelOracleSql.textLang,

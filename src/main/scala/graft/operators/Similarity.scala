@@ -125,24 +125,26 @@ object Similarity {
       .select("query_id", "neighbor_id", "q_emb", "embedding")
   }
 
-  /** Seeded Lloyd's iterations over an in-memory sample — the quantizer
+  /** Fixed-iteration Lloyd's over an in-memory sample — the quantizer
     * fit. Driver-local ON PURPOSE: the training input is a BOUNDED sample
     * (≤ ~1000·k rows, a few MB) regardless of corpus size — the shape
     * production ANN systems use for coarse-quantizer training — and a
     * distributed KMeans over sample-sized data pays one full job per
     * iteration in pure scheduling overhead (measured: the fit dominated
-    * q_ann_ivf's bench time). Deterministic: seeded init, sequential
-    * accumulation, empty cells keep their previous centroid. */
+    * q_ann_ivf's bench time). Fully deterministic AND SQL-expressible:
+    * init is the first `k` sample vectors (the caller passes a
+    * vec_id-ordered sample, so no RNG anywhere — the DuckDB oracle replays
+    * the identical fit as a CTE chain), sequential accumulation, empty
+    * cells keep their previous centroid, assignment ties break to the
+    * lowest cell (strict `<`). */
   private[operators] def fitCentroids(sample: Array[Array[Double]], k0: Int,
-                                      iters: Int, seed: Long): Array[Array[Double]] = {
+                                      iters: Int): Array[Array[Double]] = {
     require(sample.nonEmpty, "IVF fit: empty sample")
     // degrade gracefully on tiny corpora: fewer vectors than requested
     // cells just means fewer cells (every vector its own cell in the limit)
     val k = math.min(k0, sample.length)
     val d = sample(0).length
-    val rnd = new scala.util.Random(seed)
-    var cents = rnd.shuffle(sample.indices.toVector).take(k)
-      .map(sample(_).clone).toArray
+    var cents = sample.take(k).map(_.clone)
     for (_ <- 0 until iters) {
       val sums = Array.fill(k)(new Array[Double](d))
       val cnt = new Array[Int](k)
@@ -170,7 +172,7 @@ object Similarity {
     * corpus into `nList` cells; each query probes its `nProbe` nearest cells
     * and ranks only those candidates by exact cosine.
     *
-    * Scale shape: the quantizer trains on a seeded bounded sample
+    * Scale shape: the quantizer trains on a deterministic bounded sample
     * ([[fitCentroids]]); assignment is a narrow codegen'd projection
     * ([[graft.functions.NearestCell]] against the broadcast-as-literal
     * centroids); the probe is a broadcast equi-join on the cell id —
@@ -180,21 +182,20 @@ object Similarity {
     * must equal the brute-force top-k (spec-asserted — which holds for ANY
     * centroids, since assignment and probing share them). */
   def ivfTopK(t: Tables, nQueries: Int = 10, k: Int = 5,
-              nList: Int = 16, nProbe: Int = 4): DataFrame = {
+              nList: Int = 16, nProbe: Int = 4, lloydIters: Int = 2): DataFrame = {
     val emb = withUnitNorm(t.embeddings, "embedding", "_unit")
       .select(col("vec_id"), col("embedding"), col("_unit"))
     // the sample collect is the only driver materialization, bounded by
-    // sampleTarget rows; one metadata-cheap count sizes the fraction
+    // sampleTarget rows. Deterministic id predicate, NOT a random sample:
+    // the filter pushes to the scan, skips the sizing count() job, and —
+    // because vec_ids are content-uncorrelated in this corpus — is as
+    // unbiased as an RNG sample while being exactly replayable by the SQL
+    // oracle (a seeded .sample() depends on Spark's partition-level RNG,
+    // which no other engine can reproduce). vec_id-ordered so the
+    // first-`nList` init in fitCentroids is well-defined. */
     val sampleTarget = 1000L * nList
-    val corpusSize = emb.count()
-    val sampleDF =
-      if (corpusSize <= sampleTarget) emb.select("_unit")
-      else emb.select("_unit")
-        // 1.2× oversample so the limit is actually reached w.h.p.
-        .sample(withReplacement = false,
-          math.min(1.0, 1.2 * sampleTarget.toDouble / corpusSize), seed = 42L)
-        .limit(sampleTarget.toInt)
-    val sample = sampleDF.collect().map(_.getSeq[Double](0).toArray)
+    val sample = emb.filter(col("vec_id") < sampleTarget).orderBy("vec_id")
+      .select("_unit").collect().map(_.getSeq[Double](0).toArray)
     if (sample.isEmpty)
       // empty corpus → empty result with the right shape, not a crash
       return t.embeddings.sparkSession.createDataFrame(
@@ -206,7 +207,7 @@ object Similarity {
             org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("cosine",
             org.apache.spark.sql.types.DoubleType))))
-    val cents = fitCentroids(sample, nList, iters = 5, seed = 42L)
+    val cents = fitCentroids(sample, nList, iters = lloydIters)
 
     val assigned = emb
       .withColumn("cell",
