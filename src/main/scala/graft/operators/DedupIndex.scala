@@ -44,6 +44,48 @@ object DedupIndex {
   private def bloomPath(dir: String) = new org.apache.hadoop.fs.Path(dir, "fp.bloom")
   private def bloomMetaPath(dir: String) =
     new org.apache.hadoop.fs.Path(dir, "fp.bloom.meta")
+  private def indexMetaPath(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, "index.meta")
+  private def markerPath(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, "compact.commit")
+
+  /** Write `target` all-or-nothing: temp file + rename (atomic on HDFS and
+    * local fs). An in-place truncate-then-write would leave a half-written
+    * file on a crash mid-rewrite. */
+  private def atomicWrite(spark: SparkSession, target: org.apache.hadoop.fs.Path)(
+      write: java.io.OutputStream => Unit): Unit = {
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(
+      target.getParent, s".${target.getName}.tmp")
+    val out = fs.create(tmp, true)
+    try write(out) finally out.close()
+    fs.delete(target, false)
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(s"rename $tmp -> $target failed")
+  }
+
+  /** Persist the index's structural meta (today: the bucket count) so
+    * maintenance ops derive the layout from the store instead of trusting
+    * a caller-passed value — a compaction invoked with the wrong count
+    * would silently rewrite the layout and break the "probe plans
+    * unchanged by construction" contract (r8 ADVICE). */
+  private def writeIndexMeta(spark: SparkSession, dir: String, buckets: Int): Unit =
+    atomicWrite(spark, indexMetaPath(dir))(
+      _.write(s"buckets=$buckets".getBytes("UTF-8")))
+
+  /** Bucket count from the stored meta; None for a pre-meta index (the
+    * caller falls back to its parameter and writes the meta forward). */
+  private[graft] def loadIndexBuckets(spark: SparkSession, dir: String): Option[Int] = {
+    val mp = indexMetaPath(dir)
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(mp)) None
+    else {
+      val in = fs.open(mp)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      scala.util.Try(txt.trim.stripPrefix("buckets=").toInt).toOption
+    }
+  }
 
   /** Build a filter over a (… fp …) frame with the given sizing — a
     * distributed aggregation (`stat.bloomFilter`), never a driver collect
@@ -58,30 +100,15 @@ object DedupIndex {
   /** Write the sidecar plus its sizing meta (expectedItems + fpp — the
     * parameters a later append must reuse to build a merge-compatible
     * batch filter; the serialized sketch alone doesn't expose them).
-    * Each file is written to a temp path and RENAMED over the old one:
-    * an in-place truncate-then-write would leave a half-written sidecar
-    * on a crash mid-rewrite, and `appendToIndex`'s crash analysis ("a
-    * crash between bloom and table writes only adds false positives")
-    * holds only if the bloom write itself is all-or-nothing. Rename is
-    * atomic on HDFS and local fs; readers that still catch a torn file
-    * (non-atomic object stores) degrade to the plain anti-join via
-    * [[loadBloom]]'s parse guard. */
+    * Written via [[atomicWrite]] (temp + rename): `appendToIndex`'s crash
+    * analysis ("a crash between bloom and table writes only adds false
+    * positives") holds only if the bloom write itself is all-or-nothing.
+    * Readers that still catch a torn file (non-atomic object stores)
+    * degrade to the plain anti-join via [[loadBloom]]'s parse guard. */
   private def writeBloom(spark: SparkSession, bf: org.apache.spark.util.sketch.BloomFilter,
                          dir: String, expectedItems: Long): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    def replaceWith(target: org.apache.hadoop.fs.Path)(
-        write: java.io.OutputStream => Unit): Unit = {
-      val fs = target.getFileSystem(conf)
-      val tmp = new org.apache.hadoop.fs.Path(
-        target.getParent, s".${target.getName}.tmp")
-      val out = fs.create(tmp, true)
-      try write(out) finally out.close()
-      fs.delete(target, false)
-      if (!fs.rename(tmp, target))
-        throw new java.io.IOException(s"rename $tmp -> $target failed")
-    }
-    replaceWith(bloomPath(dir))(bf.writeTo)
-    replaceWith(bloomMetaPath(dir))(
+    atomicWrite(spark, bloomPath(dir))(bf.writeTo)
+    atomicWrite(spark, bloomMetaPath(dir))(
       _.write(s"$expectedItems $BloomFpp".getBytes("UTF-8")))
   }
 
@@ -115,8 +142,12 @@ object DedupIndex {
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
+      // NonFatal, not just IOException: BloomFilter.readFrom on a corrupt
+      // (garbage, not merely truncated) sidecar can throw e.g.
+      // NegativeArraySizeException from a bad length word — any parse
+      // failure must degrade, matching loadBloomMeta (r8 ADVICE)
       try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
-      catch { case _: java.io.IOException => None }
+      catch { case scala.util.control.NonFatal(_) => None }
       finally in.close()
     }
   }
@@ -172,6 +203,7 @@ object DedupIndex {
       val expected = 4L * base.count()
       writeBloom(spark, buildBloom(base.select("fp"), expected, BloomFpp),
         dir, expected)
+      writeIndexMeta(spark, dir, buckets)
     } finally
       spark.sparkContext.getPersistentRDDs
         .filter { case (id, _) => !rddsBefore.contains(id) }
@@ -204,8 +236,16 @@ object DedupIndex {
   def attachIndex(spark: SparkSession, prefix: String, dir: String,
                   buckets: Int = 8): IndexTables = {
     val t = tablesFor(prefix, dir)
+    // a crashed compaction that already COMMITTED (marker present) is
+    // rolled forward before anything registers or reads — the attach point
+    // is the recovery point, mirroring a table format's log replay
+    recoverCompaction(spark, t)
+    // stored meta wins over the parameter: an attach with the wrong count
+    // would register a bucket spec the files don't satisfy, and every
+    // probe would silently read mis-bucketed data
+    val b = loadIndexBuckets(spark, dir).getOrElse(buckets)
     tableSpecs.foreach { case (name, schema, keys, sub) =>
-      registerDdl(spark, name(t), schema, keys, s"$dir/$sub", buckets)
+      registerDdl(spark, name(t), schema, keys, s"$dir/$sub", b)
     }
     t
   }
@@ -230,24 +270,39 @@ object DedupIndex {
     * streams one bucket's many small files into one file — no shuffle at
     * any corpus size.
     *
-    * Stages into `<sub>_stage` subdirs and swaps via fs rename, keeping
-    * the canonical `$dir/{fp,sig,band}` layout that [[attachIndex]]
-    * expects, then re-registers the catalog entries. Probe plans are
-    * unchanged by construction — same bucket count, same keys
-    * (spec-asserted one-Exchange + result-equality). Not crash-atomic
-    * across tables (a table format with transactional swap is the
-    * production answer); single-writer maintenance assumed, same as
-    * [[appendToIndex]]. */
-  def compactIndex(spark: SparkSession, idx: IndexTables,
-                   buckets: Int = 8): Unit = {
+    * CRASH-ATOMIC across the three tables via a two-phase swap (the
+    * marker-file commit protocol the ingest batchId markers already use):
+    * phase 1 stages ALL tables into `<sub>_stage` subdirs (canonical
+    * layout untouched — a crash here loses only stage garbage the next
+    * compaction overwrites); then ONE `compact.commit` marker is written —
+    * the commit point; phase 2 promotes each table with recoverable
+    * renames (canonical → `<sub>_old` aside, stage → canonical, delete
+    * aside — never a delete before the new data is in place, r8 ADVICE)
+    * and removes the marker. A crash mid-promotion is rolled FORWARD by
+    * [[recoverCompaction]] (from [[attachIndex]] or the next probe): every
+    * intermediate state is distinguishable by which of stage/old/canonical
+    * exist, so recovery is idempotent. Compaction never changes CONTENT,
+    * so the stale Bloom sidecar stays correct through any crash — only its
+    * FPP-headroom refresh is lost, which the next compaction restores.
+    * Bucket count derives from the stored index meta, never a parameter
+    * (r8 ADVICE): a wrong caller value would silently rewrite the layout.
+    * Single-writer maintenance assumed, same as [[appendToIndex]];
+    * concurrent READERS may catch the sub-second rename window — a table
+    * format with snapshot isolation is the production answer there.
+    * Probe plans are unchanged by construction — same bucket count, same
+    * keys (spec-asserted one-Exchange + result-equality). */
+  def compactIndex(spark: SparkSession, idx: IndexTables): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
+    // pre-meta indexes (built before the meta existed) were all written
+    // with the historical default of 8; write the meta forward
+    val buckets = loadIndexBuckets(spark, idx.dir).getOrElse(8)
     val autoScanKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     val autoScanOld = spark.conf.get(autoScanKey)
     spark.conf.set(autoScanKey, "false")
-    try tableSpecs.foreach { case (name, schema, keys, sub) =>
+    // phase 1: stage every table; canonical data and catalog untouched
+    try tableSpecs.foreach { case (name, _, keys, sub) =>
       val table = name(idx)
       val keyCols = keys.split(",").map(_.trim)
-      val dataPath = new org.apache.hadoop.fs.Path(s"${idx.dir}/$sub")
       val stagePath = new org.apache.hadoop.fs.Path(s"${idx.dir}/${sub}_stage")
       val stageTable = s"${table}_stage"
       val src = spark.table(table)
@@ -257,21 +312,64 @@ object DedupIndex {
         .bucketBy(buckets, keyCols.head, keyCols.tail: _*)
         .sortBy(keyCols.head, keyCols.tail: _*)
         .saveAsTable(stageTable)
-      // swap: drop catalog entries (external tables — data stays), replace
-      // the canonical dir with the staged one, re-register at the same path
-      spark.sql(s"DROP TABLE $stageTable")
-      spark.sql(s"DROP TABLE $table")
-      val fs = dataPath.getFileSystem(conf)
-      fs.delete(dataPath, true)
-      if (!fs.rename(stagePath, dataPath))
-        throw new java.io.IOException(s"rename $stagePath -> $dataPath failed")
-      registerDdl(spark, table, schema, keys, dataPath.toString, buckets)
+      spark.sql(s"DROP TABLE $stageTable") // external: data stays staged
     } finally spark.conf.set(autoScanKey, autoScanOld)
+    // commit point: after this single atomic create, the compaction WILL
+    // complete (roll-forward); before it, it never happened (roll-back)
+    atomicWrite(spark, markerPath(idx.dir))(
+      _.write("compact".getBytes("UTF-8")))
+    // phase 2: promote + clear the marker (shared with crash recovery)
+    promoteStaged(spark, idx)
+    writeIndexMeta(spark, idx.dir, buckets)
     // fresh sidecar over the real row count — restores the build-time FPP
     // headroom policy (4× expected items) regardless of append history
     val fps = spark.table(idx.fp).select("fp")
     val expected = 4L * fps.count()
     writeBloom(spark, buildBloom(fps, expected, BloomFpp), idx.dir, expected)
+  }
+
+  /** Promote staged compaction output into the canonical layout — the
+    * post-commit half of [[compactIndex]], also the crash-recovery path.
+    * Idempotent: each table's progress is encoded in which of
+    * {stage, canonical, old-aside} exist, and every state resumes
+    * correctly. Ends by deleting the commit marker and refreshing this
+    * session's file-listing caches. */
+  private def promoteStaged(spark: SparkSession, idx: IndexTables): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    tableSpecs.foreach { case (name, schema, keys, sub) =>
+      val canonical = new org.apache.hadoop.fs.Path(s"${idx.dir}/$sub")
+      val stage = new org.apache.hadoop.fs.Path(s"${idx.dir}/${sub}_stage")
+      val aside = new org.apache.hadoop.fs.Path(s"${idx.dir}/${sub}_old")
+      val fs = canonical.getFileSystem(conf)
+      if (fs.exists(stage)) {
+        // rename the old dir ASIDE instead of deleting it: any failure
+        // from here leaves either the old or the new generation complete
+        // on disk, never neither (r8 ADVICE)
+        if (fs.exists(canonical) && !fs.exists(aside))
+          if (!fs.rename(canonical, aside))
+            throw new java.io.IOException(s"rename $canonical -> $aside failed")
+        if (!fs.rename(stage, canonical))
+          throw new java.io.IOException(s"rename $stage -> $canonical failed")
+      }
+      if (fs.exists(aside)) fs.delete(aside, true)
+      // catalog entry is external at a FIXED path, so registration is
+      // needed only when this session never had it; always drop cached
+      // file listings so probes see the new generation
+      registerDdl(spark, name(idx), schema, keys, canonical.toString,
+        loadIndexBuckets(spark, idx.dir).getOrElse(8))
+      spark.catalog.refreshTable(name(idx))
+    }
+    val mp = markerPath(idx.dir)
+    mp.getFileSystem(conf).delete(mp, false)
+  }
+
+  /** Roll an interrupted-but-committed compaction forward: no-op unless
+    * the `compact.commit` marker exists (one cheap existence check — safe
+    * to call from every probe). */
+  private[graft] def recoverCompaction(spark: SparkSession, idx: IndexTables): Unit = {
+    val mp = markerPath(idx.dir)
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(mp)) promoteStaged(spark, idx)
   }
 
   /** APPEND new documents to a stored index — the write-back that closes
@@ -357,6 +455,9 @@ object DedupIndex {
                          minEstJaccard: Double = 0.5,
                          minJaccard: Double = 0.5,
                          maxBucketSize: Option[Long] = None): DataFrame = {
+    // a committed-but-interrupted compaction is rolled forward before the
+    // probe plans against the tables (one fs existence check when clean)
+    recoverCompaction(spark, idx)
     val withFp = incoming.withColumn("fp", Dedup.fingerprint(col("text")))
     val batchExact = withFp.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
     val inBatch = withFp.join(batchExact, Seq("fp", "doc_id"), "left_semi")

@@ -221,6 +221,81 @@ class DedupIndexSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("a compaction killed mid-swap recovers to a consistent index") {
+    import java.nio.file.{Path, Paths, StandardCopyOption}
+    def copyDir(src: Path, dst: Path): Unit =
+      Files.walk(src).forEach { p =>
+        val t = dst.resolve(src.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+      }
+    val corpus = tables.documents.filter($"doc_id" >= 350)
+    val batch = tables.documents.filter($"doc_id" < 50)
+    val dir = Files.createTempDirectory("gdidx_crash").toString
+    val pfx = freshPrefix()
+    val idx = DedupIndex.buildIndex(spark, corpus, pfx, dir)
+    val want = DedupIndex.dedupeAgainstIndex(spark, batch, idx, corpus)
+      .collect().toSeq
+
+    // STATE A — crash right after the commit marker, before any promotion:
+    // all three tables staged, canonical intact, marker present
+    for (sub <- Seq("fp", "sig", "band"))
+      copyDir(Paths.get(dir, sub), Paths.get(dir, s"${sub}_stage"))
+    Files.write(Paths.get(dir, "compact.commit"), "compact".getBytes("UTF-8"))
+    // a NEW session attaching the index must roll the swap forward
+    Seq(idx.fp, idx.sig, idx.band).foreach(t => spark.sql(s"DROP TABLE $t"))
+    val attached = DedupIndex.attachIndex(spark, pfx, dir)
+    assert(!Files.exists(Paths.get(dir, "compact.commit")), "marker must clear")
+    for (sub <- Seq("fp", "sig", "band")) {
+      assert(!Files.exists(Paths.get(dir, s"${sub}_stage")), s"$sub stage residue")
+      assert(!Files.exists(Paths.get(dir, s"${sub}_old")), s"$sub aside residue")
+    }
+    val gotA = DedupIndex.dedupeAgainstIndex(spark, batch, attached, corpus)
+      .collect().toSeq
+    assert(gotA == want, "post-recovery probe diverged (state A)")
+
+    // STATE B — crash mid-promotion: fp fully promoted; sig caught between
+    // the aside rename and the stage promotion (canonical MISSING — the
+    // destructive window the rename-aside protocol makes recoverable);
+    // band staged but untouched
+    for (sub <- Seq("sig", "band"))
+      copyDir(Paths.get(dir, sub), Paths.get(dir, s"${sub}_stage"))
+    Files.move(Paths.get(dir, "sig"), Paths.get(dir, "sig_old"))
+    Files.write(Paths.get(dir, "compact.commit"), "compact".getBytes("UTF-8"))
+    // the next PROBE (not attach) must recover before planning
+    val gotB = DedupIndex.dedupeAgainstIndex(spark, batch, attached, corpus)
+      .collect().toSeq
+    assert(gotB == want, "post-recovery probe diverged (state B)")
+    assert(!Files.exists(Paths.get(dir, "compact.commit")))
+    for (sub <- Seq("fp", "sig", "band")) {
+      assert(Files.exists(Paths.get(dir, sub)), s"$sub canonical missing")
+      assert(!Files.exists(Paths.get(dir, s"${sub}_stage")), s"$sub stage residue")
+      assert(!Files.exists(Paths.get(dir, s"${sub}_old")), s"$sub aside residue")
+    }
+
+    // stage-only garbage WITHOUT a marker (crash before commit) is inert:
+    // probes ignore it and serve the canonical generation
+    copyDir(Paths.get(dir, "fp"), Paths.get(dir, "fp_stage"))
+    val gotC = DedupIndex.dedupeAgainstIndex(spark, batch, attached, corpus)
+      .collect().toSeq
+    assert(gotC == want, "uncommitted stage garbage must be ignored")
+    assert(Files.exists(Paths.get(dir, "fp_stage")), "roll-back is the next compaction's job")
+  }
+
+  test("index meta pins the bucket count; compaction derives it from the store") {
+    val corpus = tables.documents.filter($"doc_id" >= 450)
+    val dir = Files.createTempDirectory("gdidx_meta").toString
+    val idx = DedupIndex.buildIndex(spark, corpus, freshPrefix(), dir, buckets = 4)
+    assert(DedupIndex.loadIndexBuckets(spark, dir).contains(4))
+    // compaction reads the stored count — no caller parameter to get wrong
+    DedupIndex.compactIndex(spark, idx)
+    assert(DedupIndex.loadIndexBuckets(spark, dir).contains(4),
+      "compaction must preserve the stored bucket count")
+    val files = Files.walk(java.nio.file.Paths.get(dir, "fp")).toArray
+      .map(_.toString).count(_.endsWith(".parquet"))
+    assert(files <= 4, s"compacted at the stored bucket count: $files files")
+  }
+
   test("appendToIndex grows the index so day-2 probes see day-1 survivors") {
     val corpus = tables.documents.filter($"doc_id" >= 400) // day 0 store
     val day1 = tables.documents.filter($"doc_id" >= 200 && $"doc_id" < 300)

@@ -263,6 +263,96 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingest soak: 20 epochs with compaction interleaved keeps probes exact, file counts flat, zero residue") {
+    // the daily loop's steady state, compressed: 20 append epochs through
+    // processIngestBatch, compactIndex every 7, and at every compaction
+    // point the index path must equal the rescan path on the NEXT batch,
+    // the fp probe must stay one-Exchange over a bucketed scan, and the
+    // per-table file count must return to ~one per bucket (r8 verdict ask:
+    // compaction had never been interleaved with a long append sequence)
+    import graft.streaming.CorpusStreams
+    import graft.operators.{Dedup, DedupIndex}
+    val corpus = tables.documents.filter(col("doc_id") < 100)
+      .select("doc_id", "text", "lang", "source").localCheckpoint()
+    val idxDir = java.nio.file.Files.createTempDirectory("gdidx_soak").toString
+    val textDir = java.nio.file.Files.createTempDirectory("gdidx_soak_text").toString
+    val commitDir = java.nio.file.Files.createTempDirectory("gdidx_soak_commit").toString
+    val idx = DedupIndex.buildIndex(spark, corpus,
+      s"gdidx_soak_${System.nanoTime()}", idxDir)
+    corpus.write.mode("overwrite").parquet(textDir)
+    def sink(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("append").parquet(textDir)
+    def fpFiles(): Int =
+      java.nio.file.Files.walk(java.nio.file.Paths.get(idxDir, "fp")).toArray
+        .map(_.toString).count(_.endsWith(".parquet"))
+    def assertOneExchangeProbe(): Unit = {
+      val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val probe = tables.documents.limit(10)
+          .select(Dedup.fingerprint(col("text")).as("fp"))
+          .join(spark.table(idx.fp), Seq("fp"), "left_anti")
+        val plan = planOf(probe)
+        assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+          s"probe must shuffle only the batch side:\n$plan")
+        assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+          s"probe must read the bucketed index:\n$plan")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    }
+    val rddsBefore = spark.sparkContext.getPersistentRDDs.keySet
+    var compactedFiles = List.empty[Int]
+    for (epoch <- 1 to 20) {
+      val lo = 100L + (epoch - 1) * 20L
+      val fresh = tables.documents
+        .filter(col("doc_id") >= lo && col("doc_id") < lo + 20)
+        .select("doc_id", "text", "lang", "source")
+      // plus one exact dup of an already-ingested doc under a new id —
+      // every epoch must exercise the cross-batch drop path
+      val dupText = corpus.select("text").head().getString(0)
+      import spark.implicits._
+      val day = fresh.unionByName(
+        Seq((90000L + epoch, dupText, "en", "soak")).toDF("doc_id", "text", "lang", "source"))
+      CorpusStreams.processIngestBatch(spark, day, epoch.toLong, idx,
+        () => spark.read.parquet(textDir), sink, Some(commitDir))
+      assert(spark.sparkContext.getPersistentRDDs.keySet == rddsBefore,
+        s"epoch $epoch leaked RDD blocks")
+      if (epoch % 7 == 0) {
+        DedupIndex.compactIndex(spark, idx)
+        compactedFiles ::= fpFiles()
+        assertOneExchangeProbe()
+        // the grown index must still exactly equal the rescan path
+        val probeBatch = tables.documents.filter(col("doc_id") < 30)
+          .select("doc_id", "text", "lang", "source")
+        val grownText = spark.read.parquet(textDir)
+        val before = spark.sparkContext.getPersistentRDDs.keySet
+        val got = DedupIndex.dedupeAgainstIndex(spark, probeBatch, idx, grownText)
+          .collect().toSeq
+        val want = Dedup.dedupeIncrement(grownText, probeBatch).collect().toSeq
+        assert(got == want, s"epoch $epoch: index path diverged from rescan")
+        spark.sparkContext.getPersistentRDDs
+          .filter { case (id, _) => !before.contains(id) }
+          .values.foreach(_.unpersist(blocking = true))
+      }
+    }
+    // file count is FLAT across compactions (one file per bucket, not
+    // growing with epoch count) — the property that keeps listing time and
+    // task fan-out constant under a daily loop
+    assert(compactedFiles.nonEmpty && compactedFiles.forall(_ <= 8),
+      s"post-compaction fp files must stay <= buckets: $compactedFiles")
+    assert(compactedFiles.distinct.size == 1,
+      s"post-compaction file count must be flat across the soak: $compactedFiles")
+    // store/index consistency: the sink delivered exactly the docs the
+    // index absorbed — fp rows == grown text store rows, survivor for
+    // survivor (the documents table carries real dups in 100..500 BY
+    // DESIGN, so the absolute count is data-dependent; the invariant is
+    // the two stores never drift)
+    val fpRows = spark.table(idx.fp).count()
+    assert(fpRows == spark.read.parquet(textDir).count(),
+      "index and delivered text store drifted apart")
+    assert(fpRows > 100L && fpRows <= 500L,
+      s"soak must index fresh docs but drop the per-epoch dups: $fpRows")
+  }
+
   test("stateful runningUserTotals survives a stop/restart from its checkpoint") {
     // the operational property that makes custom state usable in
     // production: the mapGroupsWithState store recovers from the
