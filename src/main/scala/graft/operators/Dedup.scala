@@ -108,6 +108,22 @@ object Dedup {
         banded.join(broadcast(hot), Seq("band", "band_key"), "left_anti")
     }
 
+  /** [[dropHotBuckets]] over a RECOMPUTED-expensive band lineage (the fused
+    * minhash kernel): persists the band rows so the hot-bucket count and
+    * both sides of the caller's self-join share ONE materialization instead
+    * of three full kernel recomputes (r8 ADVICE). The caller materializes
+    * its (bounded, post-join) result via `localCheckpoint` and then calls
+    * `release()` — a persist that outlives the call accumulates
+    * block-manager residency across a long-lived session (round-4 finding).
+    * Not used for stored-table band scans ([[DedupIndex.probeIndex]]),
+    * where a rescan is a cheap bucketed file read and a cache would only
+    * evict hotter blocks. */
+  private def dropHotBucketsCached(
+      banded: DataFrame, cap: Long): (DataFrame, () => Unit) = {
+    val cached = banded.persist()
+    (dropHotBuckets(cached, Some(cap)), () => { cached.unpersist(blocking = false); () })
+  }
+
   /** Unordered candidate pairs — consumers that don't need a total order
     * (e.g. [[nearDupGroups]]) use this to avoid a pointless global sort. */
   def minhashCandidatesCore(t: Tables, w: Int = 2, k: Int = 64, bands: Int = 16,
@@ -121,18 +137,30 @@ object Dedup {
         // shingle array/string allocation, and this lineage is recomputed on
         // both sides of the self-join below)
         HashFunctions.minhashSigText(col("text"), w, k).as("sig"))
-    val banded = dropHotBuckets(sigs.select(
+    val bandedRaw = sigs.select(
       col("doc_id"),
       posexplode(HashFunctions.bandKeys(col("sig"), bands)))
       .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_key"), maxBucketSize)
-    val pairs = banded.as("a")
+      .withColumnRenamed("col", "band_key")
+    // cap set → cache the band rows (one kernel materialization shared by
+    // the hot-bucket count + both join sides) and checkpoint the bounded
+    // pair set so the cache is released before this function returns; cap
+    // off (the default and every oracle path) → untouched lazy plan
+    val (banded, release) = maxBucketSize match {
+      case Some(cap) => dropHotBucketsCached(bandedRaw, cap)
+      case None      => (bandedRaw, () => ())
+    }
+    val pairsLazy = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    val pairs = maxBucketSize match {
+      case Some(_) => val p = pairsLazy.localCheckpoint(); release(); p
+      case None    => pairsLazy
+    }
     // verify stage: estimated Jaccard = fraction of agreeing sig positions
     val est = pairs
       .join(sigs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sig", "sig_a"), "doc_a")

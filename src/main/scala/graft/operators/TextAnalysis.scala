@@ -401,8 +401,11 @@ object TextAnalysis {
     val unigrams = t.documents
       .select(explode(tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n_w"))
+    // 1-row aggregates: hint them broadcast for plan stability (Spark
+    // would almost certainly BNLJ a 1-row side anyway; the hint makes the
+    // plan deterministic and matches the sibling Analytics call sites)
     val totals = bigramCounts.agg(sum("n_ab").as("_n2"))
-      .crossJoin(unigrams.agg(sum("n_w").as("_n1")))
+      .crossJoin(broadcast(unigrams.agg(sum("n_w").as("_n1"))))
     // left-assoc × chains, double from the first factor: the exact op
     // sequence the oracle SQL mirrors
     val ratio = col("n_ab").cast("double") * col("_n1") * col("_n1") /
@@ -411,7 +414,7 @@ object TextAnalysis {
       .filter(col("n_ab") >= minCount)
       .join(unigrams.select(col("w").as("w1"), col("n_w").as("n_a")), Seq("w1"))
       .join(unigrams.select(col("w").as("w2"), col("n_w").as("n_b")), Seq("w2"))
-      .crossJoin(totals)
+      .crossJoin(broadcast(totals))
       .select(col("w1"), col("w2"), col("n_ab"), ratio.as("_r"),
         round(log(ratio), 4).as("pmi"))
       .orderBy(col("_r").desc, col("w1").asc, col("w2").asc)
