@@ -232,6 +232,21 @@ grp AS (SELECT d.doc_id, coalesce(comp.gid, d.doc_id) AS group_id FROM documents
     s"""WITH RECURSIVE ${sigCtes(k, bands, seed)}, ${groupsCtes(k, minEst)}
 SELECT doc_id, group_id FROM grp ORDER BY doc_id"""
 
+  /** Oracle for q_dedup_keep_best
+    * ([[graft.operators.Dedup.clusterRepresentatives]]): the
+    * [[nearDupGroups]] components, each cluster reduced to its longest
+    * member (doc_id tiebreak) — per-group max n_chars, then min doc_id
+    * among the maxima, exactly the engine's two-aggregation argmax. */
+  def clusterRepresentatives(k: Int = 64, bands: Int = 16, seed: Long = 42L,
+                             minEst: Double = 0.5): String =
+    s"""WITH RECURSIVE ${sigCtes(k, bands, seed)}, ${groupsCtes(k, minEst)},
+sized AS (SELECT g.doc_id, g.group_id, d.n_chars FROM grp g JOIN documents d ON g.doc_id = d.doc_id),
+best AS (SELECT group_id, CAST(count(*) AS BIGINT) AS n_members, max(n_chars) AS best_chars FROM sized GROUP BY group_id)
+SELECT s.group_id, min(s.doc_id) AS kept_doc, b.n_members, CAST(b.best_chars AS BIGINT) AS kept_chars
+FROM sized s JOIN best b ON s.group_id = b.group_id
+WHERE s.n_chars = b.best_chars
+GROUP BY s.group_id, b.n_members, b.best_chars ORDER BY s.group_id"""
+
   /** Oracle for q_dedup_cluster_sizes
     * ([[graft.operators.Dedup.dedupClusterSizes]]): the [[nearDupGroups]]
     * components folded to a (cluster_size, n_clusters) histogram,
@@ -504,6 +519,17 @@ x4 AS MATERIALIZED (SELECT *, (${mulmod(rotl("hx", 27), P1)} + $P4) % $M64 AS ha
 x5 AS MATERIALIZED (SELECT *, ${mulmod("xor(ha, ha >> 33)", P2)} AS hb FROM x4),
 x6 AS MATERIALIZED (SELECT *, ${mulmod("xor(hb, hb >> 29)", P3)} AS hc FROM x5),
 xx AS MATERIALIZED (SELECT *, xor(hc, hc >> 32) AS xxh FROM x6)"""
+
+  /** Oracle for q_lang_cap ([[graft.operators.Sampling.capPerGroup]] over
+    * `lang`, cap 40): per-language row_number over (signed xxhash64(doc_id),
+    * doc_id) — the window form of the engine's bounded-heap TopKPerGroup,
+    * identical selection by construction. */
+  def capPerGroup(cap: Int = 40): String =
+    s"""WITH src AS (SELECT doc_id, lang, n_chars FROM documents),
+${xxhCtes(42L)},
+h AS (SELECT doc_id, lang, n_chars, ${signedB("xxh")} AS sh FROM xx),
+r AS (SELECT lang, doc_id, n_chars, CAST(row_number() OVER (PARTITION BY lang ORDER BY sh, doc_id) AS INTEGER) AS rank FROM h)
+SELECT lang, doc_id, rank, n_chars FROM r WHERE rank <= $cap ORDER BY lang, rank"""
 
   /** Oracle for q_split_assign ([[graft.operators.Sampling.documentSplits]]:
     * 90/5/5 over pmod(xxhash64(doc_id), 100)). */

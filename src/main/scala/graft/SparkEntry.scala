@@ -290,6 +290,15 @@ object SparkEntry {
       import graft.operators.Sampling
       Sampling.weightedSample(Tables(s, d))
     }),
+    "q_lang_cap" -> ((s, d) => {
+      import graft.operators.Sampling
+      Sampling.capPerGroup(Tables(s, d).documents, "lang", cap = 40)
+    }),
+    "q_token_budget" -> ((s, d) => {
+      import graft.operators.Sampling
+      Sampling.tokenBudgetSelect(Tables(s, d), budgetTokens = 10000L)
+    }),
+    "q_dedup_keep_best" -> ((s, d) => Dedup.clusterRepresentatives(Tables(s, d))),
     "q_sample_stratified" -> ((s, d) => {
       import graft.operators.Sampling
       Sampling.stratifiedEvents(Tables(s, d),
@@ -387,6 +396,20 @@ object SparkEntry {
     "q_text_fingerprint" -> KernelOracleSql.rollingFingerprints,
     "q_split_assign" -> KernelOracleSql.splitAssign,
     "q_weighted_sample" -> KernelOracleSql.weightedSample(),
+    "q_lang_cap" -> KernelOracleSql.capPerGroup(),
+    "q_dedup_keep_best" -> MinhashOracleSql.clusterRepresentatives(),
+    // global cumulative window over (quality DESC, doc_id) — the engine's
+    // two-phase bucket/boundary plan selects the identical prefix
+    "q_token_budget" ->
+      ("WITH base AS (SELECT doc_id, text, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS toks, " +
+        "length(text) AS n_chars FROM documents), " +
+        "feat AS (SELECT doc_id, len(toks) AS n_tokens, " +
+        "len(list_filter(toks, t -> t IN ('the','a','an','of','and','or','to','in','is','it'))) AS n_stop, " +
+        "length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit, n_chars FROM base), " +
+        "q AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, " +
+        "round(least(n_tokens / 20.0, 1.0) * 0.5 + least((n_stop / n_tokens) * 5.0, 1.0) * 0.3 + (1.0 - least((n_digit / greatest(n_chars, 1)) * 10.0, 1.0)) * 0.2, 6) AS quality FROM feat), " +
+        "sel AS (SELECT doc_id, n_tokens, quality, sum(n_tokens) OVER (ORDER BY quality DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM q) " +
+        "SELECT doc_id, n_tokens, quality FROM sel WHERE cum <= 10000 ORDER BY quality DESC, doc_id"),
     "q_mixture" -> KernelOracleSql.mixture,
     "q_dedup_exact_rows" ->
       "SELECT doc_id, lang, source FROM documents WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(lower(trim(text)))) ORDER BY doc_id",

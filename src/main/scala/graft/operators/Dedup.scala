@@ -352,6 +352,36 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Near-dup cluster representative selection — the KEEP side of dedup
+    * done right: instead of the min-id convention, each [[nearDupGroups]]
+    * cluster keeps its highest-QUALITY member (longest text, doc_id
+    * tiebreak) — the choice a production pipeline wants, since near-dup
+    * clusters usually contain one full document plus truncated/boilerplate
+    * variants.
+    *
+    * Argmax is expressed as two bounded aggregations (per-group max, then
+    * min-id among the maxima) rather than a per-group sort or a struct
+    * max_by — group-cardinality intermediates only, and every step is
+    * plain ANSI SQL so the oracle re-derives it exactly on top of the
+    * connected-components CTE. Scale: adds two group-keyed partial→final
+    * aggregations and one group-keyed join to the [[nearDupGroups]] cost —
+    * nothing new is corpus-quadratic. */
+  def clusterRepresentatives(t: Tables, w: Int = 2,
+                             minEstJaccard: Double = 0.5): DataFrame = {
+    val sized = nearDupGroups(t, w, minEstJaccard)
+      .join(t.documents.select(col("doc_id"), col("n_chars")), "doc_id")
+    val best = sized.groupBy("group_id")
+      .agg(count(lit(1)).as("n_members"), max("n_chars").as("_best"))
+    sized.join(best, "group_id")
+      .filter(col("n_chars") === col("_best"))
+      .groupBy("group_id", "n_members", "_best")
+      .agg(min("doc_id").as("kept_doc"))
+      .select(col("group_id"), col("kept_doc"),
+        col("n_members").cast("bigint").as("n_members"),
+        col("_best").cast("bigint").as("kept_chars"))
+      .orderBy("group_id")
+  }
+
   /** (doc_id, sig) minhash signatures of a (doc_id, text, …) frame —
     * shared by the incremental paths and [[DedupIndex]]. */
   private[graft] def minhashSigs(d: DataFrame, w: Int, k: Int): DataFrame =

@@ -126,4 +126,77 @@ object Sampling {
       .select("doc_id", "source", "n_tokens")
       .orderBy("doc_id")
   }
+
+  /** Deterministic per-group document capping — the doc-COUNT twin of
+    * [[mixtureBySource]]'s token water-filling: each group (language,
+    * source, …) keeps at most `cap` documents, chosen by ascending
+    * `xxhash64(doc_id)` with a doc_id tiebreak. Like [[assignSplits]],
+    * membership is a pure function of content — a re-run, a repartitioned
+    * copy, or another engine selects the identical cap-sized "reservoir"
+    * (the SQL oracle re-derives the hash ranking).
+    *
+    * Scale shape: runs on the [[graft.plans.TopKPerGroup]] custom operator
+    * — bounded cap-row heaps per group on the map side, one shuffle of
+    * ≤ groups·cap pre-filtered rows, never a per-group sort of the corpus.
+    * The row_number-window form would single-task each group's full
+    * membership (a dominant language IS the corpus at 100 TB); the heap
+    * form's per-partition state is O(groups · cap). */
+  def capPerGroup(docs: DataFrame, groupCol: String, cap: Int): DataFrame =
+    graft.plans.TopK.perGroup(
+      docs.select(col(groupCol), col("doc_id"), col("n_chars"),
+        xxhash64(col("doc_id")).as("_h")),
+      Seq(groupCol), Seq(col("_h").asc, col("doc_id").asc), cap,
+      rankCol = Some("rank"))
+      .select(col(groupCol), col("doc_id"), col("rank"), col("n_chars"))
+      .orderBy(col(groupCol), col("rank"))
+
+  /** Budget-bounded quality selection: rank documents by (quality DESC,
+    * doc_id ASC) — quality is [[TextAnalysis.qualityScore]]'s blended
+    * score — and keep the maximal prefix whose running token total stays
+    * within `budgetTokens` (inclusive). The standard "best data under a
+    * token budget" pass of a pretraining pipeline.
+    *
+    * Semantically this is one global cumulative-sum window over the
+    * quality-sorted corpus (exactly what the SQL oracle runs) — but a
+    * global window is a single-task sort at scale, so the implementation
+    * is two-phase: (1) per-SCORE-bucket token totals (the 6-dp-rounded
+    * score has bounded cardinality ≤ ~10⁶ independent of corpus size)
+    * aggregate distributed and prefix-scan on the driver to find the
+    * boundary score; (2) every doc strictly above the boundary is kept
+    * with NO ordering work at all, and only the boundary bucket — corpus
+    * size / score cardinality in expectation — runs a cumulative window
+    * (partitioned on the constant score column, so the plan stays a
+    * declared-partition window). Skew caveat: a corpus where one exact
+    * rounded score dominates re-concentrates the boundary bucket; the
+    * mitigation is finer rounding of the score, not a different plan. */
+  def tokenBudgetSelect(t: Tables, budgetTokens: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = TextAnalysis.qualityScore(t)
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+    // bounded collect: one row per distinct rounded score, not per doc
+    val buckets = scored.filter(col("quality").isNotNull)
+      .groupBy("quality").agg(sum("n_tokens").as("_bt"))
+      .collect()
+      .map(r => (r.getDouble(0), r.getLong(1)))
+      .sortBy(-_._1)
+    var cum = 0L
+    var boundary: Option[(Double, Long)] = None // (score, budget left for it)
+    for ((q, bt) <- buckets if boundary.isEmpty) {
+      if (cum + bt > budgetTokens) boundary = Some((q, budgetTokens - cum))
+      else cum += bt
+    }
+    val out = boundary match {
+      case None => scored // everything fits (null-quality rows included)
+      case Some((qStar, r)) =>
+        val whole = scored.filter(col("quality") > qStar)
+        val edge = scored.filter(col("quality") === qStar)
+          .withColumn("_cum", sum("n_tokens").over(
+            Window.partitionBy("quality").orderBy("doc_id")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .filter(col("_cum") <= r)
+          .drop("_cum")
+        whole.union(edge)
+    }
+    out.orderBy(col("quality").desc, col("doc_id").asc)
+  }
 }

@@ -266,4 +266,28 @@ class DedupSpec extends SparkSpec {
       assert(math.abs(e - math.round(est * 1e6) / 1e6) < 1e-9, s"$a/$b")
     }
   }
+
+  test("clusterRepresentatives keeps each group's longest member, min-id tiebreak") {
+    import org.apache.spark.sql.functions.col
+    val got = Dedup.clusterRepresentatives(tables)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // driver-side recompute from the group assignment + doc lengths
+    val chars = tables.documents.select(col("doc_id"), col("n_chars"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val groups = Dedup.nearDupGroups(tables)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = groups.groupBy(_._2).toSeq.map { case (gid, members) =>
+      val best = members.map(m => chars(m._1)).max
+      val kept = members.filter(m => chars(m._1) == best).map(_._1).min
+      (gid, kept, members.length.toLong, best)
+    }.sortBy(_._1)
+    assert(got.toSeq == expected)
+    // every document is accounted for exactly once across clusters
+    assert(got.map(_._3).sum == tables.documents.count())
+    // the representative is a member of its own cluster
+    val byGroup = groups.groupBy(_._2)
+    got.foreach { case (gid, kept, _, _) =>
+      assert(byGroup(gid).exists(_._1 == kept), s"kept $kept not in group $gid")
+    }
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.Sampling
+import graft.operators.{Sampling, TextAnalysis}
 
 class SamplingSpec extends SparkSpec {
 
@@ -110,5 +110,61 @@ class SamplingSpec extends SparkSpec {
       tables.withTable("documents", tables.documents.orderBy(rand(3)).repartition(7)), k)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     assert(again.toSeq == got.toSeq)
+  }
+
+  test("capPerGroup keeps the hash-minimal cap per group, content-deterministically") {
+    val cap = 7
+    val got = Sampling.capPerGroup(tables.documents, "lang", cap)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    // driver-side recompute: per lang, sort by (signed xxhash64, doc_id), prefix cap
+    val hashed = tables.documents
+      .select(col("lang"), col("doc_id"), xxhash64(col("doc_id")).as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = hashed.groupBy(_._1).toSeq.flatMap { case (lang, rows) =>
+      rows.sortBy(r => (r._3, r._2)).take(cap).zipWithIndex
+        .map { case ((l, id, _), i) => (l, id, i + 1) }
+    }.sortBy(r => (r._1, r._3))
+    assert(got.toSeq == expected)
+    // every group capped; under-cap groups keep everything
+    val sizes = hashed.groupBy(_._1).map { case (l, rs) => l -> rs.length }
+    got.groupBy(_._1).foreach { case (l, rs) =>
+      assert(rs.length == math.min(cap, sizes(l)))
+    }
+    // the custom bounded-heap operator plans, not a row_number window
+    val plan = planOf(Sampling.capPerGroup(tables.documents, "lang", cap))
+    assert("TopKPerGroup ".r.findAllIn(plan).nonEmpty, s"missing TopKPerGroup exec:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected Window in plan:\n$plan")
+    // content-determinism across repartitioning (heap merge order varies)
+    val again = Sampling.capPerGroup(
+      tables.documents.orderBy(rand(5)).repartition(7), "lang", cap)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(again.toSeq == got.toSeq)
+  }
+
+  test("tokenBudgetSelect keeps the maximal quality-ranked prefix within budget") {
+    val budget = 1000L
+    val got = Sampling.tokenBudgetSelect(tables, budget)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // driver-side recompute of the global greedy prefix
+    val all = TextAnalysis.qualityScore(tables)
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    val ordered = all.filter(_._3.isDefined)
+      .sortBy(r => (-r._3.get, r._1))
+    var cum = 0L
+    val expected = ordered.takeWhile { r => cum += r._2; cum <= budget }
+      .map(r => (r._1, r._2, r._3.get))
+    assert(got.toSeq == expected.toSeq)
+    // budget respected and selection is maximal
+    val used = got.map(_._2).sum
+    assert(used <= budget)
+    if (got.length < ordered.length)
+      assert(used + ordered(got.length)._2 > budget,
+        s"selection not maximal: $used + next ${ordered(got.length)._2} <= $budget")
+    // a budget larger than the corpus keeps every document
+    val total = all.map(_._2).sum
+    assert(Sampling.tokenBudgetSelect(tables, total + 1).count() == all.length)
   }
 }
