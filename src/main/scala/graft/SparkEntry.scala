@@ -299,6 +299,7 @@ object SparkEntry {
       Sampling.tokenBudgetSelect(Tables(s, d), budgetTokens = 10000L)
     }),
     "q_dedup_keep_best" -> ((s, d) => Dedup.clusterRepresentatives(Tables(s, d))),
+    "q_source_overlap" -> ((s, d) => Dedup.sourceOverlap(Tables(s, d))),
     "q_sample_stratified" -> ((s, d) => {
       import graft.operators.Sampling
       Sampling.stratifiedEvents(Tables(s, d),
@@ -398,6 +399,12 @@ object SparkEntry {
     "q_weighted_sample" -> KernelOracleSql.weightedSample(),
     "q_lang_cap" -> KernelOracleSql.capPerGroup(),
     "q_dedup_keep_best" -> MinhashOracleSql.clusterRepresentatives(),
+    "q_source_overlap" ->
+      ("WITH fs AS (SELECT DISTINCT md5(lower(trim(text))) AS fp, source FROM documents) " +
+        "SELECT a.source AS source_a, b.source AS source_b, CAST(count(*) AS BIGINT) AS n_shared " +
+        "FROM fs a JOIN fs b ON a.fp = b.fp AND a.source < b.source " +
+        "GROUP BY a.source, b.source HAVING count(*) >= 1 " +
+        "ORDER BY n_shared DESC, source_a, source_b"),
     // global cumulative window over (quality DESC, doc_id) — the engine's
     // two-phase bucket/boundary plan selects the identical prefix
     "q_token_budget" ->

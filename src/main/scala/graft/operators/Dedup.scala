@@ -382,6 +382,31 @@ object Dedup {
       .orderBy("group_id")
   }
 
+  /** Cross-source exact-duplicate overlap — the mirror-detection report:
+    * for each unordered source pair, how many distinct normalized-text
+    * fingerprints occur in BOTH sources. A high count flags mirrored /
+    * syndicated feeds that per-document dedup only repairs after the
+    * fact; the pipeline answer is to drop or downweight the source.
+    *
+    * Scale shape: dedup to distinct (fp, source) FIRST, so the per-
+    * fingerprint self-join fan-out is bounded by the SOURCE count (a
+    * catalog-sized constant), never by duplicate-group size — a
+    * boilerplate fingerprint shared by a million docs contributes the
+    * same ≤ sources² rows as one shared by two. One fp-keyed shuffle +
+    * one pair-keyed count; output is sources²-bounded. */
+  def sourceOverlap(t: Tables, minShared: Long = 1L): DataFrame = {
+    val fpSrc = t.documents
+      .select(fingerprint(col("text")).as("fp"), col("source"))
+      .distinct()
+    fpSrc.as("a")
+      .join(fpSrc.as("b"),
+        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("n_shared").desc, col("source_a"), col("source_b"))
+  }
+
   /** (doc_id, sig) minhash signatures of a (doc_id, text, …) frame —
     * shared by the incremental paths and [[DedupIndex]]. */
   private[graft] def minhashSigs(d: DataFrame, w: Int, k: Int): DataFrame =

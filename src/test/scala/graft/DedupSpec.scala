@@ -290,4 +290,25 @@ class DedupSpec extends SparkSpec {
       assert(byGroup(gid).exists(_._1 == kept), s"kept $kept not in group $gid")
     }
   }
+
+  test("sourceOverlap counts distinct shared fingerprints per source pair") {
+    import org.apache.spark.sql.functions.{col, lower, md5, trim}
+    val got = Dedup.sourceOverlap(tables)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // driver-side recompute from raw (fingerprint, source) rows
+    val fpSrc = tables.documents
+      .select(md5(lower(trim(col("text")))).as("fp"), col("source"))
+      .collect().map(r => (r.getString(0), r.getString(1))).distinct
+    val bySrc = fpSrc.groupBy(_._2).map { case (s, xs) => s -> xs.map(_._1).toSet }
+    val expected = (for {
+      (sa, fa) <- bySrc.toSeq; (sb, fb) <- bySrc.toSeq if sa < sb
+      n = (fa & fb).size if n >= 1
+    } yield (sa, sb, n.toLong)).sortBy(r => (-r._3, r._1, r._2))
+    assert(got.toSeq == expected)
+    // a duplicate-group's size must not inflate the count: every pair count
+    // is bounded by the smaller source's distinct fingerprint count
+    got.foreach { case (sa, sb, n) =>
+      assert(n <= math.min(bySrc(sa).size, bySrc(sb).size))
+    }
+  }
 }
