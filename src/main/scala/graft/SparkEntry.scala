@@ -180,6 +180,7 @@ object SparkEntry {
     "q_window_running" -> ((s, d) => Analytics.windowRunning(Tables(s, d))),
     "q_tpch_q3" -> ((s, d) => Analytics.tpchQ3(Tables(s, d))),
     "q_tpch_q5" -> ((s, d) => Analytics.tpchQ5(Tables(s, d))),
+    "q_tpch_q8" -> ((s, d) => Analytics.tpchQ8(Tables(s, d))),
     "q_rolling_window" -> ((s, d) => Analytics.rollingUserValue(Tables(s, d))),
     "q_zscore_outliers" -> ((s, d) => Analytics.zscoreOutliers(Tables(s, d))),
     "q_percent_rank" -> ((s, d) => Analytics.percentRankBands(Tables(s, d))),
@@ -723,6 +724,20 @@ object SparkEntry {
         "JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey " +
         "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01' " +
         "GROUP BY n_name ORDER BY revenue DESC, n_name ASC"),
+    "q_tpch_q8" ->
+      ("SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, " +
+        "round(sum(CASE WHEN n2.n_name = 'NATION_3' THEN l_extendedprice * (1 - l_discount) ELSE 0 END) / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share, " +
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_volume " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation n1 ON c_nationkey = n1.n_nationkey " +
+        "JOIN region ON n1.n_regionkey = r_regionkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation n2 ON s_nationkey = n2.n_nationkey " +
+        "WHERE r_name = 'AMERICA' AND p_type = 'PROMO' " +
+        "AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01' " +
+        "GROUP BY 1 ORDER BY o_year"),
     "q_rolling_window" ->
       ("SELECT user_id, event_id, " +
         "round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 4) AS roll_sum, " +

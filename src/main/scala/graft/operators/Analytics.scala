@@ -571,6 +571,51 @@ object Analytics {
       .orderBy(col("revenue").desc, col("n_name").asc)
   }
 
+  /** TPC-H Q8 shape (national market share): of the PROMO-part revenue
+    * sold into one customer REGION, what fraction came from one supplier
+    * NATION, by order year. The deepest join tree in the suite — lineitem
+    * against part, orders, customer, supplier, and nation×2/region — and
+    * the canonical star-join demonstration: every dimension side is
+    * catalog-bounded, the fact table is touched once with its filters
+    * pushed, and only year-cardinality rows leave the final aggregation.
+    * Nation/region sides are hinted broadcast; the part and
+    * customer/supplier joins are left to AQE, which broadcasts while they
+    * fit and falls back to shuffle joins at scale. */
+  def tpchQ8(t: Tables, suppNation: String = "NATION_3",
+             region: String = "AMERICA", ptype: String = "PROMO",
+             from: String = "1995-01-01", until: String = "1997-01-01"): DataFrame = {
+    val nr = t.nation
+      .join(t.region.filter(col("r_name") === region),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val cust = t.customer
+      .join(broadcast(nr), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val supN = t.supplier
+      .join(broadcast(t.nation.select(col("n_nationkey").as("_snk"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("_snk"))
+      .select("s_suppkey", "supp_nation")
+    val promo = t.part.filter(col("p_type") === ptype).select("p_partkey")
+    val ord = t.orders
+      .filter(col("o_orderdate") >= lit(from).cast("timestamp_ntz") &&
+        col("o_orderdate") < lit(until).cast("timestamp_ntz"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("bigint").as("o_year"))
+    t.lineitem
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("volume"))
+      .join(promo, col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supN, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("o_year")
+      .agg(
+        round(sum(when(col("supp_nation") === suppNation, col("volume"))
+          .otherwise(lit(0.0))) / sum(col("volume")), 6).as("mkt_share"),
+        round(sum("volume"), 2).as("total_volume"))
+      .orderBy("o_year")
+  }
+
   /** Multiple COUNT(DISTINCT …) over different columns in ONE aggregation
     * — Catalyst plans this via Expand (one input row fans out per distinct
     * column) + two-level aggregation, so each distinct set deduplicates in

@@ -421,6 +421,55 @@ class AnalyticsSpec extends SparkSpec {
       s"date filters not pushed to scans:\n${scans.mkString("\n")}")
   }
 
+  test("tpchQ8 market share per year matches a collected recompute") {
+    val america = tables.nation.join(
+      tables.region.filter(col("r_name") === "AMERICA"),
+      col("n_regionkey") === col("r_regionkey")).collect()
+      .map(r => r.getInt(0)).toSet
+    val nationName = tables.nation.collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val cust = tables.customer.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val sup = tables.supplier.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val promo = tables.part.filter(col("p_type") === "PROMO")
+      .collect().map(_.getLong(0)).toSet
+    val (from, until) = (java.time.LocalDateTime.parse("1995-01-01T00:00:00"),
+      java.time.LocalDateTime.parse("1997-01-01T00:00:00"))
+    val ord = tables.orders.collect()
+      .filter { r =>
+        val d = r.getAs[java.time.LocalDateTime](4)
+        !d.isBefore(from) && d.isBefore(until)
+      }
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getAs[java.time.LocalDateTime](4).getYear.toLong))
+      .toMap
+    val rows = tables.lineitem
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .collect()
+      .flatMap { r =>
+        for {
+          (custkey, year) <- ord.get(r.getLong(0))
+          if promo.contains(r.getLong(1)) && america.contains(cust(custkey))
+        } yield (year, nationName(sup(r.getLong(2))),
+          r.getDouble(3) * (1 - r.getDouble(4)))
+      }
+    val expected = rows.groupBy(_._1).map { case (y, rs) =>
+      val total = rs.map(_._3).sum
+      val n3 = rs.filter(_._2 == "NATION_3").map(_._3).sum
+      y -> (math.round(n3 / total * 1e6) / 1e6, math.round(total * 100) / 100.0)
+    }
+    val got = Analytics.tpchQ8(tables).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("tpchQ8 pushes its filters and broadcasts the dimension tier") {
+    val plan = planOf(Analytics.tpchQ8(tables))
+    assert(!plan.contains("CartesianProduct"), s"cartesian in Q8:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast dim join:\n$plan")
+    val scans = plan.split("\n").filter(_.contains("PushedFilters"))
+    assert(scans.exists(_.contains("o_orderdate")) && scans.exists(_.contains("p_type")),
+      s"filters not pushed to scans:\n${scans.mkString("\n")}")
+  }
+
   test("tpchQ5 keeps the nation residual on the supplier join (no extra shuffle)") {
     val plan = planOf(Analytics.tpchQ5(tables))
     assert(!plan.contains("CartesianProduct"), s"cartesian in Q5:\n$plan")
