@@ -594,6 +594,20 @@ ${xxhCtes(42L)},
 flt AS (SELECT doc_id, source, n_tokens, kexpr, (((${signedB("xxh")}) % 1000000) + 1000000) % 1000000 AS bucket FROM xx)
 SELECT doc_id, source, n_tokens, round(CAST(kexpr AS DOUBLE) / 1000000, 6) AS keep_frac FROM flt WHERE bucket < kexpr ORDER BY doc_id"""
 
+  /** Oracle for q_mixture_temp
+    * ([[graft.operators.Sampling.mixtureTemperature]]): α = 1/2 source
+    * weights re-derived step for step — BIGINT token sums (DuckDB's
+    * HUGEINT sum cast back down), one double division, sqrt (IEEE-exact
+    * in both engines, unlike pow/ln), floor-scale to BIGINT, and an
+    * integer-summed normalizer — so the match is bit-exact, not
+    * tolerance-based. */
+  def mixtureTemperature: String =
+    s"""WITH per AS (SELECT source, CAST(sum(CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS BIGINT)) AS BIGINT) AS n_tokens FROM documents GROUP BY source),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM per),
+w AS (SELECT source, n_tokens, CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE) AS p, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE)) * 1e9) AS BIGINT) AS wi FROM per CROSS JOIN tot),
+wt AS (SELECT CAST(sum(wi) AS BIGINT) AS wtot FROM w)
+SELECT source, n_tokens, round(p, 6) AS p_raw, round(CAST(wi AS DOUBLE) / CAST(wtot AS DOUBLE), 6) AS alpha_share FROM w CROSS JOIN wt ORDER BY source"""
+
   /** Oracle for q_weighted_sample
     * ([[graft.operators.Sampling.weightedSample]]): the hash-keyed A-ES
     * ranking re-derived — u from the same xxhash64(doc_id) bucket

@@ -181,6 +181,16 @@ object SparkEntry {
     "q_tpch_q3" -> ((s, d) => Analytics.tpchQ3(Tables(s, d))),
     "q_tpch_q5" -> ((s, d) => Analytics.tpchQ5(Tables(s, d))),
     "q_tpch_q8" -> ((s, d) => Analytics.tpchQ8(Tables(s, d))),
+    "q_tpch_q6" -> ((s, d) => Analytics.tpchQ6(Tables(s, d))),
+    "q_tpch_q19" -> ((s, d) => Analytics.tpchQ19(Tables(s, d))),
+    "q_skew_audit" -> ((s, d) => {
+      import graft.operators.Skew
+      Skew.keySkewAudit(Tables(s, d).events, col("user_id"), k = 20)
+    }),
+    "q_mixture_temp" -> ((s, d) => {
+      import graft.operators.Sampling
+      Sampling.mixtureTemperature(Tables(s, d))
+    }),
     "q_rolling_window" -> ((s, d) => Analytics.rollingUserValue(Tables(s, d))),
     "q_zscore_outliers" -> ((s, d) => Analytics.zscoreOutliers(Tables(s, d))),
     "q_percent_rank" -> ((s, d) => Analytics.percentRankBands(Tables(s, d))),
@@ -419,6 +429,14 @@ object SparkEntry {
         "sel AS (SELECT doc_id, n_tokens, quality, sum(n_tokens) OVER (ORDER BY quality DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM q) " +
         "SELECT doc_id, n_tokens, quality FROM sel WHERE cum <= 10000 ORDER BY quality DESC, doc_id"),
     "q_mixture" -> KernelOracleSql.mixture,
+    "q_mixture_temp" -> KernelOracleSql.mixtureTemperature,
+    "q_skew_audit" ->
+      ("WITH c AS (SELECT user_id AS key, count(*) AS n_rows FROM events GROUP BY 1), " +
+        "top AS (SELECT key, n_rows FROM c ORDER BY n_rows DESC, key ASC LIMIT 20), " +
+        "tot AS (SELECT count(*) AS n_total FROM events) " +
+        "SELECT key, n_rows, round(CAST(n_rows AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS share, " +
+        "round(sum(CAST(n_rows AS DOUBLE) / CAST(n_total AS DOUBLE)) OVER (ORDER BY n_rows DESC, key ASC), 6) AS cum_share " +
+        "FROM top CROSS JOIN tot ORDER BY n_rows DESC, key ASC"),
     "q_dedup_exact_rows" ->
       "SELECT doc_id, lang, source FROM documents WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(lower(trim(text)))) ORDER BY doc_id",
     "q_dedup_jaccard" ->
@@ -738,6 +756,16 @@ object SparkEntry {
         "WHERE r_name = 'AMERICA' AND p_type = 'PROMO' " +
         "AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01' " +
         "GROUP BY 1 ORDER BY o_year"),
+    "q_tpch_q6" ->
+      ("SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n_items " +
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01' " +
+        "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"),
+    "q_tpch_q19" ->
+      ("SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, count(*) AS n_items " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 15) " +
+        "OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 25) " +
+        "OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 35)"),
     "q_rolling_window" ->
       ("SELECT user_id, event_id, " +
         "round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 4) AS roll_sum, " +

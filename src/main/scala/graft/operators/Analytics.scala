@@ -990,4 +990,54 @@ object Analytics {
         round(col("n_active") / col("_size"), 6).as("retention"))
       .orderBy("cohort_day", "day_offset")
   }
+
+  /** TPC-H Q6 (forecast revenue change) — the pure-pushdown benchmark: no
+    * join, no groupBy. All three predicates (shipdate range, discount
+    * band, quantity cap) reach the parquet reader as `PushedFilters`
+    * (min/max row-group pruning does the heavy lifting on date-sorted
+    * data), the scan reads only the four referenced columns, and the
+    * only exchange anywhere is the 1-row partial/final agg gather — at
+    * 100 TB this is the query where scan pruning IS the runtime. */
+  def tpchQ6(t: Tables): DataFrame =
+    t.lineitem
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1996-01-01").cast("timestamp_ntz") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** TPC-H Q19 (discounted revenue, adapted to this corpus' part schema:
+    * brand × size × quantity disjunct blocks instead of brand × container
+    * × quantity). The interesting plan problem is the OR-of-ANDs
+    * predicate: written naively, neither scan can prune anything because
+    * no single conjunct holds across the whole disjunction. The fix is
+    * classic hull injection — each side also filters on the convex hull
+    * of its own disjuncts (`l_quantity` ∈ [1, 35] on the fact scan,
+    * brand ∈ {12,23,15} ∧ size ∈ [1, 35] on the dimension scan), which
+    * Catalyst pushes into the parquet readers as `PushedFilters`, while
+    * the exact mixed-side disjunction evaluates post-join on the
+    * hull-surviving sliver. The hulled part side is a few thousand rows
+    * at any scale factor → broadcast, so the fact table never shuffles. */
+  def tpchQ19(t: Tables): DataFrame = {
+    val disjuncts =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 15)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+        col("l_quantity").between(10, 25)) ||
+      (col("p_brand") === "Brand#15" && col("p_size").between(1, 35) &&
+        col("l_quantity").between(20, 35))
+    val partHull = t.part
+      .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#15") &&
+        col("p_size").between(1, 35))
+      .select("p_partkey", "p_brand", "p_size")
+    t.lineitem
+      .filter(col("l_quantity").between(1, 35))
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      .join(broadcast(partHull), col("l_partkey") === col("p_partkey"))
+      .filter(disjuncts)
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
 }

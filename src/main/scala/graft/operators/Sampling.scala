@@ -199,4 +199,39 @@ object Sampling {
     }
     out.orderBy(col("quality").desc, col("doc_id").asc)
   }
+
+  /** Temperature-scaled source mixture weights — the multilingual-LM
+    * α-sampling scheme (w_s ∝ p_s^α, α = 1/2): low-resource sources are
+    * up-weighted relative to their raw token share, high-resource sources
+    * damped. Complements [[mixtureBySource]]: that op ENFORCES given
+    * targets; this op DERIVES the targets from the corpus itself.
+    *
+    * Engine-portability is the design constraint here: every value is an
+    * IEEE-exact expression DAG — BIGINT token sums (associative, exact),
+    * ONE double division, `sqrt` (correctly rounded per IEEE 754, unlike
+    * `pow`/`ln` whose libm results differ across engines), a floor-scale
+    * to BIGINT — and the normalizing constant sums those INTEGER weights,
+    * so no cross-row float reduction exists anywhere and the SQL oracle
+    * reproduces the output bit-for-bit.
+    *
+    * Scale shape: one partial+final aggregation over the corpus; every
+    * later step runs on the source-catalog-bounded per-source frame
+    * (broadcast 1-row totals, no corpus shuffle). */
+  def mixtureTemperature(t: Tables): DataFrame = {
+    val perSource = t.documents
+      .select(col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("bigint").as("n_tok"))
+      .groupBy("source").agg(sum("n_tok").as("n_tokens"))
+    val weighted = perSource
+      .crossJoin(broadcast(perSource.agg(sum("n_tokens").as("_tot"))))
+      .withColumn("_p", col("n_tokens").cast("double") / col("_tot").cast("double"))
+      .withColumn("_w", floor(sqrt(col("_p")) * lit(1e9)).cast("bigint"))
+    weighted
+      .crossJoin(broadcast(weighted.agg(sum("_w").as("_wtot"))))
+      .select(col("source"), col("n_tokens"),
+        round(col("_p"), 6).as("p_raw"),
+        round(col("_w").cast("double") / col("_wtot").cast("double"), 6)
+          .as("alpha_share"))
+      .orderBy("source")
+  }
 }

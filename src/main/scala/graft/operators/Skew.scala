@@ -45,4 +45,34 @@ object Skew {
       explode(array((0 until salts).map(lit): _*)))
     saltedFact.join(saltedDim, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Pre-join key-skew audit — measure before you mitigate. Reports the
+    * top-k heaviest join keys with each key's row count, share of all
+    * rows, and cumulative share in rank order: the numbers that decide
+    * between a plain shuffle join, [[saltedJoin]], a broadcast, or
+    * leaving it to AQE's skew splitting.
+    *
+    * The only corpus-scale operation is one map-side-combined count per
+    * key; the top-k then arrives via per-partition bounded heaps
+    * (TakeOrderedAndProject — no global sort), the total joins on as a
+    * broadcast 1-row aggregate, and the cumulative window runs over k
+    * rows (partitioned on a constant: declared single-partition by
+    * construction, k-bounded). The rank order (n_rows DESC, key ASC) is
+    * total, so the window's running float sum is a fixed-order sequential
+    * reduction — deterministic across engines. */
+  def keySkewAudit(df: DataFrame, key: Column, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = df.groupBy(key.as("key")).agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("n_rows").desc, col("key").asc)
+      .limit(k)
+    val share = col("n_rows").cast("double") / col("n_total").cast("double")
+    top.crossJoin(broadcast(df.agg(count(lit(1)).as("n_total"))))
+      .withColumn("_share", share)
+      .withColumn("_cum", sum("_share").over(
+        Window.partitionBy(lit(0)).orderBy(col("n_rows").desc, col("key").asc)))
+      .select(col("key"), col("n_rows"),
+        round(col("_share"), 6).as("share"),
+        round(col("_cum"), 6).as("cum_share"))
+      .orderBy(col("n_rows").desc, col("key").asc)
+  }
 }

@@ -470,6 +470,70 @@ class AnalyticsSpec extends SparkSpec {
       s"filters not pushed to scans:\n${scans.mkString("\n")}")
   }
 
+  test("tpchQ6 scan-only revenue matches a collected recompute") {
+    val (from, until) = (java.time.LocalDateTime.parse("1995-01-01T00:00:00"),
+      java.time.LocalDateTime.parse("1996-01-01T00:00:00"))
+    val hits = tables.lineitem
+      .select("l_shipdate", "l_quantity", "l_extendedprice", "l_discount")
+      .collect()
+      .filter { r =>
+        val d = r.getAs[java.time.LocalDateTime](0)
+        !d.isBefore(from) && d.isBefore(until) &&
+          r.getDouble(3) >= 0.05 && r.getDouble(3) <= 0.07 && r.getDouble(1) < 24
+      }
+      .map(r => r.getDouble(2) * r.getDouble(3))
+    val got = Analytics.tpchQ6(tables).collect().head
+    assert(hits.nonEmpty, "Q6 predicates matched no sf0.001 rows")
+    assert(got.getLong(1) == hits.length.toLong)
+    assert(math.abs(got.getDouble(0) - hits.sum) < 0.01,
+      s"revenue ${got.getDouble(0)} vs recomputed ${hits.sum}")
+  }
+
+  test("tpchQ6 is join-free with every predicate pushed to the scan") {
+    val plan = planOf(Analytics.tpchQ6(tables))
+    assert(!plan.contains("Join"), s"Q6 should have no join:\n$plan")
+    val scans = plan.split("\n").filter(_.contains("PushedFilters"))
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach { c =>
+      assert(scans.exists(_.contains(c)), s"$c not pushed:\n${scans.mkString("\n")}")
+    }
+  }
+
+  test("tpchQ19 disjunct-block revenue matches a collected recompute") {
+    val part = tables.part.select("p_partkey", "p_brand", "p_size").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    val hits = tables.lineitem
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      .collect()
+      .flatMap { r =>
+        part.get(r.getLong(0)).collect {
+          case (brand, size)
+            if (brand == "Brand#12" && size >= 1 && size <= 15 &&
+              r.getDouble(1) >= 1 && r.getDouble(1) <= 15) ||
+              (brand == "Brand#23" && size >= 1 && size <= 25 &&
+                r.getDouble(1) >= 10 && r.getDouble(1) <= 25) ||
+              (brand == "Brand#15" && size >= 1 && size <= 35 &&
+                r.getDouble(1) >= 20 && r.getDouble(1) <= 35) =>
+            r.getDouble(2) * (1 - r.getDouble(3))
+        }
+      }
+    val got = Analytics.tpchQ19(tables).collect().head
+    assert(hits.nonEmpty, "Q19 predicates matched no sf0.001 rows — bad test data assumption")
+    assert(got.getLong(1) == hits.length.toLong)
+    assert(math.abs(got.getDouble(0) - hits.sum) < 0.01,
+      s"revenue ${got.getDouble(0)} vs recomputed ${hits.sum}")
+  }
+
+  test("tpchQ19 pushes both hull filters to the scans and broadcasts part") {
+    val plan = planOf(Analytics.tpchQ19(tables))
+    assert(!plan.contains("CartesianProduct"), s"cartesian in Q19:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"part side not broadcast:\n$plan")
+    val scans = plan.split("\n").filter(_.contains("PushedFilters"))
+    assert(scans.exists(_.contains("l_quantity")),
+      s"lineitem quantity hull not pushed:\n${scans.mkString("\n")}")
+    assert(scans.exists(s => s.contains("p_brand") || s.contains("p_size")),
+      s"part hull not pushed:\n${scans.mkString("\n")}")
+  }
+
   test("tpchQ5 keeps the nation residual on the supplier join (no extra shuffle)") {
     val plan = planOf(Analytics.tpchQ5(tables))
     assert(!plan.contains("CartesianProduct"), s"cartesian in Q5:\n$plan")

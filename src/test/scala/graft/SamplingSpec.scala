@@ -167,4 +167,40 @@ class SamplingSpec extends SparkSpec {
     val total = all.map(_._2).sum
     assert(Sampling.tokenBudgetSelect(tables, total + 1).count() == all.length)
   }
+
+  test("mixtureTemperature matches an exact driver-side α=1/2 recompute") {
+    val perSource = tables.documents.select("source", "text").collect()
+      .groupBy(_.getString(0))
+      .map { case (s, rows) =>
+        s -> rows.map(r => r.getString(1).trim.toLowerCase
+          .split("\\s+").count(_.nonEmpty).toLong).sum
+      }
+    val tot = perSource.values.sum
+    val wi = perSource.map { case (s, tok) =>
+      s -> math.floor(math.sqrt(tok.toDouble / tot.toDouble) * 1e9).toLong
+    }
+    val wtot = wi.values.sum
+    val expected = perSource.keys.toSeq.sorted.map { s =>
+      (s, perSource(s),
+        math.round(perSource(s).toDouble / tot.toDouble * 1e6) / 1e6,
+        math.round(wi(s).toDouble / wtot.toDouble * 1e6) / 1e6)
+    }
+    val got = Sampling.mixtureTemperature(tables).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(got == expected && got.nonEmpty)
+    // α < 1 compresses the distribution: the boost factor w/p is strictly
+    // anti-monotone in the raw share (w/p = 1/(√p·Σ√pᵢ)), and any source
+    // below the uniform share 1/n is boosted (p < 1/n ⟹ p < 1/(Σ√pᵢ)²
+    // since Σ√pᵢ ≤ √n by Cauchy–Schwarz)
+    val byP = got.sortBy(_._3)
+    byP.sliding(2).foreach {
+      case Seq((_, _, p1, w1), (_, _, p2, w2)) if p1 < p2 =>
+        assert(w1 / p1 >= w2 / p2 - 1e-6,
+          s"boost not anti-monotone: p=$p1→${w1 / p1} vs p=$p2→${w2 / p2}")
+      case _ =>
+    }
+    byP.filter(r => r._3 < 1.0 / got.length - 1e-9).foreach { case (s, _, p, w) =>
+      assert(w >= p - 1e-6, s"below-uniform source $s not boosted: p=$p w=$w")
+    }
+  }
 }

@@ -48,4 +48,28 @@ class SkewSpec extends SparkSpec {
     val spread = perSalt.max.toDouble / perSalt.min
     assert(spread < 2.0, s"per-salt row counts too skewed (${spread}x): ${perSalt.toList}")
   }
+
+  test("keySkewAudit reports top-k key counts, shares, and cumulative share") {
+    val k = 7
+    val got = Skew.keySkewAudit(tables.events, col("user_id"), k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val counts = tables.events.select("user_id").collect()
+      .groupBy(_.getLong(0)).map { case (u, rs) => u -> rs.length.toLong }
+    val total = counts.values.sum.toDouble
+    val top = counts.toSeq.sortBy { case (u, n) => (-n, u) }.take(k)
+    var cum = 0.0
+    val expected = top.map { case (u, n) =>
+      cum += n / total
+      (u, n, math.round(n / total * 1e6) / 1e6, math.round(cum * 1e6) / 1e6)
+    }
+    assert(got.toSeq == expected && got.length == k)
+  }
+
+  test("keySkewAudit plans per-partition heaps, not a global sort of all keys") {
+    val plan = planOf(Skew.keySkewAudit(tables.events, col("user_id"), 20))
+    assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$plan")
+    // partial aggregation runs map-side before the key shuffle
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      s"no map-side combine:\n$plan")
+  }
 }
