@@ -77,8 +77,9 @@ object Dedup {
     * hash-partitioned on bounded keys; nothing is quadratic in corpus size.
     */
   def minhashCandidates(t: Tables, w: Int = 2, k: Int = 64, bands: Int = 16,
-                        minEstJaccard: Double = 0.2): DataFrame =
-    minhashCandidatesCore(t, w, k, bands, minEstJaccard)
+                        minEstJaccard: Double = 0.2,
+                        maxBucketSize: Option[Long] = None): DataFrame =
+    minhashCandidatesCore(t, w, k, bands, minEstJaccard, maxBucketSize)
       .orderBy("doc_a", "doc_b") // ordered for the driver's oracle dump only
 
   /** Drop LSH band buckets larger than `cap` before a band self-join. A
@@ -238,10 +239,16 @@ object Dedup {
     * keys) followed by EXACT Jaccard verification of only those candidate
     * pairs — never an all-pairs exact pass. The verify is one join per pair
     * side against the per-document sorted shingle sets plus an
-    * array-intersection ratio; cost is O(candidates · set size). */
+    * array-intersection ratio; cost is O(candidates · set size).
+    *
+    * `maxBucketSize` threads the LSH hot-bucket cap ([[dropHotBuckets]])
+    * into the candidate stage — the boilerplate-mega-bucket guard every
+    * band-join entry point needs at 100 TB. Default None = exact. */
   def lshVerifiedPairs(t: Tables, w: Int = 2, minEstJaccard: Double = 0.2,
-                       minJaccard: Double = 0.5): DataFrame = {
-    val cand = minhashCandidatesCore(t, w = w, minEstJaccard = minEstJaccard)
+                       minJaccard: Double = 0.5,
+                       maxBucketSize: Option[Long] = None): DataFrame = {
+    val cand = minhashCandidatesCore(t, w = w, minEstJaccard = minEstJaccard,
+        maxBucketSize = maxBucketSize)
       .select("doc_a", "doc_b")
     // persisted for the ONE materializing execution below, and released
     // before this function returns — a persist that outlives the call
@@ -279,8 +286,10 @@ object Dedup {
     * limit (extreme asymmetry dilutes the MinHash estimate below the
     * band threshold) is the documented trade for never going all-pairs. */
   def containmentPairs(t: Tables, w: Int = 2, minEstJaccard: Double = 0.1,
-                       minContainment: Double = 0.5): DataFrame = {
-    val cand = minhashCandidatesCore(t, w = w, minEstJaccard = minEstJaccard)
+                       minContainment: Double = 0.5,
+                       maxBucketSize: Option[Long] = None): DataFrame = {
+    val cand = minhashCandidatesCore(t, w = w, minEstJaccard = minEstJaccard,
+        maxBucketSize = maxBucketSize)
       .select("doc_a", "doc_b")
     val sets = t.documents
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_tk"))
@@ -307,9 +316,10 @@ object Dedup {
     * Cost is [[lshVerifiedPairs]] itself plus two broadcast-sized joins
     * to the (doc_id, source) projection and a source²-bounded count. */
   def nearDupRates(t: Tables, w: Int = 2, minEstJaccard: Double = 0.2,
-                   minJaccard: Double = 0.5): DataFrame = {
+                   minJaccard: Double = 0.5,
+                   maxBucketSize: Option[Long] = None): DataFrame = {
     val src = t.documents.select(col("doc_id"), col("source"))
-    lshVerifiedPairs(t, w, minEstJaccard, minJaccard)
+    lshVerifiedPairs(t, w, minEstJaccard, minJaccard, maxBucketSize)
       .join(src.select(col("doc_id").as("doc_a"), col("source").as("_sa")), "doc_a")
       .join(src.select(col("doc_id").as("doc_b"), col("source").as("_sb")), "doc_b")
       .select(least(col("_sa"), col("_sb")).as("source_a"),
@@ -331,10 +341,12 @@ object Dedup {
     *    DataFrames — the de-risked path (GraphX is in maintenance mode
     *    upstream) with O(log n) rounds and AQE skew handling. */
   def nearDupGroups(t: Tables, w: Int = 2, minEstJaccard: Double = 0.5,
-                    useGraphx: Boolean = true): DataFrame = {
+                    useGraphx: Boolean = true,
+                    maxBucketSize: Option[Long] = None): DataFrame = {
     val spark = t.spark
     import spark.implicits._
-    val pairs = minhashCandidatesCore(t, w = w, minEstJaccard = minEstJaccard)
+    val pairs = minhashCandidatesCore(t, w = w, minEstJaccard = minEstJaccard,
+      maxBucketSize = maxBucketSize)
     val components =
       if (useGraphx) {
         import org.apache.spark.graphx.Graph
@@ -367,8 +379,10 @@ object Dedup {
     * aggregations and one group-keyed join to the [[nearDupGroups]] cost —
     * nothing new is corpus-quadratic. */
   def clusterRepresentatives(t: Tables, w: Int = 2,
-                             minEstJaccard: Double = 0.5): DataFrame = {
-    val sized = nearDupGroups(t, w, minEstJaccard)
+                             minEstJaccard: Double = 0.5,
+                             maxBucketSize: Option[Long] = None): DataFrame = {
+    val sized = nearDupGroups(t, w, minEstJaccard,
+        maxBucketSize = maxBucketSize)
       .join(t.documents.select(col("doc_id"), col("n_chars")), "doc_id")
     val best = sized.groupBy("group_id")
       .agg(count(lit(1)).as("n_members"), max("n_chars").as("_best"))
@@ -501,7 +515,8 @@ object Dedup {
   def dedupeIncrement(existing: DataFrame, incoming: DataFrame, w: Int = 2,
                       k: Int = 64, bands: Int = 16,
                       minEstJaccard: Double = 0.5,
-                      minJaccard: Double = 0.5): DataFrame = {
+                      minJaccard: Double = 0.5,
+                      maxBucketSize: Option[Long] = None): DataFrame = {
     val withFp = incoming.withColumn("fp", fingerprint(col("text")))
     val batchExact = withFp
       .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
@@ -513,8 +528,14 @@ object Dedup {
     val batchSigs = minhashSigs(crossExact.select("doc_id", "text"), w, k)
     val inBatchNear = inBatchNearDupIds(
       batchSigs, crossExact, w, k, bands, minEstJaccard, minJaccard)
+    // cap (when set) drops hot CORPUS-side buckets only — the batch side is
+    // small by definition, and a boilerplate mega-bucket in the existing
+    // corpus would otherwise fan every matching batch row out bucket-wide
+    val corpBands = dropHotBuckets(
+      minhashBandRows(minhashSigs(existing.select("doc_id", "text"), w, k), bands),
+      maxBucketSize)
     val cand = minhashBandRows(batchSigs, bands).as("n")
-      .join(minhashBandRows(minhashSigs(existing.select("doc_id", "text"), w, k), bands).as("o"),
+      .join(corpBands.as("o"),
         col("n.band") === col("o.band") && col("n.band_key") === col("o.band_key"))
       // estimate BEFORE the distinct: runs map-side per collision, so only
       // id pairs (not 64-long signatures) reach the distinct's shuffle
@@ -542,14 +563,18 @@ object Dedup {
     * is m/k with k=64 — a dyadic rational, exactly representable, so the
     * rank order is engine-exact (no ulp fragility). */
   def textSimSearch(t: Tables, nQueries: Long = 10, topK: Int = 5,
-                    w: Int = 2, k: Int = 64, bands: Int = 16): DataFrame = {
+                    w: Int = 2, k: Int = 64, bands: Int = 16,
+                    maxBucketSize: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sigs = minhashSigs(t.documents.select("doc_id", "text"), w, k)
     val banded = minhashBandRows(sigs, bands)
     val qBands = banded.filter(col("doc_id") < nQueries)
       .select(col("doc_id").as("query_id"), col("sig").as("_qsig"),
         col("band"), col("band_key"))
-    val cand = banded
+    // cap applies to the CORPUS side only (a hot bucket there multiplies
+    // every colliding query's candidate fan-out); query band rows are kept
+    // intact so a query in a boilerplate bucket still probes its other bands
+    val cand = dropHotBuckets(banded, maxBucketSize)
       .join(broadcast(qBands), Seq("band", "band_key"))
       .filter(col("doc_id") =!= col("query_id"))
       // estimate map-side per collision; only (ids, est) reach the distinct
@@ -572,8 +597,9 @@ object Dedup {
     * included, so the size-weighted sum equals the corpus count
     * (spec-asserted). */
   def dedupClusterSizes(t: Tables, w: Int = 2,
-                        minEstJaccard: Double = 0.5): DataFrame =
-    nearDupGroups(t, w, minEstJaccard)
+                        minEstJaccard: Double = 0.5,
+                        maxBucketSize: Option[Long] = None): DataFrame =
+    nearDupGroups(t, w, minEstJaccard, maxBucketSize = maxBucketSize)
       .groupBy("group_id").agg(count(lit(1)).as("cluster_size"))
       .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
       .orderBy("cluster_size")
