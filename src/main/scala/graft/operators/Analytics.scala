@@ -214,10 +214,10 @@ object Analytics {
     val gapMicros = gapMinutes.toLong * 60L * 1000000L
     t.events
       .select(col("user_id"), col("ts"), col("event_id"))
-      .withColumn("_prev", lag(unix_micros(col("ts")), 1).over(wOrder))
+      .withColumn("_prev", lag(epochUs(col("ts")), 1).over(wOrder))
       .withColumn("_brk",
         when(col("_prev").isNull ||
-          unix_micros(col("ts")) - col("_prev") > gapMicros, 1L).otherwise(0L))
+          epochUs(col("ts")) - col("_prev") > gapMicros, 1L).otherwise(0L))
       .withColumn("session_idx", sum(col("_brk")).over(wRun))
       .groupBy("user_id", "session_idx")
       .agg(
@@ -355,7 +355,7 @@ object Analytics {
       .orderBy(col("ts").asc, col("event_id").asc)
     t.events
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-      .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("gap_us", epochUs(col("ts")) - lag(epochUs(col("ts")), 1).over(w))
       .withColumn("next_type", coalesce(lead(col("event_type"), 1).over(w), lit("")))
       .filter(col("gap_us").isNotNull)
       .select("user_id", "event_id", "gap_us", "next_type")
@@ -435,7 +435,7 @@ object Analytics {
     * bin is a single value), so no post-join dedup is needed. */
   def clicksBeforePurchase(t: Tables, windowMinutes: Int = 60): DataFrame = {
     val winUs = windowMinutes.toLong * 60L * 1000000L
-    val binned = t.events.withColumn("_us", unix_micros(col("ts")))
+    val binned = t.events.withColumn("_us", epochUs(col("ts")))
       .withColumn("_bin", floor(col("_us") / winUs))
     val clicks = binned.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("_us").as("c_us"), col("_bin").as("c_bin"))
@@ -631,6 +631,15 @@ object Analytics {
         countDistinct(col("l_orderkey")).as("n_orders"))
       .orderBy("l_returnflag")
 
+  /** Integer epoch-micros from an event timestamp. Parquet writers emit
+    * either TIMESTAMP or TIMESTAMP_NTZ for the same wall-clock data;
+    * `unix_micros` accepts only the zoned type, so normalize with a cast.
+    * Exact (and a no-op for already-zoned inputs) because every engine
+    * entry point pins spark.sql.session.timeZone=UTC, which makes the
+    * NTZ→TIMESTAMP cast the identity on the underlying micros value —
+    * matching the oracle's naive-as-UTC `epoch_us`. */
+  private def epochUs(c: Column): Column = unix_micros(c.cast("timestamp"))
+
   /** Discounted revenue in EXACT integer units of 1e-4 dollars:
     * round(price·100)·(100 − round(discount·100)). TPC-H money columns
     * are 2-decimal, so this is lossless — and an integer sum is
@@ -721,7 +730,7 @@ object Analytics {
     val w = Window.partitionBy(col("user_id")).orderBy(col("_us"))
       .rangeBetween(-winUs, 0L)
     t.events
-      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("_us"),
+      .select(col("user_id"), col("event_id"), epochUs(col("ts")).as("_us"),
         col("value"))
       .withColumn("roll_sum", round(sum("value").over(w), 4))
       .withColumn("roll_n", count(lit(1)).over(w))

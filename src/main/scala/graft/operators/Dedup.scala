@@ -530,11 +530,26 @@ object Dedup {
       batchSigs, crossExact, w, k, bands, minEstJaccard, minJaccard)
     // cap (when set) drops hot CORPUS-side buckets only — the batch side is
     // small by definition, and a boilerplate mega-bucket in the existing
-    // corpus would otherwise fan every matching batch row out bucket-wide
-    val corpBands = dropHotBuckets(
-      minhashBandRows(minhashSigs(existing.select("doc_id", "text"), w, k), bands),
-      maxBucketSize)
-    val cand = minhashBandRows(batchSigs, bands).as("n")
+    // corpus would otherwise fan every matching batch row out bucket-wide.
+    // ASYMMETRY OF THE MISS (r9 ADVICE): on this INGEST path a cap-induced
+    // miss ADMITS a duplicate — a batch row whose only collisions with its
+    // corpus twin fall in dropped buckets passes as novel — which is the
+    // OPPOSITE of the "over-drop is the safe direction" invariant the
+    // reporting paths document ([[inBatchNearDupIds]]). Weigh the cap
+    // accordingly here: it trades bounded fan-out for (rare, multi-band-
+    // protected) duplicate admits, not for lost novel docs.
+    // The corpus band lineage is the full minhash kernel over `existing`;
+    // with a cap it feeds the hot-bucket count AND the join probe side, so
+    // persist it once (mirroring [[minhashCandidatesCore]]) instead of
+    // recomputing the kernel per consumer, and release after the bounded
+    // candidate set is checkpointed.
+    val corpBandsRaw =
+      minhashBandRows(minhashSigs(existing.select("doc_id", "text"), w, k), bands)
+    val (corpBands, releaseCorp) = maxBucketSize match {
+      case Some(cap) => dropHotBucketsCached(corpBandsRaw, cap)
+      case None      => (corpBandsRaw, () => ())
+    }
+    val candLazy = minhashBandRows(batchSigs, bands).as("n")
       .join(corpBands.as("o"),
         col("n.band") === col("o.band") && col("n.band_key") === col("o.band_key"))
       // estimate BEFORE the distinct: runs map-side per collision, so only
@@ -542,6 +557,10 @@ object Dedup {
       .filter(sigAgreement(col("n.sig"), col("o.sig"), k) >= minEstJaccard)
       .select(col("n.doc_id").as("doc_id"), col("o.doc_id").as("corp_id"))
       .distinct()
+    val cand = maxBucketSize match {
+      case Some(_) => val c = candLazy.localCheckpoint(); releaseCorp(); c
+      case None    => candLazy
+    }
     val verified = exactCrossVerifiedIds(cand, crossExact, existing, w, minJaccard)
     crossExact
       .join(verified, Seq("doc_id"), "left_anti")
@@ -567,20 +586,35 @@ object Dedup {
                     maxBucketSize: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sigs = minhashSigs(t.documents.select("doc_id", "text"), w, k)
-    val banded = minhashBandRows(sigs, bands)
+    val bandedRaw = minhashBandRows(sigs, bands)
+    // with a cap, `bandedRaw` (the full minhash kernel over the corpus)
+    // feeds THREE consumers — the hot-bucket count, the corpus join side,
+    // and the query band rows — so persist it once and release after the
+    // bounded candidate set is checkpointed (r9 ADVICE; pattern:
+    // [[minhashCandidatesCore]]). Uncapped, the lazy plan stays untouched.
+    val (banded, release) = maxBucketSize match {
+      case Some(_) =>
+        val cached = bandedRaw.persist()
+        (cached: DataFrame, () => { cached.unpersist(blocking = false); () })
+      case None => (bandedRaw, () => ())
+    }
     val qBands = banded.filter(col("doc_id") < nQueries)
       .select(col("doc_id").as("query_id"), col("sig").as("_qsig"),
         col("band"), col("band_key"))
     // cap applies to the CORPUS side only (a hot bucket there multiplies
     // every colliding query's candidate fan-out); query band rows are kept
     // intact so a query in a boilerplate bucket still probes its other bands
-    val cand = dropHotBuckets(banded, maxBucketSize)
+    val candLazy = dropHotBuckets(banded, maxBucketSize)
       .join(broadcast(qBands), Seq("band", "band_key"))
       .filter(col("doc_id") =!= col("query_id"))
       // estimate map-side per collision; only (ids, est) reach the distinct
       .withColumn("est_jaccard", round(sigAgreement(col("sig"), col("_qsig"), k), 6))
       .select(col("query_id"), col("doc_id").as("neighbor_id"), col("est_jaccard"))
       .distinct()
+    val cand = maxBucketSize match {
+      case Some(_) => val c = candLazy.localCheckpoint(); release(); c
+      case None    => candLazy
+    }
     val rank = Window.partitionBy(col("query_id"))
       .orderBy(col("est_jaccard").desc, col("neighbor_id").asc)
     cand.withColumn("rn", row_number().over(rank))

@@ -237,19 +237,29 @@ class AnalyticsSpec extends SparkSpec {
   private def micros(t: Timestamp): Long =
     t.getTime / 1000 * 1000000L + t.getNanos / 1000
 
+  // events.ts arrives as java.sql.Timestamp (TIMESTAMP) or
+  // java.time.LocalDateTime (TIMESTAMP_NTZ) depending on the parquet
+  // writer; both carry the same wall-clock instant under the suite's UTC
+  // session timezone, so normalize at the accessor
+  private def microsOf(r: org.apache.spark.sql.Row, i: Int): Long = r.get(i) match {
+    case t: Timestamp => micros(t)
+    case d: java.time.LocalDateTime =>
+      d.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + d.getNano / 1000
+  }
+
   test("eventGaps matches a per-user sequential recompute") {
     val events = tables.events.select("user_id", "ts", "event_id", "event_type")
-      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+      .collect().map(r => (r.getLong(0), microsOf(r, 1), r.getLong(2), r.getString(3)))
     val got = Analytics.eventGaps(tables).collect()
       .map(r => r.getLong(1) -> (r.getLong(0), r.getLong(2), r.getString(3))).toMap
     val byUser = events.groupBy(_._1)
     assert(got.size == events.length - byUser.size) // first event per user dropped
     byUser.foreach { case (u, rs) =>
-      val sorted = rs.sortBy(r => (micros(r._2), r._3))
+      val sorted = rs.sortBy(r => (r._2, r._3))
       sorted.sliding(2).filter(_.length == 2).zipWithIndex.foreach { case (pair, i) =>
         val (prev, cur) = (pair(0), pair(1))
         val (gu, gap, nxt) = got(cur._3)
-        assert(gu == u && gap == micros(cur._2) - micros(prev._2),
+        assert(gu == u && gap == cur._2 - prev._2,
           s"user $u event ${cur._3}: gap $gap")
         val expectNext = if (i + 2 < sorted.length) sorted(i + 2)._4 else ""
         assert(nxt == expectNext, s"user $u event ${cur._3}: next '$nxt' vs '$expectNext'")
@@ -320,7 +330,7 @@ class AnalyticsSpec extends SparkSpec {
 
   test("clicksBeforePurchase matches brute force and avoids cross-product plans") {
     val events = tables.events.select("event_id", "user_id", "ts", "event_type")
-      .collect().map(r => (r.getLong(0), r.getLong(1), micros(r.getTimestamp(2)), r.getString(3)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), microsOf(r, 2), r.getString(3)))
     val clicks = events.filter(_._4 == "click")
     val winUs = 3600L * 1000000L
     val expected = events.filter(_._4 == "purchase").map { p =>
@@ -593,7 +603,7 @@ class AnalyticsSpec extends SparkSpec {
 
   test("rollingUserValue equals a quadratic trailing-window recompute") {
     val events = tables.events.select("user_id", "event_id", "ts", "value").collect()
-      .map(r => (r.getLong(0), r.getLong(1), micros(r.getTimestamp(2)), r.getDouble(3)))
+      .map(r => (r.getLong(0), r.getLong(1), microsOf(r, 2), r.getDouble(3)))
     val got = Analytics.rollingUserValue(tables).collect()
       .map(r => r.getLong(1) -> (r.getDouble(2), r.getLong(3))).toMap
     assert(got.size == events.length)
@@ -676,7 +686,7 @@ class AnalyticsSpec extends SparkSpec {
 
   test("firstLastEvents picks each user's chronological entry and exit") {
     val ev = tables.events.select("user_id", "ts", "event_id", "event_type")
-      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getString(3)))
+      .collect().map(r => (r.getLong(0), microsOf(r, 1), r.getLong(2), r.getString(3)))
     val expected = ev.groupBy(_._1).map { case (u, rs) =>
       val sorted = rs.sortBy(r => (r._2, r._3))
       u -> (sorted.head._4, sorted.last._4, rs.length.toLong)
@@ -726,7 +736,7 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows(0)._3 >= rows(1)._3 && rows(1)._3 >= rows(2)._3)
     assert(rows(0)._4 == 1.0)
     val evs = tables.events
-      .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts").cast("timestamp")))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     val s1 = evs.filter(_._2 == "view").groupBy(_._1)
       .map { case (u, es) => u -> es.map(_._3).min }

@@ -162,6 +162,65 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1001L, 1004L), s"survivors: $kept")
   }
 
+  test("dedupeIncrement hot-bucket cap: corpus-side only, near-dups of cool docs still drop") {
+    import spark.implicits._
+    // existing corpus: a 40-doc boilerplate mega-bucket + one ordinary doc
+    val boiler = (10 until 50).map(i =>
+      (i.toLong, "terms of service all rights reserved contact us privacy policy", "en", "web"))
+    val cool = Seq(
+      (100L, "quick brown fox jumps over the lazy dog near the river bank", "en", "web"))
+    val existing = (boiler ++ cool).toDF("doc_id", "text", "lang", "source")
+    val incoming = Seq(
+      // near-dup of the COOL corpus doc: its band buckets are tiny, so the
+      // cap must not affect it — dropped under any cap setting
+      (200L, "quick brown fox jumps over the lazy dog near the river bend", "en", "batch"),
+      // genuinely novel
+      (201L, "novel zebra quartz lattice prism omega", "en", "batch"),
+      // near-dup of the BOILERPLATE: its only corpus collisions are in the
+      // dropped mega-bucket, so a low cap ADMITS it (the documented
+      // admit-duplicate asymmetry of the cap on the ingest path)
+      (202L, "terms of service all rights reserved contact us privacy policy extraword", "en", "batch"))
+      .toDF("doc_id", "text", "lang", "source")
+    val uncapped = Dedup.dedupeIncrement(existing, incoming)
+      .collect().map(_.getLong(0)).toSet
+    assert(uncapped == Set(201L), s"uncapped survivors: $uncapped")
+    val capped = Dedup.dedupeIncrement(existing, incoming, maxBucketSize = Some(10L))
+      .collect().map(_.getLong(0)).toSet
+    assert(capped == Set(201L, 202L), s"capped survivors: $capped")
+    // a cap above every bucket size changes nothing (exactness restored)
+    val high = Dedup.dedupeIncrement(existing, incoming, maxBucketSize = Some(1000L))
+      .collect().map(_.getLong(0)).toSet
+    assert(high == uncapped)
+  }
+
+  test("textSimSearch hot-bucket cap: a query in a hot bucket still finds its cool neighbor") {
+    import graft.sources.Tables
+    import spark.implicits._
+    // query doc 0 shares most bands with the 40-doc boilerplate bucket AND
+    // has one genuine near-dup (doc 50) outside it; corpus band rows of the
+    // mega-bucket are dropped under the cap, but the QUERY's band rows stay
+    // intact, so the (0, 50) collision survives through their private bucket
+    val qText = "terms of service all rights reserved contact us privacy policy plus unique suffix"
+    val boiler = (10 until 50).map(i =>
+      (i.toLong, "terms of service all rights reserved contact us privacy policy", "en", "web"))
+    val docs = (boiler ++ Seq(
+      (0L, qText, "en", "web"),
+      (50L, qText + " variant", "en", "web")))
+      .toDF("doc_id", "text", "lang", "source")
+    val t = Tables(spark, sfDir).withTable("documents", docs)
+    val uncapped = Dedup.textSimSearch(t, nQueries = 1)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(uncapped.contains(50L), s"uncapped neighbors: $uncapped")
+    assert(uncapped.exists(n => n >= 10L && n < 50L),
+      s"uncapped search should surface boilerplate neighbors too: $uncapped")
+    val capped = Dedup.textSimSearch(t, nQueries = 1, maxBucketSize = Some(10L))
+      .collect().map(r => r.getLong(1)).toSet
+    assert(capped.contains(50L),
+      s"query in a hot bucket must still reach its cool neighbor: $capped")
+    assert(!capped.exists(n => n >= 10L && n < 50L),
+      s"mega-bucket members must not surface under the cap: $capped")
+  }
+
   test("dedupeIncrement candidate volume is bounded by the batch (plan: no corpus self-join)") {
     val existing = tables.documents.filter($"doc_id" < 400)
     val incoming = tables.documents.filter($"doc_id" >= 400)
