@@ -363,6 +363,39 @@ object HashImpl {
     best
   }
 
+  /** [[nearestCell]] over a RAW float vector, unit-normalizing inline —
+    * the fused IVF assignment kernel: norm, division, and the cell scan
+    * run in one pass over the float array, so the operator needs no
+    * materialized double unit-vector column (the higher-order-function
+    * normalize lineage was the dominant cost of the assignment stage at
+    * toy scale, and an extra corpus-width array column at any scale).
+    * IEEE-identical to normalize-then-[[nearestCell]]: same cast, same
+    * accumulation order, same zero-vector guard (divide by 1). */
+  def nearestCellUnit(vec: ArrayData, cents: Array[Double], d: Int): Int = {
+    var n2 = 0.0
+    var i = 0
+    while (i < d) { val x = vec.getFloat(i).toDouble; n2 += x * x; i += 1 }
+    val n = math.sqrt(n2)
+    val inv = if (n == 0.0) 1.0 else n
+    val k = cents.length / d
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < k) {
+      var dist = 0.0
+      var j = 0
+      val off = c * d
+      while (j < d) {
+        val df = vec.getFloat(j).toDouble / inv - cents(off + j)
+        dist += df * df
+        j += 1
+      }
+      if (dist < bestD) { bestD = dist; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** Shannon entropy of a byte payload in bits/byte: ln(n) − Σc·ln(c)/n
     * over the 256-bin byte histogram, divided by ln 2. Real corrupt-media
     * signal — truncated/zero-padded blobs score near 0, encrypted or
@@ -578,6 +611,21 @@ case class NearestCell(child: Expression, cents: Array[Double], d: Int)
   * `aggregate(zip_with(...))` form runs interpreted lambda calls per
   * element; this stays inside whole-stage codegen like [[NearestCell]],
   * with the d-sized vector added as a generated-code reference object. */
+/** NearestCell over a raw float vector with inline unit-normalization —
+  * see [[HashImpl.nearestCellUnit]]. */
+case class NearestCellUnit(child: Expression, cents: Array[Double], d: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpl.nearestCellUnit(input.asInstanceOf[ArrayData], cents, d)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", cents, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.nearestCellUnit($c, $centsRef, $d)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): NearestCellUnit =
+    copy(child = newChild)
+}
+
 case class DotRef(child: Expression, v: Array[Double]) extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override protected def nullSafeEval(input: Any): Any =
@@ -656,6 +704,11 @@ object HashFunctions {
     val d = centroids.head.length
     require(centroids.forall(_.length == d), "ragged centroid matrix")
     col(NearestCell(expr(vec), centroids.flatten.toArray, d))
+  }
+  def nearestCellUnit(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+    val d = centroids.head.length
+    require(centroids.forall(_.length == d), "ragged centroid matrix")
+    col(NearestCellUnit(expr(vec), centroids.flatten.toArray, d))
   }
   def sortedJaccard(a: Column, b: Column): Column = col(SortedJaccard(expr(a), expr(b)))
 }

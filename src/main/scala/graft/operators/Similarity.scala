@@ -183,19 +183,37 @@ object Similarity {
     * centroids, since assignment and probing share them). */
   def ivfTopK(t: Tables, nQueries: Int = 10, k: Int = 5,
               nList: Int = 16, nProbe: Int = 4, lloydIters: Int = 2): DataFrame = {
-    val emb = withUnitNorm(t.embeddings, "embedding", "_unit")
-      .select(col("vec_id"), col("embedding"), col("_unit"))
-    // the sample collect is the only driver materialization, bounded by
-    // sampleTarget rows. Deterministic id predicate, NOT a random sample:
-    // the filter pushes to the scan, skips the sizing count() job, and —
-    // because vec_ids are content-uncorrelated in this corpus — is as
-    // unbiased as an RNG sample while being exactly replayable by the SQL
-    // oracle (a seeded .sample() depends on Spark's partition-level RNG,
-    // which no other engine can reproduce). vec_id-ordered so the
-    // first-`nList` init in fitCentroids is well-defined. */
+    // ONE driver materialization covers both the quantizer sample AND the
+    // query vectors (nQueries ≤ sampleTarget in any sane call; the bound
+    // takes the max regardless) — the toy-scale profile showed each extra
+    // collect costing a full job of scheduling overhead. Deterministic id
+    // predicate, NOT a random sample: the filter pushes to the scan, skips
+    // the sizing count() job, and — because vec_ids are content-
+    // uncorrelated in this corpus — is as unbiased as an RNG sample while
+    // being exactly replayable by the SQL oracle (a seeded .sample()
+    // depends on Spark's partition-level RNG, which no other engine can
+    // reproduce). Driver-side sort by vec_id keeps the first-`nList` init
+    // in fitCentroids well-defined without a cluster sort; unit-norms are
+    // computed on the driver with the same cast/accumulation order as the
+    // engine kernel, so the fit is bit-identical to the previous
+    // cluster-side normalize lineage.
     val sampleTarget = 1000L * nList
-    val sample = emb.filter(col("vec_id") < sampleTarget).orderBy("vec_id")
-      .select("_unit").collect().map(_.getSeq[Double](0).toArray)
+    val collected = t.embeddings
+      .filter(col("vec_id") < math.max(sampleTarget, nQueries.toLong))
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    def unitOf(v: Seq[Float]): Array[Double] = {
+      val d = v.toArray.map(_.toDouble)
+      var n2 = 0.0
+      var j = 0
+      while (j < d.length) { n2 += d(j) * d(j); j += 1 }
+      val n = math.sqrt(n2)
+      val inv = if (n == 0.0) 1.0 else n
+      d.map(_ / inv)
+    }
+    val sample = collected.filter(_._1 < sampleTarget).map(c => unitOf(c._2))
     if (sample.isEmpty)
       // empty corpus → empty result with the right shape, not a crash
       return t.embeddings.sparkSession.createDataFrame(
@@ -209,24 +227,23 @@ object Similarity {
             org.apache.spark.sql.types.DoubleType))))
     val cents = fitCentroids(sample, nList, iters = lloydIters)
 
-    val assigned = emb
-      .withColumn("cell",
-        HashFunctions.nearestCell(col("_unit"), cents.map(_.toSeq).toSeq))
-      .select(col("vec_id"), col("embedding"), col("cell"))
+    // assignment is ONE fused codegen'd kernel over the raw float column
+    // (norm + divide + cell scan per row) — no materialized double unit
+    // array, no higher-order-function lambdas in the corpus-wide stage
+    val assigned = t.embeddings
+      .select(col("vec_id"), col("embedding"),
+        HashFunctions.nearestCellUnit(col("embedding"), cents.map(_.toSeq).toSeq)
+          .as("cell"))
 
     // probe: nProbe nearest cells per query vector (euclidean on unit
     // sphere), computed on the DRIVER — the query set is bounded by this
     // API's contract (same reasoning as bruteForceTopK's broadcast side)
-    // and the centroids are already local from the fit, so a distributed
-    // probe would spend several AQE stages shuffling ~nQueries·nList rows.
+    // and the query vectors are already local from the shared collect, so
+    // a distributed probe would spend several AQE stages shuffling
+    // ~nQueries·nList rows.
     val spark = t.embeddings.sparkSession
-    val queryRows = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id"), col("embedding"), col("_unit"))
-      .collect()
-    val probedRows = queryRows.flatMap { r =>
-      val qid = r.getLong(0)
-      val qEmb = r.getSeq[Float](1)
-      val qUnit = r.getSeq[Double](2).toArray
+    val probedRows = collected.filter(_._1 < nQueries).flatMap { case (qid, qEmb) =>
+      val qUnit = unitOf(qEmb)
       val d2 = cents.zipWithIndex.map { case (c, i) =>
         var dist = 0.0; var j = 0
         while (j < c.length) { val df = qUnit(j) - c(j); dist += df * df; j += 1 }

@@ -105,6 +105,27 @@ object HashProperties extends Properties("HashImpl") {
       gotList == expected
     }
 
+  property("nearestCellUnit == unit-normalize then nearestCell, bit for bit") =
+    forAll(for {
+      d <- Gen.choose(2, 16)
+      k <- Gen.choose(1, 8)
+      vec <- Gen.listOfN(d, Gen.choose(-1000, 1000).map(_ / 100.0f))
+      cents <- Gen.listOfN(k * d, Gen.choose(-100, 100).map(_ / 100.0))
+    } yield (d, vec, cents)) { case (d, vec, cents) =>
+      val raw = new GenericArrayData(vec.toArray[Any])
+      // the reference path: cast-to-double, sum-of-squares in index order,
+      // sqrt, divide (zero vectors divide by 1) — exactly the engine's old
+      // normalize lineage
+      val dbl = vec.map(_.toDouble).toArray
+      var n2 = 0.0
+      dbl.foreach(x => n2 += x * x)
+      val n = math.sqrt(n2)
+      val inv = if (n == 0.0) 1.0 else n
+      val unit = new GenericArrayData(dbl.map(_ / inv).toArray[Any])
+      val ca = cents.toArray
+      HashImpl.nearestCellUnit(raw, ca, d) == HashImpl.nearestCell(unit, ca, d)
+    }
+
   property("cosine is 1 on self, symmetric, and in [-1, 1]") =
     forAll(Gen.choose(4, 64).flatMap(n =>
       Gen.listOfN(n, Gen.choose(-100, 100).map(_ / 10.0f)))) { xs =>
