@@ -49,11 +49,16 @@ object Graph {
     * before materialization. Callers MUST invoke the thunk when done. */
   private[graft] def pageRankPlan(
       t: Tables, iters: Int, d: Double): (DataFrame, () => Unit) = {
+    // node ids stay PACKED LONGS (suppkey·2 / custkey·2+1) through every
+    // shuffle, join, and aggregation — at corpus scale the edge table is
+    // the biggest thing moving, and 8-byte keys hash, compare, and ship
+    // far cheaper than "s123"-style strings. The display name is minted
+    // only on the node-cardinality output row.
     val pairs = t.lineitem.select(col("l_orderkey"), col("l_suppkey"))
       .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
-      .select(concat(lit("s"), col("l_suppkey").cast("string")).as("a"),
-        concat(lit("c"), col("o_custkey").cast("string")).as("b"))
+      .select(shiftleft(col("l_suppkey").cast("long"), 1).as("a"),
+        (shiftleft(col("o_custkey").cast("long"), 1) + 1).as("b"))
       .distinct()
     val edges = pairs
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
@@ -67,22 +72,32 @@ object Graph {
       .repartition(col("src"))
       .persist()
     // nodes inherits hashpartitioning(src→node) through the alias, so the
-    // distinct aggregates without an Exchange over the cache
+    // distinct aggregates without an Exchange over the cache; the eager
+    // checkpoint pins the (node-cardinality) result so the per-round plans
+    // below never re-aggregate the corpus-sized edge cache just to
+    // enumerate nodes
     val nodes = edgesDeg.select(col("src").as("node")).distinct()
-    val n = nodes.count() // materializes edgesDeg (and edges) fully
+      .localCheckpoint() // also materializes edgesDeg (and edges) fully
+    val n = nodes.count()
     edges.unpersist(blocking = false) // edgesDeg cache is now self-contained
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
     for (_ <- 1 to iters) {
-      val contribs = edgesDeg
+      // the damping term folds into the aggregate directly: the undirected
+      // edge list is symmetric by construction, so EVERY node appears as a
+      // dst and the contribution aggregate already carries one row per
+      // node — the nodes re-join (and its coalesce for never-occurring
+      // missing rows) would be a third shuffle per round for nothing
+      ranks = edgesDeg
         .join(ranks.select(col("node").as("src"), col("rank")), "src")
         .groupBy(col("dst").as("node"))
-        .agg(sum(col("rank") / col("_deg")).as("_in"))
-      ranks = nodes.join(contribs, Seq("node"), "left")
-        .select(col("node"),
-          (lit((1.0 - d) / n) + lit(d) * coalesce(col("_in"), lit(0.0))).as("rank"))
+        .agg((lit((1.0 - d) / n) + lit(d) * sum(col("rank") / col("_deg")))
+          .as("rank"))
     }
     val out = ranks
-      .select(col("node"), round(col("rank") * n, 6).as("rank_x_n"))
+      .select(
+        concat(when(col("node") % 2 === 0, "s").otherwise("c"),
+          shiftright(col("node"), 1).cast("string")).as("node"),
+        round(col("rank") * n, 6).as("rank_x_n"))
       .orderBy("node")
     (out, () => edgesDeg.unpersist(blocking = false))
   }
