@@ -831,23 +831,31 @@ object Analytics {
 
   /** Market-basket co-occurrence with lift: a basket is one (user, day);
     * pairs of distinct event types sharing a basket are counted and scored
-    * by lift = P(ab)/(P(a)P(b)). The basket table is (user, day, type)
-    * DISTINCT — the self-join runs co-partitioned on the basket key with
-    * fan-out bounded by the type vocabulary (≤ |types|² per basket), never
-    * by event volume; the singles/total tables are type- and
-    * basket-cardinality-bounded broadcasts. */
+    * by lift = P(ab)/(P(a)P(b)). ONE event-volume shuffle builds the
+    * per-basket distinct type SET (state bounded by the type vocabulary,
+    * sorted so downstream order is deterministic), checkpointed because
+    * pairs, singles, and the total all derive from it — the previous
+    * (user, day, type)-row formulation recomputed the corpus scan+distinct
+    * four times (both self-join sides, singles, total). Pairs explode
+    * map-side from each set (≤ |types|² per basket, never event volume);
+    * singles/total are type- and basket-cardinality aggregates. */
   def coOccurrenceLift(t: Tables): DataFrame = {
     val baskets = t.events
       .select(col("user_id"), to_date(col("ts")).as("_day"), col("event_type"))
-      .distinct()
-    val pairs = baskets.as("a")
-      .join(baskets.as("b"),
-        col("a.user_id") === col("b.user_id") && col("a._day") === col("b._day") &&
-          col("a.event_type") < col("b.event_type"))
-      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .groupBy("user_id", "_day")
+      .agg(sort_array(collect_set(col("event_type"))).as("_types"))
+      .select("_types")
+      .localCheckpoint() // basket-cardinality, narrow (one small array/row)
+    val pairs = baskets
+      .select(explode(flatten(transform(col("_types"),
+        (a, i) => transform(slice(col("_types"), i + 2, size(col("_types"))),
+          b => struct(a.as("type_a"), b.as("type_b")))))).as("_p"))
+      .select(col("_p.type_a"), col("_p.type_b"))
+      .groupBy("type_a", "type_b")
       .agg(count(lit(1)).as("n_ab"))
-    val singles = baskets.groupBy(col("event_type")).agg(count(lit(1)).as("n_one"))
-    val total = baskets.agg(count(lit(1)).as("_n"))
+    val singles = baskets.select(explode(col("_types")).as("event_type"))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_one"))
+    val total = baskets.agg(sum(size(col("_types"))).as("_n"))
     pairs
       .join(broadcast(singles.select(col("event_type").as("type_a"), col("n_one").as("_na"))), "type_a")
       .join(broadcast(singles.select(col("event_type").as("type_b"), col("n_one").as("_nb"))), "type_b")
