@@ -147,6 +147,7 @@ object SparkEntry {
     "q_tfidf" -> ((s, d) => TextAnalysis.tfIdfTopTerms(Tables(s, d))),
     "q_pii_redact" -> ((s, d) => TextAnalysis.piiCounts(Tables(s, d))),
     "q_lm_score" -> ((s, d) => TextAnalysis.lmScore(Tables(s, d))),
+    "q_dsir_weights" -> ((s, d) => TextAnalysis.importanceWeights(Tables(s, d))),
     "q_pack_sequences" -> ((s, d) => {
       import graft.operators.Packing
       Packing.packDocuments(Tables(s, d))
@@ -226,6 +227,7 @@ object SparkEntry {
     "q_text_simsearch" -> ((s, d) => Dedup.textSimSearch(Tables(s, d))),
     "q_dedup_cluster_sizes" -> ((s, d) => Dedup.dedupClusterSizes(Tables(s, d))),
     "q_vocab_oov" -> ((s, d) => TextAnalysis.vocabOov(Tables(s, d))),
+    "q_oov_curve" -> ((s, d) => TextAnalysis.oovCurve(Tables(s, d))),
     "q_passage_dup" -> ((s, d) => Packing.passageDupScores(Tables(s, d))),
     "q_intersect" -> ((s, d) => Analytics.intersectKeys(Tables(s, d))),
     "q_except" -> ((s, d) => Analytics.exceptKeys(Tables(s, d))),
@@ -519,6 +521,14 @@ object SparkEntry {
         "scored AS (SELECT doc_id, tok.token AS token, round(tf * ln(n_docs * 1.0 / df), 6) AS tfidf FROM tok JOIN dfreq ON tok.token = dfreq.token CROSS JOIN n), " +
         "ranked AS (SELECT doc_id, token, tfidf, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS BIGINT) AS rk FROM scored) " +
         "SELECT doc_id, token, tfidf, rk FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk"),
+    "q_dsir_weights" ->
+      ("WITH toks AS (SELECT doc_id, source, token FROM (SELECT doc_id, source, " +
+        "unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token FROM documents) WHERE token <> ''), " +
+        "stats AS (SELECT token, count(*) AS cc, sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct FROM toks GROUP BY token), " +
+        "norms AS (SELECT sum(cc) AS nc, sum(ct) AS nt, count(*) AS v FROM stats), " +
+        "ratios AS (SELECT token, ln((ct + 1.0) / (nt + v)) - ln((cc + 1.0) / (nc + v)) AS r FROM stats, norms) " +
+        "SELECT doc_id, count(*) AS n_tokens, round(sum(r), 6) AS log_weight " +
+        "FROM toks JOIN ratios USING (token) GROUP BY doc_id ORDER BY doc_id"),
     "q_lm_score" ->
       ("WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk FROM documents), " +
         "bi AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2 FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM toks WHERE len(tk) >= 2)), " +
@@ -633,6 +643,15 @@ object SparkEntry {
         "GROUP BY l.l_returnflag ORDER BY l.l_returnflag"),
     "q_text_simsearch" -> MinhashOracleSql.textSimSearch(),
     "q_dedup_cluster_sizes" -> MinhashOracleSql.dedupClusterSizes(),
+    "q_oov_curve" ->
+      ("WITH toks AS (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS w FROM documents), " +
+        "vc AS (SELECT w, count(*) AS n_w FROM toks GROUP BY w), " +
+        "tot AS (SELECT sum(n_w) AS n FROM vc), " +
+        "top AS (SELECT n_w, row_number() OVER (ORDER BY n_w DESC, w ASC) AS rk FROM vc ORDER BY n_w DESC, w ASC LIMIT 128), " +
+        "sizes AS (SELECT unnest([8, 16, 32, 64, 128]) AS vocab_size), " +
+        "curve AS (SELECT s.vocab_size, CAST(sum(t.n_w) AS BIGINT) AS in_vocab FROM sizes s JOIN top t ON t.rk <= s.vocab_size GROUP BY s.vocab_size) " +
+        "SELECT vocab_size, in_vocab, round(1.0 - CAST(in_vocab AS DOUBLE) / (SELECT n FROM tot), 6) AS oov_rate " +
+        "FROM curve ORDER BY vocab_size"),
     "q_vocab_oov" ->
       ("WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS w FROM documents), " +
         "vc AS (SELECT w, count(*) AS n_w FROM toks GROUP BY w), " +

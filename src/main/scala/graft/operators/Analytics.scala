@@ -959,14 +959,20 @@ object Analytics {
   def funnelSteps(t: Tables,
                   steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
     val ev = t.events.select(col("user_id"), col("event_type"), col("ts"))
-    // entry(k): per-user earliest qualifying timestamp for step k
+    // entry(k): per-user earliest qualifying timestamp for step k. Each
+    // entry table is checkpointed: the lazy scanLeft chain would otherwise
+    // re-derive steps 1..k-1 inside step k's plan — k(k+1)/2 filtered
+    // fact-table scans instead of k. Entries are user-cardinality (bounded
+    // far below event volume), the natural materialization grain.
     val first = ev.filter(col("event_type") === steps.head)
       .groupBy("user_id").agg(min("ts").as("_entry"))
+      .localCheckpoint()
     val entries = steps.tail.scanLeft(first) { (prev, step) =>
       ev.filter(col("event_type") === step)
         .join(prev.select(col("user_id"), col("_entry").as("_prev")), "user_id")
         .filter(col("ts") > col("_prev"))
         .groupBy("user_id").agg(min("ts").as("_entry"))
+        .localCheckpoint()
     }
     val counts = entries.zip(steps.zipWithIndex).map { case (df, (step, i)) =>
       df.agg(count(lit(1)).as("n_users"))

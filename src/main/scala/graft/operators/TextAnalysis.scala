@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.HashFunctions
 import graft.sources.Tables
@@ -369,6 +370,35 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** OOV-rate curve over candidate vocabulary sizes — the tokenizer-sizing
+    * sweep run before committing to a vocab: for each V in `sizes`, the
+    * fraction of corpus token INSTANCES falling outside the top-V
+    * vocabulary (count DESC, token ASC — [[vocabOov]]'s deterministic
+    * boundary). The whole curve costs ONE corpus scan: every size is
+    * answered from the unigram count table, the top-max(V) boundary plans
+    * as TakeOrderedAndProject (per-partition heaps — the web-scale unigram
+    * table never funnels through a global Window), and the row_number
+    * runs over the already-truncated max(V)-row result, a
+    * bounded-by-construction single partition. */
+  def oovCurve(t: Tables, sizes: Seq[Int] = Seq(8, 16, 32, 64, 128)): DataFrame = {
+    val maxV = sizes.max
+    val counts = t.documents
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n_w"))
+    val total = counts.agg(sum("n_w").as("_n"))
+    val wRank = Window.orderBy(col("n_w").desc, col("w").asc)
+    val top = counts.orderBy(col("n_w").desc, col("w").asc).limit(maxV)
+      .withColumn("rk", row_number().over(wRank))
+    top.select(col("n_w"), col("rk"),
+        explode(array(sizes.map(lit): _*)).as("vocab_size"))
+      .filter(col("rk") <= col("vocab_size"))
+      .groupBy("vocab_size").agg(sum("n_w").as("in_vocab"))
+      .crossJoin(broadcast(total))
+      .select(col("vocab_size"), col("in_vocab"),
+        round(lit(1.0) - col("in_vocab").cast("double") / col("_n"), 6).as("oov_rate"))
+      .orderBy("vocab_size")
+  }
+
   /** Top bigram collocations by pointwise mutual information:
     * PMI(a,b) = ln( p(ab) / (p(a)·p(b)) ) with p from corpus counts. The
     * bigram stream is built map-side by zipping each token array with its
@@ -499,6 +529,47 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"),
         round(log(col("n_tokens")) - col("_clnc") / col("n_tokens"), 6)
           .as("entropy"))
+      .orderBy("doc_id")
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling" — public algorithm): score
+    * every document by the log-likelihood ratio of its tokens under a
+    * TARGET unigram distribution (here: the documents of one source,
+    * standing in for "high-quality domain data") versus the full-corpus
+    * distribution, with add-one smoothing over the joint vocabulary.
+    * Documents that look like the target get positive weights; importance
+    * resampling on these weights is the standard pretraining data-selection
+    * step this operator feeds.
+    *
+    * Scale shape: ONE corpus token scan builds the token-cardinality
+    * (corpus count, target count) table via conditional aggregation — the
+    * target model is NOT a second scan. The scalar normalizers (token
+    * totals + vocab size) fold in as a 1-row broadcast, and the resulting
+    * per-token log-ratio table is eagerly checkpointed (token-type
+    * cardinality — vocabulary-bounded, far below corpus size). The second
+    * and only other corpus scan joins tokens to ratios (AQE broadcasts the
+    * vocabulary side when it fits; otherwise a token-keyed shuffle join)
+    * and sums per document — per-doc state is one double. ln() is
+    * libm-vs-JVM 1-ulp divergent; round-6 follows the q_lm_score
+    * precedent. */
+  def importanceWeights(t: Tables, targetSource: String = "src0"): DataFrame = {
+    val toks = t.documents
+      .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("w"))
+    val stats = toks
+      .groupBy("w")
+      .agg(count(lit(1)).as("_cc"),
+        sum(when(col("source") === targetSource, 1L).otherwise(0L)).as("_ct"))
+    val norms = stats.agg(
+      sum("_cc").as("_nc"), sum("_ct").as("_nt"), count(lit(1)).as("_v"))
+    val ratios = stats.crossJoin(broadcast(norms))
+      .select(col("w"),
+        (log((col("_ct") + 1.0) / (col("_nt") + col("_v"))) -
+          log((col("_cc") + 1.0) / (col("_nc") + col("_v")))).as("_r"))
+      .localCheckpoint() // vocabulary-cardinality; shared ratio model
+    toks.join(ratios, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), round(sum("_r"), 6).as("log_weight"))
       .orderBy("doc_id")
   }
 

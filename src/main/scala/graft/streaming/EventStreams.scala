@@ -21,13 +21,22 @@ object EventStreams {
 
   final case class FunnelProgress(user_id: Long, step: Int, entry_us: Long)
 
+  /** Event time must be zoned TIMESTAMP for watermarking
+    * (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise) — but parquet-backed
+    * streams can deliver `ts` as TIMESTAMP_NTZ depending on the writer.
+    * The cast is exact under the engine's pinned UTC session timezone and
+    * a no-op for already-zoned inputs (same normalization as the batch
+    * side's epoch-micros helper). */
+  private def withEventTime(events: DataFrame): DataFrame =
+    events.withColumn("ts", col("ts").cast("timestamp"))
+
   /** Watermarked tumbling-window aggregation — the canonical streaming agg.
     * State per (window, event_type) is dropped once the watermark passes, so
     * memory is bounded regardless of stream length. */
   def windowedCounts(events: DataFrame,
                      watermark: String = "10 minutes",
                      windowLen: String = "1 hour"): DataFrame =
-    events
+    withEventTime(events)
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
@@ -44,7 +53,7 @@ object EventStreams {
                     watermark: String = "10 minutes",
                     windowLen: String = "1 hour",
                     slide: String = "30 minutes"): DataFrame =
-    events
+    withEventTime(events)
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
@@ -54,7 +63,7 @@ object EventStreams {
   /** Session windows via the built-in `session_window` (gap-based), the
     * declarative + scalable path for sessionization. */
   def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
-    events
+    withEventTime(events)
       .withWatermark("ts", "10 minutes")
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
@@ -67,7 +76,7 @@ object EventStreams {
     * watermark (old keys are evicted), so it runs forever on an unbounded
     * stream. */
   def dedupStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
-    events
+    withEventTime(events)
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 

@@ -352,22 +352,33 @@ class DedupSpec extends SparkSpec {
 
   test("sourceOverlap counts distinct shared fingerprints per source pair") {
     import org.apache.spark.sql.functions.{col, lower, md5, trim}
+    def recompute(t: graft.sources.Tables): Seq[(String, String, Long)] = {
+      val fpSrc = t.documents
+        .select(md5(lower(trim(col("text")))).as("fp"), col("source"))
+        .collect().map(r => (r.getString(0), r.getString(1))).distinct
+      val bySrc = fpSrc.groupBy(_._2).map { case (s, xs) => s -> xs.map(_._1).toSet }
+      (for {
+        (sa, fa) <- bySrc.toSeq; (sb, fb) <- bySrc.toSeq if sa < sb
+        n = (fa & fb).size if n >= 1
+      } yield (sa, sb, n.toLong)).sortBy(r => (-r._3, r._1, r._2))
+    }
     val got = Dedup.sourceOverlap(tables)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-    // driver-side recompute from raw (fingerprint, source) rows
-    val fpSrc = tables.documents
-      .select(md5(lower(trim(col("text")))).as("fp"), col("source"))
-      .collect().map(r => (r.getString(0), r.getString(1))).distinct
-    val bySrc = fpSrc.groupBy(_._2).map { case (s, xs) => s -> xs.map(_._1).toSet }
-    val expected = (for {
-      (sa, fa) <- bySrc.toSeq; (sb, fb) <- bySrc.toSeq if sa < sb
-      n = (fa & fb).size if n >= 1
-    } yield (sa, sb, n.toLong)).sortBy(r => (-r._3, r._1, r._2))
-    assert(got.toSeq == expected)
-    // a duplicate-group's size must not inflate the count: every pair count
-    // is bounded by the smaller source's distinct fingerprint count
-    got.foreach { case (sa, sb, n) =>
-      assert(n <= math.min(bySrc(sa).size, bySrc(sb).size))
-    }
+    assert(got.toSeq == recompute(tables))
+    // the generated corpus may legitimately have zero cross-source dups, so
+    // pin the positive behavior by INJECTING mirrors: 3 docs syndicated
+    // into a new source must surface as (source, zmirror) pairs with exact
+    // shared-fingerprint counts — and duplicate-group size must not
+    // inflate them (each mirrored doc is copied twice under distinct ids)
+    val docs = tables.documents
+    val mirror = docs.filter($"doc_id" < 3)
+      .withColumn("source", lit("zmirror"))
+    val t2 = tables.withTable("documents",
+      docs.union(mirror.withColumn("doc_id", $"doc_id" + 7000000L))
+        .union(mirror.withColumn("doc_id", $"doc_id" + 8000000L)))
+    val got2 = Dedup.sourceOverlap(t2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got2.toSeq == recompute(t2))
+    assert(got2.exists(_._2 == "zmirror"), s"injected mirror pairs missing: ${got2.toSeq}")
   }
 }

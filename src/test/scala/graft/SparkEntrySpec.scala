@@ -6,11 +6,18 @@ package graft
   * entry before the driver does. */
 class SparkEntrySpec extends SparkSpec {
 
+  // queries whose CORRECT answer is legitimately empty on a given corpus:
+  // cross-source mirror detection finds nothing when the generated corpus
+  // has no cross-source duplicates (the DuckDB oracle agrees on 0 rows —
+  // the differential gate still exercises it; DedupSpec injects mirrors to
+  // pin the positive behavior)
+  private val mayBeEmpty = Set("q_source_overlap", "q_except")
+
   test("every query runs and returns rows at sf0.001") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
         val n = fn(spark, sfDir).count()
-        if (n > 0) None else Some(s"$name: 0 rows")
+        if (n > 0 || mayBeEmpty(name)) None else Some(s"$name: 0 rows")
       } catch {
         case e: Throwable => Some(s"$name: ${e.getMessage.take(120)}")
       }

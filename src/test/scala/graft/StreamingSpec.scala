@@ -60,15 +60,23 @@ class StreamingSpec extends SparkSpec {
       .writeStream.format("memory").queryName("fwc").outputMode("complete").start()
     try {
       q.processAllAvailable()
-      val got = spark.table("fwc").collect()
-        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+      // date_format in the session tz on BOTH sides: the stream's w_start
+      // is zoned TIMESTAMP (watermark normalization) while the batch
+      // window over the raw parquet may be NTZ — same UTC wall-clock
+      // either way, but different JVM classes under getTimestamp
+      val got = spark.table("fwc")
+        .select(date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
           math.round(r.getDouble(3) * 1e4))).toSet
       val want = spark.read.parquet(src)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), sum("value").as("v"))
-        .select(col("window.start"), col("event_type"), col("n"), col("v"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss"),
+          col("event_type"), col("n"), col("v"))
         .collect()
-        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
           math.round(r.getDouble(3) * 1e4))).toSet
       assert(got == want && got.nonEmpty)
     } finally q.stop()

@@ -318,6 +318,61 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("oovCurve is monotone in vocab size and matches a driver-side recompute") {
+    val got = TextAnalysis.oovCurve(tables).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == Seq(8, 16, 32, 64, 128))
+    // more vocabulary can only lower the OOV rate
+    got.sliding(2).foreach { case Array(a, b) => assert(b._3 <= a._3 + 1e-12) }
+    val toks = tables.documents.select("text").collect()
+      .flatMap(_.getString(0).trim.toLowerCase.split("\\s+").filter(_.nonEmpty))
+    val ranked = toks.groupBy(identity).map { case (w, hits) => (w, hits.length.toLong) }
+      .toSeq.sortBy { case (w, n) => (-n, w) }
+    got.foreach { case (v, inVocab, rate) =>
+      val expect = ranked.take(v).map(_._2).sum
+      assert(inVocab == expect, s"V=$v")
+      assert(math.abs(rate - (1.0 - expect.toDouble / toks.length)) < 1e-6, s"V=$v")
+    }
+  }
+
+  test("oovCurve plans the vocabulary boundary as TakeOrderedAndProject") {
+    val plan = planOf(TextAnalysis.oovCurve(tables))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("importanceWeights matches a driver-side smoothed log-ratio recompute") {
+    val got = TextAnalysis.importanceWeights(tables).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val docs = tables.documents.select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq))
+    assert(got.size == docs.length)
+    val cc = scala.collection.mutable.Map.empty[String, Long]
+    val ct = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach { case (_, src, toks) =>
+      toks.foreach { w =>
+        cc(w) = cc.getOrElse(w, 0L) + 1
+        if (src == "src0") ct(w) = ct.getOrElse(w, 0L) + 1
+      }
+    }
+    val (nc, nt, v) = (cc.values.sum, ct.values.sum, cc.size.toLong)
+    docs.foreach { case (id, _, toks) =>
+      val expect = toks.map { w =>
+        math.log((ct.getOrElse(w, 0L) + 1.0) / (nt + v)) -
+          math.log((cc(w) + 1.0) / (nc + v))
+      }.sum
+      val (n, lw) = got(id)
+      assert(n == toks.length, s"doc $id")
+      assert(math.abs(lw - expect) < 1e-4, s"doc $id: $lw vs $expect")
+    }
+    // the target source's documents must score higher on average than the
+    // rest — the property importance resampling relies on
+    val bySrc = docs.map { case (id, src, _) => (src == "src0", got(id)._2) }
+    val tAvg = bySrc.filter(_._1).map(_._2)
+    val oAvg = bySrc.filterNot(_._1).map(_._2)
+    assert(tAvg.sum / tAvg.size > oAvg.sum / oAvg.size)
+  }
+
   test("lengthBandFilter keeps the central p5–p95 mass per language") {
     val rows = TextAnalysis.lengthBandFilter(tables).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
