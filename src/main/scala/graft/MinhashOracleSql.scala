@@ -608,6 +608,38 @@ w AS (SELECT source, n_tokens, CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE) AS p
 wt AS (SELECT CAST(sum(wi) AS BIGINT) AS wtot FROM w)
 SELECT source, n_tokens, round(p, 6) AS p_raw, round(CAST(wi AS DOUBLE) / CAST(wtot AS DOUBLE), 6) AS alpha_share FROM w CROSS JOIN wt ORDER BY source"""
 
+  /** Oracle for q_quality_model
+    * ([[graft.operators.TextAnalysis.qualityModel]]): the fixed-iteration
+    * logistic-regression training loop re-derived as a materialized CTE
+    * chain (pattern: the q_ann_ivf loop-built oracle). Each iteration's
+    * 1-row weight CTE computes the four gradient sums over the feature
+    * CTE with the previous weights grouped in; the z expression keeps the
+    * engine's exact textual operand/associativity order so the only
+    * cross-engine drift is libm exp/ln ulps and float-sum order, absorbed
+    * by the round-6 payload. */
+  def qualityModel(targetSource: String = "src0", iters: Int = 5): String = {
+    def zOf(w: String) =
+      s"f.x0*$w.w0 + f.x1*$w.w1 + f.x2*$w.w2 + f.x3*$w.w3"
+    def sig(w: String) = s"1.0 / (1.0 + exp(-(${zOf(w)})))"
+    val head =
+      s"""WITH toks AS (SELECT doc_id, source, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS w FROM documents),
+pd AS (SELECT doc_id, CASE WHEN source = '$targetSource' THEN 1.0 ELSE 0.0 END AS y, ln(1.0 + count(*)) AS f1, avg(length(w)) AS f2, CAST(count(DISTINCT w) AS DOUBLE) / count(*) AS f3 FROM toks GROUP BY doc_id, source),
+st AS MATERIALIZED (SELECT avg(f1) AS m1, stddev_pop(f1) AS s1, avg(f2) AS m2, stddev_pop(f2) AS s2, avg(f3) AS m3, stddev_pop(f3) AS s3, count(*) AS c FROM pd),
+feat AS MATERIALIZED (SELECT doc_id, y, 1.0 AS x0, (f1 - m1) / (CASE WHEN s1 = 0.0 THEN 1.0 ELSE s1 END) AS x1, (f2 - m2) / (CASE WHEN s2 = 0.0 THEN 1.0 ELSE s2 END) AS x2, (f3 - m3) / (CASE WHEN s3 = 0.0 THEN 1.0 ELSE s3 END) AS x3 FROM pd, st),
+w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"""
+    val steps = (1 to iters).map { k =>
+      val p = s"w${k - 1}"
+      val upd = (0 to 3).map { i =>
+        s"w.w$i + 1.0 * sum((f.y - ${sig("w")}) * f.x$i) / (SELECT c FROM st) AS w$i"
+      }.mkString(", ")
+      s"w$k AS MATERIALIZED (SELECT $upd FROM feat f, $p w GROUP BY w.w0, w.w1, w.w2, w.w3)"
+    }
+    (Seq(head) ++ steps).mkString(",\n") +
+      s"""
+SELECT f.doc_id, CAST(f.y AS INT) AS label, round(${sig("w")}, 6) AS score
+FROM feat f, w$iters w ORDER BY f.doc_id"""
+  }
+
   /** Oracle for q_weighted_sample
     * ([[graft.operators.Sampling.weightedSample]]): the hash-keyed A-ES
     * ranking re-derived — u from the same xxhash64(doc_id) bucket

@@ -148,6 +148,7 @@ object SparkEntry {
     "q_pii_redact" -> ((s, d) => TextAnalysis.piiCounts(Tables(s, d))),
     "q_lm_score" -> ((s, d) => TextAnalysis.lmScore(Tables(s, d))),
     "q_dsir_weights" -> ((s, d) => TextAnalysis.importanceWeights(Tables(s, d))),
+    "q_quality_model" -> ((s, d) => TextAnalysis.qualityModel(Tables(s, d))),
     "q_pack_sequences" -> ((s, d) => {
       import graft.operators.Packing
       Packing.packDocuments(Tables(s, d))
@@ -521,6 +522,7 @@ object SparkEntry {
         "scored AS (SELECT doc_id, tok.token AS token, round(tf * ln(n_docs * 1.0 / df), 6) AS tfidf FROM tok JOIN dfreq ON tok.token = dfreq.token CROSS JOIN n), " +
         "ranked AS (SELECT doc_id, token, tfidf, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS BIGINT) AS rk FROM scored) " +
         "SELECT doc_id, token, tfidf, rk FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk"),
+    "q_quality_model" -> KernelOracleSql.qualityModel(),
     "q_dsir_weights" ->
       ("WITH toks AS (SELECT doc_id, source, token FROM (SELECT doc_id, source, " +
         "unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token FROM documents) WHERE token <> ''), " +

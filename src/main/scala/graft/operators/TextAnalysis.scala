@@ -573,6 +573,71 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Trainable quality classifier — logistic regression by FIXED-ITERATION
+    * batch gradient descent, entirely in DataFrame aggregations (the
+    * classic LM-data quality-filter shape: score every document by a tiny
+    * model trained to recognize a trusted "positive domain", here one
+    * source as weak supervision — the same target [[importanceWeights]]
+    * reweights toward). Features are deterministic token statistics
+    * (log-length, mean token length, type-token ratio), z-standardized by
+    * corpus moments.
+    *
+    * Scale shape: the standardized feature table (doc-cardinality, four
+    * doubles per row) is checkpointed ONCE; each of the `iters` gradient
+    * steps is then a single partial+final aggregation producing a 4-double
+    * gradient on the driver — the only driver state is the weight vector,
+    * and nothing corpus-sized moves after the checkpoint. Scoring is one
+    * narrow pass over the checkpoint. Fixed iterations keep the result
+    * deterministic and SQL-replayable (the oracle re-derives the training
+    * loop as a materialized CTE chain, pattern: q_ann_ivf / q_embed_pca).
+    * exp() is libm-vs-JVM 1-ulp divergent; round-6 follows the q_lm_score
+    * precedent. */
+  def qualityModel(t: Tables, targetSource: String = "src0",
+                   iters: Int = 5, lr: Double = 1.0): DataFrame = {
+    val perDoc = t.documents
+      .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("_n"),
+        avg(length(col("w"))).as("_alen"),
+        countDistinct(col("w")).as("_nd"))
+      .select(col("doc_id"),
+        when(col("source") === targetSource, 1.0).otherwise(0.0).as("y"),
+        log(lit(1.0) + col("_n")).as("f1"),
+        col("_alen").as("f2"),
+        (col("_nd").cast("double") / col("_n")).as("f3"))
+      .localCheckpoint() // doc-cardinality; serves the moments AND the features
+    val stats = perDoc.agg(
+      avg("f1").as("m1"), stddev_pop("f1").as("s1"),
+      avg("f2").as("m2"), stddev_pop("f2").as("s2"),
+      avg("f3").as("m3"), stddev_pop("f3").as("s3"),
+      count(lit(1)).as("_cnt"))
+    def z(f: String, m: String, s: String) =
+      (col(f) - col(m)) / when(col(s) === 0.0, 1.0).otherwise(col(s))
+    val statsRow = stats.head()
+    val cnt = statsRow.getLong(statsRow.fieldIndex("_cnt")).toDouble
+    val feat = perDoc.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("y"), lit(1.0).as("x0"),
+        z("f1", "m1", "s1").as("x1"),
+        z("f2", "m2", "s2").as("x2"),
+        z("f3", "m3", "s3").as("x3"))
+      .localCheckpoint()
+    var w = Array(0.0, 0.0, 0.0, 0.0)
+    def zExpr: Column = // left-assoc add chain, mirrored textually in the oracle
+      col("x0") * w(0) + col("x1") * w(1) + col("x2") * w(2) + col("x3") * w(3)
+    for (_ <- 1 to iters) {
+      val p = lit(1.0) / (lit(1.0) + exp(-zExpr))
+      val g = feat.agg(
+        sum((col("y") - p) * col("x0")).as("g0"),
+        sum((col("y") - p) * col("x1")).as("g1"),
+        sum((col("y") - p) * col("x2")).as("g2"),
+        sum((col("y") - p) * col("x3")).as("g3")).head()
+      w = Array.tabulate(4)(i => w(i) + lr * g.getDouble(i) / cnt)
+    }
+    feat.select(col("doc_id"), col("y").cast("int").as("label"),
+        round(lit(1.0) / (lit(1.0) + exp(-zExpr)), 6).as("score"))
+      .orderBy("doc_id")
+  }
+
   /** Per-language length-band filter: keep documents whose n_chars lies in
     * the language's [p5, p95] interpolated-percentile band — the standard
     * outlier-length cleanup before training. The band comes from one

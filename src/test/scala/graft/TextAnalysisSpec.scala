@@ -318,6 +318,49 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("qualityModel matches a driver-side GD recompute and separates the target source") {
+    val got = TextAnalysis.qualityModel(tables).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val docs = tables.documents.select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq))
+      .sortBy(_._1)
+    assert(got.length == docs.length)
+    // identical feature pipeline, GD loop, and scoring on the driver
+    val raw = docs.map { case (id, src, toks) =>
+      val y = if (src == "src0") 1.0 else 0.0
+      val f1 = math.log(1.0 + toks.length)
+      val f2 = toks.map(_.length).sum.toDouble / toks.length
+      val f3 = toks.distinct.length.toDouble / toks.length
+      (id, y, Array(f1, f2, f3))
+    }
+    val n = raw.length
+    val ms = (0 to 2).map(j => raw.map(_._3(j)).sum / n)
+    val ss = (0 to 2).map(j =>
+      math.sqrt(raw.map(r => math.pow(r._3(j) - ms(j), 2)).sum / n))
+    val feat = raw.map { case (id, y, f) =>
+      (id, y, Array(1.0) ++ (0 to 2).map(j =>
+        (f(j) - ms(j)) / (if (ss(j) == 0.0) 1.0 else ss(j))))
+    }
+    var w = Array(0.0, 0.0, 0.0, 0.0)
+    def sig(x: Array[Double]) =
+      1.0 / (1.0 + math.exp(-(x(0) * w(0) + x(1) * w(1) + x(2) * w(2) + x(3) * w(3))))
+    for (_ <- 1 to 5) {
+      val g = Array.tabulate(4)(i => feat.map { case (_, y, x) => (y - sig(x)) * x(i) }.sum)
+      w = Array.tabulate(4)(i => w(i) + g(i) / n)
+    }
+    val expect = feat.map { case (id, y, x) => id -> (y.toInt, sig(x)) }.toMap
+    got.foreach { case (id, lbl, score) =>
+      val (ey, es) = expect(id)
+      assert(lbl == ey, s"doc $id label")
+      assert(math.abs(score - es) < 1e-4, s"doc $id: $score vs $es")
+    }
+    // the trained model must rank the weakly-supervised positives higher
+    val pos = got.filter(_._2 == 1).map(_._3)
+    val neg = got.filter(_._2 == 0).map(_._3)
+    assert(pos.sum / pos.size > neg.sum / neg.size)
+  }
+
   test("oovCurve is monotone in vocab size and matches a driver-side recompute") {
     val got = TextAnalysis.oovCurve(tables).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
