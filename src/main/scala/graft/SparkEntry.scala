@@ -149,6 +149,10 @@ object SparkEntry {
     "q_lm_score" -> ((s, d) => TextAnalysis.lmScore(Tables(s, d))),
     "q_dsir_weights" -> ((s, d) => TextAnalysis.importanceWeights(Tables(s, d))),
     "q_quality_model" -> ((s, d) => TextAnalysis.qualityModel(Tables(s, d))),
+    "q_media_video" -> ((s, d) => {
+      import graft.operators.Multimodal
+      Multimodal.videoDecodeStats(Tables(s, d))
+    }),
     "q_pack_sequences" -> ((s, d) => {
       import graft.operators.Packing
       Packing.packDocuments(Tables(s, d))
@@ -523,6 +527,15 @@ object SparkEntry {
         "ranked AS (SELECT doc_id, token, tfidf, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS BIGINT) AS rk FROM scored) " +
         "SELECT doc_id, token, tfidf, rk FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk"),
     "q_quality_model" -> KernelOracleSql.qualityModel(),
+    "q_media_video" ->
+      ("WITH p AS (SELECT doc_id, n_chars % 8 + 2 AS w, doc_id % 6 + 2 AS h, doc_id % 4 + 2 AS nf, " +
+        "([8, 10, 16, 20, 25])[CAST(doc_id % 5 AS INT) + 1] AS fps FROM documents), " +
+        "f AS (SELECT *, unnest(range(0, nf)) AS fr FROM p), " +
+        "fy AS (SELECT *, unnest(range(0, h)) AS y FROM f), " +
+        "fxy AS (SELECT *, unnest(range(0, w)) AS x FROM fy) " +
+        "SELECT doc_id, CAST(nf AS BIGINT) AS n_frames, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, " +
+        "round(CAST(fps AS DOUBLE), 6) AS fps, round(avg((31 * doc_id + 7 * x + 13 * y + 19 * fr) % 256), 6) AS mean_gray " +
+        "FROM fxy GROUP BY doc_id, nf, w, h, fps ORDER BY doc_id"),
     "q_dsir_weights" ->
       ("WITH toks AS (SELECT doc_id, source, token FROM (SELECT doc_id, source, " +
         "unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token FROM documents) WHERE token <> ''), " +

@@ -67,12 +67,14 @@ object Multimodal {
           .as("byte_entropy"))
       .orderBy("doc_id")
 
-  /** STUB decode kernel — stands in for an AUDIO/VIDEO codec (genuinely
-    * absent from this container; IMAGES decode for real via
-    * [[decodeImagePayloads]]). Deterministic: derives "dimensions" and a
-    * checksum from the payload bytes, so specs can assert exact values. A
-    * real deployment swaps only this function; the surrounding batch
-    * plumbing is unchanged. */
+  /** STUB decode kernel — the pluggable-codec PLUMBING surface only: every
+    * real modality now decodes for real ([[decodeImagePayloads]] via
+    * javax.imageio, [[decodeAudioPayloads]] via javax.sound.sampled,
+    * [[decodeVideoPayloads]] via the RIFF/AVI parser). This stand-in
+    * remains for codecs the JDK genuinely lacks (H.264, vorbis, …):
+    * deterministic "dimensions" and a checksum from the payload bytes, so
+    * specs can pin the batch plumbing a real native codec would slot
+    * into. */
   def decodeStub(r: MediaRecord): MediaFeatures = {
     var h = 0xcbf29ce484222325L
     var i = 0
@@ -359,6 +361,221 @@ object Multimodal {
         col("n_frames"),
         round(col("duration_ms"), 6).as("duration_ms"),
         round(col("rms"), 6).as("rms"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // REAL video: AVI (RIFF) container parsing + frame decode. The JDK has
+  // no compressed-video codec (H.264 etc. stay out of reach), but the AVI
+  // container itself and its two classic frame encodings ARE decodable
+  // with what ships here: uncompressed 24-bit DIB frames ('00db', parsed
+  // directly — lossless, so oracle-formula-exact) and MJPEG frames
+  // ('00dc', each frame a real JPEG decoded via javax.imageio). With
+  // this, NO modality in the module is a stub: bytes→features is a real
+  // parse for images, audio, and video alike.
+  // ---------------------------------------------------------------------
+
+  /** REAL decoded-video features: frame count / dimensions / fps from the
+    * parsed AVI headers (cross-checked against the actual movi chunks —
+    * a disagreement is quarantined, not trusted), and the mean gray level
+    * across every pixel of every decoded frame (same integer-luma
+    * convention as [[decodeImage]]). */
+  final case class VideoFeatures(doc_id: Long, n_frames: Long, width: Long,
+                                 height: Long, fps: Double, mean_gray: Double)
+
+  private def leU32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL)) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+
+  private def fourcc(b: Array[Byte], o: Int): String =
+    if (o + 4 <= b.length) new String(b, o, 4, "US-ASCII") else ""
+
+  /** Decode ONE AVI payload. Returns None on anything that is not a
+    * structurally sound AVI with 24-bit BI_RGB DIB or MJPG video frames
+    * (quarantine semantics, mirroring [[decodeImage]]/[[decodeAudio]]):
+    * bad magic, truncated chunks, header/stream disagreement, frame-size
+    * mismatch, undecodable JPEG bytes. */
+  private[graft] def decodeVideo(doc_id: Long, payload: Array[Byte]): Option[VideoFeatures] =
+    try {
+      if (payload.length < 12 || fourcc(payload, 0) != "RIFF" ||
+        fourcc(payload, 8) != "AVI ") return None
+      val riffEnd = math.min(payload.length.toLong, 8L + leU32(payload, 4)).toInt
+      var usPerFrame = 0L; var totalFrames = -1L
+      var w = -1L; var h = -1L
+      var bitCount = -1L; var compression = ""
+      var frameSum = 0L; var framesSeen = 0L; var pixPerFrame = 0L
+      var structureOk = true
+
+      def walk(from: Int, to: Int, inMovi: Boolean, inHdrl: Boolean): Unit = {
+        var o = from
+        while (structureOk && o + 8 <= to) {
+          val id = fourcc(payload, o)
+          val size = leU32(payload, o + 4)
+          val data = o + 8
+          if (data + size > to) { structureOk = false; return }
+          id match {
+            case "LIST" =>
+              val listType = fourcc(payload, data)
+              walk(data + 4, (data + size).toInt,
+                inMovi || listType == "movi", inHdrl || listType == "hdrl")
+            case "avih" if inHdrl && size >= 40 =>
+              usPerFrame = leU32(payload, data)
+              totalFrames = leU32(payload, data + 16)
+              w = leU32(payload, data + 32)
+              h = leU32(payload, data + 36)
+            case "strf" if inHdrl && size >= 40 =>
+              bitCount = leU32(payload, data + 14) & 0xffff
+              // biCompression: 0 = BI_RGB (raw DIB); 'MJPG' fourcc otherwise
+              val comp = leU32(payload, data + 16)
+              compression = if (comp == 0L) "DIB" else fourcc(payload, data + 16)
+            case "00db" if inMovi =>
+              // uncompressed bottom-up BGR rows, 4-byte-aligned stride
+              val stride = ((w * 3 + 3) / 4) * 4
+              if (w <= 0 || h <= 0 || size != stride * h) { structureOk = false; return }
+              var y = 0L
+              while (y < h) {
+                val row = data + (y * stride).toInt
+                var x = 0
+                while (x < w) {
+                  val b = payload(row + 3 * x) & 0xff
+                  val g = payload(row + 3 * x + 1) & 0xff
+                  val r = payload(row + 3 * x + 2) & 0xff
+                  frameSum += (if (r == g && g == b) r else (299 * r + 587 * g + 114 * b) / 1000)
+                  x += 1
+                }
+                y += 1
+              }
+              framesSeen += 1; pixPerFrame = w * h
+            case "00dc" if inMovi =>
+              // MJPEG: every frame is a standalone real JPEG
+              val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+                java.util.Arrays.copyOfRange(payload, data, (data + size).toInt)))
+              if (img == null || img.getWidth != w || img.getHeight != h) {
+                structureOk = false; return
+              }
+              val row = new Array[Int](img.getWidth)
+              var y = 0
+              while (y < img.getHeight) {
+                img.getRGB(0, y, img.getWidth, 1, row, 0, img.getWidth)
+                var x = 0
+                while (x < img.getWidth) {
+                  val rgb = row(x)
+                  val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+                  frameSum += (if (r == g && g == b) r else (299 * r + 587 * g + 114 * b) / 1000)
+                  x += 1
+                }
+                y += 1
+              }
+              framesSeen += 1; pixPerFrame = w * h
+            case _ => () // unknown chunks are legal in RIFF; skip
+          }
+          o = (data + size + (size & 1L)).toInt // RIFF chunks pad to even
+        }
+      }
+
+      walk(12, riffEnd, inMovi = false, inHdrl = false)
+      val dibOk = compression == "DIB" && bitCount == 24
+      val mjpgOk = compression == "MJPG"
+      if (!structureOk || !(dibOk || mjpgOk) || usPerFrame <= 0 ||
+        framesSeen == 0 || framesSeen != totalFrames || pixPerFrame <= 0) None
+      else Some(VideoFeatures(doc_id, framesSeen, w, h,
+        1000000.0 / usPerFrame, frameSum.toDouble / (framesSeen * pixPerFrame)))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Partition-batched REAL video decode over a binary payload column —
+    * same production shape as the image/audio paths: narrow, typed,
+    * quarantining. */
+  def decodeVideoPayloads(spark: SparkSession,
+                          videos: Dataset[MediaRecord]): Dataset[VideoFeatures] = {
+    import spark.implicits._
+    videos.mapPartitions(_.flatMap(r => decodeVideo(r.doc_id, r.payload)))
+  }
+
+  /** Build ONE real uncompressed-DIB AVI from a per-(frame, x, y) gray
+    * function — a complete RIFF file (hdrl: avih + strl/strh/strf; movi:
+    * '00db' frames with 4-byte-aligned bottom-up BGR rows). */
+  private[graft] def encodeAviDib(w: Int, h: Int, nFrames: Int, fps: Int)
+                                 (gray: (Int, Int, Int) => Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def u32(v: Long): Unit = {
+      bos.write((v & 0xff).toInt); bos.write(((v >> 8) & 0xff).toInt)
+      bos.write(((v >> 16) & 0xff).toInt); bos.write(((v >> 24) & 0xff).toInt)
+    }
+    def u16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def cc(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    val stride = ((w * 3 + 3) / 4) * 4
+    val frameBytes = stride.toLong * h
+    val moviSize = 4L + nFrames * (8L + frameBytes)
+    val hdrlSize = 4L + (8 + 56) + (8 + (4L + (8 + 56) + (8 + 40)))
+    cc("RIFF"); u32(4L + (8 + hdrlSize) + (8 + moviSize)); cc("AVI ")
+    cc("LIST"); u32(hdrlSize); cc("hdrl")
+    cc("avih"); u32(56)
+    u32(1000000L / fps); u32(0); u32(0); u32(0) // usPerFrame, maxBps, pad, flags
+    u32(nFrames); u32(0); u32(1); u32(frameBytes) // totalFrames, init, streams, bufSize
+    u32(w); u32(h); u32(0); u32(0); u32(0); u32(0) // dims + reserved[4]
+    cc("LIST"); u32(4L + (8 + 56) + (8 + 40)); cc("strl")
+    cc("strh"); u32(56)
+    cc("vids"); cc("DIB "); u32(0); u16(0); u16(0) // type, handler, flags, prio, lang
+    u32(0); u32(1); u32(fps); u32(0); u32(nFrames) // init, scale, rate, start, length
+    u32(frameBytes); u32(0); u32(0) // bufSize, quality, sampleSize
+    u16(0); u16(0); u16(w); u16(h) // rcFrame
+    cc("strf"); u32(40)
+    u32(40); u32(w); u32(h); u16(1); u16(24) // biSize, w, h, planes, bitCount
+    u32(0); u32(frameBytes); u32(0); u32(0); u32(0); u32(0) // BI_RGB, size, res
+    cc("LIST"); u32(moviSize); cc("movi")
+    var f = 0
+    while (f < nFrames) {
+      cc("00db"); u32(frameBytes)
+      var y = h - 1 // DIB rows are bottom-up
+      while (y >= 0) {
+        var x = 0
+        while (x < w) {
+          val g = gray(f, x, y)
+          bos.write(g); bos.write(g); bos.write(g)
+          x += 1
+        }
+        var pad = stride - 3 * w
+        while (pad > 0) { bos.write(0); pad -= 1 }
+        y -= 1
+      }
+      f += 1
+    }
+    bos.toByteArray
+  }
+
+  /** Deterministic synthetic video corpus derived from `documents`: one
+    * REAL uncompressed-DIB AVI per document, encoded on the executors
+    * (narrow mapPartitions). The oracle contract is the generation
+    * formula, not the bytes — DIB frames are lossless:
+    * w = n_chars mod 8 + 2, h = doc_id mod 6 + 2, frames = doc_id mod 4
+    * + 2, fps ∈ {8,10,16,20,25} by doc_id mod 5 (all divide 10⁶, so
+    * µs/frame is exact), g(f,x,y) = (31·doc_id + 7x + 13y + 19f) mod 256. */
+  def syntheticVideos(spark: SparkSession, t: Tables): Dataset[MediaRecord] = {
+    import spark.implicits._
+    val fpsTable = Array(8, 10, 16, 20, 25)
+    t.documents.select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nChars) =>
+        val w = (nChars % 8 + 2).toInt
+        val h = (id % 6 + 2).toInt
+        val nf = (id % 4 + 2).toInt
+        val fps = fpsTable((id % 5).toInt)
+        MediaRecord(id, encodeAviDib(w, h, nf, fps)(
+          (f, x, y) => ((31 * id + 7 * x + 13 * y + 19 * f) % 256).toInt))
+      })
+  }
+
+  /** The oracle-checkable video-decode query: synthesize a real AVI per
+    * document, decode it with the real RIFF parser, emit per-video
+    * features. The oracle re-derives frames/dims/fps/mean from the
+    * generation formula — a hash match proves the container round trip
+    * recovered every pixel of every frame. */
+  def videoDecodeStats(t: Tables): DataFrame = {
+    val spark = t.spark
+    decodeVideoPayloads(spark, syntheticVideos(spark, t))
+      .toDF()
+      .select(col("doc_id"), col("n_frames"), col("width"), col("height"),
+        round(col("fps"), 6).as("fps"),
+        round(col("mean_gray"), 6).as("mean_gray"))
       .orderBy("doc_id")
   }
 }

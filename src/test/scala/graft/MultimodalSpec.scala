@@ -182,6 +182,92 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decodeVideo: DIB AVI round trip recovers the exact pixel formula") {
+    val (w, h, nf, fps) = (5, 3, 4, 25)
+    def gray(f: Int, x: Int, y: Int) = (7 * f + 11 * x + 29 * y) % 256
+    val avi = Multimodal.encodeAviDib(w, h, nf, fps)(gray)
+    val got = Multimodal.decodeVideo(9L, avi)
+    assert(got.isDefined, "structurally sound AVI must decode")
+    val v = got.get
+    assert(v.n_frames == nf && v.width == w && v.height == h && v.fps == fps.toDouble)
+    val pix = for { f <- 0 until nf; y <- 0 until h; x <- 0 until w } yield gray(f, x, y)
+    assert(v.mean_gray == pix.sum.toDouble / pix.size, "lossless mean")
+  }
+
+  test("decodeVideo quarantines corrupt, truncated, and non-AVI bytes") {
+    val avi = Multimodal.encodeAviDib(4, 4, 2, 10)((_, _, _) => 128)
+    assert(Multimodal.decodeVideo(1L, "not a riff file at all".getBytes).isEmpty)
+    assert(Multimodal.decodeVideo(2L, avi.take(avi.length / 2)).isEmpty,
+      "truncated movi must quarantine, not crash")
+    val badFrames = avi.clone()
+    // corrupt the avih dwTotalFrames (RIFF(12) + LIST hdr(12) + 'avih'+size(8) + 16)
+    badFrames(12 + 12 + 8 + 16) = 99.toByte
+    assert(Multimodal.decodeVideo(3L, badFrames).isEmpty,
+      "header/stream frame-count disagreement must quarantine")
+  }
+
+  test("decodeVideo decodes MJPEG AVIs through the real JPEG codec") {
+    // hand-assemble an MJPG AVI: take the DIB container shape but write
+    // '00dc' chunks whose payload is a REAL JPEG of a constant-gray frame
+    // (constant images survive JPEG's DCT nearly exactly — DC term only)
+    val (w, h, nf, fps, g0) = (16, 8, 3, 10, 200)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until h).foreach(y => (0 until w).foreach(x =>
+      img.setRGB(x, y, (g0 << 16) | (g0 << 8) | g0)))
+    val jb = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", jb)
+    val jpeg = jb.toByteArray
+    val bos = new java.io.ByteArrayOutputStream()
+    def u32(v: Long): Unit = (0 to 3).foreach(i => bos.write(((v >> (8 * i)) & 0xff).toInt))
+    def u16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def cc(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    val jlen = jpeg.length + (jpeg.length & 1)
+    val moviSize = 4L + nf * (8L + jlen)
+    val hdrlSize = 4L + 64 + (8 + 116)
+    cc("RIFF"); u32(4L + (8 + hdrlSize) + (8 + moviSize)); cc("AVI ")
+    cc("LIST"); u32(hdrlSize); cc("hdrl")
+    cc("avih"); u32(56); u32(1000000L / fps); u32(0); u32(0); u32(0)
+    u32(nf); u32(0); u32(1); u32(jlen); u32(w); u32(h); u32(0); u32(0); u32(0); u32(0)
+    cc("LIST"); u32(116); cc("strl")
+    cc("strh"); u32(56); cc("vids"); cc("MJPG"); u32(0); u16(0); u16(0)
+    u32(0); u32(1); u32(fps); u32(0); u32(nf); u32(jlen); u32(0); u32(0)
+    u16(0); u16(0); u16(w); u16(h)
+    cc("strf"); u32(40); u32(40); u32(w); u32(h); u16(1); u16(24)
+    cc("MJPG"); u32(jlen); u32(0); u32(0); u32(0); u32(0)
+    cc("LIST"); u32(moviSize); cc("movi")
+    (1 to nf).foreach { _ =>
+      cc("00dc"); u32(jpeg.length)
+      bos.write(jpeg)
+      if ((jpeg.length & 1) == 1) bos.write(0)
+    }
+    val got = Multimodal.decodeVideo(7L, bos.toByteArray)
+    assert(got.isDefined, "MJPG AVI must decode via ImageIO")
+    val v = got.get
+    assert(v.n_frames == nf && v.width == w && v.height == h && v.fps == fps.toDouble)
+    assert(math.abs(v.mean_gray - g0) <= 2.0,
+      s"constant-gray JPEG should decode near-exactly: ${v.mean_gray}")
+  }
+
+  test("videoDecodeStats: real decode over synthetic AVIs matches the generation formula") {
+    val rows = Multimodal.videoDecodeStats(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    val chars = tables.documents.select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.length == chars.size, "every synthetic AVI must decode")
+    val fpsTable = Array(8, 10, 16, 20, 25)
+    rows.foreach { case (id, nFrames, w, h, fps, mean) =>
+      assert(w == chars(id) % 8 + 2 && h == id % 6 + 2 && nFrames == id % 4 + 2, s"doc $id dims")
+      assert(fps == fpsTable((id % 5).toInt).toDouble, s"doc $id fps")
+      val pix = for {
+        f <- 0L until nFrames; y <- 0L until h; x <- 0L until w
+      } yield (31 * id + 7 * x + 13 * y + 19 * f) % 256
+      val expect = pix.sum.toDouble / pix.size
+      assert(mean == math.round(expect * 1e6) / 1e6, s"doc $id mean $mean vs $expect")
+    }
+  }
+
   test("byteStats matches a driver-side byte recompute on real docs") {
     val rows = Multimodal.byteStats(tables).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
