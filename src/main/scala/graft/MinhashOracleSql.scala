@@ -608,6 +608,27 @@ w AS (SELECT source, n_tokens, CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE) AS p
 wt AS (SELECT CAST(sum(wi) AS BIGINT) AS wtot FROM w)
 SELECT source, n_tokens, round(p, 6) AS p_raw, round(CAST(wi AS DOUBLE) / CAST(wtot AS DOUBLE), 6) AS alpha_share FROM w CROSS JOIN wt ORDER BY source"""
 
+  /** Oracle for q_cdc_chunks
+    * ([[graft.operators.Packing.cdcChunks]]): the per-token Karp–Rabin +
+    * splitmix64 fingerprint re-derived (same fold as
+    * [[rollingFingerprints]] but over each token), boundary = hash ≡ 0
+    * (mod 2^maskBits), chunk ids from a strictly-preceding boundary count
+    * window, then the per-doc stats rollup. */
+  def cdcChunks(maskBits: Int = 3): String = {
+    val modulus = 1 << maskBits
+    val fold = "list_reduce(list_prepend(CAST(0 AS HUGEINT), " +
+      "list_transform(string_split(w, ''), c -> CAST(unicode(c) AS HUGEINT))), " +
+      s"(acc, c) -> (${mulmod("acc", "1000003")} + c) % $M64)"
+    s"""WITH base AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk FROM documents),
+tt AS (SELECT doc_id, i, tk[i] AS w FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i FROM base WHERE len(tk) > 0)),
+h0 AS (SELECT doc_id, i, $fold AS hraw FROM tt),
+${mixCtes("hh", "h0", "hraw", "h", "doc_id, i")},
+b AS (SELECT doc_id, i, CASE WHEN h % $modulus = 0 THEN 1 ELSE 0 END AS bd FROM hh),
+cid AS (SELECT doc_id, i, coalesce(sum(bd) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid FROM b),
+cl AS (SELECT doc_id, cid, count(*) AS clen FROM cid GROUP BY doc_id, cid)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks, CAST(max(clen) AS BIGINT) AS max_chunk_tokens, round(avg(clen), 6) AS avg_chunk_tokens FROM cl GROUP BY doc_id ORDER BY doc_id"""
+  }
+
   /** Oracle for q_quality_model
     * ([[graft.operators.TextAnalysis.qualityModel]]): the fixed-iteration
     * logistic-regression training loop re-derived as a materialized CTE

@@ -157,6 +157,7 @@ object SparkEntry {
       import graft.operators.Packing
       Packing.packDocuments(Tables(s, d))
     }),
+    "q_cdc_chunks" -> ((s, d) => Packing.cdcChunks(Tables(s, d))),
     "q_chunk_docs" -> ((s, d) => {
       import graft.operators.Packing
       Packing.chunkDocuments(Tables(s, d))
@@ -413,6 +414,7 @@ object SparkEntry {
     "q_embed_groups" -> SrpOracleSql.embedGroups(),
     "q_ann_lsh" -> SrpOracleSql.annLsh(),
     "q_text_fingerprint" -> KernelOracleSql.rollingFingerprints,
+    "q_cdc_chunks" -> KernelOracleSql.cdcChunks(),
     "q_split_assign" -> KernelOracleSql.splitAssign,
     "q_weighted_sample" -> KernelOracleSql.weightedSample(),
     "q_lang_cap" -> KernelOracleSql.capPerGroup(),

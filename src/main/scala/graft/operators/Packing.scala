@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -70,6 +71,41 @@ object Packing {
       concat_ws(" ", col("_chunk")).as("chunk_text"),
       size(col("_chunk")).cast("bigint").as("n_chunk_tokens"))
       .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Content-defined chunking (FastCDC / rolling-hash lineage — public
+    * technique): a chunk boundary falls AFTER every token whose 64-bit
+    * fingerprint ≡ 0 (mod 2^maskBits), so expected chunk length is
+    * 2^maskBits tokens and — the property fixed-size chunking lacks —
+    * boundaries are decided by LOCAL content: an insertion or deletion
+    * re-chunks only the chunk it touches while every downstream boundary
+    * stays put (spec-asserted). That stability is what makes chunk-hash
+    * dedup survive edits at corpus scale; with [[chunkDocuments]]' fixed
+    * windows, a one-token insertion shifts every later chunk and defeats
+    * the dedup.
+    *
+    * Scale shape: posexplode + the codegen'd per-token hash (narrow), one
+    * per-doc window to number chunks (partitions bounded by document
+    * length), one (doc, chunk) aggregation and one per-doc rollup. Emits
+    * per-document chunking stats (the oracle-checkable scalar view). */
+  def cdcChunks(t: Tables, maskBits: Int = 3): DataFrame = {
+    val modulus = 1 << maskBits
+    val toks = t.documents
+      .select(col("doc_id"), posexplode(TextAnalysis.tokens(col("text"))))
+      .withColumnRenamed("pos", "_i")
+      .withColumn("_b",
+        when(pmod(graft.functions.HashFunctions.rollingHash64(col("col")),
+          lit(modulus.toLong)) === 0, 1L).otherwise(0L))
+    val w = Window.partitionBy("doc_id").orderBy("_i")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("_cid", coalesce(sum(col("_b")).over(w), lit(0L)))
+      .groupBy("doc_id", "_cid").agg(count(lit(1)).as("_clen"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        max("_clen").as("max_chunk_tokens"),
+        round(avg("_clen"), 6).as("avg_chunk_tokens"))
+      .orderBy("doc_id")
   }
 
   /** Passage-level duplication scoring — the boilerplate detector: split

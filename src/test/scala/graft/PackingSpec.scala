@@ -139,4 +139,60 @@ class PackingSpec extends SparkSpec {
     assert(fromPack.exceptAll(fromStats).isEmpty &&
       fromStats.exceptAll(fromPack).isEmpty)
   }
+
+  // driver-side replica of cdcChunks' boundary rule
+  private def cdcSizes(toks: Seq[String], maskBits: Int = 3): Seq[Int] = {
+    val modulus = 1L << maskBits
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var cur = 0
+    toks.foreach { w =>
+      cur += 1
+      val h = graft.functions.HashImpl.rollingHash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(w))
+      if (((h % modulus) + modulus) % modulus == 0) { sizes += cur; cur = 0 }
+    }
+    if (cur > 0) sizes += cur
+    sizes.toSeq
+  }
+
+  test("cdcChunks matches a driver-side boundary recompute") {
+    val got = Packing.cdcChunks(tables).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val docs = tables.documents.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq)
+      .filter(_._2.nonEmpty)
+    assert(got.size == docs.length)
+    docs.foreach { case (id, toks) =>
+      val sizes = cdcSizes(toks)
+      val (n, mx, av) = got(id)
+      assert(n == sizes.length && mx == sizes.max, s"doc $id")
+      assert(av == math.round(sizes.sum.toDouble / sizes.length * 1e6) / 1e6, s"doc $id avg")
+    }
+  }
+
+  test("cdcChunks boundaries are insertion-stable; fixed-size chunking is not") {
+    // the CDC selling point: inserting one token re-chunks ONLY the chunk
+    // it lands in — every boundary after it stays put
+    val toks = tables.documents.orderBy("doc_id").select("text").head()
+      .getString(0).trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    assert(toks.length >= 20, "fixture doc too short")
+    val before = cdcSizes(toks)
+    val ins = toks.take(toks.length / 2) ++ Seq("zzinserted") ++ toks.drop(toks.length / 2)
+    val after = cdcSizes(ins)
+    // boundary positions measured from the END are unchanged past the
+    // insertion chunk; suffix chunk sequences must therefore agree
+    val commonSuffix = before.reverse.zip(after.reverse).takeWhile { case (a, b) => a == b }.length
+    // everything after the touched chunk agrees: at most 2 leading chunks
+    // (the split/merged one and its successor if the new token IS a
+    // boundary) may differ
+    assert(commonSuffix >= before.length - 2,
+      s"CDC must localize the edit: before=$before after=$after")
+    // contrast: fixed windows shift every boundary after the insertion
+    val fixedBefore = toks.grouped(8).map(_.length).toSeq
+    val fixedAfter = ins.grouped(8).map(_.length).toSeq
+    assert(fixedBefore.size != fixedAfter.size ||
+      fixedBefore.reverse.zip(fixedAfter.reverse).exists { case (a, b) => a != b },
+      "fixed-size chunking should NOT be insertion-stable on this fixture")
+  }
 }
