@@ -148,6 +148,7 @@ object SparkEntry {
     "q_pii_redact" -> ((s, d) => TextAnalysis.piiCounts(Tables(s, d))),
     "q_lm_score" -> ((s, d) => TextAnalysis.lmScore(Tables(s, d))),
     "q_dsir_weights" -> ((s, d) => TextAnalysis.importanceWeights(Tables(s, d))),
+    "q_source_kl" -> ((s, d) => TextAnalysis.sourceKlDivergence(Tables(s, d))),
     "q_quality_model" -> ((s, d) => TextAnalysis.qualityModel(Tables(s, d))),
     "q_media_video" -> ((s, d) => {
       import graft.operators.Multimodal
@@ -529,6 +530,18 @@ object SparkEntry {
         "ranked AS (SELECT doc_id, token, tfidf, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS BIGINT) AS rk FROM scored) " +
         "SELECT doc_id, token, tfidf, rk FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk"),
     "q_quality_model" -> KernelOracleSql.qualityModel(),
+    "q_source_kl" ->
+      ("WITH toks AS (SELECT source, token AS w FROM (SELECT source, " +
+        "unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token FROM documents) WHERE token <> ''), " +
+        "cnt AS (SELECT source, w, count(*) AS c FROM toks GROUP BY source, w), " +
+        "st AS (SELECT source, sum(c) AS ns FROM cnt GROUP BY source), " +
+        "vc AS (SELECT w, sum(c) AS cw FROM cnt GROUP BY w), " +
+        "nm AS (SELECT sum(cw) AS nc, count(*) AS v FROM vc), " +
+        "grid AS (SELECT s.source, s.ns, vv.cw, coalesce(c.c, 0) AS c, nm.nc, nm.v " +
+        "FROM vc vv CROSS JOIN st s LEFT JOIN cnt c ON c.source = s.source AND c.w = vv.w CROSS JOIN nm) " +
+        "SELECT source, CAST(max(ns) AS BIGINT) AS n_tokens, " +
+        "round(sum(((c + 1.0) / (ns + v)) * ln(((c + 1.0) / (ns + v)) / ((cw + 1.0) / (nc + v)))), 6) AS kl " +
+        "FROM grid GROUP BY source ORDER BY source"),
     "q_media_video" ->
       ("WITH p AS (SELECT doc_id, n_chars % 8 + 2 AS w, doc_id % 6 + 2 AS h, doc_id % 4 + 2 AS nf, " +
         "([8, 10, 16, 20, 25])[CAST(doc_id % 5 AS INT) + 1] AS fps FROM documents), " +

@@ -60,15 +60,21 @@ object Graph {
       .select(shiftleft(col("l_suppkey").cast("long"), 1).as("a"),
         (shiftleft(col("o_custkey").cast("long"), 1) + 1).as("b"))
       .distinct()
-    val edges = pairs
-      .union(pairs.select(col("b").as("a"), col("a").as("b")))
-      .select(col("a").as("src"), col("b").as("dst"))
-      .persist()
-    // pre-join each edge with its source's out-degree ONCE into the
-    // persisted, src-partitioned edge table: the per-round work drops to a
-    // single src-keyed join against the rank table plus the dst-keyed sum
-    val edgesDeg = edges
-      .join(edges.groupBy("src").agg(count(lit(1)).as("_deg")), "src")
+      .persist() // HALF the edge rows: both directions derive from this
+    // each direction's out-degree is a groupBy on the HALF-sized pair
+    // table (an undirected edge contributes its a-side degree from column
+    // a and its b-side from column b), and the degree join runs on pairs
+    // before the direction union — the doubled edge table is never
+    // self-joined or re-aggregated
+    val degA = pairs.groupBy("a").agg(count(lit(1)).as("_dega"))
+    val degB = pairs.groupBy("b").agg(count(lit(1)).as("_degb"))
+    val paired = pairs.join(degA, "a").join(degB, "b")
+    // pre-joined, src-partitioned, persisted: the per-round work drops to
+    // a single src-keyed join against the rank table plus the dst-keyed sum
+    val edgesDeg = paired
+      .select(col("a").as("src"), col("b").as("dst"), col("_dega").as("_deg"))
+      .union(paired
+        .select(col("b").as("src"), col("a").as("dst"), col("_degb").as("_deg")))
       .repartition(col("src"))
       .persist()
     // nodes inherits hashpartitioning(src→node) through the alias, so the
@@ -77,9 +83,9 @@ object Graph {
     // below never re-aggregate the corpus-sized edge cache just to
     // enumerate nodes
     val nodes = edgesDeg.select(col("src").as("node")).distinct()
-      .localCheckpoint() // also materializes edgesDeg (and edges) fully
+      .localCheckpoint() // also materializes edgesDeg (and pairs) fully
     val n = nodes.count()
-    edges.unpersist(blocking = false) // edgesDeg cache is now self-contained
+    pairs.unpersist(blocking = false) // edgesDeg cache is now self-contained
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
     for (_ <- 1 to iters) {
       // the damping term folds into the aggregate directly: the undirected

@@ -638,6 +638,41 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Per-source distribution drift: smoothed KL divergence of each
+    * source's unigram token distribution from the corpus distribution —
+    * the standard mixture-monitoring scalar (a source whose KL jumps
+    * between snapshots changed its content; a high-KL source is
+    * out-of-domain for the mixture). Add-one smoothing over the joint
+    * vocabulary (the [[importanceWeights]] convention) keeps the sum
+    * finite for tokens a source never emits.
+    *
+    * Scale shape: ONE corpus token scan into (source, token) counts —
+    * checkpointed (vocabulary×sources-bounded, far below corpus size)
+    * because the per-source totals, the corpus marginals, AND the KL grid
+    * all derive from it. The grid is vocab × sources rows (every source
+    * must pay the smoothed mass of every token it lacks), built from the
+    * token-marginal table with the source-cardinality totals broadcast;
+    * per-source state in the final aggregation is one double. */
+  def sourceKlDivergence(t: Tables): DataFrame = {
+    val counts = t.documents
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("_c"))
+      .localCheckpoint()
+    val srcTot = counts.groupBy("source").agg(sum("_c").as("_ns"))
+    val vocab = counts.groupBy("w").agg(sum("_c").as("_cw"))
+    val norms = vocab.agg(sum("_cw").as("_nc"), count(lit(1)).as("_v"))
+    val p = (col("_c") + 1.0) / (col("_ns") + col("_v"))
+    val q = (col("_cw") + 1.0) / (col("_nc") + col("_v"))
+    vocab.crossJoin(broadcast(srcTot))
+      .join(counts, Seq("source", "w"), "left")
+      .na.fill(0L, Seq("_c"))
+      .crossJoin(broadcast(norms))
+      .groupBy("source")
+      .agg(max("_ns").as("n_tokens"),
+        round(sum(p * log(p / q)), 6).as("kl"))
+      .orderBy("source")
+  }
+
   /** Per-language length-band filter: keep documents whose n_chars lies in
     * the language's [p5, p95] interpolated-percentile band — the standard
     * outlier-length cleanup before training. The band comes from one

@@ -318,6 +318,35 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("sourceKlDivergence matches a driver-side recompute and is non-negative") {
+    val got = TextAnalysis.sourceKlDivergence(tables).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val docs = tables.documents.select("source", "text").collect()
+      .map(r => (r.getString(0),
+        r.getString(1).trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq))
+    val bySrc = docs.groupBy(_._1).map { case (s, ds) =>
+      s -> ds.flatMap(_._2).groupBy(identity).map { case (w, hits) => w -> hits.length.toLong }
+    }
+    val corpus = bySrc.values.flatten
+      .groupBy(_._1).map { case (w, cs) => w -> cs.map(_._2).sum }
+    val (nc, v) = (corpus.values.sum, corpus.size.toLong)
+    assert(got.keySet == bySrc.keySet)
+    bySrc.foreach { case (s, cs) =>
+      val ns = cs.values.sum
+      val kl = corpus.map { case (w, cw) =>
+        val p = (cs.getOrElse(w, 0L) + 1.0) / (ns + v)
+        val q = (cw + 1.0) / (nc + v)
+        p * math.log(p / q)
+      }.sum
+      val (gn, gk) = got(s)
+      assert(gn == ns, s"source $s totals")
+      assert(math.abs(gk - kl) < 1e-4, s"source $s: $gk vs $kl")
+      // Gibbs: KL of the smoothed distributions is >= 0 up to the
+      // truncated smoothed tail (p sums over observed vocab only here)
+      assert(gk > -0.1, s"source $s suspicious KL $gk")
+    }
+  }
+
   test("qualityModel matches a driver-side GD recompute and separates the target source") {
     val got = TextAnalysis.qualityModel(tables).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
