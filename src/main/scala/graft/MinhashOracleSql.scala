@@ -608,6 +608,22 @@ w AS (SELECT source, n_tokens, CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE) AS p
 wt AS (SELECT CAST(sum(wi) AS BIGINT) AS wtot FROM w)
 SELECT source, n_tokens, round(p, 6) AS p_raw, round(CAST(wi AS DOUBLE) / CAST(wtot AS DOUBLE), 6) AS alpha_share FROM w CROSS JOIN wt ORDER BY source"""
 
+  /** Oracle for q_split_leakage
+    * ([[graft.operators.Sampling.splitLeakage]]): the xxhash64 split
+    * buckets re-derived, the w=3 shingle CASE from the q_decontaminate
+    * oracle (short docs emit one whole-document shingle), distinct train
+    * shingles, and the per-held-out-doc overlap rollup with the exact
+    * integer majority test. */
+  def splitLeakage: String =
+    s"""WITH src AS (SELECT doc_id, text FROM documents),
+${xxhCtes(42L)},
+lab AS (SELECT doc_id, text, CASE WHEN (((${signedB("xxh")}) % 100) + 100) % 100 < 90 THEN 'train' WHEN (((${signedB("xxh")}) % 100) + 100) % 100 < 95 THEN 'val' ELSE 'test' END AS split FROM xx),
+toks AS (SELECT doc_id, split, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk FROM lab),
+sh AS (SELECT DISTINCT doc_id, split, CASE WHEN len(tk) >= 3 THEN tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] ELSE array_to_string(tk, ' ') END AS s FROM (SELECT doc_id, split, tk, unnest(range(1, greatest(len(tk)-1, 2))) AS i FROM toks WHERE len(tk) >= 1)),
+tr AS (SELECT DISTINCT s FROM sh WHERE split = 'train'),
+per AS (SELECT split, sh.doc_id, count(*) AS n, count(tr.s) AS shared FROM sh LEFT JOIN tr ON sh.s = tr.s WHERE split <> 'train' GROUP BY split, sh.doc_id)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(CASE WHEN shared * 2 > n THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky_docs, round(avg(CAST(shared AS DOUBLE) / n), 6) AS avg_shared_frac FROM per GROUP BY split ORDER BY split"""
+
   /** Oracle for q_cdc_chunks
     * ([[graft.operators.Packing.cdcChunks]]): the per-token Karp–Rabin +
     * splitmix64 fingerprint re-derived (same fold as

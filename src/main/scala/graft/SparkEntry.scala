@@ -159,6 +159,10 @@ object SparkEntry {
       Packing.packDocuments(Tables(s, d))
     }),
     "q_cdc_chunks" -> ((s, d) => Packing.cdcChunks(Tables(s, d))),
+    "q_split_leakage" -> ((s, d) => {
+      import graft.operators.Sampling
+      Sampling.splitLeakage(Tables(s, d))
+    }),
     "q_chunk_docs" -> ((s, d) => {
       import graft.operators.Packing
       Packing.chunkDocuments(Tables(s, d))
@@ -416,6 +420,7 @@ object SparkEntry {
     "q_ann_lsh" -> SrpOracleSql.annLsh(),
     "q_text_fingerprint" -> KernelOracleSql.rollingFingerprints,
     "q_cdc_chunks" -> KernelOracleSql.cdcChunks(),
+    "q_split_leakage" -> KernelOracleSql.splitLeakage,
     "q_split_assign" -> KernelOracleSql.splitAssign,
     "q_weighted_sample" -> KernelOracleSql.weightedSample(),
     "q_lang_cap" -> KernelOracleSql.capPerGroup(),

@@ -46,6 +46,43 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"), round(avg("n_chars"), 6).as("avg_chars"))
       .orderBy("split")
 
+  /** Train/val/test LEAKAGE audit — the hygiene check a hash-split pipeline
+    * must run, because [[assignSplits]] is near-dup-UNAWARE: two
+    * near-identical documents routinely land in different splits, and
+    * evaluation on the val/test side then measures memorization. For every
+    * held-out document, the fraction of its word w-shingles that also
+    * occur anywhere in the train split; a document with majority-shared
+    * shingles is counted leaky (the [[graft.operators.Dedup.decontaminate]]
+    * thresholding convention, applied between splits).
+    *
+    * Scale shape: one corpus shingle explode, a distinct on the train
+    * shingle set (shuffle bounded by distinct-shingle count), one
+    * shingle-keyed join of the (tiny) held-out side against it, then doc-
+    * and split-keyed aggregations. The leaky-doc test is exact integer
+    * arithmetic (shared·2 > n). Held-out documents with zero shingles
+    * (empty text) have no overlap to measure and are absent, as in
+    * [[graft.operators.TextAnalysis.textStats]]. */
+  def splitLeakage(t: Tables, w: Int = 3): DataFrame = {
+    val assigned = assignSplits(t.documents, col("doc_id"),
+      Seq("train" -> 90, "val" -> 5, "test" -> 5))
+    val sh = assigned.select(col("doc_id"), col("split"),
+      explode(Dedup.shingles(col("text"), w)).as("s"))
+    val trainSh = sh.filter(col("split") === "train")
+      .select("s").distinct()
+      .withColumn("_hit", lit(1))
+    sh.filter(col("split") =!= "train")
+      .join(trainSh, Seq("s"), "left")
+      .groupBy("split", "doc_id")
+      .agg(count(lit(1)).as("_n"), count(col("_hit")).as("_shared"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("_shared") * 2 > col("_n"), 1L).otherwise(0L))
+          .as("n_leaky_docs"),
+        round(avg(col("_shared").cast("double") / col("_n")), 6)
+          .as("avg_shared_frac"))
+      .orderBy("split")
+  }
+
   /** Stratified sample: per-stratum fractions with a fixed seed
     * (`DataFrameStatFunctions.sampleBy` — deterministic for a given input).
     * The scale property: sampling is a narrow map-side filter, no shuffle. */

@@ -203,4 +203,32 @@ class SamplingSpec extends SparkSpec {
       assert(w >= p - 1e-6, s"below-uniform source $s not boosted: p=$p w=$w")
     }
   }
+
+  test("splitLeakage matches a driver-side cross-split shingle recompute") {
+    import org.apache.spark.sql.functions.col
+    def shingleSet(toks: Seq[String]): Set[String] =
+      if (toks.isEmpty) Set.empty
+      else if (toks.length < 3) Set(toks.mkString(" "))
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    val got = Sampling.splitLeakage(tables).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // the split assignment itself is pinned by its own spec — reuse it
+    val docs = Sampling.assignSplits(tables.documents, col("doc_id"),
+        Seq("train" -> 90, "val" -> 5, "test" -> 5))
+      .select("doc_id", "split", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        shingleSet(r.getString(2).trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq)))
+    val trainSh = docs.filter(_._2 == "train").flatMap(_._3).toSet
+    val held = docs.filter(d => d._2 != "train" && d._3.nonEmpty)
+    assert(held.nonEmpty, "fixture corpus must have held-out docs")
+    held.groupBy(_._2).foreach { case (split, ds) =>
+      val fracs = ds.map(d => (d._3 & trainSh).size.toDouble / d._3.size)
+      val leaky = ds.count(d => (d._3 & trainSh).size * 2 > d._3.size)
+      val (gn, gl, gf) = got(split)
+      assert(gn == ds.length, s"$split n_docs")
+      assert(gl == leaky, s"$split leaky")
+      assert(math.abs(gf - fracs.sum / fracs.length) < 1e-6, s"$split avg frac")
+    }
+    assert(got.keySet == held.map(_._2).toSet)
+  }
 }
