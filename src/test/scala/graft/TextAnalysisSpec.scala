@@ -318,6 +318,19 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("round-10 text operators plan no cartesian products") {
+    // the 1-row / source-cardinality broadcast cross joins must plan as
+    // BroadcastNestedLoopJoin over a broadcast side, never CartesianProduct
+    Seq(
+      TextAnalysis.importanceWeights(tables),
+      TextAnalysis.sourceKlDivergence(tables),
+      TextAnalysis.oovCurve(tables),
+      TextAnalysis.qualityModel(tables)).foreach { df =>
+      val plan = planOf(df)
+      assert(!plan.contains("CartesianProduct"), plan)
+    }
+  }
+
   test("sourceKlDivergence matches a driver-side recompute and is non-negative") {
     val got = TextAnalysis.sourceKlDivergence(tables).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
