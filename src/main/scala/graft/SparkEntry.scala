@@ -149,6 +149,7 @@ object SparkEntry {
     "q_lm_score" -> ((s, d) => TextAnalysis.lmScore(Tables(s, d))),
     "q_dsir_weights" -> ((s, d) => TextAnalysis.importanceWeights(Tables(s, d))),
     "q_source_kl" -> ((s, d) => TextAnalysis.sourceKlDivergence(Tables(s, d))),
+    "q_tfidf_search" -> ((s, d) => TextAnalysis.tfidfSearch(Tables(s, d))),
     "q_quality_model" -> ((s, d) => TextAnalysis.qualityModel(Tables(s, d))),
     "q_media_video" -> ((s, d) => {
       import graft.operators.Multimodal
@@ -304,6 +305,22 @@ object SparkEntry {
       val docs = JsonlCorpus.clean(
         JsonlCorpus.read(s, dir, t.documents.schema))
       docs.select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
+    }),
+    "q_orc_roundtrip" -> ((s, d) => {
+      // documents → ORC (the columnar interchange sibling of parquet; its
+      // reader/writer ship with Spark) → read-back. Oracle runs against
+      // the original parquet — equality proves the ORC path is lossless,
+      // including the string payloads the hash covers.
+      val t = Tables(s, d)
+      val dir = roundtripDir("graft_orc", d, "_SUCCESS") { out =>
+        t.documents.write.mode("overwrite").orc(out)
+      }
+      s.read.orc(dir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          sum(length(col("text")).cast("long")).as("sum_text_chars"))
+        .orderBy("source")
     }),
     // — training-data splits & sampling (SURVEY §2 rows 48–49) —
     "q_split_assign" -> ((s, d) => {
@@ -535,6 +552,20 @@ object SparkEntry {
         "ranked AS (SELECT doc_id, token, tfidf, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS BIGINT) AS rk FROM scored) " +
         "SELECT doc_id, token, tfidf, rk FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk"),
     "q_quality_model" -> KernelOracleSql.qualityModel(),
+    "q_tfidf_search" ->
+      ("WITH toks AS (SELECT doc_id, token AS w FROM (SELECT doc_id, " +
+        "unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token FROM documents) WHERE token <> ''), " +
+        "tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w), " +
+        "dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY w), " +
+        "nd AS (SELECT count(DISTINCT doc_id) AS n FROM tf), " +
+        "wts AS (SELECT doc_id, w, tf * (ln((n + 1.0) / (df + 1.0)) + 1.0) AS wt FROM tf JOIN dfq USING (w) CROSS JOIN nd), " +
+        "nrm AS (SELECT doc_id, sqrt(sum(wt * wt)) AS nrm FROM wts GROUP BY doc_id), " +
+        "qs AS (SELECT doc_id AS query_id, w, wt AS qwt FROM wts WHERE doc_id < 10), " +
+        "dots AS (SELECT q.query_id, c.doc_id, sum(c.wt * q.qwt) AS dot FROM wts c JOIN qs q USING (w) WHERE c.doc_id <> q.query_id GROUP BY q.query_id, c.doc_id), " +
+        "sc AS (SELECT d.query_id, d.doc_id AS neighbor_id, round(d.dot / (qn.nrm * cn.nrm), 6) AS cosine " +
+        "FROM dots d JOIN nrm qn ON qn.doc_id = d.query_id JOIN nrm cn ON cn.doc_id = d.doc_id), " +
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn FROM sc) " +
+        "SELECT query_id, neighbor_id, cosine FROM rk WHERE rn <= 5 ORDER BY query_id, neighbor_id"),
     "q_source_kl" ->
       ("WITH toks AS (SELECT source, token AS w FROM (SELECT source, " +
         "unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token FROM documents) WHERE token <> ''), " +
@@ -721,6 +752,9 @@ object SparkEntry {
         "FROM events GROUP BY user_id ORDER BY user_id"),
     "q_jsonl_roundtrip" ->
       "SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id",
+    "q_orc_roundtrip" ->
+      ("SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+        "CAST(sum(length(text)) AS BIGINT) AS sum_text_chars FROM documents GROUP BY source ORDER BY source"),
     "q_csv_engine" ->
       ("SELECT c_nationkey, count(*) AS n_orders FROM orders JOIN customer " +
         "ON o_custkey = c_custkey GROUP BY c_nationkey ORDER BY c_nationkey"),

@@ -638,6 +638,52 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** TF-IDF cosine text retrieval over an INVERTED INDEX — the classic
+    * sparse-vector IR ranking next to the dense-embedding ANN rows and
+    * the minhash [[graft.operators.Dedup.textSimSearch]]: score = cosine
+    * of tf·(ln((N+1)/(df+1))+1) weight vectors, computed as a token-keyed
+    * join (the inverted index), never a dense dot product.
+    *
+    * Scale shape: the (doc, token) tf table is checkpointed once (it
+    * feeds document frequencies, norms, and both join sides); the query
+    * side is bounded by contract and broadcast, so candidates per query
+    * are postings-list-bounded — only documents sharing a term are ever
+    * scored. Ranking runs on the ROUNDED cosine (round-6) with an id
+    * tie-break: near-duplicate corpus documents produce cosines equal at
+    * 6 decimals, and ranking on the rounded value makes the boundary
+    * engine-exact instead of last-ulp-fragile (the q_pmi_bigrams
+    * lesson). */
+  def tfidfSearch(t: Tables, nQueries: Long = 10, topK: Int = 5): DataFrame = {
+    val tf = t.documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("_tf"))
+      .localCheckpoint()
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("_df"))
+    val nDocs = tf.agg(countDistinct(col("doc_id")).as("_n"))
+    val wts = tf.join(dfreq, "w").crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("w"),
+        (col("_tf") * (log((col("_n") + 1.0) / (col("_df") + 1.0)) + 1.0)).as("_wt"))
+    val norms = wts.groupBy("doc_id").agg(sqrt(sum(col("_wt") * col("_wt"))).as("_nrm"))
+    val qw = wts.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"), col("w"), col("_wt").as("_qwt"))
+    val dots = wts.join(broadcast(qw), Seq("w"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("_wt") * col("_qwt")).as("_dot"))
+    val rank = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    dots
+      .join(norms.select(col("doc_id").as("query_id"), col("_nrm").as("_qnrm")),
+        "query_id")
+      .join(norms, "doc_id")
+      .select(col("query_id"), col("doc_id").as("neighbor_id"),
+        round(col("_dot") / (col("_qnrm") * col("_nrm")), 6).as("cosine"))
+      .withColumn("rn", row_number().over(rank))
+      .filter(col("rn") <= topK)
+      .select("query_id", "neighbor_id", "cosine")
+      .orderBy("query_id", "neighbor_id")
+  }
+
   /** Per-source distribution drift: smoothed KL divergence of each
     * source's unigram token distribution from the corpus distribution —
     * the standard mixture-monitoring scalar (a source whose KL jumps

@@ -318,6 +318,47 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("tfidfSearch matches a driver-side sparse-cosine recompute") {
+    val got = TextAnalysis.tfidfSearch(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    val docs = tables.documents.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq)
+      .filter(_._2.nonEmpty).toMap
+    val tf = docs.map { case (id, toks) =>
+      id -> toks.groupBy(identity).map { case (w, hits) => w -> hits.length.toLong }
+    }
+    val dfreq = tf.values.flatMap(_.keys).groupBy(identity).map { case (w, hs) => w -> hs.size }
+    val n = tf.size
+    val wts = tf.map { case (id, m) =>
+      id -> m.map { case (w, c) =>
+        w -> c * (math.log((n + 1.0) / (dfreq(w) + 1.0)) + 1.0)
+      }
+    }
+    val nrm = wts.map { case (id, m) => id -> math.sqrt(m.values.map(x => x * x).sum) }
+    def cosine(q: Long, d: Long): Double = {
+      val (a, b) = (wts(q), wts(d))
+      val dot = a.keysIterator.filter(b.contains).map(w => a(w) * b(w)).sum
+      dot / (nrm(q) * nrm(d))
+    }
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.length <= 5, s"query $q")
+      rows.foreach { case (_, nb, cos) =>
+        assert(nb != q)
+        assert(math.abs(cos - cosine(q, nb)) < 1e-5, s"($q,$nb)")
+      }
+      // top-k property on the ROUNDED cosine: no unpicked candidate may
+      // strictly beat a picked one at 6-decimal resolution
+      val picked = rows.map(_._2).toSet
+      val worst = rows.map(r => math.round(cosine(q, r._2) * 1e6)).min
+      wts.keys.filter(d => d != q && !picked(d)).foreach { d =>
+        assert(math.round(cosine(q, d) * 1e6) <= worst,
+          s"query $q missed better neighbor $d")
+      }
+    }
+  }
+
   test("round-10 text operators plan no cartesian products") {
     // the 1-row / source-cardinality broadcast cross joins must plan as
     // BroadcastNestedLoopJoin over a broadcast side, never CartesianProduct
@@ -325,6 +366,7 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.importanceWeights(tables),
       TextAnalysis.sourceKlDivergence(tables),
       TextAnalysis.oovCurve(tables),
+      TextAnalysis.tfidfSearch(tables),
       TextAnalysis.qualityModel(tables)).foreach { df =>
       val plan = planOf(df)
       assert(!plan.contains("CartesianProduct"), plan)
