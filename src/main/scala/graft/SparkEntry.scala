@@ -150,6 +150,7 @@ object SparkEntry {
     "q_dsir_weights" -> ((s, d) => TextAnalysis.importanceWeights(Tables(s, d))),
     "q_source_kl" -> ((s, d) => TextAnalysis.sourceKlDivergence(Tables(s, d))),
     "q_tfidf_search" -> ((s, d) => TextAnalysis.tfidfSearch(Tables(s, d))),
+    "q_bm25_search" -> ((s, d) => TextAnalysis.bm25Search(Tables(s, d))),
     "q_quality_model" -> ((s, d) => TextAnalysis.qualityModel(Tables(s, d))),
     "q_media_video" -> ((s, d) => {
       import graft.operators.Multimodal
@@ -552,6 +553,20 @@ object SparkEntry {
         "ranked AS (SELECT doc_id, token, tfidf, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS BIGINT) AS rk FROM scored) " +
         "SELECT doc_id, token, tfidf, rk FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk"),
     "q_quality_model" -> KernelOracleSql.qualityModel(),
+    "q_bm25_search" ->
+      ("WITH toks AS (SELECT doc_id, token AS w FROM (SELECT doc_id, " +
+        "unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token FROM documents) WHERE token <> ''), " +
+        "tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w), " +
+        "dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY w), " +
+        "lens AS (SELECT doc_id, sum(tf) AS len FROM tf GROUP BY doc_id), " +
+        "st AS (SELECT count(*) AS n, avg(len) AS avgl FROM lens), " +
+        "qt AS (SELECT doc_id AS query_id, w FROM tf WHERE doc_id < 10), " +
+        "contrib AS (SELECT q.query_id, c.doc_id, " +
+        "ln((n - df + 0.5) / (df + 0.5) + 1.0) * (c.tf * (1.2 + 1.0)) / (c.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.len / st.avgl)) AS cc " +
+        "FROM tf c JOIN qt q USING (w) JOIN dfq USING (w) JOIN lens l ON l.doc_id = c.doc_id CROSS JOIN st WHERE c.doc_id <> q.query_id), " +
+        "sc AS (SELECT query_id, doc_id AS neighbor_id, round(sum(cc), 6) AS bm25 FROM contrib GROUP BY query_id, doc_id), " +
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, neighbor_id ASC) AS rn FROM sc) " +
+        "SELECT query_id, neighbor_id, bm25 FROM rk WHERE rn <= 5 ORDER BY query_id, neighbor_id"),
     "q_tfidf_search" ->
       ("WITH toks AS (SELECT doc_id, token AS w FROM (SELECT doc_id, " +
         "unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token FROM documents) WHERE token <> ''), " +

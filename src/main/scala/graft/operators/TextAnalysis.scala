@@ -684,6 +684,47 @@ object TextAnalysis {
       .orderBy("query_id", "neighbor_id")
   }
 
+  /** BM25 retrieval (Robertson–Spärck Jones lineage, the IR default) over
+    * the same inverted-index shape as [[tfidfSearch]]: per shared term,
+    * idf(w) · tf·(k1+1) / (tf + k1·(1−b+b·len/avgLen)) with the
+    * positive-idf form ln((N−df+0.5)/(df+0.5)+1); query terms are the
+    * DISTINCT tokens of the bounded query documents. Candidates are
+    * postings-list-bounded; the length-normalization statistics are a
+    * doc-cardinality aggregate plus a broadcast 1-row corpus mean.
+    * Ranking runs on the ROUNDED score (round-6, id tie-break) for the
+    * same near-duplicate determinism reason as [[tfidfSearch]]. */
+  def bm25Search(t: Tables, nQueries: Long = 10, topK: Int = 5,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = t.documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("_tf"))
+      .localCheckpoint()
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("_df"))
+    val lens = tf.groupBy("doc_id").agg(sum("_tf").as("_len"))
+    val stats = lens.agg(count(lit(1)).as("_n"), avg("_len").as("_avg"))
+    val qTerms = tf.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"), col("w"))
+    val rank = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+      .orderBy(col("bm25").desc, col("neighbor_id").asc)
+    tf.join(broadcast(qTerms), Seq("w"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(dfreq, "w")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("_c",
+        // operand grouping mirrors the oracle text; the commuted constant
+        // multiplications are IEEE-exact either way
+        log((col("_n") - col("_df") + 0.5) / (col("_df") + 0.5) + 1.0) *
+          (col("_tf") * (k1 + 1.0)) /
+          (col("_tf") + (lit(1.0 - b) + col("_len") * b / col("_avg")) * k1))
+      .groupBy(col("query_id"), col("doc_id").as("neighbor_id"))
+      .agg(round(sum("_c"), 6).as("bm25"))
+      .withColumn("rn", row_number().over(rank))
+      .filter(col("rn") <= topK)
+      .select("query_id", "neighbor_id", "bm25")
+      .orderBy("query_id", "neighbor_id")
+  }
+
   /** Per-source distribution drift: smoothed KL divergence of each
     * source's unigram token distribution from the corpus distribution —
     * the standard mixture-monitoring scalar (a source whose KL jumps

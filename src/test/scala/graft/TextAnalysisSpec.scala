@@ -359,6 +359,37 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("bm25Search matches a driver-side recompute") {
+    val got = TextAnalysis.bm25Search(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    val docs = tables.documents.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq)
+      .filter(_._2.nonEmpty).toMap
+    val tf = docs.map { case (id, toks) =>
+      id -> toks.groupBy(identity).map { case (w, hits) => w -> hits.length.toLong }
+    }
+    val dfreq = tf.values.flatMap(_.keys).groupBy(identity).map { case (w, hs) => w -> hs.size }
+    val n = tf.size
+    val avgLen = tf.values.map(_.values.sum).sum.toDouble / n
+    def bm25(q: Long, d: Long): Double = {
+      val (k1, b) = (1.2, 0.75)
+      val len = tf(d).values.sum
+      tf(q).keysIterator.filter(tf(d).contains).map { w =>
+        val idf = math.log((n - dfreq(w) + 0.5) / (dfreq(w) + 0.5) + 1.0)
+        idf * (tf(d)(w) * (k1 + 1.0)) / (tf(d)(w) + k1 * (1.0 - b + b * len / avgLen))
+      }.sum
+    }
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.length <= 5, s"query $q")
+      rows.foreach { case (_, nb, s) =>
+        assert(nb != q)
+        assert(math.abs(s - bm25(q, nb)) < 1e-4, s"($q,$nb): $s vs ${bm25(q, nb)}")
+      }
+    }
+  }
+
   test("round-10 text operators plan no cartesian products") {
     // the 1-row / source-cardinality broadcast cross joins must plan as
     // BroadcastNestedLoopJoin over a broadcast side, never CartesianProduct
