@@ -497,6 +497,37 @@ ranked AS (SELECT query_id, neighbor_id, cos, row_number() OVER (PARTITION BY qu
 SELECT query_id, neighbor_id, round(cos, 6) AS cosine FROM ranked WHERE rn <= $topK ORDER BY query_id, neighbor_id"""
   }
 
+  /** Oracle for q_ann_pq ([[graft.operators.Similarity.pqTopK]]): the
+    * [[annIvf]] Lloyd chain extended with a subspace key — per-subspace
+    * codebooks (first-ksub init over the vec_id-ordered sample, fixed
+    * iterations, empty-cell coalesce), corpus encoding as the per-
+    * (vector, subspace) argmin, and ADC = Σ_s dist(query_s,
+    * codeword(neighbor, s)). The `dd` distance table of EVERY vector
+    * against the final books serves both the encoding argmin and the
+    * query lookup tables — exactly the reuse the engine's driver-side
+    * LUT build expresses. Ranking on the ROUNDED distance with the id
+    * tie-break, mirroring the engine. */
+  def annPq(nQueries: Int = 10, topK: Int = 5, ksub: Int = 16,
+            dsub: Int = 8, iters: Int = 2, sampleTarget: Long = 16000L): String = {
+    val lloyd = (1 to iters).map { r =>
+      s"""d$r AS (SELECT t.vec_id, t.s, c.cell, sum((t.xj - c.cj) * (t.xj - c.cj)) AS dist FROM st t JOIN c${r - 1} c ON c.s = t.s AND c.jj = t.jj GROUP BY t.vec_id, t.s, c.cell),
+a$r AS (SELECT vec_id, s, cell FROM (SELECT vec_id, s, cell, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist ASC, cell ASC) AS rn FROM d$r) WHERE rn = 1),
+m$r AS (SELECT a.cell, t.s, t.jj, avg(t.xj) AS cj FROM st t JOIN a$r a ON a.vec_id = t.vec_id AND a.s = t.s GROUP BY a.cell, t.s, t.jj),
+c$r AS MATERIALIZED (SELECT p.cell, p.s, p.jj, coalesce(m.cj, p.cj) AS cj FROM c${r - 1} p LEFT JOIN m$r m ON m.cell = p.cell AND m.s = p.s AND m.jj = p.jj)"""
+    }.mkString(",\n")
+    s"""WITH x AS MATERIALIZED (SELECT vec_id, generate_subscripts(embedding, 1) AS j, unnest(CAST(embedding AS DOUBLE[])) AS xj FROM embeddings),
+sx AS MATERIALIZED (SELECT vec_id, CAST((j - 1) // $dsub AS INT) AS s, CAST((j - 1) % $dsub AS INT) AS jj, xj FROM x),
+st AS MATERIALIZED (SELECT * FROM sx WHERE vec_id < $sampleTarget),
+seeds AS (SELECT vec_id, rn - 1 AS cell FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn FROM (SELECT DISTINCT vec_id FROM st)) WHERE rn <= $ksub),
+c0 AS MATERIALIZED (SELECT sd.cell, t.s, t.jj, t.xj AS cj FROM seeds sd JOIN st t ON t.vec_id = sd.vec_id),
+$lloyd,
+dd AS MATERIALIZED (SELECT t.vec_id, t.s, c.cell, sum((t.xj - c.cj) * (t.xj - c.cj)) AS dist FROM sx t JOIN c$iters c ON c.s = t.s AND c.jj = t.jj GROUP BY t.vec_id, t.s, c.cell),
+code AS MATERIALIZED (SELECT vec_id, s, cell AS code FROM (SELECT vec_id, s, cell, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist ASC, cell ASC) AS rn FROM dd) WHERE rn = 1),
+adc AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, sum(q.dist) AS dist FROM (SELECT * FROM dd WHERE vec_id < $nQueries) q JOIN code n ON n.s = q.s AND n.code = q.cell WHERE n.vec_id <> q.vec_id GROUP BY 1, 2),
+ranked AS (SELECT query_id, neighbor_id, round(dist, 6) AS adc_dist, row_number() OVER (PARTITION BY query_id ORDER BY round(dist, 6) ASC, neighbor_id ASC) AS rn FROM adc)
+SELECT query_id, neighbor_id, adc_dist FROM ranked WHERE rn <= $topK ORDER BY query_id, neighbor_id"""
+  }
+
   // xxHash64 primes (public algorithm constants)
   private val P1 = u(0x9E3779B185EBCA87L)
   private val P2 = u(0xC2B2AE3D27D4EB4FL)

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Analytics, Dedup, Graph, Multimodal, Packing, Relational, Similarity, TextAnalysis}
+import graft.operators.{Analytics, Dedup, Graph, Multimodal, Packing, Relational, Similarity, TextAnalysis, Tpch}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -132,6 +132,7 @@ object SparkEntry {
     "q_ann_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables(s, d))),
     "q_ann_lsh" -> ((s, d) => Similarity.lshTopK(Tables(s, d))),
     "q_ann_ivf" -> ((s, d) => Similarity.ivfTopK(Tables(s, d))),
+    "q_ann_pq" -> ((s, d) => Similarity.pqTopK(Tables(s, d))),
     "q_embed_neardup" -> ((s, d) => Similarity.embeddingNearDups(Tables(s, d))),
     "q_embed_quantize" -> ((s, d) => Similarity.quantizeDiagnostics(Tables(s, d))),
     "q_ann_int8" -> ((s, d) => Similarity.int8TopK(Tables(s, d))),
@@ -197,6 +198,21 @@ object SparkEntry {
     "q_tpch_q8" -> ((s, d) => Analytics.tpchQ8(Tables(s, d))),
     "q_tpch_q6" -> ((s, d) => Analytics.tpchQ6(Tables(s, d))),
     "q_tpch_q19" -> ((s, d) => Analytics.tpchQ19(Tables(s, d))),
+    "q_tpch_q1" -> ((s, d) => Tpch.q1(Tables(s, d))),
+    "q_tpch_q2" -> ((s, d) => Tpch.q2(Tables(s, d))),
+    "q_tpch_q4" -> ((s, d) => Tpch.q4(Tables(s, d))),
+    "q_tpch_q9" -> ((s, d) => Tpch.q9(Tables(s, d))),
+    "q_tpch_q11" -> ((s, d) => Tpch.q11(Tables(s, d))),
+    "q_tpch_q12" -> ((s, d) => Tpch.q12(Tables(s, d))),
+    "q_tpch_q13" -> ((s, d) => Tpch.q13(Tables(s, d))),
+    "q_tpch_q14" -> ((s, d) => Tpch.q14(Tables(s, d))),
+    "q_tpch_q15" -> ((s, d) => Tpch.q15(Tables(s, d))),
+    "q_tpch_q16" -> ((s, d) => Tpch.q16(Tables(s, d))),
+    "q_tpch_q17" -> ((s, d) => Tpch.q17(Tables(s, d))),
+    "q_tpch_q18" -> ((s, d) => Tpch.q18(Tables(s, d))),
+    "q_tpch_q20" -> ((s, d) => Tpch.q20(Tables(s, d))),
+    "q_tpch_q21" -> ((s, d) => Tpch.q21(Tables(s, d))),
+    "q_tpch_q22" -> ((s, d) => Tpch.q22(Tables(s, d))),
     "q_skew_audit" -> ((s, d) => {
       import graft.operators.Skew
       Skew.keySkewAudit(Tables(s, d).events, col("user_id"), k = 20)
@@ -430,6 +446,7 @@ object SparkEntry {
     // RNG-free (first-k init over a vec_id-ordered deterministic sample),
     // so the full train→assign→probe→rank pipeline is SQL-replayable
     "q_ann_ivf" -> KernelOracleSql.annIvf(),
+    "q_ann_pq" -> KernelOracleSql.annPq(),
     "q_dedup_groups" -> MinhashOracleSql.nearDupGroups(),
     "q_pack_sequences" -> KernelOracleSql.packSequences(),
     "q_text_lang" -> KernelOracleSql.textLang,
@@ -869,6 +886,121 @@ object SparkEntry {
         "WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 15) " +
         "OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 25) " +
         "OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 35)"),
+    // the Q1/Q2/Q4/Q9/Q11–Q18/Q20–Q22 oracles mirror graft.operators.Tpch
+    // term-for-term: exact integer money units (e2/e4/e6) summed, ONE
+    // cast-to-double + ONE division — see Tpch.scala's determinism note
+    "q_tpch_q1" ->
+      ("WITH li AS (SELECT l_returnflag, l_linestatus, l_quantity, " +
+        "CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_e2, " +
+        "CAST(round(l_extendedprice * 100, 0) AS BIGINT) * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS disc_e4, " +
+        "CAST(round(l_extendedprice * 100, 0) AS BIGINT) * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) * (100 + CAST(round(l_tax * 100, 0) AS BIGINT)) AS charge_e6, " +
+        "CAST(round(l_discount * 100, 0) AS BIGINT) AS disc_e2 " +
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01') " +
+        "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, " +
+        "CAST(sum(price_e2) AS DOUBLE) / 100.0 AS sum_base_price, " +
+        "CAST(sum(disc_e4) AS DOUBLE) / 10000.0 AS sum_disc_price, " +
+        "CAST(sum(charge_e6) AS DOUBLE) / 1000000.0 AS sum_charge, " +
+        "sum(l_quantity) / count(*) AS avg_qty, " +
+        "CAST(sum(price_e2) AS DOUBLE) / 100.0 / count(*) AS avg_price, " +
+        "CAST(sum(disc_e2) AS DOUBLE) / 100.0 / count(*) AS avg_disc, " +
+        "count(*) AS count_order " +
+        "FROM li GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q_tpch_q2" ->
+      ("WITH nr AS (SELECT n_nationkey, n_name FROM nation JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'), " +
+        "sup AS (SELECT s_suppkey, s_name, s_acctbal, n_name FROM supplier JOIN nr ON s_nationkey = n_nationkey), " +
+        "ps AS (SELECT l_partkey, l_suppkey, min(CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS DOUBLE) / l_quantity) AS cost " +
+        "FROM lineitem WHERE l_suppkey IN (SELECT s_suppkey FROM sup) GROUP BY 1, 2), " +
+        "mc AS (SELECT l_partkey AS mp, min(cost) AS min_cost FROM ps GROUP BY 1) " +
+        "SELECT s_acctbal, s_name, n_name, p_partkey, p_name, cost AS unit_cost_e2 " +
+        "FROM ps JOIN part ON l_partkey = p_partkey JOIN mc ON l_partkey = mp AND cost = min_cost " +
+        "JOIN sup ON l_suppkey = s_suppkey WHERE p_size = 10 AND p_type = 'SMALL' " +
+        "ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100"),
+    "q_tpch_q4" ->
+      ("SELECT o_orderpriority, count(*) AS n_orders FROM orders " +
+        "WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01' " +
+        "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY) " +
+        "GROUP BY 1 ORDER BY 1"),
+    "q_tpch_q9" ->
+      ("SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year, " +
+        "CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) " +
+        "- CAST(round(p_retailprice * 100, 0) AS BIGINT) * CAST(round(l_quantity, 0) AS BIGINT) * 60) AS DOUBLE) / 10000.0 AS profit " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE p_name LIKE '%widget%' GROUP BY 1, 2 ORDER BY nation, o_year DESC"),
+    "q_tpch_q11" ->
+      ("WITH sup AS (SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_5'), " +
+        "v AS (SELECT l_partkey, sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS val_e4 " +
+        "FROM lineitem WHERE l_suppkey IN (SELECT s_suppkey FROM sup) GROUP BY 1), " +
+        "tot AS (SELECT sum(val_e4) AS tot_e4 FROM v) " +
+        "SELECT l_partkey, CAST(val_e4 AS DOUBLE) / 10000.0 AS value FROM v CROSS JOIN tot " +
+        "WHERE val_e4 * 1000 > tot_e4 ORDER BY value DESC, l_partkey"),
+    "q_tpch_q12" ->
+      ("SELECT l_linestatus, " +
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, " +
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01' " +
+        "AND l_shipdate > o_orderdate + INTERVAL 30 DAY " +
+        "GROUP BY 1 ORDER BY 1"),
+    "q_tpch_q13" ->
+      ("WITH c AS (SELECT c_custkey, count(o_orderkey) AS c_count FROM customer " +
+        "LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED' GROUP BY 1) " +
+        "SELECT c_count, count(*) AS custdist FROM c GROUP BY 1 ORDER BY custdist DESC, c_count DESC"),
+    "q_tpch_q14" ->
+      ("WITH li AS (SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS e4, p_type " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01') " +
+        "SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN e4 ELSE 0 END) AS DOUBLE) * 100.0 / CAST(sum(e4) AS DOUBLE) AS promo_pct, " +
+        "CAST(sum(e4) AS DOUBLE) / 10000.0 AS total_revenue FROM li"),
+    "q_tpch_q15" ->
+      ("WITH rev AS (SELECT l_suppkey, sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS total_e4 " +
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01' GROUP BY 1) " +
+        "SELECT s_suppkey, s_name, CAST(total_e4 AS DOUBLE) / 10000.0 AS total_revenue " +
+        "FROM supplier JOIN rev ON s_suppkey = l_suppkey " +
+        "WHERE total_e4 = (SELECT max(total_e4) FROM rev) ORDER BY s_suppkey"),
+    "q_tpch_q16" ->
+      ("SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE p_brand <> 'Brand#13' AND p_type NOT LIKE 'PROMO%' AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35) " +
+        "AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) " +
+        "GROUP BY 1, 2, 3 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"),
+    "q_tpch_q17" ->
+      ("WITH li AS (SELECT l_partkey, l_quantity, CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_e2 " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_brand = 'Brand#12' AND p_size = 5), " +
+        "a AS (SELECT l_partkey AS ap, sum(l_quantity) / count(*) AS avg_qty FROM li GROUP BY 1) " +
+        "SELECT floor(CAST(sum(price_e2) AS DOUBLE) / 7.0) / 100.0 AS avg_yearly, count(*) AS n_lines " +
+        "FROM li JOIN a ON l_partkey = ap WHERE l_quantity < CAST(0.2 AS DOUBLE) * avg_qty"),
+    "q_tpch_q18" ->
+      ("WITH big AS (SELECT l_orderkey AS bk, sum(l_quantity) AS total_qty FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300) " +
+        "SELECT c_name, c_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_totalprice, total_qty " +
+        "FROM orders JOIN big ON o_orderkey = bk JOIN customer ON o_custkey = c_custkey " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"),
+    "q_tpch_q20" ->
+      ("WITH q AS (SELECT l_suppkey, sum(l_quantity) AS qty FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE p_name LIKE '%bolt%' AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01' " +
+        "GROUP BY 1 HAVING sum(l_quantity) > 50) " +
+        "SELECT s_suppkey, s_name FROM supplier JOIN nation ON s_nationkey = n_nationkey " +
+        "WHERE n_name = 'NATION_7' AND s_suppkey IN (SELECT l_suppkey FROM q) " +
+        "ORDER BY s_name, s_suppkey"),
+    "q_tpch_q21" ->
+      ("SELECT s_name, count(*) AS numwait FROM supplier " +
+        "JOIN lineitem l1 ON s_suppkey = l1.l_suppkey " +
+        "JOIN orders ON o_orderkey = l1.l_orderkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "WHERE o_orderstatus = 'F' AND n_name = 'NATION_2' " +
+        "AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY " +
+        "AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey) " +
+        "AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey " +
+        "AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY) " +
+        "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100"),
+    "q_tpch_q22" ->
+      ("WITH cust AS (SELECT c_custkey, c_nationkey, CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_e2 " +
+        "FROM customer WHERE c_nationkey IN (1, 3, 5, 7, 9, 11)), " +
+        "a AS (SELECT sum(bal_e2) AS sum_e2, count(*) AS cnt FROM cust WHERE bal_e2 > 0) " +
+        "SELECT c_nationkey AS cntrycode, count(*) AS numcust, CAST(sum(bal_e2) AS DOUBLE) / 100.0 AS totacctbal " +
+        "FROM cust CROSS JOIN a " +
+        "WHERE bal_e2 * cnt > sum_e2 AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) " +
+        "GROUP BY 1 ORDER BY 1"),
     "q_rolling_window" ->
       ("SELECT user_id, event_id, " +
         "round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 4) AS roll_sum, " +

@@ -396,6 +396,52 @@ object HashImpl {
     best
   }
 
+  /** Product-quantization encoder (Jégou et al. 2011, public method): per
+    * subspace, the euclidean-nearest codeword over a RAW float vector.
+    * `books` is flat [s][c][j] row-major ((s·ksub + c)·dsub + j). Ties
+    * break toward the lower code (strict `<`) — same convention as
+    * [[nearestCell]], and the j-accumulation order matches the SQL
+    * oracle's per-dimension sum. */
+  def pqCodes(vec: ArrayData, books: Array[Double], m: Int, ksub: Int,
+              dsub: Int): ArrayData = {
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < ksub) {
+        var dist = 0.0
+        var j = 0
+        val off = (s * ksub + c) * dsub
+        val voff = s * dsub
+        while (j < dsub) {
+          val df = vec.getFloat(voff + j).toDouble - books(off + j)
+          dist += df * df
+          j += 1
+        }
+        if (dist < bestD) { bestD = dist; best = c }
+        c += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  /** ADC (asymmetric distance computation) scoring kernel: Σ_s
+    * lut[s·ksub + codes[s]] — the PQ query hot path. `lut` is one query's
+    * flat per-subspace codeword distance table (m·ksub doubles). */
+  def adcDist(codes: ArrayData, lut: ArrayData): Double = {
+    val m = codes.numElements()
+    if (m == 0) return 0.0
+    val ksub = lut.numElements() / m
+    var s = 0
+    var sum = 0.0
+    while (s < m) { sum += lut.getDouble(s * ksub + codes.getInt(s)); s += 1 }
+    sum
+  }
+
   /** Shannon entropy of a byte payload in bits/byte: ln(n) − Σc·ln(c)/n
     * over the 256-bin byte histogram, divided by ln 2. Real corrupt-media
     * signal — truncated/zero-padded blobs score near 0, encrypted or
@@ -626,6 +672,36 @@ case class NearestCellUnit(child: Expression, cents: Array[Double], d: Int)
     copy(child = newChild)
 }
 
+/** PqCodes(array<float>) → array<int>: product-quantization codes against
+  * plan-embedded per-subspace codebooks (m·ksub·dsub doubles — a few KB,
+  * same reference-object pattern as [[NearestCell]]). */
+case class PqCodes(child: Expression, books: Array[Double], m: Int, ksub: Int,
+                   dsub: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpl.pqCodes(input.asInstanceOf[ArrayData], books, m, ksub, dsub)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val booksRef = ctx.addReferenceObj("books", books, "double[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashImpl.pqCodes($c, $booksRef, $m, $ksub, $dsub)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqCodes =
+    copy(child = newChild)
+}
+
+/** AdcDist(array<int>, array<double>) → double — fused PQ lookup-table sum
+  * (one kernel so Catalyst can't inline the Σ into both the rank and the
+  * projection — same reasoning as [[MaskJaccard]]). */
+case class AdcDist(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashImpl.adcDist(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashImpl.adcDist($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): AdcDist =
+    copy(left = l, right = r)
+}
+
 case class DotRef(child: Expression, v: Array[Double]) extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override protected def nullSafeEval(input: Any): Any =
@@ -711,4 +787,13 @@ object HashFunctions {
     col(NearestCellUnit(expr(vec), centroids.flatten.toArray, d))
   }
   def sortedJaccard(a: Column, b: Column): Column = col(SortedJaccard(expr(a), expr(b)))
+  def pqCodes(vec: Column, books: Seq[Seq[Seq[Double]]]): Column = {
+    val m = books.length
+    val ksub = books.head.length
+    val dsub = books.head.head.length
+    require(books.forall(b => b.length == ksub && b.forall(_.length == dsub)),
+      "ragged PQ codebooks")
+    col(PqCodes(expr(vec), books.flatten.flatten.toArray, m, ksub, dsub))
+  }
+  def adcDist(codes: Column, lut: Column): Column = col(AdcDist(expr(codes), expr(lut)))
 }

@@ -646,7 +646,7 @@ object Analytics {
     * order-independent, unlike the float `price·(1−discount)` sum whose
     * last-ulp varies with partition order and flips a round(…, 2)
     * boundary between engines (observed on Q10 at sf0.01). */
-  private def moneyRevE4: Column =
+  private[operators] def moneyRevE4: Column =
     round(col("l_extendedprice") * 100, 0).cast("long") *
       (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))
 
@@ -657,7 +657,7 @@ object Analytics {
     * shortest decimal string of the double, DuckDB the binary value, and
     * they disagree whenever the quotient prints as …x5 (observed on Q10:
     * 307843.595 → .60 vs .59). Integer cents sidestep the class. */
-  private def moneySum(e4: Column): Column =
+  private[operators] def moneySum(e4: Column): Column =
     floor((sum(e4.cast("decimal(38,0)")) + lit(50)) / lit(100))
       .cast("double") / 100.0
 

@@ -268,6 +268,96 @@ object Similarity {
       .orderBy("query_id", "neighbor_id")
   }
 
+  /** Product-quantization ANN (PQ + ADC, Jégou et al. 2011 — public
+    * method): each corpus vector compresses to `m` codebook indices
+    * (m bytes at ksub ≤ 256, vs 4·d bytes of floats) — the
+    * memory-compression ANN scale path: at 100 TB of embeddings the code
+    * table is ~4·d/m× smaller than the raw vectors and is the ONLY
+    * corpus-wide state the query stage reads; each query scores a vector
+    * with m table lookups (ADC) instead of a d-term dot product.
+    *
+    * Deterministic end to end, same contract as [[ivfTopK]]: per-subspace
+    * codebooks train via [[fitCentroids]] (first-ksub init over the
+    * vec_id-ordered bounded sample, fixed iterations, no RNG anywhere);
+    * encoding is one codegen'd kernel ([[graft.functions.PqCodes]]) over
+    * the raw float column; query LUTs are driver-built with the kernel's
+    * exact j-accumulation order and broadcast; ranking uses the ROUNDED
+    * ADC distance with an id tie-break (the q_tfidf_search convention) so
+    * a last-ulp sum divergence cannot flip the hash. The oracle replays
+    * train/encode/LUT/rank as one CTE chain ([[KernelOracleSql.pqTopK]]).
+    * In a production deployment this composes with [[ivfTopK]]'s coarse
+    * quantizer (probe cells first, ADC inside the cell); kept orthogonal
+    * here so each stage is independently oracle-verified. */
+  def pqTopK(t: Tables, nQueries: Int = 10, k: Int = 5,
+             m: Int = 8, ksub: Int = 16, lloydIters: Int = 2): DataFrame = {
+    val sampleTarget = 1000L * ksub
+    val collected = t.embeddings
+      .filter(col("vec_id") < math.max(sampleTarget, nQueries.toLong))
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    val spark = t.embeddings.sparkSession
+    if (collected.isEmpty)
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("query_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("neighbor_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("adc_dist",
+            org.apache.spark.sql.types.DoubleType))))
+    val d = collected.head._2.length
+    require(d % m == 0, s"embedding dim $d not divisible by m=$m")
+    val dsub = d / m
+    val sample = collected.filter(_._1 < sampleTarget)
+      .map(_._2.toArray.map(_.toDouble))
+    val books: Seq[Seq[Seq[Double]]] = (0 until m).map { s =>
+      fitCentroids(
+        sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub)),
+        ksub, iters = lloydIters)
+        .map(_.toSeq).toSeq
+    }
+    // per-query flat LUTs on the driver (query set bounded by contract —
+    // the same reasoning as ivfTopK's driver-side probe), built with the
+    // kernel's j-order so driver and executors agree bit-for-bit
+    val luts = collected.filter(_._1 < nQueries).map { case (qid, qEmb) =>
+      val q = qEmb.toArray.map(_.toDouble)
+      val lut = new Array[Double](m * ksub)
+      var s = 0
+      while (s < m) {
+        var c = 0
+        while (c < ksub) {
+          var dist = 0.0
+          var j = 0
+          while (j < dsub) {
+            val df = q(s * dsub + j) - books(s)(c)(j)
+            dist += df * df
+            j += 1
+          }
+          lut(s * ksub + c) = dist
+          c += 1
+        }
+        s += 1
+      }
+      (qid, lut.toSeq)
+    }
+    val qdf = spark.createDataFrame(luts.toIndexedSeq).toDF("query_id", "lut")
+    val codes = t.embeddings.select(col("vec_id").as("neighbor_id"),
+      HashFunctions.pqCodes(col("embedding"), books).as("codes"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    codes.crossJoin(broadcast(qdf))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc_dist",
+        round(HashFunctions.adcDist(col("codes"), col("lut")), 6))
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adc_dist"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
   /** The staged int8-code projection shared by [[quantizeEmbeddings]],
     * [[quantizeDiagnostics]] and [[int8TopK]]: adds `_d` (double view of the
     * embedding), `scale` (symmetric per-vector scale max|v_i|/127, zero

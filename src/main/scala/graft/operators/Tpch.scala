@@ -1,0 +1,400 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** The rest of the TPC-H suite (Q1, Q2, Q4, Q9, Q11–Q18, Q20–Q22), adapted
+  * to this catalog's star schema. The test tables carry no `partsupp` and no
+  * `l_commitdate`/`l_receiptdate`/`l_shipmode` columns, so queries that
+  * reference them are re-grounded on columns that exist while preserving the
+  * plan shape that makes each query interesting:
+  *
+  *  - Q2's correlated-min subquery (min supply cost per part) becomes a
+  *    correlated min over per-(part, supplier) unit prices derived from
+  *    lineitem.
+  *  - Q4/Q21's commit-vs-receipt lateness becomes ship-vs-order lateness
+  *    (`l_shipdate > o_orderdate + N days`) — the EXISTS / NOT-EXISTS
+  *    decorrelation shapes are unchanged.
+  *  - Q9's supply cost becomes a fixed fraction of `p_retailprice`.
+  *  - Q11's stock value is per-part revenue through one nation's suppliers.
+  *  - Q12 groups by `l_linestatus` in place of the missing `l_shipmode`.
+  *  - Q16's supplier-complaints exclusion becomes negative `s_acctbal`.
+  *  - Q22's phone prefix becomes `c_nationkey`.
+  *
+  * Determinism across engines (the driver hashes values against a DuckDB
+  * oracle): every money aggregate is computed in EXACT integer units —
+  * cents (e2), price×(1−disc) in 1e-4 dollars (e4), or ×(1+tax) in 1e-6
+  * dollars (e6) — summed as decimal(38,0), then converted with ONE
+  * cast-to-double and ONE IEEE division. No `round(double, k)` sits on a
+  * sum, so the Spark-vs-DuckDB half-even print divergence class documented
+  * on Q10 (Analytics.moneySum) cannot occur. Averages are emitted as
+  * `exact_sum / count` — a single division both engines evaluate
+  * identically. (ref:public-surface — the `/root/reference` checkout is
+  * empty; TPC-H shapes from the public specification.)
+  */
+object Tpch {
+
+  /** Cents of a 2-decimal money column, as an exact long. */
+  private def e2(c: Column): Column = round(c * 100, 0).cast("long")
+
+  /** Exact decimal sum of an integer-unit column (no int64 overflow at
+    * corpus scale). */
+  private def sumE(c: Column): Column = sum(c.cast("decimal(38,0)"))
+
+  /** One deterministic conversion: exact integer units → dollars. */
+  private def toMoney(sumUnits: Column, unitsPerDollar: Double): Column =
+    sumUnits.cast("double") / unitsPerDollar
+
+  /** price·(1−discount) in exact 1e-4 dollars (same kernel as
+    * [[Analytics.moneyRevE4]]). */
+  private def revE4: Column = Analytics.moneyRevE4
+
+  private def tsLit(s: String): Column = lit(s).cast("timestamp_ntz")
+
+  /** TPC-H Q1 (pricing summary report): the canonical full-scan aggregate —
+    * one pass over lineitem, 4 groups out. Everything money-valued runs in
+    * exact integer units (charge = price·(1−d)·(1+t) is exact in 1e-6
+    * dollars since all three factors are 2-decimal); quantities are
+    * integer-valued doubles whose sums are exact and order-independent. The
+    * plan is scan → partial agg → 4-group final agg: map-side combine does
+    * essentially all the work, which is exactly what survives a 100 TB
+    * fact table. */
+  def q1(t: Tables, cutoff: String = "2001-09-01"): DataFrame = {
+    val chargeE6 = e2(col("l_extendedprice")) *
+      (lit(100L) - e2(col("l_discount"))) *
+      (lit(100L) + e2(col("l_tax")))
+    t.lineitem
+      .filter(col("l_shipdate") <= tsLit(cutoff))
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"),
+        e2(col("l_extendedprice")).as("price_e2"), revE4.as("disc_e4"),
+        chargeE6.as("charge_e6"), e2(col("l_discount")).as("disc_e2"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        toMoney(sumE(col("price_e2")), 100.0).as("sum_base_price"),
+        toMoney(sumE(col("disc_e4")), 1e4).as("sum_disc_price"),
+        toMoney(sumE(col("charge_e6")), 1e6).as("sum_charge"),
+        (sum("l_quantity") / count(lit(1))).as("avg_qty"),
+        (toMoney(sumE(col("price_e2")), 100.0) / count(lit(1))).as("avg_price"),
+        (toMoney(sumE(col("disc_e2")), 100.0) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** TPC-H Q2 shape (minimum-cost supplier): for each qualifying part, the
+    * region's suppliers whose unit cost equals the part's minimum. The
+    * partsupp supply cost is re-derived as min(extendedprice·100 / quantity)
+    * over each (part, supplier)'s lineitems — both operands exact, so the
+    * quotient is bit-identical on any IEEE engine and the min/equality
+    * join-back is safe on doubles. Plan shape: the correlated min
+    * decorrelates into a per-part aggregate joined back (no per-row
+    * subquery execution); region→nation→supplier is a broadcast tier. */
+  def q2(t: Tables, size: Int = 10, ptype: String = "SMALL",
+         region: String = "EUROPE", limit: Int = 100): DataFrame = {
+    val nr = t.nation
+      .join(t.region.filter(col("r_name") === region),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val sup = t.supplier
+      .join(broadcast(nr), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val ps = t.lineitem
+      .select(col("l_partkey"), col("l_suppkey"),
+        (e2(col("l_extendedprice")).cast("double") / col("l_quantity")).as("unit"))
+      .join(sup.select("s_suppkey"), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min("unit").as("cost"))
+    val minCost = ps.groupBy(col("l_partkey").as("mp"))
+      .agg(min("cost").as("min_cost"))
+    val parts = t.part
+      .filter(col("p_size") === size && col("p_type") === ptype)
+      .select("p_partkey", "p_name")
+    ps.join(parts, col("l_partkey") === col("p_partkey"))
+      .join(minCost, col("l_partkey") === col("mp") && col("cost") === col("min_cost"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"), col("cost").as("unit_cost_e2"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(limit)
+  }
+
+  /** TPC-H Q4 (order priority checking): orders in one quarter with at
+    * least one late-shipped line, counted by priority. The EXISTS
+    * subquery is a LEFT SEMI join whose condition references both sides
+    * (shipdate vs orderdate + 60 days) — it rides the orderkey equi-join
+    * as a residual, no extra shuffle; the quarter filter pushes to the
+    * orders scan so the semi-join probe side is already small. */
+  def q4(t: Tables, from: String = "1997-01-01", until: String = "1997-04-01",
+         lateDays: Int = 60): DataFrame = {
+    val ord = t.orders
+      .filter(col("o_orderdate") >= tsLit(from) && col("o_orderdate") < tsLit(until))
+      .select("o_orderkey", "o_orderpriority", "o_orderdate")
+    ord.join(t.lineitem.select("l_orderkey", "l_shipdate"),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL '$lateDays' DAY"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q9 shape (product-type profit): profit by supplier nation and
+    * order year over a part-name-filtered slice. Supply cost is adapted to
+    * 60% of `p_retailprice` per unit — exact in 1e-4 dollars
+    * (cents × integer qty × 60), so the possibly-NEGATIVE profit sums skip
+    * the half-up rounding (floor((x+50)/100) is not symmetric around zero)
+    * and convert with a single cast+divide. Dimension sides (part slice,
+    * supplier×nation) broadcast while they fit; the fact table is touched
+    * once. */
+  def q9(t: Tables, namePat: String = "%widget%"): DataFrame = {
+    val parts = t.part.filter(col("p_name").like(namePat))
+      .select("p_partkey", "p_retailprice")
+    val supN = t.supplier
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    val ord = t.orders.select(col("o_orderkey"),
+      year(col("o_orderdate")).cast("bigint").as("o_year"))
+    val profitE4 = revE4 -
+      e2(col("p_retailprice")) * round(col("l_quantity"), 0).cast("long") * 60L
+    t.lineitem
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .join(supN, col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("nation"), col("o_year"), profitE4.as("profit_e4"))
+      .groupBy("nation", "o_year")
+      .agg(toMoney(sumE(col("profit_e4")), 1e4).as("profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q11 shape (important stock): parts whose revenue through one
+    * nation's suppliers exceeds a fixed fraction of that nation's total.
+    * The HAVING-over-global-scalar decorrelates into a 1-row aggregate
+    * broadcast against the per-part totals; the threshold compare happens
+    * in exact integer units (val·1000 > total) — no float fraction, no
+    * boundary flips. */
+  def q11(t: Tables, nation: String = "NATION_5", perMille: Int = 1): DataFrame = {
+    val sup = t.supplier
+      .join(broadcast(t.nation.filter(col("n_name") === nation)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val v = t.lineitem
+      .join(sup, col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .select(col("l_partkey"), revE4.as("e4"))
+      .groupBy("l_partkey")
+      .agg(sumE(col("e4")).as("val_e4"))
+    val tot = v.agg(sum("val_e4").as("tot_e4"))
+    v.crossJoin(broadcast(tot))
+      .filter(col("val_e4") * lit(1000L / perMille) > col("tot_e4"))
+      .select(col("l_partkey"), toMoney(col("val_e4"), 1e4).as("value"))
+      .orderBy(col("value").desc, col("l_partkey"))
+  }
+
+  /** TPC-H Q12 shape (shipping priority audit): late-shipped lines in one
+    * year, split into high/low order priority, grouped by `l_linestatus`
+    * (standing in for the absent `l_shipmode`). Pure integer counts; the
+    * year filter pushes to the lineitem scan and the lateness predicate
+    * rides the orderkey join as a residual. */
+  def q12(t: Tables, from: String = "1997-01-01", until: String = "1998-01-01",
+          lateDays: Int = 30): DataFrame = {
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    t.lineitem
+      .filter(col("l_shipdate") >= tsLit(from) && col("l_shipdate") < tsLit(until))
+      .select("l_orderkey", "l_linestatus", "l_shipdate")
+      .join(t.orders.select("o_orderkey", "o_orderpriority", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL '$lateDays' DAY"))
+      .groupBy("l_linestatus")
+      .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
+  /** TPC-H Q13 (customer order-count distribution): LEFT OUTER join with a
+    * filter ON THE JOIN (not a WHERE — customers with zero qualifying
+    * orders must survive with count 0), then a second, tiny aggregation
+    * over the counts. The first groupBy is customer-cardinality; the
+    * second is distribution-cardinality (~tens of rows). */
+  def q13(t: Tables, excludePriority: String = "4-NOT SPECIFIED"): DataFrame = {
+    val ord = t.orders.filter(col("o_orderpriority") =!= excludePriority)
+      .select("o_custkey")
+    t.customer.select("c_custkey")
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_custkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q14 (promotion effect): promo revenue share of one month.
+    * Single fact pass, conditional aggregation, one final IEEE
+    * multiply-divide over two exact integer sums. */
+  def q14(t: Tables, from: String = "1997-09-01", until: String = "1997-10-01"): DataFrame =
+    t.lineitem
+      .filter(col("l_shipdate") >= tsLit(from) && col("l_shipdate") < tsLit(until))
+      .join(t.part.select("p_partkey", "p_type"), col("l_partkey") === col("p_partkey"))
+      .select(revE4.as("e4"), col("p_type"))
+      .agg((sumE(when(col("p_type") === "PROMO", col("e4")).otherwise(0L)).cast("double") * 100.0 /
+        sumE(col("e4")).cast("double")).as("promo_pct"),
+        toMoney(sumE(col("e4")), 1e4).as("total_revenue"))
+
+  /** TPC-H Q15 (top supplier): suppliers achieving the quarter's maximum
+    * revenue. The scalar MAX subquery decorrelates into a 1-row broadcast;
+    * the equality compare runs on exact integer units, so "equals the max"
+    * cannot be float-fuzzed. */
+  def q15(t: Tables, from: String = "1997-01-01", until: String = "1997-04-01"): DataFrame = {
+    val rev = t.lineitem
+      .filter(col("l_shipdate") >= tsLit(from) && col("l_shipdate") < tsLit(until))
+      .select(col("l_suppkey"), revE4.as("e4"))
+      .groupBy("l_suppkey")
+      .agg(sumE(col("e4")).as("total_e4"))
+    val mx = rev.agg(max("total_e4").as("max_e4"))
+    t.supplier
+      .join(rev, col("s_suppkey") === col("l_suppkey"))
+      .crossJoin(broadcast(mx))
+      .filter(col("total_e4") === col("max_e4"))
+      .select(col("s_suppkey"), col("s_name"),
+        toMoney(col("total_e4"), 1e4).as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q16 shape (parts/supplier relationship): distinct supplier
+    * count per (brand, type, size) over a filtered part slice, excluding
+    * suppliers with negative account balance (standing in for the
+    * complaints NOT IN). The exclusion is a broadcast ANTI join — the NOT
+    * IN list is supplier-cardinality-bounded; the distinct count shuffles
+    * once on the group keys. */
+  def q16(t: Tables, exclBrand: String = "Brand#13",
+          sizes: Seq[Int] = Seq(1, 5, 10, 15, 20, 25, 30, 35)): DataFrame = {
+    val badSup = t.supplier.filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey").as("bad_sk"))
+    val parts = t.part
+      .filter(col("p_brand") =!= exclBrand && !col("p_type").like("PROMO%") &&
+        col("p_size").isin(sizes: _*))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    t.lineitem.select("l_partkey", "l_suppkey")
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .join(broadcast(badSup), col("l_suppkey") === col("bad_sk"), "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** TPC-H Q17 (small-quantity-order revenue): lines whose quantity is
+    * under 20% of their part's average, for one brand/size slice. The
+    * correlated AVG decorrelates into a per-part aggregate joined back;
+    * because partkey determines the slice, the average is computed AFTER
+    * the part filter — same value, fact scan reduced first. The avg is
+    * emitted as exact-sum/count so both engines compare
+    * `qty < 0.2 · avg` on identical doubles. */
+  def q17(t: Tables, brand: String = "Brand#12", size: Int = 5): DataFrame = {
+    val parts = t.part.filter(col("p_brand") === brand && col("p_size") === size)
+      .select("p_partkey")
+    val li = t.lineitem
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity"), e2(col("l_extendedprice")).as("price_e2"))
+    val avgq = li.groupBy(col("l_partkey").as("ap"))
+      .agg((sum("l_quantity") / count(lit(1))).as("avg_qty"))
+    li.join(avgq, col("l_partkey") === col("ap"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg((floor(sumE(col("price_e2")).cast("double") / 7.0) / 100.0).as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q18 (large-volume customers): orders whose total quantity
+    * exceeds a threshold, with customer detail, top-100 by price. The
+    * HAVING pre-aggregates lineitem to order grain BEFORE joining orders
+    * and customer — the join probe side is only the qualifying orders.
+    * Quantity sums are exact; the top-100 is a TakeOrderedAndProject with
+    * an orderkey tiebreak. */
+  def q18(t: Tables, minQty: Double = 300.0, limit: Int = 100): DataFrame = {
+    val big = t.lineitem
+      .groupBy(col("l_orderkey").as("bk"))
+      .agg(sum("l_quantity").as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    t.orders.join(big, col("o_orderkey") === col("bk"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(limit)
+  }
+
+  /** TPC-H Q20 shape (potential part promotion): suppliers in one nation
+    * who moved more than a threshold quantity of a part-name class in one
+    * year. Two stacked SEMI joins: parts filter the fact scan
+    * (broadcast), qualifying suppliers semi-filter the nation's supplier
+    * list. */
+  def q20(t: Tables, namePat: String = "%bolt%", from: String = "1997-01-01",
+          until: String = "1998-01-01", minQty: Double = 50.0,
+          nation: String = "NATION_7"): DataFrame = {
+    val parts = t.part.filter(col("p_name").like(namePat)).select("p_partkey")
+    val q = t.lineitem
+      .filter(col("l_shipdate") >= tsLit(from) && col("l_shipdate") < tsLit(until))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_suppkey")
+      .agg(sum("l_quantity").as("qty"))
+      .filter(col("qty") > minQty)
+    val nat = t.nation.filter(col("n_name") === nation).select("n_nationkey")
+    t.supplier
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(q, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name")
+      .orderBy("s_name", "s_suppkey")
+  }
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting): late lines of
+    * the ONLY late supplier in a multi-supplier finished order, counted
+    * per supplier of one nation. The EXISTS + NOT-EXISTS pair
+    * decorrelates into ONE per-order aggregate — n_suppliers > 1 AND
+    * n_late_suppliers == 1 — instead of two fact-table self-joins: one
+    * extra shuffle at order grain replaces two, and the oracle keeps the
+    * textbook double-subquery form to pin the equivalence. */
+  def q21(t: Tables, nation: String = "NATION_2", lateDays: Int = 90,
+          limit: Int = 100): DataFrame = {
+    val ord = t.orders.filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val li = t.lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL '$lateDays' DAY"))
+    val qualifying = li.groupBy(col("l_orderkey").as("ok"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+      .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
+    val natSup = t.supplier
+      .join(broadcast(t.nation.filter(col("n_name") === nation)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name")
+    li.filter(col("late"))
+      .join(qualifying, col("l_orderkey") === col("ok"), "left_semi")
+      .join(natSup, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(limit)
+  }
+
+  /** TPC-H Q22 shape (global sales opportunity): never-ordered customers
+    * of a nation set with above-average positive balance. The scalar AVG
+    * subquery broadcasts as (sum, count) and the compare runs entirely in
+    * integers — `bal_e2 · count > sum_e2` — so the threshold cannot
+    * float-flip; "has no orders" is an ANTI join on custkey. */
+  def q22(t: Tables, nationKeys: Seq[Int] = Seq(1, 3, 5, 7, 9, 11)): DataFrame = {
+    val cust = t.customer
+      .filter(col("c_nationkey").isin(nationKeys: _*))
+      .select(col("c_custkey"), col("c_nationkey"),
+        e2(col("c_acctbal")).as("bal_e2"))
+    val avgBal = cust.filter(col("bal_e2") > 0)
+      .agg(sumE(col("bal_e2")).as("sum_e2"), count(lit(1)).as("cnt"))
+    cust.crossJoin(broadcast(avgBal))
+      .filter(col("bal_e2").cast("decimal(38,0)") * col("cnt") > col("sum_e2"))
+      .join(t.orders.select("o_custkey"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").as("cntrycode"))
+      .agg(count(lit(1)).as("numcust"),
+        toMoney(sumE(col("bal_e2")), 100.0).as("totacctbal"))
+      .orderBy("cntrycode")
+  }
+}

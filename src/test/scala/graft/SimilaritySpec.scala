@@ -94,6 +94,49 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("PQ with one codeword per vector equals exact squared-L2 top-k") {
+    // ksub >= corpus: every vector is (or shares values with) its own
+    // codeword, so ADC degenerates to the exact distance — the analogue of
+    // IVF's full-probe equality, and it holds for ANY converged codebook
+    // assignment since identical vectors share a cell
+    val got = Similarity.pqTopK(tables, nQueries = 5, k = 3, m = 8, ksub = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val vecs = tables.embeddings.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble)).toMap
+    val expected = (0L until 5L).flatMap { q =>
+      vecs.keys.filter(_ != q).map { n =>
+        val (a, b) = (vecs(q), vecs(n))
+        var d2 = 0.0
+        var j = 0
+        while (j < a.length) { val df = a(j) - b(j); d2 += df * df; j += 1 }
+        (q, n, math.round(d2 * 1e6) / 1e6)
+      }.toSeq.sortBy(t => (t._3, t._2)).take(3).map(t => (t._1, t._2))
+    }.toSet
+    assert(got == expected)
+  }
+
+  test("PQ codes: m entries bounded by ksub — the 100 TB memory-compression invariant") {
+    val books = Seq.tabulate(8, 4, 8)((s, c, j) => (s + c + j).toDouble)
+    val codes = tables.embeddings.limit(20)
+      .select(graft.functions.HashFunctions.pqCodes(col("embedding"), books).as("c"))
+      .collect().map(_.getSeq[Int](0))
+    assert(codes.nonEmpty)
+    codes.foreach { cs =>
+      assert(cs.length == 8)
+      assert(cs.forall(c => c >= 0 && c < 4))
+    }
+  }
+
+  test("pqTopK plans the corpus side as one codes projection with a broadcast query LUT") {
+    val plan = planOf(Similarity.pqTopK(tables, nQueries = 3, k = 2))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"query LUTs not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"non-broadcast cartesian:\n$plan")
+    // exactly one scan of the embeddings parquet feeds the code projection
+    // (the bounded sample collect happens before the plan, not in it)
+    assert(plan.split("Scan parquet").length - 1 == 1, s"expected 1 corpus scan:\n$plan")
+  }
+
   test("quantizeEmbeddings: codes in [-127,127], error <= scale/2, cosine preserved") {
     val orig = tables.embeddings.collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
