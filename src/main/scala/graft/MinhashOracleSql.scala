@@ -424,13 +424,31 @@ object KernelOracleSql {
     * per-token FNV-1a + mix64, ±1 votes per bit position over the token
     * MULTISET (no dedup), sign of each vote is the fingerprint bit.
     * Docs with no tokens get simhash 0 (all votes are -1 ties). */
-  def simhashFingerprints: String =
-    s"""WITH tok AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS token FROM documents),
+  private def simhashCtes: String =
+    s"""tok AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS token FROM documents),
 h0 AS (SELECT doc_id, ${fnvFoldChars("token")} AS hraw FROM tok),
 ${mixCtes("hh", "h0", "hraw", "h", "doc_id")},
 bits AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END) AS vote FROM hh CROSS JOIN (SELECT unnest(range(0, 64)) AS b) GROUP BY doc_id, b),
-sh AS (SELECT doc_id, sum(CASE WHEN vote > 0 THEN CAST(1 AS HUGEINT) << b ELSE CAST(0 AS HUGEINT) END) AS uh FROM bits GROUP BY doc_id)
+sh AS (SELECT doc_id, sum(CASE WHEN vote > 0 THEN CAST(1 AS HUGEINT) << b ELSE CAST(0 AS HUGEINT) END) AS uh FROM bits GROUP BY doc_id)"""
+
+  def simhashFingerprints: String =
+    s"""WITH $simhashCtes
 SELECT d.doc_id, ${signedB("coalesce(uh, 0)")} AS simhash FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id ORDER BY d.doc_id"""
+
+  /** Oracle for q_simhash_hamming
+    * ([[graft.operators.Dedup.simhashHammingPairs]]): the same simhash
+    * derivation, then brute-force all-pairs XOR popcount ≤ maxHamming —
+    * legitimate as the oracle because the engine's pigeonhole banding is
+    * EXACT for Hamming ≤ (blocks − 1): both formulations define the same
+    * pair set, and the hash match proves the banded join loses nothing. */
+  def simhashHammingPairs(maxHamming: Int = 3): String =
+    s"""WITH $simhashCtes,
+fp AS MATERIALIZED (SELECT d.doc_id, ${signedB("coalesce(uh, 0)")} AS simhash FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM fp a JOIN fp b ON b.doc_id > a.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming
+ORDER BY doc_a, doc_b"""
 
   /** Oracle for q_text_fingerprint ([[graft.operators.TextAnalysis.fingerprints]]):
     * Karp–Rabin fold h = h·1000003 + char over the normalized text's code

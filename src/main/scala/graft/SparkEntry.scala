@@ -89,6 +89,7 @@ object SparkEntry {
     "q_dedup_ngram" -> ((s, d) =>
       Dedup.charNgramJaccardPairs(Tables(s, d).documents, 3, 0.5)),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashFingerprints(Tables(s, d))),
+    "q_simhash_hamming" -> ((s, d) => Dedup.simhashHammingPairs(Tables(s, d))),
     "q_dedup_groups" -> ((s, d) => Dedup.nearDupGroups(Tables(s, d))),
     "q_dedup_lsh_verified" -> ((s, d) => Dedup.lshVerifiedPairs(Tables(s, d))),
     "q_dedup_rates" -> ((s, d) => Dedup.nearDupRates(Tables(s, d))),
@@ -439,6 +440,7 @@ object SparkEntry {
     "q_dedup_lsh_verified" -> MinhashOracleSql.lshVerifiedPairs(),
     "q_dedup_rates" -> MinhashOracleSql.nearDupRates(),
     "q_dedup_simhash" -> KernelOracleSql.simhashFingerprints,
+    "q_simhash_hamming" -> KernelOracleSql.simhashHammingPairs(),
     "q_dedup_incremental" -> MinhashOracleSql.incrementalSurvivors(),
     "q_dedup_indexed" -> MinhashOracleSql.incrementalSurvivors(),
     "q_ann_int8" -> KernelOracleSql.annInt8(),

@@ -648,6 +648,50 @@ object Dedup {
         HashFunctions.simhash64(TextAnalysis.tokens(col("text"))).as("simhash"))
       .orderBy("doc_id")
 
+  /** SimHash near-dup PAIRS within Hamming distance `maxHamming`, found by
+    * pigeonhole block banding (Manku/Jain/Sarma, WWW'07 "Detecting
+    * Near-Duplicates for Web Crawling" — the public simhash-dedup
+    * construction): a 64-bit fingerprint is split into `maxHamming + 1`
+    * blocks, and any pair differing in ≤ `maxHamming` bits must agree on at
+    * least one whole block, so an equi-join on (block index, block value)
+    * generates EVERY qualifying pair — the banding is exact, not
+    * approximate — and the XOR-popcount verify only runs on candidates.
+    *
+    * Scale shape: the fingerprint table is one narrow codegen'd corpus pass,
+    * checkpointed once because it feeds both join sides; banding explodes to
+    * exactly `(maxHamming+1)·n` rows; the candidate join is hash-partitioned
+    * on the block key (never all-pairs). On low-entropy corpora a block
+    * value can go hot exactly like a MinHash band bucket — the same
+    * hot-bucket cap applies if needed (not wired here: real fingerprints
+    * spread 16 bits of entropy per block). Verify is a single codegen'd
+    * `bit_count(a XOR b)` per candidate; `distinct` collapses pairs that
+    * agree on several blocks BEFORE emitting. */
+  def simhashHammingPairs(t: Tables, maxHamming: Int = 3): DataFrame = {
+    val nBlocks = maxHamming + 1
+    val blockBits = 64 / nBlocks
+    val fp = t.documents
+      .select(
+        col("doc_id"),
+        HashFunctions.simhash64(TextAnalysis.tokens(col("text"))).as("simhash"))
+      // feeds both sides of the self-join: one kernel pass, not two
+      .localCheckpoint()
+    val blocks = fp.select(
+      col("doc_id"), col("simhash"),
+      posexplode(array((0 until nBlocks).map(i =>
+        shiftright(col("simhash"), i * blockBits)
+          .bitwiseAND(lit((1L << blockBits) - 1))): _*)).as(Seq("blk", "bval")))
+    blocks.as("a")
+      .join(blocks.as("b"),
+        col("a.blk") === col("b.blk") && col("a.bval") === col("b.bval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Cross-source similarity from MERGED MinHash signatures: the per-source
     * elementwise-min of its documents' signatures is exactly the signature
     * of the UNION of their shingle sets (min is associative), so one

@@ -381,4 +381,40 @@ class DedupSpec extends SparkSpec {
     assert(got2.toSeq == recompute(t2))
     assert(got2.exists(_._2 == "zmirror"), s"injected mirror pairs missing: ${got2.toSeq}")
   }
+
+  test("simhash hamming pairs: banded join equals brute force over the corpus") {
+    // ground truth from the fingerprints themselves: every pair within
+    // Hamming 3 — the pigeonhole banding must lose NOTHING (it is exact
+    // for hamming <= blocks-1, not probabilistic like minhash bands)
+    val fps = Dedup.simhashFingerprints(tables).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (ia, fa) <- fps; (ib, fb) <- fps if ia < ib
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 3
+    } yield (ia, ib, h)).toSet
+    val got = Dedup.simhashHammingPairs(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == brute, s"banded=${got.size} brute=${brute.size}")
+  }
+
+  test("simhash hamming pairs: identical docs pair at 0, near-identical within 3, plan has no cartesian") {
+    val docs = tables.documents
+    val twin = docs.filter($"doc_id" === 0L)
+      .withColumn("doc_id", lit(9000000L)) // byte-identical → hamming 0
+    // doubling the text doubles every bit vote without changing any sign,
+    // so the simhash is IDENTICAL — the multiset-scaling invariance that
+    // makes simhash a content fingerprint rather than a length fingerprint
+    val doubled = docs.filter($"doc_id" === 1L)
+      .withColumn("doc_id", lit(9000001L))
+      .withColumn("text", concat($"text", lit(" "), $"text"))
+    val t = tables.withTable("documents", docs.union(twin).union(doubled))
+    val df = Dedup.simhashHammingPairs(t)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.contains((0L, 9000000L, 0)), s"identical twin missing: ${got.take(20).toSeq}")
+    assert(got.contains((1L, 9000001L, 0)),
+      s"doubled-text twin missing: ${got.filter(_._1 == 1L).toSeq}")
+    // candidate generation must be the block equi-join, never all-pairs
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+  }
 }
