@@ -915,7 +915,7 @@ object SparkEntry {
         "mc AS (SELECT l_partkey AS mp, min(cost) AS min_cost FROM ps GROUP BY 1) " +
         "SELECT s_acctbal, s_name, n_name, p_partkey, p_name, cost AS unit_cost_e2 " +
         "FROM ps JOIN part ON l_partkey = p_partkey JOIN mc ON l_partkey = mp AND cost = min_cost " +
-        "JOIN sup ON l_suppkey = s_suppkey WHERE p_size = 10 AND p_type = 'SMALL' " +
+        "JOIN sup ON l_suppkey = s_suppkey WHERE p_size = 37 AND p_type = 'SMALL' " +
         "ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100"),
     "q_tpch_q4" ->
       ("SELECT o_orderpriority, count(*) AS n_orders FROM orders " +
@@ -930,7 +930,7 @@ object SparkEntry {
         "JOIN nation ON s_nationkey = n_nationkey JOIN orders ON l_orderkey = o_orderkey " +
         "WHERE p_name LIKE '%widget%' GROUP BY 1, 2 ORDER BY nation, o_year DESC"),
     "q_tpch_q11" ->
-      ("WITH sup AS (SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_5'), " +
+      ("WITH sup AS (SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_12'), " +
         "v AS (SELECT l_partkey, sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS val_e4 " +
         "FROM lineitem WHERE l_suppkey IN (SELECT s_suppkey FROM sup) GROUP BY 1), " +
         "tot AS (SELECT sum(val_e4) AS tot_e4 FROM v) " +
@@ -982,14 +982,14 @@ object SparkEntry {
         "WHERE p_name LIKE '%bolt%' AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01' " +
         "GROUP BY 1 HAVING sum(l_quantity) > 50) " +
         "SELECT s_suppkey, s_name FROM supplier JOIN nation ON s_nationkey = n_nationkey " +
-        "WHERE n_name = 'NATION_7' AND s_suppkey IN (SELECT l_suppkey FROM q) " +
+        "WHERE n_name = 'NATION_12' AND s_suppkey IN (SELECT l_suppkey FROM q) " +
         "ORDER BY s_name, s_suppkey"),
     "q_tpch_q21" ->
       ("SELECT s_name, count(*) AS numwait FROM supplier " +
         "JOIN lineitem l1 ON s_suppkey = l1.l_suppkey " +
         "JOIN orders ON o_orderkey = l1.l_orderkey " +
         "JOIN nation ON s_nationkey = n_nationkey " +
-        "WHERE o_orderstatus = 'F' AND n_name = 'NATION_2' " +
+        "WHERE o_orderstatus = 'F' AND n_name = 'NATION_12' " +
         "AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY " +
         "AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey) " +
         "AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey " +
@@ -997,11 +997,11 @@ object SparkEntry {
         "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100"),
     "q_tpch_q22" ->
       ("WITH cust AS (SELECT c_custkey, c_nationkey, CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_e2 " +
-        "FROM customer WHERE c_nationkey IN (1, 3, 5, 7, 9, 11)), " +
+        "FROM customer WHERE c_nationkey IN (0, 13, 19, 22)), " +
         "a AS (SELECT sum(bal_e2) AS sum_e2, count(*) AS cnt FROM cust WHERE bal_e2 > 0) " +
         "SELECT c_nationkey AS cntrycode, count(*) AS numcust, CAST(sum(bal_e2) AS DOUBLE) / 100.0 AS totacctbal " +
         "FROM cust CROSS JOIN a " +
-        "WHERE bal_e2 * cnt > sum_e2 AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) " +
+        "WHERE bal_e2 * cnt > sum_e2 AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1998-06-01') " +
         "GROUP BY 1 ORDER BY 1"),
     "q_rolling_window" ->
       ("SELECT user_id, event_id, " +

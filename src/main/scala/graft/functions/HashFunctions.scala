@@ -396,6 +396,36 @@ object HashImpl {
     best
   }
 
+  /** Minimum squared euclidean distance from the unit-normalized raw float
+    * vector to ANY row of the flat (k × d) center matrix — the k-center
+    * coverage kernel. Same cast/normalize/accumulation conventions as
+    * [[nearestCellUnit]] (they must stay IEEE-identical so k-center and
+    * IVF assignment agree on geometry); on unit vectors this equals
+    * 2 − 2·cosine, so min-dist ranking is exactly max-cosine ranking. */
+  def minCellDistUnit(vec: ArrayData, cents: Array[Double], d: Int): Double = {
+    var n2 = 0.0
+    var i = 0
+    while (i < d) { val x = vec.getFloat(i).toDouble; n2 += x * x; i += 1 }
+    val n = math.sqrt(n2)
+    val inv = if (n == 0.0) 1.0 else n
+    val k = cents.length / d
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < k) {
+      var dist = 0.0
+      var j = 0
+      val off = c * d
+      while (j < d) {
+        val df = vec.getFloat(j).toDouble / inv - cents(off + j)
+        dist += df * df
+        j += 1
+      }
+      if (dist < bestD) bestD = dist
+      c += 1
+    }
+    bestD
+  }
+
   /** Product-quantization encoder (Jégou et al. 2011, public method): per
     * subspace, the euclidean-nearest codeword over a RAW float vector.
     * `books` is flat [s][c][j] row-major ((s·ksub + c)·dsub + j). Ties

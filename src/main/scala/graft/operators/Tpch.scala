@@ -90,7 +90,7 @@ object Tpch {
     * join-back is safe on doubles. Plan shape: the correlated min
     * decorrelates into a per-part aggregate joined back (no per-row
     * subquery execution); region→nation→supplier is a broadcast tier. */
-  def q2(t: Tables, size: Int = 10, ptype: String = "SMALL",
+  def q2(t: Tables, size: Int = 37, ptype: String = "SMALL",
          region: String = "EUROPE", limit: Int = 100): DataFrame = {
     val nr = t.nation
       .join(t.region.filter(col("r_name") === region),
@@ -173,7 +173,7 @@ object Tpch {
     * broadcast against the per-part totals; the threshold compare happens
     * in exact integer units (val·1000 > total) — no float fraction, no
     * boundary flips. */
-  def q11(t: Tables, nation: String = "NATION_5", perMille: Int = 1): DataFrame = {
+  def q11(t: Tables, nation: String = "NATION_12", perMille: Int = 1): DataFrame = {
     val sup = t.supplier
       .join(broadcast(t.nation.filter(col("n_name") === nation)),
         col("s_nationkey") === col("n_nationkey"))
@@ -329,7 +329,7 @@ object Tpch {
     * list. */
   def q20(t: Tables, namePat: String = "%bolt%", from: String = "1997-01-01",
           until: String = "1998-01-01", minQty: Double = 50.0,
-          nation: String = "NATION_7"): DataFrame = {
+          nation: String = "NATION_12"): DataFrame = {
     val parts = t.part.filter(col("p_name").like(namePat)).select("p_partkey")
     val q = t.lineitem
       .filter(col("l_shipdate") >= tsLit(from) && col("l_shipdate") < tsLit(until))
@@ -352,7 +352,7 @@ object Tpch {
     * n_late_suppliers == 1 — instead of two fact-table self-joins: one
     * extra shuffle at order grain replaces two, and the oracle keeps the
     * textbook double-subquery form to pin the equivalence. */
-  def q21(t: Tables, nation: String = "NATION_2", lateDays: Int = 90,
+  def q21(t: Tables, nation: String = "NATION_12", lateDays: Int = 90,
           limit: Int = 100): DataFrame = {
     val ord = t.orders.filter(col("o_orderstatus") === "F")
       .select("o_orderkey", "o_orderdate")
@@ -377,12 +377,14 @@ object Tpch {
       .limit(limit)
   }
 
-  /** TPC-H Q22 shape (global sales opportunity): never-ordered customers
-    * of a nation set with above-average positive balance. The scalar AVG
+  /** TPC-H Q22 shape (global sales opportunity): DORMANT customers — no
+    * order since `since` — of a nation set with above-average positive
+    * balance. The scalar AVG
     * subquery broadcasts as (sum, count) and the compare runs entirely in
     * integers — `bal_e2 · count > sum_e2` — so the threshold cannot
     * float-flip; "has no orders" is an ANTI join on custkey. */
-  def q22(t: Tables, nationKeys: Seq[Int] = Seq(1, 3, 5, 7, 9, 11)): DataFrame = {
+  def q22(t: Tables, nationKeys: Seq[Int] = Seq(0, 13, 19, 22),
+          since: String = "1998-06-01"): DataFrame = {
     val cust = t.customer
       .filter(col("c_nationkey").isin(nationKeys: _*))
       .select(col("c_custkey"), col("c_nationkey"),
@@ -391,7 +393,14 @@ object Tpch {
       .agg(sumE(col("bal_e2")).as("sum_e2"), count(lit(1)).as("cnt"))
     cust.crossJoin(broadcast(avgBal))
       .filter(col("bal_e2").cast("decimal(38,0)") * col("cnt") > col("sum_e2"))
-      .join(t.orders.select("o_custkey"), col("c_custkey") === col("o_custkey"), "left_anti")
+      // this catalog's generator gives every customer at least one order, so
+      // the textbook "no orders at all" anti-join is vacuously empty at
+      // every sf; the date-bounded variant ("dormant since `since`") keeps
+      // the defining NOT-EXISTS anti-join shape AND a non-empty answer —
+      // the filter pushes to the orders scan before the anti-join build
+      .join(t.orders.filter(col("o_orderdate") >= tsLit(since))
+          .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_nationkey").as("cntrycode"))
       .agg(count(lit(1)).as("numcust"),
         toMoney(sumE(col("bal_e2")), 100.0).as("totacctbal"))

@@ -59,7 +59,7 @@ class TpchSpec extends SparkSpec {
       case ((p, s), c) if c == minPerPart(p) => (p, s)
     }.toSet
     val qualifying = tables.part
-      .filter(col("p_size") === 10 && col("p_type") === "SMALL")
+      .filter(col("p_size") === 37 && col("p_type") === "SMALL")
       .collect().map(_.getLong(0)).toSet
     val supName = tables.supplier.collect().map(r => r.getString(1) -> r.getLong(0)).toMap
     val got = Tpch.q2(tables).collect()
@@ -89,7 +89,7 @@ class TpchSpec extends SparkSpec {
     if (rows.nonEmpty) {
       val vals = rows.map(r => math.round(r.getDouble(1) * 1e4))
       // recompute the nation's full per-part totals for the denominator
-      val nat = tables.nation.filter(col("n_name") === "NATION_5")
+      val nat = tables.nation.filter(col("n_name") === "NATION_12")
         .collect().map(_.getInt(0)).toSet
       val sup = tables.supplier.collect()
         .filter(r => nat.contains(r.getInt(2))).map(_.getLong(0)).toSet
@@ -185,7 +185,7 @@ class TpchSpec extends SparkSpec {
       }
     }
     val byOrder = li.groupBy(_._1)
-    val nat = tables.nation.filter(col("n_name") === "NATION_2")
+    val nat = tables.nation.filter(col("n_name") === "NATION_12")
       .collect().map(_.getInt(0)).toSet
     val supName = tables.supplier.collect()
       .filter(r => nat.contains(r.getInt(2))).map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -200,11 +200,14 @@ class TpchSpec extends SparkSpec {
     assert(got == expected)
   }
 
-  test("q22 excludes every customer with orders via an anti join; threshold is integral") {
+  test("q22 excludes every recently-ordering customer via an anti join; threshold is integral") {
     val plan = planOf(Tpch.q22(tables))
     assert(plan.contains("LeftAnti"), s"no anti join:\n$plan")
-    val withOrders = tables.orders.collect().map(_.getLong(1)).toSet
-    val keys = Set(1, 3, 5, 7, 9, 11)
+    val cutoff = java.time.LocalDateTime.parse("1998-06-01T00:00:00")
+    val withOrders = tables.orders.collect()
+      .filter(r => !r.getAs[java.time.LocalDateTime](4).isBefore(cutoff))
+      .map(_.getLong(1)).toSet
+    val keys = Set(0, 13, 19, 22)
     val cust = tables.customer.collect().filter(r => keys.contains(r.getInt(2)))
       .map(r => (r.getLong(0), r.getInt(2), math.round(r.getDouble(3) * 100)))
     val pos = cust.filter(_._3 > 0)
