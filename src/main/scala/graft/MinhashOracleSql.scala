@@ -515,6 +515,31 @@ ranked AS (SELECT query_id, neighbor_id, cos, row_number() OVER (PARTITION BY qu
 SELECT query_id, neighbor_id, round(cos, 6) AS cosine FROM ranked WHERE rn <= $topK ORDER BY query_id, neighbor_id"""
   }
 
+  /** Oracle for q_select_kcenter
+    * ([[graft.operators.Similarity.kCenterSelect]]): the full greedy
+    * farthest-point traversal replayed as a loop-built CTE chain — unit
+    * coordinates once, then per round a distance-to-every-center table,
+    * the min over centers, the argmax on the ROUNDED distance with the
+    * vec_id tie-break (exactly the engine's ordering), and the center
+    * set growing by the winner's unit vector. MATERIALIZED on the reused
+    * CTEs (same exponential-re-inline lesson as [[annIvf]]). */
+  def kCenterSelect(k: Int = 8): String = {
+    val rounds = (2 to k).map { r =>
+      s"""d$r AS (SELECT vec_id, min(sd) AS mind FROM (SELECT u.vec_id, c.ord, sum((u.uj - c.uj) * (u.uj - c.uj)) AS sd FROM u JOIN cents${r - 1} c ON c.j = u.j GROUP BY u.vec_id, c.ord) GROUP BY vec_id),
+w$r AS MATERIALIZED (SELECT d.vec_id, round(d.mind, 6) AS r2 FROM d$r d WHERE d.vec_id NOT IN (SELECT vec_id FROM sel${r - 1}) ORDER BY r2 DESC, d.vec_id ASC LIMIT 1),
+sel$r AS MATERIALIZED (SELECT * FROM sel${r - 1} UNION ALL SELECT $r AS ord, vec_id, r2 FROM w$r),
+cents$r AS MATERIALIZED (SELECT * FROM cents${r - 1} UNION ALL SELECT $r AS ord, u.j, u.uj FROM u JOIN w$r ON u.vec_id = w$r.vec_id)"""
+    }.mkString(",\n")
+    s"""WITH x AS MATERIALIZED (SELECT vec_id, generate_subscripts(embedding, 1) AS j, unnest(CAST(embedding AS DOUBLE[])) AS xj FROM embeddings),
+nrm AS (SELECT vec_id, sqrt(sum(xj * xj)) AS nn FROM x GROUP BY vec_id),
+u AS MATERIALIZED (SELECT x.vec_id, x.j, CASE WHEN n.nn = 0 THEN x.xj ELSE x.xj / n.nn END AS uj FROM x JOIN nrm n ON n.vec_id = x.vec_id),
+s0 AS (SELECT min(vec_id) AS vid FROM embeddings),
+sel1 AS MATERIALIZED (SELECT 1 AS ord, vid AS vec_id, CAST(NULL AS DOUBLE) AS r2 FROM s0),
+cents1 AS MATERIALIZED (SELECT 1 AS ord, u.j, u.uj FROM u JOIN s0 ON u.vec_id = s0.vid),
+$rounds
+SELECT ord AS sel_order, vec_id, r2 AS radius2 FROM sel$k ORDER BY sel_order"""
+  }
+
   /** Oracle for q_ann_pq ([[graft.operators.Similarity.pqTopK]]): the
     * [[annIvf]] Lloyd chain extended with a subspace key — per-subspace
     * codebooks (first-ksub init over the vec_id-ordered sample, fixed

@@ -280,6 +280,7 @@ object SparkEntry {
     "q_corpus_final" -> ((s, d) => graft.operators.Pipeline.finalCorpus(Tables(s, d))),
     "q_token_entropy" -> ((s, d) => TextAnalysis.tokenEntropy(Tables(s, d))),
     "q_kmeans" -> ((s, d) => Similarity.kmeans(Tables(s, d))),
+    "q_select_kcenter" -> ((s, d) => Similarity.kCenterSelect(Tables(s, d))),
     "q_cumulative_users" -> ((s, d) => Analytics.cumulativeUsers(Tables(s, d))),
     "q_transitions" -> ((s, d) => Analytics.eventTransitions(Tables(s, d))),
     "q_containment" -> ((s, d) => Dedup.containmentPairs(Tables(s, d))),
@@ -1189,6 +1190,7 @@ object SparkEntry {
         "SELECT l_returnflag, round(qty, 2) AS qty, " +
         "CASE WHEN t.tot <> 0 THEN round(qty / t.tot, 6) END AS share " +
         "FROM agg CROSS JOIN t ORDER BY l_returnflag"),
+    "q_select_kcenter" -> KernelOracleSql.kCenterSelect(),
     "q_kmeans" ->
       ("WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS j, unnest(CAST(embedding AS DOUBLE[])) AS xj FROM embeddings), " +
         "c0 AS (SELECT CAST(vec_id AS INT) AS cell, j, xj AS cj FROM x WHERE vec_id < 8), " +

@@ -702,6 +702,23 @@ case class NearestCellUnit(child: Expression, cents: Array[Double], d: Int)
     copy(child = newChild)
 }
 
+/** MinCellDistUnit over a raw float vector with inline unit-normalization —
+  * see [[HashImpl.minCellDistUnit]]. Same reference-object pattern as
+  * [[NearestCellUnit]]; returns the DISTANCE (the k-center coverage
+  * radius) where NearestCellUnit returns the index. */
+case class MinCellDistUnit(child: Expression, cents: Array[Double], d: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpl.minCellDistUnit(input.asInstanceOf[ArrayData], cents, d)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", cents, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.minCellDistUnit($c, $centsRef, $d)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): MinCellDistUnit =
+    copy(child = newChild)
+}
+
 /** PqCodes(array<float>) → array<int>: product-quantization codes against
   * plan-embedded per-subspace codebooks (m·ksub·dsub doubles — a few KB,
   * same reference-object pattern as [[NearestCell]]). */
@@ -815,6 +832,11 @@ object HashFunctions {
     val d = centroids.head.length
     require(centroids.forall(_.length == d), "ragged centroid matrix")
     col(NearestCellUnit(expr(vec), centroids.flatten.toArray, d))
+  }
+  def minCellDistUnit(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+    val d = centroids.head.length
+    require(centroids.forall(_.length == d), "ragged centroid matrix")
+    col(MinCellDistUnit(expr(vec), centroids.flatten.toArray, d))
   }
   def sortedJaccard(a: Column, b: Column): Column = col(SortedJaccard(expr(a), expr(b)))
   def pqCodes(vec: Column, books: Seq[Seq[Seq[Double]]]): Column = {

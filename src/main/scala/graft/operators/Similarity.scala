@@ -612,6 +612,75 @@ object Similarity {
       .orderBy("cell", "dim")
   }
 
+  /** Greedy k-center data selection (Gonzalez 1985 farthest-point
+    * traversal, the classic 2-approximation — the coreset/diversity
+    * selection primitive of embedding-based data curation): seed with the
+    * lowest vec_id, then `k−1` rounds of "add the point farthest from the
+    * current centers", distances measured as squared euclidean between
+    * UNIT vectors (= 2 − 2·cosine, so max-min-dist is exactly
+    * min-max-cosine diversity).
+    *
+    * Scale shape: each round is ONE narrow corpus pass — the fused
+    * [[graft.functions.MinCellDistUnit]] kernel scores every vector
+    * against the plan-embedded center matrix (≤ k·d doubles, a few KB) —
+    * followed by a global top-1 that plans as TakeOrderedAndProject
+    * (per-partition heaps; nothing corpus-sized moves). Driver state is
+    * the k×d center matrix and the k selected ids — bounded by k, never
+    * by the corpus. The argmax compares the ROUNDED distance (then
+    * vec_id) so engine and oracle can never disagree at an ulp boundary.
+    * Emits (sel_order, vec_id, radius2) — radius2 is the selection-time
+    * max-min coverage radius, NULL for the seed (it has no prior
+    * centers); the monotone non-increasing radius sequence is the
+    * coverage-vs-k curve a curation pipeline reads the budget off. */
+  def kCenterSelect(t: Tables, k: Int = 8): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val emb = t.embeddings.select(col("vec_id"), col("embedding"))
+    val seed = emb.orderBy("vec_id").limit(1).collect()
+    if (seed.isEmpty)
+      return Seq.empty[(Int, Long, Option[Double])]
+        .toDF("sel_order", "vec_id", "radius2")
+    def unitOf(v: Seq[Float]): Seq[Double] = {
+      val d = v.toArray.map(_.toDouble)
+      var n2 = 0.0
+      var j = 0
+      while (j < d.length) { n2 += d(j) * d(j); j += 1 }
+      val n = math.sqrt(n2)
+      val inv = if (n == 0.0) 1.0 else n
+      d.toSeq.map(_ / inv)
+    }
+    var selIds = List(seed(0).getLong(0))
+    var cents = Vector(unitOf(seed(0).getSeq[Float](1)))
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Option[Double])](
+      (1, selIds.head, None))
+    var r = 2
+    var exhausted = false
+    while (r <= k && !exhausted) {
+      val win = kCenterRound(emb, selIds, cents).collect()
+      if (win.isEmpty) exhausted = true // corpus smaller than k
+      else {
+        selIds ::= win(0).getLong(0)
+        cents :+= unitOf(win(0).getSeq[Float](1))
+        out += ((r, win(0).getLong(0), Some(win(0).getDouble(2))))
+        r += 1
+      }
+    }
+    out.toSeq.toDF("sel_order", "vec_id", "radius2").orderBy("sel_order")
+  }
+
+  /** One k-center round: score every unselected vector against the current
+    * center matrix, keep the farthest. Exposed so the plan spec can assert
+    * the top-1 is TakeOrderedAndProject (per-partition heaps), never a
+    * global sort. */
+  private[graft] def kCenterRound(emb: DataFrame, selIds: Seq[Long],
+                                  cents: Seq[Seq[Double]]): DataFrame =
+    emb.filter(!col("vec_id").isin(selIds: _*))
+      .select(col("vec_id"), col("embedding"),
+        round(HashFunctions.minCellDistUnit(col("embedding"), cents), 6)
+          .as("r2"))
+      .orderBy(col("r2").desc, col("vec_id").asc)
+      .limit(1)
+
   /** Top principal component of the embedding matrix by fixed-iteration
     * power method (Mises–Pollaczek 1929 — public algorithm): v ←
     * Xᵀ(Xv)/‖Xᵀ(Xv)‖, `iters` times from the uniform unit vector. Each

@@ -371,4 +371,48 @@ class SimilaritySpec extends SparkSpec {
       assert(math.abs(e - nrm) < 1e-3 * nrm)
     }
   }
+
+  test("kCenterSelect matches a driver-side greedy farthest-point recompute") {
+    val got = Similarity.kCenterSelect(tables, k = 6).collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    // brute-force replay on collected unit vectors
+    val vecs = tables.embeddings.select("vec_id", "embedding").collect()
+      .map { r =>
+        val x = r.getSeq[Float](1).toArray.map(_.toDouble)
+        val n = math.sqrt(x.map(v => v * v).sum)
+        val inv = if (n == 0.0) 1.0 else n
+        r.getLong(0) -> x.map(_ / inv)
+      }.sortBy(_._1)
+    var sel = List(vecs.head._1)
+    var cents = List(vecs.head._2)
+    val exp = scala.collection.mutable.ArrayBuffer[(Int, Long, Option[Double])](
+      (1, sel.head, None))
+    for (r <- 2 to 6) {
+      val cand = vecs.filter(v => !sel.contains(v._1)).map { case (id, x) =>
+        val d = cents.map { c =>
+          var s = 0.0; var j = 0
+          while (j < x.length) { val df = x(j) - c(j); s += df * df; j += 1 }
+          s
+        }.min
+        (id, BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      val win = cand.minBy { case (id, d) => (-d, id) }
+      sel ::= win._1
+      cents = cents :+ vecs.find(_._1 == win._1).get._2
+      exp += ((r, win._1, Some(win._2)))
+    }
+    assert(got.toSeq == exp.toSeq)
+    // coverage radius is monotone non-increasing after the seed
+    val radii = got.toSeq.flatMap(_._3)
+    assert(radii == radii.sorted.reverse, radii.toString)
+  }
+
+  test("kCenterSelect round plans a bounded top-1, not a global sort") {
+    val cents = Seq(Seq.fill(64)(0.1))
+    val plan = planOf(Similarity.kCenterRound(
+      tables.embeddings.select(col("vec_id"), col("embedding")), Seq(0L), cents))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
