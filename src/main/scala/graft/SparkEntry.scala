@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Analytics, Dedup, Graph, Multimodal, Packing, Relational, Similarity, TextAnalysis, Tpch}
+import graft.operators.{Analytics, Dedup, Graph, Multimodal, Packing, Relational, SetSimilarity, Similarity, TextAnalysis, Tpch}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -85,6 +85,7 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, d) => Dedup.exactGroups(Tables(s, d))),
     "q_dedup_exact_rows" -> ((s, d) => Dedup.exactRows(Tables(s, d))),
     "q_dedup_jaccard" -> ((s, d) => Dedup.jaccardPairs(Tables(s, d).documents, 0.5)),
+    "q_fuzzy_join" -> ((s, d) => SetSimilarity.fuzzyNameJoin(Tables(s, d))),
     "q_dedup_minhash" -> ((s, d) => Dedup.minhashCandidates(Tables(s, d))),
     "q_dedup_ngram" -> ((s, d) =>
       Dedup.charNgramJaccardPairs(Tables(s, d).documents, 3, 0.5)),
@@ -492,6 +493,14 @@ object SparkEntry {
         "FROM top CROSS JOIN tot ORDER BY n_rows DESC, key ASC"),
     "q_dedup_exact_rows" ->
       "SELECT doc_id, lang, source FROM documents WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(lower(trim(text)))) ORDER BY doc_id",
+    "q_fuzzy_join" ->
+      ("WITH names AS (SELECT p_name AS name, count(*) AS n_parts FROM part GROUP BY 1), " +
+        "tok AS (SELECT name, unnest(string_split(name, ' ')) AS t FROM names), " +
+        "cand AS (SELECT DISTINCT a.name AS name_a, b.name AS name_b FROM tok a JOIN tok b ON a.t = b.t AND a.name < b.name) " +
+        "SELECT c.name_a, c.name_b, CAST(levenshtein(c.name_a, c.name_b) AS INTEGER) AS dist, " +
+        "na.n_parts AS n_parts_a, nb.n_parts AS n_parts_b " +
+        "FROM cand c JOIN names na ON na.name = c.name_a JOIN names nb ON nb.name = c.name_b " +
+        "WHERE levenshtein(c.name_a, c.name_b) <= 2 ORDER BY name_a, name_b"),
     "q_dedup_jaccard" ->
       ("WITH tok AS (SELECT DISTINCT doc_id, token FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token FROM documents) WHERE token <> ''), " +
         "sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id), " +

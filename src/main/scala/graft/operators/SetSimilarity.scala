@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.sources.Tables
 
 /** Exact all-pairs Jaccard set-similarity self-join.
   *
@@ -240,5 +241,43 @@ object SetSimilarity {
     // Θ(output) expansion is never pinned in block-manager memory.
     Seq(dict, perDoc, sets).foreach(_.unpersist(blocking = false))
     out.orderBy("doc_a", "doc_b")
+  }
+
+  /** Fuzzy string join (entity resolution over part names): pairs of
+    * DISTINCT names within Levenshtein distance `maxDist`, candidates
+    * blocked on a shared whitespace token. Blocking is part of the
+    * operator's semantics (like the LSH band join): pairs sharing no
+    * token are not compared — for catalog-style names ("adjective noun")
+    * a ≤2-edit variant almost always preserves one token intact.
+    *
+    * Scale shape: identical strings COLLAPSE before any comparison (the
+    * [[jaccardPairs]] lesson) — the join runs on the distinct-name table
+    * with per-name member counts carried as payload, so a 100 TB catalog
+    * with a bounded name vocabulary pays vocabulary², never corpus². The
+    * token equi-join is hash-partitioned; the O(|a|·|b|) edit-distance
+    * kernel (codegen'd `levenshtein`) runs only on candidates; `distinct`
+    * collapses multi-token agreements BEFORE the verify. */
+  def fuzzyNameJoin(t: Tables, maxDist: Int = 2): DataFrame = {
+    val names = t.part
+      .groupBy(col("p_name").as("name"))
+      .agg(count(lit(1)).as("n_parts"))
+      // feeds the token explode AND both count joins — one aggregation pass
+      .localCheckpoint()
+    val toks = names.select(col("name"),
+      explode(split(col("name"), " ")).as("tok"))
+    val cand = toks.as("a")
+      .join(toks.as("b"),
+        col("a.tok") === col("b.tok") && col("a.name") < col("b.name"))
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+      .distinct()
+    cand
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+      .join(names.select(col("name").as("name_a"), col("n_parts").as("n_parts_a")),
+        Seq("name_a"))
+      .join(names.select(col("name").as("name_b"), col("n_parts").as("n_parts_b")),
+        Seq("name_b"))
+      .select("name_a", "name_b", "dist", "n_parts_a", "n_parts_b")
+      .orderBy("name_a", "name_b")
   }
 }

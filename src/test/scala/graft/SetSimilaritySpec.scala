@@ -184,4 +184,48 @@ class SetSimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       == naive(grams, 0.5, None))
   }
+
+  test("fuzzyNameJoin equals a naive token-blocked levenshtein recompute; finds injected variant") {
+    import graft.operators.SetSimilarity
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1)(j =>
+        if (i == 0) j else if (j == 0) i else 0))
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    def naive(names: Map[String, Long]): Set[(String, String, Int, Long, Long)] = {
+      val ks = names.keys.toSeq.sorted
+      (for {
+        a <- ks; b <- ks if a < b
+        if a.split(" ").toSet.intersect(b.split(" ").toSet).nonEmpty
+        d = lev(a, b) if d <= 2
+      } yield (a, b, d, names(a), names(b))).toSet
+    }
+    val base = tables.part.collect().map(_.getString(1))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val got = SetSimilarity.fuzzyNameJoin(tables).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSet == naive(base))
+    assert(got.nonEmpty, "corpus yields no fuzzy pairs — test is vacuous")
+    // injected one-edit variant of an existing name must pair with it
+    val spark2 = spark
+    import spark2.implicits._
+    val variant = tables.part.limit(1)
+      .withColumn("p_partkey", $"p_partkey" + 900000L)
+      .withColumn("p_name", concat($"p_name", lit("x")))
+    val t2 = tables.withTable("part", tables.part.union(variant))
+    val vname = variant.collect()(0).getString(1)
+    val orig = vname.dropRight(1)
+    val got2 = SetSimilarity.fuzzyNameJoin(t2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    val expectPair =
+      (if (orig < vname) orig else vname, if (orig < vname) vname else orig, 1)
+    assert(got2.contains(expectPair),
+      s"injected variant pair missing: ${got2.filter(p => p._1.contains(orig.take(5))).toSeq}")
+    // candidate generation is the token equi-join — never all-pairs
+    val plan = planOf(SetSimilarity.fuzzyNameJoin(tables))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+  }
 }
