@@ -171,6 +171,24 @@ vpairs AS (SELECT doc_a, doc_b, n_common / (sa.sz + sb.sz - n_common) AS jac FRO
     s"""WITH ${verifiedCtes(k, bands, seed, minEst, minJaccard)}
 SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM vpairs ORDER BY doc_a, doc_b"""
 
+  /** Oracle for q_lsh_recall ([[graft.operators.Dedup.lshRecallReport]]):
+    * raw band-collision candidates (no estimate threshold) vs the exact
+    * all-pairs shingle-Jaccard ≥ minJaccard truth, intersected; counts and
+    * the recall/precision ratios with the engine's zero-guards. */
+  def lshRecall(k: Int = 64, bands: Int = 16, seed: Long = 42L,
+                minJaccard: Double = 0.5): String =
+    s"""WITH ${sigCtes(k, bands, seed)},
+cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+ssz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+truth AS MATERIALIZED (SELECT doc_a, doc_b FROM inter JOIN ssz sa ON sa.doc_id = doc_a JOIN ssz sb ON sb.doc_id = doc_b WHERE n_common / (sa.sz + sb.sz - n_common) >= $minJaccard),
+hit AS (SELECT t.doc_a, t.doc_b FROM truth t JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b),
+counts AS (SELECT (SELECT count(*) FROM truth) AS n_true, (SELECT count(*) FROM cand) AS n_candidates, (SELECT count(*) FROM hit) AS n_hit)
+SELECT n_true, n_candidates, n_hit,
+CASE WHEN n_true > 0 THEN round(CAST(n_hit AS DOUBLE) / n_true, 6) END AS recall,
+CASE WHEN n_candidates > 0 THEN round(CAST(n_hit AS DOUBLE) / n_candidates, 6) END AS precision
+FROM counts"""
+
   /** Oracle for q_dedup_rates ([[graft.operators.Dedup.nearDupRates]]):
     * the verified pair set labeled with each side's source, pair order
     * normalized (least/greatest) so (a,b) and (b,a) collapse, counted per

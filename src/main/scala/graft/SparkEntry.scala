@@ -86,6 +86,7 @@ object SparkEntry {
     "q_dedup_exact_rows" -> ((s, d) => Dedup.exactRows(Tables(s, d))),
     "q_dedup_jaccard" -> ((s, d) => Dedup.jaccardPairs(Tables(s, d).documents, 0.5)),
     "q_fuzzy_join" -> ((s, d) => SetSimilarity.fuzzyNameJoin(Tables(s, d))),
+    "q_lsh_recall" -> ((s, d) => Dedup.lshRecallReport(Tables(s, d))),
     "q_dedup_minhash" -> ((s, d) => Dedup.minhashCandidates(Tables(s, d))),
     "q_dedup_ngram" -> ((s, d) =>
       Dedup.charNgramJaccardPairs(Tables(s, d).documents, 3, 0.5)),
@@ -440,6 +441,7 @@ object SparkEntry {
     // wrapping arithmetic) — see MinhashOracleSql / KernelOracleSql
     "q_dedup_minhash" -> MinhashOracleSql.minhashCandidates(),
     "q_dedup_lsh_verified" -> MinhashOracleSql.lshVerifiedPairs(),
+    "q_lsh_recall" -> MinhashOracleSql.lshRecall(),
     "q_dedup_rates" -> MinhashOracleSql.nearDupRates(),
     "q_dedup_simhash" -> KernelOracleSql.simhashFingerprints,
     "q_simhash_hamming" -> KernelOracleSql.simhashHammingPairs(),

@@ -187,6 +187,44 @@ object Dedup {
         explode(array_distinct(TextAnalysis.tokens(col("text")))).as("token")),
       minJaccard, maxDf)
 
+  /** LSH recall/precision evaluation — the tuning harness for the
+    * bands/rows trade: the banded MinHash CANDIDATE set (no estimate
+    * threshold — the raw band-collision pairs) measured against the exact
+    * shingle-Jaccard ≥ `minJaccard` ground truth computed by the
+    * [[SetSimilarity]] engine over the SAME w-shingle sets. Emits one row:
+    * pair counts, recall (true pairs surfaced) and precision (candidates
+    * that are true) — the two numbers that decide whether to add bands
+    * (recall short) or rows-per-band (verify stage overloaded).
+    *
+    * Scale shape: both pair sets are bucketed joins (band keys / PPJoin
+    * prefixes), each checkpointed once (they feed a count AND the
+    * intersection semi-join); the report is three 1-row aggregates
+    * broadcast-crossed — nothing wider than a pair id ever shuffles, and
+    * the exact side exists precisely because the set-similarity engine
+    * makes corpus-scale exact Jaccard tractable. */
+  def lshRecallReport(t: Tables, w: Int = 2, k: Int = 64, bands: Int = 16,
+                      minJaccard: Double = 0.5): DataFrame = {
+    val truth = SetSimilarity.jaccardSelfJoin(
+      t.documents.select(col("doc_id"),
+        explode(array_distinct(shingles(col("text"), w))).as("token")),
+      minJaccard)
+      .select("doc_a", "doc_b")
+      .localCheckpoint()
+    val cand = minhashCandidatesCore(t, w, k, bands, minEstJaccard = 0.0)
+      .select("doc_a", "doc_b")
+      .localCheckpoint()
+    val hit = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+    truth.agg(count(lit(1)).as("n_true"))
+      .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidates"))))
+      .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
+      .select(col("n_true"), col("n_candidates"), col("n_hit"),
+        when(col("n_true") > 0,
+          round(col("n_hit").cast("double") / col("n_true"), 6)).as("recall"),
+        when(col("n_candidates") > 0,
+          round(col("n_hit").cast("double") / col("n_candidates"), 6))
+          .as("precision"))
+  }
+
   /** Character n-gram Jaccard — same engine over sliding character grams
     * of the normalized text (robust to tokenization differences; the
     * classic fuzzy-dedup feature for noisy text). */

@@ -382,6 +382,31 @@ class DedupSpec extends SparkSpec {
     assert(got2.exists(_._2 == "zmirror"), s"injected mirror pairs missing: ${got2.toSeq}")
   }
 
+  test("lshRecallReport counts agree with its component operators' pair sets") {
+    import graft.operators.SetSimilarity
+    // the two sides have their own naive-recompute specs; this pins the
+    // report to an independent driver-side intersection of their outputs
+    val truth = SetSimilarity.jaccardSelfJoin(
+      tables.documents.select($"doc_id",
+        explode(array_distinct(Dedup.shingles($"text", 2))).as("token")), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = Dedup.minhashCandidatesCore(tables, minEstJaccard = 0.0)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hit = truth.intersect(cand)
+    val row = Dedup.lshRecallReport(tables).collect()(0)
+    assert(row.getLong(0) == truth.size && row.getLong(1) == cand.size &&
+      row.getLong(2) == hit.size,
+      s"counts ${(row.getLong(0), row.getLong(1), row.getLong(2))} vs " +
+        s"${(truth.size, cand.size, hit.size)}")
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    if (truth.nonEmpty)
+      assert(row.getDouble(3) == r6(hit.size.toDouble / truth.size))
+    if (cand.nonEmpty)
+      assert(row.getDouble(4) == r6(hit.size.toDouble / cand.size))
+    assert(hit.size <= math.min(truth.size, cand.size))
+  }
+
   test("simhash hamming pairs: banded join equals brute force over the corpus") {
     // ground truth from the fingerprints themselves: every pair within
     // Hamming 3 — the pigeonhole banding must lose NOTHING (it is exact
