@@ -267,6 +267,7 @@ object SparkEntry {
     "q_funnel" -> ((s, d) => Analytics.funnelSteps(Tables(s, d))),
     "q_retention" -> ((s, d) => Analytics.retentionCohorts(Tables(s, d))),
     "q_pagerank" -> ((s, d) => Graph.pageRank(Tables(s, d))),
+    "q_hits" -> ((s, d) => Graph.hits(Tables(s, d))),
     "q_argmax_doc" -> ((s, d) => TextAnalysis.longestDocPerSource(Tables(s, d))),
     "q_zipf_slope" -> ((s, d) => TextAnalysis.zipfSlope(Tables(s, d))),
     "q_length_band" -> ((s, d) => TextAnalysis.lengthBandFilter(Tables(s, d))),
@@ -1071,6 +1072,7 @@ object SparkEntry {
         "SELECT strftime(a.cohort, '%Y-%m-%d') AS cohort_day, a.day_offset, a.n_active, " +
         "round(a.n_active / s.sz, 6) AS retention " +
         "FROM active a JOIN sizes s ON a.cohort = s.cohort ORDER BY cohort_day, day_offset"),
+    "q_hits" -> KernelOracleSql.hits(),
     "q_pagerank" ->
       ("WITH pairs AS (SELECT DISTINCT 's' || l_suppkey AS a, 'c' || o_custkey AS b " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), " +

@@ -84,4 +84,34 @@ class GraphSpec extends SparkSpec {
       spark.conf.unset("spark.sql.adaptive.enabled")
     }
   }
+
+  test("hits matches a driver-side recompute and emits L2-normalized scores") {
+    val got = Graph.hits(tables).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    // driver-side replay of the same fixed iteration
+    val ordC = tables.orders.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = tables.lineitem.collect()
+      .flatMap(r => ordC.get(r.getLong(0)).map(c => (r.getLong(2), c))).distinct
+    var h = edges.map(_._1).distinct.map(_ -> 1.0).toMap
+    var a = Map.empty[Long, Double]
+    for (_ <- 1 to 2) {
+      val a0 = edges.groupBy(_._2).map { case (d, es) => d -> es.map(e => h(e._1)).sum }
+      val an = math.sqrt(a0.values.map(v => v * v).sum)
+      a = a0.map { case (k, v) => k -> v / an }
+      val h0 = edges.groupBy(_._1).map { case (sr, es) => sr -> es.map(e => a(e._2)).sum }
+      val hn = math.sqrt(h0.values.map(v => v * v).sum)
+      h = h0.map { case (k, v) => k -> v / hn }
+    }
+    val expect = h.map { case (k, v) => (s"s$k", "hub", v) } ++
+      a.map { case (k, v) => (s"c$k", "authority", v) }
+    val em = expect.map(e => (e._1, e._2) -> e._3).toMap
+    assert(got.length == em.size)
+    got.foreach { case (n, k, sc) =>
+      assert(math.abs(sc - em((n, k))) < 1e-6, s"$n/$k: $sc vs ${em((n, k))}")
+    }
+    // L2 norms of both score families are 1 (the HITS normalization)
+    def n2(kind: String) = got.filter(_._2 == kind).map(r => r._3 * r._3).sum
+    assert(math.abs(n2("hub") - 1.0) < 1e-4, n2("hub").toString)
+    assert(math.abs(n2("authority") - 1.0) < 1e-4, n2("authority").toString)
+  }
 }
