@@ -91,6 +91,35 @@ object EventStreams {
   def enriched(events: DataFrame, dim: DataFrame, key: String = "user_id"): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Stream-STREAM interval join — the attribution shape (view→purchase
+    * within an hour): two watermarked event streams joined on the user key
+    * with a time-bound condition `view.ts ≤ purchase.ts ≤ view.ts +
+    * within`. Both sides carry watermarks and the join condition bounds
+    * event time in BOTH directions, so Spark derives a state-eviction
+    * horizon for each side — buffered rows are dropped once the other
+    * stream's watermark passes their join window, and state stays bounded
+    * on an unbounded stream (an unconstrained stream-stream join would
+    * buffer forever). Inner join: only attributed pairs emit, each exactly
+    * once. */
+  def intervalJoin(views: DataFrame, purchases: DataFrame,
+                   watermark: String = "10 minutes",
+                   within: String = "1 hour"): DataFrame = {
+    val v = withEventTime(views)
+      .select(col("user_id"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("view_ts", watermark)
+    val p = withEventTime(purchases)
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", watermark)
+    v.join(p,
+      v("user_id") === p("user_id") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $within"))
+      .select(v("user_id"), col("view_id"), col("purchase_id"),
+        col("view_ts"), col("purchase_ts"), col("value"))
+  }
+
   /** Custom stateful operator: per-user running totals via
     * `mapGroupsWithState` — the escape hatch for state machines the built-in
     * aggregations can't express. State is one small case class per user. */

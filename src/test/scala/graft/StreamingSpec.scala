@@ -484,4 +484,40 @@ class StreamingSpec extends SparkSpec {
       assert(stepCounts == batch, s"stream $stepCounts vs batch $batch")
     } finally q.stop()
   }
+
+  test("stream-stream interval join attributes purchases to views within the window, exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = EventStreams.intervalJoin(views.toDF(), purchases.toDF(),
+        watermark = "5 minutes", within = "1 hour")
+      .writeStream.format("memory").queryName("attrib").outputMode("append").start()
+    try {
+      views.addData(
+        Event(1, ts(0), 1, "view", 0.0),
+        Event(2, ts(10), 1, "view", 0.0),
+        Event(3, ts(0), 2, "view", 0.0))
+      purchases.addData(
+        Event(101, ts(30), 1, "purchase", 9.0), // joins views 1 AND 2 (both within 1h)
+        Event(102, ts(90), 2, "purchase", 5.0)) // 90min after view 3 — outside window
+      q.processAllAvailable()
+      val rows = spark.table("attrib").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(5))).toSet
+      assert(rows == Set((1L, 1L, 101L, 9.0), (1L, 2L, 101L, 9.0)), rows.toString)
+      // duplicate delivery of more data does not re-emit old pairs (append mode)
+      purchases.addData(Event(103, ts(200), 9, "purchase", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("attrib").count() == 2)
+    } finally q.stop()
+    // batch twin: the same operator body on batch frames (watermark is a
+    // no-op there) produces the same attribution set
+    import spark.implicits._
+    val vb = Seq(Event(1, ts(0), 1, "view", 0.0), Event(2, ts(10), 1, "view", 0.0),
+      Event(3, ts(0), 2, "view", 0.0)).toDF()
+    val pb = Seq(Event(101, ts(30), 1, "purchase", 9.0),
+      Event(102, ts(90), 2, "purchase", 5.0)).toDF()
+    val batch = EventStreams.intervalJoin(vb, pb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(5))).toSet
+    assert(batch == Set((1L, 1L, 101L, 9.0), (1L, 2L, 101L, 9.0)), batch.toString)
+  }
 }
