@@ -148,6 +148,7 @@ object SparkEntry {
     "q_text_lang" -> ((s, d) => TextAnalysis.languageId(Tables(s, d))),
     "q_text_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(Tables(s, d))),
     "q_quality_gopher" -> ((s, d) => TextAnalysis.gopherFilter(Tables(s, d))),
+    "q_rep_coverage" -> ((s, d) => TextAnalysis.topBigramCoverage(Tables(s, d))),
     "q_tfidf" -> ((s, d) => TextAnalysis.tfIdfTopTerms(Tables(s, d))),
     "q_pii_redact" -> ((s, d) => TextAnalysis.piiCounts(Tables(s, d))),
     "q_lm_score" -> ((s, d) => TextAnalysis.lmScore(Tables(s, d))),
@@ -285,6 +286,7 @@ object SparkEntry {
     "q_kmeans" -> ((s, d) => Similarity.kmeans(Tables(s, d))),
     "q_select_kcenter" -> ((s, d) => Similarity.kCenterSelect(Tables(s, d))),
     "q_cumulative_users" -> ((s, d) => Analytics.cumulativeUsers(Tables(s, d))),
+    "q_decay_value" -> ((s, d) => Analytics.decayedUserValue(Tables(s, d))),
     "q_transitions" -> ((s, d) => Analytics.eventTransitions(Tables(s, d))),
     "q_containment" -> ((s, d) => Dedup.containmentPairs(Tables(s, d))),
     "q_lang_confusion" -> ((s, d) => TextAnalysis.langConfusion(Tables(s, d))),
@@ -566,6 +568,14 @@ object SparkEntry {
         "round(n_punct / greatest(n_chars, 1), 6) AS punct_ratio, " +
         "round(least(n_tokens / 20.0, 1.0) * 0.5 + least((n_stop / n_tokens) * 5.0, 1.0) * 0.3 + (1.0 - least((n_digit / greatest(n_chars, 1)) * 10.0, 1.0)) * 0.2, 6) AS quality " +
         "FROM feat ORDER BY doc_id"),
+    "q_rep_coverage" ->
+      ("WITH base AS (SELECT doc_id, length(text) AS n_chars, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk FROM documents), " +
+        "bi AS (SELECT doc_id, n_chars, tk[i] AS w1, tk[i+1] AS w2 FROM (SELECT doc_id, n_chars, tk, unnest(range(1, len(tk))) AS i FROM base WHERE len(tk) >= 2)), " +
+        "cnt AS (SELECT doc_id, n_chars, w1, w2, count(*) AS n_occ FROM bi GROUP BY 1, 2, 3, 4), " +
+        "top AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY n_occ DESC, w1 ASC, w2 ASC) AS rn FROM cnt) " +
+        "SELECT doc_id, w1 || ' ' || w2 AS top_bigram, n_occ, " +
+        "round(CAST(n_occ * (length(w1) + length(w2) + 1) AS DOUBLE) / greatest(n_chars, 1), 6) AS coverage " +
+        "FROM top WHERE rn = 1 ORDER BY doc_id"),
     "q_quality_gopher" ->
       ("WITH base AS (SELECT doc_id, text, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk FROM documents), " +
         "tri AS (SELECT doc_id, text, tk, CASE WHEN len(tk) >= 3 THEN [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] FOR i IN range(1, len(tk) - 1)] ELSE [] END AS g3 FROM base), " +
@@ -1191,6 +1201,12 @@ object SparkEntry {
         "tot AS (SELECT prev, CAST(sum(n) AS BIGINT) AS t FROM cnt GROUP BY prev) " +
         "SELECT c.prev, c.next, c.n, round(c.n / t.t, 6) AS p " +
         "FROM cnt c JOIN tot t ON t.prev = c.prev ORDER BY c.prev, c.next"),
+    "q_decay_value" ->
+      ("WITH ev AS (SELECT user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events), " +
+        "a AS (SELECT max(us) AS max_us FROM ev) " +
+        "SELECT user_id, count(*) AS n_events, " +
+        "round(sum(value * pow(0.5, CAST(floor((max_us - us) / (3600000000.0 * 24)) AS INT))), 4) AS decayed_value " +
+        "FROM ev CROSS JOIN a GROUP BY user_id ORDER BY user_id"),
     "q_cumulative_users" ->
       ("WITH fd AS (SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id), " +
         "daily AS (SELECT day, count(*) AS new_users FROM fd GROUP BY day) " +

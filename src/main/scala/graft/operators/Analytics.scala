@@ -631,6 +631,30 @@ object Analytics {
         countDistinct(col("l_orderkey")).as("n_orders"))
       .orderBy("l_returnflag")
 
+  /** Half-life time-decayed per-user engagement — the recency-weighting
+    * primitive (newsfeed ranking, churn features): each event contributes
+    * `value · 2^(−⌊age/halflife⌋)` against the stream's max timestamp.
+    * The decay base is a POWER OF TWO on an integer exponent, so the
+    * weight is exactly representable and both engines' `pow` return the
+    * identical dyadic value — no libm `exp()` ulp divergence class (the
+    * reason this is 2^-k and not e^-λt). The floor's division runs in
+    * IEEE doubles on identical operands in both engines, so even an
+    * exactly-on-boundary age floors identically. One broadcast 1-row
+    * anchor + a narrow projection + one hash aggregation. */
+  def decayedUserValue(t: Tables, halfLifeHours: Int = 24): DataFrame = {
+    val ev = t.events.select(col("user_id"), col("value"),
+      epochUs(col("ts")).as("us"))
+    ev.crossJoin(broadcast(ev.agg(max("us").as("max_us"))))
+      .withColumn("k",
+        floor((col("max_us") - col("us")) / lit(3600000000.0 * halfLifeHours))
+          .cast("int"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value") * pow(lit(0.5), col("k"))), 4)
+          .as("decayed_value"))
+      .orderBy("user_id")
+  }
+
   /** Integer epoch-micros from an event timestamp. Parquet writers emit
     * either TIMESTAMP or TIMESTAMP_NTZ for the same wall-clock data;
     * `unix_micros` accepts only the zoned type, so normalize with a cast.

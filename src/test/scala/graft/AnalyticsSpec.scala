@@ -878,4 +878,32 @@ class AnalyticsSpec extends SparkSpec {
       assert(math.abs(rate - n.toDouble / sizes(c)) < 1e-6)
     }
   }
+
+  test("decayedUserValue matches a driver recompute; halving property holds") {
+    val ev = tables.events.collect().map { r =>
+      (r.getLong(2), r.getDouble(4),
+        r.getAs[java.time.LocalDateTime](1).toInstant(java.time.ZoneOffset.UTC)
+          .toEpochMilli * 1000L + r.getAs[java.time.LocalDateTime](1).getNano / 1000 % 1000)
+    }
+    val maxUs = ev.map(_._3).max
+    val expect = ev.groupBy(_._1).map { case (u, es) =>
+      val dv = es.map { case (_, v, us) =>
+        val k = math.floor((maxUs - us) / (3600000000.0 * 24)).toInt
+        v * math.pow(0.5, k)
+      }.sum
+      u -> (es.length.toLong,
+        BigDecimal(dv).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = graft.operators.Analytics.decayedUserValue(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == expect.size)
+    got.foreach { case (u, n, dv) =>
+      assert(n == expect(u)._1)
+      assert(math.abs(dv - expect(u)._2) < 1e-6, s"user $u: $dv vs ${expect(u)._2}")
+    }
+    // each decayed total is bounded by the undecayed sum of positive parts
+    val plain = ev.groupBy(_._1).map { case (u, es) =>
+      u -> es.map(e => math.max(e._2, 0.0)).sum }
+    got.foreach { case (u, _, dv) => assert(dv <= plain(u) + 1e-6) }
+  }
 }

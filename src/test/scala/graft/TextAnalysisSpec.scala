@@ -545,4 +545,35 @@ class TextAnalysisSpec extends SparkSpec {
       assert(kept == chars.count(c => c >= lo && c <= hi), lang)
     }
   }
+
+  test("topBigramCoverage matches a driver recompute; boilerplate doc scores near its repeat share") {
+    import graft.operators.TextAnalysis
+    val got = TextAnalysis.topBigramCoverage(tables).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val docs = tables.documents.collect().map(r => (r.getLong(0), r.getString(1)))
+    docs.foreach { case (id, text) =>
+      val tk = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (tk.length >= 2) {
+        val bs = tk.sliding(2).map(a => (a(0), a(1))).toSeq
+        val cnt = bs.groupBy(identity).map { case (b, xs) => b -> xs.length }
+        val top = cnt.toSeq.minBy { case ((w1, w2), n) => (-n, w1, w2) }
+        val cov = BigDecimal(top._2.toDouble * (top._1._1.length + top._1._2.length + 1) /
+          math.max(text.length, 1)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val g = got(id)
+        assert(g._1 == top._1._1 + " " + top._1._2 && g._2 == top._2.toLong &&
+          math.abs(g._3 - cov) < 1e-9, s"doc $id: $g vs ($top, $cov)")
+      } else assert(!got.contains(id))
+    }
+    // injected boilerplate: one bigram repeated wall-to-wall covers ~everything
+    val spark2 = spark
+    import spark2.implicits._
+    val boilerText = ("click here " * 30).trim
+    val boiler = Seq((777000L, boilerText, "en", "web", boilerText.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val t2 = tables.withTable("documents", tables.documents.union(boiler))
+    val row = TextAnalysis.topBigramCoverage(t2)
+      .filter($"doc_id" === 777000L).collect()(0)
+    assert(row.getString(1) == "click here" && row.getDouble(3) > 0.9, row.toString)
+  }
 }
