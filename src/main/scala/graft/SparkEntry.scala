@@ -251,6 +251,7 @@ object SparkEntry {
     "q_asof_join" -> ((s, d) => Analytics.eventsAsOf(Tables(s, d))),
     "q_sessionize" -> ((s, d) => Analytics.sessionize(Tables(s, d))),
     "q_percentiles" -> ((s, d) => Analytics.groupPercentiles(Tables(s, d))),
+    "q_winsorize" -> ((s, d) => Analytics.winsorizedStats(Tables(s, d))),
     "q_percentiles_lowcard" -> ((s, d) => Analytics.groupPercentilesLowCard(Tables(s, d))),
     "q_percentiles_approx" -> ((s, d) => Analytics.groupPercentilesApprox(Tables(s, d))),
     "q_rollup" -> ((s, d) => Analytics.rollup(Tables(s, d))),
@@ -736,6 +737,14 @@ object SparkEntry {
       ("SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty, " +
         "round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q_winsorize" ->
+      ("WITH cuts AS (SELECT o_orderpriority, quantile_cont(o_totalprice, 0.05) AS p_lo, " +
+        "quantile_cont(o_totalprice, 0.95) AS p_hi FROM orders GROUP BY 1) " +
+        "SELECT o.o_orderpriority, count(*) AS n, round(avg(o_totalprice), 4) AS mean_raw, " +
+        "round(avg(least(greatest(o_totalprice, p_lo), p_hi)), 4) AS mean_winsorized, " +
+        "round(min(least(greatest(o_totalprice, p_lo), p_hi)), 4) AS clip_lo, " +
+        "round(max(least(greatest(o_totalprice, p_lo), p_hi)), 4) AS clip_hi " +
+        "FROM orders o JOIN cuts USING (o_orderpriority) GROUP BY 1 ORDER BY 1"),
     "q_percentiles" ->
       ("SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty, " +
         "round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty, " +

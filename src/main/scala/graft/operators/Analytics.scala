@@ -292,6 +292,30 @@ object Analytics {
         round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50_price"))
       .orderBy("l_returnflag")
 
+  /** Winsorized robust statistics — the outlier-clipping feature transform
+    * (fat-tailed metrics poison plain means; clip at exact per-group
+    * percentiles before averaging): per priority group, each order's total
+    * clipped into [p05, p95] of its own group, then raw-vs-winsorized
+    * means. Exact interpolating `percentile` (the [[groupPercentiles]] ↔
+    * `quantile_cont` proven pairing); the group-cardinality cut table
+    * broadcasts back onto the fact scan — two narrow passes, no window
+    * over the corpus. */
+  def winsorizedStats(t: Tables, lo: Double = 0.05,
+                      hi: Double = 0.95): DataFrame = {
+    val cuts = t.orders.groupBy("o_orderpriority")
+      .agg(expr(s"percentile(o_totalprice, $lo)").as("p_lo"),
+        expr(s"percentile(o_totalprice, $hi)").as("p_hi"))
+    val w = least(greatest(col("o_totalprice"), col("p_lo")), col("p_hi"))
+    t.orders.join(broadcast(cuts), "o_orderpriority")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        round(avg("o_totalprice"), 4).as("mean_raw"),
+        round(avg(w), 4).as("mean_winsorized"),
+        round(min(w), 4).as("clip_lo"),
+        round(max(w), 4).as("clip_hi"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Explicit GROUPING SETS — the general form behind ROLLUP/CUBE: the
     * caller names exactly which aggregation granularities to emit (here
     * per-returnflag, per-linestatus, and the grand total — NOT the

@@ -906,4 +906,35 @@ class AnalyticsSpec extends SparkSpec {
       u -> es.map(e => math.max(e._2, 0.0)).sum }
     got.foreach { case (u, _, dv) => assert(dv <= plain(u) + 1e-6) }
   }
+
+  test("winsorizedStats matches a driver recompute with interpolated percentile clipping") {
+    val rows = tables.orders.collect().map(r => (r.getString(5), r.getDouble(3)))
+    def pct(sorted: Array[Double], p: Double): Double = {
+      val pos = p * (sorted.length - 1)
+      val lo = math.floor(pos).toInt; val hi = math.ceil(pos).toInt
+      if (lo == hi) sorted(lo)
+      else sorted(lo) + (pos - lo) * (sorted(hi) - sorted(lo))
+    }
+    val expect = rows.groupBy(_._1).map { case (g, vs) =>
+      val xs = vs.map(_._2).sorted
+      val (plo, phi) = (pct(xs, 0.05), pct(xs, 0.95))
+      val w = xs.map(x => math.min(math.max(x, plo), phi))
+      def r4(x: Double) =
+        BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      g -> (xs.length.toLong, r4(xs.sum / xs.length), r4(w.sum / w.length),
+        r4(w.min), r4(w.max))
+    }
+    val got = graft.operators.Analytics.winsorizedStats(tables).collect()
+    assert(got.length == expect.size)
+    got.foreach { r =>
+      val e = expect(r.getString(0))
+      assert(r.getLong(1) == e._1)
+      assert(math.abs(r.getDouble(2) - e._2) < 1e-6)
+      assert(math.abs(r.getDouble(3) - e._3) < 1e-6)
+      assert(math.abs(r.getDouble(4) - e._4) < 1e-6)
+      assert(math.abs(r.getDouble(5) - e._5) < 1e-6)
+      // clipping can only pull the mean toward the interior
+      assert(r.getDouble(3) >= r.getDouble(4) - 1e-9 && r.getDouble(3) <= r.getDouble(5) + 1e-9)
+    }
+  }
 }
