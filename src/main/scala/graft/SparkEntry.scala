@@ -166,6 +166,10 @@ object SparkEntry {
       Packing.packDocuments(Tables(s, d))
     }),
     "q_cdc_chunks" -> ((s, d) => Packing.cdcChunks(Tables(s, d))),
+    "q_skyline" -> ((s, d) => {
+      import graft.operators.Sampling
+      Sampling.skylineDocs(Tables(s, d))
+    }),
     "q_split_leakage" -> ((s, d) => {
       import graft.operators.Sampling
       Sampling.splitLeakage(Tables(s, d))
@@ -465,6 +469,12 @@ object SparkEntry {
     "q_ann_lsh" -> SrpOracleSql.annLsh(),
     "q_text_fingerprint" -> KernelOracleSql.rollingFingerprints,
     "q_cdc_chunks" -> KernelOracleSql.cdcChunks(),
+    "q_skyline" ->
+      ("WITH f AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens, CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct " +
+        "FROM (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk FROM documents)) " +
+        "SELECT doc_id, n_tokens, n_distinct FROM f a WHERE NOT EXISTS (" +
+        "SELECT 1 FROM f b WHERE b.n_tokens >= a.n_tokens AND b.n_distinct >= a.n_distinct " +
+        "AND (b.n_tokens > a.n_tokens OR b.n_distinct > a.n_distinct)) ORDER BY doc_id"),
     "q_split_leakage" -> KernelOracleSql.splitLeakage,
     "q_split_assign" -> KernelOracleSql.splitAssign,
     "q_weighted_sample" -> KernelOracleSql.weightedSample(),

@@ -271,4 +271,43 @@ object Sampling {
           .as("alpha_share"))
       .orderBy("source")
   }
+
+  /** 2-D skyline (Pareto front) data selection — keep every document not
+    * DOMINATED on (length, lexical diversity): b dominates a iff b ≥ a on
+    * both dimensions and > on at least one. The multi-criteria selection
+    * primitive ("longest AND most diverse frontier") that single-score
+    * ranking can't express.
+    *
+    * Scale shape — the sort-sweep, not the quadratic dominance self-join:
+    * (1) per-x maxima collapse the corpus to the distinct-x table (hash
+    * agg; bounded by the x value domain — for length-like dimensions a few
+    * thousand rows at any corpus size); (2) one window over THAT bounded
+    * table takes the strictly-preceding running max of y in x-descending
+    * order — an x-value survives iff its max-y strictly exceeds every
+    * higher-x max-y; (3) a semi-join brings back every document achieving
+    * a surviving (x, max-y) pair (equal points don't dominate each other,
+    * so ALL of them are on the front). The quadratic NOT-EXISTS form
+    * exists only in the oracle — the hash match proves the sweep
+    * equivalent to the textbook dominance definition. */
+  def skylineDocs(t: Tables): DataFrame = {
+    val f = t.documents
+      .select(col("doc_id"),
+        TextAnalysis.tokens(col("text")).as("_tk"))
+      .select(col("doc_id"),
+        size(col("_tk")).cast("long").as("n_tokens"),
+        size(array_distinct(col("_tk"))).cast("long").as("n_distinct"))
+      // feeds the per-x aggregation AND the member join — one token pass
+      .localCheckpoint()
+    val perX = f.groupBy("n_tokens").agg(max("n_distinct").as("_my"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_tokens").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val frontier = perX
+      .withColumn("_rmax", max(col("_my")).over(w))
+      .filter(col("_rmax").isNull || col("_my") > col("_rmax"))
+      .select(col("n_tokens"), col("_my").as("n_distinct"))
+    f.join(frontier, Seq("n_tokens", "n_distinct"), "left_semi")
+      .select("doc_id", "n_tokens", "n_distinct")
+      .orderBy("doc_id")
+  }
 }

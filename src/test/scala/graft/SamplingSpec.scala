@@ -231,4 +231,24 @@ class SamplingSpec extends SparkSpec {
     }
     assert(got.keySet == held.map(_._2).toSet)
   }
+
+  test("skylineDocs sweep equals the textbook dominance definition; front members are mutually non-dominated") {
+    import graft.operators.Sampling
+    val feats = tables.documents.collect().map { r =>
+      val tk = r.getString(1).trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      (r.getLong(0), tk.length.toLong, tk.distinct.length.toLong)
+    }
+    def dominates(b: (Long, Long, Long), a: (Long, Long, Long)) =
+      b._2 >= a._2 && b._3 >= a._3 && (b._2 > a._2 || b._3 > a._3)
+    val expect = feats.filter(a => !feats.exists(b => dominates(b, a)))
+      .map(f => (f._1, f._2, f._3)).toSet
+    val got = Sampling.skylineDocs(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect, s"got ${got.size} expect ${expect.size}")
+    assert(got.nonEmpty)
+    // front members never dominate each other
+    val front = got.toSeq
+    front.foreach(a => front.foreach(b =>
+      assert(!dominates(b, a) || b == a, s"$b dominates $a inside the front")))
+  }
 }
