@@ -329,6 +329,25 @@ accs AS (SELECT vec_id, tbl, b, list_reduce(list_prepend(CAST(0.0 AS DOUBLE), li
 bkt AS MATERIALIZED (SELECT vec_id, tbl, sum(CASE WHEN acc > 0.0 THEN (1 << b) ELSE 0 END) AS bucket FROM accs GROUP BY vec_id, tbl),
 norms AS MATERIALIZED (SELECT vec_id, list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(v, x -> x * x)), (a, bb) -> a + bb) AS nrm FROM d)"""
 
+  /** Oracle for q_embed_rp
+    * ([[graft.operators.Similarity.randomProjectionReport]] defaults:
+    * nBits 16, table 7): sign masks for the single projection table, the
+    * per-(vec, b) sequential signed fold, a b-ORDERED square sum for the
+    * projected norm, and the sequential input norm — every accumulation
+    * mirrors the engine kernels' loop order. */
+  def rpReport(nBits: Int = 16, table: Int = 7): String = {
+    val masks = (0 until nBits)
+      .map(b => s"($b, CAST(${signMask(table, b)} AS HUGEINT))").mkString(", ")
+    s"""WITH d AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+msk(b, m) AS (VALUES $masks),
+accs AS (SELECT vec_id, b, list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(v, (x, i) -> CASE WHEN (m >> (i - 1)) % 2 = 1 THEN x ELSE -x END)), (a, bb) -> a + bb) AS acc FROM d CROSS JOIN msk),
+po AS (SELECT vec_id, sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list(acc ORDER BY b), a -> a * a)), (x, y) -> x + y) / $nBits) AS norm_out FROM accs GROUP BY vec_id),
+ni AS (SELECT vec_id, sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(v, x -> x * x)), (a, bb) -> a + bb)) AS norm_in FROM d)
+SELECT ni.vec_id, round(norm_in, 6) AS norm_in, round(norm_out, 6) AS norm_out,
+CASE WHEN norm_in = 0.0 THEN 0.0 ELSE round(norm_out / norm_in, 6) END AS jl_ratio
+FROM ni JOIN po ON po.vec_id = ni.vec_id ORDER BY ni.vec_id"""
+  }
+
   /** Sequential-fold cosine over candidate pairs (aliases da/db/na/nb). */
   private val pairCosine =
     "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(da.v, (x, i) -> x * db.v[i])), (a, bb) -> a + bb)"

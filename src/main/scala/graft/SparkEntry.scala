@@ -290,8 +290,10 @@ object SparkEntry {
     "q_token_entropy" -> ((s, d) => TextAnalysis.tokenEntropy(Tables(s, d))),
     "q_kmeans" -> ((s, d) => Similarity.kmeans(Tables(s, d))),
     "q_select_kcenter" -> ((s, d) => Similarity.kCenterSelect(Tables(s, d))),
+    "q_embed_rp" -> ((s, d) => Similarity.randomProjectionReport(Tables(s, d))),
     "q_cumulative_users" -> ((s, d) => Analytics.cumulativeUsers(Tables(s, d))),
     "q_decay_value" -> ((s, d) => Analytics.decayedUserValue(Tables(s, d))),
+    "q_event_paths" -> ((s, d) => Analytics.topEventPaths(Tables(s, d))),
     "q_transitions" -> ((s, d) => Analytics.eventTransitions(Tables(s, d))),
     "q_containment" -> ((s, d) => Dedup.containmentPairs(Tables(s, d))),
     "q_lang_confusion" -> ((s, d) => TextAnalysis.langConfusion(Tables(s, d))),
@@ -1220,6 +1222,13 @@ object SparkEntry {
         "tot AS (SELECT prev, CAST(sum(n) AS BIGINT) AS t FROM cnt GROUP BY prev) " +
         "SELECT c.prev, c.next, c.n, round(c.n / t.t, 6) AS p " +
         "FROM cnt c JOIN tot t ON t.prev = c.prev ORDER BY c.prev, c.next"),
+    "q_event_paths" ->
+      ("WITH s AS (SELECT user_id, event_type, " +
+        "lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2, " +
+        "lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3 FROM events) " +
+        "SELECT event_type || ' > ' || e2 || ' > ' || e3 AS path, count(*) AS n_occurrences " +
+        "FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL " +
+        "GROUP BY 1 ORDER BY n_occurrences DESC, path ASC LIMIT 10"),
     "q_decay_value" ->
       ("WITH ev AS (SELECT user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events), " +
         "a AS (SELECT max(us) AS max_us FROM ev) " +
@@ -1239,6 +1248,7 @@ object SparkEntry {
         "CASE WHEN t.tot <> 0 THEN round(qty / t.tot, 6) END AS share " +
         "FROM agg CROSS JOIN t ORDER BY l_returnflag"),
     "q_select_kcenter" -> KernelOracleSql.kCenterSelect(),
+    "q_embed_rp" -> SrpOracleSql.rpReport(),
     "q_kmeans" ->
       ("WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS j, unnest(CAST(embedding AS DOUBLE[])) AS xj FROM embeddings), " +
         "c0 AS (SELECT CAST(vec_id AS INT) AS cell, j, xj AS cj FROM x WHERE vec_id < 8), " +

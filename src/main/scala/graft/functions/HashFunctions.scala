@@ -288,6 +288,41 @@ object HashImpl {
     bucket
   }
 
+  /** Sequential L2 norm of a raw float vector (float→double cast, j
+    * ascending — the accumulation order every SQL-oracle fold mirrors). */
+  def normF(vec: ArrayData): Double = {
+    val n = vec.numElements()
+    var s = 0.0
+    var j = 0
+    while (j < n) { val x = vec.getFloat(j).toDouble; s += x * x; j += 1 }
+    math.sqrt(s)
+  }
+
+  /** L2 norm of the ±1 signed-random-projection of a raw float vector into
+    * `nBits` dimensions, scaled 1/√nBits (Achlioptas 2003 database-friendly
+    * JL projection — the signs are EXACTLY [[srpBucket]]'s hyperplanes, so
+    * the projection this norm measures is the one the SRP-LSH family
+    * buckets on). Per-projection accumulation is j-ascending and the
+    * cross-projection square sum is b-ascending — both mirrored
+    * sequentially by the SQL oracle. */
+  def srpProjNorm(vec: ArrayData, nBits: Int, seed: Long): Double = {
+    val n = vec.numElements()
+    var s = 0.0
+    var b = 0
+    while (b < nBits) {
+      var acc = 0.0
+      var j = 0
+      while (j < n) {
+        val sign = if ((mix64(seed + b.toLong * 131071L + j) & 1L) == 1L) 1.0 else -1.0
+        acc += sign * vec.getFloat(j)
+        j += 1
+      }
+      s += acc * acc
+      b += 1
+    }
+    math.sqrt(s / nBits)
+  }
+
   /** Jaccard similarity of two equal-width bitset fingerprints
     * (array<long> masks): popcount(a∧b) / popcount(a∨b). Integer
     * arithmetic until the final division — bit-for-bit equal to
@@ -702,6 +737,31 @@ case class NearestCellUnit(child: Expression, cents: Array[Double], d: Int)
     copy(child = newChild)
 }
 
+/** NormF(array<float>) → double: sequential L2 norm. */
+case class NormF(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpl.normF(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.normF($c)")
+  override protected def withNewChildInternal(newChild: Expression): NormF =
+    copy(child = newChild)
+}
+
+/** SrpProjNorm(array<float>) → double: JL-projection norm — see
+  * [[HashImpl.srpProjNorm]]. */
+case class SrpProjNorm(child: Expression, nBits: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpl.srpProjNorm(input.asInstanceOf[ArrayData], nBits, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashImpl.srpProjNorm($c, $nBits, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): SrpProjNorm =
+    copy(child = newChild)
+}
+
 /** MinCellDistUnit over a raw float vector with inline unit-normalization —
   * see [[HashImpl.minCellDistUnit]]. Same reference-object pattern as
   * [[NearestCellUnit]]; returns the DISTANCE (the k-center coverage
@@ -833,6 +893,9 @@ object HashFunctions {
     require(centroids.forall(_.length == d), "ragged centroid matrix")
     col(NearestCellUnit(expr(vec), centroids.flatten.toArray, d))
   }
+  def normF(vec: Column): Column = col(NormF(expr(vec)))
+  def srpProjNorm(vec: Column, nBits: Int, seed: Long): Column =
+    col(SrpProjNorm(expr(vec), nBits, seed))
   def minCellDistUnit(vec: Column, centroids: Seq[Seq[Double]]): Column = {
     val d = centroids.head.length
     require(centroids.forall(_.length == d), "ragged centroid matrix")

@@ -655,6 +655,28 @@ object Analytics {
         countDistinct(col("l_orderkey")).as("n_orders"))
       .orderBy("l_returnflag")
 
+  /** Top event-type paths — frequent-sequence mining over the behavior
+    * stream (the "what do users do next" product query): each user's
+    * events in (ts, event_id) order yield sliding 3-step paths via two
+    * `lead`s over the per-user window (partitions bounded by per-user
+    * event counts), then a global count + top-k that plans as
+    * TakeOrderedAndProject. Path strings are built AFTER the window, so
+    * nothing wider than three type tags rides the shuffle. */
+  def topEventPaths(t: Tables, k: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    t.events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("_e2", lead("event_type", 1).over(w))
+      .withColumn("_e3", lead("event_type", 2).over(w))
+      .filter(col("_e2").isNotNull && col("_e3").isNotNull)
+      .select(concat_ws(" > ", col("event_type"), col("_e2"), col("_e3"))
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("path").asc)
+      .limit(k)
+  }
+
   /** Half-life time-decayed per-user engagement — the recency-weighting
     * primitive (newsfeed ranking, churn features): each event contributes
     * `value · 2^(−⌊age/halflife⌋)` against the stream's max timestamp.

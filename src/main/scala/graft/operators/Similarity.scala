@@ -612,6 +612,30 @@ object Similarity {
       .orderBy("cell", "dim")
   }
 
+  /** Johnson–Lindenstrauss random-projection report (Achlioptas 2003
+    * database-friendly ±1 projections — the signs are EXACTLY the SRP-LSH
+    * family's hyperplanes, so this measures the geometry the bucketing
+    * queries rely on): per vector, the L2 norm before and after projecting
+    * 64→`nBits` dims scaled 1/√nBits, plus the distortion ratio the JL
+    * lemma bounds around 1. One narrow pass through two codegen'd kernels
+    * (both deterministic sequential accumulation, mirrored by the SQL
+    * oracle's ordered folds); no shuffle at all — the scalable
+    * dimensionality-reduction sanity check next to the exact power-method
+    * PCA. */
+  def randomProjectionReport(t: Tables, nBits: Int = 16,
+                             table: Int = 7): DataFrame = {
+    val seed = table.toLong * 0x9e3779b97f4a7c15L
+    t.embeddings.select(
+      col("vec_id"),
+      round(HashFunctions.normF(col("embedding")), 6).as("norm_in"),
+      round(HashFunctions.srpProjNorm(col("embedding"), nBits, seed), 6)
+        .as("norm_out"),
+      when(HashFunctions.normF(col("embedding")) === 0.0, lit(0.0))
+        .otherwise(round(HashFunctions.srpProjNorm(col("embedding"), nBits, seed) /
+          HashFunctions.normF(col("embedding")), 6)).as("jl_ratio"))
+      .orderBy("vec_id")
+  }
+
   /** Greedy k-center data selection (Gonzalez 1985 farthest-point
     * traversal, the classic 2-approximation — the coreset/diversity
     * selection primitive of embedding-based data curation): seed with the

@@ -937,4 +937,18 @@ class AnalyticsSpec extends SparkSpec {
       assert(r.getDouble(3) >= r.getDouble(4) - 1e-9 && r.getDouble(3) <= r.getDouble(5) + 1e-9)
     }
   }
+
+  test("topEventPaths matches a driver recompute of per-user ordered 3-grams") {
+    val ev = tables.events.collect().map(r =>
+      (r.getLong(2), r.getAs[java.time.LocalDateTime](1), r.getLong(0), r.getString(3)))
+    val paths = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val o = es.sortBy(e => (e._2.toString, e._3)).map(_._4)
+      o.sliding(3).filter(_.length == 3).map(_.mkString(" > "))
+    }
+    val expect = paths.groupBy(identity).map { case (p2, xs) => (p2, xs.length.toLong) }
+      .toSeq.sortBy { case (p2, n) => (-n, p2) }.take(10)
+    val got = graft.operators.Analytics.topEventPaths(tables).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expect, s"got $got expect $expect")
+  }
 }

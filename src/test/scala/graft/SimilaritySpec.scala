@@ -415,4 +415,34 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("randomProjectionReport matches a HashImpl recompute; JL ratios concentrate near 1") {
+    import graft.functions.HashImpl
+    val got = Similarity.randomProjectionReport(tables).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    val vecs = tables.embeddings.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val seed = 7L * 0x9e3779b97f4a7c15L
+    got.foreach { case (id, ni, no, ratio) =>
+      val v = vecs.toMap.apply(id)
+      var s = 0.0; v.foreach(x => s += x.toDouble * x.toDouble)
+      val normIn = math.sqrt(s)
+      var ss = 0.0
+      for (b <- 0 until 16) {
+        var acc = 0.0
+        for (j <- v.indices) {
+          val sign = if ((HashImpl.mix64(seed + b.toLong * 131071L + j) & 1L) == 1L) 1.0 else -1.0
+          acc += sign * v(j)
+        }
+        ss += acc * acc
+      }
+      val normOut = math.sqrt(ss / 16)
+      assert(ni == r6(normIn) && no == r6(normOut), s"vec $id")
+      assert(math.abs(ratio - r6(normOut / normIn)) < 1e-9 || normIn == 0.0)
+    }
+    // JL: the mean distortion over the corpus is close to 1
+    val mean = got.map(_._4).sum / got.length
+    assert(mean > 0.7 && mean < 1.3, mean.toString)
+  }
 }
