@@ -77,6 +77,7 @@ object SparkEntry {
     "q_events_window" -> ((s, d) => Relational.eventsWindow(Tables(s, d))),
     "q_events_topusers" -> ((s, d) => Relational.eventsTopUsers(Tables(s, d))),
     "q_events_props" -> ((s, d) => Relational.eventsProps(Tables(s, d))),
+    "q_upsert_merge" -> ((s, d) => Relational.upsertMerge(Tables(s, d))),
     "q_outer_join" -> ((s, d) => Relational.outerJoin(Tables(s, d))),
     "q_case_expr" -> ((s, d) => Relational.caseExpr(Tables(s, d))),
     "q_string_funcs" -> ((s, d) => Relational.stringFuncs(Tables(s, d))),
@@ -430,6 +431,15 @@ object SparkEntry {
       ("SELECT event_type, count(*) AS n_events, round(avg(k), 6) AS avg_k, min(k) AS min_k, max(k) AS max_k " +
         "FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events) " +
         "GROUP BY event_type ORDER BY event_type"),
+    "q_upsert_merge" ->
+      ("WITH ch AS (SELECT c_custkey AS k, CASE WHEN c_custkey % 13 = 0 THEN 'delete' ELSE 'update' END AS op, " +
+        "round(c_acctbal + 100.0, 2) AS new_bal, c_nationkey AS n_nk FROM customer WHERE c_custkey % 7 = 0 OR c_custkey % 13 = 0 " +
+        "UNION ALL SELECT c_custkey + 1000000, 'insert', round(c_acctbal, 2), c_nationkey FROM customer WHERE c_custkey % 11 = 0) " +
+        "SELECT coalesce(c_custkey, k) AS custkey, coalesce(n_nk, c_nationkey) AS nationkey, " +
+        "CASE WHEN op IN ('update', 'insert') THEN new_bal ELSE round(c_acctbal, 2) END AS acctbal, " +
+        "coalesce(op, 'keep') AS merge_op " +
+        "FROM customer FULL OUTER JOIN ch ON c_custkey = k " +
+        "WHERE coalesce(op, 'keep') <> 'delete' ORDER BY custkey"),
     "q_outer_join" ->
       ("SELECT c_custkey, c_name, coalesce(p.cnt, 0) AS n_pending FROM customer " +
         "LEFT OUTER JOIN (SELECT o_custkey, count(*) AS cnt FROM orders WHERE o_orderstatus = 'P' GROUP BY o_custkey) p " +

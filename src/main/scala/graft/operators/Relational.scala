@@ -204,6 +204,44 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** MERGE / upsert (SCD type-1) expressed Spark-first — the CDC-apply
+    * shape warehouses run nightly: a change batch of typed ops against a
+    * base table, resolved in ONE full-outer join on the key plus a
+    * projection: DELETE drops the base row, UPDATE overwrites the payload
+    * column, INSERT materializes the change-side row, unmatched base rows
+    * pass through; an audit column records what happened to each surviving
+    * row. At scale both sides hash-partition on the merge key (bucketed
+    * base tables co-locate it shuffle-free — the DedupIndex pattern); no
+    * window, no driver state.
+    *
+    * The change batch is DERIVED deterministically from the base (key
+    * residues → update/delete/insert) so the oracle replays it exactly;
+    * delete wins over update on overlapping residues by op precedence. */
+  def upsertMerge(t: Tables): DataFrame = {
+    val base = t.customer
+    val changes = base
+      .filter(col("c_custkey") % 7 === 0 || col("c_custkey") % 13 === 0)
+      .select(col("c_custkey").as("k"),
+        when(col("c_custkey") % 13 === 0, lit("delete"))
+          .otherwise(lit("update")).as("op"),
+        round(col("c_acctbal") + 100.0, 2).as("new_bal"),
+        col("c_nationkey").as("n_nk"), col("c_mktsegment").as("n_seg"))
+      .union(base.filter(col("c_custkey") % 11 === 0)
+        .select((col("c_custkey") + 1000000L).as("k"), lit("insert").as("op"),
+          round(col("c_acctbal"), 2).as("new_bal"),
+          col("c_nationkey").as("n_nk"), col("c_mktsegment").as("n_seg")))
+    base.join(changes, col("c_custkey") === col("k"), "full_outer")
+      .filter(coalesce(col("op"), lit("keep")) =!= "delete")
+      .select(
+        coalesce(col("c_custkey"), col("k")).as("custkey"),
+        coalesce(col("n_nk"), col("c_nationkey")).as("nationkey"),
+        when(col("op") === "update", col("new_bal"))
+          .when(col("op") === "insert", col("new_bal"))
+          .otherwise(round(col("c_acctbal"), 2)).as("acctbal"),
+        coalesce(col("op"), lit("keep")).as("merge_op"))
+      .orderBy("custkey")
+  }
+
   /** Top users by activity — groupBy + ORDER BY count DESC + LIMIT. */
   def eventsTopUsers(t: Tables): DataFrame =
     t.events

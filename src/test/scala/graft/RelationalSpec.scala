@@ -119,4 +119,33 @@ class RelationalSpec extends SparkSpec {
     val counts = Relational.eventsTopUsers(tables).collect().map(_.getLong(1))
     assert(counts.sameElements(counts.sortBy(-_)))
   }
+
+  test("upsertMerge applies delete/update/insert with op precedence and exact counts") {
+    import graft.operators.Relational
+    val base = tables.customer.collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getDouble(3)))
+    val got = Relational.upsertMerge(tables).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2), r.getString(3)))).toMap
+    def r2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val deletes = base.count(_._1 % 13 == 0)
+    val inserts = base.count(_._1 % 11 == 0)
+    assert(got.size == base.length - deletes + inserts)
+    base.foreach { case (k, nk, bal) =>
+      if (k % 13 == 0) assert(!got.contains(k), s"deleted key $k survived")
+      else if (k % 7 == 0) {
+        val g = got(k)
+        assert(g._3 == "update" && math.abs(g._2 - r2(bal + 100.0)) < 1e-9, s"key $k: $g")
+      } else {
+        val g = got(k)
+        assert(g._3 == "keep" && math.abs(g._2 - r2(bal)) < 1e-9 && g._1 == nk, s"key $k: $g")
+      }
+      if (k % 11 == 0) {
+        val g = got(k + 1000000L)
+        assert(g._3 == "insert" && math.abs(g._2 - r2(bal)) < 1e-9, s"insert $k: $g")
+      }
+    }
+    // merge is one join, never a window or cartesian
+    val plan = planOf(Relational.upsertMerge(tables))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Window"), plan)
+  }
 }
