@@ -226,6 +226,10 @@ object SparkEntry {
       import graft.operators.Skew
       Skew.keySkewAudit(Tables(s, d).events, col("user_id"), k = 20)
     }),
+    "q_zorder" -> ((s, d) => {
+      import graft.operators.Skew
+      Skew.zOrderAudit(Tables(s, d))
+    }),
     "q_mixture_temp" -> ((s, d) => {
       import graft.operators.Sampling
       Sampling.mixtureTemperature(Tables(s, d))
@@ -512,6 +516,20 @@ object SparkEntry {
         "SELECT doc_id, n_tokens, quality FROM sel WHERE cum <= 10000 ORDER BY quality DESC, doc_id"),
     "q_mixture" -> KernelOracleSql.mixture,
     "q_mixture_temp" -> KernelOracleSql.mixtureTemperature,
+    "q_zorder" -> {
+      val zsql = (0 until 16).map(i =>
+        s"((l_partkey >> $i) & 1) * ${1L << (2 * i)} + ((l_suppkey >> $i) & 1) * ${1L << (2 * i + 1)}")
+        .mkString(" + ")
+      s"WITH z AS (SELECT l_orderkey, l_partkey, l_suppkey, ($zsql) AS zv FROM lineitem), " +
+        "m AS (SELECT max(l_orderkey) AS mo, max(zv) AS mz FROM z), " +
+        "b AS (SELECT l_partkey, l_suppkey, CAST(floor(l_orderkey * 32 / (mo + 1)) AS INT) AS nat_b, " +
+        "CAST(floor(zv * 32 / (mz + 1)) AS INT) AS z_b FROM z CROSS JOIN m) " +
+        "SELECT * FROM (" +
+        "SELECT 'natural' AS layout, nat_b AS bucket, count(*) AS n_rows, " +
+        "max(l_partkey) - min(l_partkey) + 1 AS pk_span, max(l_suppkey) - min(l_suppkey) + 1 AS sk_span FROM b GROUP BY 2 " +
+        "UNION ALL SELECT 'zorder', z_b, count(*), max(l_partkey) - min(l_partkey) + 1, " +
+        "max(l_suppkey) - min(l_suppkey) + 1 FROM b GROUP BY 2) ORDER BY layout, bucket"
+    },
     "q_skew_audit" ->
       ("WITH c AS (SELECT user_id AS key, count(*) AS n_rows FROM events GROUP BY 1), " +
         "top AS (SELECT key, n_rows FROM c ORDER BY n_rows DESC, key ASC LIMIT 20), " +

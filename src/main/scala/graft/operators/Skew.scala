@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.sources.Tables
 
 /** Skew-mitigation utilities. AQE's skew-join splitting
   * (`spark.sql.adaptive.skewJoin.enabled`, on by default here) handles most
@@ -74,5 +75,48 @@ object Skew {
         round(col("_share"), 6).as("share"),
         round(col("_cum"), 6).as("cum_share"))
       .orderBy(col("n_rows").desc, col("key").asc)
+  }
+
+  /** Morton bit-interleave of the low 16 bits of two long keys — the
+    * Z-order curve value (public multi-dimensional clustering technique;
+    * Morton 1966). Pure integer shift/mask arithmetic, identical in any
+    * engine — no hash kernel needed. */
+  private[graft] def zValue(x: Column, y: Column): Column =
+    (0 until 16).map { i =>
+      (shiftright(x, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +
+        (shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
+    }.reduce(_ + _)
+
+  /** Z-order layout audit — the data-skipping case for multi-dimensional
+    * clustering, measured: bucket the fact table `buckets` ways by (a)
+    * the natural orderkey ranges and (b) Z-value prefix ranges over
+    * (partkey, suppkey), and report each bucket's min/max span per
+    * dimension. A scan filtered on EITHER key prunes a bucket whose span
+    * excludes the predicate — narrow spans = skipped IO — and the Z
+    * layout's spans are narrow in BOTH dimensions at once, which no
+    * single-column sort achieves. Bucketing is a pure projection against
+    * a broadcast 1-row max (integer scaling, no global sort — a real
+    * rewrite would `repartitionByRange` on the same value); the report is
+    * one hash aggregation per layout. */
+  def zOrderAudit(t: Tables, buckets: Int = 32): DataFrame = {
+    val li = t.lineitem.select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    val withZ = li.withColumn("_z", zValue(col("l_partkey"), col("l_suppkey")))
+    val maxes = withZ.agg(max("l_orderkey").as("_mo"), max("_z").as("_mz"))
+    val spans = withZ.crossJoin(broadcast(maxes))
+      .select(col("l_partkey"), col("l_suppkey"),
+        // floor-then-cast on BOTH sides: DuckDB's CAST(double AS INT)
+        // rounds to nearest while Spark's truncates — floor makes the
+        // bucket id the same exact integer in either engine
+        floor(col("l_orderkey") * buckets / (col("_mo") + 1)).cast("int").as("nat_b"),
+        floor(col("_z") * buckets / (col("_mz") + 1)).cast("int").as("z_b"))
+    def report(layout: String, bucketCol: String) =
+      spans.groupBy(col(bucketCol).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          (max("l_partkey") - min("l_partkey") + 1).as("pk_span"),
+          (max("l_suppkey") - min("l_suppkey") + 1).as("sk_span"))
+        .select(lit(layout).as("layout"), col("bucket"), col("n_rows"),
+          col("pk_span"), col("sk_span"))
+    report("natural", "nat_b").union(report("zorder", "z_b"))
+      .orderBy("layout", "bucket")
   }
 }

@@ -72,4 +72,33 @@ class SkewSpec extends SparkSpec {
     assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
       s"no map-side combine:\n$plan")
   }
+
+  test("zOrderAudit: z-value interleave is exact; spans match a recompute; z-layout narrows both dims") {
+    // bit-interleave recompute on a few keys
+    def mz(x: Long, y: Long): Long =
+      (0 until 16).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+    val zdf = tables.lineitem.select(col("l_partkey"), col("l_suppkey"),
+      Skew.zValue(col("l_partkey"), col("l_suppkey")).as("z")).limit(50).collect()
+    zdf.foreach(r => assert(r.getLong(2) == mz(r.getLong(0), r.getLong(1))))
+    // span report equals a driver-side recompute
+    val li = tables.lineitem.select("l_orderkey", "l_partkey", "l_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val mo = li.map(_._1).max; val mzv = li.map(t => mz(t._2, t._3)).max
+    def spans(bucketOf: ((Long, Long, Long)) => Int) =
+      li.groupBy(bucketOf).map { case (b, rs) =>
+        b -> (rs.length.toLong, rs.map(_._2).max - rs.map(_._2).min + 1,
+          rs.map(_._3).max - rs.map(_._3).min + 1)
+      }
+    val nat = spans(t => math.floor(t._1 * 32.0 / (mo + 1)).toInt)
+    val zo = spans(t => math.floor(mz(t._2, t._3) * 32.0 / (mzv + 1)).toInt)
+    val got = Skew.zOrderAudit(tables).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    nat.foreach { case (b, e) => assert(got(("natural", b)) == e, s"nat $b") }
+    zo.foreach { case (b, e) => assert(got(("zorder", b)) == e, s"z $b") }
+    // the clustering claim itself: mean spans narrow in BOTH dimensions
+    def meanPk(l: String) = { val xs = got.filter(_._1._1 == l).values; xs.map(_._2).sum.toDouble / xs.size }
+    def meanSk(l: String) = { val xs = got.filter(_._1._1 == l).values; xs.map(_._3).sum.toDouble / xs.size }
+    assert(meanPk("zorder") < meanPk("natural") * 0.5, s"${meanPk("zorder")} vs ${meanPk("natural")}")
+    assert(meanSk("zorder") <= meanSk("natural"), s"${meanSk("zorder")} vs ${meanSk("natural")}")
+  }
 }
