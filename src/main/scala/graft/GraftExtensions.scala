@@ -56,6 +56,10 @@ object GraftExtensions {
       es => SrpBucket(es.head, arg(es, 1, "srp_bucket"), argL(es, 2, "srp_bucket"))),
     ("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float vectors",
       es => CosineSimF(es.head, es(1))),
+    ("vec_norm", "vec_norm(vec) - sequential L2 norm of a float vector",
+      es => NormF(es.head)),
+    ("srp_proj_norm", "srp_proj_norm(vec, nbits, seed) - L2 norm of the JL +-1 projection",
+      es => SrpProjNorm(es.head, arg(es, 1, "srp_proj_norm"), argL(es, 2, "srp_proj_norm"))),
     ("lang_id", "lang_id(text) - struct(lang_pred, lang_score) language guess",
       es => LangId(es.head)),
     ("freq_items", "freq_items(item, k) - SpaceSaving top-k frequent-items sketch (aggregate)",

@@ -78,6 +78,8 @@ object SparkEntry {
     "q_events_topusers" -> ((s, d) => Relational.eventsTopUsers(Tables(s, d))),
     "q_events_props" -> ((s, d) => Relational.eventsProps(Tables(s, d))),
     "q_upsert_merge" -> ((s, d) => Relational.upsertMerge(Tables(s, d))),
+    "q_data_quality" -> ((s, d) => Relational.dataQualityAudit(Tables(s, d))),
+    "q_embed_drift" -> ((s, d) => Similarity.labelCentroidDrift(Tables(s, d))),
     "q_outer_join" -> ((s, d) => Relational.outerJoin(Tables(s, d))),
     "q_case_expr" -> ((s, d) => Relational.caseExpr(Tables(s, d))),
     "q_string_funcs" -> ((s, d) => Relational.stringFuncs(Tables(s, d))),
@@ -358,6 +360,29 @@ object SparkEntry {
           sum(length(col("text")).cast("long")).as("sum_text_chars"))
         .orderBy("source")
     }),
+    "q_schema_evolution" -> ((s, d) => {
+      // two parquet batches with DIFFERENT schemas (batch 2 adds `source`,
+      // drops `n_chars` — the additive/subtractive drift every long-lived
+      // ingest dataset accumulates) read back as ONE table via mergeSchema;
+      // the aggregate counts the schema gaps explicitly, and the oracle
+      // re-derives it from the original table, proving the merged read
+      // loses nothing and nulls exactly the absent columns.
+      val t = Tables(s, d)
+      val dir = roundtripDir("graft_evo", d, "b2/_SUCCESS") { out =>
+        t.documents.filter(col("doc_id") % 2 === 0)
+          .select("doc_id", "lang", "n_chars")
+          .write.mode("overwrite").parquet(out + "/b1")
+        t.documents.filter(col("doc_id") % 2 === 1)
+          .select("doc_id", "lang", "source")
+          .write.mode("overwrite").parquet(out + "/b2")
+      }
+      s.read.option("mergeSchema", "true").parquet(dir + "/b1", dir + "/b2")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("source").isNull, 1L).otherwise(0L)).as("n_missing_source"),
+          sum(coalesce(col("n_chars"), lit(0L))).as("sum_chars_present"))
+        .orderBy("lang")
+    }),
     // — training-data splits & sampling (SURVEY §2 rows 48–49) —
     "q_split_assign" -> ((s, d) => {
       import graft.operators.Sampling
@@ -435,6 +460,29 @@ object SparkEntry {
       ("SELECT event_type, count(*) AS n_events, round(avg(k), 6) AS avg_k, min(k) AS min_k, max(k) AS max_k " +
         "FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events) " +
         "GROUP BY event_type ORDER BY event_type"),
+    "q_schema_evolution" ->
+      ("SELECT lang, count(*) AS n_docs, " +
+        "CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_source, " +
+        "CAST(sum(CASE WHEN doc_id % 2 = 0 THEN n_chars ELSE 0 END) AS BIGINT) AS sum_chars_present " +
+        "FROM documents GROUP BY 1 ORDER BY 1"),
+    "q_data_quality" -> {
+      val tbls = Seq(
+        "documents" -> Seq("doc_id", "text", "lang", "source", "n_chars"),
+        "events" -> Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
+      tbls.flatMap { case (tn, cols) => cols.map(c =>
+        s"SELECT '$tn' AS table_name, '$c' AS column_name, " +
+          s"(SELECT count(*) FROM $tn) AS n_rows, " +
+          s"(SELECT count(*) FROM $tn WHERE $c IS NULL) AS n_nulls, " +
+          s"(SELECT count(DISTINCT $c) FROM $tn) AS n_distinct")
+      }.mkString(" UNION ALL ") + " ORDER BY table_name, column_name"
+    },
+    "q_embed_drift" ->
+      ("WITH x AS MATERIALIZED (SELECT label, generate_subscripts(embedding, 1) AS j, unnest(CAST(embedding AS DOUBLE[])) AS xj FROM embeddings), " +
+        "lc AS (SELECT label, j, avg(xj) AS c FROM x GROUP BY 1, 2), " +
+        "gc AS (SELECT j, avg(xj) AS g FROM x GROUP BY 1) " +
+        "SELECT label, round(sum(c * g) / (sqrt(sum(c * c)) * sqrt(sum(g * g))), 6) AS drift_cosine, " +
+        "round(sqrt(sum(c * c)), 6) AS centroid_norm " +
+        "FROM lc JOIN gc USING (j) GROUP BY label ORDER BY label"),
     "q_upsert_merge" ->
       ("WITH ch AS (SELECT c_custkey AS k, CASE WHEN c_custkey % 13 = 0 THEN 'delete' ELSE 'update' END AS op, " +
         "round(c_acctbal + 100.0, 2) AS new_bal, c_nationkey AS n_nk FROM customer WHERE c_custkey % 7 = 0 OR c_custkey % 13 = 0 " +

@@ -127,6 +127,28 @@ object Dedup {
 
   /** Unordered candidate pairs — consumers that don't need a total order
     * (e.g. [[nearDupGroups]]) use this to avoid a pointless global sort. */
+  /** Raw band-collision candidate pairs WITHOUT the signature-agreement
+    * estimate — for consumers (recall evaluation) that need the candidate
+    * set itself: skipping the estimate join halves the work when every
+    * candidate is kept anyway (a 0.0 threshold through
+    * [[minhashCandidatesCore]] still paid the k-array join per pair). */
+  private[graft] def bandCandidatePairs(t: Tables, w: Int = 2, k: Int = 64,
+                                        bands: Int = 16): DataFrame = {
+    val banded = t.documents.select(
+      col("doc_id"),
+      posexplode(HashFunctions.bandKeys(
+        HashFunctions.minhashSigText(col("text"), w, k), bands)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_key")
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   def minhashCandidatesCore(t: Tables, w: Int = 2, k: Int = 64, bands: Int = 16,
                             minEstJaccard: Double = 0.2,
                             maxBucketSize: Option[Long] = None): DataFrame = {
@@ -210,8 +232,7 @@ object Dedup {
       minJaccard)
       .select("doc_a", "doc_b")
       .localCheckpoint()
-    val cand = minhashCandidatesCore(t, w, k, bands, minEstJaccard = 0.0)
-      .select("doc_a", "doc_b")
+    val cand = bandCandidatePairs(t, w, k, bands)
       .localCheckpoint()
     val hit = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
     truth.agg(count(lit(1)).as("n_true"))

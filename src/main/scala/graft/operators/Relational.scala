@@ -204,6 +204,31 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** Data-quality audit — the expectations pass every ingest runs first:
+    * per column, row count, null count, and distinct count over the two
+    * ingest-facing tables. ONE pass per table computes every column's
+    * aggregates (count_distinct is the only shuffle, and it is per-column
+    * hash-partitioned); the wide 1-row result unpivots to the
+    * (table, column) report via `stack` — the audit never scans a table
+    * twice, which is what matters when the table is 100 TB. */
+  def dataQualityAudit(t: Tables): DataFrame = {
+    def audit(name: String, df: DataFrame): DataFrame = {
+      val cols = df.columns
+      val agg1 = df.agg(
+        count(lit(1)).as("_n"),
+        cols.flatMap(c => Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_null_$c"),
+          countDistinct(col(c)).as(s"_dist_$c"))): _*)
+      val stacks = cols.map(c =>
+        s"'$c', _null_$c, _dist_$c").mkString(", ")
+      agg1.select(lit(name).as("table_name"), col("_n").as("n_rows"),
+        expr(s"stack(${cols.length}, $stacks) AS (column_name, n_nulls, n_distinct)"))
+        .select("table_name", "column_name", "n_rows", "n_nulls", "n_distinct")
+    }
+    audit("documents", t.documents).unionByName(audit("events", t.events))
+      .orderBy("table_name", "column_name")
+  }
+
   /** MERGE / upsert (SCD type-1) expressed Spark-first — the CDC-apply
     * shape warehouses run nightly: a change batch of typed ops against a
     * base table, resolved in ONE full-outer join on the key plus a

@@ -564,6 +564,31 @@ object Similarity {
       .agg(count(lit(1)).as("n_vecs"), round(avg(col("_x").cast("double")), 6).as("centroid"))
       .orderBy("label", "dim")
 
+  /** Per-label embedding-centroid drift — the embedding-space monitoring
+    * scalar (a label whose centroid swings away from the corpus centroid
+    * signals upstream encoder or data drift): cosine of each label's mean
+    * vector against the global mean, plus the centroid norm (collapse
+    * toward 0 = the label's vectors disagree with each other). Everything
+    * aggregates on (label, dim) / dim keys — corpus never shuffles on
+    * more than label·d rows, the cosine reduction runs over d-row
+    * tables. */
+  def labelCentroidDrift(t: Tables): DataFrame = {
+    val x = t.embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("_j", "_x")))
+      .select(col("label"), col("_j"), col("_x").cast("double").as("x"))
+      .localCheckpoint() // feeds the per-label AND global aggregations
+    val lc = x.groupBy("label", "_j").agg(avg("x").as("c"))
+    val gc = x.groupBy("_j").agg(avg("x").as("g"))
+    lc.join(gc, "_j")
+      .groupBy("label")
+      .agg(
+        round(sum(col("c") * col("g")) /
+          (sqrt(sum(col("c") * col("c"))) * sqrt(sum(col("g") * col("g")))), 6)
+          .as("drift_cosine"),
+        round(sqrt(sum(col("c") * col("c"))), 6).as("centroid_norm"))
+      .orderBy("label")
+  }
+
   /** Deterministic Lloyd k-means over the embeddings: seeds are the first
     * `k` vectors by vec_id, `iters` fixed rounds — no RNG, so the result
     * is oracle-checkable. Per round the ASSIGNMENT is a narrow map

@@ -42,6 +42,14 @@ class GraftExtensionsSpec extends SparkSpec {
         |FROM embeddings a ORDER BY a.vec_id LIMIT 5""".stripMargin).collect()
     assert(r.forall(row => math.abs(row.getDouble(1) - 1.0) < 1e-12))
     assert(r.forall(row => row.getInt(2) >= 0 && row.getInt(2) < 256))
+    val n = spark.sql(
+      """SELECT vec_norm(embedding) AS nrm,
+        |       srp_proj_norm(embedding, 16, 7L) AS pn
+        |FROM embeddings ORDER BY vec_id LIMIT 5""".stripMargin).collect()
+    assert(n.forall(row => row.getDouble(0) > 0.0 && row.getDouble(1) > 0.0))
+    // JL: projection norm within a loose constant of the input norm
+    assert(n.forall(row => row.getDouble(1) / row.getDouble(0) > 0.3 &&
+      row.getDouble(1) / row.getDouble(0) < 3.0))
   }
 
   test("extensions class injects the same functions at session build time") {

@@ -148,4 +148,25 @@ class RelationalSpec extends SparkSpec {
     val plan = planOf(Relational.upsertMerge(tables))
     assert(!plan.contains("CartesianProduct") && !plan.contains("Window"), plan)
   }
+
+  test("dataQualityAudit reports exact null and distinct counts, including injected nulls") {
+    import graft.operators.Relational
+    val got = Relational.dataQualityAudit(tables).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val nDocs = tables.documents.count()
+    assert(got(("documents", "doc_id")) == ((nDocs, 0L, nDocs)))
+    val nLang = tables.documents.select("lang").distinct().count()
+    assert(got(("documents", "lang"))._3 == nLang)
+    val nEv = tables.events.count()
+    assert(got(("events", "event_id")) == ((nEv, 0L, nEv)))
+    // inject nulls: the audit must count them
+    val broken = tables.documents
+      .withColumn("lang",
+        when(col("doc_id") % 5 === 0, lit(null: String)).otherwise(col("lang")))
+    val t2 = tables.withTable("documents", broken)
+    val withNulls = Relational.dataQualityAudit(t2).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    val expectNulls = broken.filter(col("lang").isNull).count()
+    assert(expectNulls > 0 && withNulls(("documents", "lang")) == expectNulls)
+  }
 }

@@ -445,4 +445,26 @@ class SimilaritySpec extends SparkSpec {
     val mean = got.map(_._4).sum / got.length
     assert(mean > 0.7 && mean < 1.3, mean.toString)
   }
+
+  test("labelCentroidDrift matches a driver recompute; cosines bounded") {
+    val vecs = tables.embeddings.select("label", "embedding").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
+    val d = vecs.head._2.length
+    val labels = vecs.map(_._1).distinct.sorted
+    val global = Array.tabulate(d)(j => vecs.map(_._2(j)).sum / vecs.length)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Similarity.labelCentroidDrift(tables).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == labels.toSeq)
+    got.foreach { case (l, cos, nrm) =>
+      val mine = vecs.filter(_._1 == l).map(_._2)
+      val c = Array.tabulate(d)(j => mine.map(_(j)).sum / mine.length)
+      val dot = (0 until d).map(j => c(j) * global(j)).sum
+      val nc = math.sqrt(c.map(v => v * v).sum)
+      val ng = math.sqrt(global.map(v => v * v).sum)
+      assert(math.abs(cos - r6(dot / (nc * ng))) < 1e-5, s"label $l")
+      assert(math.abs(nrm - r6(nc)) < 1e-5)
+      assert(cos >= -1.0 - 1e-9 && cos <= 1.0 + 1e-9)
+    }
+  }
 }
