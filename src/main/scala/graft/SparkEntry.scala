@@ -79,6 +79,7 @@ object SparkEntry {
     "q_events_props" -> ((s, d) => Relational.eventsProps(Tables(s, d))),
     "q_upsert_merge" -> ((s, d) => Relational.upsertMerge(Tables(s, d))),
     "q_data_quality" -> ((s, d) => Relational.dataQualityAudit(Tables(s, d))),
+    "q_ivm_merge" -> ((s, d) => Relational.incrementalViewMerge(Tables(s, d))),
     "q_embed_drift" -> ((s, d) => Similarity.labelCentroidDrift(Tables(s, d))),
     "q_outer_join" -> ((s, d) => Relational.outerJoin(Tables(s, d))),
     "q_case_expr" -> ((s, d) => Relational.caseExpr(Tables(s, d))),
@@ -460,6 +461,11 @@ object SparkEntry {
       ("SELECT event_type, count(*) AS n_events, round(avg(k), 6) AS avg_k, min(k) AS min_k, max(k) AS max_k " +
         "FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events) " +
         "GROUP BY event_type ORDER BY event_type"),
+    "q_ivm_merge" ->
+      ("SELECT l_returnflag, count(*) AS n, " +
+        "CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS qty_e2, " +
+        "CAST(sum(CASE WHEN l_orderkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS delta_n " +
+        "FROM lineitem GROUP BY 1 ORDER BY 1"),
     "q_schema_evolution" ->
       ("SELECT lang, count(*) AS n_docs, " +
         "CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_source, " +

@@ -120,6 +120,34 @@ object EventStreams {
         col("view_ts"), col("purchase_ts"), col("value"))
   }
 
+  /** LEFT OUTER stream-stream interval join — [[intervalJoin]]'s
+    * unattributed-views variant: a view with NO purchase inside its window
+    * still emits (with null purchase columns) once the purchase stream's
+    * watermark passes the view's join horizon and Spark can PROVE no match
+    * can arrive. The deferred-null emission is the semantic difference
+    * from batch left joins — and exactly why the two-sided time bound is
+    * mandatory here (without it the unmatched rows could never be
+    * finalized). */
+  def intervalJoinLeft(views: DataFrame, purchases: DataFrame,
+                       watermark: String = "10 minutes",
+                       within: String = "1 hour"): DataFrame = {
+    val v = withEventTime(views)
+      .select(col("user_id"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("view_ts", watermark)
+    val p = withEventTime(purchases)
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", watermark)
+    v.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $within"),
+      "left_outer")
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        col("view_ts"), col("purchase_ts"), col("value"))
+  }
+
   /** Custom stateful operator: per-user running totals via
     * `mapGroupsWithState` — the escape hatch for state machines the built-in
     * aggregations can't express. State is one small case class per user. */

@@ -169,4 +169,21 @@ class RelationalSpec extends SparkSpec {
     val expectNulls = broken.filter(col("lang").isNull).count()
     assert(expectNulls > 0 && withNulls(("documents", "lang")) == expectNulls)
   }
+
+  test("incrementalViewMerge: the merge path equals the full rescan exactly") {
+    import graft.operators.Relational
+    val merged = Relational.incrementalViewMerge(tables).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val full = tables.lineitem.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("l_quantity") * 100, 0).cast("long")).as("q"))
+      .orderBy("l_returnflag").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(merged == full, s"merge diverged: $merged vs $full")
+    // delta really is the batch slice
+    val batchN = tables.lineitem.filter(col("l_orderkey") % 10 === 0).count()
+    val deltaSum = Relational.incrementalViewMerge(tables).collect()
+      .map(_.getLong(3)).sum
+    assert(deltaSum == batchN)
+  }
 }

@@ -520,4 +520,35 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(5))).toSet
     assert(batch == Set((1L, 1L, 101L, 9.0), (1L, 2L, 101L, 9.0)), batch.toString)
   }
+
+  test("left-outer interval join emits unattributed views with nulls after the watermark closes them") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = EventStreams.intervalJoinLeft(views.toDF(), purchases.toDF(),
+        watermark = "5 minutes", within = "10 minutes")
+      .writeStream.format("memory").queryName("attribL").outputMode("append").start()
+    try {
+      views.addData(
+        Event(1, ts(0), 1, "view", 0.0),   // will be attributed
+        Event(2, ts(0), 2, "view", 0.0))   // never purchased → null row later
+      purchases.addData(Event(101, ts(5), 1, "purchase", 9.0))
+      q.processAllAvailable()
+      // advance BOTH watermarks far past view_ts + within + watermark so the
+      // unmatched view can be finalized
+      views.addData(Event(3, ts(120), 9, "view", 0.0))
+      purchases.addData(Event(102, ts(120), 9, "purchase", 1.0))
+      q.processAllAvailable()
+      // one more advance: outer-null emission happens on the batch AFTER
+      // the watermark moves
+      views.addData(Event(4, ts(180), 8, "view", 0.0))
+      purchases.addData(Event(103, ts(180), 8, "purchase", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("attribL").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      assert(rows.contains((1L, 1L, 101L)), rows.toString)   // attributed
+      assert(rows.contains((2L, 2L, -1L)), rows.toString)    // outer-null emitted
+    } finally q.stop()
+  }
 }
