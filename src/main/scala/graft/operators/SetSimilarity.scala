@@ -271,8 +271,13 @@ object SetSimilarity {
       .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
       .distinct()
     cand
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("dist") <= maxDist)
+      // THRESHOLD form: the banded O(maxDist·len) DP, returning −1 beyond
+      // the bound — so the filter is `>= 0`, and the kept values are the
+      // exact distances (identical output to the unbounded form; the
+      // LevenshteinBandedRewrite rule installs the same rewrite for SQL
+      // users who write the natural `<= k` predicate)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), maxDist))
+      .filter(col("dist") >= 0)
       .join(names.select(col("name").as("name_a"), col("n_parts").as("n_parts_a")),
         Seq("name_a"))
       .join(names.select(col("name").as("name_b"), col("n_parts").as("n_parts_b")),

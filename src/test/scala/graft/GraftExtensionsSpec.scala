@@ -74,4 +74,36 @@ class GraftExtensionsSpec extends SparkSpec {
       SparkSession.setDefaultSession(prev)
     }
   }
+
+  test("LevenshteinBandedRewrite installs the threshold kernel and preserves results") {
+    import org.apache.spark.sql.SparkSession
+    val prev = spark
+    // plain-session truth FIRST (shared session has no optimizer rule)
+    val fuzzySql =
+      s"""SELECT a.p_name AS na, b.p_name AS nb
+         |FROM parquet.`$sfDir/part.parquet` a
+         |JOIN parquet.`$sfDir/part.parquet` b ON a.p_partkey < b.p_partkey
+         |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin
+    val plainRows = spark.sql(fuzzySql)
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val df = s2.sql(fuzzySql)
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.contains("levenshtein") && opt.contains("Some(2)) >= 0"),
+        s"rule did not rewrite:\n$opt")
+      val got = df.collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+      assert(got == plainRows)
+      assert(got.nonEmpty)
+    } finally {
+      SparkSession.setActiveSession(prev)
+      SparkSession.setDefaultSession(prev)
+    }
+  }
 }
