@@ -672,6 +672,16 @@ asg AS (SELECT doc_id, n_chars, (((${signedB("xxh")}) % 100) + 100) % 100 AS buc
 lab AS (SELECT doc_id, n_chars, CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split FROM asg)
 SELECT split, CAST(count(*) AS BIGINT) AS n_docs, round(avg(n_chars), 6) AS avg_chars FROM lab GROUP BY split ORDER BY split"""
 
+  /** Oracle for q_epoch_shuffle ([[graft.operators.Sampling.epochShuffle]]):
+    * the same xxhash64(doc_id·2 + epoch) chain over the epoch-exploded
+    * corpus, ranked per epoch on (signed hash, doc_id). */
+  def epochShuffle(epochs: Seq[Int] = Seq(0, 1), topK: Int = 20): String =
+    s"""WITH src AS (SELECT doc_id AS orig, epoch, doc_id * 2 + epoch AS doc_id FROM documents CROSS JOIN (SELECT unnest([${epochs.mkString(", ")}]) AS epoch)),
+${xxhCtes(42L)},
+hh AS (SELECT orig, epoch, ${signedB("xxh")} AS h FROM xx),
+r AS (SELECT epoch, orig, h, CAST(row_number() OVER (PARTITION BY epoch ORDER BY h, orig) AS INTEGER) AS pos FROM hh)
+SELECT epoch, pos, orig AS doc_id, h FROM r WHERE pos <= $topK ORDER BY epoch, pos"""
+
   /** Oracle for q_pack_sequences ([[graft.operators.Packing.packDocuments]]
     * defaults: contextLen 256, 8 shards): shard = pmod(xxhash64(doc_id),
     * nShards), then the per-shard NEXT-FIT recurrence runs as a recursive

@@ -174,6 +174,10 @@ object SparkEntry {
       import graft.operators.Sampling
       Sampling.skylineDocs(Tables(s, d))
     }),
+    "q_epoch_shuffle" -> ((s, d) => {
+      import graft.operators.Sampling
+      Sampling.epochShuffle(Tables(s, d))
+    }),
     "q_split_leakage" -> ((s, d) => {
       import graft.operators.Sampling
       Sampling.splitLeakage(Tables(s, d))
@@ -547,6 +551,7 @@ object SparkEntry {
         "AND (b.n_tokens > a.n_tokens OR b.n_distinct > a.n_distinct)) ORDER BY doc_id"),
     "q_split_leakage" -> KernelOracleSql.splitLeakage,
     "q_split_assign" -> KernelOracleSql.splitAssign,
+    "q_epoch_shuffle" -> KernelOracleSql.epochShuffle(),
     "q_weighted_sample" -> KernelOracleSql.weightedSample(),
     "q_lang_cap" -> KernelOracleSql.capPerGroup(),
     "q_dedup_keep_best" -> MinhashOracleSql.clusterRepresentatives(),

@@ -272,6 +272,34 @@ object Sampling {
       .orderBy("source")
   }
 
+  /** Deterministic multi-epoch shuffle order — training-data shuffling as
+    * a pure FUNCTION of (content key, epoch), not of RNG state: epoch e
+    * orders the corpus by `xxhash64(doc_id·2 + e)`, so every epoch is a
+    * different-but-reproducible permutation (a failed job re-runs to the
+    * identical order, and any shard can be regenerated independently —
+    * the property partition-RNG shuffles lack). Emits each epoch's first
+    * `topK` positions as the verifiable fingerprint of the permutation.
+    *
+    * Scale shape: one branch per epoch (bounded list), each a narrow
+    * hash projection + TakeOrderedAndProject (per-partition heaps — the
+    * full permutation is never materialized, let alone sorted); the
+    * position window runs over the already-bounded topK rows. */
+  def epochShuffle(t: Tables, epochs: Seq[Int] = Seq(0, 1),
+                   topK: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("epoch").orderBy("h", "doc_id")
+    epochs.map { ep =>
+      t.documents
+        .select(lit(ep).as("epoch"), col("doc_id"),
+          xxhash64(col("doc_id") * 2 + lit(ep.toLong)).as("h"))
+        .orderBy(col("h"), col("doc_id"))
+        .limit(topK)
+    }.reduce(_ unionByName _)
+      .withColumn("pos", row_number().over(w))
+      .select("epoch", "pos", "doc_id", "h")
+      .orderBy("epoch", "pos")
+  }
+
   /** 2-D skyline (Pareto front) data selection — keep every document not
     * DOMINATED on (length, lexical diversity): b dominates a iff b ≥ a on
     * both dimensions and > on at least one. The multi-criteria selection

@@ -251,4 +251,26 @@ class SamplingSpec extends SparkSpec {
     front.foreach(a => front.foreach(b =>
       assert(!dominates(b, a) || b == a, s"$b dominates $a inside the front")))
   }
+
+  test("epochShuffle: distinct reproducible permutations per epoch, content-stable under repartitioning") {
+    import graft.operators.Sampling
+    val a = Sampling.epochShuffle(tables).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    // reproducible: a second evaluation is identical
+    val b = Sampling.epochShuffle(tables).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(a.toSeq == b.toSeq)
+    // partitioning-independent: same result on a repartitioned copy
+    val t2 = tables.withTable("documents", tables.documents.repartition(7))
+    val c = Sampling.epochShuffle(t2).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(a.toSeq == c.toSeq)
+    // epochs produce genuinely different orders
+    val e0 = a.filter(_._1 == 0).sortBy(_._2).map(_._3).toSeq
+    val e1 = a.filter(_._1 == 1).sortBy(_._2).map(_._3).toSeq
+    assert(e0.length == 20 && e1.length == 20 && e0 != e1)
+    // top-k plans as per-partition heaps, not a global sort
+    val plan = planOf(Sampling.epochShuffle(tables))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }
