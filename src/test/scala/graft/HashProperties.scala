@@ -1,7 +1,7 @@
 package graft
 
 import org.scalacheck.{Gen, Prop, Properties}
-import org.scalacheck.Prop.forAll
+import org.scalacheck.Prop.{forAll, propBoolean}
 
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.unsafe.types.UTF8String
@@ -138,5 +138,65 @@ object HashProperties extends Properties("HashImpl") {
       val ba = HashImpl.cosineF(b, a)
       Prop(math.abs(selfSim - 1.0) < 1e-9) &&
         Prop(ab == ba) && Prop(ab >= -1.0 - 1e-9 && ab <= 1.0 + 1e-9)
+    }
+
+  private val floatVec: Gen[Array[Float]] = Gen.choose(4, 64)
+    .flatMap(n => Gen.listOfN(n,
+      Gen.choose(-8.0, 8.0).map(_.toFloat)).map(_.toArray))
+  private def farr(v: Array[Float]): GenericArrayData =
+    new GenericArrayData(v.map(java.lang.Float.valueOf).toArray[Any])
+
+  property("srpProjNorm sign structure matches srpBucket's hyperplanes") =
+    forAll(floatVec) { v =>
+      // recompute the per-bit projections with srpBucket's exact sign rule
+      // and check srpProjNorm equals the norm of that projection vector
+      val nBits = 16; val seed = 7L * 0x9e3779b97f4a7c15L
+      val accs = (0 until nBits).map { b =>
+        var acc = 0.0
+        for (j <- v.indices) {
+          val sign = if ((HashImpl.mix64(seed + b.toLong * 131071L + j) & 1L) == 1L) 1.0 else -1.0
+          acc += sign * v(j)
+        }
+        acc
+      }
+      val want = math.sqrt(accs.map(a => a * a).sum / nBits)
+      val got = HashImpl.srpProjNorm(farr(v), nBits, seed)
+      // the bucket bits are exactly the projection signs
+      val bucket = HashImpl.srpBucket(farr(v), nBits, seed)
+      val bitsOk = (0 until nBits).forall { b =>
+        (((bucket >> b) & 1) == 1) == (accs(b) > 0)
+      }
+      Prop(math.abs(got - want) < 1e-9) && Prop(bitsOk)
+    }
+
+  property("minCellDistUnit is the distance AT nearestCellUnit's argmin") =
+    forAll(Gen.listOfN(3, floatVec.map(_.take(8))), floatVec.map(_.take(8))) { (cs, v0) =>
+      val v = if (v0.length >= 8) v0 else Array.fill(8)(1.0f)
+      val cents = cs.filter(_.length >= 8).map(_.take(8))
+      (cents.nonEmpty) ==> {
+        // unit-normalize centers the way the operators do
+        def unit(x: Array[Float]): Array[Double] = {
+          val d = x.map(_.toDouble)
+          val n = math.sqrt(d.map(a => a * a).sum)
+          val inv = if (n == 0.0) 1.0 else n
+          d.map(_ / inv)
+        }
+        val flat = cents.flatMap(unit).toArray
+        val best = HashImpl.nearestCellUnit(farr(v), flat, 8)
+        val dmin = HashImpl.minCellDistUnit(farr(v), flat, 8)
+        // recompute the distance to the chosen cell
+        val u = unit(v)
+        val off = best * 8
+        var dd = 0.0
+        for (j <- 0 until 8) { val df = u(j) - flat(off + j); dd += df * df }
+        Prop(math.abs(dd - dmin) < 1e-9)
+      }
+    }
+
+  property("normF equals the sequential norm of the widened floats") =
+    forAll(floatVec) { v =>
+      var s2 = 0.0
+      v.foreach(x => s2 += x.toDouble * x.toDouble)
+      Prop(HashImpl.normF(farr(v)) == math.sqrt(s2))
     }
 }
