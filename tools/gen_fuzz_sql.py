@@ -119,9 +119,51 @@ def gen_one(rng):
                         "groupby2", "having", "limit", "join3",
                         "leftjoin", "case", "window_rank", "window_runsum",
                         "setop", "scalar_sub",
-                        "cube", "rollup", "ntile", "leadlag", "percent_rank"])
+                        "cube", "rollup", "ntile", "leadlag", "percent_rank",
+                        "exists", "full_outer", "union_all", "in_sub"])
     t = rng.choice(list(TABLES))
     cols = TABLES[t]
+    CORR = [  # (parent, child, parent-key, child-fk)
+        ("customer", "orders", "c_custkey", "o_custkey"),
+        ("orders", "lineitem", "o_orderkey", "l_orderkey"),
+        ("part", "lineitem", "p_partkey", "l_partkey"),
+        ("nation", "customer", "n_nationkey", "c_nationkey"),
+    ]
+    if shape == "exists":
+        pt, ct, pk, fk = rng.choice(CORR)
+        neg = rng.choice(["EXISTS", "NOT EXISTS"])
+        cpred = pred(rng, ct, TABLES[ct])
+        sel = sorted(set(TABLES[pt]["key"]))
+        return (f"SELECT {', '.join(sel)} FROM {pt} p WHERE {neg} "
+                f"(SELECT 1 FROM {ct} c WHERE c.{fk} = p.{pk} AND ({cpred})) "
+                f"ORDER BY {', '.join(sel)}")
+    if shape == "full_outer":
+        # two filtered key slices of one table, full-outer merged: exercises
+        # null-extension on BOTH sides; key is unique so the result is total
+        k = cols["key"][0]
+        p1, p2 = pred(rng, t, cols), pred(rng, t, cols)
+        return (f"SELECT a.{k} AS ka, b.{k} AS kb "
+                f"FROM (SELECT {k} FROM {t} WHERE {p1}) a "
+                f"FULL OUTER JOIN (SELECT {k} FROM {t} WHERE {p2}) b "
+                f"ON a.{k} = b.{k} ORDER BY ka NULLS FIRST, kb NULLS FIRST")
+    if shape == "union_all":
+        c = rng.choice(cols["int"] +
+                       [s for s in cols["str"] if STR_VALUES.get(s)])
+        p1, p2 = pred(rng, t, cols), pred(rng, t, cols)
+        return (f"SELECT x, COUNT(*) AS n FROM ("
+                f"SELECT {c} AS x FROM {t} WHERE {p1} "
+                f"UNION ALL SELECT {c} FROM {t} WHERE {p2}) u "
+                f"GROUP BY x ORDER BY x")
+    if shape == "in_sub":
+        pt, ct, pk, fk = rng.choice(CORR)
+        # IN only: NOT IN over a nullable subquery is a three-valued-logic
+        # trap by design; the fk/pk columns here are non-null, but keep the
+        # fuzz on the unambiguous form
+        cpred = pred(rng, ct, TABLES[ct])
+        sel = sorted(set(TABLES[pt]["key"]))
+        return (f"SELECT {', '.join(sel)} FROM {pt} WHERE {pk} IN "
+                f"(SELECT {fk} FROM {ct} WHERE {cpred}) "
+                f"ORDER BY {', '.join(sel)}")
     if shape in ("cube", "rollup"):
         # grouping sets: explicit NULLS FIRST everywhere (Spark defaults
         # NULLS FIRST on ASC, DuckDB defaults NULLS LAST)
