@@ -167,6 +167,65 @@ object EventStreams {
       }
   }
 
+  /** Gap-sessionization via `flatMapGroupsWithState` + EVENT-TIME TIMEOUT —
+    * the custom-state twin of the declarative [[sessionWindows]], and the
+    * pattern for any session semantics `session_window` can't express
+    * (per-session custom aggregates, early triggers, side outputs). State
+    * per user is one (start, last, count) triple; each batch folds its
+    * events in event-time order (the group iterator's order is
+    * unspecified), emitting a CLOSED session whenever the next event is
+    * beyond the gap, and arming an event-time timeout at `last + gap` so
+    * the final open session closes when the WATERMARK — not wall clock —
+    * passes it. State is removed on timeout: bounded by concurrently-open
+    * sessions, never by stream length. */
+  final case class SessionState(start_us: Long, last_us: Long, n: Long)
+  final case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
+                              n_events: Long)
+
+  def sessionizeTimeout(spark: SparkSession, events: Dataset[Event],
+                        gapMinutes: Int = 30,
+                        watermark: String = "10 minutes"): Dataset[SessionOut] = {
+    import spark.implicits._
+    def us(t: Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    val gapUs = gapMinutes * 60000000L
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last + gap: the open session is final
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, s.start_us, s.last_us, s.n))
+          } else {
+            val sorted = batch.toArray.sortBy(e => (us(e.ts), e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = us(e.ts)
+              cur match {
+                case Some(s) if t - s.last_us <= gapUs =>
+                  cur = Some(SessionState(s.start_us, math.max(s.last_us, t), s.n + 1))
+                case Some(s) => // gap exceeded INSIDE the data: close in-line
+                  closed += SessionOut(userId, s.start_us, s.last_us, s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.last_us + gapUs) / 1000) // millis
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Streaming funnel state machine — the streaming twin of
     * [[graft.operators.Analytics.funnelSteps]]. Per-user state is one
     * (current step, entry time) pair — bounded by user cardinality, never

@@ -551,4 +551,38 @@ class StreamingSpec extends SparkSpec {
       assert(rows.contains((2L, 2L, -1L)), rows.toString)    // outer-null emitted
     } finally q.stop()
   }
+
+  test("sessionizeTimeout closes sessions on in-data gaps and via event-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionizeTimeout(spark, input.toDS(),
+        gapMinutes = 5, watermark = "1 minutes")
+      .writeStream.format("memory").queryName("sesst").outputMode("append").start()
+    try {
+      // user 1: two sessions separated by a 20-min gap INSIDE one batch —
+      // the first closes in-line, no watermark needed
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(2), 1, "click", 1.0),
+        Event(3, ts(22), 1, "view", 1.0),
+        Event(4, ts(23), 1, "view", 1.0))
+      q.processAllAvailable()
+      val inline = spark.table("sesst").collect()
+        .map(r => (r.getLong(0), r.getLong(3))).toSet
+      assert(inline.contains((1L, 2L)), s"in-line close missing: $inline")
+      // advance the watermark far past user 1's open session → timeout fires
+      input.addData(Event(9, ts(120), 7, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(10, ts(130), 7, "click", 1.0))
+      q.processAllAvailable()
+      val all = spark.table("sesst").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      // user 1's SECOND session (2 views at minutes 22-23) closed by timeout
+      assert(all.count(_._1 == 1L) == 2, s"expected both user-1 sessions: $all")
+      assert(all.count(s0 => s0._1 == 1L && s0._4 == 2L) == 2,
+        s"both user-1 sessions hold 2 events: $all")
+      // session invariants: start <= end, positive counts
+      all.foreach { case (_, st, en, n) => assert(st <= en && n > 0) }
+    } finally q.stop()
+  }
 }
