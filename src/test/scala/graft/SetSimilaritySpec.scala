@@ -228,4 +228,17 @@ class SetSimilaritySpec extends SparkSpec {
     val plan = planOf(SetSimilarity.fuzzyNameJoin(tables))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
   }
+
+  test("fuzzyNameJoin on an empty catalog returns empty, schema intact") {
+    import graft.operators.SetSimilarity
+    import graft.sources.Tables
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, String, String, Int, Double)]
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+    val t = Tables(spark, sfDir).withTable("part", empty)
+    val df = SetSimilarity.fuzzyNameJoin(t)
+    assert(df.columns.toSeq ==
+      Seq("name_a", "name_b", "dist", "n_parts_a", "n_parts_b"))
+    assert(df.collect().isEmpty)
+  }
 }

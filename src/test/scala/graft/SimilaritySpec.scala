@@ -467,4 +467,17 @@ class SimilaritySpec extends SparkSpec {
       assert(cos >= -1.0 - 1e-9 && cos <= 1.0 + 1e-9)
     }
   }
+
+  test("kCenterSelect degenerates gracefully: empty corpus and k > corpus") {
+    import graft.sources.Tables
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Seq[Float], Int)].toDF("vec_id", "embedding", "label")
+    val t0 = Tables(spark, sfDir).withTable("embeddings", empty)
+    assert(Similarity.kCenterSelect(t0, k = 4).collect().isEmpty)
+    val three = tables.embeddings.filter($"vec_id" < 3)
+    val t3 = Tables(spark, sfDir).withTable("embeddings", three)
+    val got = Similarity.kCenterSelect(t3, k = 8).collect()
+    assert(got.length == 3) // stops when the corpus is exhausted
+    assert(got.map(_.getLong(1)).toSet == Set(0L, 1L, 2L))
+  }
 }
