@@ -365,6 +365,31 @@ object SparkEntry {
           sum(length(col("text")).cast("long")).as("sum_text_chars"))
         .orderBy("source")
     }),
+    "q_refcsv_source" -> ((s, d) => {
+      // the reference's metadata.txt + <table>.csv directory, read through
+      // the DataSourceV2 connector (schema inference from the metadata
+      // block, column pruning in the ScanBuilder); the fixture is derived
+      // from the nation table so the oracle re-derives the aggregate from
+      // the original parquet — the hash match proves the connector reads
+      // the format losslessly
+      val t = Tables(s, d)
+      val dir = roundtripDir("graft_refcsv", d, "t1.csv") { out =>
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+        java.nio.file.Files.write(java.nio.file.Paths.get(out, "metadata.txt"),
+          "<begin_table>\nt1\na\nb\n<end_table>\n".getBytes("UTF-8"))
+        val rows = t.nation.select(col("n_nationkey"), col("n_regionkey"))
+          .orderBy("n_nationkey").collect()
+          .map(r => s"${r.getInt(0)},${r.getInt(1)}").mkString("\n")
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(out, "t1.csv"), rows.getBytes("UTF-8"))
+      }
+      s.read.format("graft.sources.RefCsvSourceV2")
+        .option("path", dir).option("table", "t1").load()
+        .groupBy(col("b"))
+        .agg(count(lit(1)).as("n_nations"),
+          sum(col("a").cast("long")).as("sum_keys"))
+        .orderBy("b")
+    }),
     "q_schema_evolution" -> ((s, d) => {
       // two parquet batches with DIFFERENT schemas (batch 2 adds `source`,
       // drops `n_chars` — the additive/subtractive drift every long-lived
@@ -470,6 +495,10 @@ object SparkEntry {
         "CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS qty_e2, " +
         "CAST(sum(CASE WHEN l_orderkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS delta_n " +
         "FROM lineitem GROUP BY 1 ORDER BY 1"),
+    "q_refcsv_source" ->
+      ("SELECT n_regionkey AS b, count(*) AS n_nations, " +
+        "CAST(sum(n_nationkey) AS BIGINT) AS sum_keys " +
+        "FROM nation GROUP BY 1 ORDER BY 1"),
     "q_schema_evolution" ->
       ("SELECT lang, count(*) AS n_docs, " +
         "CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_source, " +

@@ -64,4 +64,28 @@ class EngineSpec extends SparkSpec {
     val j = spark.sql("SELECT A, C FROM t1, t2 WHERE t1.B = t2.B ORDER BY A").collect()
     assert(j.map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((1, 20), (3, 40)))
   }
+
+  test("RefCsvSourceV2: schema inference, lossless read, and column pruning") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("refcsv_v2_spec").toString
+    Files.write(Paths.get(dir, "metadata.txt"),
+      "<begin_table>\nt1\na\nb\nc\n<end_table>\n".getBytes("UTF-8"))
+    Files.write(Paths.get(dir, "t1.csv"),
+      "1,10,100\n2,20,200\n3,30,300\n".getBytes("UTF-8"))
+    val df = spark.read.format("graft.sources.RefCsvSourceV2")
+      .option("path", dir).option("table", "t1").load()
+    assert(df.schema.fieldNames.toSeq == Seq("a", "b", "c"))
+    assert(df.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.IntegerType))
+    val rows = df.collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+    assert(rows == Set((1, 10, 100), (2, 20, 200), (3, 30, 300)))
+    // column pruning reaches the connector: the scan's read schema is the
+    // projection, not the full table
+    val pruned = df.select("b")
+    val plan = planOf(pruned)
+    assert(plan.contains("BatchScan"), plan)
+    assert(plan.contains("read=b") || plan.toLowerCase.contains("readschema: struct<b:int>"),
+      s"pruning not visible in scan:\n$plan")
+    assert(pruned.collect().map(_.getInt(0)).toSet == Set(10, 20, 30))
+  }
 }
