@@ -8,7 +8,7 @@ ORDER BY / two-table equality joins — plus the engine's extended surface:
 LEFT JOIN, CASE banding, HAVING, window rank + running sum,
 INTERSECT/EXCEPT, scalar subqueries. Deterministic (seeded).
 
-Usage: python3 tools/gen_fuzz_sql.py [n] [out.json]
+Usage: python3 tools/gen_fuzz_sql.py [n] [out.json] [seed]
 """
 import json
 import random
@@ -326,7 +326,8 @@ def gen_one(rng):
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 80
     out = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/target/fuzz_queries.json"
-    rng = random.Random(20260812)
+    seed = int(sys.argv[3]) if len(sys.argv) > 3 else 20260812
+    rng = random.Random(seed)
     queries = {f"fuzz_{i:03d}": gen_one(rng) for i in range(n)}
     with open(out, "w") as f:
         json.dump(queries, f, indent=1)
