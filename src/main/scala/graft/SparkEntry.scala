@@ -365,6 +365,33 @@ object SparkEntry {
           sum(length(col("text")).cast("long")).as("sum_text_chars"))
         .orderBy("source")
     }),
+    "q_bucketed_join" -> ((s, d) => {
+      // both fact tables written bucketed on the join key ONCE per session
+      // (the 100 TB amortization: every later join/agg on the key plans
+      // with zero exchange — BucketingSpec pins the plan shape); the
+      // oracle computes the same join from the original parquet, so the
+      // hash match proves the bucketed layout round-trips losslessly
+      import graft.sources.Bucketing
+      val t = Tables(s, d)
+      val fp = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val (liT, orT) = (s"li_bkt_$fp", s"or_bkt_$fp")
+      val base = System.getProperty("java.io.tmpdir") + s"/graft_bktj_$fp"
+      if (!s.catalog.tableExists(liT))
+        Bucketing.writeBucketed(
+          t.lineitem.select("l_orderkey", "l_quantity", "l_returnflag"),
+          liT, s"$base/li", "l_orderkey", 8)
+      if (!s.catalog.tableExists(orT))
+        Bucketing.writeBucketed(
+          t.orders.select("o_orderkey", "o_orderstatus"),
+          orT, s"$base/or", "o_orderkey", 8)
+      s.table(liT)
+        .join(s.table(orT), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy("o_orderstatus")
+    }),
     "q_refcsv_source" -> ((s, d) => {
       // the reference's metadata.txt + <table>.csv directory, read through
       // the DataSourceV2 connector (schema inference from the metadata
@@ -495,6 +522,10 @@ object SparkEntry {
         "CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS qty_e2, " +
         "CAST(sum(CASE WHEN l_orderkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS delta_n " +
         "FROM lineitem GROUP BY 1 ORDER BY 1"),
+    "q_bucketed_join" ->
+      ("SELECT o_orderstatus, count(*) AS n_lines, round(sum(l_quantity), 2) AS sum_qty " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY 1 ORDER BY 1"),
     "q_refcsv_source" ->
       ("SELECT n_regionkey AS b, count(*) AS n_nations, " +
         "CAST(sum(n_nationkey) AS BIGINT) AS sum_keys " +
