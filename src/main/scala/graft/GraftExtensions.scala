@@ -53,6 +53,8 @@ object GraftExtensions {
       es => BandKeys(es.head, arg(es, 1, "band_keys"))),
     ("rolling_hash", "rolling_hash(text) - Karp-Rabin rolling-hash fingerprint",
       es => RollingHash64(es.head)),
+    ("nfc_normalize", "nfc_normalize(text) - Unicode NFC canonical normalization",
+      es => NfcNormalize(es.head)),
     ("srp_bucket", "srp_bucket(vec, nbits, seed) - signed-random-projection LSH bucket",
       es => SrpBucket(es.head, arg(es, 1, "srp_bucket"), argL(es, 2, "srp_bucket"))),
     ("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float vectors",

@@ -153,6 +153,7 @@ object SparkEntry {
     "q_text_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(Tables(s, d))),
     "q_quality_gopher" -> ((s, d) => TextAnalysis.gopherFilter(Tables(s, d))),
     "q_rep_coverage" -> ((s, d) => TextAnalysis.topBigramCoverage(Tables(s, d))),
+    "q_text_nfc" -> ((s, d) => TextAnalysis.nfcReport(Tables(s, d))),
     "q_tfidf" -> ((s, d) => TextAnalysis.tfIdfTopTerms(Tables(s, d))),
     "q_pii_redact" -> ((s, d) => TextAnalysis.piiCounts(Tables(s, d))),
     "q_lm_score" -> ((s, d) => TextAnalysis.lmScore(Tables(s, d))),
@@ -728,6 +729,10 @@ object SparkEntry {
         "round(n_punct / greatest(n_chars, 1), 6) AS punct_ratio, " +
         "round(least(n_tokens / 20.0, 1.0) * 0.5 + least((n_stop / n_tokens) * 5.0, 1.0) * 0.3 + (1.0 - least((n_digit / greatest(n_chars, 1)) * 10.0, 1.0)) * 0.2, 6) AS quality " +
         "FROM feat ORDER BY doc_id"),
+    "q_text_nfc" ->
+      ("WITH r AS (SELECT doc_id, substring(text, 1, 8) || 'e\u0301\u212B' AS raw FROM documents) " +
+        "SELECT doc_id, length(raw) AS len_raw, length(nfc_normalize(raw)) AS len_nfc, " +
+        "md5(nfc_normalize(raw)) AS nfc_md5 FROM r ORDER BY doc_id"),
     "q_rep_coverage" ->
       ("WITH base AS (SELECT doc_id, length(text) AS n_chars, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk FROM documents), " +
         "bi AS (SELECT doc_id, n_chars, tk[i] AS w1, tk[i+1] AS w2 FROM (SELECT doc_id, n_chars, tk, unnest(range(1, len(tk))) AS i FROM base WHERE len(tk) >= 2)), " +

@@ -288,6 +288,15 @@ object HashImpl {
     bucket
   }
 
+  /** Unicode NFC normalization (canonical decomposition + composition,
+    * java.text.Normalizer — the JDK's reference implementation of UAX #15):
+    * the text-hygiene pass that makes visually-identical strings
+    * byte-identical BEFORE hashing/dedup — "e"+U+0301 and U+00E9 are the
+    * same character to a reader and different fingerprints to md5. */
+  def nfcNormalize(s: UTF8String): UTF8String =
+    UTF8String.fromString(
+      java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC))
+
   /** Sequential L2 norm of a raw float vector (float→double cast, j
     * ascending — the accumulation order every SQL-oracle fold mirrors). */
   def normF(vec: ArrayData): Double = {
@@ -652,6 +661,17 @@ case class RollingHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** NfcNormalize(string) → string — see [[HashImpl.nfcNormalize]]. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpl.nfcNormalize(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.nfcNormalize($c)")
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
 /** ByteEntropy(binary) → double bits/byte (see [[HashImpl.byteEntropy]]). */
 case class ByteEntropy(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
@@ -872,6 +892,7 @@ object HashFunctions {
   def bandKeys(sig: Column, bands: Int = 16): Column =
     col(BandKeys(expr(sig), bands))
   def rollingHash64(text: Column): Column = col(RollingHash64(expr(text)))
+  def nfcNormalize(text: Column): Column = col(NfcNormalize(expr(text)))
   def dup3Frac(tokens: Column): Column = col(Dup3Frac(expr(tokens)))
   def charNgrams(text: Column, n: Int): Column = col(CharNGrams(expr(text), n))
   def srpBucket(vec: Column, nBits: Int = 16, seed: Long = 7L): Column =

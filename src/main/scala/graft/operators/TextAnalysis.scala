@@ -300,6 +300,26 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Unicode NFC normalization report — the text-hygiene pass that makes
+    * visually-identical strings byte-identical BEFORE any hash-based
+    * dedup ("e"+combining-acute and "é" are one character to a reader
+    * and two different md5s to the exact-dedup pass; U+212B ANGSTROM
+    * collapses to U+00C5). The corpus is ASCII, so each row APPENDS a
+    * decomposed suffix executor-side and the oracle synthesizes the same
+    * string — the md5 hash match proves the custom [[graft.functions.NfcNormalize]]
+    * kernel (java.text.Normalizer, the JDK's UAX #15 implementation)
+    * agrees byte-for-byte with DuckDB's utf8proc `nfc_normalize`. Narrow
+    * codegen'd projection, no shuffle. */
+  def nfcReport(t: Tables): DataFrame = {
+    val raw = concat(substring(col("text"), 1, 8), lit("e\u0301\u212B"))
+    t.documents.select(
+      col("doc_id"),
+      length(raw).as("len_raw"),
+      length(HashFunctions.nfcNormalize(raw)).as("len_nfc"),
+      md5(HashFunctions.nfcNormalize(raw)).as("nfc_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Top-bigram character coverage — the Gopher repetition family's
     * "fraction of characters in the most common n-gram" signal (Rae et
     * al. 2021), complementing [[gopherMetrics]]'s duplicate-trigram

@@ -576,4 +576,21 @@ class TextAnalysisSpec extends SparkSpec {
       .filter($"doc_id" === 777000L).collect()(0)
     assert(row.getString(1) == "click here" && row.getDouble(3) > 0.9, row.toString)
   }
+
+  test("NFC normalization: known compositions, idempotence, SQL exposure") {
+    import graft.functions.HashImpl
+    import org.apache.spark.unsafe.types.UTF8String
+    def nfc(x: String) = HashImpl.nfcNormalize(UTF8String.fromString(x)).toString
+    assert(nfc("e\u0301") == "\u00e9")          // combining acute composes
+    assert(nfc("\u212b") == "\u00c5")           // ANGSTROM -> A-with-ring
+    assert(nfc("plain ascii") == "plain ascii")   // identity on ASCII
+    assert(nfc(nfc("e\u0301\u212b")) == nfc("e\u0301\u212b")) // idempotent
+    // exact dedup now sees the two spellings as one document
+    val a = nfc("caf" + "e\u0301"); val b = nfc("caf\u00e9")
+    assert(a == b)
+    // SQL registration
+    graft.Engine(spark, sfDir)
+    val viaSql = spark.sql("SELECT nfc_normalize('e\u0301') AS n").head().getString(0)
+    assert(viaSql == "\u00e9")
+  }
 }
