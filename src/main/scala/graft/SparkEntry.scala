@@ -617,10 +617,14 @@ object SparkEntry {
     "q_lang_cap" -> KernelOracleSql.capPerGroup(),
     "q_dedup_keep_best" -> MinhashOracleSql.clusterRepresentatives(),
     "q_source_overlap" ->
-      ("WITH fs AS (SELECT DISTINCT md5(lower(trim(text))) AS fp, source FROM documents) " +
-        "SELECT a.source AS source_a, b.source AS source_b, CAST(count(*) AS BIGINT) AS n_shared " +
-        "FROM fs a JOIN fs b ON a.fp = b.fp AND a.source < b.source " +
-        "GROUP BY a.source, b.source HAVING count(*) >= 1 " +
+      ("WITH fs AS (SELECT DISTINCT md5(lower(trim(text))) AS fp, source FROM documents), " +
+        "srcs AS (SELECT DISTINCT source FROM documents), " +
+        "shared AS (SELECT a.source AS sa, b.source AS sb, count(*) AS c " +
+        "FROM fs a JOIN fs b ON a.fp = b.fp AND a.source < b.source GROUP BY 1, 2) " +
+        "SELECT x.source AS source_a, y.source AS source_b, " +
+        "CAST(coalesce(s.c, 0) AS BIGINT) AS n_shared " +
+        "FROM srcs x JOIN srcs y ON x.source < y.source " +
+        "LEFT JOIN shared s ON s.sa = x.source AND s.sb = y.source " +
         "ORDER BY n_shared DESC, source_a, source_b"),
     // global cumulative window over (quality DESC, doc_id) — the engine's
     // two-phase bucket/boundary plan selects the identical prefix
@@ -970,8 +974,8 @@ object SparkEntry {
       ("SELECT c_nationkey AS nationkey FROM customer INTERSECT " +
         "SELECT s_nationkey FROM supplier ORDER BY nationkey"),
     "q_except" ->
-      ("SELECT c_nationkey AS nationkey FROM customer EXCEPT " +
-        "SELECT s_nationkey FROM supplier ORDER BY nationkey"),
+      ("SELECT c_custkey AS custkey FROM customer EXCEPT " +
+        "SELECT user_id FROM events ORDER BY custkey"),
     "q_pivot" ->
       ("SELECT user_id, " +
         "count(*) FILTER (WHERE event_type = 'click') AS click, " +

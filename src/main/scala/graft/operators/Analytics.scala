@@ -128,11 +128,15 @@ object Analytics {
       .intersect(t.supplier.select(col("s_nationkey").as("nationkey")))
       .orderBy("nationkey")
 
-  /** EXCEPT: nation keys with customers but no suppliers. */
+  /** EXCEPT: registered customers that never produced an event — the
+    * inactive-account anti-set. Keyed on custkey vs the events fact so the
+    * result is non-vacuous at every scale factor (the generator leaves a
+    * stable fraction of customers event-less), unlike nationkey-vs-supplier
+    * which is empty whenever all nations have both. */
   def exceptKeys(t: Tables): DataFrame =
-    t.customer.select(col("c_nationkey").as("nationkey"))
-      .except(t.supplier.select(col("s_nationkey").as("nationkey")))
-      .orderBy("nationkey")
+    t.customer.select(col("c_custkey").as("custkey"))
+      .except(t.events.select(col("user_id").as("custkey")))
+      .orderBy("custkey")
 
   /** Pivot: event counts per user across event types as columns (bounded,
     * explicit pivot values — never a driver-side distinct scan). */

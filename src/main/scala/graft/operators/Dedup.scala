@@ -456,27 +456,38 @@ object Dedup {
   }
 
   /** Cross-source exact-duplicate overlap — the mirror-detection report:
-    * for each unordered source pair, how many distinct normalized-text
-    * fingerprints occur in BOTH sources. A high count flags mirrored /
-    * syndicated feeds that per-document dedup only repairs after the
-    * fact; the pipeline answer is to drop or downweight the source.
+    * for EVERY unordered source pair, how many distinct normalized-text
+    * fingerprints occur in BOTH sources (0 when the pair shares nothing).
+    * A high count flags mirrored / syndicated feeds that per-document
+    * dedup only repairs after the fact; the pipeline answer is to drop or
+    * downweight the source. Zero rows are part of the report — "these
+    * feeds don't mirror each other" is the finding auditors act on, and
+    * emitting the full pair matrix keeps the result non-vacuous on clean
+    * corpora.
     *
     * Scale shape: dedup to distinct (fp, source) FIRST, so the per-
     * fingerprint self-join fan-out is bounded by the SOURCE count (a
     * catalog-sized constant), never by duplicate-group size — a
     * boilerplate fingerprint shared by a million docs contributes the
     * same ≤ sources² rows as one shared by two. One fp-keyed shuffle +
-    * one pair-keyed count; output is sources²-bounded. */
-  def sourceOverlap(t: Tables, minShared: Long = 1L): DataFrame = {
+    * one pair-keyed count; the pair matrix is a broadcast self-join of
+    * the source catalog (tens of rows); output is sources²-bounded. */
+  def sourceOverlap(t: Tables): DataFrame = {
     val fpSrc = t.documents
       .select(fingerprint(col("text")).as("fp"), col("source"))
       .distinct()
-    fpSrc.as("a")
+    val shared = fpSrc.as("a")
       .join(fpSrc.as("b"),
         col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
       .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= minShared)
+    val srcs = t.documents.select(col("source")).distinct()
+    val pairs = broadcast(srcs.as("x"))
+      .join(broadcast(srcs.as("y")), col("x.source") < col("y.source"))
+      .select(col("x.source").as("source_a"), col("y.source").as("source_b"))
+    pairs.join(shared, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
       .orderBy(col("n_shared").desc, col("source_a"), col("source_b"))
   }
 

@@ -357,10 +357,10 @@ class DedupSpec extends SparkSpec {
         .select(md5(lower(trim(col("text")))).as("fp"), col("source"))
         .collect().map(r => (r.getString(0), r.getString(1))).distinct
       val bySrc = fpSrc.groupBy(_._2).map { case (s, xs) => s -> xs.map(_._1).toSet }
+      // full pair matrix — zero-overlap pairs are part of the report
       (for {
         (sa, fa) <- bySrc.toSeq; (sb, fb) <- bySrc.toSeq if sa < sb
-        n = (fa & fb).size if n >= 1
-      } yield (sa, sb, n.toLong)).sortBy(r => (-r._3, r._1, r._2))
+      } yield (sa, sb, (fa & fb).size.toLong)).sortBy(r => (-r._3, r._1, r._2))
     }
     val got = Dedup.sourceOverlap(tables)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))

@@ -6,12 +6,11 @@ package graft
   * entry before the driver does. */
 class SparkEntrySpec extends SparkSpec {
 
-  // queries whose CORRECT answer is legitimately empty on a given corpus:
-  // cross-source mirror detection finds nothing when the generated corpus
-  // has no cross-source duplicates (the DuckDB oracle agrees on 0 rows —
-  // the differential gate still exercises it; DedupSpec injects mirrors to
-  // pin the positive behavior)
-  private val mayBeEmpty = Set("q_source_overlap", "q_except")
+  // r11: the formerly vacuous-at-oracle-scale queries were reshaped to be
+  // non-empty at every SF (q_except → customers-without-events anti-set;
+  // q_source_overlap → full source-pair matrix with zero-coalesced counts),
+  // so every query must now return rows
+  private val mayBeEmpty = Set.empty[String]
 
   test("every query runs and returns rows at sf0.001") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
