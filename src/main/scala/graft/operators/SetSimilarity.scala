@@ -87,35 +87,29 @@ object SetSimilarity {
     *                    lazy plan WITH its intermediates still cached — a
     *                    plan-inspection/debugging hook; callers own the
     *                    caches (`spark.catalog.clearCache()`)
+    * @param windowVocabMax max post-cutoff vocabulary size for the
+    *                    single-task `row_number` dictionary; larger
+    *                    vocabularies get distributed `zipWithIndex` ids
+    *                    (identical values — see [[denseTokenIds]])
     */
   def jaccardSelfJoin(elems: DataFrame, minJaccard: Double,
                       maxDf: Option[Long] = None,
                       denseMaxSets: Long = 200000,
                       maskMaxVocab: Int = 4096,
-                      eager: Boolean = true): DataFrame = {
+                      eager: Boolean = true,
+                      windowVocabMax: Long = 10000000L): DataFrame = {
     // 1. document frequency + optional hot-token cutoff. The join back to
     // `elems` is 1:1 per element row (no blow-up); AQE handles partition
     // skew on hot tokens.
     val dfc = elems.groupBy("token").agg(count(lit(1)).as("_df"))
     val kept = maxDf.fold(dfc)(m => dfc.filter(col("_df") <= m))
 
-    // dense ids ordered (df asc, token asc): rare-first order makes the
-    // sorted id arrays prefix-filter-ready, density bounds the mask width.
-    // The unpartitioned window is a single task over the VOCABULARY (not
-    // the corpus) — fine up to tens of millions of terms; beyond that the
-    // mask kernel is off the table anyway and ids could come from a
-    // zipWithIndex pass instead.
-    val dict = kept
-      .withColumn("_tok_id",
-        (row_number().over(Window.orderBy(col("_df").asc, col("token").asc)) - 1)
-          .cast("int"))
-      .select("token", "_tok_id")
-      .persist()
-
-    // vocabulary size decides the verify kernel; collapsed-set count decides
-    // the candidate strategy. Two tiny driver actions over already-reduced
-    // aggregates — the same class of planning statistic AQE collects.
-    val vocab = dict.count()
+    // vocabulary size decides the id-assignment path AND the verify kernel;
+    // collapsed-set count decides the candidate strategy. Tiny driver
+    // actions over already-reduced aggregates — the same class of planning
+    // statistic AQE collects.
+    val vocab = kept.count()
+    val dict = denseTokenIds(kept, vocab > windowVocabMax).persist()
 
     val enc = elems.join(dict, "token").select(col("doc_id"), col("_tok_id"))
     // persisted: members, the set-pair expansion, and the set build below
@@ -242,6 +236,36 @@ object SetSimilarity {
     Seq(dict, perDoc, sets).foreach(_.unpersist(blocking = false))
     out.orderBy("doc_a", "doc_b")
   }
+
+  /** Dense integer token ids in (df asc, token asc) order over a
+    * `(token, _df)` vocabulary frame.
+    *
+    * Small vocabularies — the common case; this table holds TERMS, not
+    * documents — use one `row_number` window: a single task over a frame
+    * that fits it. Past the caller's vocabulary threshold that single task
+    * becomes the scale bottleneck, so the `distributed` path range-sorts
+    * the vocabulary and assigns ids with `zipWithIndex`: per-partition
+    * offsets from one lightweight count job, no single-task stage, and the
+    * identical ids (the (df, token) sort order is total, so both paths are
+    * deterministic). Ids stay Int because every verify kernel downstream is
+    * int-array/bitset based; an >2³¹-term post-cutoff vocabulary is beyond
+    * any text corpus and would need the kernels widened first. */
+  private[graft] def denseTokenIds(kept: DataFrame, distributed: Boolean): DataFrame =
+    if (!distributed) {
+      kept.withColumn("_tok_id",
+        (row_number().over(Window.orderBy(col("_df").asc, col("token").asc)) - 1)
+          .cast("int"))
+        .select("token", "_tok_id")
+    } else {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+      val spark = kept.sparkSession
+      val tokField = kept.schema("token")
+      val sorted = kept.orderBy(col("_df").asc, col("token").asc).select("token")
+      val ids = sorted.rdd.zipWithIndex.map { case (r, i) => Row(r.get(0), i.toInt) }
+      spark.createDataFrame(ids,
+        StructType(Seq(tokField.copy(name = "token"), StructField("_tok_id", IntegerType))))
+    }
 
   /** Fuzzy string join (entity resolution over part names): pairs of
     * DISTINCT names within Levenshtein distance `maxDist`, candidates

@@ -107,6 +107,25 @@ class SetSimilaritySpec extends SparkSpec {
     assert(sorted == mask)
   }
 
+  test("distributed zipWithIndex dictionary: identical ids, no single-task window") {
+    val e = elemsOf(fixture)
+    val kept = e.groupBy("token").agg(count(lit(1)).as("_df"))
+    val win = SetSimilarity.denseTokenIds(kept, distributed = false)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    val dist = SetSimilarity.denseTokenIds(kept, distributed = true)
+    // the total (df asc, token asc) order makes both paths assign the same id
+    assert(dist.collect().map(r => (r.getString(0), r.getInt(1))).toSet == win)
+    // the scale property itself: no Window operator anywhere in the
+    // distributed path's plan (an unpartitioned Window is a single task)
+    val plan = dist.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected window in distributed dict:\n$plan")
+    // end-to-end: forcing every vocabulary through zipWithIndex leaves the
+    // join result unchanged
+    assert(SetSimilarity.jaccardSelfJoin(e, 0.5, windowVocabMax = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      == run(e, 0.5))
+  }
+
   test("prefix path never plans a cartesian product") {
     val df = SetSimilarity.jaccardSelfJoin(elemsOf(fixture), 0.5, denseMaxSets = 1)
     val plan = planOf(df)
