@@ -92,9 +92,10 @@ object MinhashOracleSql {
     * whole-doc shingle, matching the kernel) → FNV+mix64 base hash →
     * k-position signature (min over shingles, SIGNED compare) → band keys
     * (FNV fold over k/bands-position row-groups). */
-  private def sigCtes(k: Int, bands: Int, seed: Long): String = {
+  private def sigCtes(k: Int, bands: Int, seed: Long,
+                      docsRel: String = "documents"): String = {
     val rows = k / bands
-    s"""toks AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk FROM documents),
+    s"""toks AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk FROM $docsRel),
 sh0 AS (SELECT doc_id, tk, unnest(range(1, greatest(len(tk), 2))) AS i FROM toks WHERE len(tk) >= 1),
 sh AS (SELECT DISTINCT doc_id, CASE WHEN len(tk) >= 2 THEN tk[i] || ' ' || tk[i+1] ELSE tk[1] END AS s FROM sh0),
 h0 AS (SELECT doc_id, ${fnvFoldChars("s")} AS hraw FROM sh),
@@ -176,8 +177,20 @@ SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM vpairs ORDER BY doc_a, doc_b"
     * all-pairs shingle-Jaccard ≥ minJaccard truth, intersected; counts and
     * the recall/precision ratios with the engine's zero-guards. */
   def lshRecall(k: Int = 64, bands: Int = 16, seed: Long = 42L,
-                minJaccard: Double = 0.5): String =
-    s"""WITH ${sigCtes(k, bands, seed)},
+                minJaccard: Double = 0.5,
+                samplePct: Option[Int] = None): String = {
+    // the sampled variant replays the engine's deterministic document
+    // sample — pmod(xxhash64(doc_id), 100) < pct via the shared xxhash64
+    // CTE chain — then runs the identical recall pipeline over it
+    val (samplePrefix, docsRel) = samplePct match {
+      case None => ("", "documents")
+      case Some(p) =>
+        (s"""src AS (SELECT doc_id, text FROM documents),
+${KernelOracleSql.xxhCtes(42L)},
+dsamp AS MATERIALIZED (SELECT doc_id, text FROM xx WHERE (((${signedB("xxh")}) % 100) + 100) % 100 < $p),
+""", "dsamp")
+    }
+    s"""WITH $samplePrefix${sigCtes(k, bands, seed, docsRel)},
 cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
 ssz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
 inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
@@ -188,6 +201,7 @@ SELECT n_true, n_candidates, n_hit,
 CASE WHEN n_true > 0 THEN round(CAST(n_hit AS DOUBLE) / n_true, 6) END AS recall,
 CASE WHEN n_candidates > 0 THEN round(CAST(n_hit AS DOUBLE) / n_candidates, 6) END AS precision
 FROM counts"""
+  }
 
   /** Oracle for q_dedup_rates ([[graft.operators.Dedup.nearDupRates]]):
     * the verified pair set labeled with each side's source, pair order
@@ -642,7 +656,7 @@ SELECT query_id, neighbor_id, adc_dist FROM ranked WHERE rn <= $topK ORDER BY qu
     * block + avalanche) of column `doc_id` from CTE `src` into column
     * `xxh`. MATERIALIZED: DuckDB inlines plain CTEs, and the staged chain
     * re-inlined per reference goes exponential (measured 11 s → 0.0 s). */
-  private def xxhCtes(seed: Long): String =
+  private[graft] def xxhCtes(seed: Long): String =
     s"""x0 AS MATERIALIZED (SELECT *, ${unsigned("doc_id")} AS ku FROM src),
 x1 AS MATERIALIZED (SELECT *, ${mulmod("ku", P2)} AS m1 FROM x0),
 x2 AS MATERIALIZED (SELECT *, ${mulmod(rotl("m1", 31), P1)} AS k1 FROM x1),

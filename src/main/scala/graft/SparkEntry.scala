@@ -91,6 +91,10 @@ object SparkEntry {
     "q_dedup_jaccard" -> ((s, d) => Dedup.jaccardPairs(Tables(s, d).documents, 0.5)),
     "q_fuzzy_join" -> ((s, d) => SetSimilarity.fuzzyNameJoin(Tables(s, d))),
     "q_lsh_recall" -> ((s, d) => Dedup.lshRecallReport(Tables(s, d))),
+    // the scale path of the recall harness: same pipeline over a
+    // deterministic 50% content-hash document sample
+    "q_lsh_recall_sampled" -> ((s, d) =>
+      Dedup.lshRecallReport(Tables(s, d), samplePct = Some(50))),
     "q_dedup_minhash" -> ((s, d) => Dedup.minhashCandidates(Tables(s, d))),
     "q_dedup_ngram" -> ((s, d) =>
       Dedup.charNgramJaccardPairs(Tables(s, d).documents, 3, 0.5)),
@@ -585,6 +589,7 @@ object SparkEntry {
     "q_dedup_minhash" -> MinhashOracleSql.minhashCandidates(),
     "q_dedup_lsh_verified" -> MinhashOracleSql.lshVerifiedPairs(),
     "q_lsh_recall" -> MinhashOracleSql.lshRecall(),
+    "q_lsh_recall_sampled" -> MinhashOracleSql.lshRecall(samplePct = Some(50)),
     "q_dedup_rates" -> MinhashOracleSql.nearDupRates(),
     "q_dedup_simhash" -> KernelOracleSql.simhashFingerprints,
     "q_simhash_hamming" -> KernelOracleSql.simhashHammingPairs(),

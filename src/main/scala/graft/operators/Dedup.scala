@@ -223,16 +223,27 @@ object Dedup {
     * intersection semi-join); the report is three 1-row aggregates
     * broadcast-crossed — nothing wider than a pair id ever shuffles, and
     * the exact side exists precisely because the set-similarity engine
-    * makes corpus-scale exact Jaccard tractable. */
+    * makes corpus-scale exact Jaccard tractable. The exact ground truth is
+    * still intentionally pair-complete over the evaluated documents, so at
+    * corpus scale pass `samplePct` to run the harness on a deterministic
+    * content-hash sample: docs with `pmod(xxhash64(doc_id), 100) < pct`
+    * (the split machinery's hash — stable across runs and repartitioning,
+    * and SQL-replayable for the oracle). Recall/precision are ratio
+    * estimates, so a uniform document sample preserves them in
+    * expectation; full-corpus remains the default for sf ≤ 0.1. */
   def lshRecallReport(t: Tables, w: Int = 2, k: Int = 64, bands: Int = 16,
-                      minJaccard: Double = 0.5): DataFrame = {
+                      minJaccard: Double = 0.5,
+                      samplePct: Option[Int] = None): DataFrame = {
+    val docs = samplePct.fold(t.documents)(p =>
+      t.documents.filter(pmod(xxhash64(col("doc_id")), lit(100)) < p))
+    val t2 = t.withTable("documents", docs)
     val truth = SetSimilarity.jaccardSelfJoin(
-      t.documents.select(col("doc_id"),
+      docs.select(col("doc_id"),
         explode(array_distinct(shingles(col("text"), w))).as("token")),
       minJaccard)
       .select("doc_a", "doc_b")
       .localCheckpoint()
-    val cand = bandCandidatePairs(t, w, k, bands)
+    val cand = bandCandidatePairs(t2, w, k, bands)
       .localCheckpoint()
     val hit = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
     truth.agg(count(lit(1)).as("n_true"))

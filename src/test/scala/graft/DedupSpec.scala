@@ -407,6 +407,29 @@ class DedupSpec extends SparkSpec {
     assert(hit.size <= math.min(truth.size, cand.size))
   }
 
+  test("sampled recall harness: pct=100 is the full report; pct=50 restricts to the hash sample") {
+    import org.apache.spark.sql.functions.{pmod, xxhash64}
+    val full = Dedup.lshRecallReport(tables).collect()(0)
+    // pct=100 keeps every document — identical report by construction
+    val all = Dedup.lshRecallReport(tables, samplePct = Some(100)).collect()(0)
+    assert(all.toSeq == full.toSeq, s"pct=100 diverged: ${all.toSeq} vs ${full.toSeq}")
+    // pct=50: recompute the ground truth restricted to the sampled docs and
+    // pin the sampled report's counts to it (sampling commutes with truth)
+    val sampled = Dedup.lshRecallReport(tables, samplePct = Some(50)).collect()(0)
+    val keep = tables.documents
+      .filter(pmod(xxhash64($"doc_id"), lit(100)) < 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keep.nonEmpty && keep.size < tables.documents.count())
+    val truth = graft.operators.SetSimilarity.jaccardSelfJoin(
+      tables.documents.select($"doc_id",
+        explode(array_distinct(Dedup.shingles($"text", 2))).as("token")), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => keep(a) && keep(b) }.toSet
+    assert(sampled.getLong(0) == truth.size,
+      s"sampled n_true ${sampled.getLong(0)} vs restricted truth ${truth.size}")
+    assert(sampled.getLong(1) <= full.getLong(1))
+  }
+
   test("simhash hamming pairs: banded join equals brute force over the corpus") {
     // ground truth from the fingerprints themselves: every pair within
     // Hamming 3 — the pigeonhole banding must lose NOTHING (it is exact
