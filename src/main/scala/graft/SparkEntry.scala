@@ -1265,26 +1265,21 @@ object SparkEntry {
         "round(a.n_active / s.sz, 6) AS retention " +
         "FROM active a JOIN sizes s ON a.cohort = s.cohort ORDER BY cohort_day, day_offset"),
     "q_hits" -> KernelOracleSql.hits(),
+    // the n-free scaled recurrence (rank·n): rankN' = 0.15 + 0.85·Σ rankN/deg
+    // with rankN₀ ≡ 1 — identical values to the textbook 1/n form (n
+    // cancels), no node-count scalar anywhere, same as the engine
     "q_pagerank" ->
       ("WITH pairs AS (SELECT DISTINCT 's' || l_suppkey AS a, 'c' || o_custkey AS b " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), " +
         "edges AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs), " +
         "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src), " +
-        "nn AS (SELECT count(*) AS n FROM deg), " +
-        "r0 AS (SELECT src AS node, 1.0 / (SELECT n FROM nn) AS rank FROM deg), " +
-        "c1 AS (SELECT e.dst AS node, sum(r.rank / g.deg) AS inr FROM edges e " +
-        "JOIN deg g ON e.src = g.src JOIN r0 r ON r.node = e.src GROUP BY e.dst), " +
-        "r1 AS (SELECT g.src AS node, 0.15 / (SELECT n FROM nn) + 0.85 * coalesce(c1.inr, 0) AS rank " +
-        "FROM deg g LEFT JOIN c1 ON c1.node = g.src), " +
-        "c2 AS (SELECT e.dst AS node, sum(r.rank / g.deg) AS inr FROM edges e " +
+        "r1 AS (SELECT e.dst AS node, 0.15 + 0.85 * sum(1.0 / g.deg) AS rank FROM edges e " +
+        "JOIN deg g ON e.src = g.src GROUP BY e.dst), " +
+        "r2 AS (SELECT e.dst AS node, 0.15 + 0.85 * sum(r.rank / g.deg) AS rank FROM edges e " +
         "JOIN deg g ON e.src = g.src JOIN r1 r ON r.node = e.src GROUP BY e.dst), " +
-        "r2 AS (SELECT g.src AS node, 0.15 / (SELECT n FROM nn) + 0.85 * coalesce(c2.inr, 0) AS rank " +
-        "FROM deg g LEFT JOIN c2 ON c2.node = g.src), " +
-        "c3 AS (SELECT e.dst AS node, sum(r.rank / g.deg) AS inr FROM edges e " +
-        "JOIN deg g ON e.src = g.src JOIN r2 r ON r.node = e.src GROUP BY e.dst), " +
-        "r3 AS (SELECT g.src AS node, 0.15 / (SELECT n FROM nn) + 0.85 * coalesce(c3.inr, 0) AS rank " +
-        "FROM deg g LEFT JOIN c3 ON c3.node = g.src) " +
-        "SELECT node, round(rank * (SELECT n FROM nn), 6) AS rank_x_n FROM r3 ORDER BY node"),
+        "r3 AS (SELECT e.dst AS node, 0.15 + 0.85 * sum(r.rank / g.deg) AS rank FROM edges e " +
+        "JOIN deg g ON e.src = g.src JOIN r2 r ON r.node = e.src GROUP BY e.dst) " +
+        "SELECT node, round(rank, 6) AS rank_x_n FROM r3 ORDER BY node"),
     "q_argmax_doc" ->
       ("SELECT source, count(*) AS n_docs, max(n_chars) AS max_chars, " +
         "arg_max(doc_id, n_chars * 100000000 + doc_id) AS longest_doc_id " +

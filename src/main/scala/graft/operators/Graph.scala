@@ -20,8 +20,10 @@ object Graph {
     * data-dependent round.
     *
     * Scale notes: the edge list is derived once (lineitem⋈orders projected
-    * to two keys — both filters/columns pushed to the scans), pre-joined
-    * with its source out-degrees, then `repartition($"src").persist()`.
+    * to two keys — both filters/columns pushed to the scans), exploded to
+    * both directions in the same scan, deduped, and annotated with source
+    * out-degrees by a partition-local count window over the src-clustered
+    * cache layout — one scan, two exchanges, no degree joins.
     * A cached DataFrame RETAINS `hashpartitioning(src)` in its plan
     * (unlike a `localCheckpoint`, whose leaf reports unknown partitioning
     * — that cost `iters` full re-shuffles of the corpus-sized edge table,
@@ -54,56 +56,58 @@ object Graph {
     // the biggest thing moving, and 8-byte keys hash, compare, and ship
     // far cheaper than "s123"-style strings. The display name is minted
     // only on the node-cardinality output row.
-    val pairs = t.lineitem.select(col("l_orderkey"), col("l_suppkey"))
+    //
+    // Edge-list build in ONE scan and TWO exchanges (the minimum: one to
+    // dedup, one to lay the cache out on src): each lineitem⋈orders row
+    // explodes to both directions up front, `distinct` dedups the doubled
+    // (src, dst) table, and the out-degree comes from a partition-local
+    // count window over the src-clustered layout — no degree aggregations,
+    // no degree joins, no half-table persist (the round-10 shape paid two
+    // extra shuffle joins plus a second cache for the same result).
+    val s2 = shiftleft(col("l_suppkey").cast("long"), 1)
+    val c2 = shiftleft(col("o_custkey").cast("long"), 1) + 1
+    val edges = t.lineitem.select(col("l_orderkey"), col("l_suppkey"))
       .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
-      .select(shiftleft(col("l_suppkey").cast("long"), 1).as("a"),
-        (shiftleft(col("o_custkey").cast("long"), 1) + 1).as("b"))
+      .select(explode(array(
+        struct(s2.as("src"), c2.as("dst")),
+        struct(c2.as("src"), s2.as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
-      .persist() // HALF the edge rows: both directions derive from this
-    // each direction's out-degree is a groupBy on the HALF-sized pair
-    // table (an undirected edge contributes its a-side degree from column
-    // a and its b-side from column b), and the degree join runs on pairs
-    // before the direction union — the doubled edge table is never
-    // self-joined or re-aggregated
-    val degA = pairs.groupBy("a").agg(count(lit(1)).as("_dega"))
-    val degB = pairs.groupBy("b").agg(count(lit(1)).as("_degb"))
-    val paired = pairs.join(degA, "a").join(degB, "b")
-    // pre-joined, src-partitioned, persisted: the per-round work drops to
-    // a single src-keyed join against the rank table plus the dst-keyed sum
-    val edgesDeg = paired
-      .select(col("a").as("src"), col("b").as("dst"), col("_dega").as("_deg"))
-      .union(paired
-        .select(col("b").as("src"), col("a").as("dst"), col("_degb").as("_deg")))
-      .repartition(col("src"))
+    // the window's required ClusteredDistribution(src) IS the cache
+    // layout: the cached plan retains hashpartitioning(src), so every
+    // round's src-keyed join plans exchange-free on the edge side and
+    // only the node-cardinality rank table moves. This window is per-KEY
+    // (src), not unpartitioned — bounded by the hottest hub's degree.
+    val edgesDeg = edges
+      .withColumn("_deg",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("src")))
       .persist()
-    // nodes inherits hashpartitioning(src→node) through the alias, so the
-    // distinct aggregates without an Exchange over the cache; the eager
-    // checkpoint pins the (node-cardinality) result so the per-round plans
-    // below never re-aggregate the corpus-sized edge cache just to
-    // enumerate nodes
-    val nodes = edgesDeg.select(col("src").as("node")).distinct()
-      .localCheckpoint() // also materializes edgesDeg (and pairs) fully
-    val n = nodes.count()
-    pairs.unpersist(blocking = false) // edgesDeg cache is now self-contained
-    var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
-    for (_ <- 1 to iters) {
-      // the damping term folds into the aggregate directly: the undirected
-      // edge list is symmetric by construction, so EVERY node appears as a
-      // dst and the contribution aggregate already carries one row per
-      // node — the nodes re-join (and its coalesce for never-occurring
-      // missing rows) would be a third shuffle per round for nothing
+    // the recurrence runs on rank·n directly: multiplying the textbook
+    // update rank' = (1−d)/n + d·Σ rank/deg through by n gives
+    // rankN' = (1−d) + d·Σ rankN/deg — n cancels, so the node count, the
+    // distinct-nodes table, its checkpoint, and the init join all
+    // disappear (round-10 verdict item 4: those driver materializations
+    // WERE the 4× toy-scale gap). Round 1 folds into a single aggregate
+    // over the edge cache (rankN₀ ≡ 1 for every node); the undirected
+    // edge list is symmetric, so every node appears as a dst and each
+    // round's aggregate already carries one row per node — no nodes
+    // re-join, no coalesce.
+    var ranks = edgesDeg
+      .groupBy(col("dst").as("node"))
+      .agg((lit(1.0 - d) + lit(d) * sum(lit(1.0) / col("_deg"))).as("rank"))
+    for (_ <- 2 to iters) {
       ranks = edgesDeg
         .join(ranks.select(col("node").as("src"), col("rank")), "src")
         .groupBy(col("dst").as("node"))
-        .agg((lit((1.0 - d) / n) + lit(d) * sum(col("rank") / col("_deg")))
+        .agg((lit(1.0 - d) + lit(d) * sum(col("rank") / col("_deg")))
           .as("rank"))
     }
     val out = ranks
       .select(
         concat(when(col("node") % 2 === 0, "s").otherwise("c"),
           shiftright(col("node"), 1).cast("string")).as("node"),
-        round(col("rank") * n, 6).as("rank_x_n"))
+        round(col("rank"), 6).as("rank_x_n"))
       .orderBy("node")
     (out, () => edgesDeg.unpersist(blocking = false))
   }
