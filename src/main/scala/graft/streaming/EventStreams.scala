@@ -236,8 +236,9 @@ object EventStreams {
     * twice. Within a micro-batch events are folded in (event-time,
     * event_id) order because the group iterator's order is unspecified;
     * with batches arriving in time order the final states match the batch
-    * funnel exactly (spec-asserted). Late cross-batch arrivals would need
-    * watermark-bounded buffering on top — documented, not implemented.
+    * funnel exactly (spec-asserted). Late CROSS-batch arrivals need the
+    * watermark-bounded buffering of [[funnelProgressOrdered]] — use that
+    * variant when the transport can reorder events across batches.
     *
     * Emits each touched user's progress per batch (state only advances,
     * so the max step per user across the output IS the final state). */
@@ -260,6 +261,81 @@ object EventStreams {
           }
           state.update(cur)
           cur
+      }
+  }
+
+  /** One buffered funnel event; `FunnelBufState` is a finalized prefix fold
+    * plus the watermark-bounded suffix buffer. */
+  final case class BufEvent(ts_us: Long, event_id: Long, event_type: String)
+  final case class FunnelBufState(step: Int, entry_us: Long, buf: Seq[BufEvent])
+
+  /** Streaming funnel that tolerates LATE CROSS-BATCH arrivals — the
+    * watermark-bounded-buffer variant of [[funnelProgress]]: a step-2
+    * event delivered in a later micro-batch than step-3's arrival still
+    * advances the user to step 3, exactly as the batch funnel would.
+    *
+    * Per-user state is a FINALIZED fold (step, entry time) over every
+    * event whose timestamp the watermark has passed, plus a buffer of the
+    * not-yet-final suffix. Finalization is safe at the watermark: Spark
+    * drops rows older than the watermark before this operator, so no
+    * future arrival can sort before a finalized event — the fold order is
+    * the batch funnel's total (event-time, event_id) order by
+    * construction. Each batch emits the SPECULATIVE progress (finalized
+    * fold extended through the buffer): adding events to a funnel fold is
+    * monotone, so per-user emitted steps only ever advance and the max
+    * step per user is the final state, same reading contract as
+    * [[funnelProgress]].
+    *
+    * State bounds: only events whose type is one of `steps` enter the
+    * buffer (others can never advance the fold), and an event-time
+    * timeout at the earliest buffered timestamp re-finalizes the group
+    * when the watermark passes it even if the user goes quiet — the
+    * buffer holds at most the user's step-typed events inside the
+    * watermark horizon, never the stream's history. */
+  def funnelProgressOrdered(spark: SparkSession, events: Dataset[Event],
+                            watermark: String = "10 minutes",
+                            steps: Seq[String] = Seq("view", "click", "purchase")): Dataset[FunnelProgress] = {
+    import spark.implicits._
+    def us(t: Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    val stepSet = steps.toSet
+    def fold(step0: Int, entry0: Long, evs: Seq[BufEvent]): (Int, Long) = {
+      var step = step0; var entry = entry0
+      evs.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+        if (step < steps.length && e.event_type == steps(step) &&
+            (step == 0 || e.ts_us > entry)) {
+          step += 1; entry = e.ts_us
+        }
+      }
+      (step, entry)
+    }
+    events.toDF()
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelBufState, FunnelProgress](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[FunnelBufState]) =>
+          val prev = state.getOption.getOrElse(FunnelBufState(0, Long.MinValue, Nil))
+          val fresh = batch
+            .filter(e => stepSet(e.event_type))
+            .map(e => BufEvent(us(e.ts), e.event_id, e.event_type)).toSeq
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ready, pending) = (prev.buf ++ fresh).partition(_.ts_us <= wmUs)
+          val (fStep, fEntry) = fold(prev.step, prev.entry_us, ready)
+          state.update(FunnelBufState(fStep, fEntry, pending))
+          if (pending.nonEmpty) {
+            // wake when the watermark passes the earliest buffered event so
+            // the buffer drains even if the user goes quiet (must be set
+            // strictly beyond the current watermark)
+            val wake = math.max(pending.map(_.ts_us).min / 1000L,
+              state.getCurrentWatermarkMs() + 1L)
+            state.setTimeoutTimestamp(wake)
+          }
+          val (sStep, sEntry) = fold(fStep, fEntry, pending)
+          if (fresh.nonEmpty || state.hasTimedOut)
+            Iterator.single(FunnelProgress(userId, sStep, sEntry))
+          else Iterator.empty
       }
   }
 }

@@ -485,6 +485,62 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelProgressOrdered: a step-2 event arriving AFTER step-3 still completes the funnel") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.funnelProgressOrdered(spark, input.toDS(), watermark = "30 minutes")
+      .writeStream.format("memory").queryName("funlb").outputMode("update").start()
+    try {
+      // batch 1 delivers view@t1 and purchase@t5 — the un-buffered machine
+      // would be stuck at step 1 forever (click already "missed")
+      input.addData(Event(1, ts(1), 7, "view", 0.0), Event(3, ts(5), 7, "purchase", 0.0))
+      q.processAllAvailable()
+      val afterB1 = spark.table("funlb").collect().map(r => (r.getLong(0), r.getInt(1)))
+      assert(afterB1.toSeq == Seq((7L, 1)), afterB1.toSeq.toString)
+      // batch 2 delivers the LATE click@t3 (event-time between the two) —
+      // the buffered fold replays (view, click, purchase) in time order
+      input.addData(Event(2, ts(3), 7, "click", 0.0))
+      q.processAllAvailable()
+      val steps = spark.table("funlb").collect().map(r => (r.getLong(0), r.getInt(1)))
+      assert(steps.map(_._2).max == 3, steps.toSeq.toString)
+      // same events in one batch through the batch funnel: also step 3
+      val batchT = tables.withTable("events",
+        Seq((1L, ts(1), 7L, "view", 0.0, "{}"), (2L, ts(3), 7L, "click", 0.0, "{}"),
+          (3L, ts(5), 7L, "purchase", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      val want = graft.operators.Analytics.funnelSteps(batchT).collect().map(_.getLong(2)).toSeq
+      assert(want == Seq(1L, 1L, 1L)) // one user reaching each step
+    } finally q.stop()
+  }
+
+  test("funnelProgressOrdered matches the batch funnel under adversarial batch order") {
+    implicit val sqlCtx = spark.sqlContext
+    val evs = tables.events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect()
+    // interleave by event_id parity: each batch holds events from the whole
+    // time range, so cross-batch late arrivals are everywhere. The huge
+    // watermark keeps every event inside the lateness horizon (nothing may
+    // be dropped, or the differential would be vacuous).
+    val (b1, b2) = evs.partition(_.event_id % 2 == 0)
+    val input = MemoryStream[Event]
+    val q = EventStreams.funnelProgressOrdered(spark, input.toDS(), watermark = "3650 days")
+      .writeStream.format("memory").queryName("funlb2").outputMode("update").start()
+    try {
+      input.addData(b1.toSeq)
+      q.processAllAvailable()
+      input.addData(b2.toSeq)
+      q.processAllAvailable()
+      val finalStep = spark.table("funlb2").collect()
+        .map(r => (r.getLong(0), r.getInt(1)))
+        .groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).max }
+      val stepCounts = (1 to 3).map(k => finalStep.count(_._2 >= k).toLong)
+      val batch = graft.operators.Analytics.funnelSteps(tables).collect()
+        .map(_.getLong(2)).toSeq
+      assert(stepCounts == batch, s"stream $stepCounts vs batch $batch")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join attributes purchases to views within the window, exactly once") {
     implicit val sqlCtx = spark.sqlContext
     val views = MemoryStream[Event]
