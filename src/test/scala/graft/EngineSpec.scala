@@ -3,6 +3,7 @@ package graft
 import java.nio.file.{Files, Paths}
 
 import graft.sources.CsvMetadataSource
+import org.apache.spark.sql.functions.col
 
 /** The reference's user API surface: SQL text over a loaded table directory
   * (parquet catalog via [[Engine]], or the reference's own CSV+metadata
@@ -87,5 +88,41 @@ class EngineSpec extends SparkSpec {
     assert(plan.contains("read=b") || plan.toLowerCase.contains("readschema: struct<b:int>"),
       s"pruning not visible in scan:\n$plan")
     assert(pruned.collect().map(_.getInt(0)).toSet == Set(10, 20, 30))
+  }
+
+  test("RefCsvSourceV2: predicate pushdown reaches the scan and filters exactly") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("refcsv_v2_pd").toString
+    Files.write(Paths.get(dir, "metadata.txt"),
+      "<begin_table>\nt1\na\nb\nc\n<end_table>\n".getBytes("UTF-8"))
+    Files.write(Paths.get(dir, "t1.csv"),
+      "1,10,100\n2,20,200\n3,30,300\n4,40,400\n".getBytes("UTF-8"))
+    val df = spark.read.format("graft.sources.RefCsvSourceV2")
+      .option("path", dir).option("table", "t1").load()
+    val filtered = df.filter(col("b") > 10 && col("a") =!= 4).select("c")
+    val plan = planOf(filtered)
+    assert(plan.contains("PushedFilters") && plan.contains("b"),
+      s"predicate pushdown not visible in scan:\n$plan")
+    assert(filtered.collect().map(_.getInt(0)).toSet == Set(200, 300))
+    // IN-list and equality shapes
+    val in = df.filter(col("a").isin(1, 3)).select("b")
+    assert(in.collect().map(_.getInt(0)).toSet == Set(10, 30))
+    // unpushable residue (e.g. arithmetic) still evaluates correctly above
+    val resid = df.filter(col("b") % 20 === 0)
+    assert(resid.collect().map(_.getInt(0)).toSet == Set(2, 4))
+  }
+
+  test("RefCsvSourceV2: malformed rows and missing columns fail with file/line context") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("refcsv_v2_err").toString
+    Files.write(Paths.get(dir, "metadata.txt"),
+      "<begin_table>\nt1\na\nb\n<end_table>\n".getBytes("UTF-8"))
+    Files.write(Paths.get(dir, "t1.csv"),
+      "1,10\n2,oops\n".getBytes("UTF-8"))
+    val df = spark.read.format("graft.sources.RefCsvSourceV2")
+      .option("path", dir).option("table", "t1").load()
+    val e = intercept[org.apache.spark.SparkException] { df.collect() }
+    val msg = Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
+    assert(msg.contains("t1.csv") && msg.contains("oops"), s"no context in: $msg")
   }
 }
