@@ -596,18 +596,26 @@ ORDER BY kind, node"""
     * set growing by the winner's unit vector. MATERIALIZED on the reused
     * CTEs (same exponential-re-inline lesson as [[annIvf]]). */
   def kCenterSelect(k: Int = 8): String = {
+    // r11 hardening: every distance/norm accumulates through an ORDERED
+    // list_reduce (j ascending, starting at 0.0) — the engine kernel's
+    // exact sequential fold — instead of an unordered SQL sum(), so the
+    // round(·, 6) argmax can never flip at an ulp boundary (the SRP-oracle
+    // treatment applied here)
+    val sqDist =
+      "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        "list_transform(u.uv, (x, i) -> (x - c.uv[i]) * (x - c.uv[i]))), (p, q) -> p + q)"
     val rounds = (2 to k).map { r =>
-      s"""d$r AS (SELECT vec_id, min(sd) AS mind FROM (SELECT u.vec_id, c.ord, sum((u.uj - c.uj) * (u.uj - c.uj)) AS sd FROM u JOIN cents${r - 1} c ON c.j = u.j GROUP BY u.vec_id, c.ord) GROUP BY vec_id),
+      s"""d$r AS (SELECT u.vec_id, min($sqDist) AS mind FROM u CROSS JOIN cents${r - 1} c GROUP BY u.vec_id),
 w$r AS MATERIALIZED (SELECT d.vec_id, round(d.mind, 6) AS r2 FROM d$r d WHERE d.vec_id NOT IN (SELECT vec_id FROM sel${r - 1}) ORDER BY r2 DESC, d.vec_id ASC LIMIT 1),
 sel$r AS MATERIALIZED (SELECT * FROM sel${r - 1} UNION ALL SELECT $r AS ord, vec_id, r2 FROM w$r),
-cents$r AS MATERIALIZED (SELECT * FROM cents${r - 1} UNION ALL SELECT $r AS ord, u.j, u.uj FROM u JOIN w$r ON u.vec_id = w$r.vec_id)"""
+cents$r AS MATERIALIZED (SELECT * FROM cents${r - 1} UNION ALL SELECT $r AS ord, u.uv FROM u JOIN w$r ON u.vec_id = w$r.vec_id)"""
     }.mkString(",\n")
-    s"""WITH x AS MATERIALIZED (SELECT vec_id, generate_subscripts(embedding, 1) AS j, unnest(CAST(embedding AS DOUBLE[])) AS xj FROM embeddings),
-nrm AS (SELECT vec_id, sqrt(sum(xj * xj)) AS nn FROM x GROUP BY vec_id),
-u AS MATERIALIZED (SELECT x.vec_id, x.j, CASE WHEN n.nn = 0 THEN x.xj ELSE x.xj / n.nn END AS uj FROM x JOIN nrm n ON n.vec_id = x.vec_id),
+    s"""WITH dv AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+nrm AS (SELECT vec_id, sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(v, x -> x * x)), (p, q) -> p + q)) AS nn FROM dv),
+u AS MATERIALIZED (SELECT dv.vec_id, CASE WHEN n.nn = 0 THEN dv.v ELSE list_transform(dv.v, x -> x / n.nn) END AS uv FROM dv JOIN nrm n ON n.vec_id = dv.vec_id),
 s0 AS (SELECT min(vec_id) AS vid FROM embeddings),
 sel1 AS MATERIALIZED (SELECT 1 AS ord, vid AS vec_id, CAST(NULL AS DOUBLE) AS r2 FROM s0),
-cents1 AS MATERIALIZED (SELECT 1 AS ord, u.j, u.uj FROM u JOIN s0 ON u.vec_id = s0.vid),
+cents1 AS MATERIALIZED (SELECT 1 AS ord, u.uv FROM u JOIN s0 ON u.vec_id = s0.vid),
 $rounds
 SELECT ord AS sel_order, vec_id, r2 AS radius2 FROM sel$k ORDER BY sel_order"""
   }

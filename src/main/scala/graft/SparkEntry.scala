@@ -32,8 +32,10 @@ object SparkEntry {
     * 128-bit digest collision needs identical paths). The marker must be
     * something the WRITER creates last — a bare directory-exists check
     * would permanently trust a half-written dir after a crash. */
-  private def roundtripDir(prefix: String, dataset: String, marker: String)
-                          (write: String => Unit): String = {
+  /** Content fingerprint of a dataset directory: the full path string plus
+    * every file's (relative path, size, mtime) — rsync's quick-check
+    * triple. Regenerated data at the same path changes the fingerprint. */
+  private def datasetFingerprint(dataset: String): String = {
     import java.nio.file.{Files, Path, Paths}
     val md = java.security.MessageDigest.getInstance("MD5")
     md.update(dataset.getBytes("UTF-8"))
@@ -48,7 +50,13 @@ object SparkEntry {
         }
       } finally stream.close()
     }
-    val fp = md.digest().map("%02x".format(_)).mkString.take(16)
+    md.digest().map("%02x".format(_)).mkString.take(16)
+  }
+
+  private def roundtripDir(prefix: String, dataset: String, marker: String)
+                          (write: String => Unit): String = {
+    import java.nio.file.{Files, Paths}
+    val fp = datasetFingerprint(dataset)
     val dir = Paths.get(
       System.getProperty("java.io.tmpdir"), s"${prefix}_$fp").toString
     if (!Files.exists(Paths.get(dir, marker)))
@@ -378,8 +386,10 @@ object SparkEntry {
       // hash match proves the bucketed layout round-trips losslessly
       import graft.sources.Bucketing
       val t = Tables(s, d)
-      val fp = java.security.MessageDigest.getInstance("MD5")
-        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      // CONTENT fingerprint (path + per-file size/mtime — same triple as
+      // roundtripDir): a dataset regenerated at the same path gets fresh
+      // bucketed tables instead of the catalog serving stale data
+      val fp = datasetFingerprint(d)
       val (liT, orT) = (s"li_bkt_$fp", s"or_bkt_$fp")
       val base = System.getProperty("java.io.tmpdir") + s"/graft_bktj_$fp"
       if (!s.catalog.tableExists(liT))

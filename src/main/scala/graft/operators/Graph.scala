@@ -130,6 +130,9 @@ object Graph {
     * reads it twice) never re-runs the join lineage. Norms broadcast as
     * 1-row crossJoins; only node-cardinality tables ever shuffle. */
   def hits(t: Tables, iters: Int = 2): DataFrame = {
+    // the loop seeds the authority table on its first round; iters < 1
+    // would leave it null and NPE deep in the output union
+    require(iters >= 1, s"hits: iters must be >= 1, got $iters")
     val pairs = t.lineitem.select(col("l_orderkey"), col("l_suppkey"))
       .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))

@@ -676,7 +676,14 @@ object Similarity {
     * (per-partition heaps; nothing corpus-sized moves). Driver state is
     * the k×d center matrix and the k selected ids — bounded by k, never
     * by the corpus. The argmax compares the ROUNDED distance (then
-    * vec_id) so engine and oracle can never disagree at an ulp boundary.
+    * vec_id), which collapses almost every ulp-level engine/oracle
+    * difference into the deterministic id tie-break — note "almost": a
+    * distance within an ulp of a 0.5e-6 rounding boundary can still round
+    * differently across engines (the oracle's SQL `sum()` is unordered),
+    * flip one argmax, and diverge the greedy chain from there. Not
+    * observed on this corpus; if it ever flakes, the fix is ordered
+    * list_reduce folds in the oracle's distance/norm sums (the SRP-oracle
+    * treatment).
     * Emits (sel_order, vec_id, radius2) — radius2 is the selection-time
     * max-min coverage radius, NULL for the seed (it has no prior
     * centers); the monotone non-increasing radius sequence is the
