@@ -587,6 +587,20 @@ SELECT 'c' || CAST(dst AS VARCHAR) AS node, 'authority' AS kind, round(a, 6) AS 
 ORDER BY kind, node"""
   }
 
+  /** Oracle for q_semantic_decontam
+    * ([[graft.operators.Similarity.semanticDecontaminate]]): unit
+    * coordinates via the ordered norm fold, benchmark = vec_id %
+    * benchMod, min squared distance over the benchmark via ordered
+    * per-pair folds (the engine kernel's exact accumulation order),
+    * max_cos = 1 − mind/2 rounded BEFORE the flag compare. */
+  def semanticDecontaminate(benchMod: Long = 50L, minCosine: Double = 0.35): String =
+    s"""WITH dv AS MATERIALIZED (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+nrm AS (SELECT vec_id, sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(v, x -> x * x)), (p, q) -> p + q)) AS nn FROM dv),
+u AS MATERIALIZED (SELECT dv.vec_id, dv.label, CASE WHEN n.nn = 0 THEN dv.v ELSE list_transform(dv.v, x -> x / n.nn) END AS uv FROM dv JOIN nrm n ON n.vec_id = dv.vec_id),
+b AS (SELECT uv AS bv FROM u WHERE vec_id % $benchMod = 0),
+dd AS (SELECT u.vec_id, u.label, min(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(u.uv, (x, i) -> (x - b.bv[i]) * (x - b.bv[i]))), (p, q) -> p + q)) AS mind FROM u CROSS JOIN b WHERE u.vec_id % $benchMod <> 0 GROUP BY u.vec_id, u.label)
+SELECT vec_id, round(1 - mind / 2, 6) AS max_bench_cos, label, CAST(CASE WHEN round(1 - mind / 2, 6) >= $minCosine THEN 1 ELSE 0 END AS INTEGER) AS contaminated FROM dd ORDER BY vec_id"""
+
   /** Oracle for q_select_kcenter
     * ([[graft.operators.Similarity.kCenterSelect]]): the full greedy
     * farthest-point traversal replayed as a loop-built CTE chain — unit

@@ -269,6 +269,7 @@ object SparkEntry {
     "q_approx_distinct" -> ((s, d) => Analytics.approxDistinctUsers(Tables(s, d))),
     "q_events_sliding" -> ((s, d) => Analytics.slidingWindowCounts(Tables(s, d))),
     "q_dedup_semantic" -> ((s, d) => Similarity.semanticDedup(Tables(s, d))),
+    "q_semantic_decontam" -> ((s, d) => Similarity.semanticDecontaminate(Tables(s, d))),
     "q_knn_classify" -> ((s, d) => Similarity.knnClassify(Tables(s, d))),
     "q_knn_lsh" -> ((s, d) => Similarity.knnClassifyLsh(Tables(s, d))),
     "q_embed_centroids" -> ((s, d) => Similarity.labelCentroids(Tables(s, d))),
@@ -1063,6 +1064,7 @@ object SparkEntry {
         "count(*) AS n_events, round(sum(value), 4) AS sum_value " +
         "FROM ex GROUP BY 1, 2 ORDER BY w_start, event_type"),
     "q_dedup_semantic" -> SrpOracleSql.semanticSurvivors(),
+    "q_semantic_decontam" -> KernelOracleSql.semanticDecontaminate(),
     "q_knn_classify" -> SrpOracleSql.knnClassify(),
     "q_knn_lsh" -> SrpOracleSql.knnClassifyLsh(),
     "q_tpch_q3" ->

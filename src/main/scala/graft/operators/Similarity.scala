@@ -510,6 +510,42 @@ object Similarity {
       .select("vec_id", "label")
       .orderBy("vec_id")
 
+  /** Semantic benchmark decontamination audit — the EMBEDDING-space twin
+    * of [[graft.operators.Dedup.decontaminate]] (which matches verbatim
+    * shingles): score every corpus vector by its max cosine against ANY
+    * benchmark vector and flag those at or above `minCosine` — catching
+    * paraphrased or re-formatted eval material that exact text overlap
+    * misses (the SemDeDup observation applied to eval hygiene). The full
+    * report (all corpus vectors, similarity + flag) is the audit artifact;
+    * the training pipeline drops the flagged rows.
+    *
+    * The benchmark slice is deterministic (`vec_id % benchMod == 0` — an
+    * eval set is small by definition) and its UNIT matrix embeds into the
+    * plan as ≤ |bench|·d doubles, so ONE corpus pass scores everything
+    * with the fused codegen'd [[HashFunctions.minCellDistUnit]] kernel: on
+    * unit vectors min squared euclidean = 2 − 2·max-cos, so
+    * max_cos = 1 − mind/2 reuses the k-center kernel verbatim. No join,
+    * no shuffle before the output sort; at 100 TB the corpus streams once.
+    * A benchmark too large to broadcast would switch to the LSH-bucketed
+    * neighbor stage ([[lshTopK]]'s shape) — same report, bucketed join. */
+  def semanticDecontaminate(t: Tables, benchMod: Long = 50L,
+                            minCosine: Double = 0.35): DataFrame = {
+    val bench = t.embeddings
+      .filter(col("vec_id") % benchMod === 0)
+      .orderBy("vec_id")
+      .collect()
+      .map(r => unitOf(r.getSeq[Float](r.fieldIndex("embedding"))).toSeq)
+      .toSeq
+    require(bench.nonEmpty, "semanticDecontaminate: empty benchmark slice")
+    val maxCos = round(
+      lit(1.0) - HashFunctions.minCellDistUnit(col("embedding"), bench) / 2, 6)
+    t.embeddings
+      .filter(col("vec_id") % benchMod =!= 0)
+      .select(col("vec_id"), maxCos.as("max_bench_cos"), col("label"))
+      .withColumn("contaminated", (col("max_bench_cos") >= minCosine).cast("int"))
+      .orderBy("vec_id")
+  }
+
   /** Majority label vote over a (query_id, neighbor_id) neighbor set.
     * Broadcast direction is the scale story: the neighbor set is
     * nQueries·k rows by construction (bounded, broadcast build side) while
@@ -688,6 +724,21 @@ object Similarity {
     * max-min coverage radius, NULL for the seed (it has no prior
     * centers); the monotone non-increasing radius sequence is the
     * coverage-vs-k curve a curation pipeline reads the budget off. */
+  /** Unit-normalized double coordinates of a float vector — the SEQUENTIAL
+    * (index-ascending) norm fold every kernel and oracle in this family
+    * shares, so driver-built center/benchmark matrices are bit-identical
+    * to what [[graft.functions.HashFunctions.minCellDistUnit]] computes
+    * executor-side. */
+  private def unitOf(v: Seq[Float]): Seq[Double] = {
+    val d = v.toArray.map(_.toDouble)
+    var n2 = 0.0
+    var j = 0
+    while (j < d.length) { n2 += d(j) * d(j); j += 1 }
+    val n = math.sqrt(n2)
+    val inv = if (n == 0.0) 1.0 else n
+    d.toSeq.map(_ / inv)
+  }
+
   def kCenterSelect(t: Tables, k: Int = 8): DataFrame = {
     val spark = t.spark
     import spark.implicits._
@@ -696,15 +747,6 @@ object Similarity {
     if (seed.isEmpty)
       return Seq.empty[(Int, Long, Option[Double])]
         .toDF("sel_order", "vec_id", "radius2")
-    def unitOf(v: Seq[Float]): Seq[Double] = {
-      val d = v.toArray.map(_.toDouble)
-      var n2 = 0.0
-      var j = 0
-      while (j < d.length) { n2 += d(j) * d(j); j += 1 }
-      val n = math.sqrt(n2)
-      val inv = if (n == 0.0) 1.0 else n
-      d.toSeq.map(_ / inv)
-    }
     var selIds = List(seed(0).getLong(0))
     var cents = Vector(unitOf(seed(0).getSeq[Float](1)))
     val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Option[Double])](

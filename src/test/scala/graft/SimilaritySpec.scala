@@ -468,6 +468,39 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semanticDecontaminate matches a driver-side brute-force recompute") {
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vecs = tables.embeddings.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    val bench = vecs.filter(_._1 % 50 == 0).map(x => unit(x._2))
+    val want = vecs.filter(_._1 % 50 != 0).map { case (id, v, lab) =>
+      val u = unit(v)
+      val mind = bench.map(b => u.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum).min
+      val cos = r6(1.0 - mind / 2)
+      (id, cos, lab, if (cos >= 0.35) 1 else 0)
+    }.sortBy(_._1).toSeq
+    val got = Similarity.semanticDecontaminate(tables).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2), r.getInt(3))).toSeq
+    assert(got.map(_._1) == want.map(_._1))
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g._2 - w._2) < 1e-6 && g._3 == w._3 && g._4 == w._4, s"vec ${g._1}")
+    }
+    // the audit is non-vacuous on this corpus: both classes present
+    assert(got.exists(_._4 == 1) && got.exists(_._4 == 0))
+    // a benchmark member injected verbatim into the corpus under a fresh id
+    // must flag at cosine 1.0
+    val twin = tables.embeddings.filter(col("vec_id") === 0L)
+      .withColumn("vec_id", lit(777001L)) // 777001 % 50 != 0 → corpus side
+    val t2 = tables.withTable("embeddings", tables.embeddings.union(twin))
+    val flagged = Similarity.semanticDecontaminate(t2).collect()
+      .find(_.getLong(0) == 777001L).get
+    assert(flagged.getDouble(1) == 1.0 && flagged.getInt(3) == 1)
+  }
+
   test("kCenterSelect degenerates gracefully: empty corpus and k > corpus") {
     import graft.sources.Tables
     import spark.implicits._
