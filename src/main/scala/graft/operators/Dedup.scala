@@ -502,6 +502,60 @@ object Dedup {
       .orderBy(col("n_shared").desc, col("source_a"), col("source_b"))
   }
 
+  /** Cross-document duplicate SPAN localization — the position-level
+    * variant of substring dedup (the observation behind Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better" — public
+    * method; this is the tractable shingle-granular formulation, not a
+    * suffix array): a position is duplicated when the `L`-token run
+    * starting there appears in ≥ 2 DISTINCT documents; adjacent/overlapping
+    * duplicated runs merge into maximal spans per document. The report
+    * (doc_id, n_spans, dup_tokens, n_tokens, dup_frac) tells a pipeline
+    * exactly how much of each document is boilerplate/syndication that
+    * span-level surgery could remove where whole-doc dedup would either
+    * keep the duplication or throw away novel text around it.
+    *
+    * Scale shape — LINEAR, never pairwise: one positioned-shingle scan, a
+    * shingle-keyed count-distinct to find repeated runs, a semi-join back
+    * on the shingle key to mark positions (the duplicated-shingle table,
+    * not doc pairs), and per-DOCUMENT windows (partitioned by doc_id,
+    * bounded by document length) for the classic interval merge: a new
+    * span starts where the gap to the previous duplicated position
+    * exceeds `L`. Documents shorter than `L` tokens cannot contain a run
+    * and are excluded by construction. */
+  def duplicateSpans(t: Tables, spanLen: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = t.documents
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_tk"))
+      .withColumn("n_tokens", size(col("_tk")))
+      .filter(col("n_tokens") >= spanLen)
+    // POSITIONED shingles (no distinct — a repeated run inside one doc is
+    // two positions and both matter for coverage)
+    val sh = toks.select(col("doc_id"), col("n_tokens"),
+      posexplode(transform(sequence(lit(0), size(col("_tk")) - spanLen),
+        i => concat_ws(" ", slice(col("_tk"), i + 1, lit(spanLen))))))
+      .withColumnRenamed("col", "sh")
+    val dupSh = sh.groupBy("sh")
+      .agg(countDistinct(col("doc_id")).as("_nd"))
+      .filter(col("_nd") >= 2)
+      .select("sh")
+    val marked = sh.join(dupSh, Seq("sh"), "left_semi")
+      .select("doc_id", "n_tokens", "pos")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val perSpan = marked
+      .withColumn("_new",
+        when(col("pos") - lag("pos", 1).over(w) <= spanLen, 0).otherwise(1))
+      .withColumn("span_id", sum("_new").over(w))
+      .groupBy("doc_id", "n_tokens", "span_id")
+      .agg(min("pos").as("_s"), (max("pos") + spanLen).as("_e"))
+    perSpan.groupBy("doc_id", "n_tokens")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("_e") - col("_s")).as("dup_tokens"))
+      .select(col("doc_id"), col("n_spans"), col("dup_tokens"),
+        col("n_tokens").cast("bigint").as("n_tokens"),
+        round(col("dup_tokens").cast("double") / col("n_tokens"), 6).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
   /** (doc_id, sig) minhash signatures of a (doc_id, text, …) frame —
     * shared by the incremental paths and [[DedupIndex]]. */
   private[graft] def minhashSigs(d: DataFrame, w: Int, k: Int): DataFrame =

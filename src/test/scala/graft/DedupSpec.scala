@@ -407,6 +407,64 @@ class DedupSpec extends SparkSpec {
     assert(hit.size <= math.min(truth.size, cand.size))
   }
 
+  test("duplicateSpans: injected two-span doc localizes both; naive recompute agrees") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // doc A embeds two 10-token runs from doc B, separated by >L unique
+    // tokens → exactly 2 merged spans of 10 tokens each (L=8: positions
+    // p..p+2 of each run are duplicated starts, covering [p, p+10))
+    val runs = (0 until 10).map(i => s"runx$i").mkString(" ")
+    val runy = (0 until 10).map(i => s"runy$i").mkString(" ")
+    val fillA = (0 until 12).map(i => s"fila$i").mkString(" ")
+    val docA = s"$runs $fillA $runy"
+    val docB = s"$runs ${(0 until 12).map(i => s"filb$i").mkString(" ")} $runy"
+    val injected = Seq(
+      (9100000L, docA, "en", "synthA", docA.length.toLong),
+      (9100001L, docB, "en", "synthB", docB.length.toLong))
+    val t2 = tables.withTable("documents",
+      tables.documents.unionByName(
+        spark.createDataFrame(injected).toDF("doc_id", "text", "lang", "source", "n_chars")))
+    val got = Dedup.duplicateSpans(t2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // both injected docs: 2 spans, 10+10 duplicated tokens of 32
+    Seq(9100000L, 9100001L).foreach { id =>
+      assert(got(id) == ((2L, 20L, 32L)), s"doc $id: ${got(id)}")
+    }
+    // full naive recompute on the base corpus
+    val L = 8
+    val docs = tables.documents.collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq)
+    val shingleDocs = scala.collection.mutable.Map[String, Set[Long]]()
+    docs.foreach { case (id, tk) =>
+      tk.sliding(L).filter(_.length == L).foreach { s =>
+        val key = s.mkString(" ")
+        shingleDocs(key) = shingleDocs.getOrElse(key, Set.empty) + id
+      }
+    }
+    val want = docs.flatMap { case (id, tk) =>
+      if (tk.length < L) None else {
+        val starts = (0 to tk.length - L)
+          .filter(p => shingleDocs(tk.slice(p, p + L).mkString(" ")).size >= 2)
+        if (starts.isEmpty) None else {
+          // interval merge with the gap-> L rule
+          var spans = List.empty[(Int, Int)]
+          starts.foreach { p =>
+            spans match {
+              case (s0, e0) :: rest if p <= e0 => // overlap or adjacent (gap <= L)
+                spans = (s0, math.max(e0, p + L)) :: rest
+              case _ => spans = (p, p + L) :: spans
+            }
+          }
+          val dupTok = spans.map { case (s0, e0) => e0 - s0 }.sum
+          Some(id -> (spans.length.toLong, dupTok.toLong, tk.length.toLong))
+        }
+      }
+    }.toMap
+    val base = Dedup.duplicateSpans(tables).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(base == want, s"${base.size} vs ${want.size}")
+  }
+
   test("sampled recall harness: pct=100 is the full report; pct=50 restricts to the hash sample") {
     import org.apache.spark.sql.functions.{pmod, xxhash64}
     val full = Dedup.lshRecallReport(tables).collect()(0)
