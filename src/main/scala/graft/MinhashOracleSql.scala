@@ -513,6 +513,32 @@ ${mixCtes("hh", "h0", "hraw", "h", "doc_id")}
 SELECT doc_id, ${signedB("h")} AS fingerprint FROM hh ORDER BY doc_id"""
   }
 
+  /** Oracle for q_winnow ([[graft.operators.TextAnalysis.winnowFingerprints]]
+    * defaults k=3, w=4): positioned 3-token shingles, Karp–Rabin fold +
+    * mix64 per shingle (the rollingHash64 chain over the gram string),
+    * per-window min over SIGNED hashes, distinct winnowed set per doc
+    * (global min when fewer than w windows), cross-doc shared counts. */
+  def winnowFingerprints(k: Int = 3, w: Int = 4): String = {
+    val krFold = "list_reduce(list_prepend(CAST(0 AS HUGEINT), " +
+      "list_transform(string_split(s, ''), c -> CAST(unicode(c) AS HUGEINT))), " +
+      s"(acc, c) -> (${mulmod("acc", "1000003")} + c) % $M64)"
+    s"""WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk FROM documents),
+g0 AS (SELECT doc_id, len(tk) - ${k - 1} AS n_grams, i - 1 AS pos, list_reduce(tk[i : i + ${k - 1}], (a, b) -> a || ' ' || b) AS s FROM toks, unnest(range(1, len(tk) - ${k - 2})) AS t(i) WHERE len(tk) >= $k),
+h0 AS (SELECT doc_id, n_grams, pos, $krFold AS hraw FROM g0),
+${mixCtes("hm", "h0", "hraw", "hu", "doc_id, n_grams, pos")},
+gh AS MATERIALIZED (SELECT doc_id, n_grams, pos, ${signedB("hu")} AS h FROM hm),
+ws AS (SELECT doc_id, pos FROM gh WHERE pos <= n_grams - $w),
+wm AS (SELECT a.doc_id, a.pos, min(b.h) AS mh FROM ws a JOIN gh b ON b.doc_id = a.doc_id AND b.pos >= a.pos AND b.pos <= a.pos + ${w - 1} GROUP BY a.doc_id, a.pos),
+selw AS (SELECT DISTINCT doc_id, mh FROM wm),
+smin AS (SELECT doc_id, min(h) AS mh FROM gh GROUP BY doc_id),
+sel AS MATERIALIZED (SELECT doc_id, mh FROM selw UNION ALL SELECT s.doc_id, s.mh FROM smin s WHERE s.doc_id NOT IN (SELECT doc_id FROM ws)),
+shf AS (SELECT mh FROM (SELECT mh, count(DISTINCT doc_id) AS nd FROM sel GROUP BY mh) WHERE nd >= 2),
+shc AS (SELECT doc_id, count(*) AS n_shared FROM sel JOIN shf USING (mh) GROUP BY doc_id),
+nsel AS (SELECT doc_id, count(*) AS n_selected FROM sel GROUP BY doc_id),
+base AS (SELECT DISTINCT doc_id, n_grams FROM gh)
+SELECT b.doc_id, CAST(b.n_grams AS BIGINT) AS n_grams, CAST(n.n_selected AS BIGINT) AS n_selected, CAST(coalesce(sc.n_shared, 0) AS BIGINT) AS n_shared, round(CAST(n.n_selected AS DOUBLE) / b.n_grams, 6) AS density FROM base b JOIN nsel n USING (doc_id) LEFT JOIN shc sc USING (doc_id) ORDER BY b.doc_id"""
+  }
+
   /** Oracle for q_ann_int8 ([[graft.operators.Similarity.int8TopK]]):
     * int8 codes re-derived as in the q_embed_quantize oracle, then exact
     * brute-force cosine top-k over the codes. All dot/norm sums are

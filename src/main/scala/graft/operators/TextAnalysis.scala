@@ -149,6 +149,60 @@ object TextAnalysis {
         HashFunctions.rollingHash64(lower(trim(col("text")))).as("fingerprint"))
       .orderBy("doc_id")
 
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    * 2003 — public algorithm, token-shingle variant): hash every
+    * positioned `k`-token shingle (Karp–Rabin fold + mix64 — the
+    * [[HashFunctions.rollingHash64]] kernel), then keep the MINIMUM hash
+    * of every window of `w` consecutive shingle hashes. The winnowed set
+    * is position-robust — insertions far from a match don't disturb the
+    * selected fingerprints — with expected density 2/(w+1), and the
+    * guarantee that any shared run of ≥ w+k−1 tokens yields at least one
+    * shared fingerprint. Per document the report carries the selected
+    * count, the density, and how many selected fingerprints also appear
+    * in ANOTHER document's winnowed set — the mirror/plagiarism signal an
+    * auditor reads.
+    *
+    * Scale shape — linear like [[graft.operators.Dedup.duplicateSpans]]:
+    * shingle hashing and window minima are per-document array transforms
+    * (no shuffle), the winnowed sets explode to (fp, doc) rows for ONE
+    * fp-keyed count-distinct, and the shared counts come from a semi-join
+    * back on the fp key — never a document pair join. Documents shorter
+    * than `k` tokens have no shingles and are excluded by construction;
+    * documents with fewer than `w` windows keep the global minimum (the
+    * algorithm's boundary rule), so every included doc has ≥ 1
+    * fingerprint. */
+  def winnowFingerprints(t: Tables, k: Int = 3, w: Int = 4): DataFrame = {
+    val gh = transform(
+      sequence(lit(0), size(col("_tk")) - k),
+      i => HashFunctions.rollingHash64(concat_ws(" ", slice(col("_tk"), i + 1, lit(k)))))
+    val sel = when(size(col("_gh")) >= w,
+      array_distinct(transform(sequence(lit(0), size(col("_gh")) - w),
+        j => array_min(slice(col("_gh"), j + 1, lit(w))))))
+      .otherwise(array(array_min(col("_gh"))))
+    val perDoc = t.documents
+      .select(col("doc_id"), tokens(col("text")).as("_tk"))
+      .filter(size(col("_tk")) >= k)
+      .withColumn("_gh", gh)
+      .select(col("doc_id"), size(col("_gh")).as("n_grams"), sel.as("_sel"))
+      .localCheckpoint() // three consumers below; the hashing runs once
+    val fpRows = perDoc.select(col("doc_id"), explode(col("_sel")).as("fp"))
+    val sharedFps = fpRows.groupBy("fp")
+      .agg(countDistinct(col("doc_id")).as("_nd"))
+      .filter(col("_nd") >= 2)
+      .select("fp")
+    val sharedCnt = fpRows.join(sharedFps, Seq("fp"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    perDoc
+      .select(col("doc_id"), col("n_grams").cast("bigint").as("n_grams"),
+        size(col("_sel")).cast("bigint").as("n_selected"))
+      .join(sharedCnt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"), col("n_selected"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        round(col("n_selected").cast("double") / col("n_grams"), 6).as("density"))
+      .orderBy("doc_id")
+  }
+
   /** Gopher-style heuristic document filter (Rae et al., "Scaling Language
     * Models: ... Gopher", 2021 §A1.1 — public rule family): token-count
     * bounds, mean-token-length bounds, a repetition signal (fraction of

@@ -593,4 +593,50 @@ class TextAnalysisSpec extends SparkSpec {
     val viaSql = spark.sql("SELECT nfc_normalize('e\u0301') AS n").head().getString(0)
     assert(viaSql == "\u00e9")
   }
+
+  test("winnowFingerprints: naive recompute, density bound, and the shared-run guarantee") {
+    import graft.functions.HashImpl
+    import org.apache.spark.unsafe.types.UTF8String
+    val K = 3; val W = 4
+    def naive(docs: Seq[(Long, String)]): Map[Long, (Long, Long, Long)] = {
+      val sel = docs.flatMap { case (id, text) =>
+        val tk = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+        if (tk.length < K) None else {
+          val gh = tk.sliding(K).map(g =>
+            HashImpl.rollingHash(UTF8String.fromString(g.mkString(" ")))).toArray
+          val fps =
+            if (gh.length >= W) (0 to gh.length - W).map(j => gh.slice(j, j + W).min).distinct
+            else Seq(gh.min)
+          Some(id -> (gh.length, fps))
+        }
+      }.toMap
+      val byFp = sel.toSeq.flatMap { case (id, (_, fps)) => fps.map(_ -> id) }
+        .groupBy(_._1).map { case (fp, xs) => fp -> xs.map(_._2).distinct.size }
+      sel.map { case (id, (ng, fps)) =>
+        id -> (ng.toLong, fps.size.toLong, fps.count(f => byFp(f) >= 2).toLong)
+      }
+    }
+    val docs = tables.documents.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val want = naive(docs)
+    val got = TextAnalysis.winnowFingerprints(tables).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == want, s"${got.size} docs vs ${want.size}")
+    // density concentrates near the winnowing bound 2/(w+1) and never exceeds 1
+    val dens = TextAnalysis.winnowFingerprints(tables).collect()
+      .filter(_.getLong(1) >= 20).map(r => r.getDouble(4))
+    assert(dens.nonEmpty && dens.forall(d => d > 0.0 && d <= 1.0))
+    // the guarantee: two docs sharing a run of >= w+k-1 tokens share >= 1 fingerprint
+    val run = (0 until (W + K - 1)).map(i => s"guarrun$i").mkString(" ")
+    val d1 = s"$run ${(0 until 10).map(i => s"lefta$i").mkString(" ")}"
+    val d2 = s"${(0 until 10).map(i => s"rightb$i").mkString(" ")} $run"
+    val t2 = tables.withTable("documents",
+      tables.documents.unionByName(
+        Seq((9200000L, d1, "en", "synthw", d1.length.toLong),
+          (9200001L, d2, "en", "synthw2", d2.length.toLong))
+          .toDF("doc_id", "text", "lang", "source", "n_chars")))
+    val g2 = TextAnalysis.winnowFingerprints(t2).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(g2(9200000L) >= 1 && g2(9200001L) >= 1,
+      s"shared-run guarantee violated: ${g2(9200000L)}, ${g2(9200001L)}")
+  }
 }
