@@ -513,6 +513,29 @@ ${mixCtes("hh", "h0", "hraw", "h", "doc_id")}
 SELECT doc_id, ${signedB("h")} AS fingerprint FROM hh ORDER BY doc_id"""
   }
 
+  /** Oracle for q_bpe_merges ([[graft.operators.TextAnalysis.bpeMerges]]):
+    * the same delimiter-framed symbol-string representation, so each
+    * round's greedy left-to-right merge is the SAME `replace` primitive;
+    * pair counts from the split symbol lists, argmax with the identical
+    * (count desc, pair asc) tie-break, unrolled one CTE trio per round. */
+  def bpeMerges(nMerges: Int = 8): String = {
+    val d = "chr(31)"
+    val rounds = (1 to nMerges).map { r =>
+      s"""s$r AS (SELECT freq, list_filter(string_split(seq, $d), x -> x <> '') AS sy FROM v$r),
+p$r AS (SELECT sy[i] AS a, sy[i + 1] AS b, sum(freq) AS cnt FROM s$r, unnest(range(1, len(sy))) AS t(i) WHERE len(sy) >= 2 GROUP BY 1, 2),
+m$r AS MATERIALIZED (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+v${r + 1} AS MATERIALIZED (SELECT freq, replace(seq, $d || m.a || $d || $d || m.b || $d, $d || m.a || m.b || $d) AS seq FROM v$r CROSS JOIN m$r m)"""
+    }.mkString(",\n")
+    val out = (1 to nMerges).map(r =>
+      s"SELECT $r AS merge_order, a AS lhs, b AS rhs, CAST(cnt AS BIGINT) AS pair_count FROM m$r")
+      .mkString(" UNION ALL ")
+    s"""WITH toks AS (SELECT list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk FROM documents),
+wrds AS (SELECT w AS word, count(*) AS freq FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY w),
+v1 AS MATERIALIZED (SELECT freq, $d || array_to_string(string_split(word, ''), $d || $d) || $d AS seq FROM wrds),
+$rounds
+SELECT * FROM ($out) ORDER BY merge_order"""
+  }
+
   /** Oracle for q_winnow ([[graft.operators.TextAnalysis.winnowFingerprints]]
     * defaults k=3, w=4): positioned 3-token shingles, Karp–Rabin fold +
     * mix64 per shingle (the rollingHash64 chain over the gram string),

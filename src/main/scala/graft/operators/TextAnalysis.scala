@@ -149,6 +149,76 @@ object TextAnalysis {
         HashFunctions.rollingHash64(lower(trim(col("text")))).as("fingerprint"))
       .orderBy("doc_id")
 
+  /** BPE merge learning (Sennrich, Haddow, Birch, "Neural Machine
+    * Translation of Rare Words with Subword Units", ACL 2016 — public
+    * algorithm): learn the first `nMerges` byte-pair-encoding merges over
+    * the corpus. Each round counts adjacent symbol pairs weighted by word
+    * frequency, merges the most frequent pair (count desc, then pair
+    * lexicographic — deterministic, so the merge table is
+    * oracle-checkable), and rewrites every word greedily left-to-right.
+    * The output IS the tokenizer-training artifact: (merge_order, left,
+    * right, pair_count).
+    *
+    * Scale shape — the production tokenizer-training shape: the corpus is
+    * scanned ONCE into a (word, freq) vocabulary; every round after that
+    * runs on the VOCABULARY table (bounded by distinct words, not corpus
+    * size), and only the single argmax pair row crosses the driver per
+    * round. Words are carried as a delimiter-framed symbol string
+    * (` a  b ` — symbols never contain the
+    * delimiter), so the greedy non-overlapping left-to-right merge IS
+    * `replace(seq, ⟨a⟩⟨b⟩, ⟨ab⟩)` — the exact same primitive the SQL
+    * oracle uses, making the two implementations semantically identical
+    * by construction. Each round's vocabulary localCheckpoints so the
+    * plan stays flat across rounds. */
+  def bpeMerges(t: Tables, nMerges: Int = 8): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val SEP = "\u001f" // ASCII unit separator — absent from any text corpus
+    def framed(a: String, b: String) = s"$SEP$a$SEP$SEP$b$SEP"
+    val words = t.documents
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    // initial symbols = characters; frame each as ⟨c⟩ and concatenate
+    var vocab = words
+      .withColumn("seq",
+        concat(lit(SEP),
+          array_join(filter(split(col("word"), ""), c => c =!= ""), SEP + SEP),
+          lit(SEP)))
+      .select("freq", "seq")
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var r = 1
+    var exhausted = false
+    while (r <= nMerges && !exhausted) {
+      val syms = filter(split(col("seq"), SEP), s => s =!= "")
+      val top = vocab
+        .select(col("freq"), syms.as("_sy"))
+        .filter(size(col("_sy")) >= 2)
+        .select(col("freq"), explode(transform(sequence(lit(1), size(col("_sy")) - 1),
+          i => struct(element_at(col("_sy"), i).as("a"),
+            element_at(col("_sy"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true // every word is a single symbol
+      else {
+        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r, a, b, cnt))
+        val next = vocab.withColumn("seq",
+          call_function("replace", col("seq"), lit(framed(a, b)), lit(s"$SEP$a$b$SEP")))
+          .localCheckpoint()
+        vocab.unpersist(blocking = false)
+        vocab = next
+        r += 1
+      }
+    }
+    vocab.unpersist(blocking = false)
+    merges.toSeq.toDF("merge_order", "lhs", "rhs", "pair_count")
+      .orderBy("merge_order")
+  }
+
   /** Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken,
     * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
     * 2003 — public algorithm, token-shingle variant): hash every

@@ -639,4 +639,56 @@ class TextAnalysisSpec extends SparkSpec {
     assert(g2(9200000L) >= 1 && g2(9200001L) >= 1,
       s"shared-run guarantee violated: ${g2(9200000L)}, ${g2(9200001L)}")
   }
+
+  test("bpeMerges: classic fixture learns the expected merges; naive recompute agrees") {
+    // the Sennrich et al. running example shape: a tiny corpus where the
+    // most frequent pair each round is known by hand
+    val fix = tables.withTable("documents",
+      Seq((1L, "low low low low low"), (2L, "lower lower"),
+        (3L, "newest newest newest newest newest newest"),
+        (4L, "widest widest widest"))
+        .toDF("doc_id", "text"))
+    val got = TextAnalysis.bpeMerges(fix, nMerges = 4).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // round 1: (e,s) appears in newest(6) + widest(3) = 9 — the max;
+    // round 2: (es,t) 9; round 3: (l,o) in low(5)+lower(2) = 7;
+    // round 4: (lo,w) 7
+    assert(got == Seq((1, "e", "s", 9L), (2, "es", "t", 9L),
+      (3, "l", "o", 7L), (4, "lo", "w", 7L)), got.toString)
+
+    // naive driver recompute over the real corpus
+    def naive(wordFreq: Map[String, Long], n: Int): Seq[(Int, String, String, Long)] = {
+      var vocab = wordFreq.toSeq.map { case (w, f) => (w.map(_.toString).toVector, f) }
+      val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+      for (r <- 1 to n) {
+        val counts = scala.collection.mutable.Map[(String, String), Long]()
+        vocab.foreach { case (sy, f) =>
+          sy.sliding(2).filter(_.length == 2).foreach { p =>
+            counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + f
+          }
+        }
+        if (counts.nonEmpty) {
+          val ((a, b), c) = counts.toSeq.sortBy { case ((x, y), cnt) => (-cnt, x, y) }.head
+          out += ((r, a, b, c))
+          vocab = vocab.map { case (sy, f) =>
+            val nb = Vector.newBuilder[String]
+            var i = 0
+            while (i < sy.length) {
+              if (i + 1 < sy.length && sy(i) == a && sy(i + 1) == b) { nb += a + b; i += 2 }
+              else { nb += sy(i); i += 1 }
+            }
+            (nb.result(), f)
+          }
+        }
+      }
+      out.toSeq
+    }
+    val wf = tables.documents.collect()
+      .flatMap(r => r.getString(1).toLowerCase.trim.split("\\s+").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+    val want = naive(wf, 8)
+    val real = TextAnalysis.bpeMerges(tables, nMerges = 8).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(real == want, s"engine $real vs naive $want")
+  }
 }
