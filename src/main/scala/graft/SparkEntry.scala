@@ -149,6 +149,7 @@ object SparkEntry {
     }),
     // — similarity search (SURVEY §2 rows 19–21) —
     "q_ann_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables(s, d))),
+    "q_trunc_recall" -> ((s, d) => Similarity.truncationRecall(Tables(s, d))),
     "q_ann_lsh" -> ((s, d) => Similarity.lshTopK(Tables(s, d))),
     "q_ann_ivf" -> ((s, d) => Similarity.ivfTopK(Tables(s, d))),
     "q_ann_pq" -> ((s, d) => Similarity.pqTopK(Tables(s, d))),
@@ -740,6 +741,26 @@ object SparkEntry {
         "round(coalesce(n_hit, 0) / n_shingles, 6) AS contamination " +
         "FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id " +
         "WHERE coalesce(n_hit, 0) / n_shingles <= 0.05 ORDER BY t.doc_id"),
+    // per truncated dim: the identical brute-force top-k over the sliced
+    // coordinates, semi-joined against the full-dim top-k
+    "q_trunc_recall" ->
+      ("WITH fulltk AS MATERIALIZED (SELECT query_id, neighbor_id FROM (" +
+        "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+        "row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS rn " +
+        "FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id WHERE q.vec_id < 10) WHERE rn <= 5), " +
+        "qs AS (SELECT DISTINCT query_id FROM fulltk), " +
+        Seq(8, 16, 32).map(d =>
+          s"tk$d AS (SELECT query_id, neighbor_id FROM (" +
+            s"SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+            s"row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity((CAST(q.embedding AS DOUBLE[]))[1:$d], (CAST(c.embedding AS DOUBLE[]))[1:$d]) DESC, c.vec_id ASC) AS rn " +
+            s"FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id WHERE q.vec_id < 10) WHERE rn <= 5), " +
+            s"h$d AS (SELECT f.query_id, count(*) AS n_common FROM fulltk f JOIN tk$d t ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id GROUP BY f.query_id)")
+          .mkString(", ") + " " +
+        "SELECT dim, query_id, n_common, round(CAST(n_common AS DOUBLE) / 5, 6) AS recall_at_k FROM (" +
+        Seq(8, 16, 32).map(d =>
+          s"SELECT $d AS dim, qs.query_id, CAST(coalesce(h$d.n_common, 0) AS BIGINT) AS n_common FROM qs LEFT JOIN h$d ON h$d.query_id = qs.query_id")
+          .mkString(" UNION ALL ") +
+        ") ORDER BY dim, query_id"),
     "q_ann_topk" ->
       ("SELECT query_id, neighbor_id, cosine FROM (" +
         "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +

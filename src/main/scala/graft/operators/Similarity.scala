@@ -54,6 +54,39 @@ object Similarity {
       .orderBy("query_id", "neighbor_id")
   }
 
+  /** Embedding-dimension truncation recall (the Matryoshka question —
+    * Kusupati et al. 2022, public method): for each truncated dimension
+    * `d`, how much of the FULL-dimension exact top-k does a top-k over
+    * only the first `d` coordinates recover? Emits one row per
+    * (dim, query): the overlap count and recall@k — the measured curve a
+    * pipeline reads to decide how many dimensions to store/ship (half the
+    * dims at recall 0.9 halves the ANN index footprint).
+    *
+    * Pure composition: each arm IS [[bruteForceTopK]] over a
+    * `slice(embedding, 1, d)` projection (same broadcast-query /
+    * corpus-streams-once shape), and the overlap is a semi-join of
+    * (query, neighbor) pairs — k·nQueries rows per arm, driver-free. */
+  def truncationRecall(t: Tables, dims: Seq[Int] = Seq(8, 16, 32),
+                       nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val full = bruteForceTopK(t, nQueries, k).select("query_id", "neighbor_id")
+      .localCheckpoint() // one arm per dim reads it
+    val queries = full.select("query_id").distinct()
+    val arms = dims.map { d =>
+      val truncated = t.embeddings
+        .select(col("vec_id"), slice(col("embedding"), 1, d).as("embedding"))
+      val td = bruteForceTopK(t.withTable("embeddings", truncated), nQueries, k)
+        .select("query_id", "neighbor_id")
+      val hits = full.join(td, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_common"))
+      queries.join(hits, Seq("query_id"), "left")
+        .select(lit(d).as("dim"), col("query_id"),
+          coalesce(col("n_common"), lit(0L)).as("n_common"))
+    }
+    arms.reduce(_.unionByName(_))
+      .withColumn("recall_at_k", round(col("n_common").cast("double") / k, 6))
+      .orderBy("dim", "query_id")
+  }
+
   /** XOR masks for every bucket within Hamming distance ≤ `h` of a probe
     * bucket (identity mask first). Enumerated by choosing flipped-bit
     * subsets — O(nBits^h) masks, never a 2^nBits sweep. */

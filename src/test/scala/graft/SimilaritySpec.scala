@@ -513,4 +513,33 @@ class SimilaritySpec extends SparkSpec {
     assert(got.length == 3) // stops when the corpus is exhausted
     assert(got.map(_.getLong(1)).toSet == Set(0L, 1L, 2L))
   }
+
+  test("truncationRecall: full-dim arm is recall 1.0 shape; naive sliced recompute agrees") {
+    val vecs = tables.embeddings.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def topk(d: Option[Int]): Map[Long, Set[Long]] =
+      (0L until 10L).map { q =>
+        val qv = d.fold(vecs(q))(n => vecs(q).take(n))
+        q -> vecs.keys.filter(_ != q).toSeq
+          .map(n => (n, cos(qv, d.fold(vecs(n))(m => vecs(n).take(m)))))
+          .sortBy { case (n, c) => (-c, n) }.take(5).map(_._1).toSet
+      }.toMap
+    val full = topk(None)
+    val want = Seq(8, 16, 32).flatMap { d =>
+      val td = topk(Some(d))
+      (0L until 10L).map(q => (d, q, (full(q) & td(q)).size.toLong))
+    }
+    val got = graft.operators.Similarity.truncationRecall(tables).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want, s"engine $got vs naive $want")
+    // recall is monotone-ish and the curve is informative: dim 32 beats dim 8 on average
+    val byDim = got.groupBy(_._1).map { case (d, xs) => d -> xs.map(_._3).sum }
+    assert(byDim(32) >= byDim(8))
+  }
 }
