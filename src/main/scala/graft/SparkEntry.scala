@@ -296,6 +296,7 @@ object SparkEntry {
     "q_vocab_oov" -> ((s, d) => TextAnalysis.vocabOov(Tables(s, d))),
     "q_oov_curve" -> ((s, d) => TextAnalysis.oovCurve(Tables(s, d))),
     "q_passage_dup" -> ((s, d) => Packing.passageDupScores(Tables(s, d))),
+    "q_boilerplate" -> ((s, d) => Packing.removeBoilerplate(Tables(s, d))),
     "q_intersect" -> ((s, d) => Analytics.intersectKeys(Tables(s, d))),
     "q_except" -> ((s, d) => Analytics.exceptKeys(Tables(s, d))),
     "q_pivot" -> ((s, d) => Analytics.pivotEvents(Tables(s, d))),
@@ -1026,6 +1027,17 @@ object SparkEntry {
         "SELECT c.doc_id, count(*) AS n_passages, count(s.p) AS n_shared, " +
         "round(CAST(count(s.p) AS DOUBLE) / count(*), 6) AS shared_frac " +
         "FROM ch c LEFT JOIN sh2 s ON s.p = c.p GROUP BY c.doc_id ORDER BY c.doc_id"),
+    "q_boilerplate" ->
+      ("WITH base AS (SELECT doc_id, source, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk FROM documents), " +
+        "nn AS (SELECT doc_id, source, tk, 1 + CAST(floor((len(tk) - 1) / 16.0) AS INT) AS nc FROM base WHERE len(tk) > 0), " +
+        "ch AS (SELECT doc_id, source, k, array_to_string(tk[k*16 + 1 : k*16 + 16], ' ') AS p " +
+        "FROM (SELECT doc_id, source, tk, unnest(range(0, nc)) AS k FROM nn)), " +
+        "hot AS (SELECT source, p FROM (SELECT source, p, count(DISTINCT doc_id) AS df FROM ch GROUP BY source, p) WHERE df >= 2) " +
+        "SELECT c.doc_id, count(*) AS n_passages, count(h.p) AS n_dropped, " +
+        "coalesce(string_agg(CASE WHEN h.p IS NULL THEN c.p END, ' ' ORDER BY c.k), '') AS clean_text, " +
+        "CAST(coalesce(sum(CASE WHEN h.p IS NULL THEN len(string_split(c.p, ' ')) END), 0) AS BIGINT) AS clean_tokens " +
+        "FROM ch c LEFT JOIN hot h ON h.source = c.source AND h.p = c.p " +
+        "GROUP BY c.doc_id ORDER BY c.doc_id"),
     "q_intersect" ->
       ("SELECT c_nationkey AS nationkey FROM customer INTERSECT " +
         "SELECT s_nationkey FROM supplier ORDER BY nationkey"),

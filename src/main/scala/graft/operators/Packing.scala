@@ -168,4 +168,49 @@ object Packing {
       .toDF("doc_id", "shard", "bin_idx", "n_tokens")
       .orderBy("doc_id")
   }
+
+  /** Boilerplate REMOVAL (CCNet-lineage, Wenzek et al. 2020): passages
+    * repeated across ≥ `minDf` distinct documents of the SAME source are
+    * navigation chrome / headers / license banners, not content — drop
+    * them and reassemble each document from its surviving passages, in
+    * order. This is document SURGERY, where [[passageDupScores]] only
+    * scores: the output is the cleaned corpus a downstream tokenizer
+    * actually consumes, plus the per-document audit counts.
+    *
+    * Per-source (not global) frequency on purpose: a passage ubiquitous
+    * within one crawl domain is boilerplate; the same passage appearing
+    * once each in many unrelated sources is legitimate duplication that
+    * near-dup dedup — not this pass — should adjudicate.
+    *
+    * Scale shape: chunking is narrow per-document work; the hot-passage
+    * table is one (source, passage) aggregation df-filtered to a tiny
+    * survivor set, and the removal join keys on (source, passage) — an
+    * equi-join a 1000-executor cluster shuffles once (or broadcasts, the
+    * df-filter makes the hot side small by construction). Reassembly is a
+    * per-document `sort_array(collect_list(struct(idx, text)))` — state
+    * bounded by document length, never by corpus size.
+    */
+  def removeBoilerplate(t: Tables, passageTokens: Int = 16,
+                        minDf: Long = 2): DataFrame = {
+    val passages = chunkDocuments(t, passageTokens, overlap = 0)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_text"))
+      .join(t.documents.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val hot = passages
+      .groupBy("source", "chunk_text")
+      .agg(countDistinct(col("doc_id")).as("_df"))
+      .filter(col("_df") >= minDf)
+      .select(col("source"), col("chunk_text"), lit(1).as("_hot"))
+    passages.join(broadcast(hot), Seq("source", "chunk_text"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_passages"),
+        count(col("_hot")).as("n_dropped"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("_hot").isNull,
+            struct(col("chunk_idx"), col("chunk_text"))))),
+          e => e.getField("chunk_text"))).as("clean_text"))
+      .withColumn("clean_tokens",
+        size(TextAnalysis.tokens(col("clean_text"))).cast("bigint"))
+      .orderBy("doc_id")
+  }
 }

@@ -195,4 +195,50 @@ class PackingSpec extends SparkSpec {
       fixedBefore.reverse.zip(fixedAfter.reverse).exists { case (a, b) => a != b },
       "fixed-size chunking should NOT be insertion-stable on this fixture")
   }
+
+  test("removeBoilerplate drops same-source repeats, keeps cross-source ones, preserves order") {
+    // 32 tokens → 2 non-overlapping 16-token passages per doc
+    val banner = (0 until 16).map(i => s"nav$i")
+    def body(p: String) = (0 until 16).map(i => s"$p$i")
+    val docs = Seq(
+      (1L, (banner ++ body("a")).mkString(" "), "en", "s1"), // banner hot in s1
+      (2L, (banner ++ body("b")).mkString(" "), "en", "s1"),
+      (3L, (body("c") ++ banner).mkString(" "), "en", "s2"), // banner unique within s2 → kept
+      (4L, (body("d") ++ body("e")).mkString(" "), "en", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+    val t = tables.withTable("documents", docs)
+    val got = Packing.removeBoilerplate(t).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4))).toMap
+    assert(got(1L) == ((2L, 1L, body("a").mkString(" "), 16L)), s"doc 1: ${got(1L)}")
+    assert(got(2L) == ((2L, 1L, body("b").mkString(" "), 16L)), s"doc 2: ${got(2L)}")
+    assert(got(3L) == ((2L, 0L, (body("c") ++ banner).mkString(" "), 32L)), s"doc 3: ${got(3L)}")
+    assert(got(4L) == ((2L, 0L, (body("d") ++ body("e")).mkString(" "), 32L)), s"doc 4: ${got(4L)}")
+  }
+
+  test("removeBoilerplate fully-boilerplate doc reassembles to the empty string") {
+    val banner = (0 until 16).map(i => s"nav$i").mkString(" ")
+    val docs = Seq((1L, banner, "en", "s"), (2L, banner, "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = Packing.removeBoilerplate(tables.withTable("documents", docs)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3), r.getLong(4))).toMap
+    assert(got(1L) == ((1L, "", 0L)) && got(2L) == ((1L, "", 0L)), got.toString)
+  }
+
+  test("removeBoilerplate is consistent with the chunker on the corpus") {
+    val srcOf = tables.documents.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val chunks = Packing.chunkDocuments(tables, 16, overlap = 0)
+      .select("doc_id", "chunk_idx", "chunk_text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val hot = chunks.groupBy(c => (srcOf(c._1), c._3))
+      .filter(_._2.map(_._1).distinct.length >= 2).keySet
+    val expected = chunks.groupBy(_._1).map { case (d, cs) =>
+      val kept = cs.sortBy(_._2).filterNot(c => hot((srcOf(d), c._3)))
+      d -> (cs.length.toLong, (cs.length - kept.length).toLong, kept.map(_._3).mkString(" "))
+    }
+    val got = Packing.removeBoilerplate(tables).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got == expected)
+    assert(got.values.exists(_._2 > 0L), "fixture should contain same-source repeats")
+  }
 }
