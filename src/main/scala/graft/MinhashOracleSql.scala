@@ -536,6 +536,32 @@ $rounds
 SELECT * FROM ($out) ORDER BY merge_order"""
   }
 
+  /** Oracle for q_bpe_encode ([[graft.operators.TextAnalysis.bpeEncode]]):
+    * re-learns the merge table with the EXACT bpeMerges CTEs (same framed
+    * representation, same argmax tie-break), then applies the replace
+    * chain over the distinct-word vocabulary — v1 keeps the word column
+    * this time — and aggregates per document through a word-keyed join,
+    * mirroring the engine's vocabulary-encode-then-join shape. */
+  def bpeEncode(nMerges: Int = 8): String = {
+    val d = "chr(31)"
+    val rounds = (1 to nMerges).map { r =>
+      s"""s$r AS (SELECT freq, seq FROM v$r),
+sy$r AS (SELECT freq, list_filter(string_split(seq, $d), x -> x <> '') AS sy FROM s$r),
+p$r AS (SELECT sy[i] AS a, sy[i + 1] AS b, sum(freq) AS cnt FROM sy$r, unnest(range(1, len(sy))) AS t(i) WHERE len(sy) >= 2 GROUP BY 1, 2),
+m$r AS MATERIALIZED (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+v${r + 1} AS MATERIALIZED (SELECT word, freq, replace(seq, $d || m.a || $d || $d || m.b || $d, $d || m.a || m.b || $d) AS seq FROM v$r CROSS JOIN m$r m)"""
+    }.mkString(",\n")
+    s"""WITH toksd AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk FROM documents),
+dw AS (SELECT doc_id, unnest(tk) AS word FROM toksd),
+wrds AS (SELECT word, count(*) AS freq FROM dw GROUP BY word),
+v1 AS MATERIALIZED (SELECT word, freq, $d || array_to_string(string_split(word, ''), $d || $d) || $d AS seq FROM wrds),
+$rounds,
+enc AS (SELECT word, len(word) AS nch, len(list_filter(string_split(seq, $d), x -> x <> '')) AS nsym FROM v${nMerges + 1})
+SELECT dw.doc_id, count(*) AS n_words, CAST(sum(e.nch) AS BIGINT) AS n_chars_presplit, CAST(sum(e.nsym) AS BIGINT) AS n_bpe_tokens,
+round(CAST(sum(e.nch) AS DOUBLE) / sum(e.nsym), 6) AS compression
+FROM dw JOIN enc e USING (word) GROUP BY dw.doc_id ORDER BY dw.doc_id"""
+  }
+
   /** Oracle for q_winnow ([[graft.operators.TextAnalysis.winnowFingerprints]]
     * defaults k=3, w=4): positioned 3-token shingles, Karp–Rabin fold +
     * mix64 per shingle (the rollingHash64 chain over the gram string),

@@ -219,6 +219,48 @@ object TextAnalysis {
       .orderBy("merge_order")
   }
 
+  /** BPE ENCODING (Sennrich ACL'16, application half): tokenize the corpus
+    * with the merges [[bpeMerges]] learned — the train→apply round trip a
+    * tokenizer pipeline actually ships. Per document: word count, initial
+    * symbol count (characters — the pre-merge token count), post-merge BPE
+    * token count, and the compression ratio the merge table bought.
+    *
+    * Scale shape: merges are an nMerges-row driver list (bounded — this is
+    * the tokenizer's merge table, the thing shipped to production); the
+    * replace-chain applies over the DISTINCT-WORD vocabulary, not the
+    * corpus — |V| rows through nMerges codegen'd `replace` columns — and
+    * documents get their counts back through one word-keyed equi-join +
+    * per-doc aggregation. A 100 TB corpus pays two linear scans (vocab
+    * build, stats join) no matter how many merges the tokenizer has.
+    */
+  def bpeEncode(t: Tables, nMerges: Int = 8): DataFrame = {
+    val SEP = "\u001f"
+    def framed(a: String, b: String) = s"$SEP$a$SEP$SEP$b$SEP"
+    val merges = bpeMerges(t, nMerges).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val docWords = t.documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+    val vocab0 = docWords.select("word").distinct()
+      .withColumn("seq",
+        concat(lit(SEP),
+          array_join(filter(split(col("word"), ""), c => c =!= ""), SEP + SEP),
+          lit(SEP)))
+    val encoded = merges.foldLeft(vocab0) { case (df, (a, b)) =>
+      df.withColumn("seq",
+        call_function("replace", col("seq"), lit(framed(a, b)), lit(s"$SEP$a$b$SEP")))
+    }
+      .select(col("word"), length(col("word")).cast("bigint").as("_nch"),
+        size(filter(split(col("seq"), SEP), s => s =!= "")).cast("bigint").as("_nsym"))
+    docWords.join(encoded, Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("_nch").as("n_chars_presplit"),
+        sum("_nsym").as("n_bpe_tokens"))
+      .withColumn("compression",
+        round(col("n_chars_presplit").cast("double") / col("n_bpe_tokens"), 6))
+      .orderBy("doc_id")
+  }
+
   /** Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken,
     * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
     * 2003 — public algorithm, token-shingle variant): hash every

@@ -691,4 +691,35 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
     assert(real == want, s"engine $real vs naive $want")
   }
+
+  test("bpeEncode matches a naive driver-side merge application over the corpus") {
+    def applyMerges(word: String, merges: Seq[(String, String)]): Int = {
+      var sy = word.map(_.toString).toVector
+      merges.foreach { case (a, b) =>
+        val nb = Vector.newBuilder[String]
+        var i = 0
+        while (i < sy.length) {
+          if (i + 1 < sy.length && sy(i) == a && sy(i + 1) == b) { nb += a + b; i += 2 }
+          else { nb += sy(i); i += 1 }
+        }
+        sy = nb.result()
+      }
+      sy.length
+    }
+    val merges = TextAnalysis.bpeMerges(tables, nMerges = 8).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val expected = tables.documents.collect().flatMap { r =>
+      val ws = r.getString(1).toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+      if (ws.isEmpty) None else Some(r.getLong(0) -> (
+        ws.length.toLong,
+        ws.map(_.length.toLong).sum,
+        ws.map(w => applyMerges(w, merges).toLong).sum))
+    }.toMap
+    val got = TextAnalysis.bpeEncode(tables, nMerges = 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expected)
+    // the merge table must actually compress something on this corpus
+    assert(got.values.exists { case (_, nch, nbpe) => nbpe < nch },
+      "no document compressed — merge table vacuous on the fixture")
+  }
 }
