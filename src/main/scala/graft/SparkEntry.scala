@@ -152,6 +152,21 @@ object SparkEntry {
     "q_trunc_recall" -> ((s, d) => Similarity.truncationRecall(Tables(s, d))),
     "q_ann_lsh" -> ((s, d) => Similarity.lshTopK(Tables(s, d))),
     "q_ann_ivf" -> ((s, d) => Similarity.ivfTopK(Tables(s, d))),
+    "q_ann_ivf_indexed" -> ((s, d) => {
+      // the stored-index form of q_ann_ivf: quantizer + cell-partitioned
+      // vector lists are written ONCE per dataset (warmup pays it; timed
+      // passes and later sessions attach) and the query reads ONLY the
+      // probed cell directories — disk-level partition pruning, the shape
+      // a daily 100 TB embedding corpus needs. Same fit/probe/rank
+      // arithmetic as ivfTopK, so the same SQL oracle verifies it.
+      import graft.operators.AnnIndex
+      val t = Tables(s, d)
+      val dir = roundtripDir("graft_annidx", d, "_ANN_INDEX_OK") { out =>
+        AnnIndex.buildIndex(s, t.embeddings, out)
+      }
+      AnnIndex.queryIndex(s, AnnIndex.attachIndex(s, dir),
+        t.embeddings.filter(col("vec_id") < 10))
+    }),
     "q_ann_pq" -> ((s, d) => Similarity.pqTopK(Tables(s, d))),
     "q_embed_neardup" -> ((s, d) => Similarity.embeddingNearDups(Tables(s, d))),
     "q_embed_quantize" -> ((s, d) => Similarity.quantizeDiagnostics(Tables(s, d))),
@@ -617,6 +632,7 @@ object SparkEntry {
     // RNG-free (first-k init over a vec_id-ordered deterministic sample),
     // so the full train→assign→probe→rank pipeline is SQL-replayable
     "q_ann_ivf" -> KernelOracleSql.annIvf(),
+    "q_ann_ivf_indexed" -> KernelOracleSql.annIvf(),
     "q_ann_pq" -> KernelOracleSql.annPq(),
     "q_dedup_groups" -> MinhashOracleSql.nearDupGroups(),
     "q_pack_sequences" -> KernelOracleSql.packSequences(),

@@ -762,7 +762,7 @@ object Similarity {
     * shares, so driver-built center/benchmark matrices are bit-identical
     * to what [[graft.functions.HashFunctions.minCellDistUnit]] computes
     * executor-side. */
-  private def unitOf(v: Seq[Float]): Seq[Double] = {
+  private[operators] def unitOf(v: Seq[Float]): Seq[Double] = {
     val d = v.toArray.map(_.toDouble)
     var n2 = 0.0
     var j = 0
