@@ -149,6 +149,7 @@ object SparkEntry {
     }),
     // — similarity search (SURVEY §2 rows 19–21) —
     "q_ann_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables(s, d))),
+    "q_hard_negatives" -> ((s, d) => Similarity.hardNegatives(Tables(s, d))),
     "q_trunc_recall" -> ((s, d) => Similarity.truncationRecall(Tables(s, d))),
     "q_ann_lsh" -> ((s, d) => Similarity.lshTopK(Tables(s, d))),
     "q_ann_ivf" -> ((s, d) => Similarity.ivfTopK(Tables(s, d))),
@@ -787,6 +788,16 @@ object SparkEntry {
         "row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS rn " +
         "FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id WHERE q.vec_id < 10) " +
         "WHERE rn <= 5 ORDER BY query_id, neighbor_id"),
+    "q_hard_negatives" ->
+      ("WITH sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS n_label, q.label AS q_label, " +
+        "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cos " +
+        "FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id WHERE q.vec_id < 10), " +
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY query_id, (n_label = q_label) ORDER BY cos DESC, neighbor_id ASC) AS rn FROM sc), " +
+        "pos AS (SELECT query_id, cos AS pos_cos FROM rk WHERE n_label = q_label AND rn = 1), " +
+        "neg AS (SELECT query_id, neighbor_id, n_label, cos FROM rk WHERE n_label <> q_label AND rn <= 5) " +
+        "SELECT n.query_id, n.neighbor_id, n.n_label AS neg_label, round(n.cos, 6) AS cosine, " +
+        "round(p.pos_cos - n.cos, 6) AS margin " +
+        "FROM neg n LEFT JOIN pos p USING (query_id) ORDER BY n.query_id, n.neighbor_id"),
     "q_text_stats" ->
       ("SELECT doc_id, length(text) AS n_chars_calc, " +
         "len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS n_tokens, " +

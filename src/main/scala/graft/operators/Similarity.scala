@@ -87,6 +87,48 @@ object Similarity {
       .orderBy("dim", "query_id")
   }
 
+  /** HARD-NEGATIVE MINING for contrastive training (the retrieval-training
+    * data op — Karpukhin et al. 2020 DPR lineage, public method): for each
+    * anchor, the top-`k` most-similar vectors with a DIFFERENT label — the
+    * negatives that actually teach a bi-encoder — plus the margin against
+    * the anchor's nearest SAME-label neighbor. margin ≤ 0 means a negative
+    * outranks every positive: the pairs a curriculum samples first.
+    *
+    * Scale shape, same contract as [[bruteForceTopK]]: the bounded anchor
+    * set broadcasts, the corpus streams ONCE through the fused cosine
+    * kernel, and both ranks (positive top-1, negative top-k) come from a
+    * single `(query, is_positive)`-partitioned window — one shuffle of
+    * anchor-keyed rows, then a broadcast join of the two tiny ranked
+    * sides. Swap the brute-force scan for [[AnnIndex]] probes at corpus
+    * scale; the mining logic downstream is unchanged. */
+  def hardNegatives(t: Tables, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val emb = t.embeddings
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    val ranked = emb
+      .select(col("vec_id").as("neighbor_id"), col("embedding"), col("label"))
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", HashFunctions.cosineSim(col("q_emb"), col("embedding")))
+      .withColumn("is_pos", (col("label") === col("q_label")).cast("int"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"), col("is_pos"))
+          .orderBy(col("cosine").desc, col("neighbor_id").asc)))
+      .filter((col("is_pos") === 1 && col("rn") === 1) ||
+        (col("is_pos") === 0 && col("rn") <= k))
+      .select("query_id", "neighbor_id", "label", "cosine", "is_pos")
+      .localCheckpoint() // nQueries·(k+1) rows feed both sides below
+    val posTop = ranked.filter(col("is_pos") === 1)
+      .select(col("query_id"), col("cosine").as("_pos_cos"))
+    ranked.filter(col("is_pos") === 0)
+      .join(broadcast(posTop), Seq("query_id"), "left")
+      .select(col("query_id"), col("neighbor_id"),
+        col("label").as("neg_label"),
+        round(col("cosine"), 6).as("cosine"),
+        round(col("_pos_cos") - col("cosine"), 6).as("margin"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
   /** XOR masks for every bucket within Hamming distance ≤ `h` of a probe
     * bucket (identity mask first). Enumerated by choosing flipped-bit
     * subsets — O(nBits^h) masks, never a 2^nBits sweep. */

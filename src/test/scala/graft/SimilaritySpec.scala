@@ -542,4 +542,41 @@ class SimilaritySpec extends SparkSpec {
     val byDim = got.groupBy(_._1).map { case (d, xs) => d -> xs.map(_._3).sum }
     assert(byDim(32) >= byDim(8))
   }
+
+  test("hardNegatives matches a naive driver recompute and its margin semantics") {
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val all = tables.embeddings.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val want = all.filter(_._1 < 10).flatMap { case (qid, qv, qlab) =>
+      val others = all.filter(_._1 != qid)
+      val posCos = others.filter(_._3 == qlab)
+        .map { case (nid, nv, _) => (cos(qv, nv), nid) }
+        .sortBy { case (c, n) => (-c, n) }.headOption.map(_._1)
+      others.filter(_._3 != qlab)
+        .map { case (nid, nv, nlab) => (nid, nlab, cos(qv, nv)) }
+        .sortBy { case (n, _, c) => (-c, n) }.take(5)
+        .map { case (nid, nlab, c) =>
+          (qid, nid, nlab,
+            BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+            posCos.map(p => BigDecimal(p - c)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        }
+    }.sortBy(x => (x._1, x._2)).toSeq
+    val got = Similarity.hardNegatives(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSeq
+    assert(got == want, s"engine ${got.take(3)}... vs naive ${want.take(3)}...")
+    assert(got.nonEmpty)
+    // the fixture must actually contain HARD negatives somewhere (margin
+    // small or negative) or the op proves nothing
+    assert(got.flatMap(_._5).nonEmpty)
+  }
 }
