@@ -150,6 +150,7 @@ object SparkEntry {
     // — similarity search (SURVEY §2 rows 19–21) —
     "q_ann_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables(s, d))),
     "q_hard_negatives" -> ((s, d) => Similarity.hardNegatives(Tables(s, d))),
+    "q_margin_mine" -> ((s, d) => Similarity.marginMine(Tables(s, d))),
     "q_trunc_recall" -> ((s, d) => Similarity.truncationRecall(Tables(s, d))),
     "q_ann_lsh" -> ((s, d) => Similarity.lshTopK(Tables(s, d))),
     "q_ann_ivf" -> ((s, d) => Similarity.ivfTopK(Tables(s, d))),
@@ -798,6 +799,18 @@ object SparkEntry {
         "SELECT n.query_id, n.neighbor_id, n.n_label AS neg_label, round(n.cos, 6) AS cosine, " +
         "round(p.pos_cos - n.cos, 6) AS margin " +
         "FROM neg n LEFT JOIN pos p USING (query_id) ORDER BY n.query_id, n.neighbor_id"),
+    "q_margin_mine" ->
+      ("WITH x AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 10), " +
+        "y AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id >= 10), " +
+        "sc AS MATERIALIZED (SELECT query_id, cand_id, list_cosine_similarity(x.v, y.v) AS cos FROM x CROSS JOIN y), " +
+        "rx AS (SELECT query_id, cand_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rn FROM sc), " +
+        "ax AS (SELECT query_id, list_reduce(list_prepend(0.0, list(cos ORDER BY cos, cand_id)), (a, b) -> a + b) / count(*) AS avx FROM rx WHERE rn <= 4 GROUP BY query_id), " +
+        "ry AS (SELECT cand_id, query_id, cos, row_number() OVER (PARTITION BY cand_id ORDER BY cos DESC, query_id ASC) AS rn FROM sc), " +
+        "ay AS (SELECT cand_id, list_reduce(list_prepend(0.0, list(cos ORDER BY cos, query_id)), (a, b) -> a + b) / count(*) AS avy FROM ry WHERE rn <= 4 GROUP BY cand_id), " +
+        "mg AS (SELECT s.query_id, s.cand_id, s.cos, s.cos / ((ax.avx + ay.avy) / 2.0) AS margin FROM sc s JOIN ax USING (query_id) JOIN ay USING (cand_id)), " +
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY margin DESC, cand_id ASC) AS rn FROM mg) " +
+        "SELECT query_id, cand_id AS match_id, round(cos, 6) AS cosine, round(margin, 6) AS margin " +
+        "FROM rk WHERE rn = 1 ORDER BY query_id"),
     "q_text_stats" ->
       ("SELECT doc_id, length(text) AS n_chars_calc, " +
         "len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS n_tokens, " +

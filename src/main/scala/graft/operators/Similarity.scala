@@ -87,6 +87,62 @@ object Similarity {
       .orderBy("dim", "query_id")
   }
 
+  /** MARGIN-BASED ALIGNMENT MINING (Artetxe & Schwenk 2019 — the
+    * LASER/CCMatrix bitext-mining criterion, public method): for each
+    * query vector x, the best candidate y ranked NOT by raw cosine but by
+    * the RATIO margin cos(x,y) / (½·(avgTopK(x) + avgTopK(y))) — cosine
+    * normalized by both endpoints' neighborhood density, which kills the
+    * hub vectors that raw-cosine mining pairs with everything. The margin
+    * value itself is emitted: downstream keeps pairs above a threshold
+    * (≈1.05 in the literature) as mined parallel/aligned pairs.
+    *
+    * Scale shape: the bounded query set broadcasts; candidates stream
+    * ONCE through the fused cosine kernel into a slim (x, y, cos) table
+    * (|Y|·nQueries rows, checkpointed — three consumers); avgTopK(x) is a
+    * bounded-partition window, avgTopK(y) a per-candidate window over its
+    * nQueries scores. Neighborhood means fold in SORTED (cos, id) order —
+    * the deterministic-sum treatment every kernel oracle here uses — so
+    * engine and oracle margins are bit-identical, not merely close.
+    * At corpus scale the candidate generator swaps for [[AnnIndex]]
+    * probes; margin logic downstream is unchanged. */
+  def marginMine(t: Tables, nQueries: Int = 10, k: Int = 4): DataFrame = {
+    val emb = t.embeddings
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = emb.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("cand_id"), col("embedding"))
+      .crossJoin(broadcast(q))
+      .withColumn("cos", HashFunctions.cosineSim(col("q_emb"), col("embedding")))
+      .select("query_id", "cand_id", "cos")
+      .localCheckpoint()
+    def orderedMean(df: DataFrame, key: String, other: String): DataFrame = {
+      val ranked = df.withColumn("rn", row_number().over(
+        Window.partitionBy(col(key)).orderBy(col("cos").desc, col(other).asc)))
+        .filter(col("rn") <= k)
+      ranked.groupBy(key)
+        .agg(aggregate(
+          transform(array_sort(collect_list(struct(col("cos"), col(other)))),
+            e => e.getField("cos")),
+          lit(0.0), (acc, x) => acc + x).as("_sum"),
+          count(lit(1)).as("_n"))
+        .select(col(key), (col("_sum") / col("_n")).as(s"_avg_$key"))
+    }
+    val ax = orderedMean(scored, "query_id", "cand_id")
+    val ay = orderedMean(scored, "cand_id", "query_id")
+    val wBest = Window.partitionBy(col("query_id"))
+      .orderBy(col("margin").desc, col("cand_id").asc)
+    scored
+      .join(broadcast(ax), Seq("query_id"))
+      .join(ay, Seq("cand_id"))
+      .withColumn("margin",
+        col("cos") / ((col("_avg_query_id") + col("_avg_cand_id")) / 2.0))
+      .withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("cand_id").as("match_id"),
+        round(col("cos"), 6).as("cosine"), round(col("margin"), 6).as("margin"))
+      .orderBy("query_id")
+  }
+
   /** HARD-NEGATIVE MINING for contrastive training (the retrieval-training
     * data op — Karpukhin et al. 2020 DPR lineage, public method): for each
     * anchor, the top-`k` most-similar vectors with a DIFFERENT label — the

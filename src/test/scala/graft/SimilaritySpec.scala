@@ -579,4 +579,44 @@ class SimilaritySpec extends SparkSpec {
     // small or negative) or the op proves nothing
     assert(got.flatMap(_._5).nonEmpty)
   }
+
+  test("marginMine matches a naive recompute with the same sorted-fold sums") {
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val all = tables.embeddings.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val xs = all.filter(_._1 < 10)
+    val ys = all.filter(_._1 >= 10)
+    val sc = for { (qi, qv) <- xs; (ci, cv) <- ys } yield (qi, ci, cos(qv, cv))
+    def avgTopK(rows: Seq[(Long, Double)], k: Int): Double = {
+      // top-k by (cos desc, id asc), then SUM in (cos, id) ASC order — the
+      // engine/oracle fold order
+      val top = rows.sortBy { case (id, c) => (-c, id) }.take(k)
+      val sorted = top.sortBy { case (id, c) => (c, id) }
+      sorted.foldLeft(0.0) { case (acc, (_, c)) => acc + c } / top.length
+    }
+    val ax = sc.groupBy(_._1).map { case (q, rs) =>
+      q -> avgTopK(rs.map(r => (r._2, r._3)).toSeq, 4) }
+    val ay = sc.groupBy(_._2).map { case (c, rs) =>
+      c -> avgTopK(rs.map(r => (r._1, r._3)).toSeq, 4) }
+    val want = sc.groupBy(_._1).map { case (q, rs) =>
+      val best = rs.map { case (_, c, s) => (c, s, s / ((ax(q) + ay(c)) / 2.0)) }
+        .sortBy { case (c, _, m) => (-m, c) }.head
+      (q, best._1,
+        BigDecimal(best._2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(best._3).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sortBy(_._1)
+    val got = Similarity.marginMine(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(got == want, s"engine ${got.take(3)} vs naive ${want.take(3)}")
+    // margins hover around 1 by construction (cos / neighborhood mean)
+    assert(got.forall(_._4 > 0.0))
+  }
 }
