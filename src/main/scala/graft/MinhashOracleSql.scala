@@ -562,6 +562,18 @@ round(CAST(sum(e.nch) AS DOUBLE) / sum(e.nsym), 6) AS compression
 FROM dw JOIN enc e USING (word) GROUP BY dw.doc_id ORDER BY dw.doc_id"""
   }
 
+  /** Oracle for q_tokenizer_fertility: the bpeEncode CTE chain rolled up
+    * by language instead of document. */
+  def tokenizerFertility(nMerges: Int = 8): String = {
+    val perDoc = bpeEncode(nMerges)
+    s"""WITH perdoc AS ($perDoc)
+SELECT d.lang, count(*) AS n_docs, CAST(sum(p.n_words) AS BIGINT) AS n_words,
+CAST(sum(p.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+round(CAST(sum(p.n_bpe_tokens) AS DOUBLE) / sum(p.n_words), 6) AS fertility,
+round(CAST(sum(p.n_chars_presplit) AS DOUBLE) / sum(p.n_bpe_tokens), 6) AS compression
+FROM perdoc p JOIN documents d USING (doc_id) GROUP BY d.lang ORDER BY d.lang"""
+  }
+
   /** Oracle for q_winnow ([[graft.operators.TextAnalysis.winnowFingerprints]]
     * defaults k=3, w=4): positioned 3-token shingles, Karp–Rabin fold +
     * mix64 per shingle (the rollingHash64 chain over the gram string),

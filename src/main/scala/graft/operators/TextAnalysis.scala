@@ -261,6 +261,25 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** TOKENIZER FERTILITY per language (tokens-per-word — the multilingual
+    * tokenizer-fairness audit: a language whose fertility is 2× pays 2×
+    * the context budget and 2× the inference cost for the same content,
+    * the classic under-represented-script failure). Rolls [[bpeEncode]]'s
+    * per-document counts up by the `lang` column; same scale shape plus
+    * one language-cardinality aggregation. */
+  def tokenizerFertility(t: Tables, nMerges: Int = 8): DataFrame =
+    bpeEncode(t, nMerges)
+      .join(t.documents.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("n_words"),
+        sum("n_bpe_tokens").as("n_bpe_tokens"),
+        round(sum("n_bpe_tokens").cast("double") / sum("n_words"), 6)
+          .as("fertility"),
+        round(sum("n_chars_presplit").cast("double") / sum("n_bpe_tokens"), 6)
+          .as("compression"))
+      .orderBy("lang")
+
   /** Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken,
     * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
     * 2003 — public algorithm, token-shingle variant): hash every

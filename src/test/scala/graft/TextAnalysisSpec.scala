@@ -722,4 +722,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.values.exists { case (_, nch, nbpe) => nbpe < nch },
       "no document compressed — merge table vacuous on the fixture")
   }
+
+  test("tokenizerFertility is the per-language rollup of bpeEncode") {
+    val langOf = tables.documents.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val perDoc = TextAnalysis.bpeEncode(tables).collect()
+      .map(r => (langOf(r.getLong(0)), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = perDoc.groupBy(_._1).map { case (lang, xs) =>
+      val (w, c, b) = (xs.map(_._2).sum, xs.map(_._3).sum, xs.map(_._4).sum)
+      lang -> (xs.length.toLong, w, b,
+        BigDecimal(b.toDouble / w).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(c.toDouble / b).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = TextAnalysis.tokenizerFertility(tables).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+    assert(got == want)
+    assert(got.size > 1, "fixture should span multiple languages")
+  }
 }
