@@ -178,6 +178,42 @@ object CorpusStreams {
     * twin ([[graft.operators.TextAnalysis.topTermsSketch]]) — the spec
     * asserts the streamed result over split batches equals the batch
     * sketch over the union. */
+  /** Streaming EMBEDDING ingest into the persisted ANN index
+    * ([[graft.operators.AnnIndex]]): each micro-batch's vectors are
+    * assigned THROUGH the frozen quantizer and appended to the
+    * cell-partitioned store — the similarity twin of [[ingestLoop]].
+    * Zero Spark state (the index IS the state, on disk); `commitDir`
+    * batchId markers make replayed batches no-ops (spec-asserted), so a
+    * restarted stream cannot double-append. A crash between append and
+    * marker leaves at-least-once semantics — duplicate vec_id rows a
+    * reader dedupes or a compaction pass removes — the standard
+    * foreachBatch contract, same trade documented on [[ingestLoop]]. */
+  def annIngestLoop(spark: org.apache.spark.sql.SparkSession,
+                    vectors: DataFrame,
+                    idx: graft.operators.AnnIndex.Index,
+                    commitDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processAnnIngestBatch(spark, batch, batchId, idx, commitDir)
+      }
+      .start()
+
+  /** One micro-batch of [[annIngestLoop]], exposed for direct testing of
+    * the replay contract. */
+  def processAnnIngestBatch(spark: org.apache.spark.sql.SparkSession,
+                            batch: DataFrame, batchId: Long,
+                            idx: graft.operators.AnnIndex.Index,
+                            commitDir: Option[String] = None): Unit = {
+    val marker = commitDir.map(cd =>
+      new org.apache.hadoop.fs.Path(cd, f"annbatch-$batchId%020d.committed"))
+    val fs = marker.map(_.getFileSystem(spark.sparkContext.hadoopConfiguration))
+    if (marker.zip(fs).exists { case (m, f) => f.exists(m) }) return
+    graft.operators.AnnIndex.appendToIndex(spark, batch, idx)
+    // marker LAST: it asserts the append completed
+    marker.zip(fs).foreach { case (m, f) => f.create(m, true).close() }
+  }
+
   def trendingTerms(docs: DataFrame, capacity: Int = 64, k: Int = 10): DataFrame =
     docs
       .select(explode(TextAnalysis.tokens(col("text"))).as("token"))

@@ -228,6 +228,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ANN ingest grows the index to the batch-build state; replays are no-ops") {
+    import graft.operators.AnnIndex
+    import graft.streaming.CorpusStreams
+    implicit val sqlCtx = spark.sqlContext
+    val a = tables.embeddings.filter(col("vec_id") % 2 === 0)
+    val b = tables.embeddings.filter(col("vec_id") % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("gann_stream").toString
+    val commitDir = java.nio.file.Files.createTempDirectory("gann_commits").toString
+    val idx = AnnIndex.buildIndex(spark, a, dir, fitOn = Some(a))
+    val input = MemoryStream[(Long, Seq[Float], Int)]
+    val q = CorpusStreams.annIngestLoop(spark,
+      input.toDF().toDF("vec_id", "embedding", "label"), idx, Some(commitDir))
+    try {
+      val rows = b.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2)))
+      input.addData(rows.take(rows.length / 2).toSeq)
+      q.processAllAvailable()
+      input.addData(rows.drop(rows.length / 2).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    // streamed state == one-shot batch build with the same frozen quantizer
+    val dirFull = java.nio.file.Files.createTempDirectory("gann_full").toString
+    val idxFull = AnnIndex.buildIndex(spark, tables.embeddings, dirFull,
+      fitOn = Some(a))
+    def assignments(i: AnnIndex.Index) =
+      spark.read.parquet(i.vectorsPath).select("vec_id", "cell").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(assignments(idx) == assignments(idxFull))
+    // a replayed batchId is skipped outright: index row count unchanged
+    val before = spark.read.parquet(idx.vectorsPath).count()
+    CorpusStreams.processAnnIngestBatch(spark,
+      b.limit(5), 0L, idx, Some(commitDir))
+    assert(spark.read.parquet(idx.vectorsPath).count() == before,
+      "replayed committed batch must not append")
+    // and queries over the streamed index match the batch-built one
+    val queries = tables.embeddings.filter(col("vec_id") < 10)
+    assert(AnnIndex.queryIndex(spark, idx, queries).collect().toSeq ==
+      AnnIndex.queryIndex(spark, idxFull, queries).collect().toSeq)
+  }
+
   test("streaming dedup against a stored fp index matches the batch anti-join") {
     import graft.streaming.CorpusStreams
     import graft.operators.{Dedup, DedupIndex}
