@@ -69,6 +69,68 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("compactIndex: one file per cell after many appends; state and queries unchanged") {
+    val parts = (0 until 4).map(i => tables.embeddings.filter($"vec_id" % 4 === i))
+    val dir = Files.createTempDirectory("gannidx_compact").toString
+    val idx = AnnIndex.buildIndex(spark, parts.head, dir,
+      fitOn = Some(parts.head))
+    parts.tail.foreach(p => AnnIndex.appendToIndex(spark, p, idx))
+    def filesPerCell(): Map[String, Int] = {
+      val root = java.nio.file.Paths.get(idx.vectorsPath)
+      java.nio.file.Files.list(root).toArray.map(_.toString)
+        .filter(_.contains("cell=")).map { d =>
+          d -> java.nio.file.Files.list(java.nio.file.Paths.get(d))
+            .toArray.map(_.toString).count(_.endsWith(".parquet"))
+        }.toMap
+    }
+    def state() = spark.read.parquet(idx.vectorsPath)
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(filesPerCell().values.exists(_ > 1),
+      "fixture should have fragmented cells before compaction")
+    val before = state()
+    val wantQ = AnnIndex.queryIndex(spark, idx, queries10).collect().toSeq
+    AnnIndex.compactIndex(spark, idx)
+    assert(filesPerCell().values.forall(_ == 1), filesPerCell().toString)
+    assert(state() == before)
+    assert(AnnIndex.queryIndex(spark, idx, queries10).collect().toSeq == wantQ)
+    // no residue: stage/aside/marker all gone
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"${idx.vectorsPath}_stage")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"${idx.vectorsPath}_old")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(idx.dir, "compact.commit")))
+  }
+
+  test("compaction crash states: uncommitted stage rolls back, committed stage rolls forward") {
+    import org.apache.hadoop.fs.{FileUtil, Path => HPath}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = Files.createTempDirectory("gannidx_crash").toString
+    val idx = AnnIndex.buildIndex(spark, tables.embeddings, dir)
+    val before = spark.read.parquet(idx.vectorsPath)
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    val canonical = new HPath(idx.vectorsPath)
+    val stage = new HPath(s"${idx.vectorsPath}_stage")
+    val fs = canonical.getFileSystem(conf)
+    // crash BEFORE the commit marker: stage present, marker absent
+    FileUtil.copy(fs, canonical, fs, stage, false, conf)
+    AnnIndex.attachIndex(spark, dir)
+    assert(!fs.exists(stage), "uncommitted stage must roll back on attach")
+    // crash AFTER the commit marker: stage + marker present
+    FileUtil.copy(fs, canonical, fs, stage, false, conf)
+    val mp = new HPath(idx.dir, "compact.commit")
+    val out = fs.create(mp, true); out.write("compact".getBytes); out.close()
+    AnnIndex.attachIndex(spark, dir)
+    assert(!fs.exists(stage) && !fs.exists(mp) &&
+      !fs.exists(new HPath(s"${idx.vectorsPath}_old")))
+    val after = spark.read.parquet(idx.vectorsPath)
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(after == before, "roll-forward must preserve the vector state")
+  }
+
   test("attachIndex refuses a directory without a completed build") {
     val dir = Files.createTempDirectory("gannidx_missing").toString
     val e = intercept[IllegalArgumentException] {
