@@ -513,6 +513,36 @@ ${mixCtes("hh", "h0", "hraw", "h", "doc_id")}
 SELECT doc_id, ${signedB("h")} AS fingerprint FROM hh ORDER BY doc_id"""
   }
 
+  /** Oracle for q_corpus_diff ([[graft.operators.Pipeline.corpusDiff]]):
+    * both snapshot sides re-fingerprinted with the rollingFingerprints
+    * chain, full-outer joined on doc_id, statuses counted per source.
+    * The v1/v2 definitions mirror the query registration exactly:
+    * v1 drops doc_id % 11 == 0 (those appear "added" in v2), v2 drops
+    * doc_id % 13 == 0 ("removed") and appends ' rev2' to doc_id % 7 == 0
+    * ("modified"). */
+  def corpusDiff: String = {
+    val fold = "list_reduce(list_prepend(CAST(0 AS HUGEINT), " +
+      "list_transform(string_split(lower(trim(text)), ''), c -> CAST(unicode(c) AS HUGEINT))), " +
+      s"(acc, c) -> (${mulmod("acc", "1000003")} + c) % $M64)"
+    s"""WITH v1 AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 11 <> 0),
+v2 AS (SELECT doc_id, source, CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END AS text FROM documents WHERE doc_id % 13 <> 0),
+g1 AS (SELECT doc_id, source, $fold AS hraw FROM v1),
+${mixCtes("k1", "g1", "hraw", "h", "doc_id, source")},
+f1 AS (SELECT doc_id, source, ${signedB("h")} AS fp FROM k1),
+g2 AS (SELECT doc_id, source, $fold AS hraw FROM v2),
+${mixCtes("k2", "g2", "hraw", "h", "doc_id, source")},
+f2 AS (SELECT doc_id, source, ${signedB("h")} AS fp FROM k2),
+j AS (SELECT coalesce(f2.source, f1.source) AS source,
+CASE WHEN f1.doc_id IS NULL THEN 'added' WHEN f2.doc_id IS NULL THEN 'removed'
+WHEN f1.fp <> f2.fp THEN 'modified' ELSE 'unchanged' END AS st
+FROM f1 FULL OUTER JOIN f2 ON f1.doc_id = f2.doc_id)
+SELECT source, count(*) FILTER (st = 'added') AS n_added,
+count(*) FILTER (st = 'removed') AS n_removed,
+count(*) FILTER (st = 'modified') AS n_modified,
+count(*) FILTER (st = 'unchanged') AS n_unchanged
+FROM j GROUP BY source ORDER BY source"""
+  }
+
   /** Oracle for q_bpe_merges ([[graft.operators.TextAnalysis.bpeMerges]]):
     * the same delimiter-framed symbol-string representation, so each
     * round's greedy left-to-right merge is the SAME `replace` primitive;

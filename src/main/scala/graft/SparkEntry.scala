@@ -336,6 +336,17 @@ object SparkEntry {
     "q_tpch_q10" -> ((s, d) => Analytics.tpchQ10(Tables(s, d))),
     "q_multi_distinct" -> ((s, d) => Analytics.multiDistinct(Tables(s, d))),
     "q_corpus_final" -> ((s, d) => graft.operators.Pipeline.finalCorpus(Tables(s, d))),
+    "q_corpus_diff" -> ((s, d) => {
+      // snapshot-diff fixture, SQL-replayable: v1 drops doc_id % 11 == 0
+      // ("added" in v2), v2 drops % 13 == 0 ("removed") and revises
+      // % 7 == 0 ("modified") — every status class non-empty at every sf
+      val t = Tables(s, d)
+      val v1 = t.documents.filter(col("doc_id") % 11 =!= 0)
+      val v2 = t.documents.filter(col("doc_id") % 13 =!= 0)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+      graft.operators.Pipeline.corpusDiff(v1, v2)
+    }),
     "q_token_entropy" -> ((s, d) => TextAnalysis.tokenEntropy(Tables(s, d))),
     "q_kmeans" -> ((s, d) => Similarity.kmeans(Tables(s, d))),
     "q_select_kcenter" -> ((s, d) => Similarity.kCenterSelect(Tables(s, d))),
@@ -644,6 +655,7 @@ object SparkEntry {
     "q_embed_groups" -> SrpOracleSql.embedGroups(),
     "q_ann_lsh" -> SrpOracleSql.annLsh(),
     "q_text_fingerprint" -> KernelOracleSql.rollingFingerprints,
+    "q_corpus_diff" -> KernelOracleSql.corpusDiff,
     "q_winnow" -> KernelOracleSql.winnowFingerprints(),
     "q_bpe_merges" -> KernelOracleSql.bpeMerges(),
     "q_bpe_encode" -> KernelOracleSql.bpeEncode(),

@@ -32,4 +32,39 @@ object Pipeline {
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
   }
+
+  /** CORPUS SNAPSHOT DIFF — the version-accounting pass between two
+    * corpus generations (yesterday's crawl vs today's): per source, how
+    * many documents were added, removed, modified, unchanged. The audit a
+    * data-versioning workflow reads before promoting a new snapshot, and
+    * the input to incremental recompute decisions (only added+modified
+    * docs need re-fingerprinting downstream).
+    *
+    * Scale shape: each side collapses to (doc_id, source, fingerprint) —
+    * the codegen'd Karp–Rabin kernel, a NARROW projection, so no document
+    * text ever enters the join — then ONE doc_id-keyed full-outer join of
+    * two slim tables and a source-cardinality aggregation. Modified-ness
+    * is fingerprint inequality: 64-bit collisions are the standard
+    * accepted trade (same as exact dedup's fingerprint stage). */
+  def corpusDiff(v1: DataFrame, v2: DataFrame): DataFrame = {
+    def slim(df: DataFrame, n: String): DataFrame = df.select(
+      col("doc_id"),
+      col("source").as(s"_src$n"),
+      graft.functions.HashFunctions
+        .rollingHash64(lower(trim(col("text")))).as(s"_fp$n"))
+    slim(v1, "1").join(slim(v2, "2"), Seq("doc_id"), "full_outer")
+      .select(
+        coalesce(col("_src2"), col("_src1")).as("source"),
+        when(col("_fp1").isNull, "added")
+          .when(col("_fp2").isNull, "removed")
+          .when(col("_fp1") =!= col("_fp2"), "modified")
+          .otherwise("unchanged").as("_st"))
+      .groupBy("source")
+      .agg(
+        count(when(col("_st") === "added", 1)).as("n_added"),
+        count(when(col("_st") === "removed", 1)).as("n_removed"),
+        count(when(col("_st") === "modified", 1)).as("n_modified"),
+        count(when(col("_st") === "unchanged", 1)).as("n_unchanged"))
+      .orderBy("source")
+  }
 }

@@ -30,4 +30,46 @@ class PipelineSpec extends SparkSpec {
     assert(got == (winners & quality & inBand), "composition mismatch")
     assert(got.nonEmpty)
   }
+
+  test("corpusDiff classifies added/removed/modified/unchanged per source") {
+    import spark.implicits._
+    val v1 = Seq(
+      (1L, "alpha beta", "en", "s1"),   // unchanged
+      (2L, "gamma delta", "en", "s1"),  // modified in v2
+      (3L, "kept as is", "en", "s2"),   // removed from v2
+      (5L, "same text", "de", "s2"))    // unchanged
+      .toDF("doc_id", "text", "lang", "source")
+    val v2 = Seq(
+      (1L, "alpha beta", "en", "s1"),
+      (2L, "gamma delta REVISED", "en", "s1"),
+      (4L, "brand new", "en", "s2"),    // added
+      (5L, "same text", "de", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = Pipeline.corpusDiff(v1, v2).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got == Map(
+      "s1" -> ((0L, 0L, 1L, 1L)),
+      "s2" -> ((1L, 1L, 0L, 1L))), got.toString)
+  }
+
+  test("corpusDiff on the corpus snapshot fixture is non-vacuous in every class") {
+    val v1 = tables.documents.filter(col("doc_id") % 11 =!= 0)
+    val v2 = tables.documents.filter(col("doc_id") % 13 =!= 0)
+      .withColumn("text", when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+    val rows = Pipeline.corpusDiff(v1, v2).collect()
+    val totals = rows.foldLeft((0L, 0L, 0L, 0L)) { (acc, r) =>
+      (acc._1 + r.getLong(1), acc._2 + r.getLong(2),
+        acc._3 + r.getLong(3), acc._4 + r.getLong(4))
+    }
+    assert(totals._1 > 0 && totals._2 > 0 && totals._3 > 0 && totals._4 > 0,
+      s"every diff class should be populated, got $totals")
+    // cardinality sanity: every v1∪v2 doc is accounted exactly once
+    val n1 = v1.count(); val n2 = v2.count()
+    val union = v1.select("doc_id").union(v2.select("doc_id")).distinct().count()
+    assert(totals._1 + totals._2 + totals._3 + totals._4 == union)
+    assert(totals._2 + totals._3 + totals._4 == n1)
+    assert(totals._1 + totals._3 + totals._4 == n2)
+  }
 }
