@@ -120,9 +120,58 @@ def gen_one(rng):
                         "leftjoin", "case", "window_rank", "window_runsum",
                         "setop", "scalar_sub",
                         "cube", "rollup", "ntile", "leadlag", "percent_rank",
-                        "exists", "full_outer", "union_all", "in_sub"])
+                        "exists", "full_outer", "union_all", "in_sub",
+                        "arith", "between_in", "offset", "like"])
     t = rng.choice(list(TABLES))
     cols = TABLES[t]
+    if shape == "arith":
+        # TPC-H expression idiom (price * (1 - discount) shape); MIN/MAX
+        # over per-row products are summation-order-insensitive, unlike SUM
+        nums = cols["num"]
+        if len(nums) >= 2:
+            a, b = rng.sample(nums, 2)
+            expr = f"{a} * (1 + {b})"
+        elif nums:
+            expr = f"{nums[0]} * 2 + 1"
+        else:
+            expr = f"{cols['int'][0]} * 3 + 1"
+        g = rng.choice(cols["str"] + [cols["int"][-1]])
+        return (f"SELECT {g}, MIN({expr}) AS lo, MAX({expr}) AS hi, "
+                f"COUNT(*) AS n FROM {t}{where(rng, t, cols)} "
+                f"GROUP BY {g} ORDER BY {g}")
+    if shape == "between_in":
+        c = rng.choice(cols["num"] + cols["int"])
+        lo, hi = sorted(rng.sample(range(0, 3000), 2))
+        strpred = ""
+        strs = [s for s in cols["str"] if STR_VALUES.get(s)]
+        if strs:
+            scol = rng.choice(strs)
+            pick = rng.sample(STR_VALUES[scol],
+                              min(2, len(STR_VALUES[scol])))
+            inlist = ", ".join(f"'{v}'" for v in pick)
+            strpred = f" AND {scol} IN ({inlist})"
+        sel = sorted(set(cols["key"] + [c]))
+        return (f"SELECT {', '.join(sel)} FROM {t} "
+                f"WHERE {c} BETWEEN {lo} AND {hi}{strpred} "
+                f"ORDER BY {', '.join(sel)}")
+    if shape == "offset":
+        o = rng.choice(cols["num"] + cols["int"])
+        sel = sorted(set([o] + cols["key"]))
+        lim, off = rng.randint(5, 100), rng.randint(1, 50)
+        # unique-key tie-break keeps the OFFSET window deterministic
+        return (f"SELECT {', '.join(sel)} FROM {t}{where(rng, t, cols)} "
+                f"ORDER BY {o} {rng.choice(['ASC', 'DESC'])}, "
+                f"{', '.join(cols['key'])} LIMIT {lim} OFFSET {off}")
+    if shape == "like":
+        strs = [s for s in cols["str"] if STR_VALUES.get(s)]
+        if strs:
+            scol = rng.choice(strs)
+            v = rng.choice(STR_VALUES[scol])
+            pat = v[:max(1, len(v) // 2)] + "%"
+            sel = sorted(set(cols["key"] + [scol]))
+            return (f"SELECT {', '.join(sel)} FROM {t} "
+                    f"WHERE {scol} LIKE '{pat}' ORDER BY {', '.join(sel)}")
+        return gen_one(rng)  # table with no enumerated strings: redraw
     CORR = [  # (parent, child, parent-key, child-fk)
         ("customer", "orders", "c_custkey", "o_custkey"),
         ("orders", "lineitem", "o_orderkey", "l_orderkey"),
