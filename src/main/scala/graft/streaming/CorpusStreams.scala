@@ -214,6 +214,27 @@ object CorpusStreams {
     marker.zip(fs).foreach { case (m, f) => f.create(m, true).close() }
   }
 
+  /** Event-time WINDOWED trending terms: the [[trendingTerms]] sketch per
+    * tumbling window with a watermark — "what was trending at 14:00", the
+    * production shape (the global variant answers "ever"). Append mode:
+    * each window's sketch finalizes exactly once when the watermark passes
+    * its end, so downstream consumers see one immutable row set per
+    * window. State = one capacity-bounded sketch buffer PER OPEN WINDOW
+    * (not per term), and the watermark bounds how many windows stay open —
+    * bounded state on an unbounded-vocabulary stream, forever. */
+  def trendingTermsWindowed(docs: DataFrame, windowLen: String = "1 hour",
+                            watermark: String = "2 hours",
+                            capacity: Int = 64, k: Int = 10): DataFrame =
+    docs
+      .withWatermark("ts", watermark)
+      .select(col("ts"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy(window(col("ts"), windowLen))
+      .agg(graft.functions.FreqItemsSketch.freqItems(col("token"), capacity).as("sketch"))
+      .select(col("window.start").as("window_start"),
+        explode(slice(col("sketch"), 1, k)).as("e"))
+      .select(col("window_start"), col("e.item").as("token"),
+        col("e.est_count").as("est_count"), col("e.max_err").as("max_err"))
+
   def trendingTerms(docs: DataFrame, capacity: Int = 64, k: Int = 10): DataFrame =
     docs
       .select(explode(TextAnalysis.tokens(col("text"))).as("token"))

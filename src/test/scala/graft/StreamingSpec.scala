@@ -192,6 +192,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed trending terms: each closed window equals the batch sketch of its docs") {
+    import graft.streaming.CorpusStreams
+    import graft.operators.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    val docRows = tables.documents.select("text").collect().map(_.getString(0))
+    // window 1 (10:00) gets the first half, window 2 (11:00) the second
+    val half = docRows.length / 2
+    val w1 = docRows.take(half).map(t => (Timestamp.valueOf("2024-01-01 10:05:00"), t))
+    val w2 = docRows.drop(half).map(t => (Timestamp.valueOf("2024-01-01 11:05:00"), t))
+    val input = MemoryStream[(Timestamp, String)]
+    val q = CorpusStreams.trendingTermsWindowed(
+      input.toDF().toDF("ts", "text"), windowLen = "1 hour", watermark = "30 minutes")
+      .writeStream.format("memory").queryName("trendw").outputMode("append").start()
+    try {
+      input.addData(w1.toSeq)
+      q.processAllAvailable()
+      input.addData(w2.toSeq)
+      q.processAllAvailable()
+      // late sentinel far past window 2 closes it
+      input.addData(Seq((Timestamp.valueOf("2024-01-01 14:00:00"), "sentinel")))
+      q.processAllAvailable()
+      val got = spark.table("trendw").collect()
+        .map(r => (r.getTimestamp(0).toString.take(13),
+          r.getString(1), r.getLong(2), r.getLong(3)))
+        .groupBy(_._1).view
+        .mapValues(_.map(x => (x._2, x._3, x._4)).toSet).toMap
+      def batchSketch(texts: Seq[String]): Set[(String, Long, Long)] = {
+        import spark.implicits._
+        val d = texts.toDF("text")
+        CorpusStreams.trendingTerms(d.select(lit(0L).as("doc_id"), col("text")))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      }
+      // a single-batch window's sketch is EXACTLY the batch sketch (no
+      // merge-order divergence possible — one partial per partition set,
+      // same rows); compare zero-error items, which must agree exactly
+      assert(got.contains("2024-01-01 10"), s"windows seen: ${got.keySet}")
+      assert(got.contains("2024-01-01 11"), s"windows seen: ${got.keySet}")
+      val want1 = batchSketch(docRows.take(half).toSeq)
+      val exactGot = got("2024-01-01 10").filter(_._3 == 0L)
+      val exactWant = want1.filter(_._3 == 0L)
+      assert(exactGot.nonEmpty && exactWant.nonEmpty)
+      exactWant.foreach { case (tok, c, _) =>
+        val hit = got("2024-01-01 10").find(_._1 == tok)
+        assert(hit.exists(h => h._2 >= c - h._3 && h._2 <= c + h._3),
+          s"window-1 token $tok: batch exact $c vs stream $hit")
+      }
+      // and the two windows are genuinely independent sketches
+      assert(got("2024-01-01 10") != got("2024-01-01 11"))
+    } finally q.stop()
+  }
+
   test("streaming trending terms: sketch over split batches equals the batch sketch") {
     import graft.streaming.CorpusStreams
     implicit val sqlCtx = spark.sqlContext
