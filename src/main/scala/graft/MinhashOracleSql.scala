@@ -513,6 +513,42 @@ ${mixCtes("hh", "h0", "hraw", "h", "doc_id")}
 SELECT doc_id, ${signedB("h")} AS fingerprint FROM hh ORDER BY doc_id"""
   }
 
+  /** Oracle for q_feature_hash ([[graft.operators.TextAnalysis
+    * .featureHashAudit]]): per-token Karp–Rabin+mix64 hashes (the
+    * rollingFingerprints chain applied to tokens), per-dim distinct-dim
+    * counts, and exact-vs-hashed pair cosines — every cosine is integer
+    * dot / sqrt(integer norms), so no summation-order sensitivity. */
+  def featureHashAudit(dims: Seq[Int] = Seq(64, 256, 1024),
+                       nPairs: Int = 5): String = {
+    val fold = "list_reduce(list_prepend(CAST(0 AS HUGEINT), " +
+      "list_transform(string_split(token, ''), c -> CAST(unicode(c) AS HUGEINT))), " +
+      s"(acc, c) -> (${mulmod("acc", "1000003")} + c) % $M64)"
+    def pairCtes(tag: String, keyExpr: String): String =
+      s"""c$tag AS (SELECT doc_id, $keyExpr AS key, count(*) AS c FROM smp GROUP BY 1, 2),
+n$tag AS (SELECT doc_id, sum(c * c) AS n2 FROM c$tag GROUP BY 1),
+d$tag AS (SELECT a.doc_id AS pair, sum(a.c * b.c) AS dot FROM c$tag a JOIN c$tag b ON b.doc_id = a.doc_id + $nPairs AND b.key = a.key WHERE a.doc_id < $nPairs GROUP BY 1),
+e$tag AS (SELECT na.doc_id AS pair, CAST(coalesce(d.dot, 0) AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cos FROM n$tag na JOIN n$tag nb ON nb.doc_id = na.doc_id + $nPairs LEFT JOIN d$tag d ON d.pair = na.doc_id WHERE na.doc_id < $nPairs)"""
+    val dimArms = dims.map { d =>
+      val key = s"((h % $d) + $d) % $d"
+      s"""u$d AS (SELECT count(DISTINCT $key) AS n_dims_used FROM th),
+${pairCtes(s"h$d", key)},
+r$d AS (SELECT $d AS dim, v.n_vocab, u.n_dims_used,
+round(1.0 - CAST(u.n_dims_used AS DOUBLE) / least(v.n_vocab, $d), 6) AS collision_frac,
+round((SELECT max(abs(e.cos - x.cos)) FROM ex e JOIN eh$d x USING (pair)), 6) AS max_abs_cos_err
+FROM voc v CROSS JOIN u$d u)"""
+    }.mkString(",\n")
+    val out = dims.map(d => s"SELECT * FROM r$d").mkString(" UNION ALL ")
+    s"""WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS token FROM documents),
+t0 AS (SELECT doc_id, token, $fold AS hraw FROM toks),
+${mixCtes("tm", "t0", "hraw", "hu", "doc_id, token")},
+th AS MATERIALIZED (SELECT doc_id, token, ${signedB("hu")} AS h FROM tm),
+voc AS (SELECT count(DISTINCT token) AS n_vocab FROM th),
+smp AS MATERIALIZED (SELECT doc_id, token, h FROM th WHERE doc_id < ${2 * nPairs}),
+${pairCtes("x", "token")},
+$dimArms
+SELECT dim, CAST(n_vocab AS BIGINT) AS n_vocab, CAST(n_dims_used AS BIGINT) AS n_dims_used, collision_frac, max_abs_cos_err FROM ($out) ORDER BY dim"""
+  }
+
   /** Oracle for q_corpus_diff ([[graft.operators.Pipeline.corpusDiff]]):
     * both snapshot sides re-fingerprinted with the rollingFingerprints
     * chain, full-outer joined on doc_id, statuses counted per source.

@@ -185,6 +185,7 @@ object SparkEntry {
     "q_bpe_merges" -> ((s, d) => TextAnalysis.bpeMerges(Tables(s, d))),
     "q_bpe_encode" -> ((s, d) => TextAnalysis.bpeEncode(Tables(s, d))),
     "q_tokenizer_fertility" -> ((s, d) => TextAnalysis.tokenizerFertility(Tables(s, d))),
+    "q_feature_hash" -> ((s, d) => TextAnalysis.featureHashAudit(Tables(s, d))),
     "q_quality_gopher" -> ((s, d) => TextAnalysis.gopherFilter(Tables(s, d))),
     "q_rep_coverage" -> ((s, d) => TextAnalysis.topBigramCoverage(Tables(s, d))),
     "q_text_nfc" -> ((s, d) => TextAnalysis.nfcReport(Tables(s, d))),
@@ -660,6 +661,7 @@ object SparkEntry {
     "q_bpe_merges" -> KernelOracleSql.bpeMerges(),
     "q_bpe_encode" -> KernelOracleSql.bpeEncode(),
     "q_tokenizer_fertility" -> KernelOracleSql.tokenizerFertility(),
+    "q_feature_hash" -> KernelOracleSql.featureHashAudit(),
     "q_cdc_chunks" -> KernelOracleSql.cdcChunks(),
     "q_skyline" ->
       ("WITH f AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens, CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct " +

@@ -1025,4 +1025,68 @@ object TextAnalysis {
         round(min("_hi"), 6).as("p_hi"))
       .orderBy("lang")
   }
+
+  /** FEATURE-HASHING AUDIT (the hashing-trick sizing report — Weinberger
+    * et al. 2009, public method): for each candidate dimension budget,
+    * how lossy is mapping tokens to `pmod(hash(token), d)` instead of a
+    * vocabulary dictionary? Reports corpus vocabulary size, occupied
+    * dims, the collision fraction, and — the number that actually
+    * decides d — the worst cosine distortion between exact
+    * token-count vectors and hashed vectors over a fixed document-pair
+    * sample. The hashing trick is THE bounded-memory vectorizer at
+    * corpus scale (no vocabulary dictionary to build, ship, or grow);
+    * this audit is how you pick d before committing to it.
+    *
+    * Deterministic end to end: the token hash is the codegen'd
+    * Karp–Rabin+mix64 kernel (SQL-replayable, the q_text_fingerprint
+    * machinery), and every cosine is integer dot / sqrt(integer norms) —
+    * no summation-order sensitivity anywhere, max() over pairs is
+    * order-free. One corpus scan feeds the checkpointed (doc, token,
+    * hash) table; each dim arm is a distinct-count plus joins over the
+    * 10-document sample. */
+  def featureHashAudit(t: Tables, dims: Seq[Int] = Seq(64, 256, 1024),
+                       nPairs: Int = 5): DataFrame = {
+    val tok = t.documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .withColumn("h", HashFunctions.rollingHash64(col("token")))
+      .localCheckpoint() // 1 vocab agg + dims × (distinct + sample) consumers
+    val vocab = tok.agg(countDistinct(col("token")).as("n_vocab"))
+    val sample = tok.filter(col("doc_id") < 2L * nPairs)
+    def pairCos(keyed: DataFrame): DataFrame = {
+      // keyed: (doc_id, key) one row per token occurrence; integer counts
+      val cnts = keyed.groupBy("doc_id", "key").agg(count(lit(1)).as("c"))
+      val norms = cnts.groupBy("doc_id").agg(sum(col("c") * col("c")).as("n2"))
+      val a = cnts.filter(col("doc_id") < nPairs)
+        .select(col("doc_id").as("pair"), col("key"), col("c").as("ca"))
+      val b = cnts.filter(col("doc_id") >= nPairs)
+        .select((col("doc_id") - nPairs).as("pair"), col("key"), col("c").as("cb"))
+      val dots = a.join(b, Seq("pair", "key"))
+        .groupBy("pair").agg(sum(col("ca") * col("cb")).as("dot"))
+      val na = norms.filter(col("doc_id") < nPairs)
+        .select(col("doc_id").as("pair"), col("n2").as("na"))
+      val nb = norms.filter(col("doc_id") >= nPairs)
+        .select((col("doc_id") - nPairs).as("pair"), col("n2").as("nb"))
+      na.join(nb, Seq("pair")).join(dots, Seq("pair"), "left")
+        .select(col("pair"),
+          (coalesce(col("dot"), lit(0L)).cast("double") /
+            sqrt(col("na").cast("double") * col("nb").cast("double"))).as("cos"))
+    }
+    val exact = pairCos(sample.select(col("doc_id"), col("token").as("key")))
+      .withColumnRenamed("cos", "cos_exact")
+      .localCheckpoint() // one consumer per dim arm
+    val arms = dims.map { d =>
+      val used = tok
+        .agg(countDistinct(pmod(col("h"), lit(d.toLong))).as("n_dims_used"))
+      val hashed = pairCos(sample.select(col("doc_id"),
+        pmod(col("h"), lit(d.toLong)).as("key")))
+      val worst = exact.join(hashed, Seq("pair"))
+        .agg(max(abs(col("cos_exact") - col("cos"))).as("max_err"))
+      vocab.crossJoin(broadcast(used)).crossJoin(broadcast(worst))
+        .select(lit(d).as("dim"), col("n_vocab"), col("n_dims_used"),
+          round(lit(1.0) - col("n_dims_used").cast("double") /
+            least(col("n_vocab"), lit(d.toLong)), 6).as("collision_frac"),
+          round(col("max_err"), 6).as("max_abs_cos_err"))
+    }
+    arms.reduce(_.unionByName(_)).orderBy("dim")
+  }
 }

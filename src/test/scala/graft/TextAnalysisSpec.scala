@@ -740,4 +740,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == want)
     assert(got.size > 1, "fixture should span multiple languages")
   }
+
+  test("featureHashAudit matches a naive recompute over kernel hashes") {
+    import graft.functions.HashFunctions
+    val tok = tables.documents
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .withColumn("h", HashFunctions.rollingHash64(col("token")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val nVocab = tok.map(_._2).distinct.length.toLong
+    def dimOf(h: Long, d: Int): Long = ((h % d) + d) % d
+    def cosPairs(key: ((Long, String, Long)) => Any): Map[Long, Double] = {
+      val smp = tok.filter(_._1 < 10)
+      val cnts = smp.groupBy(r => (r._1, key(r))).view.mapValues(_.length.toLong).toMap
+      val norms = cnts.groupBy(_._1._1).view
+        .mapValues(_.values.map(c => c * c).sum).toMap
+      (0L until 5L).map { p =>
+        val dot = cnts.collect {
+          case ((d1, k), ca) if d1 == p && cnts.contains((p + 5, k)) =>
+            ca * cnts((p + 5, k))
+        }.sum
+        p -> dot.toDouble / math.sqrt(norms(p).toDouble * norms(p + 5).toDouble)
+      }.toMap
+    }
+    val exact = cosPairs(_._2)
+    val want = Seq(64, 256, 1024).map { d =>
+      val used = tok.map(r => dimOf(r._3, d)).distinct.length.toLong
+      val hashed = cosPairs(r => dimOf(r._3, d))
+      val maxErr = (0L until 5L).map(p => math.abs(exact(p) - hashed(p))).max
+      (d, nVocab, used,
+        BigDecimal(1.0 - used.toDouble / math.min(nVocab, d.toLong))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(maxErr).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = TextAnalysis.featureHashAudit(tables).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toSeq
+    assert(got == want, s"engine $got vs naive $want")
+    // the audit must be informative: collisions shrink as d grows
+    assert(got.head._4 >= got.last._4)
+  }
 }
