@@ -324,6 +324,7 @@ object SparkEntry {
     "q_retention" -> ((s, d) => Analytics.retentionCohorts(Tables(s, d))),
     "q_pagerank" -> ((s, d) => Graph.pageRank(Tables(s, d))),
     "q_hits" -> ((s, d) => Graph.hits(Tables(s, d))),
+    "q_triangles" -> ((s, d) => Graph.triangleCounts(Tables(s, d))),
     "q_argmax_doc" -> ((s, d) => TextAnalysis.longestDocPerSource(Tables(s, d))),
     "q_zipf_slope" -> ((s, d) => TextAnalysis.zipfSlope(Tables(s, d))),
     "q_length_band" -> ((s, d) => TextAnalysis.lengthBandFilter(Tables(s, d))),
@@ -1387,6 +1388,18 @@ object SparkEntry {
         "round(a.n_active / s.sz, 6) AS retention " +
         "FROM active a JOIN sizes s ON a.cohort = s.cohort ORDER BY cohort_day, day_offset"),
     "q_hits" -> KernelOracleSql.hits(),
+    "q_triangles" ->
+      ("WITH pr AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem), " +
+        "e AS MATERIALIZED (SELECT DISTINCT a.p AS pa, b.p AS pb FROM pr a JOIN pr b ON a.ok = b.ok AND a.p < b.p), " +
+        "dg AS (SELECT n, count(*) AS deg FROM (SELECT pa AS n FROM e UNION ALL SELECT pb FROM e) GROUP BY n), " +
+        "o AS MATERIALIZED (SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.pa < e.pb) THEN e.pa ELSE e.pb END AS u, " +
+        "CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.pa < e.pb) THEN e.pb ELSE e.pa END AS v " +
+        "FROM e JOIN dg da ON da.n = e.pa JOIN dg db ON db.n = e.pb), " +
+        "wg AS (SELECT o1.u, o1.v, o2.v AS w FROM o o1 JOIN o o2 ON o2.u = o1.u AND o1.v < o2.v), " +
+        "ce AS (SELECT least(u, v) AS v, greatest(u, v) AS w FROM o), " +
+        "tr AS (SELECT u, v, w FROM wg WHERE EXISTS (SELECT 1 FROM ce WHERE ce.v = wg.v AND ce.w = wg.w)), " +
+        "pc AS (SELECT part, count(*) AS n_triangles FROM (SELECT unnest([u, v, w]) AS part FROM tr) GROUP BY part) " +
+        "SELECT part, n_triangles FROM pc ORDER BY n_triangles DESC, part LIMIT 20"),
     // the n-free scaled recurrence (rank·n): rankN' = 0.15 + 0.85·Σ rankN/deg
     // with rankN₀ ≡ 1 — identical values to the textbook 1/n form (n
     // cancels), no node-count scalar anywhere, same as the engine

@@ -114,4 +114,38 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(n2("hub") - 1.0) < 1e-4, n2("hub").toString)
     assert(math.abs(n2("authority") - 1.0) < 1e-4, n2("authority").toString)
   }
+
+  test("triangleCounts: hand fixture — a 4-clique order plus a triangle-free path") {
+    import spark.implicits._
+    // order 1 holds parts 1-4 (a 4-clique: each node in C(3,2)=3 triangles);
+    // orders 2,3 chain 10-11-12 (a path: zero triangles)
+    val li = Seq((1L, 1L), (1L, 2L), (1L, 3L), (1L, 4L),
+      (2L, 10L), (2L, 11L), (3L, 11L), (3L, 12L))
+      .toDF("l_orderkey", "l_partkey")
+    val got = Graph.triangleCounts(tables.withTable("lineitem", li))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), got.toString)
+  }
+
+  test("triangleCounts matches a brute-force adjacency recompute on the corpus") {
+    val pairs = tables.lineitem.select("l_orderkey", "l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = pairs.groupBy(_._1).values.flatMap { xs =>
+      val ps = xs.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val adj = (edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) })
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val triCount = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    edges.foreach { case (a, b) =>
+      (adj(a) & adj(b)).filter(c => c > b).foreach { c =>
+        triCount(a) += 1; triCount(b) += 1; triCount(c) += 1
+      }
+    }
+    val want = triCount.toSeq.sortBy { case (p, n) => (-n, p) }.take(20).toMap
+    val got = Graph.triangleCounts(tables).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"engine ${got.toSeq.sortBy(_._1).take(5)} vs naive ${want.toSeq.sortBy(_._1).take(5)}")
+    assert(got.nonEmpty && got.values.exists(_ > 0))
+  }
 }
