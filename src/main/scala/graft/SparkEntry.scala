@@ -98,6 +98,7 @@ object SparkEntry {
     "q_dedup_exact_rows" -> ((s, d) => Dedup.exactRows(Tables(s, d))),
     "q_dedup_jaccard" -> ((s, d) => Dedup.jaccardPairs(Tables(s, d).documents, 0.5)),
     "q_fuzzy_join" -> ((s, d) => SetSimilarity.fuzzyNameJoin(Tables(s, d))),
+    "q_jw_match" -> ((s, d) => SetSimilarity.jaroWinklerJoin(Tables(s, d))),
     "q_lsh_recall" -> ((s, d) => Dedup.lshRecallReport(Tables(s, d))),
     // the scale path of the recall harness: same pipeline over a
     // deterministic 50% content-hash document sample
@@ -745,6 +746,12 @@ object SparkEntry {
         "na.n_parts AS n_parts_a, nb.n_parts AS n_parts_b " +
         "FROM cand c JOIN names na ON na.name = c.name_a JOIN names nb ON nb.name = c.name_b " +
         "WHERE levenshtein(c.name_a, c.name_b) <= 2 ORDER BY name_a, name_b"),
+    "q_jw_match" ->
+      ("WITH names AS (SELECT DISTINCT p_name AS name FROM part), " +
+        "tok AS (SELECT name, unnest(string_split(name, ' ')) AS t FROM names), " +
+        "cand AS (SELECT DISTINCT a.name AS name_a, b.name AS name_b FROM tok a JOIN tok b ON a.t = b.t AND a.name < b.name) " +
+        "SELECT name_a, name_b, round(jaro_winkler_similarity(name_a, name_b), 6) AS jw FROM cand " +
+        "WHERE round(jaro_winkler_similarity(name_a, name_b), 6) >= 0.93 ORDER BY name_a, name_b"),
     "q_dedup_jaccard" ->
       ("WITH tok AS (SELECT DISTINCT doc_id, token FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token FROM documents) WHERE token <> ''), " +
         "sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id), " +

