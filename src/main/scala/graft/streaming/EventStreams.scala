@@ -226,6 +226,79 @@ object EventStreams {
       }
   }
 
+  /** Gap-sessionization on the Spark 4 `transformWithState` API — the
+    * modern twin of [[sessionizeTimeout]] (same semantics, spec-asserted
+    * result-equal): per-user [[SessionState]] lives in a named
+    * `ValueState`, and the final-session close is an explicit event-time
+    * TIMER at `last + gap` (deleted and re-armed on every extension, so
+    * exactly one timer is live per open session). What the new API buys
+    * over `flatMapGroupsWithState`: composable NAMED state variables
+    * (adding a second per-user aggregate is a second `getValueState`, not
+    * a schema migration of one monolithic state class), first-class timer
+    * management instead of one implicit timeout slot, state TTL, and
+    * RocksDB-backed stores with changelog checkpointing — the
+    * production-scale state backend. Requires the RocksDB state store
+    * provider (a transformWithState contract). */
+  class GapSessionProcessor(gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, SessionOut] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var session: ValueState[SessionState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      session = getHandle.getValueState[SessionState]("session",
+        org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+    private def us(t: Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[SessionOut] = {
+      val sorted = rows.toArray.sortBy(e => (us(e.ts), e.event_id))
+      var cur = if (session.exists()) Some(session.get()) else None
+      val closed = Seq.newBuilder[SessionOut]
+      sorted.foreach { e =>
+        val t = us(e.ts)
+        cur match {
+          case Some(s) if t - s.last_us <= gapUs =>
+            cur = Some(SessionState(s.start_us, math.max(s.last_us, t), s.n + 1))
+          case Some(s) =>
+            closed += SessionOut(userId, s.start_us, s.last_us, s.n)
+            cur = Some(SessionState(t, t, 1))
+          case None =>
+            cur = Some(SessionState(t, t, 1))
+        }
+      }
+      cur.foreach { s =>
+        session.update(s)
+        // exactly one live timer per open session: drop stale, arm last+gap
+        getHandle.listTimers().foreach(ts => getHandle.deleteTimer(ts.asInstanceOf[Long]))
+        getHandle.registerTimer((s.last_us + gapUs) / 1000)
+      }
+      closed.result().iterator
+    }
+    override def handleExpiredTimer(userId: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[SessionOut] = {
+      if (!session.exists()) Iterator.empty
+      else {
+        val s = session.get()
+        session.clear()
+        Iterator.single(SessionOut(userId, s.start_us, s.last_us, s.n))
+      }
+    }
+  }
+
+  def sessionizeTws(spark: SparkSession, events: Dataset[Event],
+                    gapMinutes: Int = 30,
+                    watermark: String = "10 minutes"): Dataset[SessionOut] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .as[Event]
+      .groupByKey(_.user_id)
+      .transformWithState(new GapSessionProcessor(gapMinutes * 60000000L),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Streaming funnel state machine — the streaming twin of
     * [[graft.operators.Analytics.funnelSteps]]. Per-user state is one
     * (current step, entry time) pair — bounded by user cardinality, never

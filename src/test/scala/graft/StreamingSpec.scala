@@ -809,4 +809,45 @@ class StreamingSpec extends SparkSpec {
       all.foreach { case (_, st, en, n) => assert(st <= en && n > 0) }
     } finally q.stop()
   }
+
+  test("sessionizeTws (transformWithState) is result-equal to the flatMapGroupsWithState twin") {
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState contract: RocksDB state store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def feed(q: org.apache.spark.sql.streaming.StreamingQuery,
+               input: MemoryStream[Event]): Unit = {
+        input.addData(
+          Event(1, ts(0), 1, "click", 1.0),
+          Event(2, ts(2), 1, "click", 1.0),
+          Event(3, ts(22), 1, "view", 1.0),
+          Event(4, ts(23), 1, "view", 1.0))
+        q.processAllAvailable()
+        input.addData(Event(9, ts(120), 7, "click", 1.0))
+        q.processAllAvailable()
+        input.addData(Event(10, ts(130), 7, "click", 1.0))
+        q.processAllAvailable()
+      }
+      val inNew = MemoryStream[Event]
+      val qNew = EventStreams.sessionizeTws(spark, inNew.toDS(),
+          gapMinutes = 5, watermark = "1 minutes")
+        .writeStream.format("memory").queryName("sess_tws").outputMode("append").start()
+      try { feed(qNew, inNew) } finally qNew.stop()
+      val inOld = MemoryStream[Event]
+      val qOld = EventStreams.sessionizeTimeout(spark, inOld.toDS(),
+          gapMinutes = 5, watermark = "1 minutes")
+        .writeStream.format("memory").queryName("sess_legacy").outputMode("append").start()
+      try { feed(qOld, inOld) } finally qOld.stop()
+      def rows(t: String) = spark.table(t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val (n, o) = (rows("sess_tws"), rows("sess_legacy"))
+      assert(n == o, s"tws $n vs legacy $o")
+      assert(n.count(_._1 == 1L) == 2, s"both user-1 sessions expected: $n")
+    } finally {
+      old.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+    }
+  }
 }
