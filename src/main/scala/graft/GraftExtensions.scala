@@ -74,7 +74,9 @@ object GraftExtensions {
     ("sorted_jaccard", "sorted_jaccard(a, b) - Jaccard of two sorted int-id arrays (merge intersection)",
       es => SortedJaccard(es.head, es(1))),
     ("dup3_frac", "dup3_frac(tokens) - fraction of positional 3-grams that are duplicates (repetition signal)",
-      es => Dup3Frac(es.head)))
+      es => Dup3Frac(es.head)),
+    ("jaro_winkler", "jaro_winkler(a, b) - Jaro-Winkler similarity (bit-exact with DuckDB's)",
+      es => JaroWinklerF(es.head, es(1))))
 
   /** Register all functions on an existing session (temp functions). */
   def registerTemp(spark: SparkSession): Unit =

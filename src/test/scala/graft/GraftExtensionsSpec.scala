@@ -18,6 +18,12 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.forall(row => row.getString(4).nonEmpty))
   }
 
+  test("jaro_winkler is callable from SQL with the pinned reference value") {
+    engine
+    val r = spark.sql("SELECT jaro_winkler('martha', 'marhta') AS jw").collect()(0)
+    assert(r.getDouble(0) == 0.9611111111111111)
+  }
+
   test("set-similarity kernels are callable from SQL") {
     engine
     val r = spark.sql(
