@@ -148,4 +148,10 @@ class GraphSpec extends SparkSpec {
     assert(got == want, s"engine ${got.toSeq.sortBy(_._1).take(5)} vs naive ${want.toSeq.sortBy(_._1).take(5)}")
     assert(got.nonEmpty && got.values.exists(_ > 0))
   }
+
+  test("triangleCounts plans as hash joins — no cartesian anywhere") {
+    val plan = planOf(Graph.triangleCounts(tables))
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in plan:\n$plan")
+  }
 }

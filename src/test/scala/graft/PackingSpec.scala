@@ -241,4 +241,10 @@ class PackingSpec extends SparkSpec {
     assert(got == expected)
     assert(got.values.exists(_._2 > 0L), "fixture should contain same-source repeats")
   }
+
+  test("removeBoilerplate broadcasts the hot-passage set (no corpus-corpus shuffle join)") {
+    val plan = planOf(Packing.removeBoilerplate(tables))
+    assert(plan.contains("BroadcastHashJoin"), s"hot set not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+  }
 }

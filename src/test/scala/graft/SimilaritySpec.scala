@@ -619,4 +619,13 @@ class SimilaritySpec extends SparkSpec {
     // margins hover around 1 by construction (cos / neighborhood mean)
     assert(got.forall(_._4 > 0.0))
   }
+
+  test("hardNegatives and marginMine broadcast the bounded side; corpus never cartesians unbroadcast") {
+    Seq(planOf(Similarity.hardNegatives(tables)),
+      planOf(Similarity.marginMine(tables))).foreach { plan =>
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+        s"bounded side not broadcast:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"unbroadcast cartesian:\n$plan")
+    }
+  }
 }
