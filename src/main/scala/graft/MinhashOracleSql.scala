@@ -818,6 +818,50 @@ ranked AS (SELECT query_id, neighbor_id, round(dist, 6) AS adc_dist, row_number(
 SELECT query_id, neighbor_id, adc_dist FROM ranked WHERE rn <= $topK ORDER BY query_id, neighbor_id"""
   }
 
+  /** Oracle for q_ann_ivfpq ([[graft.operators.Similarity.ivfPqTopK]]):
+    * the annIvf chain (iv-prefixed — coarse fit on unit vectors, full
+    * assignment, per-query probes) composed with the annPq chain
+    * (pq-prefixed — per-subspace codebook fit, encode, per-query subspace
+    * LUT), candidates restricted to probed cells, ADC rank on the rounded
+    * distance. */
+  def annIvfPq(nQueries: Int = 10, topK: Int = 5, nList: Int = 16,
+               nProbe: Int = 4, ksub: Int = 16, dsub: Int = 8,
+               iters: Int = 2, sampleTarget: Long = 16000L): String = {
+    val ivLloyd = (1 to iters).map { r =>
+      s"""ivd$r AS (SELECT u.vec_id, c.cell, sum((u.uj - c.cj) * (u.uj - c.cj)) AS dist FROM ivut u JOIN ivc${r - 1} c ON c.j = u.j GROUP BY u.vec_id, c.cell),
+iva$r AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn FROM ivd$r) WHERE rn = 1),
+ivm$r AS (SELECT a.cell, u.j, avg(u.uj) AS cj FROM ivut u JOIN iva$r a ON a.vec_id = u.vec_id GROUP BY a.cell, u.j),
+ivc$r AS MATERIALIZED (SELECT p.cell, p.j, coalesce(m.cj, p.cj) AS cj FROM ivc${r - 1} p LEFT JOIN ivm$r m ON m.cell = p.cell AND m.j = p.j)"""
+    }.mkString(",\n")
+    val pqLloyd = (1 to iters).map { r =>
+      s"""pqd$r AS (SELECT t.vec_id, t.s, c.cell, sum((t.xj - c.cj) * (t.xj - c.cj)) AS dist FROM pqst t JOIN pqc${r - 1} c ON c.s = t.s AND c.jj = t.jj GROUP BY t.vec_id, t.s, c.cell),
+pqa$r AS (SELECT vec_id, s, cell FROM (SELECT vec_id, s, cell, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist ASC, cell ASC) AS rn FROM pqd$r) WHERE rn = 1),
+pqm$r AS (SELECT a.cell, t.s, t.jj, avg(t.xj) AS cj FROM pqst t JOIN pqa$r a ON a.vec_id = t.vec_id AND a.s = t.s GROUP BY a.cell, t.s, t.jj),
+pqc$r AS MATERIALIZED (SELECT p.cell, p.s, p.jj, coalesce(m.cj, p.cj) AS cj FROM pqc${r - 1} p LEFT JOIN pqm$r m ON m.cell = p.cell AND m.s = p.s AND m.jj = p.jj)"""
+    }.mkString(",\n")
+    s"""WITH x AS MATERIALIZED (SELECT vec_id, generate_subscripts(embedding, 1) AS j, unnest(CAST(embedding AS DOUBLE[])) AS xj FROM embeddings),
+nrm AS (SELECT vec_id, sqrt(sum(xj * xj)) AS nn FROM x GROUP BY vec_id),
+ivu AS MATERIALIZED (SELECT x.vec_id, x.j, CASE WHEN n.nn = 0 THEN x.xj ELSE x.xj / n.nn END AS uj FROM x JOIN nrm n ON n.vec_id = x.vec_id),
+ivut AS MATERIALIZED (SELECT * FROM ivu WHERE vec_id < $sampleTarget),
+ivseeds AS (SELECT vec_id, rn - 1 AS cell FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn FROM (SELECT DISTINCT vec_id FROM ivut)) WHERE rn <= $nList),
+ivc0 AS MATERIALIZED (SELECT s.cell, u.j, u.uj AS cj FROM ivseeds s JOIN ivut u ON u.vec_id = s.vec_id),
+$ivLloyd,
+ivdf AS MATERIALIZED (SELECT u.vec_id, c.cell, sum((u.uj - c.cj) * (u.uj - c.cj)) AS dist FROM ivu u JOIN ivc$iters c ON c.j = u.j GROUP BY u.vec_id, c.cell),
+ivaf AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn FROM ivdf) WHERE rn = 1),
+probes AS (SELECT query_id, cell FROM (SELECT vec_id AS query_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn FROM ivdf WHERE vec_id < $nQueries) WHERE rn <= $nProbe),
+pqsx AS MATERIALIZED (SELECT vec_id, CAST((j - 1) // $dsub AS INT) AS s, CAST((j - 1) % $dsub AS INT) AS jj, xj FROM x),
+pqst AS MATERIALIZED (SELECT * FROM pqsx WHERE vec_id < $sampleTarget),
+pqseeds AS (SELECT vec_id, rn - 1 AS cell FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn FROM (SELECT DISTINCT vec_id FROM pqst)) WHERE rn <= $ksub),
+pqc0 AS MATERIALIZED (SELECT sd.cell, t.s, t.jj, t.xj AS cj FROM pqseeds sd JOIN pqst t ON t.vec_id = sd.vec_id),
+$pqLloyd,
+pqdd AS MATERIALIZED (SELECT t.vec_id, t.s, c.cell, sum((t.xj - c.cj) * (t.xj - c.cj)) AS dist FROM pqsx t JOIN pqc$iters c ON c.s = t.s AND c.jj = t.jj GROUP BY t.vec_id, t.s, c.cell),
+pqcode AS MATERIALIZED (SELECT vec_id, s, cell AS code FROM (SELECT vec_id, s, cell, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist ASC, cell ASC) AS rn FROM pqdd) WHERE rn = 1),
+cand AS (SELECT p.query_id, a.vec_id AS neighbor_id FROM probes p JOIN ivaf a ON a.cell = p.cell WHERE a.vec_id <> p.query_id),
+adc AS (SELECT c.query_id, c.neighbor_id, sum(q.dist) AS dist FROM cand c JOIN (SELECT * FROM pqdd WHERE vec_id < $nQueries) q ON q.vec_id = c.query_id JOIN pqcode n ON n.vec_id = c.neighbor_id AND n.s = q.s AND n.code = q.cell GROUP BY 1, 2),
+ranked AS (SELECT query_id, neighbor_id, round(dist, 6) AS adc_dist, row_number() OVER (PARTITION BY query_id ORDER BY round(dist, 6) ASC, neighbor_id ASC) AS rn FROM adc)
+SELECT query_id, neighbor_id, adc_dist FROM ranked WHERE rn <= $topK ORDER BY query_id, neighbor_id"""
+  }
+
   // xxHash64 primes (public algorithm constants)
   private val P1 = u(0x9E3779B185EBCA87L)
   private val P2 = u(0xC2B2AE3D27D4EB4FL)

@@ -171,6 +171,7 @@ object SparkEntry {
         t.embeddings.filter(col("vec_id") < 10))
     }),
     "q_ann_pq" -> ((s, d) => Similarity.pqTopK(Tables(s, d))),
+    "q_ann_ivfpq" -> ((s, d) => Similarity.ivfPqTopK(Tables(s, d))),
     "q_embed_neardup" -> ((s, d) => Similarity.embeddingNearDups(Tables(s, d))),
     "q_embed_quantize" -> ((s, d) => Similarity.quantizeDiagnostics(Tables(s, d))),
     "q_ann_int8" -> ((s, d) => Similarity.int8TopK(Tables(s, d))),
@@ -651,6 +652,7 @@ object SparkEntry {
     "q_ann_ivf" -> KernelOracleSql.annIvf(),
     "q_ann_ivf_indexed" -> KernelOracleSql.annIvf(),
     "q_ann_pq" -> KernelOracleSql.annPq(),
+    "q_ann_ivfpq" -> KernelOracleSql.annIvfPq(),
     "q_dedup_groups" -> MinhashOracleSql.nearDupGroups(),
     "q_pack_sequences" -> KernelOracleSql.packSequences(),
     "q_text_lang" -> KernelOracleSql.textLang,

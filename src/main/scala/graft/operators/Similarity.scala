@@ -489,6 +489,93 @@ object Similarity {
       .orderBy("query_id", "neighbor_id")
   }
 
+  /** IVF+PQ composed ANN (the FAISS `IVFPQ` architecture, Jégou et al.
+    * 2011): the coarse quantizer prunes the corpus to `nProbe` cells and
+    * ADC ranks ONLY the candidates inside them — at 100 TB the query cost
+    * is (nProbe/nList of the corpus) × (m table lookups per vector), with
+    * corpus-resident state the m-byte PQ codes plus one cell id per
+    * vector. [[ivfTopK]] and [[pqTopK]] stay as the independently
+    * oracle-verified stages; this is their production composition, itself
+    * oracle-verified end-to-end (coarse fit, probe, codebook fit, encode,
+    * LUT, ADC rank — one CTE chain).
+    *
+    * Determinism carries over from both stages: RNG-free seeded fits,
+    * driver LUTs with the kernel's j-order, ranking on the ROUNDED ADC
+    * distance with id tie-break. */
+  def ivfPqTopK(t: Tables, nQueries: Int = 10, k: Int = 5,
+                nList: Int = 16, nProbe: Int = 4,
+                m: Int = 8, ksub: Int = 16, lloydIters: Int = 2): DataFrame = {
+    val sampleTarget = 1000L * math.max(nList, ksub)
+    val collected = t.embeddings
+      .filter(col("vec_id") < math.max(sampleTarget, nQueries.toLong))
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    val spark = t.embeddings.sparkSession
+    require(collected.nonEmpty, "ivfPqTopK: empty corpus")
+    val d = collected.head._2.length
+    require(d % m == 0, s"embedding dim $d not divisible by m=$m")
+    val dsub = d / m
+    val sample = collected.filter(_._1 < sampleTarget)
+    // coarse quantizer on UNIT vectors (the ivfTopK contract)...
+    val cents = fitCentroids(
+      sample.map(c => unitOf(c._2).toArray), nList, iters = lloydIters)
+    // ...PQ codebooks on RAW subvectors (the pqTopK contract)
+    val raw = sample.map(_._2.toArray.map(_.toDouble))
+    val books: Seq[Seq[Seq[Double]]] = (0 until m).map { s =>
+      fitCentroids(
+        raw.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub)),
+        ksub, iters = lloydIters).map(_.toSeq).toSeq
+    }
+    val assigned = t.embeddings.select(
+      col("vec_id").as("neighbor_id"),
+      HashFunctions.nearestCellUnit(col("embedding"), cents.map(_.toSeq).toSeq)
+        .as("cell"),
+      HashFunctions.pqCodes(col("embedding"), books).as("codes"))
+    // driver-side probe + LUT per bounded query (shared collect)
+    val probedRows = collected.filter(_._1 < nQueries).flatMap { case (qid, qEmb) =>
+      val qUnit = unitOf(qEmb).toArray
+      val cells = cents.zipWithIndex.map { case (c, i) =>
+        var dist = 0.0
+        var j = 0
+        while (j < c.length) { val df = qUnit(j) - c(j); dist += df * df; j += 1 }
+        (dist, i)
+      }.sortBy { case (dist, i) => (dist, i) }.take(nProbe).map(_._2)
+      val q = qEmb.toArray.map(_.toDouble)
+      val lut = new Array[Double](m * ksub)
+      var s = 0
+      while (s < m) {
+        var c = 0
+        while (c < ksub) {
+          var dist = 0.0
+          var j = 0
+          while (j < dsub) {
+            val df = q(s * dsub + j) - books(s)(c)(j)
+            dist += df * df
+            j += 1
+          }
+          lut(s * ksub + c) = dist
+          c += 1
+        }
+        s += 1
+      }
+      cells.map(cell => (qid, cell, lut.toSeq))
+    }
+    val probed = spark.createDataFrame(probedRows.toIndexedSeq)
+      .toDF("query_id", "cell", "lut")
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    assigned.join(broadcast(probed), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc_dist",
+        round(HashFunctions.adcDist(col("codes"), col("lut")), 6))
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adc_dist"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
   /** The staged int8-code projection shared by [[quantizeEmbeddings]],
     * [[quantizeDiagnostics]] and [[int8TopK]]: adds `_d` (double view of the
     * embedding), `scale` (symmetric per-vector scale max|v_i|/127, zero

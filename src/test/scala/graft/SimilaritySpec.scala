@@ -620,6 +620,28 @@ class SimilaritySpec extends SparkSpec {
     assert(got.forall(_._4 > 0.0))
   }
 
+  test("IVF+PQ with full probing equals plain PQ exactly") {
+    val full = Similarity.ivfPqTopK(tables, nQueries = 5, k = 4,
+      nList = 8, nProbe = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pq = Similarity.pqTopK(tables, nQueries = 5, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(full == pq, s"ivfpq(full probe) != pq: ${full.diff(pq)} / ${pq.diff(full)}")
+  }
+
+  test("IVF+PQ partial probe returns candidates with PQ-consistent ADC distances") {
+    val pqAll = Similarity.pqTopK(tables, nQueries = 5, k = 500).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val got = Similarity.ivfPqTopK(tables, nQueries = 5, k = 4,
+      nList = 8, nProbe = 2).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(pqAll.contains(key) && pqAll(key) == r.getDouble(2),
+        s"pair $key ADC inconsistent with plain PQ")
+    }
+  }
+
   test("hardNegatives and marginMine broadcast the bounded side; corpus never cartesians unbroadcast") {
     Seq(planOf(Similarity.hardNegatives(tables)),
       planOf(Similarity.marginMine(tables))).foreach { plan =>
