@@ -125,44 +125,61 @@ object Graph {
     * therefore cached TWICE, partitioned on `src` for the authority step
     * and on `dst` for the hub step (2× edge memory for zero per-round edge
     * shuffles — the right trade when the edge table is the biggest thing
-    * in the query); each half-round's node-cardinality score table is
-    * checkpointed so the next half-round (and the 1-row L2 norm, which
-    * reads it twice) never re-runs the join lineage. Norms broadcast as
-    * 1-row crossJoins; only node-cardinality tables ever shuffle. */
+    * in the query). Each half-round checkpoints only its UN-normalized
+    * aggregate; the L2 norm and the division compose lazily on top, so a
+    * round costs 2 scheduled jobs instead of 4 (the 9-job schedule for
+    * iters=2 was the toy-scale floor) and the norm's 1-row aggregate
+    * re-reads a node-cardinality checkpoint, never the join lineage.
+    * Norms broadcast as 1-row crossJoins; only node-cardinality tables
+    * ever shuffle. */
   def hits(t: Tables, iters: Int = 2): DataFrame = {
     // the loop seeds the authority table on its first round; iters < 1
     // would leave it null and NPE deep in the output union
     require(iters >= 1, s"hits: iters must be >= 1, got $iters")
-    val pairs = t.lineitem.select(col("l_orderkey"), col("l_suppkey"))
+    // Edge build with ONE wide shuffle, not three: the lineitem⋈orders
+    // pair stream broadcasts the slim orders side (no shuffle), lands on
+    // its src-keyed layout, and dedups PARTITION-LOCALLY there —
+    // hashpartitioning(src) already satisfies ClusteredDistribution(src,
+    // dst), so the dropDuplicates plans without its own Exchange. The
+    // dst layout then re-shuffles the (smaller) deduped table. The
+    // previous build paid a (src,dst)-keyed distinct shuffle of the raw
+    // pair stream plus a third persist of the intermediate.
+    val rawPairs = t.lineitem.select(col("l_orderkey"), col("l_suppkey"))
       .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("l_suppkey").cast("long").as("src"),
         col("o_custkey").cast("long").as("dst"))
-      .distinct()
-      .persist()
-    val edgesS = pairs.repartition(col("src")).persist()
-    val edgesD = pairs.repartition(col("dst")).persist()
-    // materializes edgesS (and pairs); the hub seed is every supplier at 1.0
-    var h = edgesS.select(col("src")).distinct().localCheckpoint()
-      .select(col("src"), lit(1.0).as("h"))
-    edgesD.count() // materialize before pairs is released
-    pairs.unpersist(blocking = false)
+    val edgesS = rawPairs.repartition(col("src"))
+      .dropDuplicates("src", "dst").persist()
+    val edgesD = edgesS.repartition(col("dst")).persist()
+    edgesS.count(); edgesD.count()
     var a: DataFrame = null
-    for (_ <- 1 to iters) {
-      val aRaw = edgesS.join(h, "src")
-        .groupBy("dst").agg(sum("h").as("a0"))
+    var h: DataFrame = null
+    for (it <- 1 to iters) {
+      // materialize the UN-normalized aggregates only (2 jobs per round,
+      // down from 4): the L2 norm and the division compose lazily on top
+      // of the checkpoint, so the norm's 1-row aggregate re-reads a
+      // node-cardinality checkpoint, never the join lineage. (A fully
+      // lazy round is a trap: column pruning specializes the two readers
+      // of each aggregate, the canonicalized exchanges stop matching,
+      // ReuseExchange misses, and the recompute compounds per round.)
+      // Round 1's hub scores are identically 1.0, so its authority
+      // aggregate is the IN-DEGREE — a partition-local (exchange-free)
+      // count over the dst-clustered cache, no join and no seed table.
+      val aRaw = (if (it == 1)
+          edgesD.groupBy("dst").agg(count(lit(1)).cast("double").as("a0"))
+        else
+          edgesS.join(h, "src").groupBy("dst").agg(sum("h").as("a0")))
         .localCheckpoint()
       a = aRaw
         .crossJoin(broadcast(aRaw.agg(sqrt(sum(col("a0") * col("a0"))).as("_n"))))
         .select(col("dst"), (col("a0") / col("_n")).as("a"))
-        .localCheckpoint()
       val hRaw = edgesD.join(a, "dst")
         .groupBy("src").agg(sum("a").as("h0"))
         .localCheckpoint()
       h = hRaw
         .crossJoin(broadcast(hRaw.agg(sqrt(sum(col("h0") * col("h0"))).as("_n"))))
         .select(col("src"), (col("h0") / col("_n")).as("h"))
-        .localCheckpoint()
     }
     val out = h.select(concat(lit("s"), col("src").cast("string")).as("node"),
         lit("hub").as("kind"), round(col("h"), 6).as("score"))
