@@ -986,18 +986,50 @@ SELECT source, n_tokens, round(p, 6) AS p_raw, round(CAST(wi AS DOUBLE) / CAST(w
   /** Oracle for q_split_leakage
     * ([[graft.operators.Sampling.splitLeakage]]): the xxhash64 split
     * buckets re-derived, the w=3 shingle CASE from the q_decontaminate
-    * oracle (short docs emit one whole-document shingle), distinct train
-    * shingles, and the per-held-out-doc overlap rollup with the exact
-    * integer majority test. */
-  def splitLeakage: String =
+    * oracle (short docs emit one whole-document shingle), each shingle
+    * collapsed to its Karp–Rabin+mix64 64-bit fingerprint (the
+    * rollingFingerprints fold — the engine ships fingerprints, not
+    * shingle strings, through its shuffles, so the oracle joins on the
+    * identical keys and any 64-bit collision is SHARED semantics),
+    * distinct train fingerprints, and the per-held-out-doc overlap
+    * rollup with the exact integer majority test. */
+  def splitLeakage: String = {
+    val fold = "list_reduce(list_prepend(CAST(0 AS HUGEINT), " +
+      "list_transform(string_split(s, ''), c -> CAST(unicode(c) AS HUGEINT))), " +
+      s"(acc, c) -> (${mulmod("acc", "1000003")} + c) % $M64)"
     s"""WITH src AS (SELECT doc_id, text FROM documents),
 ${xxhCtes(42L)},
 lab AS (SELECT doc_id, text, CASE WHEN (((${signedB("xxh")}) % 100) + 100) % 100 < 90 THEN 'train' WHEN (((${signedB("xxh")}) % 100) + 100) % 100 < 95 THEN 'val' ELSE 'test' END AS split FROM xx),
 toks AS (SELECT doc_id, split, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk FROM lab),
 sh AS (SELECT DISTINCT doc_id, split, CASE WHEN len(tk) >= 3 THEN tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] ELSE array_to_string(tk, ' ') END AS s FROM (SELECT doc_id, split, tk, unnest(range(1, greatest(len(tk)-1, 2))) AS i FROM toks WHERE len(tk) >= 1)),
-tr AS (SELECT DISTINCT s FROM sh WHERE split = 'train'),
-per AS (SELECT split, sh.doc_id, count(*) AS n, count(tr.s) AS shared FROM sh LEFT JOIN tr ON sh.s = tr.s WHERE split <> 'train' GROUP BY split, sh.doc_id)
+f0 AS (SELECT doc_id, split, $fold AS hraw FROM sh),
+${mixCtes("ff", "f0", "hraw", "h", "doc_id, split")},
+tr AS (SELECT DISTINCT h FROM ff WHERE split = 'train'),
+per AS (SELECT split, ff.doc_id, count(*) AS n, count(tr.h) AS shared FROM ff LEFT JOIN tr ON ff.h = tr.h WHERE split <> 'train' GROUP BY split, ff.doc_id)
 SELECT split, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(CASE WHEN shared * 2 > n THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky_docs, round(avg(CAST(shared AS DOUBLE) / n), 6) AS avg_shared_frac FROM per GROUP BY split ORDER BY split"""
+  }
+
+  /** Oracle for q_dup_spans ([[graft.operators.Dedup.duplicateSpans]]):
+    * positioned w=8 token runs, each collapsed to its Karp–Rabin+mix64
+    * fingerprint (the engine shuffles fingerprints, not run text — the
+    * splitLeakage treatment), repeated-run detection by distinct-doc
+    * count ≥ 2 on the fingerprint, then the per-document interval merge
+    * and coverage rollup. */
+  def dupSpans(spanLen: Int = 8): String = {
+    val fold = "list_reduce(list_prepend(CAST(0 AS HUGEINT), " +
+      "list_transform(string_split(s, ''), c -> CAST(unicode(c) AS HUGEINT))), " +
+      s"(acc, c) -> (${mulmod("acc", "1000003")} + c) % $M64)"
+    s"""WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk FROM documents),
+sh AS (SELECT doc_id, len(tk) AS n_tokens, i - 1 AS pos, list_reduce(tk[i : i + ${spanLen - 1}], (a, b) -> a || ' ' || b) AS s FROM toks, unnest(range(1, len(tk) - ${spanLen - 2})) AS t(i) WHERE len(tk) >= $spanLen),
+f0 AS (SELECT doc_id, n_tokens, pos, $fold AS hraw FROM sh),
+${mixCtes("ff", "f0", "hraw", "h", "doc_id, n_tokens, pos")},
+dup AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd FROM ff GROUP BY h) WHERE nd >= 2),
+mark AS (SELECT doc_id, n_tokens, pos FROM ff JOIN dup USING (h)),
+sp AS (SELECT doc_id, n_tokens, pos, CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $spanLen THEN 0 ELSE 1 END AS nw FROM mark),
+sid AS (SELECT doc_id, n_tokens, pos, sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id FROM sp),
+per AS (SELECT doc_id, n_tokens, span_id, min(pos) AS s0, max(pos) + $spanLen AS e0 FROM sid GROUP BY 1, 2, 3)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans, CAST(sum(e0 - s0) AS BIGINT) AS dup_tokens, CAST(n_tokens AS BIGINT) AS n_tokens, round(CAST(sum(e0 - s0) AS DOUBLE) / n_tokens, 6) AS dup_frac FROM per GROUP BY doc_id, n_tokens ORDER BY doc_id"""
+  }
 
   /** Oracle for q_cdc_chunks
     * ([[graft.operators.Packing.cdcChunks]]): the per-token Karp–Rabin +

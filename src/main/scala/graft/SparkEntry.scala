@@ -681,18 +681,7 @@ object SparkEntry {
     "q_dedup_keep_best" -> MinhashOracleSql.clusterRepresentatives(),
     // positioned 8-token shingles → cross-doc repeated runs → per-doc
     // interval merge (same gap rule as the engine's window)
-    "q_dup_spans" ->
-      ("WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk FROM documents), " +
-        "sh AS (SELECT doc_id, len(tk) AS n_tokens, i - 1 AS pos, list_reduce(tk[i : i + 7], (a, b) -> a || ' ' || b) AS s " +
-        "FROM toks, unnest(range(1, len(tk) - 6)) AS t(i) WHERE len(tk) >= 8), " +
-        "dup AS (SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS nd FROM sh GROUP BY s) WHERE nd >= 2), " +
-        "mark AS (SELECT doc_id, n_tokens, pos FROM sh JOIN dup USING (s)), " +
-        "sp AS (SELECT doc_id, n_tokens, pos, CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8 THEN 0 ELSE 1 END AS nw FROM mark), " +
-        "sid AS (SELECT doc_id, n_tokens, pos, sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id FROM sp), " +
-        "per AS (SELECT doc_id, n_tokens, span_id, min(pos) AS s0, max(pos) + 8 AS e0 FROM sid GROUP BY 1, 2, 3) " +
-        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans, CAST(sum(e0 - s0) AS BIGINT) AS dup_tokens, " +
-        "CAST(n_tokens AS BIGINT) AS n_tokens, round(CAST(sum(e0 - s0) AS DOUBLE) / n_tokens, 6) AS dup_frac " +
-        "FROM per GROUP BY doc_id, n_tokens ORDER BY doc_id"),
+    "q_dup_spans" -> KernelOracleSql.dupSpans(),
     "q_source_overlap" ->
       ("WITH fs AS (SELECT DISTINCT md5(lower(trim(text))) AS fp, source FROM documents), " +
         "srcs AS (SELECT DISTINCT source FROM documents), " +

@@ -266,6 +266,61 @@ object HashImpl {
     mix64(h)
   }
 
+  /** Fingerprints of EVERY positioned `w`-token run of a token array in
+    * one pass — position p's value equals
+    * `rollingHash(tokens(p) + " " + … + tokens(p+w-1))` EXACTLY (the
+    * classic prefix-hash identity: fold h' = h·B + c gives
+    * h(sub s..e) = H[e] − H[s]·B^(e−s), exact under the same mod-2⁶⁴
+    * wraparound the fold itself uses), but costs O(total chars) with two
+    * long arrays instead of materializing n·w characters of run strings.
+    * Returns n−w+1 fingerprints, or an empty array when n < w. */
+  def runFingerprints(toks: ArrayData, w: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n < w) return ArrayData.toArrayData(Array.emptyLongArray)
+    val strs = new Array[String](n)
+    var total = n - 1 // the single-space joiners of the virtual stream
+    var i = 0
+    while (i < n) {
+      strs(i) = toks.getUTF8String(i).toString
+      total += strs(i).length
+      i += 1
+    }
+    val pre = new Array[Long](total + 1)   // prefix fold of the stream
+    val pow = new Array[Long](total + 1)   // B^k
+    pow(0) = 1L
+    val starts = new Array[Int](n)
+    val ends = new Array[Int](n)
+    var k = 0
+    i = 0
+    while (i < n) {
+      if (i > 0) {
+        pre(k + 1) = pre(k) * 1000003L + ' '
+        pow(k + 1) = pow(k) * 1000003L
+        k += 1
+      }
+      starts(i) = k
+      val s = strs(i)
+      var c = 0
+      while (c < s.length) {
+        pre(k + 1) = pre(k) * 1000003L + s.charAt(c)
+        pow(k + 1) = pow(k) * 1000003L
+        k += 1
+        c += 1
+      }
+      ends(i) = k
+      i += 1
+    }
+    val out = new Array[Long](n - w + 1)
+    var p = 0
+    while (p <= n - w) {
+      val s0 = starts(p)
+      val e0 = ends(p + w - 1)
+      out(p) = mix64(pre(e0) - pre(s0) * pow(e0 - s0))
+      p += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
   /** Signed-random-projection LSH bucket for cosine similarity: `nBits`
     * pseudo-random ±1 hyperplanes (derived from `seed` via mix64 — no stored
     * plane matrix, so executors need no broadcast). Vectors with high cosine
@@ -716,6 +771,19 @@ case class RollingHash64(child: Expression) extends UnaryExpression {
 }
 
 /** NfcNormalize(string) → string — see [[HashImpl.nfcNormalize]]. */
+/** RunFingerprints(array<string>, w) → array<long>: positioned w-token
+  * run fingerprints, position-aligned with `transform(sequence(...))`
+  * shingling (see [[HashImpl.runFingerprints]]). */
+case class RunFingerprints(child: Expression, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpl.runFingerprints(input.asInstanceOf[ArrayData], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.runFingerprints($c, $w)")
+  override protected def withNewChildInternal(newChild: Expression): RunFingerprints =
+    copy(child = newChild)
+}
+
 case class NfcNormalize(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override protected def nullSafeEval(input: Any): Any =
@@ -957,6 +1025,8 @@ object HashFunctions {
   def bandKeys(sig: Column, bands: Int = 16): Column =
     col(BandKeys(expr(sig), bands))
   def rollingHash64(text: Column): Column = col(RollingHash64(expr(text)))
+  def runFingerprints(tokens: Column, w: Int): Column =
+    col(RunFingerprints(expr(tokens), w))
   def nfcNormalize(text: Column): Column = col(NfcNormalize(expr(text)))
   def jaroWinkler(a: Column, b: Column): Column =
     col(JaroWinklerF(expr(a), expr(b)))

@@ -282,19 +282,133 @@ object Analytics {
       .orderBy("l_returnflag")
   }
 
+  /** Exact interpolated quantiles per group via RANGE-PARTITIONED SORT +
+    * rank arithmetic — the order-statistics shape that survives groups too
+    * large to buffer (Spark's `percentile` aggregate holds every value of
+    * a group in one aggregator; at corpus scale a single group is
+    * billions of values and the executor dies).
+    *
+    * Three bounded passes over one range shuffle:
+    *   1. `repartitionByRange(group, value)` + a partition-local sort —
+    *      every group occupies a contiguous run of partitions, values
+    *      ordered within; the sorts parallelize across all partitions
+    *      (nothing ever holds a whole group).
+    *   2. A per-(partition, group) COUNT pass — collects partitions ×
+    *      groups longs, from which the driver turns each target rank
+    *      (pos = (n−1)·p; its floor/ceil bracket) into a (partition,
+    *      group, local-offset) address.
+    *   3. A FETCH pass that touches only the addressed partitions and
+    *      emits exactly the bracket values; quantile_cont interpolation
+    *      (lo + frac·(hi−lo) — Spark `percentile`'s own formula) runs on
+    *      the collected handful.
+    * Driver state is partitions×groups counters plus groups×quantiles
+    * bracket values — never data-sized. The two passes share one RDD, so
+    * the fetch reuses the count pass's shuffle files (map stage skipped)
+    * rather than persisting the shuffled data.
+    *
+    * @return one row per group: (groupCol, outNames…), quantiles rounded
+    *         to 6 places in `ps` order */
+  def quantilesBySort(df: DataFrame, groupCol: String, valueCol: String,
+                      ps: Seq[Double], outNames: Seq[String],
+                      nParts: Int = 96): DataFrame = {
+    require(ps.nonEmpty && ps.length == outNames.length &&
+      ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"quantilesBySort: ps/outNames must align, ps in [0,1]; got $ps / $outNames")
+    val spark = df.sparkSession
+    // no persist: the two passes share one RDD, so the fetch job reuses
+    // the counts job's shuffle files (its map stage is skipped) and only
+    // re-sorts the addressed partitions — each a 1/nParts sliver
+    val sorted = df.select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .repartitionByRange(nParts, col("g"), col("v"))
+      .sortWithinPartitions("g", "v")
+      .rdd
+    locally {
+      // pass 2: per-(partition, group) counts — partitions×groups rows
+      val counts = sorted.mapPartitionsWithIndex { (pid, it) =>
+        val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        it.foreach { r =>
+          val g = r.getString(0); m.update(g, m.getOrElse(g, 0L) + 1L)
+        }
+        m.iterator.map { case (g, c) => (pid, g, c) }
+      }.collect()
+      val totals = counts.groupBy(_._2).map { case (g, cs) => g -> cs.map(_._3).sum }
+      // rank → (pid, local offset within the group's rows in that pid)
+      def address(g: String, rank: Long): (Int, Long) = {
+        var cum = 0L
+        val hit = counts.filter(_._2 == g).sortBy(_._1).collectFirst {
+          case (pid, _, c) if { val in = rank < cum + c; if (!in) cum += c; in } =>
+            (pid, rank - cum)
+        }
+        hit.getOrElse(throw new IllegalStateException(
+          s"quantilesBySort: rank $rank out of range for group $g"))
+      }
+      val wanted = for {
+        (g, n) <- totals.toSeq
+        p <- ps
+        pos = (n - 1) * p
+        r <- Seq(math.floor(pos).toLong, math.ceil(pos).toLong).distinct
+      } yield (g, r, address(g, r))
+      val byPid = wanted.groupBy(_._3._1).map { case (pid, ws) =>
+        pid -> ws.map(w => (w._1, w._3._2)).toSet
+      }
+      val byPidB = spark.sparkContext.broadcast(byPid)
+      // pass 3: fetch only the addressed partitions / offsets
+      val picked = sorted.mapPartitionsWithIndex { (pid, it) =>
+        byPidB.value.get(pid) match {
+          case None => Iterator.empty
+          case Some(want) =>
+            val ctr = scala.collection.mutable.HashMap.empty[String, Long]
+            it.flatMap { r =>
+              val g = r.getString(0)
+              val i = ctr.getOrElse(g, 0L); ctr.update(g, i + 1L)
+              if (want.contains((g, i))) Some((pid, g, i, r.getDouble(1)))
+              else None
+            }
+        }
+      }.collect().map { case (pid, g, i, v) => (pid, g, i) -> v }.toMap
+      // re-key fetched values by global rank for interpolation
+      val rankVal = wanted.map { case (g, r, addr) =>
+        (g, r) -> picked((addr._1, g, addr._2))
+      }.toMap
+      val rows = totals.toSeq.sortBy(_._1).map { case (g, n) =>
+        val qs = ps.map { p =>
+          val pos = (n - 1) * p
+          val lo = rankVal((g, math.floor(pos).toLong))
+          val hi = rankVal((g, math.ceil(pos).toLong))
+          BigDecimal(lo + (pos - math.floor(pos)) * (hi - lo))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+        org.apache.spark.sql.Row.fromSeq(g +: qs)
+      }
+      val schema = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField(groupCol,
+          org.apache.spark.sql.types.StringType, nullable = false) +:
+          outNames.map(n => org.apache.spark.sql.types.StructField(n,
+            org.apache.spark.sql.types.DoubleType, nullable = false)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+    }
+  }
+
   /** Exact per-group percentiles (median + p90) — the order-statistics
-    * surface. Spark's `percentile` aggregate computes the exact
-    * linear-interpolated quantile (quantile_cont semantics) with partial
-    * aggregation; for corpus-scale columns where exactness isn't needed,
-    * [[groupPercentilesApprox]] is the bounded-memory swap. */
-  def groupPercentiles(t: Tables): DataFrame =
-    t.lineitem
-      .groupBy("l_returnflag")
-      .agg(
-        round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
-        round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50_price"))
+    * surface. The bounded-domain column (l_quantity, 50 distinct values)
+    * takes the COUNT-COLLAPSE path ([[groupPercentilesLowCard]]'s shape);
+    * the continuous column (l_extendedprice) takes [[quantilesBySort]] —
+    * between them, no plan ever buffers a whole group the way Spark's
+    * `percentile` aggregate does. For corpus-scale columns where
+    * exactness isn't needed, [[groupPercentilesApprox]] is the
+    * bounded-memory swap. */
+  def groupPercentiles(t: Tables): DataFrame = {
+    val qty = groupPercentilesLowCard(t) // l_returnflag, p50_qty, p90_qty
+    val price = quantilesBySort(t.lineitem, "l_returnflag",
+      "l_extendedprice", Seq(0.5), Seq("p50_price"))
+    qty.join(broadcast(price), "l_returnflag")
+      .select(col("l_returnflag"), col("p50_qty"), col("p90_qty"),
+        col("p50_price"))
       .orderBy("l_returnflag")
+  }
 
   /** Winsorized robust statistics — the outlier-clipping feature transform
     * (fat-tailed metrics poison plain means; clip at exact per-group

@@ -239,7 +239,9 @@ object Dedup {
     val t2 = t.withTable("documents", docs)
     val truth = SetSimilarity.jaccardSelfJoin(
       docs.select(col("doc_id"),
-        explode(array_distinct(shingles(col("text"), w))).as("token")),
+          graft.operators.TextAnalysis.tokens(col("text")).as("_tk"))
+        .select(col("doc_id"),
+          explode(shinglesOfTokens(col("_tk"), w)).as("token")),
       minJaccard)
       .select("doc_a", "doc_b")
       .localCheckpoint()
@@ -529,16 +531,23 @@ object Dedup {
       .withColumn("n_tokens", size(col("_tk")))
       .filter(col("n_tokens") >= spanLen)
     // POSITIONED shingles (no distinct — a repeated run inside one doc is
-    // two positions and both matter for coverage)
+    // two positions and both matter for coverage), collapsed to 64-bit
+    // Karp–Rabin fingerprints BEFORE anything shuffles: the repeated-run
+    // test only needs equality, and 8-byte keys beat ~50-byte run text
+    // through both the count-distinct and the semi-join (the
+    // splitLeakage treatment; the oracle re-derives the same kernel, so
+    // collisions are shared semantics). The fused runFingerprints kernel
+    // computes every position's fingerprint from one prefix-hash pass —
+    // no n·w run-string materialization (spec-proven equal to
+    // rollingHash64 over the concat_ws run).
     val sh = toks.select(col("doc_id"), col("n_tokens"),
-      posexplode(transform(sequence(lit(0), size(col("_tk")) - spanLen),
-        i => concat_ws(" ", slice(col("_tk"), i + 1, lit(spanLen))))))
-      .withColumnRenamed("col", "sh")
-    val dupSh = sh.groupBy("sh")
+      posexplode(HashFunctions.runFingerprints(col("_tk"), spanLen)))
+      .withColumnRenamed("col", "f")
+    val dupSh = sh.groupBy("f")
       .agg(countDistinct(col("doc_id")).as("_nd"))
       .filter(col("_nd") >= 2)
-      .select("sh")
-    val marked = sh.join(dupSh, Seq("sh"), "left_semi")
+      .select("f")
+    val marked = sh.join(dupSh, Seq("f"), "left_semi")
       .select("doc_id", "n_tokens", "pos")
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val perSpan = marked

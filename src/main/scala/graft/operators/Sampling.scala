@@ -55,23 +55,34 @@ object Sampling {
     * shingles is counted leaky (the [[graft.operators.Dedup.decontaminate]]
     * thresholding convention, applied between splits).
     *
-    * Scale shape: one corpus shingle explode, a distinct on the train
-    * shingle set (shuffle bounded by distinct-shingle count), one
+    * Scale shape: one corpus shingle explode per side, a distinct on the
+    * train shingle set (shuffle bounded by distinct-shingle count), one
     * shingle-keyed join of the (tiny) held-out side against it, then doc-
-    * and split-keyed aggregations. The leaky-doc test is exact integer
+    * and split-keyed aggregations. Shingles cross the shuffles as 64-BIT
+    * KARP–RABIN FINGERPRINTS, never as strings — the overlap test only
+    * needs membership, and 8-byte keys hash, compare, and ship a
+    * multiple cheaper than ~20-byte shingle text (the exact-dedup
+    * fingerprint trade, applied to the shingle domain; the oracle
+    * re-derives the same kernel, so collisions — ~n²/2⁶⁴ — are shared
+    * semantics, not drift). The leaky-doc test is exact integer
     * arithmetic (shared·2 > n). Held-out documents with zero shingles
     * (empty text) have no overlap to measure and are absent, as in
     * [[graft.operators.TextAnalysis.textStats]]. */
   def splitLeakage(t: Tables, w: Int = 3): DataFrame = {
     val assigned = assignSplits(t.documents, col("doc_id"),
       Seq("train" -> 90, "val" -> 5, "test" -> 5))
-    val sh = assigned.select(col("doc_id"), col("split"),
-      explode(Dedup.shingles(col("text"), w)).as("s"))
+    val sh = assigned
+      .select(col("doc_id"), col("split"),
+        graft.operators.TextAnalysis.tokens(col("text")).as("_tk"))
+      .select(col("doc_id"), col("split"),
+        explode(Dedup.shinglesOfTokens(col("_tk"), w)).as("s"))
+      .select(col("doc_id"), col("split"),
+        graft.functions.HashFunctions.rollingHash64(col("s")).as("f"))
     val trainSh = sh.filter(col("split") === "train")
-      .select("s").distinct()
+      .select("f").distinct()
       .withColumn("_hit", lit(1))
     sh.filter(col("split") =!= "train")
-      .join(trainSh, Seq("s"), "left")
+      .join(trainSh, Seq("f"), "left")
       .groupBy("split", "doc_id")
       .agg(count(lit(1)).as("_n"), count(col("_hit")).as("_shared"))
       .groupBy("split")

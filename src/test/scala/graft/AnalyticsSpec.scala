@@ -92,6 +92,34 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("quantilesBySort equals the buffering percentile aggregate on the corpus") {
+    val got = Analytics.quantilesBySort(tables.lineitem, "l_returnflag",
+        "l_extendedprice", Seq(0.5, 0.9, 0.99), Seq("p50", "p90", "p99"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exp = tables.lineitem.groupBy("l_returnflag")
+      .agg(round(expr("percentile(l_extendedprice, 0.5)"), 6).as("a"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 6).as("b"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 6).as("c"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got.keySet == exp.keySet)
+    got.foreach { case (g, (a, b, c)) =>
+      assert(math.abs(a - exp(g)._1) < 1e-6, s"$g p50: $a vs ${exp(g)._1}")
+      assert(math.abs(b - exp(g)._2) < 1e-6, s"$g p90: $b vs ${exp(g)._2}")
+      assert(math.abs(c - exp(g)._3) < 1e-6, s"$g p99: $c vs ${exp(g)._3}")
+    }
+  }
+
+  test("quantilesBySort hand fixture: interpolation, 1-row group, uneven groups") {
+    import spark.implicits._
+    // group a: [1,2,3,4] → p50 = 2.5 (even count interpolates);
+    // group b: [10] → every quantile is 10; group c: [5,6,7] → p50 = 6
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("b", 10.0), ("c", 5.0), ("c", 6.0), ("c", 7.0)).toDF("g", "v")
+    val got = Analytics.quantilesBySort(df, "g", "v", Seq(0.5), Seq("p50"), nParts = 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == Map("a" -> 2.5, "b" -> 10.0, "c" -> 6.0), got.toString)
+  }
+
   test("aboveAvg keeps exactly the orders above the mean") {
     val a = tables.orders.agg(avg("o_totalprice")).head().getDouble(0)
     val expected = tables.orders.filter(col("o_totalprice") > a).count()

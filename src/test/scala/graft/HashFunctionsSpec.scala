@@ -43,6 +43,32 @@ class HashFunctionsSpec extends SparkSpec {
     assert(hs(0) == hs(1) && hs(0) != hs(2))
   }
 
+  test("runFingerprints equals rollingHash64 over the concat_ws run, per position") {
+    // real corpus docs: the prefix-hash identity must hold on arbitrary text
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001").documents
+      .limit(50)
+      .select($"doc_id", graft.operators.TextAnalysis.tokens($"text").as("_tk"))
+      .filter(size($"_tk") >= 8)
+    val fused = docs
+      .select($"doc_id", posexplode(HashFunctions.runFingerprints($"_tk", 8)))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val naive = docs
+      .select($"doc_id", posexplode(
+        transform(sequence(lit(0), size($"_tk") - 8),
+          i => concat_ws(" ", slice($"_tk", i + 1, lit(8))))))
+      .select($"doc_id", $"pos", HashFunctions.rollingHash64($"col").as("f"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(fused.nonEmpty && fused == naive,
+      s"${fused.size} fused vs ${naive.size} naive; diffs: " +
+        fused.collect { case (k, v) if naive.get(k) != Some(v) => k }.take(3))
+  }
+
+  test("runFingerprints: n < w yields an empty array; n == w yields one") {
+    val df = Seq(Seq("a", "b"), Seq("a", "b", "c")).toDF("tk")
+      .select(size(HashFunctions.runFingerprints($"tk", 3)).as("n"))
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(0, 1))
+  }
+
   test("srp buckets: a vector always lands in its own bucket; seed changes the bucketing") {
     val v = Array.tabulate(64)(i => math.sin(i).toFloat)
     val df = Seq(v, v).toDF("vec").select(
