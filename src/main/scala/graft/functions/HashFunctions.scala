@@ -266,6 +266,53 @@ object HashImpl {
     mix64(h)
   }
 
+  /** The most frequent adjacent bigram of a token array — (w1, w2,
+    * n_occ), ties broken by BINARY-ascending (w1, w2) (UTF8String order,
+    * matching both Spark's string sort and DuckDB's default collation).
+    * One pass + a doc-bounded hash map: the per-document signal never
+    * needs a corpus-wide (doc, bigram) shuffle. Returns null when the
+    * array has fewer than two tokens. */
+  def topBigram(toks: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = toks.numElements()
+    if (n < 2) return null
+    val m = new java.util.HashMap[UTF8String, Long](n * 2)
+    // key the map on "w1 w2" — one allocation per DISTINCT bigram via
+    // concat, counts bump in place
+    var i = 0
+    while (i < n - 1) {
+      val key = UTF8String.concat(toks.getUTF8String(i),
+        UTF8String.fromString(" "), toks.getUTF8String(i + 1))
+      val c = m.get(key)
+      m.put(key, if (c == null) 1L else c + 1L)
+      i += 1
+    }
+    // best by (count desc, w1 asc, w2 asc) — the tuple compares on the
+    // SPLIT tokens (not the concatenated key: a separator-byte artifact
+    // could reorder ties for tokens with sub-space code points). Tokens
+    // are whitespace-free by tokenization, so the first space splits
+    // unambiguously.
+    var bw1: UTF8String = null
+    var bw2: UTF8String = null
+    var bestCount = 0L
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue >= bestCount) {
+        val ks = e.getKey.toString
+        val sp = ks.indexOf(' ')
+        val w1 = UTF8String.fromString(ks.substring(0, sp))
+        val w2 = UTF8String.fromString(ks.substring(sp + 1))
+        val better = e.getValue > bestCount || {
+          val c1 = w1.binaryCompare(bw1)
+          c1 < 0 || (c1 == 0 && w2.binaryCompare(bw2) < 0)
+        }
+        if (better) { bw1 = w1; bw2 = w2; bestCount = e.getValue }
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bw1, bw2, bestCount))
+  }
+
   /** Fingerprints of EVERY positioned `w`-token run of a token array in
     * one pass — position p's value equals
     * `rollingHash(tokens(p) + " " + … + tokens(p+w-1))` EXACTLY (the
@@ -771,6 +818,27 @@ case class RollingHash64(child: Expression) extends UnaryExpression {
 }
 
 /** NfcNormalize(string) → string — see [[HashImpl.nfcNormalize]]. */
+/** TopBigram(array<string>) → struct(w1, w2, n_occ): the most frequent
+  * adjacent bigram, ties binary-ascending (see [[HashImpl.topBigram]]);
+  * null for arrays shorter than two tokens. */
+case class TopBigram(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("w1", StringType, nullable = false),
+    StructField("w2", StringType, nullable = false),
+    StructField("n_occ", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpl.topBigram(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // the kernel returns null for sub-2-token arrays: propagate it into
+    // isNull (defineCodeGen would leave isNull=false on a null struct)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.HashImpl.topBigram($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildInternal(newChild: Expression): TopBigram =
+    copy(child = newChild)
+}
+
 /** RunFingerprints(array<string>, w) → array<long>: positioned w-token
   * run fingerprints, position-aligned with `transform(sequence(...))`
   * shingling (see [[HashImpl.runFingerprints]]). */
@@ -1027,6 +1095,7 @@ object HashFunctions {
   def rollingHash64(text: Column): Column = col(RollingHash64(expr(text)))
   def runFingerprints(tokens: Column, w: Int): Column =
     col(RunFingerprints(expr(tokens), w))
+  def topBigram(tokens: Column): Column = col(TopBigram(expr(tokens)))
   def nfcNormalize(text: Column): Column = col(NfcNormalize(expr(text)))
   def jaroWinkler(a: Column, b: Column): Column =
     col(JaroWinklerF(expr(a), expr(b)))

@@ -219,8 +219,12 @@ object Sampling {
     * mitigation is finer rounding of the score, not a different plan. */
   def tokenBudgetSelect(t: Tables, budgetTokens: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // slim (doc_id, n_tokens, quality) projection, materialized ONCE —
+    // the bucket scan and the output filters both read it; without the
+    // checkpoint each re-runs the corpus-wide quality scoring
     val scored = TextAnalysis.qualityScore(t)
       .select(col("doc_id"), col("n_tokens"), col("quality"))
+      .localCheckpoint()
     // bounded collect: one row per distinct rounded score, not per doc
     val buckets = scored.filter(col("quality").isNotNull)
       .groupBy("quality").agg(sum("n_tokens").as("_bt"))

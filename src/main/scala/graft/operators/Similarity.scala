@@ -62,21 +62,41 @@ object Similarity {
     * pipeline reads to decide how many dimensions to store/ship (half the
     * dims at recall 0.9 halves the ANN index footprint).
     *
-    * Pure composition: each arm IS [[bruteForceTopK]] over a
-    * `slice(embedding, 1, d)` projection (same broadcast-query /
-    * corpus-streams-once shape), and the overlap is a semi-join of
-    * (query, neighbor) pairs — k·nQueries rows per arm, driver-free. */
+    * ONE corpus scan for every arm: the fused kernel scores the full
+    * vector AND each `slice(embedding, 1, d)` truncation in the same
+    * broadcast-join projection (the flops of the extra arms are a
+    * fraction of the full-dim pass — dims sum to less than the full
+    * width), landing in one slim (query, neighbor, cos…) table of
+    * nQueries·N rows, checkpointed once. Each arm's top-k is then a
+    * bounded per-query window over that table and the overlap a
+    * semi-join of (query, neighbor) pairs — k·nQueries rows per arm,
+    * driver-free. The per-arm ranking (cosine of the truncated vectors,
+    * neighbor-id tie-break) is exactly [[bruteForceTopK]]'s. */
   def truncationRecall(t: Tables, dims: Seq[Int] = Seq(8, 16, 32),
                        nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val full = bruteForceTopK(t, nQueries, k).select("query_id", "neighbor_id")
-      .localCheckpoint() // one arm per dim reads it
-    val queries = full.select("query_id").distinct()
+    val emb = t.embeddings
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val base = emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_full",
+        HashFunctions.cosineSim(col("q_emb"), col("embedding")))
+    val withCos = dims.foldLeft(base) { case (df, d) =>
+      df.withColumn(s"cos_$d", HashFunctions.cosineSim(
+        slice(col("q_emb"), 1, d), slice(col("embedding"), 1, d)))
+    }.select(col("query_id") +: col("neighbor_id") +: col("cos_full") +:
+        dims.map(d => col(s"cos_$d")): _*)
+      .localCheckpoint() // every arm's window reads it
+    def topk(cosCol: String) = withCos
+      .withColumn("rn", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col(cosCol).desc, col("neighbor_id").asc)))
+      .filter(col("rn") <= k)
+      .select("query_id", "neighbor_id")
+    val full = topk("cos_full").localCheckpoint() // one arm per dim reads it
+    val queries = q.select("query_id")
     val arms = dims.map { d =>
-      val truncated = t.embeddings
-        .select(col("vec_id"), slice(col("embedding"), 1, d).as("embedding"))
-      val td = bruteForceTopK(t.withTable("embeddings", truncated), nQueries, k)
-        .select("query_id", "neighbor_id")
-      val hits = full.join(td, Seq("query_id", "neighbor_id"), "left_semi")
+      val hits = full.join(topk(s"cos_$d"), Seq("query_id", "neighbor_id"),
+          "left_semi")
         .groupBy("query_id").agg(count(lit(1)).as("n_common"))
       queries.join(hits, Seq("query_id"), "left")
         .select(lit(d).as("dim"), col("query_id"),

@@ -516,35 +516,28 @@ object TextAnalysis {
     * lexicographically so both engines pick the same one. Docs with
     * fewer than two tokens have no bigram and emit no row.
     *
-    * Scale shape: bigram explode → (doc, bigram) hash count; the top-1
-    * window partitions by doc_id over each doc's own bigram vocabulary
-    * (bounded by doc length, never corpus-wide); the char ratio is a
-    * narrow projection. */
-  def topBigramCoverage(t: Tables): DataFrame = {
-    val bi = t.documents
+    * Scale shape: a per-DOCUMENT signal needs NO corpus-wide bigram
+    * shuffle — the fused [[graft.functions.HashImpl.topBigram]] kernel
+    * counts a document's bigrams in one pass over its own token array
+    * (doc-bounded hash map, codegen'd, identical count-desc /
+    * binary-ascending tie-break) and the whole query is a narrow
+    * projection; only the final ORDER BY exchanges anything. The
+    * explode → (doc, bigram) aggregate → per-doc window formulation this
+    * replaces shuffled every bigram occurrence in the corpus to compute
+    * a value each document already had locally (spec-pinned equal). */
+  def topBigramCoverage(t: Tables): DataFrame =
+    t.documents
       .withColumn("_tk", tokens(col("text")))
       .filter(size(col("_tk")) >= 2)
       .select(col("doc_id"), length(col("text")).as("n_chars"),
-        explode(transform(sequence(lit(0), size(col("_tk")) - 2),
-          i => struct(element_at(col("_tk"), i + 1).as("w1"),
-            element_at(col("_tk"), i + 2).as("w2")))).as("_b"))
-      .select(col("doc_id"), col("n_chars"),
-        col("_b.w1").as("w1"), col("_b.w2").as("w2"))
-    val counts = bi.groupBy("doc_id", "n_chars", "w1", "w2")
-      .agg(count(lit(1)).as("n_occ"))
-    counts
-      .withColumn("_rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-          .orderBy(col("n_occ").desc, col("w1").asc, col("w2").asc)))
-      .filter(col("_rn") === 1)
+        graft.functions.HashFunctions.topBigram(col("_tk")).as("_b"))
       .select(col("doc_id"),
-        concat(col("w1"), lit(" "), col("w2")).as("top_bigram"),
-        col("n_occ"),
-        round(col("n_occ") * (length(col("w1")) + length(col("w2")) + 1)
+        concat(col("_b.w1"), lit(" "), col("_b.w2")).as("top_bigram"),
+        col("_b.n_occ").as("n_occ"),
+        round(col("_b.n_occ") * (length(col("_b.w1")) + length(col("_b.w2")) + 1)
           .cast("double") / greatest(col("n_chars"), lit(1)), 6)
           .as("coverage"))
       .orderBy("doc_id")
-  }
 
   /** PII patterns (public, deliberately simple shapes — RE2-compatible so
     * a DuckDB oracle can run the same regex): emails, IPv4 addresses, and

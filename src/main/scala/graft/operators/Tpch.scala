@@ -348,9 +348,14 @@ object Tpch {
   /** TPC-H Q21 shape (suppliers who kept orders waiting): late lines of
     * the ONLY late supplier in a multi-supplier finished order, counted
     * per supplier of one nation. The EXISTS + NOT-EXISTS pair
-    * decorrelates into ONE per-order aggregate — n_suppliers > 1 AND
-    * n_late_suppliers == 1 — instead of two fact-table self-joins: one
-    * extra shuffle at order grain replaces two, and the oracle keeps the
+    * decorrelates into per-order supplier counts — n_suppliers > 1 AND
+    * n_late_suppliers == 1 — instead of two fact-table self-joins, and
+    * the FACT TABLE IS SCANNED ONCE: lines collapse to (order, supplier)
+    * grain carrying their late-row count, the qualification predicate
+    * reads per-order counts off an order-partitioned window over that
+    * collapsed grain (bounded by suppliers-per-order), and numwait sums
+    * the surviving late-row counts — no second lineitem pass, no
+    * count-distinct Expand, no semi-join back. The oracle keeps the
     * textbook double-subquery form to pin the equivalence. */
   def q21(t: Tables, nation: String = "NATION_12", lateDays: Int = 90,
           limit: Int = 100): DataFrame = {
@@ -360,19 +365,24 @@ object Tpch {
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .withColumn("late",
         col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL '$lateDays' DAY"))
-    val qualifying = li.groupBy(col("l_orderkey").as("ok"))
-      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
-      .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
+    val perOrderSupp = li.groupBy(col("l_orderkey").as("ok"),
+        col("l_suppkey").as("sk"))
+      .agg(count(when(col("late"), 1)).as("n_late_rows"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("ok")
+    val qualifyingLate = perOrderSupp
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_late_supp",
+        sum(when(col("n_late_rows") > 0, 1).otherwise(0)).over(w))
+      .filter(col("n_supp") > 1 && col("n_late_supp") === 1 &&
+        col("n_late_rows") > 0)
     val natSup = t.supplier
       .join(broadcast(t.nation.filter(col("n_name") === nation)),
         col("s_nationkey") === col("n_nationkey"))
       .select("s_suppkey", "s_name")
-    li.filter(col("late"))
-      .join(qualifying, col("l_orderkey") === col("ok"), "left_semi")
-      .join(natSup, col("l_suppkey") === col("s_suppkey"))
+    qualifyingLate
+      .join(natSup, col("sk") === col("s_suppkey"))
       .groupBy("s_name")
-      .agg(count(lit(1)).as("numwait"))
+      .agg(sum("n_late_rows").as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
       .limit(limit)
   }
