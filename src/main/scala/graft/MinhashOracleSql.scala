@@ -1009,6 +1009,25 @@ per AS (SELECT split, ff.doc_id, count(*) AS n, count(tr.h) AS shared FROM ff LE
 SELECT split, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(CASE WHEN shared * 2 > n THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky_docs, round(avg(CAST(shared AS DOUBLE) / n), 6) AS avg_shared_frac FROM per GROUP BY split ORDER BY split"""
   }
 
+  /** Oracle for q_ngram_novelty ([[graft.operators.Dedup.ngramNovelty]]):
+    * per-doc distinct w=3 shingles (the q_decontaminate CASE for short
+    * docs), Karp–Rabin+mix64 fingerprints, first-owner = min doc_id per
+    * fingerprint, per-doc novelty rollup, then decile banding off the
+    * broadcast max doc_id. */
+  def ngramNovelty: String = {
+    val fold = "list_reduce(list_prepend(CAST(0 AS HUGEINT), " +
+      "list_transform(string_split(s, ''), c -> CAST(unicode(c) AS HUGEINT))), " +
+      s"(acc, c) -> (${mulmod("acc", "1000003")} + c) % $M64)"
+    s"""WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk FROM documents),
+sh AS (SELECT DISTINCT doc_id, CASE WHEN len(tk) >= 3 THEN tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] ELSE array_to_string(tk, ' ') END AS s FROM (SELECT doc_id, tk, unnest(range(1, greatest(len(tk)-1, 2))) AS i FROM toks WHERE len(tk) >= 1)),
+f0 AS (SELECT doc_id, $fold AS hraw FROM sh),
+${mixCtes("ff", "f0", "hraw", "h", "doc_id")},
+fo AS (SELECT h, min(doc_id) AS fst FROM ff GROUP BY h),
+pd AS (SELECT ff.doc_id, count(*) AS n, sum(CASE WHEN ff.doc_id = fo.fst THEN 1 ELSE 0 END) AS novel FROM ff JOIN fo USING (h) GROUP BY ff.doc_id),
+mx AS (SELECT max(doc_id) AS m FROM documents)
+SELECT least(CAST(floor(pd.doc_id * 10 / (m + 1)) AS BIGINT), 9) AS decile, CAST(count(*) AS BIGINT) AS n_docs, round(avg(CAST(novel AS DOUBLE) / n), 6) AS avg_novelty, round(CAST(sum(novel) AS DOUBLE) / sum(n), 6) AS novel_shingle_frac FROM pd CROSS JOIN mx GROUP BY 1 ORDER BY decile"""
+  }
+
   /** Oracle for q_dup_spans ([[graft.operators.Dedup.duplicateSpans]]):
     * positioned w=8 token runs, each collapsed to its Karp–Rabin+mix64
     * fingerprint (the engine shuffles fingerprints, not run text — the

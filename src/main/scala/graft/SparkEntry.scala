@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Analytics, Dedup, Graph, Multimodal, Packing, Relational, SetSimilarity, Similarity, TextAnalysis, Tpch}
+import graft.operators.{Analytics, Dedup, Graph, Multimodal, Packing, Relational, SetSimilarity, Similarity, Skew, TextAnalysis, Tpch}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -90,7 +90,19 @@ object SparkEntry {
     "q_ivm_merge" -> ((s, d) => Relational.incrementalViewMerge(Tables(s, d))),
     "q_embed_drift" -> ((s, d) => Similarity.labelCentroidDrift(Tables(s, d))),
     "q_outer_join" -> ((s, d) => Relational.outerJoin(Tables(s, d))),
+    "q_full_outer" -> ((s, d) => Relational.fullOuterCounts(Tables(s, d))),
     "q_case_expr" -> ((s, d) => Relational.caseExpr(Tables(s, d))),
+    "q_activity_streaks" -> ((s, d) => Analytics.activityStreaks(Tables(s, d))),
+    "q_gap_fill" -> ((s, d) => Analytics.gapFillDaily(Tables(s, d))),
+    "q_rolling_median" -> ((s, d) => Analytics.rollingMedian(Tables(s, d))),
+    "q_ngram_novelty" -> ((s, d) => Dedup.ngramNovelty(Tables(s, d))),
+    "q_salted_distinct" -> ((s, d) =>
+      Skew.countDistinctPerKey(Tables(s, d).events,
+        org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("user_id"))
+        .withColumnRenamed("key", "event_type")
+        .withColumnRenamed("n_distinct", "n_users")
+        .orderBy("event_type")),
     "q_string_funcs" -> ((s, d) => Relational.stringFuncs(Tables(s, d))),
     "q_date_parts" -> ((s, d) => Relational.dateParts(Tables(s, d))),
     // — dedup (SURVEY §2 rows 15–18) —
@@ -621,6 +633,35 @@ object SparkEntry {
       ("SELECT c_custkey, c_name, coalesce(p.cnt, 0) AS n_pending FROM customer " +
         "LEFT OUTER JOIN (SELECT o_custkey, count(*) AS cnt FROM orders WHERE o_orderstatus = 'P' GROUP BY o_custkey) p " +
         "ON c_custkey = p.o_custkey ORDER BY c_custkey"),
+    "q_full_outer" ->
+      ("SELECT nationkey, coalesce(c.n_customers, 0) AS n_customers, coalesce(s.n_suppliers, 0) AS n_suppliers " +
+        "FROM (SELECT c_nationkey AS nationkey, count(*) AS n_customers FROM customer GROUP BY 1) c " +
+        "FULL OUTER JOIN (SELECT s_nationkey AS nationkey, count(*) AS n_suppliers FROM supplier GROUP BY 1) s " +
+        "USING (nationkey) ORDER BY nationkey"),
+    "q_activity_streaks" ->
+      ("WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), " +
+        "g AS (SELECT user_id, day, date_diff('day', lag(day) OVER (PARTITION BY user_id ORDER BY day), day) AS gap FROM days), " +
+        "isl AS (SELECT user_id, day, gap, sum(CASE WHEN gap = 1 THEN 0 ELSE 1 END) OVER (PARTITION BY user_id ORDER BY day) AS isl FROM g), " +
+        "per AS (SELECT user_id, isl, count(*) AS len, max(gap) AS lead_gap FROM isl GROUP BY 1, 2) " +
+        "SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days, CAST(max(len) AS BIGINT) AS longest_streak, " +
+        "CAST(count(*) AS BIGINT) AS n_streaks, " +
+        "CAST(coalesce(max(CASE WHEN lead_gap > 1 THEN lead_gap - 1 END), 0) AS BIGINT) AS max_gap_days " +
+        "FROM per GROUP BY user_id ORDER BY user_id"),
+    "q_gap_fill" ->
+      ("WITH sub AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE user_id % 50 = 0), " +
+        "daily AS (SELECT user_id, day, count(*) AS n FROM sub GROUP BY 1, 2), " +
+        "spans AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1), " +
+        "cal AS (SELECT user_id, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM spans) " +
+        "SELECT user_id, strftime(day, '%Y-%m-%d') AS day, CAST(coalesce(n, 0) AS BIGINT) AS n_events " +
+        "FROM cal LEFT JOIN daily USING (user_id, day) ORDER BY user_id, day"),
+    "q_rolling_median" ->
+      ("SELECT event_id, user_id, round(value, 6) AS value, " +
+        "round(median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS rolling_median " +
+        "FROM events ORDER BY event_id"),
+    "q_ngram_novelty" -> KernelOracleSql.ngramNovelty,
+    "q_salted_distinct" ->
+      ("SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
     "q_case_expr" ->
       ("SELECT CASE WHEN l_quantity < 10 THEN 'low' WHEN l_quantity < 35 THEN 'mid' ELSE 'high' END AS qty_band, " +
         "count(*) AS n FROM lineitem GROUP BY 1 ORDER BY qty_band"),

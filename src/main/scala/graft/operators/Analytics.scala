@@ -1186,6 +1186,86 @@ object Analytics {
     * and co-partitioned by the join key, and the cohort-size denominator
     * joins back as a cohort-day-sized broadcast. No windows, no
     * day×day self-join. */
+  /** Per-user ACTIVITY STREAKS — the islands-and-gaps report (longest
+    * run of consecutive active days, streak count, widest inactivity
+    * gap): the engagement shape product analytics reads next to
+    * [[retentionCohorts]]. Classic gaps-and-islands: per-user distinct
+    * active days, a lag diff marks island starts, a running sum numbers
+    * the islands, two rollups produce per-island lengths then per-user
+    * stats. All integers and dates — hash-exact.
+    *
+    * Scale shape: one distinct at (user, day) grain, then every window
+    * partitions by user (bounded by a user's active-day count); rollups
+    * are user-keyed. Nothing corpus-wide ever sorts in one task. */
+  def activityStreaks(t: Tables): DataFrame = {
+    val days = t.events
+      .select(col("user_id"), to_date(col("ts")).as("_day")).distinct()
+    val w = Window.partitionBy("user_id").orderBy("_day")
+    val marked = days
+      .withColumn("_gap", datediff(col("_day"), lag("_day", 1).over(w)))
+      .withColumn("_isl",
+        sum(when(col("_gap") === 1, 0).otherwise(1)).over(w))
+    val islands = marked.groupBy("user_id", "_isl")
+      .agg(count(lit(1)).as("_len"), max("_gap").as("_lead_gap"))
+    islands.groupBy("user_id")
+      .agg(sum("_len").cast("bigint").as("n_active_days"),
+        max("_len").cast("bigint").as("longest_streak"),
+        count(lit(1)).as("n_streaks"),
+        coalesce(max(when(col("_lead_gap") > 1, col("_lead_gap") - 1)),
+          lit(0)).cast("bigint").as("max_gap_days"))
+      .orderBy("user_id")
+  }
+
+  /** Zero-filled per-user DAILY SERIES (gap filling / densification) for
+    * a deterministic user subset — the step that turns an event log into
+    * the dense time series a forecasting or anomaly job consumes (missing
+    * days are real zeros, not absent rows). Each user's span runs from
+    * their first to their last active day: `sequence(min, max, 1 day)`
+    * explodes the calendar per user and a left join pins counts.
+    *
+    * Scale shape: daily (user, day) counts are one aggregation; the
+    * calendar explode is per-user bounded (span days); the join is
+    * user+day keyed. The subset predicate is a deterministic modulus so
+    * the oracle replays membership exactly. */
+  def gapFillDaily(t: Tables, userMod: Long = 50): DataFrame = {
+    val sub = t.events.filter(col("user_id") % userMod === 0)
+      .select(col("user_id"), to_date(col("ts")).as("_day"))
+    val daily = sub.groupBy("user_id", "_day")
+      .agg(count(lit(1)).as("_n"))
+    val spans = daily.groupBy("user_id")
+      .agg(min("_day").as("_d0"), max("_day").as("_d1"))
+    spans
+      .select(col("user_id"), explode(sequence(col("_d0"), col("_d1"),
+        expr("INTERVAL 1 DAY"))).as("_day"))
+      .join(daily, Seq("user_id", "_day"), "left")
+      .select(col("user_id"), date_format(col("_day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("_n"), lit(0L)).as("n_events"))
+      .orderBy("user_id", "day")
+  }
+
+  /** Exact ROLLING MEDIAN of event value over each user's trailing
+    * 7-event window — the robust rolling signal (rolling means chase
+    * outliers; ops dashboards roll medians). The window buffers at most
+    * 7 values per row (`collect_list` over a ROWS frame), sorts the
+    * bounded array, and interpolates the middle pair on even counts —
+    * quantile_cont semantics, matching DuckDB's windowed `median`.
+    * Per-user window partitions are user-bounded; the frame is O(1). */
+  def rollingMedian(t: Tables, frame: Int = 7): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-(frame - 1), Window.currentRow)
+    val vals = sort_array(collect_list(col("value")).over(w))
+    val n = size(vals)
+    def at(i: Column) = element_at(vals, i.cast("int"))
+    val med = when(n % 2 === 1, at((n + 1) / 2))
+      .otherwise((at(n / 2) + at(n / 2 + 1)) / 2.0)
+    t.events
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("rolling_median", round(med, 6))
+      .select(col("event_id"), col("user_id"),
+        round(col("value"), 6).as("value"), col("rolling_median"))
+      .orderBy("event_id")
+  }
+
   def retentionCohorts(t: Tables): DataFrame = {
     val days = t.events
       .select(col("user_id"), to_date(col("ts")).as("_day")).distinct()

@@ -565,6 +565,47 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** N-GRAM NOVELTY CURVE over ingestion order — for each doc_id-order
+    * DECILE of the corpus, the average fraction of a document's distinct
+    * w-shingles seen for the FIRST time at that document (first
+    * occurrence = minimum doc_id over the shingle). Novelty falling
+    * toward zero is the saturation signal a data-collection pipeline
+    * watches: later crawl batches that mostly repeat earlier shingles
+    * add tokens but no content. Complements the duplication family —
+    * [[duplicateSpans]] localizes repeats; this tracks marginal novelty
+    * over acquisition order.
+    *
+    * Scale shape: distinct per-doc shingles travel as 64-bit Karp–Rabin
+    * fingerprints ([[graft.operators.Sampling.splitLeakage]]'s trade,
+    * same shared-collision oracle treatment); one fp-keyed min
+    * aggregation finds first owners, one fp join marks novelty, then
+    * doc- and decile-keyed rollups. The decile index derives from the
+    * broadcast max doc_id, not a global rank window. */
+  def ngramNovelty(t: Tables, w: Int = 3): DataFrame = {
+    val sh = t.documents
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_tk"))
+      .select(col("doc_id"),
+        explode(shinglesOfTokens(col("_tk"), w)).as("s"))
+      .select(col("doc_id"), HashFunctions.rollingHash64(col("s")).as("f"))
+    val firstOwner = sh.groupBy("f").agg(min("doc_id").as("_first"))
+    val perDoc = sh.join(firstOwner, "f")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("_n"),
+        sum(when(col("doc_id") === col("_first"), 1L).otherwise(0L))
+          .as("_novel"))
+    val maxId = t.documents.agg(max("doc_id").as("_mx"))
+    perDoc.crossJoin(broadcast(maxId))
+      .withColumn("decile",
+        least(floor(col("doc_id") * 10 / (col("_mx") + 1)), lit(9L)))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("_novel").cast("double") / col("_n")), 6)
+          .as("avg_novelty"),
+        round(sum("_novel").cast("double") / sum("_n"), 6)
+          .as("novel_shingle_frac"))
+      .orderBy("decile")
+  }
+
   /** (doc_id, sig) minhash signatures of a (doc_id, text, …) frame —
     * shared by the incremental paths and [[DedupIndex]]. */
   private[graft] def minhashSigs(d: DataFrame, w: Int, k: Int): DataFrame =

@@ -156,6 +156,23 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** FULL OUTER join: per-nation customer and supplier counts side by
+    * side, keys surviving from EITHER side (a nation with customers but
+    * no suppliers — or vice versa — still gets its row, zeros filled).
+    * Both inputs pre-aggregate to nation grain before the join, so the
+    * full-outer matches tiny tables, not facts. */
+  def fullOuterCounts(t: Tables): DataFrame = {
+    val cust = t.customer.groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_customers"))
+    val supp = t.supplier.groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"))
+    cust.join(supp, Seq("nationkey"), "full_outer")
+      .select(col("nationkey"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+      .orderBy("nationkey")
+  }
+
   /** CASE expression: quantity banding. */
   def caseExpr(t: Tables): DataFrame =
     t.lineitem

@@ -63,6 +63,42 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == (c ++ s))
   }
 
+  test("activityStreaks: islands, gaps, and single-day users from a hand fixture") {
+    def d(day: Int) = Timestamp.valueOf(f"2026-03-$day%02d 10:00:00")
+    // user 1: days 1,2,3 then 7,8 → streaks (3,2), gap 7-3-1 = 3
+    // user 2: one day → streak 1, no gap; duplicate events same day collapse
+    val ev = Seq((1L, d(1)), (1L, d(2)), (1L, d(3)), (1L, d(7)), (1L, d(8)),
+      (2L, d(5)), (2L, d(5))).toDF("user_id", "ts")
+    val got = Analytics.activityStreaks(tables.withTable("events", ev))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(1L -> ((5L, 3L, 2L, 3L)), 2L -> ((1L, 1L, 1L, 0L))), got.toString)
+  }
+
+  test("gapFillDaily densifies the span with zero rows and keeps real counts") {
+    def d(day: Int) = Timestamp.valueOf(f"2026-03-$day%02d 10:00:00")
+    // user 0 (mod-50 member): days 1 (2 events), 4 → days 2,3 are zeros
+    // user 7 is NOT in the subset and must not appear
+    val ev = Seq((0L, d(1)), (0L, d(1)), (0L, d(4)), (7L, d(2)))
+      .toDF("user_id", "ts")
+    val got = Analytics.gapFillDaily(tables.withTable("events", ev))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      (0L, "2026-03-01") -> 2L, (0L, "2026-03-02") -> 0L,
+      (0L, "2026-03-03") -> 0L, (0L, "2026-03-04") -> 1L), got.toString)
+  }
+
+  test("rollingMedian: odd and even trailing windows interpolate like quantile_cont") {
+    def t(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val ev = Seq((1L, 1L, t(0), 10.0), (2L, 1L, t(1), 20.0),
+      (3L, 1L, t(2), 2.0), (4L, 1L, t(3), 40.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val got = Analytics.rollingMedian(tables.withTable("events", ev))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // windows: [10]→10; [10,20]→15; [2,10,20]→10; [2,10,20,40]→15
+    assert(got == Map(1L -> 10.0, 2L -> 15.0, 3L -> 10.0, 4L -> 15.0), got.toString)
+  }
+
   test("sessionize splits on gaps greater than the threshold, inclusive boundaries") {
     def ts(min: Int) = Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
     val ev = Seq(

@@ -523,4 +523,17 @@ class DedupSpec extends SparkSpec {
     val plan = planOf(df)
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
   }
+
+  test("ngramNovelty: originals are fully novel, copies contribute zero, deciles band by id") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta epsilon zeta"), // exact copy of doc 0
+      (2L, "one two three four five six seven")    // all-new shingles
+    ).toDF("doc_id", "text")
+    val got = Dedup.ngramNovelty(tables.withTable("documents", docs))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // deciles of ids 0,1,2 with max 2: floor(id*10/3) = 0, 3, 6
+    assert(got == Map(0L -> ((1L, 1.0)), 3L -> ((1L, 0.0)), 6L -> ((1L, 1.0))),
+      got.toString)
+  }
 }

@@ -6,6 +6,17 @@ import graft.operators.Relational
 
 class RelationalSpec extends SparkSpec {
 
+  test("fullOuterCounts keeps keys from either side with zero fill") {
+    import spark.implicits._
+    // nation 1: both; nation 2: customers only; nation 3: suppliers only
+    val cust = Seq((10L, 1), (11L, 1), (12L, 2)).toDF("c_custkey", "c_nationkey")
+    val supp = Seq((20L, 1), (21L, 3)).toDF("s_suppkey", "s_nationkey")
+    val got = Relational.fullOuterCounts(
+        tables.withTable("customer", cust).withTable("supplier", supp))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(1 -> ((2L, 1L)), 2 -> ((1L, 0L)), 3 -> ((0L, 1L))), got.toString)
+  }
+
   test("selectAll returns the full nation table in key order") {
     val rows = Relational.selectAll(tables).collect()
     assert(rows.length == 25)
