@@ -210,6 +210,23 @@ object SparkEntry {
     "q_source_kl" -> ((s, d) => TextAnalysis.sourceKlDivergence(Tables(s, d))),
     "q_tfidf_search" -> ((s, d) => TextAnalysis.tfidfSearch(Tables(s, d))),
     "q_bm25_search" -> ((s, d) => TextAnalysis.bm25Search(Tables(s, d))),
+    "q_bm25_indexed" -> ((s, d) => {
+      // the stored-index form of q_bm25_search: tf/df/len are computed
+      // once per dataset into a bucketed+sorted postings table (warmup
+      // pays the build; timed passes attach) and each query batch probes
+      // ONLY its terms' postings — no corpus text rescan, no tf/df
+      // shuffles per query. Same scoring arithmetic, same SQL oracle.
+      import graft.operators.TextIndex
+      val t = Tables(s, d)
+      def prefix(dir: String) = "gtidx_" + dir.split('_').last
+      val dir = roundtripDir("graft_textidx", d, "_TEXT_INDEX_OK") { out =>
+        TextIndex.buildIndex(s, t.documents, prefix(out), out)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(out, "_TEXT_INDEX_OK"), "ok")
+      }
+      val idx = TextIndex.attachIndex(s, prefix(dir), dir)
+      TextIndex.bm25Probe(s, idx, t.documents.filter(col("doc_id") < 10))
+    }),
     "q_quality_model" -> ((s, d) => TextAnalysis.qualityModel(Tables(s, d))),
     "q_media_video" -> ((s, d) => {
       import graft.operators.Multimodal
@@ -547,6 +564,21 @@ object SparkEntry {
     * output — the driver sorts columns by name before hashing). Keys omitted
     * here (minhash/simhash/lsh/lang/fingerprint) are non-SQL-expressible and
     * get the driver's rows-only check + ScalaTest coverage. */
+  private val Bm25OracleSql: String =
+    "WITH toks AS (SELECT doc_id, token AS w FROM (SELECT doc_id, " +
+        "unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token FROM documents) WHERE token <> ''), " +
+        "tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w), " +
+        "dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY w), " +
+        "lens AS (SELECT doc_id, sum(tf) AS len FROM tf GROUP BY doc_id), " +
+        "st AS (SELECT count(*) AS n, avg(len) AS avgl FROM lens), " +
+        "qt AS (SELECT doc_id AS query_id, w FROM tf WHERE doc_id < 10), " +
+        "contrib AS (SELECT q.query_id, c.doc_id, " +
+        "ln((n - df + 0.5) / (df + 0.5) + 1.0) * (c.tf * (1.2 + 1.0)) / (c.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.len / st.avgl)) AS cc " +
+        "FROM tf c JOIN qt q USING (w) JOIN dfq USING (w) JOIN lens l ON l.doc_id = c.doc_id CROSS JOIN st WHERE c.doc_id <> q.query_id), " +
+        "sc AS (SELECT query_id, doc_id AS neighbor_id, round(sum(cc), 6) AS bm25 FROM contrib GROUP BY query_id, doc_id), " +
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, neighbor_id ASC) AS rn FROM sc) " +
+        "SELECT query_id, neighbor_id, bm25 FROM rk WHERE rn <= 5 ORDER BY query_id, neighbor_id"
+
   def oracleSql: Map[String, String] = Map(
     "q_select_all" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
@@ -919,20 +951,10 @@ object SparkEntry {
         "ranked AS (SELECT doc_id, token, tfidf, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS BIGINT) AS rk FROM scored) " +
         "SELECT doc_id, token, tfidf, rk FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk"),
     "q_quality_model" -> KernelOracleSql.qualityModel(),
-    "q_bm25_search" ->
-      ("WITH toks AS (SELECT doc_id, token AS w FROM (SELECT doc_id, " +
-        "unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token FROM documents) WHERE token <> ''), " +
-        "tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w), " +
-        "dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY w), " +
-        "lens AS (SELECT doc_id, sum(tf) AS len FROM tf GROUP BY doc_id), " +
-        "st AS (SELECT count(*) AS n, avg(len) AS avgl FROM lens), " +
-        "qt AS (SELECT doc_id AS query_id, w FROM tf WHERE doc_id < 10), " +
-        "contrib AS (SELECT q.query_id, c.doc_id, " +
-        "ln((n - df + 0.5) / (df + 0.5) + 1.0) * (c.tf * (1.2 + 1.0)) / (c.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.len / st.avgl)) AS cc " +
-        "FROM tf c JOIN qt q USING (w) JOIN dfq USING (w) JOIN lens l ON l.doc_id = c.doc_id CROSS JOIN st WHERE c.doc_id <> q.query_id), " +
-        "sc AS (SELECT query_id, doc_id AS neighbor_id, round(sum(cc), 6) AS bm25 FROM contrib GROUP BY query_id, doc_id), " +
-        "rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, neighbor_id ASC) AS rn FROM sc) " +
-        "SELECT query_id, neighbor_id, bm25 FROM rk WHERE rn <= 5 ORDER BY query_id, neighbor_id"),
+    "q_bm25_search" -> Bm25OracleSql,
+    // the index probe computes the identical arithmetic from stored
+    // postings, so the from-scratch oracle verifies it too
+    "q_bm25_indexed" -> Bm25OracleSql,
     "q_tfidf_search" ->
       ("WITH toks AS (SELECT doc_id, token AS w FROM (SELECT doc_id, " +
         "unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token FROM documents) WHERE token <> ''), " +

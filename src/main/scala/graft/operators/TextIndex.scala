@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted INVERTED TEXT INDEX — the retrieval counterpart of
+  * [[DedupIndex]] (fingerprints) and [[AnnIndex]] (embeddings): tf, df,
+  * and document lengths are computed from the corpus ONCE and stored as a
+  * bucketed postings table; every BM25 query probes the STORED postings
+  * with no corpus text rescan. At 100 TB the from-scratch
+  * [[TextAnalysis.bm25Search]] pays two corpus-wide shuffles per query
+  * batch (tf aggregation + df aggregation); the index pays them once at
+  * build and each probe touches only the postings of the query's terms.
+  *
+  * Layout — ONE bucketed catalog table plus a 2-number meta file:
+  *  - `<prefix>_postings(w, doc_id, tf, df, len)` bucketed AND sorted by
+  *    `w`. df and len are DENORMALIZED onto every posting (two extra
+  *    longs per row) so a probe joins NOTHING corpus-sized — the classic
+  *    search-engine postings layout, where a posting carries everything
+  *    its scorer needs.
+  *  - `meta` — (nDocs, sumLen) exact longs; avgdl derives as one double
+  *    division, identical to the exact-long-sum mean both the live path
+  *    and the DuckDB oracle compute.
+  *
+  * Probe scan hygiene: the term predicate is an `isin` over the query's
+  * term set, so the scan gets (a) BUCKET PRUNING — only buckets hashing a
+  * probed term are listed — and (b) row-group pruning inside each bucket
+  * from the sorted-by-`w` layout + pushed `In` filter. A single-term
+  * probe reads 1/buckets of the index (spec-asserted via
+  * SelectedBucketsCount). */
+object TextIndex {
+
+  final case class Index(postings: String, dir: String,
+                         nDocs: Long, sumLen: Long) {
+    def avgdl: Double = sumLen.toDouble / nDocs
+  }
+
+  private def metaPath(dir: String) =
+    java.nio.file.Paths.get(dir, "text_index.meta")
+
+  /** (doc_id, w, tf) of a corpus — the shared tokenize+count stage. */
+  private def termFreqs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+
+  /** Build the index under `dir` with catalog name `<prefix>_postings`.
+    * One corpus scan; df/len fold in via two bounded joins of the SAME
+    * checkpointed tf table (vocabulary- and doc-cardinality sides). */
+  def buildIndex(spark: SparkSession, docs: DataFrame, prefix: String,
+                 dir: String, buckets: Int = 32): Index = {
+    val tf = termFreqs(docs).localCheckpoint()
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val lens = tf.groupBy("doc_id").agg(sum("tf").as("len"))
+    val table = s"${prefix}_postings"
+    tf.join(dfreq, "w").join(lens, "doc_id")
+      .select(col("w"), col("doc_id"), col("tf"), col("df"), col("len"))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "w")
+      .sortBy("w")
+      .option("path", new org.apache.hadoop.fs.Path(dir, table).toString)
+      .saveAsTable(table)
+    val st = lens.agg(count(lit(1)).as("n"), sum("len").as("s")).head()
+    java.nio.file.Files.writeString(metaPath(dir),
+      s"${st.getLong(0)} ${st.getLong(1)}")
+    Index(table, dir, st.getLong(0), st.getLong(1))
+  }
+
+  /** Attach a previously built index: registers the bucketed table from
+    * its stored files when a fresh session's catalog doesn't have it
+    * (same DDL re-registration as [[DedupIndex.attachIndex]] — the build
+    * session's catalog dies with it; the files and meta are the truth). */
+  def attachIndex(spark: SparkSession, prefix: String, dir: String,
+                  buckets: Int = 32): Index = {
+    val table = s"${prefix}_postings"
+    if (!spark.catalog.tableExists(table))
+      spark.sql(
+        s"""CREATE TABLE $table (w STRING, doc_id BIGINT, tf BIGINT,
+           |df BIGINT, len BIGINT) USING PARQUET
+           |CLUSTERED BY (w) SORTED BY (w) INTO $buckets BUCKETS
+           |LOCATION '${new org.apache.hadoop.fs.Path(dir, table)}'""".stripMargin)
+    val parts = java.nio.file.Files.readString(metaPath(dir)).trim.split(' ')
+    Index(table, dir, parts(0).toLong, parts(1).toLong)
+  }
+
+  /** BM25 top-k against the STORED postings for query documents
+    * (doc_id, text, …): tokenizes only the query side (bounded), prunes
+    * the postings scan to the query's terms, scores each surviving
+    * posting from its own denormalized (tf, df, len) — the exact
+    * [[TextAnalysis.bm25Search]] arithmetic, so the same SQL oracle
+    * verifies both paths — and ranks per query. Self-matches are
+    * excluded, mirroring the live path. */
+  def bm25Probe(spark: SparkSession, idx: Index, queryDocs: DataFrame,
+                topK: Int = 5, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qTerms = termFreqs(queryDocs)
+      .select(col("doc_id").as("query_id"), col("w"))
+    // bounded driver set: the query batch's distinct vocabulary — this
+    // literal IN is what turns into bucket + row-group pruning on the scan
+    val termList = qTerms.select("w").distinct().collect().map(_.getString(0))
+    val posts = spark.table(idx.postings)
+      .filter(col("w").isin(termList.toIndexedSeq: _*))
+    val rank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("bm25").desc, col("neighbor_id").asc)
+    posts.join(broadcast(qTerms), Seq("w"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .withColumn("_c",
+        log((lit(idx.nDocs) - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * (k1 + 1.0)) /
+          (col("tf") + (lit(1.0 - b) + col("len") * b / idx.avgdl) * k1))
+      .groupBy(col("query_id"), col("doc_id").as("neighbor_id"))
+      .agg(round(sum("_c"), 6).as("bm25"))
+      .withColumn("rn", row_number().over(rank))
+      .filter(col("rn") <= topK)
+      .select("query_id", "neighbor_id", "bm25")
+      .orderBy("query_id", "neighbor_id")
+  }
+}

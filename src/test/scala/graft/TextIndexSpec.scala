@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.operators.{TextAnalysis, TextIndex}
+
+class TextIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bm25Probe against the stored postings equals the from-scratch bm25Search") {
+    val dir = Files.createTempDirectory("gtidx").toString
+    val idx = TextIndex.buildIndex(spark, tables.documents, "gtidx_eq", dir,
+      buckets = 8)
+    val live = TextAnalysis.bm25Search(tables)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val probed = TextIndex.bm25Probe(spark, idx,
+        tables.documents.filter($"doc_id" < 10))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(probed.nonEmpty && probed == live,
+      s"probe=${probed.size} live=${live.size}; " +
+        s"diff=${(probed.toSet diff live.toSet).take(3)}")
+  }
+
+  test("attach re-registers the table in a catalog that lost it; stats survive") {
+    val dir = Files.createTempDirectory("gtidx_attach").toString
+    val built = TextIndex.buildIndex(spark, tables.documents, "gtidx_att", dir,
+      buckets = 8)
+    spark.sql("DROP TABLE gtidx_att_postings") // simulate a fresh session
+    val idx = TextIndex.attachIndex(spark, "gtidx_att", dir, buckets = 8)
+    assert(idx.nDocs == built.nDocs && idx.sumLen == built.sumLen)
+    val out = TextIndex.bm25Probe(spark, idx,
+      tables.documents.filter($"doc_id" < 3))
+    assert(out.count() > 0)
+  }
+
+  test("single-term probe prunes to one bucket and pushes the In filter") {
+    val dir = Files.createTempDirectory("gtidx_prune").toString
+    val idx = TextIndex.buildIndex(spark, tables.documents, "gtidx_prune", dir,
+      buckets = 8)
+    // one-term query doc (the term certainly exists in the corpus)
+    val term = tables.documents
+      .select(explode(TextAnalysis.tokens($"text")).as("w"))
+      .groupBy("w").count().orderBy(desc("count")).head().getString(0)
+    val q = Seq((900000L, term)).toDF("doc_id", "text")
+    val df = TextIndex.bm25Probe(spark, idx, q)
+    val plan = planOf(df)
+    assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
+      s"bucket pruning missing:\n$plan")
+    assert(df.count() > 0)
+  }
+}
