@@ -95,6 +95,7 @@ object SparkEntry {
     "q_activity_streaks" -> ((s, d) => Analytics.activityStreaks(Tables(s, d))),
     "q_gap_fill" -> ((s, d) => Analytics.gapFillDaily(Tables(s, d))),
     "q_rolling_median" -> ((s, d) => Analytics.rollingMedian(Tables(s, d))),
+    "q_rfm" -> ((s, d) => Analytics.rfmScores(Tables(s, d))),
     "q_ngram_novelty" -> ((s, d) => Dedup.ngramNovelty(Tables(s, d))),
     "q_salted_distinct" -> ((s, d) =>
       Skew.countDistinctPerKey(Tables(s, d).events,
@@ -691,6 +692,19 @@ object SparkEntry {
         "round(median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS rolling_median " +
         "FROM events ORDER BY event_id"),
     "q_ngram_novelty" -> KernelOracleSql.ngramNovelty,
+    "q_rfm" ->
+      ("WITH per AS (SELECT user_id, max(CAST(ts AS DATE)) AS last_day, count(*) AS frequency, " +
+        "CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS BIGINT) AS m_e4 FROM events GROUP BY user_id), " +
+        "mx AS (SELECT max(last_day) AS mxd FROM per), " +
+        "met AS (SELECT user_id, CAST(date_diff('day', last_day, mxd) AS BIGINT) AS recency_days, frequency, m_e4 FROM per CROSS JOIN mx), " +
+        "th AS (SELECT round(quantile_cont(recency_days, 0.2), 6) AS r1, round(quantile_cont(recency_days, 0.4), 6) AS r2, round(quantile_cont(recency_days, 0.6), 6) AS r3, round(quantile_cont(recency_days, 0.8), 6) AS r4, " +
+        "round(quantile_cont(frequency, 0.2), 6) AS f1, round(quantile_cont(frequency, 0.4), 6) AS f2, round(quantile_cont(frequency, 0.6), 6) AS f3, round(quantile_cont(frequency, 0.8), 6) AS f4, " +
+        "round(quantile_cont(m_e4, 0.2), 6) AS m1, round(quantile_cont(m_e4, 0.4), 6) AS m2, round(quantile_cont(m_e4, 0.6), 6) AS m3, round(quantile_cont(m_e4, 0.8), 6) AS m4 FROM met) " +
+        "SELECT user_id, recency_days, CAST(frequency AS BIGINT) AS frequency, round(m_e4 / 10000.0, 4) AS monetary, " +
+        "CAST(5 - ((recency_days >= r1)::INT + (recency_days >= r2)::INT + (recency_days >= r3)::INT + (recency_days >= r4)::INT) AS BIGINT) AS r_score, " +
+        "CAST(1 + (frequency >= f1)::INT + (frequency >= f2)::INT + (frequency >= f3)::INT + (frequency >= f4)::INT AS BIGINT) AS f_score, " +
+        "CAST(1 + (m_e4 >= m1)::INT + (m_e4 >= m2)::INT + (m_e4 >= m3)::INT + (m_e4 >= m4)::INT AS BIGINT) AS m_score " +
+        "FROM met CROSS JOIN th ORDER BY user_id"),
     "q_salted_distinct" ->
       ("SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users " +
         "FROM events GROUP BY event_type ORDER BY event_type"),

@@ -1186,6 +1186,48 @@ object Analytics {
     * and co-partitioned by the join key, and the cohort-size denominator
     * joins back as a cohort-day-sized broadcast. No windows, no
     * day×day self-join. */
+  /** RFM SCORING (recency / frequency / monetary quintiles — the classic
+    * customer-value segmentation): per-user metrics reduce in one
+    * aggregation (recency = days from the user's last event to the
+    * corpus max day; monetary sums in exact e4 integers — `round(v·10⁴)`
+    * is integral before the cast, so both engines land the same long);
+    * quintile thresholds come from [[quantilesBySort]] over the
+    * user-cardinality metric table (exact interpolated quantiles, no
+    * global rank window, no per-group buffering) and band as 12 broadcast
+    * literals — scores are threshold-comparison counts on ROUNDED
+    * thresholds, so engine and oracle band identically. Recency scores
+    * INVERT (recent = high). */
+  def rfmScores(t: Tables): DataFrame = {
+    val per = t.events
+      .groupBy("user_id")
+      .agg(max(to_date(col("ts"))).as("_last"),
+        count(lit(1)).as("frequency"),
+        sum(round(col("value") * 10000, 0).cast("long")).as("_m_e4"))
+    val maxDay = per.agg(max("_last").as("_mx"))
+    val met = per.crossJoin(broadcast(maxDay))
+      .select(col("user_id"),
+        datediff(col("_mx"), col("_last")).cast("long").as("recency_days"),
+        col("frequency"), col("_m_e4"))
+      .localCheckpoint() // threshold passes + the banded output read it
+    val ps = Seq(0.2, 0.4, 0.6, 0.8)
+    // ONE quantile pass for all three axes: melt to (metric, value) and
+    // let quantilesBySort's group column carry the axis — 3 rows out
+    val melted = met.selectExpr(
+      "stack(3, 'r', recency_days, 'f', frequency, 'm', _m_e4) AS (m, v)")
+    val th = quantilesBySort(melted, "m", "v",
+        ps, ps.map(p => s"t${(p * 100).toInt}"))
+      .collect().map(r => r.getString(0) -> (1 to 4).map(r.getDouble)).toMap
+    val (rt, ft, mt) = (th("r"), th("f"), th("m"))
+    def above(c: Column, ts: Seq[Double]): Column =
+      ts.map(v => when(c >= v, 1).otherwise(0)).reduce(_ + _)
+    met.select(col("user_id"), col("recency_days"), col("frequency"),
+        round(col("_m_e4") / 10000.0, 4).as("monetary"),
+        (lit(5) - above(col("recency_days"), rt)).cast("long").as("r_score"),
+        (lit(1) + above(col("frequency"), ft)).cast("long").as("f_score"),
+        (lit(1) + above(col("_m_e4"), mt)).cast("long").as("m_score"))
+      .orderBy("user_id")
+  }
+
   /** Per-user ACTIVITY STREAKS — the islands-and-gaps report (longest
     * run of consecutive active days, streak count, widest inactivity
     * gap): the engagement shape product analytics reads next to

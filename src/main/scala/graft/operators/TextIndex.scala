@@ -27,7 +27,16 @@ import org.apache.spark.sql.functions._
   * probed term are listed — and (b) row-group pruning inside each bucket
   * from the sorted-by-`w` layout + pushed `In` filter. A single-term
   * probe reads 1/buckets of the index (spec-asserted via
-  * SelectedBucketsCount). */
+  * SelectedBucketsCount).
+  *
+  * Deliberately BUILD-ONLY (unlike [[DedupIndex.appendToIndex]] /
+  * [[AnnIndex]]'s append): df and avgdl are global statistics
+  * denormalized onto every posting, and appending documents changes df
+  * for EXISTING terms — a row-append would silently serve stale scores.
+  * The incremental design is the classic segment architecture (per-batch
+  * postings segments with per-segment stats, df merged at probe time,
+  * background segment compaction — Lucene's shape); until that exists,
+  * grown corpora rebuild, which is one corpus scan. */
 object TextIndex {
 
   final case class Index(postings: String, dir: String,

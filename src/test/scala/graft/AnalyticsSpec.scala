@@ -63,6 +63,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == (c ++ s))
   }
 
+  test("rfmScores: clean-quintile fixture bands 10 users 1..5 on every axis") {
+    def d(day: Int) = Timestamp.valueOf(f"2026-03-$day%02d 10:00:00")
+    // user u: u events on day u, each worth u dollars → frequency u,
+    // recency 10-u days (max day belongs to user 10), monetary u²
+    val ev = (1 to 10).flatMap(u => Seq.fill(u)((u.toLong, d(u), u.toDouble)))
+      .toDF("user_id", "ts", "value")
+    val got = Analytics.rfmScores(tables.withTable("events", ev))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // interpolated thresholds over 1..10 are 2.8/4.6/6.4/8.2 → clean
+    // quintile pairs; recency (0..9) thresholds 1.8/3.6/5.4/7.2
+    def band(v: Double, ts: Seq[Double]) = 1 + ts.count(v >= _)
+    val fT = Seq(2.8, 4.6, 6.4, 8.2)
+    val rT = Seq(1.8, 3.6, 5.4, 7.2)
+    val mT = Seq(8.0, 21.4, 41.2, 67.4) // quantile_cont of the squares 1..100
+    (1 to 10).foreach { u =>
+      val (rec, freq, mon, rs, fs, ms) = got(u.toLong)
+      assert(rec == 10L - u && freq == u.toLong && mon == u.toDouble * u)
+      assert(fs == band(u, fT).toLong, s"user $u f_score $fs")
+      assert(rs == 5L - (band(rec.toDouble, rT) - 1), s"user $u r_score $rs")
+      assert(ms == band(u.toDouble * u, mT).toLong, s"user $u m_score $ms")
+    }
+  }
+
   test("activityStreaks: islands, gaps, and single-day users from a hand fixture") {
     def d(day: Int) = Timestamp.valueOf(f"2026-03-$day%02d 10:00:00")
     // user 1: days 1,2,3 then 7,8 → streaks (3,2), gap 7-3-1 = 3
