@@ -228,6 +228,29 @@ object SparkEntry {
       val idx = TextIndex.attachIndex(s, prefix(dir), dir)
       TextIndex.bm25Probe(s, idx, t.documents.filter(col("doc_id") < 10))
     }),
+    "q_bm25_segmented" -> ((s, d) => {
+      // the INCREMENTAL form: the corpus arrives as two appended segments
+      // (each its own immutable bucketed postings table), df recovers at
+      // probe time from the term-pruned scans themselves, and the result
+      // equals the from-scratch path on the merged corpus — the same
+      // oracle verifies all three bm25 paths.
+      import graft.operators.TextIndex
+      val t = Tables(s, d)
+      // split on the residue, not an absolute id: every sf has both halves
+      def halfA = col("doc_id") % 2 === 0
+      def prefix(dir: String) = "gtseg_" + dir.split('_').last
+      val dir = roundtripDir("graft_textseg", d, "_TEXT_SEG_OK") { out =>
+        TextIndex.appendSegment(s,
+          t.documents.filter(halfA), prefix(out), out)
+        TextIndex.appendSegment(s,
+          t.documents.filter(!halfA), prefix(out), out)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(out, "_TEXT_SEG_OK"), "ok")
+      }
+      val seg = TextIndex.attachSegments(s, prefix(dir), dir)
+      TextIndex.bm25ProbeSegmented(s, seg,
+        t.documents.filter(col("doc_id") < 10))
+    }),
     "q_quality_model" -> ((s, d) => TextAnalysis.qualityModel(Tables(s, d))),
     "q_media_video" -> ((s, d) => {
       import graft.operators.Multimodal
@@ -969,6 +992,7 @@ object SparkEntry {
     // the index probe computes the identical arithmetic from stored
     // postings, so the from-scratch oracle verifies it too
     "q_bm25_indexed" -> Bm25OracleSql,
+    "q_bm25_segmented" -> Bm25OracleSql,
     "q_tfidf_search" ->
       ("WITH toks AS (SELECT doc_id, token AS w FROM (SELECT doc_id, " +
         "unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token FROM documents) WHERE token <> ''), " +

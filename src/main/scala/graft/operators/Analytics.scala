@@ -1309,15 +1309,26 @@ object Analytics {
   }
 
   def retentionCohorts(t: Tables): DataFrame = {
+    // TWO exchanges total: (1) the user-clustered layout — the distinct
+    // dedups partition-locally on it and the cohort day is a per-user
+    // window min (no groupBy + join-back); (2) the (cohort, offset)
+    // aggregation. The denominator needs no third pass at all: every
+    // user is active on their own cohort day, so each cohort's size IS
+    // its offset-0 count, read off a cohort-partitioned window
+    // (cohort-bounded partitions, day-cardinality rows).
     val days = t.events
-      .select(col("user_id"), to_date(col("ts")).as("_day")).distinct()
-    val cohorts = days.groupBy("user_id").agg(min("_day").as("_cohort"))
-    val active = days.join(cohorts, "user_id")
+      .select(col("user_id"), to_date(col("ts")).as("_day"))
+      .repartition(col("user_id"))
+      .dropDuplicates("user_id", "_day")
+    val withCohort = days.withColumn("_cohort",
+      min("_day").over(Window.partitionBy("user_id")))
+    val active = withCohort
       .groupBy(col("_cohort"),
         datediff(col("_day"), col("_cohort")).cast("long").as("day_offset"))
       .agg(count(lit(1)).as("n_active"))
-    val sizes = cohorts.groupBy("_cohort").agg(count(lit(1)).as("_size"))
-    active.join(broadcast(sizes), "_cohort")
+    active
+      .withColumn("_size", max(when(col("day_offset") === 0,
+        col("n_active"))).over(Window.partitionBy("_cohort")))
       .select(date_format(col("_cohort"), "yyyy-MM-dd").as("cohort_day"),
         col("day_offset"), col("n_active"),
         round(col("n_active") / col("_size"), 6).as("retention"))

@@ -66,6 +66,12 @@ object Graph {
     // extra shuffle joins plus a second cache for the same result).
     val s2 = shiftleft(col("l_suppkey").cast("long"), 1)
     val c2 = shiftleft(col("o_custkey").cast("long"), 1) + 1
+    // ONE wide shuffle builds the cache layout: the doubled pair stream
+    // lands on its src-keyed layout FIRST, then dedups partition-locally
+    // there — hashpartitioning(src) satisfies ClusteredDistribution(src,
+    // dst), so neither the dropDuplicates nor the degree window below
+    // adds an Exchange (the hits build trade; the previous form paid a
+    // (src,dst)-keyed distinct shuffle AND a src-keyed re-shuffle).
     val edges = t.lineitem.select(col("l_orderkey"), col("l_suppkey"))
       .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
@@ -73,7 +79,8 @@ object Graph {
         struct(s2.as("src"), c2.as("dst")),
         struct(c2.as("src"), s2.as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .distinct()
+      .repartition(col("src"))
+      .dropDuplicates("src", "dst")
     // the window's required ClusteredDistribution(src) IS the cache
     // layout: the cached plan retains hashpartitioning(src), so every
     // round's src-keyed join plans exchange-free on the edge side and

@@ -29,14 +29,19 @@ import org.apache.spark.sql.functions._
   * probe reads 1/buckets of the index (spec-asserted via
   * SelectedBucketsCount).
   *
-  * Deliberately BUILD-ONLY (unlike [[DedupIndex.appendToIndex]] /
-  * [[AnnIndex]]'s append): df and avgdl are global statistics
+  * The MONOLITHIC index is build-only (unlike [[DedupIndex.appendToIndex]]
+  * / [[AnnIndex]]'s append): df and avgdl are global statistics
   * denormalized onto every posting, and appending documents changes df
   * for EXISTING terms — a row-append would silently serve stale scores.
-  * The incremental design is the classic segment architecture (per-batch
-  * postings segments with per-segment stats, df merged at probe time,
-  * background segment compaction — Lucene's shape); until that exists,
-  * grown corpora rebuild, which is one corpus scan. */
+  * Incremental ingest is the SEGMENT architecture (Lucene's shape),
+  * implemented below: [[appendSegment]] writes each batch as its own
+  * bucketed postings table plus a 2-number meta — existing segments are
+  * never touched — and [[bm25ProbeSegmented]] unions the (per-segment
+  * bucket-pruned) scans, recovers each term's df with a term-keyed
+  * count over the probed postings themselves (the probe already reads
+  * every posting of its terms, so df needs NO stored global), and sums
+  * the segment metas for N and avgdl. Segment-spec probes are
+  * spec-pinned equal to the from-scratch path over the merged corpus. */
 object TextIndex {
 
   final case class Index(postings: String, dir: String,
@@ -90,6 +95,118 @@ object TextIndex {
            |LOCATION '${new org.apache.hadoop.fs.Path(dir, table)}'""".stripMargin)
     val parts = java.nio.file.Files.readString(metaPath(dir)).trim.split(' ')
     Index(table, dir, parts(0).toLong, parts(1).toLong)
+  }
+
+  final case class Segments(prefix: String, dir: String, ids: Seq[Int]) {
+    def tableOf(id: Int): String = s"${prefix}_seg$id"
+  }
+
+  private def segMetaPath(dir: String, id: Int) =
+    java.nio.file.Paths.get(dir, s"seg$id.meta")
+  private def segListPath(dir: String) =
+    java.nio.file.Paths.get(dir, "segments.list")
+
+  /** Append one batch as a NEW segment: its own bucketed+sorted postings
+    * table `(w, doc_id, tf, len)` — no df column; df is a query-time
+    * derivation — plus a per-segment (nDocs, sumLen) meta. Existing
+    * segments are immutable; the segment list commits LAST, so a crash
+    * mid-append leaves an unreferenced orphan table, never a torn index
+    * (the DedupIndex marker-ordering discipline). */
+  def appendSegment(spark: SparkSession, docs: DataFrame, prefix: String,
+                    dir: String, buckets: Int = 32): Segments = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val prev = attachSegments(spark, prefix, dir, buckets)
+    val id = prev.ids.lastOption.getOrElse(-1) + 1
+    val tf = termFreqs(docs).localCheckpoint()
+    val lens = tf.groupBy("doc_id").agg(sum("tf").as("len"))
+    val table = s"${prefix}_seg$id"
+    tf.join(lens, "doc_id")
+      .select(col("w"), col("doc_id"), col("tf"), col("len"))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "w")
+      .sortBy("w")
+      .option("path", new org.apache.hadoop.fs.Path(dir, table).toString)
+      .saveAsTable(table)
+    val st = lens.agg(count(lit(1)).as("n"), sum("len").as("s")).head()
+    require(st.getLong(0) > 0,
+      "TextIndex.appendSegment: empty batch — nothing to index")
+    java.nio.file.Files.writeString(segMetaPath(dir, id),
+      s"${st.getLong(0)} ${st.getLong(1)}")
+    val ids = prev.ids :+ id
+    java.nio.file.Files.writeString(segListPath(dir), ids.mkString(" "))
+    Segments(prefix, dir, ids)
+  }
+
+  /** Attach the segmented index: re-registers any segment table a fresh
+    * session's catalog lacks. An empty/missing list is a valid empty
+    * index. */
+  def attachSegments(spark: SparkSession, prefix: String, dir: String,
+                     buckets: Int = 32): Segments = {
+    val lp = segListPath(dir)
+    val ids =
+      if (java.nio.file.Files.exists(lp)) {
+        val s = java.nio.file.Files.readString(lp).trim
+        if (s.isEmpty) Seq.empty[Int] else s.split(' ').map(_.toInt).toSeq
+      } else Seq.empty[Int]
+    ids.foreach { id =>
+      val table = s"${prefix}_seg$id"
+      if (!spark.catalog.tableExists(table))
+        spark.sql(
+          s"""CREATE TABLE $table (w STRING, doc_id BIGINT, tf BIGINT,
+             |len BIGINT) USING PARQUET
+             |CLUSTERED BY (w) SORTED BY (w) INTO $buckets BUCKETS
+             |LOCATION '${new org.apache.hadoop.fs.Path(dir, table)}'""".stripMargin)
+    }
+    Segments(prefix, dir, ids)
+  }
+
+  /** BM25 top-k against the SEGMENTED index: per-segment term-pruned
+    * scans union (each one bucket- and row-group-pruned exactly like the
+    * monolithic probe), df recovers as a term-partitioned count over the
+    * probed postings — the probe reads every posting of its terms by
+    * construction, so the derivation is exact — and N/avgdl sum from the
+    * immutable per-segment metas. Scoring arithmetic is identical to
+    * [[bm25Probe]], so the same from-scratch oracle verifies it. */
+  def bm25ProbeSegmented(spark: SparkSession, seg: Segments,
+                         queryDocs: DataFrame, topK: Int = 5,
+                         k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(seg.ids.nonEmpty, "bm25ProbeSegmented: empty segment list")
+    val stats = seg.ids.map { id =>
+      val parts = java.nio.file.Files.readString(segMetaPath(seg.dir, id))
+        .trim.split(' ')
+      (parts(0).toLong, parts(1).toLong)
+    }
+    val nDocs = stats.map(_._1).sum
+    val avgdl = stats.map(_._2).sum.toDouble / nDocs
+    val qTerms = termFreqs(queryDocs)
+      .select(col("doc_id").as("query_id"), col("w"))
+    val termList = qTerms.select("w").distinct().collect().map(_.getString(0))
+    val posts = seg.ids.map(id => spark.table(seg.tableOf(id))
+        .filter(col("w").isin(termList.toIndexedSeq: _*)))
+      .reduce(_.unionByName(_))
+    // df at query time: distinct docs per term over the probed postings.
+    // (w, doc_id) is unique within AND across segments — segments
+    // partition the corpus — so a plain count per term is the df. An
+    // aggregate + equi-join (map-side partial, streaming probe) rather
+    // than a term-partitioned window: a stop-word's window partition
+    // would buffer its whole postings list in one task.
+    val dfs = posts.groupBy("w").agg(count(lit(1)).as("df"))
+    val withDf = posts.join(dfs, "w")
+    val rank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("bm25").desc, col("neighbor_id").asc)
+    withDf.join(broadcast(qTerms), Seq("w"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .withColumn("_c",
+        log((lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * (k1 + 1.0)) /
+          (col("tf") + (lit(1.0 - b) + col("len") * b / avgdl) * k1))
+      .groupBy(col("query_id"), col("doc_id").as("neighbor_id"))
+      .agg(round(sum("_c"), 6).as("bm25"))
+      .withColumn("rn", row_number().over(rank))
+      .filter(col("rn") <= topK)
+      .select("query_id", "neighbor_id", "bm25")
+      .orderBy("query_id", "neighbor_id")
   }
 
   /** BM25 top-k against the STORED postings for query documents

@@ -34,6 +34,39 @@ class TextIndexSpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("segmented probe over two appended batches equals from-scratch bm25 on the union") {
+    val dir = Files.createTempDirectory("gtidx_seg").toString
+    val half = tables.documents.count() / 2
+    TextIndex.appendSegment(spark, tables.documents.filter($"doc_id" < half),
+      "gtidx_seg", dir, buckets = 8)
+    val seg = TextIndex.appendSegment(spark,
+      tables.documents.filter($"doc_id" >= half), "gtidx_seg", dir, buckets = 8)
+    assert(seg.ids == Seq(0, 1))
+    val live = TextAnalysis.bm25Search(tables)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val probed = TextIndex.bm25ProbeSegmented(spark, seg,
+        tables.documents.filter($"doc_id" < 10))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(probed.nonEmpty && probed == live,
+      s"probe=${probed.size} live=${live.size}; " +
+        s"diff=${(probed.toSet diff live.toSet).take(3)}")
+  }
+
+  test("attachSegments re-registers segment tables for a fresh catalog") {
+    val dir = Files.createTempDirectory("gtidx_seg_att").toString
+    TextIndex.appendSegment(spark, tables.documents.filter($"doc_id" < 50),
+      "gtidx_sa", dir, buckets = 8)
+    TextIndex.appendSegment(spark,
+      tables.documents.filter($"doc_id" >= 50 && $"doc_id" < 100),
+      "gtidx_sa", dir, buckets = 8)
+    spark.sql("DROP TABLE gtidx_sa_seg0")
+    spark.sql("DROP TABLE gtidx_sa_seg1")
+    val seg = TextIndex.attachSegments(spark, "gtidx_sa", dir, buckets = 8)
+    assert(seg.ids == Seq(0, 1))
+    assert(TextIndex.bm25ProbeSegmented(spark, seg,
+      tables.documents.filter($"doc_id" < 3)).count() > 0)
+  }
+
   test("single-term probe prunes to one bucket and pushes the In filter") {
     val dir = Files.createTempDirectory("gtidx_prune").toString
     val idx = TextIndex.buildIndex(spark, tables.documents, "gtidx_prune", dir,
