@@ -111,11 +111,21 @@ object TextIndex {
     * derivation — plus a per-segment (nDocs, sumLen) meta. Existing
     * segments are immutable; the segment list commits LAST, so a crash
     * mid-append leaves an unreferenced orphan table, never a torn index
-    * (the DedupIndex marker-ordering discipline). */
+    * (the DedupIndex marker-ordering discipline).
+    *
+    * `batchTag` makes the append EXACTLY-ONCE for replayed streaming
+    * micro-batches: the tag rides the segment-list entry, i.e. the same
+    * single write that commits the segment — a retried foreachBatch
+    * whose tag is already listed returns without writing, and a crash
+    * BEFORE the list write leaves nothing committed, so the retry's
+    * append is the first one. (A separate done-marker file would leave
+    * a window between commit and marker where a retry double-ingests.) */
   def appendSegment(spark: SparkSession, docs: DataFrame, prefix: String,
-                    dir: String, buckets: Int = 32): Segments = {
+                    dir: String, buckets: Int = 32,
+                    batchTag: Option[String] = None): Segments = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     val prev = attachSegments(spark, prefix, dir, buckets)
+    if (batchTag.exists(readTags(dir).contains)) return prev
     val id = prev.ids.lastOption.getOrElse(-1) + 1
     val tf = termFreqs(docs).localCheckpoint()
     val lens = tf.groupBy("doc_id").agg(sum("tf").as("len"))
@@ -133,21 +143,38 @@ object TextIndex {
     java.nio.file.Files.writeString(segMetaPath(dir, id),
       s"${st.getLong(0)} ${st.getLong(1)}")
     val ids = prev.ids :+ id
-    java.nio.file.Files.writeString(segListPath(dir), ids.mkString(" "))
+    val entries = readEntries(dir) :+ (id, batchTag.getOrElse(""))
+    java.nio.file.Files.writeString(segListPath(dir),
+      entries.map { case (i, tg) => if (tg.isEmpty) s"$i" else s"$i:$tg" }
+        .mkString(" "))
     Segments(prefix, dir, ids)
   }
+
+  /** (segment id, batch tag) entries of the list file; tag "" = untagged. */
+  private def readEntries(dir: String): Seq[(Int, String)] = {
+    val lp = segListPath(dir)
+    if (!java.nio.file.Files.exists(lp)) Seq.empty
+    else {
+      val s = java.nio.file.Files.readString(lp).trim
+      if (s.isEmpty) Seq.empty
+      else s.split(' ').toSeq.map { e =>
+        e.split(':') match {
+          case Array(i)     => (i.toInt, "")
+          case Array(i, tg) => (i.toInt, tg)
+        }
+      }
+    }
+  }
+
+  private def readTags(dir: String): Set[String] =
+    readEntries(dir).map(_._2).filter(_.nonEmpty).toSet
 
   /** Attach the segmented index: re-registers any segment table a fresh
     * session's catalog lacks. An empty/missing list is a valid empty
     * index. */
   def attachSegments(spark: SparkSession, prefix: String, dir: String,
                      buckets: Int = 32): Segments = {
-    val lp = segListPath(dir)
-    val ids =
-      if (java.nio.file.Files.exists(lp)) {
-        val s = java.nio.file.Files.readString(lp).trim
-        if (s.isEmpty) Seq.empty[Int] else s.split(' ').map(_.toInt).toSeq
-      } else Seq.empty[Int]
+    val ids = readEntries(dir).map(_._1)
     ids.foreach { id =>
       val table = s"${prefix}_seg$id"
       if (!spark.catalog.tableExists(table))
@@ -158,6 +185,42 @@ object TextIndex {
              |LOCATION '${new org.apache.hadoop.fs.Path(dir, table)}'""".stripMargin)
     }
     Segments(prefix, dir, ids)
+  }
+
+  /** COMPACT a grown segmented index: a daily append loop accretes one
+    * table per batch, and probe cost grows with segment count (one scan
+    * + union branch each). Compaction unions every live segment into ONE
+    * new segment table (a fresh id — existing segments stay immutable)
+    * with the summed meta, then atomically swaps the segment list to
+    * reference only it. Crash semantics mirror [[appendSegment]]: the
+    * list write is the commit point, so a crash mid-compaction leaves
+    * the old list serving the old segments and at worst an orphan
+    * compacted table. Because df is a QUERY-TIME derivation, compaction
+    * is a pure rewrite — no statistics to rebuild (the advantage of not
+    * denormalizing df into segments). Old segment tables/dirs are left
+    * for the caller to garbage-collect once no reader can hold the old
+    * list. */
+  def compactSegments(spark: SparkSession, seg: Segments,
+                      buckets: Int = 32): Segments = {
+    require(seg.ids.nonEmpty, "compactSegments: empty segment list")
+    val id = seg.ids.last + 1
+    val all = seg.ids.map(i => spark.table(seg.tableOf(i)))
+      .reduce(_.unionByName(_))
+    val table = seg.tableOf(id)
+    all.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "w")
+      .sortBy("w")
+      .option("path", new org.apache.hadoop.fs.Path(seg.dir, table).toString)
+      .saveAsTable(table)
+    val stats = seg.ids.map { i =>
+      val p = java.nio.file.Files.readString(segMetaPath(seg.dir, i))
+        .trim.split(' ')
+      (p(0).toLong, p(1).toLong)
+    }
+    java.nio.file.Files.writeString(segMetaPath(seg.dir, id),
+      s"${stats.map(_._1).sum} ${stats.map(_._2).sum}")
+    java.nio.file.Files.writeString(segListPath(seg.dir), id.toString)
+    Segments(seg.prefix, seg.dir, Seq(id))
   }
 
   /** BM25 top-k against the SEGMENTED index: per-segment term-pruned

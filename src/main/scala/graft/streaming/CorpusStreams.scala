@@ -214,6 +214,39 @@ object CorpusStreams {
     marker.zip(fs).foreach { case (m, f) => f.create(m, true).close() }
   }
 
+  /** Streaming ingest into the SEGMENTED text index: each micro-batch of
+    * documents becomes one immutable postings segment via
+    * [[graft.operators.TextIndex.appendSegment]] with the batchId as the
+    * segment's batch tag. EXACTLY-ONCE without a separate marker file:
+    * the tag rides the segment-list entry — the single write that
+    * commits the segment — so a replayed batch whose tag is listed is a
+    * no-op, and a crash before the list write committed nothing (the
+    * stronger contract than [[annIngestLoop]]'s at-least-once marker,
+    * available here because the list IS the index's commit point).
+    * Zero Spark state; probe cost grows with segment count until
+    * [[graft.operators.TextIndex.compactSegments]] folds the day's
+    * segments into one. */
+  def textIndexIngestLoop(spark: org.apache.spark.sql.SparkSession,
+                          docs: DataFrame, prefix: String,
+                          dir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processTextIndexBatch(spark, batch, batchId, prefix, dir)
+      }
+      .start()
+
+  /** One micro-batch of [[textIndexIngestLoop]], exposed for direct
+    * testing of the replay contract. Empty batches are skipped (a
+    * micro-batch with no data must not abort the stream on
+    * appendSegment's non-empty requirement). */
+  def processTextIndexBatch(spark: org.apache.spark.sql.SparkSession,
+                            batch: DataFrame, batchId: Long,
+                            prefix: String, dir: String): Unit =
+    if (!batch.isEmpty)
+      graft.operators.TextIndex.appendSegment(spark, batch, prefix, dir,
+        batchTag = Some(f"batch-$batchId%020d"))
+
   /** Event-time WINDOWED trending terms: the [[trendingTerms]] sketch per
     * tumbling window with a watermark — "what was trending at 14:00", the
     * production shape (the global variant answers "ever"). Append mode:

@@ -67,6 +67,52 @@ class TextIndexSpec extends SparkSpec {
       tables.documents.filter($"doc_id" < 3)).count() > 0)
   }
 
+  test("streaming ingest: replayed batch is a no-op, probe equals from-scratch") {
+    import graft.streaming.CorpusStreams
+    val dir = Files.createTempDirectory("gtidx_stream").toString
+    val half = tables.documents.count() / 2
+    val b0 = tables.documents.filter($"doc_id" < half)
+    val b1 = tables.documents.filter($"doc_id" >= half)
+    CorpusStreams.processTextIndexBatch(spark, b0, 0L, "gtidx_st", dir)
+    CorpusStreams.processTextIndexBatch(spark, b1, 1L, "gtidx_st", dir)
+    // a restarted stream replays batch 1 — the listed tag makes it a no-op
+    CorpusStreams.processTextIndexBatch(spark, b1, 1L, "gtidx_st", dir)
+    val seg = TextIndex.attachSegments(spark, "gtidx_st", dir)
+    assert(seg.ids == Seq(0, 1), s"replay appended: ${seg.ids}")
+    val live = TextAnalysis.bm25Search(tables)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val probed = TextIndex.bm25ProbeSegmented(spark, seg,
+        tables.documents.filter($"doc_id" < 10))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(probed == live)
+    // an empty micro-batch must not abort the stream
+    CorpusStreams.processTextIndexBatch(spark,
+      tables.documents.filter($"doc_id" < 0), 2L, "gtidx_st", dir)
+    assert(TextIndex.attachSegments(spark, "gtidx_st", dir).ids == Seq(0, 1))
+  }
+
+  test("compaction collapses segments to one with identical probe results") {
+    val dir = Files.createTempDirectory("gtidx_compact").toString
+    val half = tables.documents.count() / 2
+    TextIndex.appendSegment(spark, tables.documents.filter($"doc_id" < half),
+      "gtidx_cp", dir, buckets = 8)
+    val grown = TextIndex.appendSegment(spark,
+      tables.documents.filter($"doc_id" >= half), "gtidx_cp", dir, buckets = 8)
+    val before = TextIndex.bm25ProbeSegmented(spark, grown,
+        tables.documents.filter($"doc_id" < 10))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val compacted = TextIndex.compactSegments(spark, grown, buckets = 8)
+    assert(compacted.ids.length == 1)
+    // a reattach reads the swapped list — the commit point
+    val reattached = TextIndex.attachSegments(spark, "gtidx_cp", dir,
+      buckets = 8)
+    assert(reattached.ids == compacted.ids)
+    val after = TextIndex.bm25ProbeSegmented(spark, reattached,
+        tables.documents.filter($"doc_id" < 10))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(after == before, s"diff=${(after.toSet diff before.toSet).take(3)}")
+  }
+
   test("single-term probe prunes to one bucket and pushes the In filter") {
     val dir = Files.createTempDirectory("gtidx_prune").toString
     val idx = TextIndex.buildIndex(spark, tables.documents, "gtidx_prune", dir,
