@@ -233,11 +233,16 @@ object TextAnalysis {
     * per-doc aggregation. A 100 TB corpus pays two linear scans (vocab
     * build, stats join) no matter how many merges the tokenizer has.
     */
-  def bpeEncode(t: Tables, nMerges: Int = 8): DataFrame = {
+  def bpeEncode(t: Tables, nMerges: Int = 8,
+                trained: Option[Seq[(String, String)]] = None): DataFrame = {
     val SEP = "\u001f"
     def framed(a: String, b: String) = s"$SEP$a$SEP$SEP$b$SEP"
-    val merges = bpeMerges(t, nMerges).collect()
-      .map(r => (r.getString(1), r.getString(2)))
+    // a production tokenizer is TRAINED ONCE and shipped; `trained` is
+    // that shape — the caller loads a persisted rank-ordered merge table
+    // and the per-call training pass disappears (the from-scratch default
+    // re-learns for self-contained use)
+    val merges = trained.getOrElse(bpeMerges(t, nMerges).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq)
     val docWords = t.documents
       .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
     val vocab0 = docWords.select("word").distinct()
@@ -267,8 +272,9 @@ object TextAnalysis {
     * the classic under-represented-script failure). Rolls [[bpeEncode]]'s
     * per-document counts up by the `lang` column; same scale shape plus
     * one language-cardinality aggregation. */
-  def tokenizerFertility(t: Tables, nMerges: Int = 8): DataFrame =
-    bpeEncode(t, nMerges)
+  def tokenizerFertility(t: Tables, nMerges: Int = 8,
+                         trained: Option[Seq[(String, String)]] = None): DataFrame =
+    bpeEncode(t, nMerges, trained)
       .join(t.documents.select(col("doc_id"), col("lang")), Seq("doc_id"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
