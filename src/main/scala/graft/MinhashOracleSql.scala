@@ -48,6 +48,16 @@ $prefix AS (SELECT $carry, ${mixOut("z3")} AS $out FROM ${prefix}3)"""
   def unsigned(x: String) =
     s"(CASE WHEN ($x) < 0 THEN CAST(($x) AS HUGEINT) + $M64 ELSE CAST(($x) AS HUGEINT) END)"
 
+  /** Karp–Rabin polynomial fold (h = h·1000003 + codepoint, mod 2⁶⁴)
+    * over the characters of string expression `s` — the SQL twin of
+    * [[graft.functions.HashImpl.rollingHash]]'s pre-mix fold, shared by
+    * every oracle that fingerprints text (ONE definition: a drifted copy
+    * would silently disagree with the engine kernel on one query family). */
+  def krFoldChars(s: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS HUGEINT), " +
+      s"list_transform(string_split($s, ''), c -> CAST(unicode(c) AS HUGEINT))), " +
+      s"(acc, c) -> (${mulmod("acc", "1000003")} + c) % $M64)"
+
   /** FNV-1a 64 fold over the characters of string column `s` (ASCII:
     * code points ≡ UTF-16 units ≡ UTF-8 bytes — the kernels' domain). */
   def fnvFoldChars(s: String): String =
@@ -505,9 +515,7 @@ ORDER BY doc_a, doc_b"""
     * Karp–Rabin fold h = h·1000003 + char over the normalized text's code
     * points, splitmix64-finalized. */
   def rollingFingerprints: String = {
-    val fold = "list_reduce(list_prepend(CAST(0 AS HUGEINT), " +
-      "list_transform(string_split(lower(trim(text)), ''), c -> CAST(unicode(c) AS HUGEINT))), " +
-      s"(acc, c) -> (${mulmod("acc", "1000003")} + c) % $M64)"
+    val fold = krFoldChars("lower(trim(text))")
     s"""WITH h0 AS (SELECT doc_id, $fold AS hraw FROM documents),
 ${mixCtes("hh", "h0", "hraw", "h", "doc_id")}
 SELECT doc_id, ${signedB("h")} AS fingerprint FROM hh ORDER BY doc_id"""
@@ -520,9 +528,7 @@ SELECT doc_id, ${signedB("h")} AS fingerprint FROM hh ORDER BY doc_id"""
     * dot / sqrt(integer norms), so no summation-order sensitivity. */
   def featureHashAudit(dims: Seq[Int] = Seq(64, 256, 1024),
                        nPairs: Int = 5): String = {
-    val fold = "list_reduce(list_prepend(CAST(0 AS HUGEINT), " +
-      "list_transform(string_split(token, ''), c -> CAST(unicode(c) AS HUGEINT))), " +
-      s"(acc, c) -> (${mulmod("acc", "1000003")} + c) % $M64)"
+    val fold = krFoldChars("token")
     def pairCtes(tag: String, keyExpr: String): String =
       s"""c$tag AS (SELECT doc_id, $keyExpr AS key, count(*) AS c FROM smp GROUP BY 1, 2),
 n$tag AS (SELECT doc_id, sum(c * c) AS n2 FROM c$tag GROUP BY 1),
@@ -557,9 +563,7 @@ SELECT dim, CAST(n_vocab AS BIGINT) AS n_vocab, CAST(n_dims_used AS BIGINT) AS n
     * doc_id % 13 == 0 ("removed") and appends ' rev2' to doc_id % 7 == 0
     * ("modified"). */
   def corpusDiff: String = {
-    val fold = "list_reduce(list_prepend(CAST(0 AS HUGEINT), " +
-      "list_transform(string_split(lower(trim(text)), ''), c -> CAST(unicode(c) AS HUGEINT))), " +
-      s"(acc, c) -> (${mulmod("acc", "1000003")} + c) % $M64)"
+    val fold = krFoldChars("lower(trim(text))")
     s"""WITH v1 AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 11 <> 0),
 v2 AS (SELECT doc_id, source, CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END AS text FROM documents WHERE doc_id % 13 <> 0),
 g1 AS (SELECT doc_id, source, $fold AS hraw FROM v1),
@@ -994,9 +998,7 @@ SELECT source, n_tokens, round(p, 6) AS p_raw, round(CAST(wi AS DOUBLE) / CAST(w
     * distinct train fingerprints, and the per-held-out-doc overlap
     * rollup with the exact integer majority test. */
   def splitLeakage: String = {
-    val fold = "list_reduce(list_prepend(CAST(0 AS HUGEINT), " +
-      "list_transform(string_split(s, ''), c -> CAST(unicode(c) AS HUGEINT))), " +
-      s"(acc, c) -> (${mulmod("acc", "1000003")} + c) % $M64)"
+    val fold = krFoldChars("s")
     s"""WITH src AS (SELECT doc_id, text FROM documents),
 ${xxhCtes(42L)},
 lab AS (SELECT doc_id, text, CASE WHEN (((${signedB("xxh")}) % 100) + 100) % 100 < 90 THEN 'train' WHEN (((${signedB("xxh")}) % 100) + 100) % 100 < 95 THEN 'val' ELSE 'test' END AS split FROM xx),
@@ -1015,9 +1017,7 @@ SELECT split, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(CASE WHEN shared * 2 
     * fingerprint, per-doc novelty rollup, then decile banding off the
     * broadcast max doc_id. */
   def ngramNovelty: String = {
-    val fold = "list_reduce(list_prepend(CAST(0 AS HUGEINT), " +
-      "list_transform(string_split(s, ''), c -> CAST(unicode(c) AS HUGEINT))), " +
-      s"(acc, c) -> (${mulmod("acc", "1000003")} + c) % $M64)"
+    val fold = krFoldChars("s")
     s"""WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk FROM documents),
 sh AS (SELECT DISTINCT doc_id, CASE WHEN len(tk) >= 3 THEN tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] ELSE array_to_string(tk, ' ') END AS s FROM (SELECT doc_id, tk, unnest(range(1, greatest(len(tk)-1, 2))) AS i FROM toks WHERE len(tk) >= 1)),
 f0 AS (SELECT doc_id, $fold AS hraw FROM sh),
@@ -1035,9 +1035,7 @@ SELECT least(CAST(floor(pd.doc_id * 10 / (m + 1)) AS BIGINT), 9) AS decile, CAST
     * count ≥ 2 on the fingerprint, then the per-document interval merge
     * and coverage rollup. */
   def dupSpans(spanLen: Int = 8): String = {
-    val fold = "list_reduce(list_prepend(CAST(0 AS HUGEINT), " +
-      "list_transform(string_split(s, ''), c -> CAST(unicode(c) AS HUGEINT))), " +
-      s"(acc, c) -> (${mulmod("acc", "1000003")} + c) % $M64)"
+    val fold = krFoldChars("s")
     s"""WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk FROM documents),
 sh AS (SELECT doc_id, len(tk) AS n_tokens, i - 1 AS pos, list_reduce(tk[i : i + ${spanLen - 1}], (a, b) -> a || ' ' || b) AS s FROM toks, unnest(range(1, len(tk) - ${spanLen - 2})) AS t(i) WHERE len(tk) >= $spanLen),
 f0 AS (SELECT doc_id, n_tokens, pos, $fold AS hraw FROM sh),
@@ -1058,9 +1056,7 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans, CAST(sum(e0 - s0) AS BIGINT)
     * window, then the per-doc stats rollup. */
   def cdcChunks(maskBits: Int = 3): String = {
     val modulus = 1 << maskBits
-    val fold = "list_reduce(list_prepend(CAST(0 AS HUGEINT), " +
-      "list_transform(string_split(w, ''), c -> CAST(unicode(c) AS HUGEINT))), " +
-      s"(acc, c) -> (${mulmod("acc", "1000003")} + c) % $M64)"
+    val fold = krFoldChars("w")
     s"""WITH base AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk FROM documents),
 tt AS (SELECT doc_id, i, tk[i] AS w FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i FROM base WHERE len(tk) > 0)),
 h0 AS (SELECT doc_id, i, $fold AS hraw FROM tt),

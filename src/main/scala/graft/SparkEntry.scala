@@ -268,10 +268,16 @@ object SparkEntry {
       def halfA = col("doc_id") % 2 === 0
       def prefix(dir: String) = "gtseg_" + dir.split('_').last
       val dir = roundtripDir("graft_textseg", d, "_TEXT_SEG_OK") { out =>
+        // batch tags make a re-run of a crashed warmup idempotent: a half
+        // whose tag already rides the segment list is skipped, so a crash
+        // between the list commit and the _TEXT_SEG_OK marker cannot
+        // double-index either half
         TextIndex.appendSegment(s,
-          t.documents.filter(halfA), prefix(out), out)
+          t.documents.filter(halfA), prefix(out), out,
+          batchTag = Some("half-a"))
         TextIndex.appendSegment(s,
-          t.documents.filter(!halfA), prefix(out), out)
+          t.documents.filter(!halfA), prefix(out), out,
+          batchTag = Some("half-b"))
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(out, "_TEXT_SEG_OK"), "ok")
       }

@@ -282,8 +282,7 @@ object HashImpl {
     while (i < n - 1) {
       val key = UTF8String.concat(toks.getUTF8String(i),
         UTF8String.fromString(" "), toks.getUTF8String(i + 1))
-      val c = m.get(key)
-      m.put(key, if (c == null) 1L else c + 1L)
+      m.put(key, m.getOrDefault(key, 0L) + 1L)
       i += 1
     }
     // best by (count desc, w1 asc, w2 asc) — the tuple compares on the

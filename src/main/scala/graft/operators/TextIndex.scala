@@ -51,6 +51,25 @@ object TextIndex {
 
   private def metaPath(dir: String) =
     java.nio.file.Paths.get(dir, "text_index.meta")
+  private def bucketsPath(dir: String) =
+    java.nio.file.Paths.get(dir, "text_index.buckets")
+
+  /** Record the bucket count on first write; STORED WINS on attach — a
+    * re-registration with a different count would declare a bucket spec
+    * the files don't satisfy, and term pruning would silently read the
+    * wrong buckets (the DedupIndex meta-wins rule). */
+  private def writeBucketsOnce(dir: String, buckets: Int): Unit = {
+    val p = bucketsPath(dir)
+    if (!java.nio.file.Files.exists(p))
+      java.nio.file.Files.writeString(p, buckets.toString)
+  }
+
+  private def storedBuckets(dir: String, fallback: Int): Int = {
+    val p = bucketsPath(dir)
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.readString(p).trim.toInt
+    else fallback
+  }
 
   /** (doc_id, w, tf) of a corpus — the shared tokenize+count stage. */
   private def termFreqs(docs: DataFrame): DataFrame =
@@ -74,6 +93,7 @@ object TextIndex {
       .sortBy("w")
       .option("path", new org.apache.hadoop.fs.Path(dir, table).toString)
       .saveAsTable(table)
+    writeBucketsOnce(dir, buckets)
     val st = lens.agg(count(lit(1)).as("n"), sum("len").as("s")).head()
     java.nio.file.Files.writeString(metaPath(dir),
       s"${st.getLong(0)} ${st.getLong(1)}")
@@ -86,12 +106,13 @@ object TextIndex {
     * session's catalog dies with it; the files and meta are the truth). */
   def attachIndex(spark: SparkSession, prefix: String, dir: String,
                   buckets: Int = 32): Index = {
+    val b = storedBuckets(dir, buckets)
     val table = s"${prefix}_postings"
     if (!spark.catalog.tableExists(table))
       spark.sql(
         s"""CREATE TABLE $table (w STRING, doc_id BIGINT, tf BIGINT,
            |df BIGINT, len BIGINT) USING PARQUET
-           |CLUSTERED BY (w) SORTED BY (w) INTO $buckets BUCKETS
+           |CLUSTERED BY (w) SORTED BY (w) INTO $b BUCKETS
            |LOCATION '${new org.apache.hadoop.fs.Path(dir, table)}'""".stripMargin)
     val parts = java.nio.file.Files.readString(metaPath(dir)).trim.split(' ')
     Index(table, dir, parts(0).toLong, parts(1).toLong)
@@ -129,6 +150,13 @@ object TextIndex {
     val id = prev.ids.lastOption.getOrElse(-1) + 1
     val tf = termFreqs(docs).localCheckpoint()
     val lens = tf.groupBy("doc_id").agg(sum("tf").as("len"))
+    // emptiness check BEFORE anything is written: a batch with zero
+    // indexable documents (no rows, or rows whose text all tokenizes to
+    // nothing) is a graceful no-op — a streaming micro-batch of
+    // empty-text docs must not abort the ingest loop or leave an orphan
+    // segment table
+    val st = lens.agg(count(lit(1)).as("n"), sum("len").as("s")).head()
+    if (st.getLong(0) == 0) return prev
     val table = s"${prefix}_seg$id"
     tf.join(lens, "doc_id")
       .select(col("w"), col("doc_id"), col("tf"), col("len"))
@@ -137,9 +165,7 @@ object TextIndex {
       .sortBy("w")
       .option("path", new org.apache.hadoop.fs.Path(dir, table).toString)
       .saveAsTable(table)
-    val st = lens.agg(count(lit(1)).as("n"), sum("len").as("s")).head()
-    require(st.getLong(0) > 0,
-      "TextIndex.appendSegment: empty batch — nothing to index")
+    writeBucketsOnce(dir, buckets)
     java.nio.file.Files.writeString(segMetaPath(dir, id),
       s"${st.getLong(0)} ${st.getLong(1)}")
     val ids = prev.ids :+ id
@@ -174,6 +200,7 @@ object TextIndex {
     * index. */
   def attachSegments(spark: SparkSession, prefix: String, dir: String,
                      buckets: Int = 32): Segments = {
+    val b = storedBuckets(dir, buckets)
     val ids = readEntries(dir).map(_._1)
     ids.foreach { id =>
       val table = s"${prefix}_seg$id"
@@ -181,7 +208,7 @@ object TextIndex {
         spark.sql(
           s"""CREATE TABLE $table (w STRING, doc_id BIGINT, tf BIGINT,
              |len BIGINT) USING PARQUET
-             |CLUSTERED BY (w) SORTED BY (w) INTO $buckets BUCKETS
+             |CLUSTERED BY (w) SORTED BY (w) INTO $b BUCKETS
              |LOCATION '${new org.apache.hadoop.fs.Path(dir, table)}'""".stripMargin)
     }
     Segments(prefix, dir, ids)
@@ -203,12 +230,13 @@ object TextIndex {
   def compactSegments(spark: SparkSession, seg: Segments,
                       buckets: Int = 32): Segments = {
     require(seg.ids.nonEmpty, "compactSegments: empty segment list")
+    val b = storedBuckets(seg.dir, buckets)
     val id = seg.ids.last + 1
     val all = seg.ids.map(i => spark.table(seg.tableOf(i)))
       .reduce(_.unionByName(_))
     val table = seg.tableOf(id)
     all.write.mode(SaveMode.Overwrite)
-      .bucketBy(buckets, "w")
+      .bucketBy(b, "w")
       .sortBy("w")
       .option("path", new org.apache.hadoop.fs.Path(seg.dir, table).toString)
       .saveAsTable(table)
@@ -221,6 +249,31 @@ object TextIndex {
       s"${stats.map(_._1).sum} ${stats.map(_._2).sum}")
     java.nio.file.Files.writeString(segListPath(seg.dir), id.toString)
     Segments(seg.prefix, seg.dir, Seq(id))
+  }
+
+  /** The shared BM25 scoring + ranking tail: postings carrying
+    * (w, doc_id, tf, df, len) scored against the broadcast query-term
+    * table with the exact [[TextAnalysis.bm25Search]] arithmetic,
+    * self-matches excluded, per-query top-k. ONE definition — both
+    * probes must keep the oracle-pinned formula in lockstep. */
+  private def bm25Rank(posts: DataFrame, qTerms: DataFrame, nDocs: Long,
+                       avgdl: Double, topK: Int, k1: Double,
+                       b: Double): DataFrame = {
+    val rank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("bm25").desc, col("neighbor_id").asc)
+    posts.join(broadcast(qTerms), Seq("w"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .withColumn("_c",
+        log((lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * (k1 + 1.0)) /
+          (col("tf") + (lit(1.0 - b) + col("len") * b / avgdl) * k1))
+      .groupBy(col("query_id"), col("doc_id").as("neighbor_id"))
+      .agg(round(sum("_c"), 6).as("bm25"))
+      .withColumn("rn", row_number().over(rank))
+      .filter(col("rn") <= topK)
+      .select("query_id", "neighbor_id", "bm25")
+      .orderBy("query_id", "neighbor_id")
   }
 
   /** BM25 top-k against the SEGMENTED index: per-segment term-pruned
@@ -254,22 +307,7 @@ object TextIndex {
     // than a term-partitioned window: a stop-word's window partition
     // would buffer its whole postings list in one task.
     val dfs = posts.groupBy("w").agg(count(lit(1)).as("df"))
-    val withDf = posts.join(dfs, "w")
-    val rank = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("bm25").desc, col("neighbor_id").asc)
-    withDf.join(broadcast(qTerms), Seq("w"))
-      .filter(col("doc_id") =!= col("query_id"))
-      .withColumn("_c",
-        log((lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
-          (col("tf") * (k1 + 1.0)) /
-          (col("tf") + (lit(1.0 - b) + col("len") * b / avgdl) * k1))
-      .groupBy(col("query_id"), col("doc_id").as("neighbor_id"))
-      .agg(round(sum("_c"), 6).as("bm25"))
-      .withColumn("rn", row_number().over(rank))
-      .filter(col("rn") <= topK)
-      .select("query_id", "neighbor_id", "bm25")
-      .orderBy("query_id", "neighbor_id")
+    bm25Rank(posts.join(dfs, "w"), qTerms, nDocs, avgdl, topK, k1, b)
   }
 
   /** BM25 top-k against the STORED postings for query documents
@@ -288,20 +326,6 @@ object TextIndex {
     val termList = qTerms.select("w").distinct().collect().map(_.getString(0))
     val posts = spark.table(idx.postings)
       .filter(col("w").isin(termList.toIndexedSeq: _*))
-    val rank = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("bm25").desc, col("neighbor_id").asc)
-    posts.join(broadcast(qTerms), Seq("w"))
-      .filter(col("doc_id") =!= col("query_id"))
-      .withColumn("_c",
-        log((lit(idx.nDocs) - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
-          (col("tf") * (k1 + 1.0)) /
-          (col("tf") + (lit(1.0 - b) + col("len") * b / idx.avgdl) * k1))
-      .groupBy(col("query_id"), col("doc_id").as("neighbor_id"))
-      .agg(round(sum("_c"), 6).as("bm25"))
-      .withColumn("rn", row_number().over(rank))
-      .filter(col("rn") <= topK)
-      .select("query_id", "neighbor_id", "bm25")
-      .orderBy("query_id", "neighbor_id")
+    bm25Rank(posts, qTerms, idx.nDocs, idx.avgdl, topK, k1, b)
   }
 }

@@ -45,6 +45,10 @@ def main():
     explicit = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else set()
     oracle = json.load(open(ORACLE))
     base = json.load(open(BASE))
+    # mixed-scale rows would silently corrupt every engine-ratio read
+    if base.get("sf") and base["sf"].rstrip("/") != sf_dir.rstrip("/"):
+        sys.exit(f"refusing to merge {sf_dir} timings into a baseline "
+                 f"measured at {base['sf']} — regenerate fully instead")
     timings = base["queries"]
     stale = sorted(set(timings) - set(oracle))
     missing = sorted(set(oracle) - set(timings))
