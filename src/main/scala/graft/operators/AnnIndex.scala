@@ -38,8 +38,12 @@ object AnnIndex {
     def vectorsPath: String = s"$dir/vectors"
   }
 
+  // Hadoop-fs path resolved next to the data, committed atomically via
+  // IndexFiles — a java.nio write would land on the driver's LOCAL disk
+  // when the index dir is a cluster fs, and attach from another host
+  // would see data with no marker (r11 ADVICE)
   private def markerPath(dir: String) =
-    java.nio.file.Paths.get(dir, "_ANN_INDEX_OK")
+    new org.apache.hadoop.fs.Path(dir, "_ANN_INDEX_OK")
 
   /** Driver-side unit normalization, shared fold with the engine kernels. */
   private def unitArr(v: Seq[Float]): Array[Double] =
@@ -83,8 +87,8 @@ object AnnIndex {
       .write.mode("overwrite").parquet(idx.centroidsPath)
     assignCells(embeddings, cents)
       .write.mode("overwrite").partitionBy("cell").parquet(idx.vectorsPath)
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-    java.nio.file.Files.writeString(markerPath(dir), s"nList=${cents.length}")
+    IndexFiles.mkdirs(spark, new org.apache.hadoop.fs.Path(dir))
+    IndexFiles.writeString(spark, markerPath(dir), s"nList=${cents.length}")
     idx
   }
 
@@ -93,10 +97,15 @@ object AnnIndex {
     * forward and discards an uncommitted stage, so every attach sees
     * exactly one complete generation. */
   def attachIndex(spark: SparkSession, dir: String): Index = {
-    require(java.nio.file.Files.exists(markerPath(dir)),
+    val marker = IndexFiles.readString(spark, markerPath(dir))
+    require(marker.isDefined,
       s"AnnIndex.attachIndex: no completed index at $dir (missing ${markerPath(dir)})")
-    val n = java.nio.file.Files.readString(markerPath(dir))
-      .stripPrefix("nList=").trim.toInt
+    // guard the parse: a marker that exists but doesn't parse (torn write
+    // on a store without atomic rename) must fail LOUDLY here, not as a
+    // confusing NumberFormatException deep in a probe
+    val n = scala.util.Try(marker.get.stripPrefix("nList=").trim.toInt)
+      .getOrElse(throw new IllegalStateException(
+        s"AnnIndex.attachIndex: unreadable marker at ${markerPath(dir)}: '${marker.get}'"))
     val idx = Index(dir, n)
     recoverCompaction(spark, idx)
     idx
@@ -124,14 +133,8 @@ object AnnIndex {
     spark.read.parquet(idx.vectorsPath)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(stage)
-    val mp = compactMarker(idx)
-    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // atomic commit point: temp + rename, never a partially-written marker
-    val tmp = new org.apache.hadoop.fs.Path(mp.getParent, s"${mp.getName}.tmp")
-    val out = fs.create(tmp, true)
-    out.write("compact".getBytes("UTF-8")); out.close()
-    if (!fs.rename(tmp, mp))
-      throw new java.io.IOException(s"commit rename $tmp -> $mp failed")
+    // atomic commit point: staged temp + rename, never a partial marker
+    IndexFiles.writeString(spark, compactMarker(idx), "compact")
     promoteStage(spark, idx)
   }
 

@@ -49,20 +49,12 @@ object DedupIndex {
   private def markerPath(dir: String) =
     new org.apache.hadoop.fs.Path(dir, "compact.commit")
 
-  /** Write `target` all-or-nothing: temp file + rename (atomic on HDFS and
-    * local fs). An in-place truncate-then-write would leave a half-written
-    * file on a crash mid-rewrite. */
+  /** Write `target` all-or-nothing via the shared [[IndexFiles]] commit
+    * (staged temp + ATOMIC rename — the earlier delete-then-rename here
+    * had a missing-file window between the two calls). */
   private def atomicWrite(spark: SparkSession, target: org.apache.hadoop.fs.Path)(
-      write: java.io.OutputStream => Unit): Unit = {
-    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(
-      target.getParent, s".${target.getName}.tmp")
-    val out = fs.create(tmp, true)
-    try write(out) finally out.close()
-    fs.delete(target, false)
-    if (!fs.rename(tmp, target))
-      throw new java.io.IOException(s"rename $tmp -> $target failed")
-  }
+      write: java.io.OutputStream => Unit): Unit =
+    IndexFiles.atomicWrite(spark, target)(write)
 
   /** Persist the index's structural meta (today: the bucket count) so
     * maintenance ops derive the layout from the store instead of trusting

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -41,7 +42,19 @@ import org.apache.spark.sql.functions._
   * count over the probed postings themselves (the probe already reads
   * every posting of its terms, so df needs NO stored global), and sums
   * the segment metas for N and avgdl. Segment-spec probes are
-  * spec-pinned equal to the from-scratch path over the merged corpus. */
+  * spec-pinned equal to the from-scratch path over the merged corpus.
+  *
+  * All list/meta/bucket-spec files commit through [[IndexFiles]]: staged
+  * temp file + atomic rename, and resolved through the index directory's
+  * own Hadoop filesystem — a crash mid-write can never leave a torn
+  * `segments.list` (which [[attachSegments]] would read as a valid EMPTY
+  * index), and on a cluster fs the state lives beside the data.
+  *
+  * SINGLE WRITER by contract: [[appendSegment]] and [[compactSegments]]
+  * read-modify-write the segment list, so exactly one maintenance
+  * process may mutate an index directory at a time (the foreachBatch
+  * loops that own these stores serialize naturally). Concurrent READERS
+  * are safe at any point — the list rename is their only commit point. */
 object TextIndex {
 
   final case class Index(postings: String, dir: String,
@@ -49,27 +62,27 @@ object TextIndex {
     def avgdl: Double = sumLen.toDouble / nDocs
   }
 
-  private def metaPath(dir: String) =
-    java.nio.file.Paths.get(dir, "text_index.meta")
-  private def bucketsPath(dir: String) =
-    java.nio.file.Paths.get(dir, "text_index.buckets")
+  private def metaPath(dir: String) = new HPath(dir, "text_index.meta")
+  private def bucketsPath(dir: String) = new HPath(dir, "text_index.buckets")
 
-  /** Record the bucket count on first write; STORED WINS on attach — a
-    * re-registration with a different count would declare a bucket spec
-    * the files don't satisfy, and term pruning would silently read the
-    * wrong buckets (the DedupIndex meta-wins rule). */
-  private def writeBucketsOnce(dir: String, buckets: Int): Unit = {
+  /** Record the bucket count on first write; STORED WINS everywhere after
+    * — a write or re-registration with a different count would produce a
+    * physical layout that diverges from the declared bucket spec, and
+    * term pruning would silently read the wrong buckets (the DedupIndex
+    * meta-wins rule). [[buildIndex]] overwrites (a monolithic build
+    * replaces the whole store); [[appendSegment]]/[[compactSegments]]
+    * resolve the stored count before writing a single row. */
+  private def writeBucketsOnce(spark: SparkSession, dir: String,
+                               buckets: Int): Unit = {
     val p = bucketsPath(dir)
-    if (!java.nio.file.Files.exists(p))
-      java.nio.file.Files.writeString(p, buckets.toString)
+    if (!IndexFiles.exists(spark, p))
+      IndexFiles.writeString(spark, p, buckets.toString)
   }
 
-  private def storedBuckets(dir: String, fallback: Int): Int = {
-    val p = bucketsPath(dir)
-    if (java.nio.file.Files.exists(p))
-      java.nio.file.Files.readString(p).trim.toInt
-    else fallback
-  }
+  private def storedBuckets(spark: SparkSession, dir: String,
+                            fallback: Int): Int =
+    IndexFiles.readString(spark, bucketsPath(dir))
+      .map(_.trim.toInt).getOrElse(fallback)
 
   /** (doc_id, w, tf) of a corpus — the shared tokenize+count stage. */
   private def termFreqs(docs: DataFrame): DataFrame =
@@ -91,11 +104,14 @@ object TextIndex {
       .write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, "w")
       .sortBy("w")
-      .option("path", new org.apache.hadoop.fs.Path(dir, table).toString)
+      .option("path", new HPath(dir, table).toString)
       .saveAsTable(table)
-    writeBucketsOnce(dir, buckets)
+    // a build REPLACES the store, so its count overwrites (not write-once):
+    // leaving a stale count from an earlier build at the same dir would
+    // declare a bucket spec the fresh files don't satisfy
+    IndexFiles.writeString(spark, bucketsPath(dir), buckets.toString)
     val st = lens.agg(count(lit(1)).as("n"), sum("len").as("s")).head()
-    java.nio.file.Files.writeString(metaPath(dir),
+    IndexFiles.writeString(spark, metaPath(dir),
       s"${st.getLong(0)} ${st.getLong(1)}")
     Index(table, dir, st.getLong(0), st.getLong(1))
   }
@@ -106,15 +122,15 @@ object TextIndex {
     * session's catalog dies with it; the files and meta are the truth). */
   def attachIndex(spark: SparkSession, prefix: String, dir: String,
                   buckets: Int = 32): Index = {
-    val b = storedBuckets(dir, buckets)
+    val b = storedBuckets(spark, dir, buckets)
     val table = s"${prefix}_postings"
     if (!spark.catalog.tableExists(table))
       spark.sql(
         s"""CREATE TABLE $table (w STRING, doc_id BIGINT, tf BIGINT,
            |df BIGINT, len BIGINT) USING PARQUET
            |CLUSTERED BY (w) SORTED BY (w) INTO $b BUCKETS
-           |LOCATION '${new org.apache.hadoop.fs.Path(dir, table)}'""".stripMargin)
-    val parts = java.nio.file.Files.readString(metaPath(dir)).trim.split(' ')
+           |LOCATION '${new HPath(dir, table)}'""".stripMargin)
+    val parts = IndexFiles.readString(spark, metaPath(dir)).get.trim.split(' ')
     Index(table, dir, parts(0).toLong, parts(1).toLong)
   }
 
@@ -122,17 +138,15 @@ object TextIndex {
     def tableOf(id: Int): String = s"${prefix}_seg$id"
   }
 
-  private def segMetaPath(dir: String, id: Int) =
-    java.nio.file.Paths.get(dir, s"seg$id.meta")
-  private def segListPath(dir: String) =
-    java.nio.file.Paths.get(dir, "segments.list")
+  private def segMetaPath(dir: String, id: Int) = new HPath(dir, s"seg$id.meta")
+  private def segListPath(dir: String) = new HPath(dir, "segments.list")
 
   /** Append one batch as a NEW segment: its own bucketed+sorted postings
     * table `(w, doc_id, tf, len)` — no df column; df is a query-time
     * derivation — plus a per-segment (nDocs, sumLen) meta. Existing
-    * segments are immutable; the segment list commits LAST, so a crash
-    * mid-append leaves an unreferenced orphan table, never a torn index
-    * (the DedupIndex marker-ordering discipline).
+    * segments are immutable; the segment list commits LAST via an atomic
+    * rename, so a crash anywhere mid-append leaves an unreferenced
+    * orphan table and the OLD list intact — never a torn index.
     *
     * `batchTag` makes the append EXACTLY-ONCE for replayed streaming
     * micro-batches: the tag rides the segment-list entry, i.e. the same
@@ -140,13 +154,19 @@ object TextIndex {
     * whose tag is already listed returns without writing, and a crash
     * BEFORE the list write leaves nothing committed, so the retry's
     * append is the first one. (A separate done-marker file would leave
-    * a window between commit and marker where a retry double-ingests.) */
+    * a window between commit and marker where a retry double-ingests.)
+    * [[compactSegments]] carries every live tag forward onto the
+    * compacted entry, so the guarantee survives compaction. Tags must
+    * not contain `:`/`,`/whitespace (the list-entry separators). */
   def appendSegment(spark: SparkSession, docs: DataFrame, prefix: String,
                     dir: String, buckets: Int = 32,
                     batchTag: Option[String] = None): Segments = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    IndexFiles.mkdirs(spark, new HPath(dir))
     val prev = attachSegments(spark, prefix, dir, buckets)
-    if (batchTag.exists(readTags(dir).contains)) return prev
+    if (batchTag.exists(readTags(spark, dir).contains)) return prev
+    // stored count wins over the parameter: files written with a different
+    // count than the declared spec would silently break bucket pruning
+    val b = storedBuckets(spark, dir, buckets)
     val id = prev.ids.lastOption.getOrElse(-1) + 1
     val tf = termFreqs(docs).localCheckpoint()
     val lens = tf.groupBy("doc_id").agg(sum("tf").as("len"))
@@ -161,47 +181,56 @@ object TextIndex {
     tf.join(lens, "doc_id")
       .select(col("w"), col("doc_id"), col("tf"), col("len"))
       .write.mode(SaveMode.Overwrite)
-      .bucketBy(buckets, "w")
+      .bucketBy(b, "w")
       .sortBy("w")
-      .option("path", new org.apache.hadoop.fs.Path(dir, table).toString)
+      .option("path", new HPath(dir, table).toString)
       .saveAsTable(table)
-    writeBucketsOnce(dir, buckets)
-    java.nio.file.Files.writeString(segMetaPath(dir, id),
+    writeBucketsOnce(spark, dir, b)
+    IndexFiles.writeString(spark, segMetaPath(dir, id),
       s"${st.getLong(0)} ${st.getLong(1)}")
     val ids = prev.ids :+ id
-    val entries = readEntries(dir) :+ (id, batchTag.getOrElse(""))
-    java.nio.file.Files.writeString(segListPath(dir),
-      entries.map { case (i, tg) => if (tg.isEmpty) s"$i" else s"$i:$tg" }
-        .mkString(" "))
+    writeEntries(spark, dir,
+      readEntries(spark, dir) :+ ((id, batchTag.toSeq)))
     Segments(prefix, dir, ids)
   }
 
-  /** (segment id, batch tag) entries of the list file; tag "" = untagged. */
-  private def readEntries(dir: String): Seq[(Int, String)] = {
-    val lp = segListPath(dir)
-    if (!java.nio.file.Files.exists(lp)) Seq.empty
-    else {
-      val s = java.nio.file.Files.readString(lp).trim
-      if (s.isEmpty) Seq.empty
-      else s.split(' ').toSeq.map { e =>
-        e.split(':') match {
-          case Array(i)     => (i.toInt, "")
-          case Array(i, tg) => (i.toInt, tg)
+  /** (segment id, batch tags) entries of the list file. Entry grammar:
+    * `id` (untagged) or `id:tag1,tag2,…` — multiple tags appear when a
+    * compaction folded several tagged segments into one (the union
+    * carried forward so replayed micro-batches stay no-ops). */
+  private def readEntries(spark: SparkSession,
+                          dir: String): Seq[(Int, Seq[String])] =
+    IndexFiles.readString(spark, segListPath(dir)).map(_.trim) match {
+      case None | Some("") => Seq.empty
+      case Some(s) =>
+        s.split(' ').toSeq.map { e =>
+          e.split(':') match {
+            case Array(i)      => (i.toInt, Seq.empty[String])
+            case Array(i, tgs) => (i.toInt, tgs.split(',').toSeq)
+          }
         }
-      }
     }
-  }
 
-  private def readTags(dir: String): Set[String] =
-    readEntries(dir).map(_._2).filter(_.nonEmpty).toSet
+  /** The single commit point for every list mutation: atomic rename via
+    * [[IndexFiles]] — a reader sees the old list or the new one, never a
+    * prefix of either. */
+  private def writeEntries(spark: SparkSession, dir: String,
+                           entries: Seq[(Int, Seq[String])]): Unit =
+    IndexFiles.writeString(spark, segListPath(dir),
+      entries.map { case (i, tgs) =>
+        if (tgs.isEmpty) s"$i" else s"$i:${tgs.mkString(",")}"
+      }.mkString(" "))
+
+  private def readTags(spark: SparkSession, dir: String): Set[String] =
+    readEntries(spark, dir).flatMap(_._2).toSet
 
   /** Attach the segmented index: re-registers any segment table a fresh
     * session's catalog lacks. An empty/missing list is a valid empty
     * index. */
   def attachSegments(spark: SparkSession, prefix: String, dir: String,
                      buckets: Int = 32): Segments = {
-    val b = storedBuckets(dir, buckets)
-    val ids = readEntries(dir).map(_._1)
+    val b = storedBuckets(spark, dir, buckets)
+    val ids = readEntries(spark, dir).map(_._1)
     ids.foreach { id =>
       val table = s"${prefix}_seg$id"
       if (!spark.catalog.tableExists(table))
@@ -209,7 +238,7 @@ object TextIndex {
           s"""CREATE TABLE $table (w STRING, doc_id BIGINT, tf BIGINT,
              |len BIGINT) USING PARQUET
              |CLUSTERED BY (w) SORTED BY (w) INTO $b BUCKETS
-             |LOCATION '${new org.apache.hadoop.fs.Path(dir, table)}'""".stripMargin)
+             |LOCATION '${new HPath(dir, table)}'""".stripMargin)
     }
     Segments(prefix, dir, ids)
   }
@@ -220,17 +249,22 @@ object TextIndex {
     * new segment table (a fresh id — existing segments stay immutable)
     * with the summed meta, then atomically swaps the segment list to
     * reference only it. Crash semantics mirror [[appendSegment]]: the
-    * list write is the commit point, so a crash mid-compaction leaves
+    * list rename is the commit point, so a crash mid-compaction leaves
     * the old list serving the old segments and at worst an orphan
-    * compacted table. Because df is a QUERY-TIME derivation, compaction
-    * is a pure rewrite — no statistics to rebuild (the advantage of not
-    * denormalizing df into segments). Old segment tables/dirs are left
-    * for the caller to garbage-collect once no reader can hold the old
-    * list. */
+    * compacted table. The compacted entry carries the UNION of the
+    * compacted segments' batch tags, so a streaming micro-batch replayed
+    * after compaction (restart from an older checkpoint) still finds its
+    * tag and stays a no-op — compaction must not reopen the
+    * exactly-once window. Because df is a QUERY-TIME derivation,
+    * compaction is a pure rewrite — no statistics to rebuild (the
+    * advantage of not denormalizing df into segments). Old segment
+    * tables/dirs are left for the caller to garbage-collect once no
+    * reader can hold the old list. */
   def compactSegments(spark: SparkSession, seg: Segments,
                       buckets: Int = 32): Segments = {
     require(seg.ids.nonEmpty, "compactSegments: empty segment list")
-    val b = storedBuckets(seg.dir, buckets)
+    val b = storedBuckets(spark, seg.dir, buckets)
+    val entries = readEntries(spark, seg.dir)
     val id = seg.ids.last + 1
     val all = seg.ids.map(i => spark.table(seg.tableOf(i)))
       .reduce(_.unionByName(_))
@@ -238,16 +272,17 @@ object TextIndex {
     all.write.mode(SaveMode.Overwrite)
       .bucketBy(b, "w")
       .sortBy("w")
-      .option("path", new org.apache.hadoop.fs.Path(seg.dir, table).toString)
+      .option("path", new HPath(seg.dir, table).toString)
       .saveAsTable(table)
     val stats = seg.ids.map { i =>
-      val p = java.nio.file.Files.readString(segMetaPath(seg.dir, i))
-        .trim.split(' ')
+      val p = IndexFiles.readString(spark, segMetaPath(seg.dir, i))
+        .get.trim.split(' ')
       (p(0).toLong, p(1).toLong)
     }
-    java.nio.file.Files.writeString(segMetaPath(seg.dir, id),
+    IndexFiles.writeString(spark, segMetaPath(seg.dir, id),
       s"${stats.map(_._1).sum} ${stats.map(_._2).sum}")
-    java.nio.file.Files.writeString(segListPath(seg.dir), id.toString)
+    val liveTags = entries.filter(e => seg.ids.contains(e._1)).flatMap(_._2)
+    writeEntries(spark, seg.dir, Seq((id, liveTags.distinct)))
     Segments(seg.prefix, seg.dir, Seq(id))
   }
 
@@ -288,8 +323,8 @@ object TextIndex {
                          k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(seg.ids.nonEmpty, "bm25ProbeSegmented: empty segment list")
     val stats = seg.ids.map { id =>
-      val parts = java.nio.file.Files.readString(segMetaPath(seg.dir, id))
-        .trim.split(' ')
+      val parts = IndexFiles.readString(spark, segMetaPath(seg.dir, id))
+        .get.trim.split(' ')
       (parts(0).toLong, parts(1).toLong)
     }
     val nDocs = stats.map(_._1).sum

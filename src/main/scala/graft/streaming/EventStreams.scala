@@ -219,7 +219,12 @@ object EventStreams {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp((s.last_us + gapUs) / 1000) // millis
+              // CEIL to millis: a floored timer represents an instant up
+              // to 999µs BEFORE last+gap, and an event at exactly last+gap
+              // (which the <= gap rule must merge) arriving after the
+              // watermark passed the floored instant would find the
+              // session already closed
+              state.setTimeoutTimestamp((s.last_us + gapUs + 999) / 1000)
             }
             closed.result().iterator
           }
@@ -270,7 +275,9 @@ object EventStreams {
         session.update(s)
         // exactly one live timer per open session: drop stale, arm last+gap
         getHandle.listTimers().foreach(ts => getHandle.deleteTimer(ts.asInstanceOf[Long]))
-        getHandle.registerTimer((s.last_us + gapUs) / 1000)
+        // CEIL to millis (lockstep with sessionizeTimeout): the timer must
+        // never fire before the true gap expiry at last+gap microseconds
+        getHandle.registerTimer((s.last_us + gapUs + 999) / 1000)
       }
       closed.result().iterator
     }

@@ -113,6 +113,85 @@ class TextIndexSpec extends SparkSpec {
     assert(after == before, s"diff=${(after.toSet diff before.toSet).take(3)}")
   }
 
+  test("a crash MID-WRITE of the segment list leaves the old list serving the old segments") {
+    val dir = Files.createTempDirectory("gtidx_torn").toString
+    TextIndex.appendSegment(spark, tables.documents.filter($"doc_id" < 50),
+      "gtidx_torn", dir, buckets = 8)
+    TextIndex.appendSegment(spark,
+      tables.documents.filter($"doc_id" >= 50 && $"doc_id" < 100),
+      "gtidx_torn", dir, buckets = 8)
+    val listPath = java.nio.file.Paths.get(dir, "segments.list")
+    val before = Files.readString(listPath)
+    // simulate the exact failure the r11 verdict flagged: a crash midway
+    // through rewriting the list. With an in-place truncate-write this
+    // left a torn/empty list (attach would serve an EMPTY index); with
+    // the staged-temp + ATOMIC_MOVE commit the target must be untouched.
+    val boom = intercept[RuntimeException] {
+      graft.operators.IndexFiles.atomicWrite(spark,
+        new org.apache.hadoop.fs.Path(dir, "segments.list")) { out =>
+        out.write("0:gar".getBytes("UTF-8")) // partial content…
+        throw new RuntimeException("crash mid-write")
+      }
+    }
+    assert(boom.getMessage == "crash mid-write")
+    assert(Files.readString(listPath) == before,
+      "torn write reached the committed segment list")
+    val seg = TextIndex.attachSegments(spark, "gtidx_torn", dir, buckets = 8)
+    assert(seg.ids == Seq(0, 1), s"old segment set lost: ${seg.ids}")
+    assert(TextIndex.bm25ProbeSegmented(spark, seg,
+      tables.documents.filter($"doc_id" < 3)).count() > 0)
+  }
+
+  test("batch tags survive compaction: a replayed micro-batch stays a no-op") {
+    val dir = Files.createTempDirectory("gtidx_tagcp").toString
+    val half = tables.documents.count() / 2
+    val b0 = tables.documents.filter($"doc_id" < half)
+    val b1 = tables.documents.filter($"doc_id" >= half)
+    TextIndex.appendSegment(spark, b0, "gtidx_tc", dir, buckets = 8,
+      batchTag = Some("batch-0"))
+    val grown = TextIndex.appendSegment(spark, b1, "gtidx_tc", dir,
+      buckets = 8, batchTag = Some("batch-1"))
+    val before = TextIndex.bm25ProbeSegmented(spark, grown,
+        tables.documents.filter($"doc_id" < 10))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val compacted = TextIndex.compactSegments(spark, grown, buckets = 8)
+    // the exactly-once window must NOT reopen: a stream restarted from an
+    // older checkpoint replays batch 1 AFTER the compaction folded its
+    // segment away — the carried-forward tag keeps the replay a no-op
+    val replayed = TextIndex.appendSegment(spark, b1, "gtidx_tc", dir,
+      buckets = 8, batchTag = Some("batch-1"))
+    assert(replayed.ids == compacted.ids,
+      s"replay after compaction re-ingested: ${replayed.ids}")
+    val after = TextIndex.bm25ProbeSegmented(spark, replayed,
+        tables.documents.filter($"doc_id" < 10))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(after == before, "replayed batch double-counted after compaction")
+  }
+
+  test("appendSegment resolves the STORED bucket count over its parameter") {
+    val dir = Files.createTempDirectory("gtidx_bw").toString
+    TextIndex.appendSegment(spark, tables.documents.filter($"doc_id" < 50),
+      "gtidx_bw", dir, buckets = 8)
+    // a later caller passes the wrong count — the store's 8 must win, or
+    // the new segment's physical layout would diverge from the DDL spec
+    // attachSegments re-declares and bucket pruning would read the wrong
+    // buckets
+    TextIndex.appendSegment(spark,
+      tables.documents.filter($"doc_id" >= 50 && $"doc_id" < 100),
+      "gtidx_bw", dir, buckets = 3)
+    val nb = spark.sql("DESCRIBE FORMATTED gtidx_bw_seg1").collect()
+      .find(_.getString(0) == "Num Buckets").map(_.getString(1))
+    assert(nb.contains("8"), s"segment written with $nb buckets, stored is 8")
+    val live = TextAnalysis.bm25Search(
+        tables.withTable("documents", tables.documents.filter($"doc_id" < 100)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val seg = TextIndex.attachSegments(spark, "gtidx_bw", dir, buckets = 3)
+    val probed = TextIndex.bm25ProbeSegmented(spark, seg,
+        tables.documents.filter($"doc_id" < 10))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(probed.nonEmpty && probed == live)
+  }
+
   test("single-term probe prunes to one bucket and pushes the In filter") {
     val dir = Files.createTempDirectory("gtidx_prune").toString
     val idx = TextIndex.buildIndex(spark, tables.documents, "gtidx_prune", dir,
