@@ -1048,6 +1048,21 @@ per AS (SELECT doc_id, n_tokens, span_id, min(pos) AS s0, max(pos) + $spanLen AS
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans, CAST(sum(e0 - s0) AS BIGINT) AS dup_tokens, CAST(n_tokens AS BIGINT) AS n_tokens, round(CAST(sum(e0 - s0) AS DOUBLE) / n_tokens, 6) AS dup_frac FROM per GROUP BY doc_id, n_tokens ORDER BY doc_id"""
   }
 
+  /** Oracle for q_dup_substrings
+    * ([[graft.operators.SuffixDedup.duplicateSubstrings]]): the DIRECT
+    * derivation — every L-char substring extracted and grouped by the
+    * string itself, cross-doc duplicate starts merged into maximal
+    * spans. The engine builds the same answer by truncated prefix
+    * doubling (exact rank equality, no strings through the shuffle);
+    * both derivations are exact, so they must match row-for-row. */
+  def dupSubstrings(minLen: Int = 32, minDocs: Int = 2): String =
+    s"""WITH pos AS (SELECT doc_id, i AS p, substr(text, CAST(i AS INT), $minLen) AS g FROM documents, unnest(range(1, length(text) - ${minLen - 2})) AS t(i)),
+dup AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd FROM pos GROUP BY g) WHERE nd >= $minDocs),
+mark AS (SELECT doc_id, p FROM pos JOIN dup USING (g)),
+isl AS (SELECT doc_id, p, CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) = 1 THEN 0 ELSE 1 END AS brk FROM mark),
+grp AS (SELECT doc_id, p, sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS gid FROM isl)
+SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start, CAST(max(p) + $minLen - min(p) AS BIGINT) AS span_len FROM grp GROUP BY doc_id, gid ORDER BY doc_id, span_start"""
+
   /** Oracle for q_cdc_chunks
     * ([[graft.operators.Packing.cdcChunks]]): the per-token Karp–Rabin +
     * splitmix64 fingerprint re-derived (same fold as

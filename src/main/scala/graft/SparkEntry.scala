@@ -601,6 +601,8 @@ object SparkEntry {
     "q_dedup_keep_best" -> ((s, d) => Dedup.clusterRepresentatives(Tables(s, d))),
     "q_source_overlap" -> ((s, d) => Dedup.sourceOverlap(Tables(s, d))),
     "q_dup_spans" -> ((s, d) => Dedup.duplicateSpans(Tables(s, d))),
+    "q_dup_substrings" -> ((s, d) =>
+      graft.operators.SuffixDedup.duplicateSubstrings(Tables(s, d).documents)),
     "q_sample_stratified" -> ((s, d) => {
       import graft.operators.Sampling
       Sampling.stratifiedEvents(Tables(s, d),
@@ -826,6 +828,9 @@ object SparkEntry {
     // positioned 8-token shingles → cross-doc repeated runs → per-doc
     // interval merge (same gap rule as the engine's window)
     "q_dup_spans" -> KernelOracleSql.dupSpans(),
+    // character-granular duplicate spans: direct substring grouping in
+    // DuckDB vs truncated prefix doubling in the engine — both exact
+    "q_dup_substrings" -> KernelOracleSql.dupSubstrings(),
     "q_source_overlap" ->
       ("WITH fs AS (SELECT DISTINCT md5(lower(trim(text))) AS fp, source FROM documents), " +
         "srcs AS (SELECT DISTINCT source FROM documents), " +

@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sub-shingle EXACT duplicate-substring detection — the suffix-array
+  * lineage of corpus dedup (Lee et al. 2021, "Deduplicating Training Data
+  * Makes Language Models Better": find every substring of length ≥ L that
+  * occurs more than once). [[Dedup]]'s `q_dup_spans` localizes duplicate
+  * runs at 8-TOKEN shingle granularity — a duplicate shorter than the
+  * shingle window, or one that crosses tokenization differences
+  * (punctuation, casing of neighbors), is invisible to it. This operator
+  * works at CHARACTER granularity: every maximal run of positions whose
+  * L-character substring also appears in ≥ `minDocs` distinct documents
+  * is emitted as a span.
+  *
+  * Construction: distributed PREFIX DOUBLING — the classic suffix-array
+  * build (Manber–Myers 1990; MPI/MapReduce form in Flick & Aluru,
+  * SC'15), truncated after log2(L) rounds. Round k assigns each position
+  * a rank identifying its 2^k-character prefix; rank_{k+1} canonicalizes
+  * the PAIR (rank_k[p], rank_k[p+2^k]). By induction two positions get
+  * equal rank at round k iff their 2^k-char substrings are EQUAL —
+  * no hashing, no collisions, exact. Detection needs only rank
+  * equality, never suffix ORDER, so ranks are canonicalized with a
+  * `min(representative)` aggregate instead of a global sort — every
+  * round is equi-join + groupBy (hash-shuffle, AQE-friendly), and the
+  * O(n log n) global sorts of the textbook build disappear.
+  *
+  * Why doubling instead of grouping the L-char substrings directly: the
+  * direct form shuffles L bytes per corpus position (L=64 → a 64×
+  * write amplification of the corpus through one exchange); doubling
+  * shuffles a CONSTANT ~24 bytes per position per round for log2(L)
+  * rounds — at Lee et al.'s L≈100+ chars that is an order of magnitude
+  * less exchange traffic, and the advantage grows with L. The direct
+  * form survives as [[duplicateSubstringsDirect]]: the spec's exactness
+  * witness and the DuckDB oracle's derivation (both must produce
+  * IDENTICAL rows — which they do, because doubling is exact).
+  *
+  * Scale honesty: character-granular analysis is inherently
+  * corpus-byte-sized (n rows for n bytes); this is the known cost of
+  * suffix-array dedup at 100 TB and the reason Lee et al. shard it. The
+  * Spark shape here is shard-friendly — all joins are equi-joins on
+  * (doc, position) or bounded rank dictionaries, nothing is all-pairs —
+  * and the `q_lsh_recall_sampled` pattern applies: run per-shard or on
+  * a deterministic slice, union spans. */
+object SuffixDedup {
+
+  /** Maximal cross-document duplicate character spans: every position p
+    * (1-based) whose `minLen`-char substring occurs in ≥ `minDocs`
+    * distinct documents is a duplicate start; consecutive duplicate
+    * starts merge into one maximal span `[span_start, span_start +
+    * span_len)`. `minLen` must be a power of two (the doubling
+    * schedule); 32 chars ≈ 5 words — well under the 8-token shingle
+    * floor of `q_dup_spans`. */
+  def duplicateSubstrings(docs: DataFrame, minLen: Int = 32,
+                          minDocs: Int = 2): DataFrame = {
+    require(minLen >= 2 && (minLen & (minLen - 1)) == 0,
+      s"minLen must be a power of two >= 2, got $minLen")
+    val lens = docs.select(col("doc_id").as("d"),
+      length(col("text")).as("len"))
+    // round 0: one row per character position, rank = canonical id of
+    // the character (a bounded alphabet dictionary, never a sort)
+    val chars = docs.select(col("doc_id").as("d"),
+        posexplode(split(col("text"), "")).as(Seq("p0", "c")))
+      .select(col("d"), (col("p0") + 1).as("p"), col("c"))
+    val dict0 = chars.select("c").distinct()
+      .withColumn("rank", monotonically_increasing_id())
+    // each round's frame is checkpointed: 5 lazy self-joins deep, the
+    // un-materialized lineage re-computes every prior round per probe
+    // (the iterative-graph trap from Graph.pageRank). The PREVIOUS round
+    // releases as soon as the next materializes; the final round's blocks
+    // back the returned plan and stay alive (the Graph convention —
+    // Bench/callers drop lingering checkpoint blocks between queries).
+    var r = chars.join(dict0, "c").select("d", "p", "rank")
+      .localCheckpoint()
+    var o = 1
+    while (o < minLen) {
+      // pair each position's rank with the rank o positions ahead;
+      // positions within o of the end pair with a sentinel (their
+      // truncated substrings can only become MORE distinct, and the
+      // final filter keeps only full-L positions, so sentinels never
+      // merge unequal kept positions)
+      val shifted = r.select(col("d"), (col("p") - o).as("p"),
+        col("rank").as("r2"))
+      val pairs = r.withColumnRenamed("rank", "r1")
+        .join(shifted, Seq("d", "p"), "left")
+        .select(col("d"), col("p"), col("r1"),
+          coalesce(col("r2"), lit(-1L)).as("r2"))
+      // canonicalize pairs → new ranks. Values only need to preserve
+      // EQUALITY (detection never compares order), so a unique id per
+      // distinct pair suffices — no global sort, no dense ranking
+      val dict = pairs.select("r1", "r2").distinct()
+        .withColumn("rank", monotonically_increasing_id())
+      val next = pairs.join(dict, Seq("r1", "r2"))
+        .select("d", "p", "rank")
+        .localCheckpoint()
+      r.unpersist(blocking = false)
+      r = next
+      o *= 2
+    }
+    // keep only positions with a full L-char substring; a rank shared
+    // across >= minDocs documents marks a duplicate start
+    val kept = r.join(lens, "d")
+      .filter(col("p") <= col("len") - minLen + 1)
+      .select("d", "p", "rank")
+    val dupRanks = kept.groupBy("rank")
+      .agg(countDistinct("d").as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("rank")
+    mergeSpans(kept.join(dupRanks, "rank").select("d", "p"), minLen)
+  }
+
+  /** The DIRECT derivation: extract every L-char substring and group by
+    * the string itself. Exact and simple — and it shuffles L bytes per
+    * position, the write amplification doubling avoids. Kept as the
+    * spec's cross-check (must equal [[duplicateSubstrings]] row-for-row)
+    * and as the shape the DuckDB oracle re-derives. */
+  private[graft] def duplicateSubstringsDirect(docs: DataFrame,
+                                               minLen: Int,
+                                               minDocs: Int = 2): DataFrame = {
+    // sequence(1, n) with n < 1 DESCENDS in Spark (step defaults to -1),
+    // so short documents must not reach the transform
+    val grams = docs
+      .filter(length(col("text")) >= minLen)
+      .select(col("doc_id").as("d"),
+        posexplode(expr(
+          s"transform(sequence(1, length(text) - ${minLen - 1}), i -> substring(text, i, $minLen))"))
+          .as(Seq("p0", "g")))
+      .select(col("d"), (col("p0") + 1).as("p"), col("g"))
+    val dup = grams.groupBy("g").agg(countDistinct("d").as("nd"))
+      .filter(col("nd") >= minDocs).select("g")
+    mergeSpans(grams.join(dup, "g").select("d", "p"), minLen)
+  }
+
+  /** Gaps-and-islands merge of duplicate START positions into maximal
+    * spans: consecutive starts (step 1) are one run; a run of starts
+    * [a..b] covers characters [a, b+L). One per-doc window — partitions
+    * are per-document and bounded by document length. */
+  private def mergeSpans(marked: DataFrame, minLen: Int): DataFrame = {
+    val w = Window.partitionBy("d").orderBy("p")
+    marked
+      .withColumn("brk",
+        when(col("p") - lag("p", 1).over(w) === 1, 0).otherwise(1))
+      .withColumn("gid", sum("brk").over(w))
+      .groupBy(col("d").as("doc_id"), col("gid"))
+      .agg(min("p").cast("long").as("span_start"),
+        (max("p") + minLen - min("p")).cast("long").as("span_len"))
+      .select("doc_id", "span_start", "span_len")
+      .orderBy("doc_id", "span_start")
+  }
+}

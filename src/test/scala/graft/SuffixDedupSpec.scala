@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, SuffixDedup}
+
+class SuffixDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("prefix-doubling equals the direct substring derivation on the corpus") {
+    val docs = tables.documents
+    val doubled = SuffixDedup.duplicateSubstrings(docs, minLen = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = SuffixDedup.duplicateSubstringsDirect(docs, minLen = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(doubled.nonEmpty, "corpus has no 32-char cross-doc duplicates?")
+    assert(doubled == direct,
+      s"doubling != direct: only-doubled=${(doubled diff direct).take(3)} " +
+        s"only-direct=${(direct diff doubled).take(3)}")
+  }
+
+  test("catches a duplicate SHORTER than the 8-token shingle window that q_dup_spans misses") {
+    // a 3-token, 44-char planted duplicate: far under the 8-token window
+    val planted = "intercontinental ballistic reconfiguration x"
+    assert(planted.length == 44 && planted.split(" ").length == 4)
+    val prefixA = "alpha beta gamma delta epsilon zeta eta theta " // 46 chars
+    val docs = Seq(
+      (0L, prefixA + planted + " one two three four five six seven eight"),
+      (1L, "nine ten eleven twelve " + planted + " thirteen fourteen fifteen sixteen"),
+      (2L, "completely unrelated filler text with nothing shared at all here"))
+      .toDF("doc_id", "text")
+    // token-shingle spans (w=8) are blind to it: no 8-token run repeats
+    val shingleSpans = Dedup.duplicateSpans(
+      tables.withTable("documents", docs)).collect()
+    assert(shingleSpans.isEmpty,
+      s"fixture broken: q_dup_spans sees ${shingleSpans.mkString(";")}")
+    // character-granular detection finds it, at the exact offsets
+    val out = SuffixDedup.duplicateSubstrings(docs, minLen = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).toSet == Set(0L, 1L), s"docs: ${out.mkString(";")}")
+    val span0 = out.find(_._1 == 0L).get
+    val span1 = out.find(_._1 == 1L).get
+    // doc 0: planted starts at prefixA.length + 1 (1-based). The maximal
+    // duplicate region is exactly the planted phrase plus the shared
+    // trailing space boundary — the span must COVER the planted text and
+    // must not extend into text the docs don't share (>= a one-char slack
+    // each side for the shared leading/trailing space).
+    def covers(span: (Long, Long, Long), start1: Int): Boolean =
+      span._2 <= start1 && span._2 + span._3 >= start1 + planted.length
+    assert(covers(span0, prefixA.length + 1), s"doc0 span $span0")
+    assert(covers(span1, "nine ten eleven twelve ".length + 1), s"doc1 span $span1")
+    assert(span0._3 <= planted.length + 2 && span1._3 <= planted.length + 2,
+      s"span overshoots the shared region: $span0 $span1")
+  }
+
+  test("consecutive duplicate starts merge into ONE maximal span") {
+    // two docs share one long region → every start inside it is marked,
+    // and the island merge must emit a single span per doc, not a span
+    // per position
+    val shared = ("z" * 10) + " the same sixty-four character region repeated verbatim here " + ("q" * 10)
+    val docs = Seq(
+      (0L, "left padding words before " + shared),
+      (1L, shared + " right padding words after"))
+      .toDF("doc_id", "text")
+    val out = SuffixDedup.duplicateSubstrings(docs, minLen = 32).collect()
+    assert(out.length == 2, s"expected one span per doc: ${out.mkString(";")}")
+    assert(out.forall(_.getLong(2) >= shared.length),
+      s"span shorter than the shared region: ${out.mkString(";")}")
+  }
+}
