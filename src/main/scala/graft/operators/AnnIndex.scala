@@ -175,7 +175,10 @@ object AnnIndex {
 
   /** Append a new vector batch THROUGH the frozen quantizer: assign cells
     * with the stored centroids, append to the partitioned vector table.
-    * Shuffles nothing but the batch; the stored corpus is untouched. */
+    * Shuffles nothing but the batch; the stored corpus is untouched.
+    * SINGLE WRITER by contract: appends and [[compactIndex]] must not run
+    * concurrently on one index dir (rows appended mid-compaction would be
+    * discarded with the old generation); concurrent readers are safe. */
   def appendToIndex(spark: SparkSession, newVectors: DataFrame,
                     idx: Index): Unit = {
     val cents = loadCentroids(spark, idx)

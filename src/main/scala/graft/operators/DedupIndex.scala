@@ -67,17 +67,9 @@ object DedupIndex {
 
   /** Bucket count from the stored meta; None for a pre-meta index (the
     * caller falls back to its parameter and writes the meta forward). */
-  private[graft] def loadIndexBuckets(spark: SparkSession, dir: String): Option[Int] = {
-    val mp = indexMetaPath(dir)
-    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(mp)) None
-    else {
-      val in = fs.open(mp)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      scala.util.Try(txt.trim.stripPrefix("buckets=").toInt).toOption
-    }
-  }
+  private[graft] def loadIndexBuckets(spark: SparkSession, dir: String): Option[Int] =
+    IndexFiles.readString(spark, indexMetaPath(dir)).flatMap(txt =>
+      scala.util.Try(txt.trim.stripPrefix("buckets=").toInt).toOption)
 
   /** Build a filter over a (… fp …) frame with the given sizing — a
     * distributed aggregation (`stat.bloomFilter`), never a driver collect
@@ -104,14 +96,8 @@ object DedupIndex {
       _.write(s"$expectedItems $BloomFpp".getBytes("UTF-8")))
   }
 
-  private def loadBloomMeta(spark: SparkSession, dir: String): Option[(Long, Double)] = {
-    val mp = bloomMetaPath(dir)
-    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(mp)) None
-    else {
-      val in = fs.open(mp)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
+  private def loadBloomMeta(spark: SparkSession, dir: String): Option[(Long, Double)] =
+    IndexFiles.readString(spark, bloomMetaPath(dir)).flatMap { txt =>
       // a torn meta (non-atomic store) reads as garbage — treat as absent,
       // same degradation contract as loadBloom
       scala.util.Try {
@@ -119,7 +105,6 @@ object DedupIndex {
         (parts(0).toLong, parts(1).toDouble)
       }.toOption
     }
-  }
 
   /** Load the sidecar if present (absent for pre-sidecar indexes — the
     * probe then degrades gracefully to the plain anti-join). A sidecar
@@ -128,12 +113,8 @@ object DedupIndex {
     * never a correctness dependency, so a damaged sidecar must not wedge
     * every subsequent ingest batch until manual repair. */
   private[graft] def loadBloom(spark: SparkSession,
-                                   dir: String): Option[org.apache.spark.util.sketch.BloomFilter] = {
-    val p = bloomPath(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
+                                   dir: String): Option[org.apache.spark.util.sketch.BloomFilter] =
+    IndexFiles.open(spark, bloomPath(dir)).flatMap { in =>
       // NonFatal, not just IOException: BloomFilter.readFrom on a corrupt
       // (garbage, not merely truncated) sidecar can throw e.g.
       // NegativeArraySizeException from a bad length word — any parse
@@ -142,7 +123,6 @@ object DedupIndex {
       catch { case scala.util.control.NonFatal(_) => None }
       finally in.close()
     }
-  }
 
   /** `might_contain(bloom, xxhash64(fp))` as a Column — Spark's codegen'd
     * Bloom probe (the expression InjectRuntimeFilter plants), fed our

@@ -34,25 +34,46 @@ private[graft] object IndexFiles {
 
   private def conf(spark: SparkSession) = spark.sparkContext.hadoopConfiguration
 
+  /** The filesystem to do state-file I/O through. On the local scheme the
+    * default `LocalFileSystem` is a [[ChecksumFileSystem]] that pairs every
+    * file with a `.<name>.crc` sidecar — but our commit is a bare
+    * `rename(2)` of the DATA file only, so a checksum-written target would
+    * keep a sidecar describing the PREVIOUS content and every subsequent
+    * checksum-verified open would throw `ChecksumException` (r12 ADVICE).
+    * Unwrapping to the raw filesystem keeps writes sidecar-free and reads
+    * sidecar-blind; HDFS/object stores (checksums internal to the protocol)
+    * pass through unchanged. */
+  private def ioFs(spark: SparkSession, p: Path): org.apache.hadoop.fs.FileSystem =
+    p.getFileSystem(conf(spark)) match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case other => other
+    }
+
   /** Write `target` all-or-nothing: stage to `.<name>.tmp` beside it,
     * commit with an atomic rename. A reader never observes a partial
     * file — it sees the old content (or absence) until the single rename
     * instant, then the complete new content. */
   def atomicWrite(spark: SparkSession, target: Path)(
       write: java.io.OutputStream => Unit): Unit = {
-    val fs = target.getFileSystem(conf(spark))
+    val fs = ioFs(spark, target)
     val qualified = fs.makeQualified(target)
     val tmp = new Path(qualified.getParent, s".${qualified.getName}.tmp")
     val out = fs.create(tmp, true)
     try write(out) finally out.close()
     val scheme = qualified.toUri.getScheme
-    if (scheme == null || scheme == "file")
+    if (scheme == null || scheme == "file") {
       java.nio.file.Files.move(
         java.nio.file.Paths.get(tmp.toUri.getPath),
         java.nio.file.Paths.get(qualified.toUri.getPath),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    else
+      // scrub checksum sidecars left by pre-IndexFiles writers (which went
+      // through ChecksumFileSystem): a stale `.<name>.crc` describing the
+      // OLD content would make any checksum-verified reader of the NEW
+      // content throw; same for `..<name>.tmp.crc` litter from old stages
+      fs.delete(new Path(qualified.getParent, s".${qualified.getName}.crc"), false)
+      fs.delete(new Path(qualified.getParent, s".${tmp.getName}.crc"), false)
+    } else
       FileContext.getFileContext(qualified.toUri, conf(spark))
         .rename(tmp, qualified, Options.Rename.OVERWRITE)
   }
@@ -60,16 +81,19 @@ private[graft] object IndexFiles {
   def writeString(spark: SparkSession, target: Path, content: String): Unit =
     atomicWrite(spark, target)(_.write(content.getBytes(StandardCharsets.UTF_8)))
 
+  /** Open `p` for reading (checksum-blind on local — see [[ioFs]]), or
+    * None if absent. Caller closes. */
+  def open(spark: SparkSession, p: Path): Option[java.io.InputStream] = {
+    val fs = ioFs(spark, p)
+    if (!fs.exists(p)) None else Some(fs.open(p))
+  }
+
   /** Full content of `p`, or None if absent. */
-  def readString(spark: SparkSession, p: Path): Option[String] = {
-    val fs = p.getFileSystem(conf(spark))
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+  def readString(spark: SparkSession, p: Path): Option[String] =
+    open(spark, p).map { in =>
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     }
-  }
 
   def exists(spark: SparkSession, p: Path): Boolean =
     p.getFileSystem(conf(spark)).exists(p)

@@ -42,8 +42,10 @@ import org.apache.spark.sql.functions._
   * suffix-array dedup at 100 TB and the reason Lee et al. shard it. The
   * Spark shape here is shard-friendly — all joins are equi-joins on
   * (doc, position) or bounded rank dictionaries, nothing is all-pairs —
-  * and the `q_lsh_recall_sampled` pattern applies: run per-shard or on
-  * a deterministic slice, union spans. */
+  * and [[duplicateSubstringsSharded]] IS that operating mode: per-shard
+  * doubling with exact cross-shard rank unification through
+  * representative substrings, row-identical to the full run
+  * (spec-pinned). */
 object SuffixDedup {
 
   /** Maximal cross-document duplicate character spans: every position p
@@ -55,6 +57,27 @@ object SuffixDedup {
     * floor of `q_dup_spans`. */
   def duplicateSubstrings(docs: DataFrame, minLen: Int = 32,
                           minDocs: Int = 2): DataFrame = {
+    val kept = keptPositions(docs, minLen)
+    val dupRanks = kept.groupBy("rank")
+      .agg(countDistinct("d").as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("rank")
+    mergeSpans(kept.join(dupRanks, "rank").select("d", "p"), minLen)
+  }
+
+  /** (d, p, rank) for every position with a full `minLen`-char substring,
+    * where rank equality ⟺ substring equality (within THIS invocation's
+    * corpus — ranks are dictionary ids, not content hashes, so they are
+    * NOT comparable across separate invocations; [[duplicateSubstringsSharded]]
+    * unifies them through representative substrings). The prefix-doubling
+    * core shared by the full and sharded modes.
+    *
+    * Fault-tolerance caveat: the per-round `localCheckpoint` trades
+    * lineage for speed — an executor loss mid-build FAILS the job instead
+    * of recomputing (the [[Graph]] operators' documented trade). Locally
+    * that is moot; on a lossy cluster swap in reliable `checkpoint` or
+    * accept the job retry. */
+  private def keptPositions(docs: DataFrame, minLen: Int): DataFrame = {
     require(minLen >= 2 && (minLen & (minLen - 1)) == 0,
       s"minLen must be a power of two >= 2, got $minLen")
     val lens = docs.select(col("doc_id").as("d"),
@@ -99,16 +122,59 @@ object SuffixDedup {
       r = next
       o *= 2
     }
-    // keep only positions with a full L-char substring; a rank shared
-    // across >= minDocs documents marks a duplicate start
-    val kept = r.join(lens, "d")
+    // keep only positions with a full L-char substring
+    r.join(lens, "d")
       .filter(col("p") <= col("len") - minLen + 1)
       .select("d", "p", "rank")
-    val dupRanks = kept.groupBy("rank")
-      .agg(countDistinct("d").as("nd"))
-      .filter(col("nd") >= minDocs)
-      .select("rank")
-    mergeSpans(kept.join(dupRanks, "rank").select("d", "p"), minLen)
+  }
+
+  /** SHARDED operating mode — the 100 TB path (Lee et al. shard their
+    * suffix-array build the same way): documents split into `shards`
+    * deterministic hash shards, prefix doubling runs per shard (each
+    * shard's join/checkpoint state is shard-sized — the operational win:
+    * a job per shard instead of one corpus-sized build), and rank groups
+    * unify ACROSS shards exactly through one representative substring per
+    * distinct within-shard rank. Because shards partition the documents,
+    * the global distinct-doc count of a substring is the SUM of its
+    * per-shard counts — no double counting — so the result is
+    * row-identical to [[duplicateSubstrings]] (spec-pinned), including
+    * duplicates whose occurrences all sit in DIFFERENT shards.
+    *
+    * Cross-shard exchange honesty: one L-char representative per distinct
+    * within-shard substring. Under heavy duplication (the regime dedup
+    * targets) that collapses well below corpus size; on fully-unique text
+    * it approaches the direct form's L-bytes-per-position traffic — the
+    * sharding win is then the bounded per-job state, not exchange volume. */
+  def duplicateSubstringsSharded(docs: DataFrame, minLen: Int = 32,
+                                 minDocs: Int = 2, shards: Int = 4): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val perShard = (0 until shards).map { s =>
+      val docsS = docs.filter(
+        pmod(xxhash64(col("doc_id")), lit(shards)) === s)
+      val kept = keptPositions(docsS, minLen)
+      // one representative (min (d,p)) per rank group + the group's
+      // within-shard distinct-doc count; the representative's actual
+      // substring re-extracts via ONE doc-keyed equi-join against the
+      // shard's documents — |distinct ranks| rows, never the corpus
+      val rep = kept.groupBy("rank")
+        .agg(min(struct(col("d"), col("p"))).as("mn"),
+          countDistinct("d").as("nd"))
+        .select(col("rank"), col("mn.d").as("d"), col("mn.p").as("p"),
+          col("nd"))
+      val repG = rep
+        .join(docsS.select(col("doc_id").as("d"), col("text")), "d")
+        .select(col("rank"), expr(s"substring(text, p, $minLen)").as("g"),
+          col("nd"))
+      (kept.withColumn("shard", lit(s)), repG.withColumn("shard", lit(s)))
+    }
+    val repAll = perShard.map(_._2).reduce(_.unionByName(_))
+    // shards partition documents ⇒ global nd = Σ per-shard nd (exact)
+    val dupSubs = repAll.groupBy("g").agg(sum("nd").as("nd"))
+      .filter(col("nd") >= minDocs).select("g")
+    val dupRanks = repAll.join(dupSubs, "g").select("shard", "rank")
+    val keptAll = perShard.map(_._1).reduce(_.unionByName(_))
+    mergeSpans(
+      keptAll.join(dupRanks, Seq("shard", "rank")).select("d", "p"), minLen)
   }
 
   /** The DIRECT derivation: extract every L-char substring and group by

@@ -130,7 +130,10 @@ object TextIndex {
            |df BIGINT, len BIGINT) USING PARQUET
            |CLUSTERED BY (w) SORTED BY (w) INTO $b BUCKETS
            |LOCATION '${new HPath(dir, table)}'""".stripMargin)
-    val parts = IndexFiles.readString(spark, metaPath(dir)).get.trim.split(' ')
+    val parts = IndexFiles.readString(spark, metaPath(dir))
+      .getOrElse(throw new IllegalStateException(
+        s"TextIndex.attachIndex: missing meta at ${metaPath(dir)}"))
+      .trim.split(' ')
     Index(table, dir, parts(0).toLong, parts(1).toLong)
   }
 
@@ -157,10 +160,19 @@ object TextIndex {
     * a window between commit and marker where a retry double-ingests.)
     * [[compactSegments]] carries every live tag forward onto the
     * compacted entry, so the guarantee survives compaction. Tags must
-    * not contain `:`/`,`/whitespace (the list-entry separators). */
+    * not contain `:`/`,`/whitespace (the list-entry separators) —
+    * VALIDATED here, before anything is written: one bad tag in the
+    * committed list would corrupt every future parse of it.
+    *
+    * Single writer by contract (see the object scaladoc): this
+    * read-modify-writes the segment list. */
   def appendSegment(spark: SparkSession, docs: DataFrame, prefix: String,
                     dir: String, buckets: Int = 32,
                     batchTag: Option[String] = None): Segments = {
+    batchTag.foreach(t => require(
+      t.nonEmpty && !t.exists(c => c == ':' || c == ',' || c.isWhitespace),
+      s"appendSegment: batchTag '$t' is empty or contains a list-entry " +
+        "separator (':', ',', whitespace)"))
     IndexFiles.mkdirs(spark, new HPath(dir))
     val prev = attachSegments(spark, prefix, dir, buckets)
     if (batchTag.exists(readTags(spark, dir).contains)) return prev
@@ -224,6 +236,17 @@ object TextIndex {
   private def readTags(spark: SparkSession, dir: String): Set[String] =
     readEntries(spark, dir).flatMap(_._2).toSet
 
+  /** (nDocs, sumLen) of one segment — loud on a missing meta (the
+    * segment is listed, so its meta committed before the list did; its
+    * absence means external damage, not a mid-append crash). */
+  private def segStats(spark: SparkSession, dir: String, id: Int): (Long, Long) = {
+    val p = IndexFiles.readString(spark, segMetaPath(dir, id))
+      .getOrElse(throw new IllegalStateException(
+        s"TextIndex: missing segment meta at ${segMetaPath(dir, id)}"))
+      .trim.split(' ')
+    (p(0).toLong, p(1).toLong)
+  }
+
   /** Attach the segmented index: re-registers any segment table a fresh
     * session's catalog lacks. An empty/missing list is a valid empty
     * index. */
@@ -259,9 +282,19 @@ object TextIndex {
     * compaction is a pure rewrite — no statistics to rebuild (the
     * advantage of not denormalizing df into segments). Old segment
     * tables/dirs are left for the caller to garbage-collect once no
-    * reader can hold the old list. */
+    * reader can hold the old list.
+    *
+    * Tag retention is BOUNDED by `maxTags` (newest kept, append order):
+    * replays can only come from a bounded checkpoint window, so carrying
+    * every historical tag forever would grow the one-line list without
+    * bound across the stream's lifetime. Size `maxTags` comfortably above
+    * the engine's replayable-batch window (a handful); the default is
+    * orders of magnitude above it.
+    *
+    * Single writer by contract (see the object scaladoc): this
+    * read-modify-writes the segment list. */
   def compactSegments(spark: SparkSession, seg: Segments,
-                      buckets: Int = 32): Segments = {
+                      buckets: Int = 32, maxTags: Int = 1024): Segments = {
     require(seg.ids.nonEmpty, "compactSegments: empty segment list")
     val b = storedBuckets(spark, seg.dir, buckets)
     val entries = readEntries(spark, seg.dir)
@@ -274,15 +307,14 @@ object TextIndex {
       .sortBy("w")
       .option("path", new HPath(seg.dir, table).toString)
       .saveAsTable(table)
-    val stats = seg.ids.map { i =>
-      val p = IndexFiles.readString(spark, segMetaPath(seg.dir, i))
-        .get.trim.split(' ')
-      (p(0).toLong, p(1).toLong)
-    }
+    val stats = seg.ids.map(i => segStats(spark, seg.dir, i))
     IndexFiles.writeString(spark, segMetaPath(seg.dir, id),
       s"${stats.map(_._1).sum} ${stats.map(_._2).sum}")
+    // newest tags win the cap: a replay can only re-deliver RECENT batches
+    // (bounded checkpoint window), so dropping the oldest is safe first
     val liveTags = entries.filter(e => seg.ids.contains(e._1)).flatMap(_._2)
-    writeEntries(spark, seg.dir, Seq((id, liveTags.distinct)))
+      .distinct.takeRight(maxTags)
+    writeEntries(spark, seg.dir, Seq((id, liveTags)))
     Segments(seg.prefix, seg.dir, Seq(id))
   }
 
@@ -322,11 +354,7 @@ object TextIndex {
                          queryDocs: DataFrame, topK: Int = 5,
                          k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(seg.ids.nonEmpty, "bm25ProbeSegmented: empty segment list")
-    val stats = seg.ids.map { id =>
-      val parts = IndexFiles.readString(spark, segMetaPath(seg.dir, id))
-        .get.trim.split(' ')
-      (parts(0).toLong, parts(1).toLong)
-    }
+    val stats = seg.ids.map(id => segStats(spark, seg.dir, id))
     val nDocs = stats.map(_._1).sum
     val avgdl = stats.map(_._2).sum.toDouble / nDocs
     val qTerms = termFreqs(queryDocs)

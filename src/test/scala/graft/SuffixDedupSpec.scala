@@ -52,6 +52,30 @@ class SuffixDedupSpec extends SparkSpec {
       s"span overshoots the shared region: $span0 $span1")
   }
 
+  test("sharded mode is row-identical to the full run, including cross-shard duplicates") {
+    val docs = tables.documents
+    val full = SuffixDedup.duplicateSubstrings(docs, minLen = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sharded = SuffixDedup.duplicateSubstringsSharded(docs, minLen = 32,
+        shards = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full.nonEmpty)
+    assert(sharded == full,
+      s"sharded != full: only-sharded=${(sharded diff full).take(3)} " +
+        s"only-full=${(full diff sharded).take(3)}")
+    // the fixture must actually exercise CROSS-shard unification: running
+    // each shard in isolation (no representative exchange) must MISS spans
+    // whose occurrences hash into different shards — i.e. the equality
+    // above is not vacuous
+    val isolated = (0 until 3).map { s =>
+      SuffixDedup.duplicateSubstrings(
+        docs.filter(pmod(xxhash64($"doc_id"), lit(3)) === s), minLen = 32)
+    }.reduce(_.unionByName(_))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(isolated != full,
+      "fixture has no cross-shard duplicates — unification untested")
+  }
+
   test("consecutive duplicate starts merge into ONE maximal span") {
     // two docs share one long region → every start inside it is marked,
     // and the island merge must emit a single span per doc, not a span

@@ -192,6 +192,72 @@ class TextIndexSpec extends SparkSpec {
     assert(probed.nonEmpty && probed == live)
   }
 
+  test("appendSegment rejects a batchTag containing list-entry separators") {
+    val dir = Files.createTempDirectory("gtidx_badtag").toString
+    val docs = tables.documents.filter($"doc_id" < 10)
+    // one committed bad tag would corrupt every future parse of the list —
+    // the validation must fire BEFORE anything is written
+    for (bad <- Seq("a:b", "a,b", "a b", "a\tb", ""))
+      intercept[IllegalArgumentException] {
+        TextIndex.appendSegment(spark, docs, "gtidx_bt", dir, buckets = 8,
+          batchTag = Some(bad))
+      }
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "segments.list")),
+      "rejected tag still committed a list")
+  }
+
+  test("compaction bounds tag retention: newest tags kept, oldest dropped") {
+    val dir = Files.createTempDirectory("gtidx_tagcap").toString
+    val slices = (0 until 4).map(i =>
+      tables.documents.filter($"doc_id" % 4 === i))
+    var seg: TextIndex.Segments = null
+    slices.zipWithIndex.foreach { case (s, i) =>
+      seg = TextIndex.appendSegment(spark, s, "gtidx_cap", dir, buckets = 8,
+        batchTag = Some(s"b$i"))
+    }
+    val compacted = TextIndex.compactSegments(spark, seg, buckets = 8,
+      maxTags = 2)
+    val list = Files.readString(java.nio.file.Paths.get(dir, "segments.list"))
+    assert(list.contains("b2") && list.contains("b3"),
+      s"newest tags lost: $list")
+    assert(!list.contains("b0") && !list.contains("b1"),
+      s"old tags not bounded: $list")
+    // the RETAINED window still holds exactly-once; only pre-horizon
+    // replays (outside any real checkpoint window) would re-ingest
+    val replayed = TextIndex.appendSegment(spark, slices(3), "gtidx_cap",
+      dir, buckets = 8, batchTag = Some("b3"))
+    assert(replayed.ids == compacted.ids)
+  }
+
+  test("atomicWrite over a checksum-written file: readable, stale crc scrubbed") {
+    // simulate the pre-IndexFiles writer: LocalFileSystem (a
+    // ChecksumFileSystem) creates the file AND a .<name>.crc sidecar
+    val dir = Files.createTempDirectory("gtidx_crc").toString
+    val target = new org.apache.hadoop.fs.Path(dir, "state.meta")
+    val checksumFs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = checksumFs.create(target, true)
+    out.write("old-content".getBytes("UTF-8")); out.close()
+    val crc = java.nio.file.Paths.get(dir, ".state.meta.crc")
+    assert(java.nio.file.Files.exists(crc), "precondition: checksum sidecar")
+    // the new commit path renames only the data file — it must scrub the
+    // stale sidecar or every checksum-verified open would throw
+    graft.operators.IndexFiles.writeString(spark, target, "new-content")
+    assert(graft.operators.IndexFiles.readString(spark, target)
+      .contains("new-content"))
+    assert(!java.nio.file.Files.exists(crc), "stale crc sidecar survived")
+    // a checksum-verifying reader (the old code path) must not throw either
+    val in = checksumFs.open(target)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    assert(txt == "new-content")
+    // and no tmp/crc litter remains — the data file is the directory's
+    // only occupant
+    val names =
+      new java.io.File(dir).list().toSeq.sorted
+    assert(names == Seq("state.meta"), s"litter: $names")
+  }
+
   test("single-term probe prunes to one bucket and pushes the In filter") {
     val dir = Files.createTempDirectory("gtidx_prune").toString
     val idx = TextIndex.buildIndex(spark, tables.documents, "gtidx_prune", dir,
