@@ -15,27 +15,35 @@ import org.apache.spark.sql.functions._
   * L-character substring also appears in ≥ `minDocs` distinct documents
   * is emitted as a span.
   *
-  * Construction: distributed PREFIX DOUBLING — the classic suffix-array
-  * build (Manber–Myers 1990; MPI/MapReduce form in Flick & Aluru,
-  * SC'15), truncated after log2(L) rounds. Round k assigns each position
-  * a rank identifying its 2^k-character prefix; rank_{k+1} canonicalizes
-  * the PAIR (rank_k[p], rank_k[p+2^k]). By induction two positions get
-  * equal rank at round k iff their 2^k-char substrings are EQUAL —
-  * no hashing, no collisions, exact. Detection needs only rank
-  * equality, never suffix ORDER, so ranks are canonicalized with a
-  * `min(representative)` aggregate instead of a global sort — every
-  * round is equi-join + groupBy (hash-shuffle, AQE-friendly), and the
-  * O(n log n) global sorts of the textbook build disappear.
+  * Construction: distributed PREFIX WIDENING — the suffix-array prefix-
+  * doubling build (Manber–Myers 1990; MPI/MapReduce form in Flick &
+  * Aluru, SC'15), generalized from fan-in 2 to fan-in 8 and expressed
+  * with `lead()` windows instead of self-joins. Positions are
+  * consecutive within a document, so the rank w ahead is `lead(rank, w)`
+  * over the per-doc window — every widening reuses ONE
+  * hashpartitioning(d) exchange. A widening round canonicalizes the
+  * k-tuple (rank_w[p], rank_w[p+w], …, rank_w[p+(k−1)w]) into a rank
+  * identifying the k·w-char prefix; by induction equal rank at width w
+  * ⟺ equal w-char substrings — no hashing, no collisions, exact.
+  * Detection needs only rank EQUALITY, never suffix order, so ranks are
+  * dictionary ids (never a global sort), the LAST widening skips the
+  * dictionary entirely (downstream groups on the tuple itself), and
+  * L=32 costs ONE dictionary round where textbook 2×-doubling costs
+  * five.
   *
-  * Why doubling instead of grouping the L-char substrings directly: the
-  * direct form shuffles L bytes per corpus position (L=64 → a 64×
-  * write amplification of the corpus through one exchange); doubling
-  * shuffles a CONSTANT ~24 bytes per position per round for log2(L)
-  * rounds — at Lee et al.'s L≈100+ chars that is an order of magnitude
-  * less exchange traffic, and the advantage grows with L. The direct
-  * form survives as [[duplicateSubstringsDirect]]: the spec's exactness
-  * witness and the DuckDB oracle's derivation (both must produce
-  * IDENTICAL rows — which they do, because doubling is exact).
+  * Why widening instead of grouping the L-char substrings directly: the
+  * direct form shuffles L bytes per corpus position (one exchange that
+  * write-amplifies the corpus L×); widening exchanges fixed-width rank
+  * tuples (≤ 8 longs) per round for log8(L) rounds, its dictionary
+  * exchanges COLLAPSE under map-side partial aggregation on duplicated
+  * text (distinct tuples ≪ positions in exactly the regime dedup
+  * targets), and per-round state is fixed-width regardless of L. At
+  * small L on a single box the direct form's one-exchange simplicity
+  * wins wall-clock — the widening form is the 100 TB/large-L
+  * architecture, kept as the implementation with the direct form as its
+  * exactness witness. [[duplicateSubstringsDirect]] is that witness: the
+  * spec pins both to IDENTICAL rows, and the DuckDB oracle re-derives
+  * the direct shape.
   *
   * Scale honesty: character-granular analysis is inherently
   * corpus-byte-sized (n rows for n bytes); this is the known cost of
@@ -82,45 +90,58 @@ object SuffixDedup {
       s"minLen must be a power of two >= 2, got $minLen")
     val lens = docs.select(col("doc_id").as("d"),
       length(col("text")).as("len"))
-    // round 0: one row per character position, rank = canonical id of
-    // the character (a bounded alphabet dictionary, never a sort)
+    // width-1 ranks: dictionary id of the character. The alphabet dict is
+    // bounded (≈charset size) → Spark broadcasts the join, no shuffle.
     val chars = docs.select(col("doc_id").as("d"),
         posexplode(split(col("text"), "")).as(Seq("p0", "c")))
       .select(col("d"), (col("p0") + 1).as("p"), col("c"))
     val dict0 = chars.select("c").distinct()
       .withColumn("rank", monotonically_increasing_id())
-    // each round's frame is checkpointed: 5 lazy self-joins deep, the
-    // un-materialized lineage re-computes every prior round per probe
-    // (the iterative-graph trap from Graph.pageRank). The PREVIOUS round
-    // releases as soon as the next materializes; the final round's blocks
-    // back the returned plan and stay alive (the Graph convention —
-    // Bench/callers drop lingering checkpoint blocks between queries).
     var r = chars.join(dict0, "c").select("d", "p", "rank")
-      .localCheckpoint()
-    var o = 1
-    while (o < minLen) {
-      // pair each position's rank with the rank o positions ahead;
-      // positions within o of the end pair with a sentinel (their
-      // truncated substrings can only become MORE distinct, and the
-      // final filter keeps only full-L positions, so sentinels never
-      // merge unequal kept positions)
-      val shifted = r.select(col("d"), (col("p") - o).as("p"),
-        col("rank").as("r2"))
-      val pairs = r.withColumnRenamed("rank", "r1")
-        .join(shifted, Seq("d", "p"), "left")
-        .select(col("d"), col("p"), col("r1"),
-          coalesce(col("r2"), lit(-1L)).as("r2"))
-      // canonicalize pairs → new ranks. Values only need to preserve
-      // EQUALITY (detection never compares order), so a unique id per
-      // distinct pair suffices — no global sort, no dense ranking
-      val dict = pairs.select("r1", "r2").distinct()
-        .withColumn("rank", monotonically_increasing_id())
-      val next = pairs.join(dict, Seq("r1", "r2"))
-        .select("d", "p", "rank")
-        .localCheckpoint()
-      r.unpersist(blocking = false)
-      r = next
-      o *= 2
+    // Widening: positions are CONSECUTIVE (1..len) within a document, so
+    // the rank w positions ahead is `lead(rank, w)` over the per-doc
+    // window — no (d, p) self-join, and every widening round reuses the
+    // SAME hashpartitioning(d), so Spark inserts the d-exchange once.
+    // Fan-in FANK per dictionary round: the width-k·w tuple at p is
+    // (rank[p], rank[p+w], …, rank[p+(k−1)w]) — equal tuples ⟺ equal
+    // k·w-substrings — so one round widens 8×, not 2×: L=32 needs ONE
+    // dictionary round (width 8) + a final tuple, where 2×-doubling
+    // needed five. Tail positions (any null lead: no full k·w window)
+    // are a per-doc SUFFIX, so the inner dictionary join dropping their
+    // null keys keeps the remaining positions consecutive; every rank a
+    // kept (full-L) position transitively consults exists and is
+    // non-null (p′ + w′ ≤ len whenever width-w′ rank at p′ feeds a kept
+    // position). Dictionary ids only need to preserve EQUALITY
+    // (detection never compares order) — no global sort, no dense rank.
+    // Each dictionary round's frame is checkpointed (the iterative-graph
+    // lineage trap from Graph.pageRank); the final tuple round needs NO
+    // dictionary — downstream groups on the tuple itself.
+    val FANK = 8
+    val wd = Window.partitionBy("d").orderBy("p")
+    var w = 1
+    while (w < minLen) {
+      val k = math.min(FANK, minLen / w)
+      val tup = (0 until k).map(i =>
+        (if (i == 0) col("rank") else lead("rank", i * w).over(wd)).as(s"t$i"))
+      val keyCols = (0 until k).map(i => s"t$i")
+      if (w * k < minLen) {
+        val tuples = r.select(col("d") +: col("p") +: tup: _*)
+        // map-side partial aggregation collapses this exchange on
+        // duplicated text (distinct tuples ≪ positions — the regime
+        // dedup targets)
+        val dict = tuples.select(keyCols.map(col): _*).distinct()
+          .withColumn("rank", monotonically_increasing_id())
+        val next = tuples.join(dict, keyCols)
+          .select("d", "p", "rank")
+          .localCheckpoint()
+        r.unpersist(blocking = false)
+        r = next
+      } else {
+        // final widening: the tuple IS the rank (struct equality)
+        r = r.select(col("d"), col("p"),
+          struct(tup: _*).as("rank"))
+      }
+      w *= k
     }
     // keep only positions with a full L-char substring
     r.join(lens, "d")
