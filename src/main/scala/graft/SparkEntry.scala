@@ -204,6 +204,23 @@ object SparkEntry {
       AnnIndex.queryIndex(s, AnnIndex.attachIndex(s, dir),
         t.embeddings.filter(col("vec_id") < 10))
     }),
+    "q_ann_graph" -> ((s, d) => {
+      // GRAPH-BASED ANN (HNSW/DiskANN lineage): stored neighbor graph +
+      // deterministic beam search from a fixed entry point. Candidates
+      // per query ≈ beam × degree × hops — independent of corpus size,
+      // vs IVF's cell-sized probes. Approximate by nature → rows-only
+      // (the spec measures recall vs the brute-force oracle; PLANS.md
+      // carries the recall/candidate-fraction frontier vs IVF/PQ).
+      import graft.operators.GraphAnn
+      val t = Tables(s, d)
+      def prefix(dir: String) = "gann_" + dir.split('_').last
+      val dir = roundtripDir("graft_gann", d, "graph_ann.meta") { out =>
+        GraphAnn.buildIndex(s, t.embeddings, prefix(out), out)
+      }
+      GraphAnn.beamSearch(s, GraphAnn.attachIndex(s, prefix(dir), dir),
+        t.embeddings.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+    }),
     "q_ann_pq" -> ((s, d) => Similarity.pqTopK(Tables(s, d))),
     "q_ann_ivfpq" -> ((s, d) => Similarity.ivfPqTopK(Tables(s, d))),
     "q_embed_neardup" -> ((s, d) => Similarity.embeddingNearDups(Tables(s, d))),
