@@ -49,29 +49,84 @@ object Graph {
   /** The lazy composed plan plus a cache-release thunk — split out so plan
     * specs can assert the edge side plans exchange-free across all rounds
     * before materialization. Callers MUST invoke the thunk when done. */
-  private[graft] def pageRankPlan(
-      t: Tables, iters: Int, d: Double): (DataFrame, () => Unit) = {
-    // node ids stay PACKED LONGS (suppkey·2 / custkey·2+1) through every
-    // shuffle, join, and aggregation — at corpus scale the edge table is
-    // the biggest thing moving, and 8-byte keys hash, compare, and ship
-    // far cheaper than "s123"-style strings. The display name is minted
-    // only on the node-cardinality output row.
-    //
-    // Edge-list build in ONE scan and TWO exchanges (the minimum: one to
-    // dedup, one to lay the cache out on src): each lineitem⋈orders row
-    // explodes to both directions up front, `distinct` dedups the doubled
-    // (src, dst) table, and the out-degree comes from a partition-local
-    // count window over the src-clustered layout — no degree aggregations,
-    // no degree joins, no half-table persist (the round-10 shape paid two
-    // extra shuffle joins plus a second cache for the same result).
+  /** CONVERGENCE-STOPPED PageRank — the production mode: fixed iteration
+    * counts either waste rounds or under-converge when the graph scales
+    * 100× (the r11/r12 roadmap item). Runs the identical per-round
+    * arithmetic as [[pageRank]], materializes each round (the delta needs
+    * the values anyway), and stops when the MEAN `|Δ rankN|` over all
+    * nodes drops below `eps` — scale-free by construction: rank mass is
+    * conserved, so mean rankN ≡ 1 regardless of graph size and `eps` is a
+    * per-node relative tolerance (a max-abs delta would key the stop to
+    * the hottest hub's absolute rank) — with `maxIters` as the
+    * DETERMINISTIC cap, so a
+    * non-contracting fixture cannot loop unbounded. `eps = 0` never
+    * triggers (no delta is < 0): the loop runs exactly `maxIters` rounds
+    * and equals the fixed-iteration operator — the spec's equality
+    * witness. The round count is data-dependent but deterministic for a
+    * given dataset; the ORACLE query stays the fixed-iteration
+    * [[pageRank]] (a data-dependent round count can't be replayed as a
+    * static SQL chain). Delta cost: one node-cardinality join + 1-row
+    * aggregate per round — noise next to the round's own edge join. */
+  def pageRankConverged(t: Tables, eps: Double = 1e-3, maxIters: Int = 60,
+                        d: Double = 0.85): DataFrame =
+    pageRankConvergedWithRounds(t, eps, maxIters, d)._1
+
+  private[graft] def pageRankConvergedWithRounds(
+      t: Tables, eps: Double, maxIters: Int,
+      d: Double): (DataFrame, Int) = {
+    require(maxIters >= 1, s"pageRankConverged: maxIters must be >= 1, got $maxIters")
+    val (edgesDeg, release) = tradeEdgesDeg(t)
+    var ranks = edgesDeg
+      .groupBy(col("dst").as("node"))
+      .agg((lit(1.0 - d) + lit(d) * sum(lit(1.0) / col("_deg"))).as("rank"))
+      .localCheckpoint()
+    var rounds = 1
+    var converged = false
+    while (!converged && rounds < maxIters) {
+      val next = edgesDeg
+        .join(ranks.select(col("node").as("src"), col("rank")), "src")
+        .groupBy(col("dst").as("node"))
+        .agg((lit(1.0 - d) + lit(d) * sum(col("rank") / col("_deg")))
+          .as("rank"))
+        .localCheckpoint()
+      // symmetric edges ⇒ identical node sets every round: inner join is
+      // total, the delta sees every node
+      val delta = next
+        .join(ranks.select(col("node"), col("rank").as("_prev")), "node")
+        .agg(avg(abs(col("rank") - col("_prev")))).head().getDouble(0)
+      ranks.unpersist(blocking = false)
+      ranks = next
+      rounds += 1
+      converged = delta < eps
+    }
+    val out = formatRanks(ranks).localCheckpoint()
+    ranks.unpersist(blocking = false)
+    release()
+    (out, rounds)
+  }
+
+  /** The trade-graph edge cache with out-degrees, plus its release thunk.
+    *
+    * Node ids stay PACKED LONGS (suppkey·2 / custkey·2+1) through every
+    * shuffle, join, and aggregation — at corpus scale the edge table is
+    * the biggest thing moving, and 8-byte keys hash, compare, and ship
+    * far cheaper than "s123"-style strings; the display name is minted
+    * only on the node-cardinality output row ([[formatRanks]]).
+    *
+    * ONE scan, TWO exchanges (the minimum: one to dedup, one to lay the
+    * cache out on src): each lineitem⋈orders row explodes to both
+    * directions up front, lands on its src-keyed layout FIRST, then
+    * dedups partition-locally there — hashpartitioning(src) satisfies
+    * ClusteredDistribution(src, dst), so neither the dropDuplicates nor
+    * the degree window adds an Exchange. The window's required
+    * ClusteredDistribution(src) IS the cache layout: the cached plan
+    * retains hashpartitioning(src), so every round's src-keyed join
+    * plans exchange-free on the edge side and only the node-cardinality
+    * rank table moves. The window is per-KEY (src), bounded by the
+    * hottest hub's degree. */
+  private def tradeEdgesDeg(t: Tables): (DataFrame, () => Unit) = {
     val s2 = shiftleft(col("l_suppkey").cast("long"), 1)
     val c2 = shiftleft(col("o_custkey").cast("long"), 1) + 1
-    // ONE wide shuffle builds the cache layout: the doubled pair stream
-    // lands on its src-keyed layout FIRST, then dedups partition-locally
-    // there — hashpartitioning(src) satisfies ClusteredDistribution(src,
-    // dst), so neither the dropDuplicates nor the degree window below
-    // adds an Exchange (the hits build trade; the previous form paid a
-    // (src,dst)-keyed distinct shuffle AND a src-keyed re-shuffle).
     val edges = t.lineitem.select(col("l_orderkey"), col("l_suppkey"))
       .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
@@ -81,15 +136,23 @@ object Graph {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .repartition(col("src"))
       .dropDuplicates("src", "dst")
-    // the window's required ClusteredDistribution(src) IS the cache
-    // layout: the cached plan retains hashpartitioning(src), so every
-    // round's src-keyed join plans exchange-free on the edge side and
-    // only the node-cardinality rank table moves. This window is per-KEY
-    // (src), not unpartitioned — bounded by the hottest hub's degree.
     val edgesDeg = edges
       .withColumn("_deg",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("src")))
       .persist()
+    (edgesDeg, () => edgesDeg.unpersist(blocking = false))
+  }
+
+  private def formatRanks(ranks: DataFrame): DataFrame = ranks
+    .select(
+      concat(when(col("node") % 2 === 0, "s").otherwise("c"),
+        shiftright(col("node"), 1).cast("string")).as("node"),
+      round(col("rank"), 6).as("rank_x_n"))
+    .orderBy("node")
+
+  private[graft] def pageRankPlan(
+      t: Tables, iters: Int, d: Double): (DataFrame, () => Unit) = {
+    val (edgesDeg, release) = tradeEdgesDeg(t)
     // the recurrence runs on rank·n directly: multiplying the textbook
     // update rank' = (1−d)/n + d·Σ rank/deg through by n gives
     // rankN' = (1−d) + d·Σ rankN/deg — n cancels, so the node count, the
@@ -110,13 +173,7 @@ object Graph {
         .agg((lit(1.0 - d) + lit(d) * sum(col("rank") / col("_deg")))
           .as("rank"))
     }
-    val out = ranks
-      .select(
-        concat(when(col("node") % 2 === 0, "s").otherwise("c"),
-          shiftright(col("node"), 1).cast("string")).as("node"),
-        round(col("rank"), 6).as("rank_x_n"))
-      .orderBy("node")
-    (out, () => edgesDeg.unpersist(blocking = false))
+    (formatRanks(ranks), release)
   }
 
   /** Fixed-iteration HITS (Kleinberg 1999 — public algorithm) over the
@@ -139,18 +196,14 @@ object Graph {
     * re-reads a node-cardinality checkpoint, never the join lineage.
     * Norms broadcast as 1-row crossJoins; only node-cardinality tables
     * ever shuffle. */
-  def hits(t: Tables, iters: Int = 2): DataFrame = {
-    // the loop seeds the authority table on its first round; iters < 1
-    // would leave it null and NPE deep in the output union
-    require(iters >= 1, s"hits: iters must be >= 1, got $iters")
-    // Edge build with ONE wide shuffle, not three: the lineitem⋈orders
-    // pair stream broadcasts the slim orders side (no shuffle), lands on
-    // its src-keyed layout, and dedups PARTITION-LOCALLY there —
-    // hashpartitioning(src) already satisfies ClusteredDistribution(src,
-    // dst), so the dropDuplicates plans without its own Exchange. The
-    // dst layout then re-shuffles the (smaller) deduped table. The
-    // previous build paid a (src,dst)-keyed distinct shuffle of the raw
-    // pair stream plus a third persist of the intermediate.
+  /** The DIRECTED supplier→customer edge list cached twice — on `src` for
+    * the authority step and on `dst` for the hub step (2× edge memory for
+    * zero per-round edge shuffles). ONE wide shuffle, not three: the
+    * lineitem⋈orders pair stream broadcasts the slim orders side, lands
+    * on its src-keyed layout, dedups PARTITION-LOCALLY there
+    * (hashpartitioning(src) satisfies ClusteredDistribution(src, dst)),
+    * and the dst layout re-shuffles only the (smaller) deduped table. */
+  private def directedTradeEdges(t: Tables): (DataFrame, DataFrame, () => Unit) = {
     val rawPairs = t.lineitem.select(col("l_orderkey"), col("l_suppkey"))
       .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
@@ -160,6 +213,17 @@ object Graph {
       .dropDuplicates("src", "dst").persist()
     val edgesD = edgesS.repartition(col("dst")).persist()
     edgesS.count(); edgesD.count()
+    (edgesS, edgesD, () => {
+      edgesS.unpersist(blocking = false)
+      edgesD.unpersist(blocking = false)
+    })
+  }
+
+  def hits(t: Tables, iters: Int = 2): DataFrame = {
+    // the loop seeds the authority table on its first round; iters < 1
+    // would leave it null and NPE deep in the output union
+    require(iters >= 1, s"hits: iters must be >= 1, got $iters")
+    val (edgesS, edgesD, release) = directedTradeEdges(t)
     var a: DataFrame = null
     var h: DataFrame = null
     for (it <- 1 to iters) {
@@ -188,15 +252,68 @@ object Graph {
         .crossJoin(broadcast(hRaw.agg(sqrt(sum(col("h0") * col("h0"))).as("_n"))))
         .select(col("src"), (col("h0") / col("_n")).as("h"))
     }
-    val out = h.select(concat(lit("s"), col("src").cast("string")).as("node"),
+    val out = formatHits(h, a).localCheckpoint()
+    release()
+    out
+  }
+
+  private def formatHits(h: DataFrame, a: DataFrame): DataFrame =
+    h.select(concat(lit("s"), col("src").cast("string")).as("node"),
         lit("hub").as("kind"), round(col("h"), 6).as("score"))
       .union(a.select(concat(lit("c"), col("dst").cast("string")).as("node"),
         lit("authority").as("kind"), round(col("a"), 6).as("score")))
       .orderBy("kind", "node")
-      .localCheckpoint()
-    edgesS.unpersist(blocking = false)
-    edgesD.unpersist(blocking = false)
-    out
+
+  /** CONVERGENCE-STOPPED HITS (the [[pageRankConverged]] contract): the
+    * identical per-round arithmetic as [[hits]], stopping when the
+    * normalized hub AND authority vectors both move less than `eps`
+    * (max-abs delta) in a round, with `maxIters` as the deterministic
+    * cap. `eps = 0` never triggers — exactly `maxIters` rounds, equal to
+    * the fixed-iteration operator (spec-pinned). The oracle query stays
+    * fixed-iteration [[hits]]. Scores are L2-normalized every round, so
+    * `eps` is scale-free. Delta cost per round: two node-cardinality
+    * joins + 1-row aggregates over the checkpointed score tables. */
+  def hitsConverged(t: Tables, eps: Double = 1e-6, maxIters: Int = 30): DataFrame =
+    hitsConvergedWithRounds(t, eps, maxIters)._1
+
+  private[graft] def hitsConvergedWithRounds(
+      t: Tables, eps: Double, maxIters: Int): (DataFrame, Int) = {
+    require(maxIters >= 1, s"hitsConverged: maxIters must be >= 1, got $maxIters")
+    val (edgesS, edgesD, release) = directedTradeEdges(t)
+    var a: DataFrame = null
+    var h: DataFrame = null
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxIters) {
+      val it = rounds + 1
+      val aRaw = (if (it == 1)
+          edgesD.groupBy("dst").agg(count(lit(1)).cast("double").as("a0"))
+        else
+          edgesS.join(h, "src").groupBy("dst").agg(sum("h").as("a0")))
+        .localCheckpoint()
+      val aNext = aRaw
+        .crossJoin(broadcast(aRaw.agg(sqrt(sum(col("a0") * col("a0"))).as("_n"))))
+        .select(col("dst"), (col("a0") / col("_n")).as("a"))
+      val hRaw = edgesD.join(aNext, "dst")
+        .groupBy("src").agg(sum("a").as("h0"))
+        .localCheckpoint()
+      val hNext = hRaw
+        .crossJoin(broadcast(hRaw.agg(sqrt(sum(col("h0") * col("h0"))).as("_n"))))
+        .select(col("src"), (col("h0") / col("_n")).as("h"))
+      if (it > 1) {
+        val dA = aNext.join(a.select(col("dst"), col("a").as("_p")), "dst")
+          .agg(max(abs(col("a") - col("_p")))).head().getDouble(0)
+        val dH = hNext.join(h.select(col("src"), col("h").as("_p")), "src")
+          .agg(max(abs(col("h") - col("_p")))).head().getDouble(0)
+        converged = math.max(dA, dH) < eps
+      }
+      a = aNext
+      h = hNext
+      rounds = it
+    }
+    val out = formatHits(h, a).localCheckpoint()
+    release()
+    (out, rounds)
   }
 
   /** TRIANGLE COUNTING (degree-oriented node-iterator — Schank & Wagner

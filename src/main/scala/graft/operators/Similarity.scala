@@ -872,7 +872,23 @@ object Similarity {
     * than k·d keys and only the centroid matrix crosses the driver. A
     * cell that empties keeps its previous centroid (both engines).
     * Emits the post-round centroids with the final assignment counts. */
-  def kmeans(t: Tables, k: Int = 8, iters: Int = 2): DataFrame = {
+  def kmeans(t: Tables, k: Int = 8, iters: Int = 2): DataFrame =
+    kmeansCore(t, k, maxIters = iters, eps = -1.0)._1
+
+  /** CONVERGENCE-STOPPED k-means (the [[Graph.pageRankConverged]]
+    * contract): identical per-round arithmetic as [[kmeans]], stopping
+    * when no centroid coordinate moves more than `eps` in a round, with
+    * `maxIters` as the deterministic cap. `eps = 0` can trigger (a round
+    * that moves nothing is exactly converged — assignments are then fixed
+    * forever); a NEGATIVE eps never triggers and is how [[kmeans]] runs
+    * its fixed count. The oracle query stays fixed-iteration. Delta cost:
+    * zero extra jobs — the centroids already cross the driver per round. */
+  def kmeansConverged(t: Tables, k: Int = 8, eps: Double = 1e-6,
+                      maxIters: Int = 30): DataFrame =
+    kmeansCore(t, k, maxIters, eps)._1
+
+  private[graft] def kmeansCore(t: Tables, k: Int, maxIters: Int,
+                                eps: Double): (DataFrame, Int) = {
     val xa = t.embeddings.select(col("vec_id"),
       transform(col("embedding"), e => e.cast("double")).as("x"))
     val seedRows = xa.filter(col("vec_id") < k).orderBy("vec_id").collect()
@@ -885,7 +901,9 @@ object Similarity {
         seedRows.map(_.getLong(0)).mkString("[", ",", "]"))
     var cents: Array[Array[Double]] = seedRows.map(_.getSeq[Double](1).toArray)
     var counts = Map.empty[Int, Long]
-    for (round <- 1 to iters) {
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxIters) {
       val assigned = xa.withColumn("_cell",
         HashFunctions.nearestCell(col("x"), cents.toSeq.map(_.toSeq)))
       val rows = assigned
@@ -897,11 +915,16 @@ object Similarity {
       rows.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
       counts = rows.filter(_.getInt(1) == 0)
         .map(r => r.getInt(0) -> r.getLong(3)).toMap
+      val move = cents.zip(next).map { case (c, n) =>
+        c.zip(n).map { case (a, b) => math.abs(a - b) }.max
+      }.max
       cents = next
+      rounds += 1
+      converged = move <= eps
     }
     val spark = t.spark
     import spark.implicits._
-    cents.zipWithIndex.flatMap { case (c, cell) =>
+    val out = cents.zipWithIndex.flatMap { case (c, cell) =>
       c.zipWithIndex.map { case (v, j) =>
         (cell, j + 1L, v, counts.getOrElse(cell, 0L))
       }
@@ -909,6 +932,7 @@ object Similarity {
       .select(col("cell"), col("dim"), round(col("_c"), 6).as("centroid"),
         col("n_vecs"))
       .orderBy("cell", "dim")
+    (out, rounds)
   }
 
   /** Johnson–Lindenstrauss random-projection report (Achlioptas 2003
