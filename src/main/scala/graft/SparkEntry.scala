@@ -107,6 +107,48 @@ object SparkEntry {
     "q_events_topusers" -> ((s, d) => Relational.eventsTopUsers(Tables(s, d))),
     "q_events_props" -> ((s, d) => Relational.eventsProps(Tables(s, d))),
     "q_upsert_merge" -> ((s, d) => Relational.upsertMerge(Tables(s, d))),
+    "q_cdc_apply" -> ((s, d) => {
+      // the STREAMING form of q_upsert_merge: the same change set arrives
+      // time-split across micro-batches into the persisted log-structured
+      // CdcStore (delta segment per batch, list-entry batch tags =
+      // exactly-once), and the resolved last-writer-wins state must equal
+      // the one-shot batch MERGE — so the SAME SQL oracle verifies it.
+      // The store builds once per dataset (idempotent by tags; marker
+      // written LAST); timed passes attach and resolve.
+      import graft.operators.CdcStore
+      import graft.streaming.CorpusStreams
+      val t = Tables(s, d)
+      def prefix(dir: String) = "gcdc_" + dir.split('_').last
+      val base = t.customer
+      val seed = base.select(col("c_custkey").as("k"), lit("keep").as("op"),
+        col("c_nationkey").as("nationkey"),
+        round(col("c_acctbal"), 2).as("acctbal"))
+      val changes = base
+        .filter(col("c_custkey") % 7 === 0 || col("c_custkey") % 13 === 0)
+        .select(col("c_custkey").as("k"),
+          when(col("c_custkey") % 13 === 0, lit("delete"))
+            .otherwise(lit("update")).as("op"),
+          col("c_nationkey").as("nationkey"),
+          round(col("c_acctbal") + 100.0, 2).as("acctbal"))
+        .union(base.filter(col("c_custkey") % 11 === 0)
+          .select((col("c_custkey") + 1000000L).as("k"),
+            lit("insert").as("op"), col("c_nationkey").as("nationkey"),
+            round(col("c_acctbal"), 2).as("acctbal")))
+      val dir = roundtripDir("graft_cdc", d, "_CDC_OK") { out =>
+        CorpusStreams.processCdcBatch(s, seed, 0L, prefix(out), out)
+        CorpusStreams.processCdcBatch(s, changes.filter(col("k") % 2 === 0),
+          1L, prefix(out), out)
+        CorpusStreams.processCdcBatch(s, changes.filter(col("k") % 2 === 1),
+          2L, prefix(out), out)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(out, "_CDC_OK"), "ok")
+      }
+      val store = CdcStore.attachStore(s, prefix(dir), dir)
+      CdcStore.currentState(s, store)
+        .select(col("k").as("custkey"), col("nationkey"), col("acctbal"),
+          col("op").as("merge_op"))
+        .orderBy("custkey")
+    }),
     "q_data_quality" -> ((s, d) => Relational.dataQualityAudit(Tables(s, d))),
     "q_ivm_merge" -> ((s, d) => Relational.incrementalViewMerge(Tables(s, d))),
     "q_embed_drift" -> ((s, d) => Similarity.labelCentroidDrift(Tables(s, d))),
@@ -730,6 +772,17 @@ object SparkEntry {
         "round(sqrt(sum(c * c)), 6) AS centroid_norm " +
         "FROM lc JOIN gc USING (j) GROUP BY label ORDER BY label"),
     "q_upsert_merge" ->
+      ("WITH ch AS (SELECT c_custkey AS k, CASE WHEN c_custkey % 13 = 0 THEN 'delete' ELSE 'update' END AS op, " +
+        "round(c_acctbal + 100.0, 2) AS new_bal, c_nationkey AS n_nk FROM customer WHERE c_custkey % 7 = 0 OR c_custkey % 13 = 0 " +
+        "UNION ALL SELECT c_custkey + 1000000, 'insert', round(c_acctbal, 2), c_nationkey FROM customer WHERE c_custkey % 11 = 0) " +
+        "SELECT coalesce(c_custkey, k) AS custkey, coalesce(n_nk, c_nationkey) AS nationkey, " +
+        "CASE WHEN op IN ('update', 'insert') THEN new_bal ELSE round(c_acctbal, 2) END AS acctbal, " +
+        "coalesce(op, 'keep') AS merge_op " +
+        "FROM customer FULL OUTER JOIN ch ON c_custkey = k " +
+        "WHERE coalesce(op, 'keep') <> 'delete' ORDER BY custkey"),
+    // the streamed CdcStore apply must resolve to the same MERGE result,
+    // so it shares q_upsert_merge's derivation verbatim
+    "q_cdc_apply" ->
       ("WITH ch AS (SELECT c_custkey AS k, CASE WHEN c_custkey % 13 = 0 THEN 'delete' ELSE 'update' END AS op, " +
         "round(c_acctbal + 100.0, 2) AS new_bal, c_nationkey AS n_nk FROM customer WHERE c_custkey % 7 = 0 OR c_custkey % 13 = 0 " +
         "UNION ALL SELECT c_custkey + 1000000, 'insert', round(c_acctbal, 2), c_nationkey FROM customer WHERE c_custkey % 11 = 0) " +

@@ -95,6 +95,39 @@ private[graft] object IndexFiles {
       finally in.close()
     }
 
+  /** Segment-list entry grammar shared by [[TextIndex]] and [[CdcStore]]:
+    * space-separated entries, each `id` (untagged) or `id:tag1,tag2,…`
+    * (tags carry the exactly-once batch markers; multiple appear when a
+    * compaction folded several tagged segments into one). Writers
+    * validate tags against the separator set before ever calling these. */
+  def readSegEntries(spark: SparkSession, list: Path): Seq[(Int, Seq[String])] =
+    readString(spark, list).map(_.trim) match {
+      case None | Some("") => Seq.empty
+      case Some(s) =>
+        s.split(' ').toSeq.map { e =>
+          e.split(':') match {
+            case Array(i)      => (i.toInt, Seq.empty[String])
+            case Array(i, tgs) => (i.toInt, tgs.split(',').toSeq)
+          }
+        }
+    }
+
+  /** The single commit point for every list mutation: atomic rename — a
+    * reader sees the old list or the new one, never a prefix of either. */
+  def writeSegEntries(spark: SparkSession, list: Path,
+                      entries: Seq[(Int, Seq[String])]): Unit =
+    writeString(spark, list,
+      entries.map { case (i, tgs) =>
+        if (tgs.isEmpty) s"$i" else s"$i:${tgs.mkString(",")}"
+      }.mkString(" "))
+
+  /** Reject a batch tag that would corrupt the segment-list grammar —
+    * called BEFORE anything is written. */
+  def requireValidTag(tag: String): Unit = require(
+    tag.nonEmpty && !tag.exists(c => c == ':' || c == ',' || c.isWhitespace),
+    s"batchTag '$tag' is empty or contains a list-entry separator " +
+      "(':', ',', whitespace)")
+
   def exists(spark: SparkSession, p: Path): Boolean =
     p.getFileSystem(conf(spark)).exists(p)
 

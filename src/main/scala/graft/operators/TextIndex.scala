@@ -169,10 +169,7 @@ object TextIndex {
   def appendSegment(spark: SparkSession, docs: DataFrame, prefix: String,
                     dir: String, buckets: Int = 32,
                     batchTag: Option[String] = None): Segments = {
-    batchTag.foreach(t => require(
-      t.nonEmpty && !t.exists(c => c == ':' || c == ',' || c.isWhitespace),
-      s"appendSegment: batchTag '$t' is empty or contains a list-entry " +
-        "separator (':', ',', whitespace)"))
+    batchTag.foreach(IndexFiles.requireValidTag)
     IndexFiles.mkdirs(spark, new HPath(dir))
     val prev = attachSegments(spark, prefix, dir, buckets)
     if (batchTag.exists(readTags(spark, dir).contains)) return prev
@@ -206,32 +203,15 @@ object TextIndex {
     Segments(prefix, dir, ids)
   }
 
-  /** (segment id, batch tags) entries of the list file. Entry grammar:
-    * `id` (untagged) or `id:tag1,tag2,…` — multiple tags appear when a
-    * compaction folded several tagged segments into one (the union
-    * carried forward so replayed micro-batches stay no-ops). */
+  /** (segment id, batch tags) entries — the [[IndexFiles.readSegEntries]]
+    * grammar, shared with [[CdcStore]]. */
   private def readEntries(spark: SparkSession,
                           dir: String): Seq[(Int, Seq[String])] =
-    IndexFiles.readString(spark, segListPath(dir)).map(_.trim) match {
-      case None | Some("") => Seq.empty
-      case Some(s) =>
-        s.split(' ').toSeq.map { e =>
-          e.split(':') match {
-            case Array(i)      => (i.toInt, Seq.empty[String])
-            case Array(i, tgs) => (i.toInt, tgs.split(',').toSeq)
-          }
-        }
-    }
+    IndexFiles.readSegEntries(spark, segListPath(dir))
 
-  /** The single commit point for every list mutation: atomic rename via
-    * [[IndexFiles]] — a reader sees the old list or the new one, never a
-    * prefix of either. */
   private def writeEntries(spark: SparkSession, dir: String,
                            entries: Seq[(Int, Seq[String])]): Unit =
-    IndexFiles.writeString(spark, segListPath(dir),
-      entries.map { case (i, tgs) =>
-        if (tgs.isEmpty) s"$i" else s"$i:${tgs.mkString(",")}"
-      }.mkString(" "))
+    IndexFiles.writeSegEntries(spark, segListPath(dir), entries)
 
   private def readTags(spark: SparkSession, dir: String): Set[String] =
     readEntries(spark, dir).flatMap(_._2).toSet

@@ -227,25 +227,75 @@ object CorpusStreams {
     * [[graft.operators.TextIndex.compactSegments]] folds the day's
     * segments into one. */
   def textIndexIngestLoop(spark: org.apache.spark.sql.SparkSession,
-                          docs: DataFrame, prefix: String,
-                          dir: String): org.apache.spark.sql.streaming.StreamingQuery =
+                          docs: DataFrame, prefix: String, dir: String,
+                          autoCompactAt: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processTextIndexBatch(spark, batch, batchId, prefix, dir)
+        processTextIndexBatch(spark, batch, batchId, prefix, dir,
+          autoCompactAt)
       }
       .start()
 
   /** One micro-batch of [[textIndexIngestLoop]], exposed for direct
     * testing of the replay contract. Empty batches are skipped (a
     * micro-batch with no data must not abort the stream on
-    * appendSegment's non-empty requirement). */
+    * appendSegment's non-empty requirement).
+    *
+    * AUTO-COMPACTION policy (`autoCompactAt` > 0): when an append leaves
+    * that many LIVE segments, the batch's own foreachBatch invocation
+    * compacts them to one before returning — probe cost stays bounded by
+    * the threshold forever instead of growing one union branch per batch.
+    * Safe INSIDE the loop because foreachBatch serializes batches (the
+    * single-writer contract holds by construction) and compaction carries
+    * the folded segments' batch tags forward, so a replay from an older
+    * checkpoint stays a no-op even when its segment was compacted away
+    * (spec-soaked). 0 disables — the caller owns maintenance. */
   def processTextIndexBatch(spark: org.apache.spark.sql.SparkSession,
                             batch: DataFrame, batchId: Long,
-                            prefix: String, dir: String): Unit =
-    if (!batch.isEmpty)
-      graft.operators.TextIndex.appendSegment(spark, batch, prefix, dir,
-        batchTag = Some(f"batch-$batchId%020d"))
+                            prefix: String, dir: String,
+                            autoCompactAt: Int = 0): Unit =
+    if (!batch.isEmpty) {
+      val seg = graft.operators.TextIndex.appendSegment(spark, batch, prefix,
+        dir, batchTag = Some(f"batch-$batchId%020d"))
+      if (autoCompactAt > 0 && seg.ids.length >= autoCompactAt)
+        graft.operators.TextIndex.compactSegments(spark, seg)
+    }
+
+  /** Streaming CDC / MERGE apply (the continuous [[graft.operators
+    * .Relational.upsertMerge]]): each micro-batch of change rows
+    * `(k, op, …payload)` applies to the persisted keyed store as one
+    * immutable delta segment via [[graft.operators.CdcStore
+    * .appendChanges]] with the batchId as the segment's batch tag —
+    * EXACTLY-ONCE on replay by the segment-list contract (the tag rides
+    * the single write that commits the segment; a crash before it
+    * committed nothing). Zero Spark state; read cost grows one segment
+    * per batch until [[graft.operators.CdcStore.compactStore]] folds the
+    * store back to one base segment. */
+  def cdcApplyLoop(spark: org.apache.spark.sql.SparkSession,
+                   changes: DataFrame, prefix: String, dir: String,
+                   autoCompactAt: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processCdcBatch(spark, batch, batchId, prefix, dir, autoCompactAt)
+      }
+      .start()
+
+  /** One micro-batch of [[cdcApplyLoop]], exposed for direct testing of
+    * the replay contract. Empty batches are graceful no-ops.
+    * `autoCompactAt` is the [[processTextIndexBatch]] policy: fold the
+    * store back to one base segment whenever the live-segment count
+    * reaches the threshold (0 disables). */
+  def processCdcBatch(spark: org.apache.spark.sql.SparkSession,
+                      batch: DataFrame, batchId: Long,
+                      prefix: String, dir: String,
+                      autoCompactAt: Int = 0): Unit = {
+    val store = graft.operators.CdcStore.appendChanges(spark, batch, prefix,
+      dir, batchTag = Some(f"cdc-$batchId%020d"))
+    if (autoCompactAt > 0 && store.ids.length >= autoCompactAt)
+      graft.operators.CdcStore.compactStore(spark, store)
+  }
 
   /** Event-time WINDOWED trending terms: the [[trendingTerms]] sketch per
     * tumbling window with a watermark — "what was trending at 14:00", the

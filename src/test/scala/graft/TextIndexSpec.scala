@@ -258,6 +258,38 @@ class TextIndexSpec extends SparkSpec {
     assert(names == Seq("state.meta"), s"litter: $names")
   }
 
+  test("soak: streaming ingest with auto-compaction stays probe-correct and exactly-once") {
+    import graft.streaming.CorpusStreams
+    val dir = Files.createTempDirectory("gtidx_soak").toString
+    val slices = (0 until 8).map(i =>
+      tables.documents.filter($"doc_id" % 8 === i))
+    // 8 micro-batches with auto-compaction at 3 live segments: the index
+    // must never hold 3+ segments after a batch returns
+    slices.zipWithIndex.foreach { case (s, i) =>
+      CorpusStreams.processTextIndexBatch(spark, s, i.toLong, "gtidx_soak",
+        dir, autoCompactAt = 3)
+      val live = TextIndex.attachSegments(spark, "gtidx_soak", dir).ids
+      assert(live.length < 3, s"batch $i left ${live.length} live segments")
+    }
+    // probe-equal to the from-scratch path over the full corpus
+    val seg = TextIndex.attachSegments(spark, "gtidx_soak", dir)
+    val live = TextAnalysis.bm25Search(tables)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val probed = TextIndex.bm25ProbeSegmented(spark, seg,
+        tables.documents.filter($"doc_id" < 10))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(probed.nonEmpty && probed == live,
+      s"diff=${(probed.toSet diff live.toSet).take(3)}")
+    // every original batch tag survived the compaction chain: replays of
+    // ANY batch — even ones folded away rounds ago — stay no-ops
+    for (i <- 0 until 8) {
+      CorpusStreams.processTextIndexBatch(spark, slices(i), i.toLong,
+        "gtidx_soak", dir, autoCompactAt = 3)
+      assert(TextIndex.attachSegments(spark, "gtidx_soak", dir).ids == seg.ids,
+        s"replay of batch $i re-ingested")
+    }
+  }
+
   test("single-term probe prunes to one bucket and pushes the In filter") {
     val dir = Files.createTempDirectory("gtidx_prune").toString
     val idx = TextIndex.buildIndex(spark, tables.documents, "gtidx_prune", dir,
