@@ -649,11 +649,16 @@ FROM perdoc p JOIN documents d USING (doc_id) GROUP BY d.lang ORDER BY d.lang"""
     * mix64 per shingle (the rollingHash64 chain over the gram string),
     * per-window min over SIGNED hashes, distinct winnowed set per doc
     * (global min when fewer than w windows), cross-doc shared counts. */
-  def winnowFingerprints(k: Int = 3, w: Int = 4): String = {
+  /** The winnowing selection chain (tokens → positioned k-shingle
+    * Karp–Rabin hashes → window minima → per-doc selected set `sel`),
+    * shared by [[winnowFingerprints]] and [[containmentWinnowed]]. Ends
+    * in `toks(doc_id, tk)`, `gh(doc_id, n_grams, pos, h)`, and
+    * `sel(doc_id, mh)`. */
+  private def winnowCtes(k: Int, w: Int): String = {
     val krFold = "list_reduce(list_prepend(CAST(0 AS HUGEINT), " +
       "list_transform(string_split(s, ''), c -> CAST(unicode(c) AS HUGEINT))), " +
       s"(acc, c) -> (${mulmod("acc", "1000003")} + c) % $M64)"
-    s"""WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk FROM documents),
+    s"""toks AS MATERIALIZED (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk FROM documents),
 g0 AS (SELECT doc_id, len(tk) - ${k - 1} AS n_grams, i - 1 AS pos, list_reduce(tk[i : i + ${k - 1}], (a, b) -> a || ' ' || b) AS s FROM toks, unnest(range(1, len(tk) - ${k - 2})) AS t(i) WHERE len(tk) >= $k),
 h0 AS (SELECT doc_id, n_grams, pos, $krFold AS hraw FROM g0),
 ${mixCtes("hm", "h0", "hraw", "hu", "doc_id, n_grams, pos")},
@@ -662,13 +667,33 @@ ws AS (SELECT doc_id, pos FROM gh WHERE pos <= n_grams - $w),
 wm AS (SELECT a.doc_id, a.pos, min(b.h) AS mh FROM ws a JOIN gh b ON b.doc_id = a.doc_id AND b.pos >= a.pos AND b.pos <= a.pos + ${w - 1} GROUP BY a.doc_id, a.pos),
 selw AS (SELECT DISTINCT doc_id, mh FROM wm),
 smin AS (SELECT doc_id, min(h) AS mh FROM gh GROUP BY doc_id),
-sel AS MATERIALIZED (SELECT doc_id, mh FROM selw UNION ALL SELECT s.doc_id, s.mh FROM smin s WHERE s.doc_id NOT IN (SELECT doc_id FROM ws)),
+sel AS MATERIALIZED (SELECT doc_id, mh FROM selw UNION ALL SELECT s.doc_id, s.mh FROM smin s WHERE s.doc_id NOT IN (SELECT doc_id FROM ws))"""
+  }
+
+  def winnowFingerprints(k: Int = 3, w: Int = 4): String = {
+    s"""WITH ${winnowCtes(k, w)},
 shf AS (SELECT mh FROM (SELECT mh, count(DISTINCT doc_id) AS nd FROM sel GROUP BY mh) WHERE nd >= 2),
 shc AS (SELECT doc_id, count(*) AS n_shared FROM sel JOIN shf USING (mh) GROUP BY doc_id),
 nsel AS (SELECT doc_id, count(*) AS n_selected FROM sel GROUP BY doc_id),
 base AS (SELECT DISTINCT doc_id, n_grams FROM gh)
 SELECT b.doc_id, CAST(b.n_grams AS BIGINT) AS n_grams, CAST(n.n_selected AS BIGINT) AS n_selected, CAST(coalesce(sc.n_shared, 0) AS BIGINT) AS n_shared, round(CAST(n.n_selected AS DOUBLE) / b.n_grams, 6) AS density FROM base b JOIN nsel n USING (doc_id) LEFT JOIN shc sc USING (doc_id) ORDER BY b.doc_id"""
   }
+
+  /** Oracle for q_containment ([[graft.operators.Dedup
+    * .containmentPairsWinnowed]] defaults): candidates = document pairs
+    * sharing a WINNOWED fingerprint (the [[winnowFingerprints]] selection
+    * chain verbatim), verified by exact w=2-shingle containment
+    * n_common / min-size ≥ minCont — the same verify as the old MinHash-
+    * candidate oracle, only the candidate CTE changed. */
+  def containmentWinnowed(k: Int = 3, w: Int = 4,
+                          minCont: Double = 0.5): String =
+    s"""WITH ${winnowCtes(k, w)},
+cpairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sel a JOIN sel b ON a.mh = b.mh AND a.doc_id < b.doc_id),
+sh20 AS (SELECT doc_id, tk, unnest(range(1, greatest(len(tk), 2))) AS i FROM toks WHERE len(tk) >= 1),
+sh2 AS MATERIALIZED (SELECT DISTINCT doc_id, CASE WHEN len(tk) >= 2 THEN tk[i] || ' ' || tk[i+1] ELSE tk[1] END AS s FROM sh20),
+ssz AS (SELECT doc_id, count(*) AS sz FROM sh2 GROUP BY doc_id),
+inter AS (SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_common FROM cpairs c JOIN sh2 a ON a.doc_id = c.doc_a JOIN sh2 b ON b.doc_id = c.doc_b AND a.s = b.s GROUP BY c.doc_a, c.doc_b)
+SELECT i.doc_a, i.doc_b, i.n_common, round(i.n_common / least(sa.sz, sb.sz), 6) AS containment FROM inter i JOIN ssz sa ON sa.doc_id = i.doc_a JOIN ssz sb ON sb.doc_id = i.doc_b WHERE i.n_common / least(sa.sz, sb.sz) >= $minCont ORDER BY i.doc_a, i.doc_b"""
 
   /** Oracle for q_ann_int8 ([[graft.operators.Similarity.int8TopK]]):
     * int8 codes re-derived as in the q_embed_quantize oracle, then exact

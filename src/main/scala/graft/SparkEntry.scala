@@ -505,7 +505,7 @@ object SparkEntry {
     "q_decay_value" -> ((s, d) => Analytics.decayedUserValue(Tables(s, d))),
     "q_event_paths" -> ((s, d) => Analytics.topEventPaths(Tables(s, d))),
     "q_transitions" -> ((s, d) => Analytics.eventTransitions(Tables(s, d))),
-    "q_containment" -> ((s, d) => Dedup.containmentPairs(Tables(s, d))),
+    "q_containment" -> ((s, d) => Dedup.containmentPairsWinnowed(Tables(s, d))),
     "q_lang_confusion" -> ((s, d) => TextAnalysis.langConfusion(Tables(s, d))),
     "q_media_bytestats" -> ((s, d) => Multimodal.byteStats(Tables(s, d))),
     "q_media_decode" -> ((s, d) => Multimodal.imageDecodeStats(Tables(s, d))),
@@ -1681,7 +1681,7 @@ object SparkEntry {
         "FROM cnt GROUP BY doc_id, n, sniffed " +
         "UNION ALL SELECT doc_id, CAST(0 AS BIGINT), 'unknown', 0.0 FROM m WHERE n = 0 " +
         "ORDER BY doc_id"),
-    "q_containment" -> MinhashOracleSql.containmentPairs(),
+    "q_containment" -> KernelOracleSql.containmentWinnowed(),
     // the oracle re-derives the synthetic images' generation formula; Spark
     // emits what the REAL codec decoded from the real PNG bytes — a hash
     // match proves the encode→decode round trip recovered every pixel

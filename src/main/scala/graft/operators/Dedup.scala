@@ -359,10 +359,53 @@ object Dedup {
     * band threshold) is the documented trade for never going all-pairs. */
   def containmentPairs(t: Tables, w: Int = 2, minEstJaccard: Double = 0.1,
                        minContainment: Double = 0.5,
-                       maxBucketSize: Option[Long] = None): DataFrame = {
-    val cand = minhashCandidatesCore(t, w = w, minEstJaccard = minEstJaccard,
-        maxBucketSize = maxBucketSize)
+                       maxBucketSize: Option[Long] = None): DataFrame =
+    verifyContainment(t,
+      minhashCandidatesCore(t, w = w, minEstJaccard = minEstJaccard,
+        maxBucketSize = maxBucketSize).select("doc_a", "doc_b"),
+      w, minContainment)
+
+  /** Containment detection with WINNOWING-fingerprint candidates — the
+    * recall fix for [[containmentPairs]]' documented limit: MinHash bands
+    * estimate JACCARD, and a tiny excerpt inside a huge document dilutes
+    * the estimate below any band threshold no matter how exact the copy.
+    * Winnowed fingerprints are LOCAL (Schleimer/Wilkerson/Aiken 2003):
+    * any shared token run of ≥ wWin+kWin−1 tokens (6 at the defaults)
+    * yields at least one shared selected fingerprint REGARDLESS of the
+    * containing document's size — so the tiny-excerpt pair surfaces as a
+    * candidate, then the identical exact-containment verify scores it.
+    *
+    * Scale shape: candidates come from an fp-keyed equi-self-join over
+    * the winnowed sets (density 2/(wWin+1) per document — a bounded
+    * fraction of the corpus token count), never all-pairs; `maxDocsPerFp`
+    * drops boilerplate mega-fingerprints shared by half the corpus (the
+    * LSH hot-bucket cap's twin — same recall trade, same knob shape). */
+  def containmentPairsWinnowed(t: Tables, w: Int = 2, kWin: Int = 3,
+                               wWin: Int = 4, minContainment: Double = 0.5,
+                               maxDocsPerFp: Option[Long] = None): DataFrame = {
+    val fpRows = TextAnalysis.winnowedFpRows(t.documents, kWin, wWin)
+      .localCheckpoint() // the cap aggregate + both join sides read it
+    val capped = maxDocsPerFp.fold(fpRows) { m =>
+      fpRows.join(
+        fpRows.groupBy("fp").agg(countDistinct("doc_id").as("_nd"))
+          .filter(col("_nd") <= m).select("fp"),
+        Seq("fp"), "left_semi")
+    }
+    val cand = capped.select(col("doc_id").as("doc_a"), col("fp"))
+      .join(capped.select(col("doc_id").as("doc_b"), col("fp")), "fp")
+      .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
+      .distinct()
+    val out = verifyContainment(t, cand, w, minContainment)
+    fpRows.unpersist(blocking = false)
+    out
+  }
+
+  /** The exact-containment verify shared by both candidate generators:
+    * n_common / |smaller w-shingle set| ≥ threshold over the candidate
+    * pairs only. */
+  private def verifyContainment(t: Tables, cand: DataFrame, w: Int,
+                                minContainment: Double): DataFrame = {
     val sets = t.documents
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_tk"))
       .select(col("doc_id"), sort_array(shinglesOfTokens(col("_tk"), w)).as("_sh"))

@@ -309,7 +309,12 @@ object TextAnalysis {
     * documents with fewer than `w` windows keep the global minimum (the
     * algorithm's boundary rule), so every included doc has ≥ 1
     * fingerprint. */
-  def winnowFingerprints(t: Tables, k: Int = 3, w: Int = 4): DataFrame = {
+  /** The winnowing selection expressions over a tokenized frame: `_tk`
+    * (token array) → `_gh` (positioned k-shingle hashes) → selected
+    * fingerprint array. Shared by [[winnowFingerprints]] and the
+    * winnowed containment candidate generator
+    * ([[Dedup.containmentPairs]]). */
+  private def winnowExprs(k: Int, w: Int): (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
     val gh = transform(
       sequence(lit(0), size(col("_tk")) - k),
       i => HashFunctions.rollingHash64(concat_ws(" ", slice(col("_tk"), i + 1, lit(k)))))
@@ -317,6 +322,26 @@ object TextAnalysis {
       array_distinct(transform(sequence(lit(0), size(col("_gh")) - w),
         j => array_min(slice(col("_gh"), j + 1, lit(w))))))
       .otherwise(array(array_min(col("_gh"))))
+    (gh, sel)
+  }
+
+  /** One (doc_id, fp) row per selected winnowing fingerprint — the
+    * candidate-generation feed for containment detection. Same selection
+    * as [[winnowFingerprints]] (spec/oracle-pinned there); the SWA
+    * guarantee carries over: any shared token run of ≥ w+k−1 tokens
+    * yields at least one SHARED selected fingerprint, regardless of how
+    * large the containing document is. */
+  private[graft] def winnowedFpRows(docs: DataFrame, k: Int = 3,
+                                    w: Int = 4): DataFrame = {
+    val (gh, sel) = winnowExprs(k, w)
+    docs.select(col("doc_id"), tokens(col("text")).as("_tk"))
+      .filter(size(col("_tk")) >= k)
+      .withColumn("_gh", gh)
+      .select(col("doc_id"), explode(sel).as("fp"))
+  }
+
+  def winnowFingerprints(t: Tables, k: Int = 3, w: Int = 4): DataFrame = {
+    val (gh, sel) = winnowExprs(k, w)
     val perDoc = t.documents
       .select(col("doc_id"), tokens(col("text")).as("_tk"))
       .filter(size(col("_tk")) >= k)

@@ -301,6 +301,46 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("winnowed containment recovers a tiny excerpt the MinHash candidates miss") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    // a 10-token excerpt (well over the winnowing guarantee of
+    // wWin+kWin-1 = 6 shared tokens) buried in a ~400-token document:
+    // the pair's true Jaccard is ~9/400 — far below any band estimate —
+    // while its containment is 1.0
+    val excerpt = "the quick brown fox jumps over the lazy sleeping dog"
+    val filler = (0 until 400).map(i => s"w$i").mkString(" ")
+    val big = filler.split(" ").take(200).mkString(" ") + " " + excerpt +
+      " " + filler.split(" ").drop(200).mkString(" ")
+    val docs = Seq((0L, excerpt), (1L, big),
+      (2L, "an unrelated document about nothing shared with the others at all"))
+      .toDF("doc_id", "text")
+      .withColumn("source", lit("t")).withColumn("lang", lit("en"))
+    val t2 = tables.withTable("documents", docs)
+    val missed = Dedup.containmentPairs(t2).collect()
+    assert(!missed.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L),
+      "fixture broken: MinHash candidates already surface the excerpt — " +
+        "the winnowed path would not be testing anything")
+    val found = Dedup.containmentPairsWinnowed(t2).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(found.contains((0L, 1L)),
+      s"winnowed candidates missed the planted excerpt: ${found.keySet}")
+    assert(found((0L, 1L)) >= 0.99, s"containment ${found((0L, 1L))} != ~1.0")
+    // the hot-fingerprint cap drops boilerplate mega-fps: capping at 1
+    // doc per fp kills every shared candidate (the documented trade)
+    assert(Dedup.containmentPairsWinnowed(t2, maxDocsPerFp = Some(1L))
+      .collect().isEmpty)
+    // and on the real corpus the winnowed pass retains the pairs the
+    // MinHash pass found (same verify, strictly broader local candidates)
+    val mh = Dedup.containmentPairs(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wn = Dedup.containmentPairsWinnowed(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.nonEmpty && wn.nonEmpty)
+    assert((mh diff wn).size <= math.max(1, mh.size / 10),
+      s"winnowed lost ${(mh diff wn).size} of ${mh.size} MinHash pairs")
+  }
+
   test("sourceSignatureSimilarity merges per-doc signatures as the union minhash") {
     val rows = Dedup.sourceSignatureSimilarity(tables).collect()
       .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
