@@ -298,6 +298,8 @@ object SparkEntry {
     "q_source_kl" -> ((s, d) => TextAnalysis.sourceKlDivergence(Tables(s, d))),
     "q_tfidf_search" -> ((s, d) => TextAnalysis.tfidfSearch(Tables(s, d))),
     "q_bm25_search" -> ((s, d) => TextAnalysis.bm25Search(Tables(s, d))),
+    "q_hybrid_search" -> ((s, d) =>
+      graft.operators.Pipeline.hybridSearch(Tables(s, d))),
     "q_bm25_indexed" -> ((s, d) => {
       // the stored-index form of q_bm25_search: tf/df/len are computed
       // once per dataset into a bucketed+sorted postings table (warmup
@@ -683,6 +685,14 @@ object SparkEntry {
     * output — the driver sorts columns by name before hashing). Keys omitted
     * here (minhash/simhash/lsh/lang/fingerprint) are non-SQL-expressible and
     * get the driver's rows-only check + ScalaTest coverage. */
+  private val AnnTopkOracleSql: String =
+    "SELECT query_id, neighbor_id, cosine FROM (" +
+      "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+      "round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS cosine, " +
+      "row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS rn " +
+      "FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id WHERE q.vec_id < 10) " +
+      "WHERE rn <= 5"
+
   private val Bm25OracleSql: String =
     "WITH toks AS (SELECT doc_id, token AS w FROM (SELECT doc_id, " +
         "unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token FROM documents) WHERE token <> ''), " +
@@ -1016,13 +1026,19 @@ object SparkEntry {
           s"SELECT $d AS dim, qs.query_id, CAST(coalesce(h$d.n_common, 0) AS BIGINT) AS n_common FROM qs LEFT JOIN h$d ON h$d.query_id = qs.query_id")
           .mkString(" UNION ALL ") +
         ") ORDER BY dim, query_id"),
-    "q_ann_topk" ->
-      ("SELECT query_id, neighbor_id, cosine FROM (" +
-        "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
-        "round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS cosine, " +
-        "row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS rn " +
-        "FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id WHERE q.vec_id < 10) " +
-        "WHERE rn <= 5 ORDER BY query_id, neighbor_id"),
+    "q_ann_topk" -> AnnTopkOracleSql,
+    // HYBRID RETRIEVAL: the two arms' oracle texts verbatim as
+    // subqueries, fused by the identical RRF window arithmetic the
+    // engine runs (ranks on the rounded emitted scores, id tie-breaks;
+    // at most one term per arm per pair, so the sum is order-free)
+    "q_hybrid_search" ->
+      (s"WITH lex AS (SELECT * FROM ($Bm25OracleSql)), " +
+        s"sem AS (SELECT * FROM ($AnnTopkOracleSql)), " +
+        "lr AS (SELECT query_id, neighbor_id, 1.0 / (60 + row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, neighbor_id ASC)) AS c FROM lex), " +
+        "sr AS (SELECT query_id, neighbor_id, 1.0 / (60 + row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC)) AS c FROM sem), " +
+        "f AS (SELECT query_id, neighbor_id, round(sum(c), 6) AS rrf FROM (SELECT * FROM lr UNION ALL SELECT * FROM sr) GROUP BY query_id, neighbor_id), " +
+        "rk AS (SELECT query_id, neighbor_id, rrf, row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, neighbor_id ASC) AS rn FROM f) " +
+        "SELECT query_id, neighbor_id, rrf FROM rk WHERE rn <= 5 ORDER BY query_id, neighbor_id"),
     "q_hard_negatives" ->
       ("WITH sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS n_label, q.label AS q_label, " +
         "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cos " +

@@ -67,4 +67,42 @@ object Pipeline {
         count(when(col("_st") === "unchanged", 1)).as("n_unchanged"))
       .orderBy("source")
   }
+
+  /** HYBRID RETRIEVAL by Reciprocal Rank Fusion (Cormack/Clarke/Büttcher
+    * SIGIR'09 — the production default for combining lexical and vector
+    * search): per query, fuse the BM25 top-k ([[TextAnalysis.bm25Search]])
+    * with the embedding-cosine top-k ([[Similarity.bruteForceTopK]]) by
+    * RRF(d) = Σ_arms 1/(kRrf + rank_arm(d)) — rank-based, so the two
+    * arms' incomparable score scales never need calibration. Documents
+    * and embeddings are parallel corpora here (vec_id i embeds doc i —
+    * the testdata contract every cross-modal query in this repo uses).
+    *
+    * Determinism/oracle story: each arm's membership comes from that
+    * operator's own (hash-verified) ranking; fusion ranks arms on their
+    * ROUNDED emitted scores with id tie-breaks, and an RRF sum has at
+    * most one term per arm — two-double addition is order-free — so the
+    * composed SQL oracle (the two arms' oracle texts verbatim, fused by
+    * the same window arithmetic) matches hash-for-hash. Cost: the two
+    * arms (each bounded: broadcast query side, corpus streamed once)
+    * plus two k·nQueries-row windows — fusion itself is free at any
+    * corpus size. */
+  def hybridSearch(t: Tables, k: Int = 5, kRrf: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def contrib(df: DataFrame, score: String): DataFrame = df
+      .withColumn("_r", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col(score).desc, col("neighbor_id").asc)))
+      .select(col("query_id"), col("neighbor_id"),
+        (lit(1.0) / (lit(kRrf) + col("_r"))).as("_c"))
+    val fused = contrib(TextAnalysis.bm25Search(t), "bm25")
+      .unionByName(contrib(Similarity.bruteForceTopK(t), "cosine"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(round(sum("_c"), 6).as("rrf"))
+    fused
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("rrf").desc, col("neighbor_id").asc)))
+      .filter(col("_rn") <= k)
+      .select("query_id", "neighbor_id", "rrf")
+      .orderBy("query_id", "neighbor_id")
+  }
 }

@@ -72,4 +72,33 @@ class PipelineSpec extends SparkSpec {
     assert(totals._2 + totals._3 + totals._4 == n1)
     assert(totals._1 + totals._3 + totals._4 == n2)
   }
+
+  test("hybridSearch fuses the two arms by exact RRF arithmetic") {
+    val lex = TextAnalysis.bm25Search(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val sem = graft.operators.Similarity.bruteForceTopK(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def contribs(arm: Array[(Long, Long, Double)]): Map[(Long, Long), Double] =
+      arm.groupBy(_._1).flatMap { case (_, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).zipWithIndex.map { case (r, i) =>
+          (r._1, r._2) -> 1.0 / (60 + i + 1)
+        }
+      }
+    val expected = (contribs(lex).toSeq ++ contribs(sem).toSeq)
+      .groupBy(_._1).map { case (k, vs) =>
+        k -> math.rint(vs.map(_._2).sum * 1e6) / 1e6 }
+      .groupBy(_._1._1).flatMap { case (_, perQ) =>
+        perQ.toSeq.sortBy { case ((_, n), s) => (-s, n) }.take(5)
+      }
+    val got = Pipeline.hybridSearch(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.nonEmpty && got == expected,
+      s"diff=${(got.toSet diff expected.toSet).take(3)}")
+    // fusion genuinely uses BOTH arms: some fused pair must be absent
+    // from each single arm's top-k
+    val lexSet = lex.map(r => (r._1, r._2)).toSet
+    val semSet = sem.map(r => (r._1, r._2)).toSet
+    assert(got.keySet.exists(!lexSet.contains(_)) ||
+      got.keySet.exists(!semSet.contains(_)))
+  }
 }
