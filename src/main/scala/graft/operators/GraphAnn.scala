@@ -151,30 +151,179 @@ object GraphAnn {
     Index(prefix, dir, entry, degree, n)
   }
 
-  /** Attach a previously built graph index (re-registers the bucketed
-    * tables for a fresh catalog; the files and meta are the truth). */
+  private def tagsPath(dir: String) = new HPath(dir, "graph_ann.tags")
+
+  /** APPEND a batch of new vectors — the HNSW insert path, batched: each
+    * new vector beam-searches the EXISTING graph for its `degree` nearest
+    * nodes (the same deterministic search queries use), then links both
+    * directions: forward edges `new → found` and reverse edges
+    * `found → new`, APPENDED as rows — existing adjacency is never
+    * rewritten, so an append touches only batch-sized data (reverse
+    * edges let searches reach the new nodes from day-0 regions).
+    * Existing nodes' degrees grow past the 2·degree cap until
+    * [[compactIndex]] re-caps them — the LSM-style trade every appendable
+    * index here makes. Intra-batch near-duplicates link THROUGH the
+    * stored graph (insert-order semantics, like sequential HNSW inserts).
+    *
+    * Exactly-once-per-tag with AT-LEAST-ONCE data semantics (the
+    * [[AnnIndex]] marker contract): the tag commits AFTER the data, so a
+    * crash between them lets a replay re-append — duplicate edges and
+    * node rows are SEARCH-BENIGN (hops `.distinct` candidates, scoring
+    * dedups per pair) and [[compactIndex]] removes them. New vec_ids
+    * must not collide with stored ones (caller contract — id allocation
+    * belongs to the pipeline, as in every append family here). */
+  def appendToIndex(spark: SparkSession, newVectors: DataFrame, idx: Index,
+                    batchTag: Option[String] = None): Index = {
+    batchTag.foreach(IndexFiles.requireValidTag)
+    val tags = IndexFiles.readString(spark, tagsPath(idx.dir))
+      .map(_.trim.split(' ').toSet).getOrElse(Set.empty)
+    if (batchTag.exists(tags.contains)) return idx
+    val nNew = newVectors.count()
+    if (nNew == 0) return idx
+    val q = newVectors.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"))
+    val found = beamSearchWithCandidateCount(spark, idx, q,
+      k = idx.degree, beam = math.max(idx.degree, 16))._1
+    val fwd = found.select(col("query_id").as("node_id"),
+      col("neighbor_id"), col("cosine").as("cos"))
+    val rev = found.select(col("neighbor_id").as("node_id"),
+      col("query_id").as("neighbor_id"), col("cosine").as("cos"))
+    val b = storedBuckets(spark, idx.dir)
+    fwd.unionByName(rev)
+      .write.mode(SaveMode.Append)
+      .bucketBy(b, "node_id").sortBy("node_id")
+      .saveAsTable(idx.adjTable)
+    newVectors.select(col("vec_id"), col("embedding"))
+      .write.mode(SaveMode.Append)
+      .bucketBy(b, "vec_id").sortBy("vec_id")
+      .saveAsTable(idx.nodesTable)
+    IndexFiles.writeString(spark, metaPath(idx.dir),
+      s"${idx.entry} ${idx.degree} ${idx.nNodes + nNew}")
+    // tag LAST: it asserts the whole append completed
+    batchTag.foreach(t => IndexFiles.writeString(spark, tagsPath(idx.dir),
+      (tags + t).toSeq.sorted.mkString(" ")))
+    idx.copy(nNodes = idx.nNodes + nNew)
+  }
+
+  private def stagePath(dir: String, table: String) =
+    new HPath(dir, s"${table}_stage")
+  private def asidePath(dir: String, table: String) =
+    new HPath(dir, s"${table}_old")
+  private def compactMarker(dir: String) =
+    new HPath(dir, "graph_compact.commit")
+
+  /** COMPACT after appends: dedup (node, neighbor) edges (max cos wins),
+    * re-cap every node at 2·degree (keep best — restores the build-time
+    * read bound the append path deliberately exceeded), dedup node rows,
+    * and recount the meta. Crash-safe two-phase ([[AnnIndex
+    * .compactIndex]]'s protocol): both tables stage beside the canonical
+    * dirs, the marker is the commit point, promotion rolls forward and
+    * every intermediate crash state resumes on [[attachIndex]].
+    * Exclusive with appends by contract. */
+  def compactIndex(spark: SparkSession, idx: Index): Index = {
+    val adj = spark.table(idx.adjTable)
+    import org.apache.spark.sql.expressions.Window
+    val compacted = adj.groupBy("node_id", "neighbor_id")
+      .agg(max("cos").as("cos"))
+      .withColumn("_rn", row_number().over(Window.partitionBy("node_id")
+        .orderBy(col("cos").desc, col("neighbor_id").asc)))
+      .filter(col("_rn") <= 2 * idx.degree).drop("_rn")
+    val nodesDedup = spark.table(idx.nodesTable)
+      .groupBy("vec_id").agg(first("embedding").as("embedding"))
+    val b = storedBuckets(spark, idx.dir)
+    // stage as BUCKETED files (temporary catalog names targeting the
+    // stage dirs — the bucket-id file naming survives the dir rename, so
+    // the canonical tables' declared spec stays true after promotion)
+    def stageAs(df: DataFrame, table: String, key: String): Unit = {
+      val tmp = s"${table}__stage"
+      if (spark.catalog.tableExists(tmp)) spark.sql(s"DROP TABLE $tmp")
+      df.write.mode(SaveMode.Overwrite)
+        .bucketBy(b, key).sortBy(key)
+        .option("path", stagePath(idx.dir, table).toString)
+        .saveAsTable(tmp)
+      spark.sql(s"DROP TABLE $tmp") // files stay; only the temp DDL goes
+    }
+    stageAs(compacted, idx.adjTable, "node_id")
+    stageAs(nodesDedup, idx.nodesTable, "vec_id")
+    val n = nodesDedup.count()
+    IndexFiles.writeString(spark, compactMarker(idx.dir), "compact")
+    promoteCompaction(spark, idx)
+    // meta recount AFTER promotion (a crash in between leaves a stale —
+    // strictly over-counting — nNodes; informational only)
+    IndexFiles.writeString(spark, metaPath(idx.dir),
+      s"${idx.entry} ${idx.degree} $n")
+    idx.copy(nNodes = n)
+  }
+
+  /** Post-marker promotion, shared with crash recovery; idempotent. */
+  private def promoteCompaction(spark: SparkSession, idx: Index): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq(idx.adjTable, idx.nodesTable).foreach { t =>
+      val canonical = new HPath(idx.dir, t)
+      val stage = stagePath(idx.dir, t)
+      val aside = asidePath(idx.dir, t)
+      val fs = canonical.getFileSystem(conf)
+      if (fs.exists(stage)) {
+        if (fs.exists(canonical) && !fs.exists(aside))
+          if (!fs.rename(canonical, aside))
+            throw new java.io.IOException(s"rename $canonical -> $aside failed")
+        if (!fs.rename(stage, canonical))
+          throw new java.io.IOException(s"rename $stage -> $canonical failed")
+      }
+      if (fs.exists(aside)) fs.delete(aside, true)
+      // a fresh catalog (attach-time recovery) may not have the table yet
+      if (spark.catalog.tableExists(t)) spark.catalog.refreshTable(t)
+    }
+    IndexFiles.delete(spark, compactMarker(idx.dir))
+  }
+
+  private def recoverCompaction(spark: SparkSession, idx: Index): Unit =
+    if (IndexFiles.exists(spark, compactMarker(idx.dir)))
+      promoteCompaction(spark, idx)
+    else {
+      val conf = spark.sparkContext.hadoopConfiguration
+      Seq(idx.adjTable, idx.nodesTable).foreach { t =>
+        val stage = stagePath(idx.dir, t)
+        val fs = stage.getFileSystem(conf)
+        if (fs.exists(stage)) fs.delete(stage, true) // uncommitted: roll back
+      }
+    }
+
+  private def storedBuckets(spark: SparkSession, dir: String): Int =
+    IndexFiles.readString(spark, bucketsPath(dir))
+      .getOrElse(throw new IllegalStateException(
+        s"GraphAnn: missing bucket spec at ${bucketsPath(dir)}"))
+      .trim.toInt
+
+  private def registerTables(spark: SparkSession, prefix: String,
+                             dir: String, b: Int): Unit = {
+    if (!spark.catalog.tableExists(s"${prefix}_gadj"))
+      spark.sql(
+        s"""CREATE TABLE ${prefix}_gadj (node_id BIGINT, neighbor_id BIGINT,
+           |cos DOUBLE) USING PARQUET
+           |CLUSTERED BY (node_id) SORTED BY (node_id) INTO $b BUCKETS
+           |LOCATION '${new HPath(dir, s"${prefix}_gadj")}'""".stripMargin)
+    if (!spark.catalog.tableExists(s"${prefix}_gnodes"))
+      spark.sql(
+        s"""CREATE TABLE ${prefix}_gnodes (vec_id BIGINT,
+           |embedding ARRAY<FLOAT>) USING PARQUET
+           |CLUSTERED BY (vec_id) SORTED BY (vec_id) INTO $b BUCKETS
+           |LOCATION '${new HPath(dir, s"${prefix}_gnodes")}'""".stripMargin)
+  }
+
+  /** Attach a previously built graph index: rolls an interrupted
+    * compaction forward (marker present) or an uncommitted stage back,
+    * then re-registers the bucketed tables for a fresh catalog — the
+    * files and meta are the truth. */
   def attachIndex(spark: SparkSession, prefix: String, dir: String): Index = {
     val meta = IndexFiles.readString(spark, metaPath(dir))
       .getOrElse(throw new IllegalStateException(
         s"GraphAnn.attachIndex: no completed index at $dir (missing ${metaPath(dir)})"))
       .trim.split(' ')
-    val b = IndexFiles.readString(spark, bucketsPath(dir))
-      .getOrElse(throw new IllegalStateException(
-        s"GraphAnn.attachIndex: missing bucket spec at ${bucketsPath(dir)}"))
-      .trim.toInt
+    val b = storedBuckets(spark, dir)
     val idx = Index(prefix, dir, meta(0).toLong, meta(1).toInt, meta(2).toLong)
-    if (!spark.catalog.tableExists(idx.adjTable))
-      spark.sql(
-        s"""CREATE TABLE ${idx.adjTable} (node_id BIGINT, neighbor_id BIGINT,
-           |cos DOUBLE) USING PARQUET
-           |CLUSTERED BY (node_id) SORTED BY (node_id) INTO $b BUCKETS
-           |LOCATION '${new HPath(dir, idx.adjTable)}'""".stripMargin)
-    if (!spark.catalog.tableExists(idx.nodesTable))
-      spark.sql(
-        s"""CREATE TABLE ${idx.nodesTable} (vec_id BIGINT,
-           |embedding ARRAY<FLOAT>) USING PARQUET
-           |CLUSTERED BY (vec_id) SORTED BY (vec_id) INTO $b BUCKETS
-           |LOCATION '${new HPath(dir, idx.nodesTable)}'""".stripMargin)
+    recoverCompaction(spark, idx)
+    registerTables(spark, prefix, dir, b)
     idx
   }
 

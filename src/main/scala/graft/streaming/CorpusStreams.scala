@@ -262,6 +262,31 @@ object CorpusStreams {
         graft.operators.TextIndex.compactSegments(spark, seg)
     }
 
+  /** Streaming ingest into the GRAPH-ANN index: each micro-batch of new
+    * vectors inserts via [[graft.operators.GraphAnn.appendToIndex]] (the
+    * batched HNSW insert path) with the batchId as the batch tag —
+    * replays are no-ops once the tag committed; a crash between data and
+    * tag re-appends, which the search path tolerates (duplicate edges
+    * are candidate-deduped) and [[graft.operators.GraphAnn.compactIndex]]
+    * removes. */
+  def graphAnnIngestLoop(spark: org.apache.spark.sql.SparkSession,
+                         vectors: DataFrame,
+                         idx: graft.operators.GraphAnn.Index): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processGraphAnnBatch(spark, batch, batchId, idx)
+      }
+      .start()
+
+  /** One micro-batch of [[graphAnnIngestLoop]], exposed for direct
+    * testing of the replay contract. */
+  def processGraphAnnBatch(spark: org.apache.spark.sql.SparkSession,
+                           batch: DataFrame, batchId: Long,
+                           idx: graft.operators.GraphAnn.Index): Unit =
+    graft.operators.GraphAnn.appendToIndex(spark, batch, idx,
+      batchTag = Some(f"gann-$batchId%020d"))
+
   /** Streaming CDC / MERGE apply (the continuous [[graft.operators
     * .Relational.upsertMerge]]): each micro-batch of change rows
     * `(k, op, …payload)` applies to the persisted keyed store as one

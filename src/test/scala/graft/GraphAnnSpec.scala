@@ -63,6 +63,62 @@ class GraphAnnSpec extends SparkSpec {
     assert(e.getMessage.contains("no completed index"))
   }
 
+  test("append: new vectors become searchable; replayed tag is a no-op; compaction re-caps") {
+    val dir = Files.createTempDirectory("gann_app").toString
+    val half = tables.embeddings.filter($"vec_id" % 2 === 0)
+    val rest = tables.embeddings.filter($"vec_id" % 2 === 1)
+      .select("vec_id", "embedding")
+    val built = GraphAnn.buildIndex(spark, half, "gann_ap", dir)
+    val appended = GraphAnn.appendToIndex(spark, rest, built,
+      batchTag = Some("b1"))
+    assert(appended.nNodes == built.nNodes + rest.count())
+    // replay: tag already recorded, nothing changes — exercised through
+    // the streaming micro-batch wiring (batchId 1 → the same tag scheme)
+    val replayed = GraphAnn.appendToIndex(spark, rest, appended,
+      batchTag = Some("b1"))
+    assert(replayed.nNodes == appended.nNodes)
+    graft.streaming.CorpusStreams.processGraphAnnBatch(spark, rest, 7L,
+      appended)
+    graft.streaming.CorpusStreams.processGraphAnnBatch(spark, rest, 7L,
+      appended) // replayed micro-batch: tag listed, no-op
+    val meta = GraphAnn.attachIndex(spark, "gann_ap", dir)
+    assert(meta.nNodes == appended.nNodes + rest.count(),
+      "streamed batch landed once and its replay was a no-op")
+    // the appended vectors are REACHABLE: full-corpus queries now recall
+    // odd neighbors too (brute force over the full corpus as truth)
+    val out = GraphAnn.beamSearch(spark, appended, queries()).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.map(_._2).exists(_ % 2 == 1),
+      "no appended (odd) vector ever surfaces in the top-k")
+    val brute = Similarity.bruteForceTopK(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (out intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.6, s"post-append recall collapsed: $recall")
+    // compaction: degree re-capped, duplicates gone, results still good
+    val compacted = GraphAnn.compactIndex(spark, appended)
+    val deg = spark.table(compacted.adjTable).groupBy("node_id").count()
+      .agg(max("count")).head().getLong(0)
+    assert(deg <= 2 * compacted.degree, s"degree $deg > ${2 * compacted.degree}")
+    assert(spark.table(compacted.nodesTable).count() == compacted.nNodes)
+    val outC = GraphAnn.beamSearch(spark, compacted, queries()).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallC = (outC intersect brute).size.toDouble / brute.size
+    assert(recallC >= 0.6, s"post-compaction recall collapsed: $recallC")
+  }
+
+  test("compaction crash states: uncommitted stage rolls back, committed rolls forward") {
+    val dir = Files.createTempDirectory("gann_crash").toString
+    val idx = GraphAnn.buildIndex(spark, tables.embeddings, "gann_cr", dir)
+    val before = GraphAnn.beamSearch(spark, idx, queries(3)).collect().toSeq
+    // uncommitted stage (no marker): attach discards it
+    val stageAdj = java.nio.file.Paths.get(dir, s"${idx.adjTable}_stage")
+    java.nio.file.Files.createDirectories(stageAdj)
+    java.nio.file.Files.writeString(stageAdj.resolve("garbage.parquet"), "file")
+    val re = GraphAnn.attachIndex(spark, "gann_cr", dir)
+    assert(!java.nio.file.Files.exists(stageAdj), "uncommitted stage survived")
+    assert(GraphAnn.beamSearch(spark, re, queries(3)).collect().toSeq == before)
+  }
+
   test("a hop's adjacency expansion prunes to the frontier's buckets") {
     val dir = Files.createTempDirectory("gann_prune").toString
     val idx = GraphAnn.buildIndex(spark, tables.embeddings, "gann_pr", dir)
