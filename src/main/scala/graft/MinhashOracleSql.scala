@@ -1080,13 +1080,34 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans, CAST(sum(e0 - s0) AS BIGINT)
     * spans. The engine builds the same answer by truncated prefix
     * doubling (exact rank equality, no strings through the shuffle);
     * both derivations are exact, so they must match row-for-row. */
-  def dupSubstrings(minLen: Int = 32, minDocs: Int = 2): String =
-    s"""WITH pos AS (SELECT doc_id, i AS p, substr(text, CAST(i AS INT), $minLen) AS g FROM documents, unnest(range(1, length(text) - ${minLen - 2})) AS t(i)),
+  /** Shared chain ending in `spans(doc_id, span_start, span_len)` — the
+    * direct-derivation duplicate-substring spans [[dupSubstrings]] and
+    * [[dupCut]] both read. */
+  private def dupSpanCtes(minLen: Int, minDocs: Int): String =
+    s"""pos AS (SELECT doc_id, i AS p, substr(text, CAST(i AS INT), $minLen) AS g FROM documents, unnest(range(1, length(text) - ${minLen - 2})) AS t(i)),
 dup AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd FROM pos GROUP BY g) WHERE nd >= $minDocs),
 mark AS (SELECT doc_id, p FROM pos JOIN dup USING (g)),
 isl AS (SELECT doc_id, p, CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) = 1 THEN 0 ELSE 1 END AS brk FROM mark),
-grp AS (SELECT doc_id, p, sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS gid FROM isl)
-SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start, CAST(max(p) + $minLen - min(p) AS BIGINT) AS span_len FROM grp GROUP BY doc_id, gid ORDER BY doc_id, span_start"""
+grp AS (SELECT doc_id, p, sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS gid FROM isl),
+spans AS MATERIALIZED (SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start, CAST(max(p) + $minLen - min(p) AS BIGINT) AS span_len FROM grp GROUP BY doc_id, gid)"""
+
+  def dupSubstrings(minLen: Int = 32, minDocs: Int = 2): String =
+    s"""WITH ${dupSpanCtes(minLen, minDocs)}
+SELECT doc_id, span_start, span_len FROM spans ORDER BY doc_id, span_start"""
+
+  /** Oracle for q_dedup_cut ([[graft.operators.SuffixDedup
+    * .cutDuplicateSpans]]): the spans re-derived directly, then the KEPT
+    * segments between them reassembled in order — identical segment
+    * arithmetic to the engine (span ends are monotone, so the previous
+    * span's end is the next kept segment's start; overlapping coverage
+    * clamps to an empty piece). */
+  def dupCut(minLen: Int = 32, minDocs: Int = 2): String =
+    s"""WITH ${dupSpanCtes(minLen, minDocs)},
+mid AS (SELECT doc_id, coalesce(lag(span_start + span_len) OVER (PARTITION BY doc_id ORDER BY span_start), 1) AS seg_start, span_start AS seg_end FROM spans),
+tl AS (SELECT doc_id, max(span_start + span_len) AS seg_start, CAST(-1 AS BIGINT) AS seg_end FROM spans GROUP BY doc_id),
+pieces AS (SELECT d.doc_id, coalesce(s.seg_start, 1) AS seg_start, CASE WHEN s.seg_start IS NULL THEN d.text WHEN s.seg_end = -1 THEN substr(d.text, CAST(s.seg_start AS INT), greatest(length(d.text) - CAST(s.seg_start AS INT) + 1, 0)) ELSE substr(d.text, CAST(s.seg_start AS INT), CAST(greatest(s.seg_end - s.seg_start, 0) AS INT)) END AS piece FROM documents d LEFT JOIN (SELECT * FROM mid UNION ALL SELECT * FROM tl) s USING (doc_id)),
+cleaned AS (SELECT doc_id, string_agg(piece, '' ORDER BY seg_start) AS txt FROM pieces GROUP BY doc_id)
+SELECT c.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars, CAST(length(c.txt) AS BIGINT) AS n_clean, CAST(length(d.text) - length(c.txt) AS BIGINT) AS n_cut, md5(c.txt) AS clean_md5 FROM cleaned c JOIN documents d USING (doc_id) ORDER BY c.doc_id"""
 
   /** Oracle for q_cdc_chunks
     * ([[graft.operators.Packing.cdcChunks]]): the per-token Karp–Rabin +

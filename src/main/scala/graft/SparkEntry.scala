@@ -664,6 +664,12 @@ object SparkEntry {
     "q_dup_spans" -> ((s, d) => Dedup.duplicateSpans(Tables(s, d))),
     "q_dup_substrings" -> ((s, d) =>
       graft.operators.SuffixDedup.duplicateSubstrings(Tables(s, d).documents)),
+    "q_dedup_cut" -> ((s, d) =>
+      // the REMOVAL step: duplicate spans cut out of the text, cleaned
+      // text verified through its md5 (hash, not megabytes, crosses the
+      // oracle)
+      graft.operators.SuffixDedup.cutDuplicateSpans(
+        Tables(s, d).documents)),
     "q_sample_stratified" -> ((s, d) => {
       import graft.operators.Sampling
       Sampling.stratifiedEvents(Tables(s, d),
@@ -911,6 +917,7 @@ object SparkEntry {
     // character-granular duplicate spans: direct substring grouping in
     // DuckDB vs truncated prefix doubling in the engine — both exact
     "q_dup_substrings" -> KernelOracleSql.dupSubstrings(),
+    "q_dedup_cut" -> KernelOracleSql.dupCut(),
     "q_source_overlap" ->
       ("WITH fs AS (SELECT DISTINCT md5(lower(trim(text))) AS fp, source FROM documents), " +
         "srcs AS (SELECT DISTINCT source FROM documents), " +

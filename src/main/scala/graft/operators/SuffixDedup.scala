@@ -220,6 +220,53 @@ object SuffixDedup {
     mergeSpans(grams.join(dup, "g").select("d", "p"), minLen)
   }
 
+  /** CUT the duplicate spans out of the text — the REMOVAL step of Lee
+    * et al. 2021 (their pipeline deletes every duplicated substring
+    * occurrence and shows the model trains better on what remains).
+    * Emits per document: original/cleaned char counts, chars cut, and
+    * the md5 of the cleaned text (the hash travels through the oracle
+    * instead of megabytes of cleaned text).
+    *
+    * Segment arithmetic instead of per-doc string folds: span ENDS are
+    * monotone in span order (each maximal island ends later than its
+    * predecessor), so the kept segment before span k is
+    * [end_{k−1}, start_k) — one per-doc `lag` window over the SPANS
+    * (span-cardinality, tiny) plus a head/tail piece, reassembled with a
+    * sorted array_join. Overlapping COVERAGE (islands can overlap by up
+    * to L−1 chars even though start runs are disjoint) clamps to an
+    * empty piece via greatest(…, 0) — both engines identically. */
+  def cutDuplicateSpans(docs: DataFrame, minLen: Int = 32,
+                        minDocs: Int = 2): DataFrame = {
+    val spans = duplicateSubstrings(docs, minLen, minDocs)
+    val w = Window.partitionBy("doc_id").orderBy("span_start")
+    val mid = spans
+      .withColumn("seg_start",
+        coalesce(lag(col("span_start") + col("span_len"), 1).over(w), lit(1L)))
+      .select(col("doc_id"), col("seg_start"), col("span_start").as("seg_end"))
+    val tail = spans.groupBy("doc_id")
+      .agg(max(col("span_start") + col("span_len")).as("seg_start"))
+      .withColumn("seg_end", lit(-1L))
+    val pieces = docs.select(col("doc_id"), col("text"))
+      .join(mid.unionByName(tail), Seq("doc_id"), "left")
+      .withColumn("piece",
+        when(col("seg_start").isNull, col("text"))
+          .when(col("seg_end") === -1L,
+            expr("substring(text, int(seg_start), greatest(length(text) - int(seg_start) + 1, 0))"))
+          .otherwise(
+            expr("substring(text, int(seg_start), int(greatest(seg_end - seg_start, 0L)))")))
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        coalesce(col("seg_start"), lit(1L)).as("seg_start"), col("piece"))
+    pieces.groupBy("doc_id", "n_chars")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("seg_start"), col("piece")))),
+          x => x.getField("piece")), "").as("_clean"))
+      .select(col("doc_id"), col("n_chars"),
+        length(col("_clean")).cast("long").as("n_clean"),
+        (col("n_chars") - length(col("_clean"))).cast("long").as("n_cut"),
+        md5(col("_clean")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Gaps-and-islands merge of duplicate START positions into maximal
     * spans: consecutive starts (step 1) are one run; a run of starts
     * [a..b] covers characters [a, b+L). One per-doc window — partitions

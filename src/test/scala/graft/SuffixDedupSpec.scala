@@ -76,6 +76,32 @@ class SuffixDedupSpec extends SparkSpec {
       "fixture has no cross-shard duplicates — unification untested")
   }
 
+  test("cutDuplicateSpans removes exactly the spans; clean docs pass through") {
+    val shared = ("z" * 10) + " the same sixty-four character region repeated verbatim here " + ("q" * 10)
+    val doc0 = "left padding words before " + shared
+    val doc2 = "completely unrelated text with nothing shared at all in this one"
+    val docs = Seq((0L, doc0), (1L, shared + " right padding words after"),
+      (2L, doc2)).toDF("doc_id", "text")
+    val spans = SuffixDedup.duplicateSubstrings(docs, minLen = 32)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val out = SuffixDedup.cutDuplicateSpans(docs, minLen = 32)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    // doc 2 has no duplicates: passes through byte-identical
+    assert(out(2L)._3 == 0)
+    assert(out(2L)._4 == java.security.MessageDigest.getInstance("MD5")
+      .digest(doc2.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    // doc 0: exactly the detected span is gone, and the cleaned text is
+    // the original with that [start, start+len) slice removed
+    val (s0, l0) = spans(0L)
+    assert(out(0L)._3 == l0, s"cut ${out(0L)._3} chars, span is $l0")
+    val expectClean = doc0.substring(0, s0.toInt - 1) +
+      doc0.substring((s0 + l0 - 1).toInt)
+    assert(out(0L)._4 == java.security.MessageDigest.getInstance("MD5")
+      .digest(expectClean.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    assert(out(0L)._2 == expectClean.length)
+  }
+
   test("consecutive duplicate starts merge into ONE maximal span") {
     // two docs share one long region → every start inside it is marked,
     // and the island merge must emit a single span per doc, not a span
