@@ -274,6 +274,23 @@ grp AS (SELECT d.doc_id, coalesce(comp.gid, d.doc_id) AS group_id FROM documents
     s"""WITH RECURSIVE ${sigCtes(k, bands, seed)}, ${groupsCtes(k, minEst)}
 SELECT doc_id, group_id FROM grp ORDER BY doc_id"""
 
+  /** Oracle for q_split_groupsafe
+    * ([[graft.operators.Sampling.groupSafeSplits]]): the
+    * [[nearDupGroups]] components, the split bucket hashed from the
+    * GROUP id through the shared xxhash64 chain (the q_split_assign
+    * arithmetic applied to group ids), per-split doc/group counts, and
+    * the cross-split candidate-pair count RE-DERIVED (zero by
+    * construction — the oracle proves it rather than trusting it). */
+  def groupSafeSplits(k: Int = 64, bands: Int = 16, seed: Long = 42L,
+                      minEst: Double = 0.5): String =
+    s"""WITH RECURSIVE ${sigCtes(k, bands, seed)}, ${groupsCtes(k, minEst)},
+src AS (SELECT DISTINCT group_id AS doc_id FROM grp),
+${KernelOracleSql.xxhCtes(42L)},
+gb AS (SELECT doc_id AS group_id, CASE WHEN (((${signedB("xxh")}) % 100) + 100) % 100 < 90 THEN 'train' WHEN (((${signedB("xxh")}) % 100) + 100) % 100 < 95 THEN 'val' ELSE 'test' END AS split FROM xx),
+asg AS MATERIALIZED (SELECT g.doc_id, g.group_id, gb.split FROM grp g JOIN gb USING (group_id)),
+leak AS (SELECT count(*) AS n FROM e JOIN asg a ON a.doc_id = e.doc_a JOIN asg b ON b.doc_id = e.doc_b WHERE a.split <> b.split)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs, CAST(count(DISTINCT group_id) AS BIGINT) AS n_groups, CAST((SELECT n FROM leak) AS BIGINT) AS n_leaked_pairs FROM asg GROUP BY split ORDER BY split"""
+
   /** Oracle for q_dedup_keep_best
     * ([[graft.operators.Dedup.clusterRepresentatives]]): the
     * [[nearDupGroups]] components, each cluster reduced to its longest

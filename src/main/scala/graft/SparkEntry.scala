@@ -647,6 +647,10 @@ object SparkEntry {
       import graft.operators.Sampling
       Sampling.documentSplits(Tables(s, d))
     }),
+    "q_split_groupsafe" -> ((s, d) => {
+      import graft.operators.Sampling
+      Sampling.groupSafeSplits(Tables(s, d))
+    }),
     "q_weighted_sample" -> ((s, d) => {
       import graft.operators.Sampling
       Sampling.weightedSample(Tables(s, d))
@@ -907,6 +911,7 @@ object SparkEntry {
         "AND (b.n_tokens > a.n_tokens OR b.n_distinct > a.n_distinct)) ORDER BY doc_id"),
     "q_split_leakage" -> KernelOracleSql.splitLeakage,
     "q_split_assign" -> KernelOracleSql.splitAssign,
+    "q_split_groupsafe" -> MinhashOracleSql.groupSafeSplits(),
     "q_epoch_shuffle" -> KernelOracleSql.epochShuffle(),
     "q_weighted_sample" -> KernelOracleSql.weightedSample(),
     "q_lang_cap" -> KernelOracleSql.capPerGroup(),

@@ -273,4 +273,39 @@ class SamplingSpec extends SparkSpec {
     val plan = planOf(Sampling.epochShuffle(tables))
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("groupSafeSplits: clusters stay atomic, leakage is zero, totals add up") {
+    import org.apache.spark.sql.functions.countDistinct
+    val out = Sampling.groupSafeSplits(tables).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out.keySet.subsetOf(Set("train", "val", "test")) && out.nonEmpty)
+    assert(out.values.forall(_._3 == 0L), s"leaked pairs: $out")
+    assert(out.values.map(_._1).sum == tables.documents.count())
+    // atomicity re-derived independently: no near-dup group spans splits —
+    // every group id maps to exactly one split
+    val groups = graft.operators.Dedup.nearDupGroups(tables)
+    val asg = groups.withColumn("_b",
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.xxhash64(col("group_id")),
+          org.apache.spark.sql.functions.lit(100L)))
+    val perGroupSplits = asg
+      .withColumn("split", org.apache.spark.sql.functions
+        .when(col("_b") < 90, "train").when(col("_b") < 95, "val")
+        .otherwise("test"))
+      .groupBy("group_id").agg(countDistinct("split").as("ns"))
+      .agg(org.apache.spark.sql.functions.max("ns")).head().getLong(0)
+    assert(perGroupSplits == 1L)
+    // and the plain doc-hash split DOES leak on this corpus — the defect
+    // this operator exists to fix is real here, not vacuous
+    val plainLeak = graft.operators.Dedup
+      .minhashCandidatesCore(tables, minEstJaccard = 0.5)
+      .select("doc_a", "doc_b")
+      .withColumn("_sa", org.apache.spark.sql.functions
+        .pmod(org.apache.spark.sql.functions.xxhash64(col("doc_a")), org.apache.spark.sql.functions.lit(100L)) < 90)
+      .withColumn("_sb", org.apache.spark.sql.functions
+        .pmod(org.apache.spark.sql.functions.xxhash64(col("doc_b")), org.apache.spark.sql.functions.lit(100L)) < 90)
+      .filter(col("_sa") =!= col("_sb")).count()
+    assert(plainLeak > 0, "fixture vacuous: plain hash split doesn't leak here")
+  }
 }
