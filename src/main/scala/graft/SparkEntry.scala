@@ -226,6 +226,7 @@ object SparkEntry {
     }),
     // — similarity search (SURVEY §2 rows 19–21) —
     "q_ann_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables(s, d))),
+    "q_ann_twostage" -> ((s, d) => Similarity.twoStageTopK(Tables(s, d))),
     "q_hard_negatives" -> ((s, d) => Similarity.hardNegatives(Tables(s, d))),
     "q_margin_mine" -> ((s, d) => Similarity.marginMine(Tables(s, d))),
     "q_trunc_recall" -> ((s, d) => Similarity.truncationRecall(Tables(s, d))),
@@ -1039,6 +1040,15 @@ object SparkEntry {
           .mkString(" UNION ALL ") +
         ") ORDER BY dim, query_id"),
     "q_ann_topk" -> AnnTopkOracleSql,
+    "q_ann_twostage" ->
+      ("WITH s1 AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+        "list_cosine_similarity(CAST(q.embedding[1:32] AS DOUBLE[]), CAST(c.embedding[1:32] AS DOUBLE[])) AS ccos, " +
+        "q.embedding AS qe, c.embedding AS ce " +
+        "FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id WHERE q.vec_id < 10), " +
+        "r1 AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, neighbor_id ASC) AS rn FROM s1), " +
+        "s2 AS (SELECT query_id, neighbor_id, list_cosine_similarity(CAST(qe AS DOUBLE[]), CAST(ce AS DOUBLE[])) AS cos FROM r1 WHERE rn <= 100), " +
+        "r2 AS (SELECT query_id, neighbor_id, round(cos, 6) AS cosine, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn FROM s2) " +
+        "SELECT query_id, neighbor_id, cosine FROM r2 WHERE rn <= 5 ORDER BY query_id, neighbor_id"),
     // HYBRID RETRIEVAL: the two arms' oracle texts verbatim as
     // subqueries, fused by the identical RRF window arithmetic the
     // engine runs (ranks on the rounded emitted scores, id tie-breaks;

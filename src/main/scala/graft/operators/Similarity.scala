@@ -107,6 +107,41 @@ object Similarity {
       .orderBy("dim", "query_id")
   }
 
+  /** TWO-STAGE ANN funnel (the Matryoshka retrieval pattern
+    * [[truncationRecall]] measures the recall curve for — Kusupati et
+    * al. 2022): stage 1 ranks EVERY candidate by cosine over only the
+    * first `coarseDims` coordinates and keeps a per-query shortlist;
+    * stage 2 re-scores the shortlist with the FULL-dimension exact
+    * cosine and emits the top-k. The production funnel shape: stage 1
+    * reads coarseDims/dim of the vector bytes (a stored truncated column
+    * at scale — 4× less memory traffic at 64→16), stage 2 touches only
+    * shortlist·nQueries vectors. Same determinism contract as
+    * [[bruteForceTopK]] (unrounded ranking, id tie-breaks), so the SQL
+    * oracle replays both stages exactly. */
+  def twoStageTopK(t: Tables, nQueries: Int = 10, k: Int = 5,
+                   coarseDims: Int = 32, shortlist: Int = 100): DataFrame = {
+    val emb = t.embeddings
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val coarse = emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("_ccos", HashFunctions.cosineSim(
+        slice(col("q_emb"), 1, coarseDims), slice(col("embedding"), 1, coarseDims)))
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("_ccos").desc, col("neighbor_id").asc)
+    val listed = coarse.withColumn("_rn", row_number().over(w1))
+      .filter(col("_rn") <= shortlist)
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("_cos").desc, col("neighbor_id").asc)
+    listed
+      .withColumn("_cos", HashFunctions.cosineSim(col("q_emb"), col("embedding")))
+      .withColumn("_rk", row_number().over(w2))
+      .filter(col("_rk") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("_cos"), 6).as("cosine"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
   /** MARGIN-BASED ALIGNMENT MINING (Artetxe & Schwenk 2019 — the
     * LASER/CCMatrix bitext-mining criterion, public method): for each
     * query vector x, the best candidate y ranked NOT by raw cosine but by

