@@ -482,6 +482,7 @@ object SparkEntry {
     "q_minhash_srcsim" -> ((s, d) => Dedup.sourceSignatureSimilarity(Tables(s, d))),
     "q_embed_pca" -> ((s, d) => Similarity.topPrincipalComponent(Tables(s, d))),
     "q_token_bpe" -> ((s, d) => TextAnalysis.bpeTokenStats(Tables(s, d))),
+    "q_ab_test" -> ((s, d) => Analytics.abTest(Tables(s, d))),
     "q_rate_anomaly" -> ((s, d) => Analytics.rateAnomalies(Tables(s, d))),
     "q_string_agg" -> ((s, d) => Analytics.langsPerSource(Tables(s, d))),
     "q_cooccur_lift" -> ((s, d) => Analytics.coOccurrenceLift(Tables(s, d))),
@@ -1853,6 +1854,15 @@ object SparkEntry {
         "FROM pairs p JOIN singles sa ON sa.event_type = p.type_a " +
         "JOIN singles sb ON sb.event_type = p.type_b CROSS JOIN total t " +
         "ORDER BY p.type_a, p.type_b"),
+    "q_ab_test" ->
+      ("WITH a AS (SELECT event_type, CASE WHEN user_id % 2 = 0 THEN 'c' ELSE 't' END AS arm, value FROM events), " +
+        "s AS (SELECT event_type, arm, count(*) AS n, round(avg(value), 6) AS m, round(var_samp(value), 6) AS v FROM a GROUP BY 1, 2), " +
+        "p AS (SELECT c.event_type, c.n AS n_control, t.n AS n_treatment, c.m AS mean_control, t.m AS mean_treatment, c.v AS vc, t.v AS vt, " +
+        "c.v / c.n + t.v / t.n AS se2 FROM s c JOIN s t ON c.event_type = t.event_type AND c.arm = 'c' AND t.arm = 't') " +
+        "SELECT event_type, CAST(n_control AS BIGINT) AS n_control, CAST(n_treatment AS BIGINT) AS n_treatment, mean_control, mean_treatment, " +
+        "round((mean_treatment - mean_control) / sqrt(se2), 6) AS welch_t, " +
+        "round(pow(se2, 2) / (pow(vc / n_control, 2) / (n_control - 1) + pow(vt / n_treatment, 2) / (n_treatment - 1)), 6) AS welch_df " +
+        "FROM p ORDER BY event_type"),
     "q_rate_anomaly" ->
       ("WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n_events FROM events GROUP BY 1, 2), " +
         "m AS (SELECT event_type, avg(n_events) AS mu, stddev_samp(n_events) AS sd FROM hourly GROUP BY 1) " +

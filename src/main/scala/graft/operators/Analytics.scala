@@ -1384,4 +1384,43 @@ object Analytics {
         .as("revenue"),
         count(lit(1)).as("n_items"))
   }
+
+  /** Welch two-sample A/B test per event type (the experimentation
+    * readout an event pipeline serves): users split into deterministic
+    * arms by id parity (stand-in for an assignment table), per-arm
+    * count/mean/sample-variance of the event value in ONE pass of
+    * map-side-partial aggregates, then the Welch t statistic and
+    * Satterthwaite degrees of freedom — the unequal-variance form, the
+    * safe default. Derived statistics are computed FROM the rounded
+    * per-arm moments (both engines produce identical rounded moments —
+    * the q_corr_stats parity precedent — so the downstream arithmetic is
+    * bit-identical too, keeping the oracle exact). Scale shape: one
+    * (type × arm)-keyed aggregation; nothing else touches the fact
+    * table. */
+  def abTest(t: Tables): DataFrame = {
+    val armed = t.events.select(col("event_type"),
+      when(pmod(col("user_id"), lit(2)) === 0, lit("c")).otherwise(lit("t"))
+        .as("arm"),
+      col("value"))
+    val s = armed.groupBy("event_type", "arm")
+      .agg(count(lit(1)).as("n"), round(avg("value"), 6).as("m"),
+        round(var_samp("value"), 6).as("v"))
+    val c = s.filter(col("arm") === "c")
+      .select(col("event_type"), col("n").as("n_control"),
+        col("m").as("mean_control"), col("v").as("_vc"))
+    val tr = s.filter(col("arm") === "t")
+      .select(col("event_type"), col("n").as("n_treatment"),
+        col("m").as("mean_treatment"), col("v").as("_vt"))
+    val se2 = col("_vc") / col("n_control") + col("_vt") / col("n_treatment")
+    c.join(tr, "event_type")
+      .select(col("event_type"), col("n_control"), col("n_treatment"),
+        col("mean_control"), col("mean_treatment"),
+        round((col("mean_treatment") - col("mean_control")) / sqrt(se2), 6)
+          .as("welch_t"),
+        round(pow(se2, 2) / (
+          pow(col("_vc") / col("n_control"), 2) / (col("n_control") - 1) +
+            pow(col("_vt") / col("n_treatment"), 2) / (col("n_treatment") - 1)), 6)
+          .as("welch_df"))
+      .orderBy("event_type")
+  }
 }

@@ -1041,4 +1041,29 @@ class AnalyticsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(got == expect, s"got $got expect $expect")
   }
+
+  test("abTest: Welch statistic matches a driver recompute per event type") {
+    val rows = Analytics.abTest(tables).collect()
+    assert(rows.nonEmpty)
+    val ev = tables.events.select("event_type", "user_id", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    rows.foreach { r =>
+      val et = r.getString(0)
+      def stats(pred: Long => Boolean) = {
+        val v = ev.filter(e => e._1 == et && pred(e._2)).map(_._3)
+        val m = v.sum / v.length
+        val vr = v.map(x => (x - m) * (x - m)).sum / (v.length - 1)
+        (v.length.toLong, math.rint(m * 1e6) / 1e6, math.rint(vr * 1e6) / 1e6)
+      }
+      val (nc, mc, vc) = stats(_ % 2 == 0)
+      val (nt, mt, vt) = stats(_ % 2 == 1)
+      assert(r.getLong(1) == nc && r.getLong(2) == nt)
+      assert(math.abs(r.getDouble(3) - mc) < 1e-6 && math.abs(r.getDouble(4) - mt) < 1e-6)
+      val se2 = vc / nc + vt / nt
+      val tstat = math.rint((mt - mc) / math.sqrt(se2) * 1e6) / 1e6
+      assert(math.abs(r.getDouble(5) - tstat) < 1e-5, s"$et welch_t")
+      val dfw = math.rint(se2 * se2 / (math.pow(vc / nc, 2) / (nc - 1) + math.pow(vt / nt, 2) / (nt - 1)) * 1e6) / 1e6
+      assert(math.abs(r.getDouble(6) - dfw) < 1e-4, s"$et welch_df")
+    }
+  }
 }
