@@ -483,6 +483,7 @@ object SparkEntry {
     "q_embed_pca" -> ((s, d) => Similarity.topPrincipalComponent(Tables(s, d))),
     "q_token_bpe" -> ((s, d) => TextAnalysis.bpeTokenStats(Tables(s, d))),
     "q_ab_test" -> ((s, d) => Analytics.abTest(Tables(s, d))),
+    "q_cusum" -> ((s, d) => Analytics.cusumChangepoints(Tables(s, d))),
     "q_rate_anomaly" -> ((s, d) => Analytics.rateAnomalies(Tables(s, d))),
     "q_string_agg" -> ((s, d) => Analytics.langsPerSource(Tables(s, d))),
     "q_cooccur_lift" -> ((s, d) => Analytics.coOccurrenceLift(Tables(s, d))),
@@ -1854,6 +1855,16 @@ object SparkEntry {
         "FROM pairs p JOIN singles sa ON sa.event_type = p.type_a " +
         "JOIN singles sb ON sb.event_type = p.type_b CROSS JOIN total t " +
         "ORDER BY p.type_a, p.type_b"),
+    "q_cusum" ->
+      ("WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n FROM events GROUP BY 1, 2), " +
+        "st AS (SELECT event_type, round(avg(n), 6) AS mu, round(stddev_samp(n), 6) AS sd FROM h GROUP BY 1), " +
+        "y AS (SELECT h.event_type, hour, CAST(round((n - mu - 0.5 * sd) * 1e7, 0) AS BIGINT) AS yv, CAST(round(4.0 * sd * 1e7, 0) AS BIGINT) AS thr FROM h JOIN st USING (event_type)), " +
+        "c AS (SELECT event_type, hour, thr, sum(yv) OVER (PARTITION BY event_type ORDER BY hour) AS cs FROM y), " +
+        "cu AS (SELECT event_type, hour, thr, cs - least(min(cs) OVER (PARTITION BY event_type ORDER BY hour), 0) AS cusum FROM c) " +
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours, round(max(cusum) / 1e7, 6) AS max_cusum, " +
+        "CAST(sum(CASE WHEN cusum > thr THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged, " +
+        "min(CASE WHEN cusum > thr THEN hour END) AS first_flag_hour " +
+        "FROM cu GROUP BY event_type ORDER BY event_type"),
     "q_ab_test" ->
       ("WITH a AS (SELECT event_type, CASE WHEN user_id % 2 = 0 THEN 'c' ELSE 't' END AS arm, value FROM events), " +
         "s AS (SELECT event_type, arm, count(*) AS n, round(avg(value), 6) AS m, round(var_samp(value), 6) AS v FROM a GROUP BY 1, 2), " +

@@ -1423,4 +1423,48 @@ object Analytics {
           .as("welch_df"))
       .orderBy("event_type")
   }
+
+  /** CUSUM changepoint detection per event type (Page 1954 — the
+    * sequential-detection classic; the z-score row flags single loud
+    * hours, CUSUM accumulates small persistent shifts). Hourly counts
+    * per type; the one-sided CUSUM recursion C_i = max(0, C_{i−1} + x_i
+    * − μ − k·σ) LINEARIZES as cs_i − min(0, min_{j≤i} cs_j) over the
+    * running sum cs of the slack-adjusted series — an ordered prefix sum
+    * + prefix min, two per-type windows, NO recursion — so both engines
+    * compute it from identical rounded (μ, σ) bit-for-bit. Emits the
+    * per-type summary (hours, max CUSUM, flagged count, first flagged
+    * hour) — never empty, unlike raw flag rows. Scale: one fact-table
+    * aggregation to (type, hour) grain; everything after is
+    * series-sized. */
+  def cusumChangepoints(t: Tables, slackK: Double = 0.5,
+                        threshK: Double = 4.0): DataFrame = {
+    val hourly = t.events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val stats = hourly.groupBy("event_type")
+      .agg(round(avg("n"), 6).as("_mu"), round(stddev_samp("n"), 6).as("_sd"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("hour")
+    // the series INTEGERIZES at e7 before the windows: windowed sums
+    // re-associate differently across engines (DuckDB's segment tree vs
+    // a sequential fold), and a 1-ulp drift in a prefix sum splits the
+    // rounded hash — integer sums are exact under ANY association.
+    // round(x, 0) BEFORE the cast: DuckDB's cast rounds, Spark's
+    // truncates (the q_rfm e4 lesson)
+    val cu = hourly.join(broadcast(stats), "event_type")
+      .withColumn("_y", round((col("n") - col("_mu") -
+        lit(slackK) * col("_sd")) * 1e7, 0).cast("long"))
+      .withColumn("_thr", round(lit(threshK) * col("_sd") * 1e7, 0).cast("long"))
+      .withColumn("_cs", sum("_y").over(w))
+      .withColumn("_cusum",
+        col("_cs") - least(min(col("_cs")).over(w), lit(0L)))
+    cu.groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        round(max("_cusum") / 1e7, 6).as("max_cusum"),
+        sum(when(col("_cusum") > col("_thr"), 1L).otherwise(0L))
+          .as("n_flagged"),
+        min(when(col("_cusum") > col("_thr"), col("hour")))
+          .as("first_flag_hour"))
+      .orderBy("event_type")
+  }
 }

@@ -1066,4 +1066,36 @@ class AnalyticsSpec extends SparkSpec {
       assert(math.abs(r.getDouble(6) - dfw) < 1e-4, s"$et welch_df")
     }
   }
+
+  test("cusumChangepoints matches a sequential driver recompute of the recursion") {
+    val rows = Analytics.cusumChangepoints(tables).collect()
+    assert(rows.nonEmpty)
+    // recompute with the TEXTBOOK recursion C_i = max(0, C_{i-1} + y_i) -
+    // the operator's prefix-sum/prefix-min linearization must agree
+    val hourly = tables.events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val series = hourly.filter(_._1 == et).sortBy(_._2.getTime).map(_._3)
+      val mu = math.rint(series.sum.toDouble / series.length * 1e6) / 1e6
+      val sd = math.rint(math.sqrt(series.map(x => (x - mu) * (x - mu)).sum /
+        (series.length - 1)) * 1e6) / 1e6
+      var c = 0L
+      var mx = 0L
+      var flagged = 0
+      val thr = math.rint(4.0 * sd * 1e7).toLong
+      series.foreach { x =>
+        val y = math.rint((x - mu - 0.5 * sd) * 1e7).toLong
+        c = math.max(0L, c + y)
+        mx = math.max(mx, c)
+        if (c > thr) flagged += 1
+      }
+      assert(r.getLong(1) == series.length, s"$et n_hours")
+      assert(math.abs(r.getDouble(2) - math.rint(mx / 1e7 * 1e6) / 1e6) < 1e-9,
+        s"$et max_cusum ${r.getDouble(2)} vs ${mx / 1e7.toDouble}")
+      assert(r.getLong(3) == flagged, s"$et n_flagged")
+    }
+  }
 }
