@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Analytics, Dedup, Graph, Multimodal, Packing, Relational, SetSimilarity, Similarity, Skew, TextAnalysis, Tpch}
+import graft.operators.{Analytics, Dedup, Graph, Multimodal, Packing, Pipeline, Relational, SetSimilarity, Similarity, Skew, TextAnalysis, Tpch}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -227,6 +227,13 @@ object SparkEntry {
     // — similarity search (SURVEY §2 rows 19–21) —
     "q_ann_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables(s, d))),
     "q_ann_twostage" -> ((s, d) => Similarity.twoStageTopK(Tables(s, d))),
+    "q_ann_binary" -> ((s, d) => Similarity.binaryTopK(Tables(s, d))),
+    "q_mmr" -> ((s, d) => Similarity.mmrTopK(Tables(s, d))),
+    "q_bootstrap_ci" -> ((s, d) => Analytics.bootstrapCi(Tables(s, d))),
+    "q_rbo" -> ((s, d) => Pipeline.rboEval(Tables(s, d))),
+    "q_hill_tail" -> ((s, d) => Analytics.hillTail(Tables(s, d))),
+    "q_kanon" -> ((s, d) => graft.operators.Privacy.kAnonymityAudit(Tables(s, d))),
+    "q_dp_counts" -> ((s, d) => graft.operators.Privacy.dpNoisyCounts(Tables(s, d))),
     "q_hard_negatives" -> ((s, d) => Similarity.hardNegatives(Tables(s, d))),
     "q_margin_mine" -> ((s, d) => Similarity.marginMine(Tables(s, d))),
     "q_trunc_recall" -> ((s, d) => Similarity.truncationRecall(Tables(s, d))),
@@ -295,6 +302,11 @@ object SparkEntry {
     "q_tfidf" -> ((s, d) => TextAnalysis.tfIdfTopTerms(Tables(s, d))),
     "q_pii_redact" -> ((s, d) => TextAnalysis.piiCounts(Tables(s, d))),
     "q_lm_score" -> ((s, d) => TextAnalysis.lmScore(Tables(s, d))),
+    "q_ccnet_buckets" -> ((s, d) => TextAnalysis.ccnetBuckets(Tables(s, d))),
+    "q_blocklist" -> ((s, d) => TextAnalysis.blocklistScreen(Tables(s, d))),
+    "q_mi_terms" -> ((s, d) => TextAnalysis.miTerms(Tables(s, d))),
+    "q_quality_calibration" -> ((s, d) => TextAnalysis.qualityCalibration(Tables(s, d))),
+    "q_heaps_law" -> ((s, d) => TextAnalysis.heapsLaw(Tables(s, d))),
     "q_dsir_weights" -> ((s, d) => TextAnalysis.importanceWeights(Tables(s, d))),
     "q_source_kl" -> ((s, d) => TextAnalysis.sourceKlDivergence(Tables(s, d))),
     "q_tfidf_search" -> ((s, d) => TextAnalysis.tfidfSearch(Tables(s, d))),
@@ -352,6 +364,7 @@ object SparkEntry {
       import graft.operators.Multimodal
       Multimodal.videoDecodeStats(Tables(s, d))
     }),
+    "q_pad_waste" -> ((s, d) => Packing.paddingWasteAudit(Tables(s, d))),
     "q_pack_sequences" -> ((s, d) => {
       import graft.operators.Packing
       Packing.packDocuments(Tables(s, d))
@@ -447,6 +460,7 @@ object SparkEntry {
     "q_knn_classify" -> ((s, d) => Similarity.knnClassify(Tables(s, d))),
     "q_knn_lsh" -> ((s, d) => Similarity.knnClassifyLsh(Tables(s, d))),
     "q_embed_centroids" -> ((s, d) => Similarity.labelCentroids(Tables(s, d))),
+    "q_mahalanobis" -> ((s, d) => Similarity.mahalanobisOutliers(Tables(s, d))),
     "q_having" -> ((s, d) => Analytics.having(Tables(s, d))),
     "q_semi_join" -> ((s, d) => Analytics.semiJoin(Tables(s, d))),
     "q_anti_join" -> ((s, d) => Analytics.antiJoin(Tables(s, d))),
@@ -474,6 +488,8 @@ object SparkEntry {
     "q_funnel" -> ((s, d) => Analytics.funnelSteps(Tables(s, d))),
     "q_retention" -> ((s, d) => Analytics.retentionCohorts(Tables(s, d))),
     "q_pagerank" -> ((s, d) => Graph.pageRank(Tables(s, d))),
+    "q_kcore" -> ((s, d) => Graph.kCore(Tables(s, d))),
+    "q_label_prop" -> ((s, d) => Graph.labelPropagation(Tables(s, d))),
     "q_hits" -> ((s, d) => Graph.hits(Tables(s, d))),
     "q_triangles" -> ((s, d) => Graph.triangleCounts(Tables(s, d))),
     "q_argmax_doc" -> ((s, d) => TextAnalysis.longestDocPerSource(Tables(s, d))),
@@ -485,6 +501,7 @@ object SparkEntry {
     "q_ab_test" -> ((s, d) => Analytics.abTest(Tables(s, d))),
     "q_cusum" -> ((s, d) => Analytics.cusumChangepoints(Tables(s, d))),
     "q_rate_anomaly" -> ((s, d) => Analytics.rateAnomalies(Tables(s, d))),
+    "q_burstiness" -> ((s, d) => Analytics.burstiness(Tables(s, d))),
     "q_string_agg" -> ((s, d) => Analytics.langsPerSource(Tables(s, d))),
     "q_cooccur_lift" -> ((s, d) => Analytics.coOccurrenceLift(Tables(s, d))),
     "q_tpch_q7" -> ((s, d) => Analytics.tpchQ7(Tables(s, d))),
@@ -721,6 +738,17 @@ object SparkEntry {
         "rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, neighbor_id ASC) AS rn FROM sc) " +
         "SELECT query_id, neighbor_id, bm25 FROM rk WHERE rn <= 5 ORDER BY query_id, neighbor_id"
 
+  private val LmScoreOracleSql: String =
+    "WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk FROM documents), " +
+      "bi AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2 FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM toks WHERE len(tk) >= 2)), " +
+      "c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2), " +
+      "c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1), " +
+      "v AS (SELECT count(DISTINCT w) AS vocab FROM (SELECT w1 AS w FROM bi UNION ALL SELECT w2 FROM bi)) " +
+      "SELECT doc_id, count(*) AS n_bigrams, " +
+      "round(avg(-ln((c2 + 1) * 1.0 / (c1 + vocab))), 6) AS avg_nll " +
+      "FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v " +
+      "GROUP BY doc_id ORDER BY doc_id"
+
   def oracleSql: Map[String, String] = Map(
     "q_select_all" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
@@ -894,6 +922,18 @@ object SparkEntry {
     "q_ann_ivfpq" -> KernelOracleSql.annIvfPq(),
     "q_dedup_groups" -> MinhashOracleSql.nearDupGroups(),
     "q_pack_sequences" -> KernelOracleSql.packSequences(),
+    // PADDING-WASTE AUDIT: integer CASE banding + integer pad counts in
+    // both engines; only the final fractions round
+    "q_pad_waste" ->
+      ("WITH lens AS (SELECT CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS BIGINT) AS len FROM documents), " +
+        "nz AS (SELECT len, CASE WHEN len <= 16 THEN 16 WHEN len <= 32 THEN 32 WHEN len <= 64 THEN 64 " +
+        "WHEN len <= 128 THEN 128 WHEN len <= 256 THEN 256 ELSE 512 END AS bucket_cap FROM lens WHERE len > 0), " +
+        "g AS (SELECT max(len) AS gmax, count(*) AS gn, sum(len) AS gsum FROM nz) " +
+        "SELECT CAST(bucket_cap AS BIGINT) AS bucket_cap, count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS sum_tokens, " +
+        "CAST(bucket_cap * count(*) - sum(len) AS BIGINT) AS n_padded, " +
+        "round(CAST(bucket_cap * count(*) - sum(len) AS DOUBLE) / (bucket_cap * count(*)), 6) AS waste_frac, " +
+        "round(CAST(g.gmax * g.gn - g.gsum AS DOUBLE) / (g.gmax * g.gn), 6) AS naive_waste_frac " +
+        "FROM nz CROSS JOIN g GROUP BY bucket_cap, g.gmax, g.gn, g.gsum ORDER BY bucket_cap"),
     "q_text_lang" -> KernelOracleSql.textLang,
     "q_embed_neardup" -> SrpOracleSql.embedNearDups(),
     "q_embed_groups" -> SrpOracleSql.embedGroups(),
@@ -1051,6 +1091,73 @@ object SparkEntry {
         "s2 AS (SELECT query_id, neighbor_id, list_cosine_similarity(CAST(qe AS DOUBLE[]), CAST(ce AS DOUBLE[])) AS cos FROM r1 WHERE rn <= 100), " +
         "r2 AS (SELECT query_id, neighbor_id, round(cos, 6) AS cosine, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn FROM s2) " +
         "SELECT query_id, neighbor_id, cosine FROM r2 WHERE rn <= 5 ORDER BY query_id, neighbor_id"),
+    // POISSON BOOTSTRAP: the engine's xxhash64(event_id·128+b) replayed
+    // through the shared SqlInt64 chain; Poisson-CDF inversion is pure
+    // integer thresholds; every weighted sum is an exact e4-integer sum
+    // (order-free), each replicate mean one exact-int division — no
+    // float accumulation anywhere
+    "q_bootstrap_ci" -> {
+      val sb = SqlInt64.signedB("xxh")
+      s"WITH src AS (SELECT event_type, event_id, b, CAST(round(value * 10000, 0) AS BIGINT) AS vi, event_id * 128 + b AS doc_id " +
+        "FROM events CROSS JOIN (SELECT unnest(range(0, 100)) AS b)), " +
+        KernelOracleSql.xxhCtes(42L) + ", " +
+        s"wu AS (SELECT event_type, b, vi, ((($sb) % 1000000) + 1000000) % 1000000 AS u FROM xx), " +
+        "ww AS (SELECT event_type, b, vi, CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1 WHEN u < 919699 THEN 2 " +
+        "WHEN u < 981012 THEN 3 WHEN u < 996340 THEN 4 WHEN u < 999406 THEN 5 ELSE 6 END AS w FROM wu), " +
+        "means AS (SELECT event_type, b, CAST(sum(w * vi) AS DOUBLE) / (CAST(sum(w) AS DOUBLE) * 10000.0) AS mean_b " +
+        "FROM ww GROUP BY event_type, b HAVING sum(w) > 0), " +
+        "ranked AS (SELECT event_type, b, mean_b, row_number() OVER (PARTITION BY event_type ORDER BY mean_b ASC, b ASC) AS rn, " +
+        "count(*) OVER (PARTITION BY event_type) AS nb FROM means), " +
+        "ix AS (SELECT *, CAST(floor((25 * nb) / 1000.0) + 1 AS BIGINT) AS lo, CAST(floor((975 * nb) / 1000.0) + 1 AS BIGINT) AS hi FROM ranked), " +
+        "cis AS (SELECT event_type, min(CASE WHEN rn = lo THEN mean_b END) AS ci_lo, min(CASE WHEN rn = hi THEN mean_b END) AS ci_hi, " +
+        "CAST(count(*) AS BIGINT) AS n_replicates FROM ix GROUP BY event_type), " +
+        "point AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, " +
+        "CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 10000.0) AS m FROM events GROUP BY event_type) " +
+        "SELECT p.event_type, p.n_events, c.n_replicates, round(p.m, 6) AS mean, " +
+        "round(c.ci_lo, 6) AS ci_lo, round(c.ci_hi, 6) AS ci_hi " +
+        "FROM point p JOIN cis c USING (event_type) ORDER BY p.event_type"
+    },
+    // MMR: the greedy selection unrolled as k CTE steps — selection is
+    // inherently sequential and the unroll IS the sequential semantics.
+    // λ/penalty are the literals 0.7/0.3 in both engines (never 1−λ in
+    // float); cosines are the bitwise-shared kernel values.
+    "q_mmr" -> {
+      val steps = (2 to 5).map { r =>
+        s"rem$r AS (SELECT c.* FROM cand c LEFT JOIN p${r - 1} p ON p.query_id = c.query_id AND p.neighbor_id = c.neighbor_id WHERE p.neighbor_id IS NULL), " +
+          s"pen$r AS (SELECT s.query_id, s.ca AS neighbor_id, max(s.sim) AS ms FROM sims s JOIN p${r - 1} p ON p.query_id = s.query_id AND p.neighbor_id = s.cb GROUP BY s.query_id, s.ca), " +
+          s"s$r AS (SELECT query_id, neighbor_id, rel, score, $r AS rank FROM (" +
+          s"SELECT r.query_id, r.neighbor_id, r.rel, 0.7 * r.rel - 0.3 * pn.ms AS score, " +
+          s"row_number() OVER (PARTITION BY r.query_id ORDER BY (0.7 * r.rel - 0.3 * pn.ms) DESC, r.neighbor_id ASC) AS rn " +
+          s"FROM rem$r r JOIN pen$r pn ON pn.query_id = r.query_id AND pn.neighbor_id = r.neighbor_id) WHERE rn = 1), " +
+          s"p$r AS (SELECT * FROM p${r - 1} UNION ALL SELECT * FROM s$r)"
+      }.mkString(", ")
+      "WITH c0 AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+        "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS rel " +
+        "FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id WHERE q.vec_id < 10), " +
+        "cand AS (SELECT query_id, neighbor_id, rel FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, neighbor_id ASC) AS rn FROM c0) WHERE rn <= 20), " +
+        "sims AS (SELECT a.query_id, a.neighbor_id AS ca, b.neighbor_id AS cb, " +
+        "list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])) AS sim " +
+        "FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id " +
+        "JOIN embeddings ea ON ea.vec_id = a.neighbor_id JOIN embeddings eb ON eb.vec_id = b.neighbor_id), " +
+        "s1 AS (SELECT query_id, neighbor_id, rel, 0.7 * rel AS score, 1 AS rank FROM (" +
+        "SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, neighbor_id ASC) AS rn FROM cand) WHERE rn = 1), " +
+        "p1 AS (SELECT * FROM s1), " + steps + " " +
+        "SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(rel, 6) AS rel, round(score, 6) AS mmr " +
+        "FROM p5 ORDER BY query_id, rank"
+    },
+    // BINARY-QUANTIZATION ANN: the oracle counts sign-bit mismatches
+    // dimension-wise — mathematically the XOR popcount of the engine's
+    // packed codes (strict `> 0` on the raw FLOAT element in both) —
+    // then replays the same two deterministic windows.
+    "q_ann_binary" ->
+      ("WITH h AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+        "CAST(len(list_filter(range(1, 65), i -> (q.embedding[i] > 0) <> (c.embedding[i] > 0))) AS BIGINT) AS hamming, " +
+        "q.embedding AS qe, c.embedding AS ce " +
+        "FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id WHERE q.vec_id < 10), " +
+        "r1 AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY hamming ASC, neighbor_id ASC) AS rn FROM h), " +
+        "s2 AS (SELECT query_id, neighbor_id, hamming, list_cosine_similarity(CAST(qe AS DOUBLE[]), CAST(ce AS DOUBLE[])) AS cos FROM r1 WHERE rn <= 100), " +
+        "r2 AS (SELECT query_id, neighbor_id, hamming, round(cos, 6) AS cosine, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn FROM s2) " +
+        "SELECT query_id, neighbor_id, hamming, cosine FROM r2 WHERE rn <= 5 ORDER BY query_id, neighbor_id"),
     // HYBRID RETRIEVAL: the two arms' oracle texts verbatim as
     // subqueries, fused by the identical RRF window arithmetic the
     // engine runs (ranks on the rounded emitted scores, id tie-breaks;
@@ -1063,6 +1170,78 @@ object SparkEntry {
         "f AS (SELECT query_id, neighbor_id, round(sum(c), 6) AS rrf FROM (SELECT * FROM lr UNION ALL SELECT * FROM sr) GROUP BY query_id, neighbor_id), " +
         "rk AS (SELECT query_id, neighbor_id, rrf, row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, neighbor_id ASC) AS rn FROM f) " +
         "SELECT query_id, neighbor_id, rrf FROM rk WHERE rn <= 5 ORDER BY query_id, neighbor_id"),
+    // HEAPS' LAW: prefix vocabulary via the min-first-doc trick (one
+    // pass); cutoffs are exact integer arithmetic; the fit is
+    // regr_slope/intercept over ln of exact integers (zipf precedent)
+    "q_heaps_law" ->
+      ("WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk FROM documents), " +
+        "dt AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS token FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i FROM toks WHERE len(tk) >= 3)), " +
+        "fd AS (SELECT token, min(doc_id) AS fdoc FROM dt GROUP BY token), " +
+        "dl AS (SELECT doc_id, CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS BIGINT) AS len FROM documents), " +
+        "tot AS (SELECT count(*) AS n FROM documents), " +
+        "cuts AS (SELECT decile, CAST(floor(decile * n / 10.0) AS BIGINT) AS cut FROM (SELECT unnest(range(1, 11)) AS decile FROM tot), tot), " +
+        "v AS (SELECT decile, cut, count(*) AS vocab_prefix FROM cuts JOIN fd ON fd.fdoc < cuts.cut GROUP BY decile, cut), " +
+        "tk AS (SELECT decile, cut, count(*) AS n_docs_prefix, CAST(sum(len) AS BIGINT) AS n_tokens_prefix FROM cuts JOIN dl ON dl.doc_id < cuts.cut GROUP BY decile, cut), " +
+        "curve AS (SELECT v.decile, v.cut, tk.n_docs_prefix, tk.n_tokens_prefix, CAST(v.vocab_prefix AS BIGINT) AS vocab_prefix FROM v JOIN tk ON tk.decile = v.decile), " +
+        "fit AS (SELECT round(regr_slope(ln(vocab_prefix), ln(n_tokens_prefix)), 6) AS heaps_beta, " +
+        "round(exp(regr_intercept(ln(vocab_prefix), ln(n_tokens_prefix))), 6) AS heaps_k FROM curve) " +
+        "SELECT CAST(decile AS BIGINT) AS decile, n_docs_prefix, n_tokens_prefix, vocab_prefix, heaps_beta, heaps_k " +
+        "FROM curve CROSS JOIN fit ORDER BY decile"),
+    // K-ANONYMITY: integer counting end to end; bands are the same CASE
+    // arithmetic as the engine
+    "q_kanon" -> {
+      val perK = Seq(2, 5, 10).map(k =>
+        s"SELECT CAST($k AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_groups_at_risk, " +
+          s"CAST(coalesce(sum(n), 0) AS BIGINT) AS n_docs_at_risk FROM g WHERE n < $k")
+        .mkString(" UNION ALL ")
+      "WITH banded AS (SELECT lang, source, CASE WHEN n_chars <= 100 THEN 100 WHEN n_chars <= 200 THEN 200 " +
+        "WHEN n_chars <= 400 THEN 400 ELSE 800 END AS len_band FROM documents), " +
+        "g AS (SELECT lang, source, len_band, count(*) AS n FROM banded GROUP BY 1, 2, 3), " +
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_groups_total, CAST(sum(n) AS BIGINT) AS n_docs_total FROM g) " +
+        s"SELECT k, n_groups_at_risk, n_docs_at_risk, n_groups_total, n_docs_total FROM ($perK) CROSS JOIN tot ORDER BY k"
+    },
+    // DP-STYLE NOISED COUNTS: the group-key rolling hash replayed through
+    // the shared KR fold + mix64 chain; inverse-CDF Laplace with one ln()
+    "q_dp_counts" -> {
+      val fold = SqlInt64.krFoldChars("s")
+      s"WITH g AS (SELECT lang, source, count(*) AS n, lang || '|' || source AS s FROM documents GROUP BY lang, source), " +
+        s"h0 AS (SELECT lang, source, n, $fold AS hraw FROM g), " +
+        SqlInt64.mixCtes("hh", "h0", "hraw", "h", "lang, source, n") + ", " +
+        s"uu AS (SELECT lang, source, n, (((${SqlInt64.signedB("h")}) % 1000000) + 1000000) % 1000000 AS ui FROM hh), " +
+        "lp AS (SELECT lang, source, n, (CAST(ui AS DOUBLE) + 0.5) / 1000000.0 AS u FROM uu), " +
+        "nz AS (SELECT lang, source, n, CASE WHEN u < 0.5 THEN 1.0 * ln(2.0 * u) ELSE -1.0 * ln(2.0 * (1.0 - u)) END AS noise FROM lp) " +
+        "SELECT lang, source, CAST(n AS BIGINT) AS n_true, round(noise, 6) AS noise, round(n + noise, 6) AS n_noisy " +
+        "FROM nz ORDER BY lang, source"
+    },
+    // HILL TAIL INDEX: order statistics cut on exact keys, ratios are
+    // IEEE-exact divisions, ln-terms fold in rank order (sorted list
+    // reduce) -- only ln's 1-ulp is exposed, round-6
+    "q_hill_tail" ->
+      ("WITH pos AS (SELECT event_type, event_id, value FROM events WHERE value > 0), " +
+        "rk AS (SELECT event_type, value, row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rn FROM pos), " +
+        "x1 AS (SELECT event_type, value AS xk1 FROM rk WHERE rn = 101), " +
+        "sm AS (SELECT r.event_type, list_reduce(list_prepend(0.0, list(ln(r.value / x.xk1) ORDER BY r.rn)), (a, b) -> a + b) AS s, min(x.xk1) AS xt " +
+        "FROM rk r JOIN x1 x USING (event_type) WHERE r.rn <= 100 GROUP BY r.event_type) " +
+        "SELECT event_type, CAST(100 AS BIGINT) AS k, round(xt, 6) AS x_tail, round(100.0 / s, 6) AS alpha FROM sm ORDER BY event_type"),
+    // RBO: both arms' oracle texts verbatim, prefix overlaps as exact
+    // integers, and the p-powers / (1-p) factor interpolated from the
+    // SAME Scala doubles the engine plans with (round-trip exact)
+    "q_rbo" -> {
+      val k = 5; val p = 0.9
+      val ovs = (1 to k).map(d =>
+        s"sum(CASE WHEN ra <= $d AND rb <= $d THEN 1 ELSE 0 END) AS o$d").mkString(", ")
+      val terms = (1 to k).map(d =>
+        s"${math.pow(p, d - 1)} * coalesce(o$d, 0) / ${d.toDouble}").mkString(" + ")
+      s"WITH lex AS (SELECT * FROM ($Bm25OracleSql)), sem AS (SELECT * FROM ($AnnTopkOracleSql)), " +
+        "la AS (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, neighbor_id ASC) AS ra FROM lex), " +
+        "sb AS (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rb FROM sem), " +
+        "m AS (SELECT la.query_id, ra, rb FROM la JOIN sb ON sb.query_id = la.query_id AND sb.neighbor_id = la.neighbor_id), " +
+        s"o AS (SELECT query_id, $ovs FROM m GROUP BY query_id), " +
+        "q AS (SELECT DISTINCT query_id FROM la) " +
+        s"SELECT q.query_id, CAST(coalesce(o.o$k, 0) AS BIGINT) AS n_common, " +
+        s"round(($terms) * ${1 - p}, 6) AS rbo " +
+        "FROM q LEFT JOIN o USING (query_id) ORDER BY q.query_id"
+    },
     "q_hard_negatives" ->
       ("WITH sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS n_label, q.label AS q_label, " +
         "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cos " +
@@ -1137,6 +1316,20 @@ object SparkEntry {
         "ranked AS (SELECT doc_id, token, tfidf, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS BIGINT) AS rk FROM scored) " +
         "SELECT doc_id, token, tfidf, rk FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk"),
     "q_quality_model" -> KernelOracleSql.qualityModel(),
+    // CALIBRATION: the q_quality_model oracle verbatim as a subquery;
+    // bins cut on its hash-matched rounded scores, bin stats over
+    // e6-integerized values (exact sums, order-free)
+    "q_quality_calibration" ->
+      (s"WITH qm AS (SELECT * FROM (${KernelOracleSql.qualityModel()})), " +
+        "b AS (SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin, " +
+        "CAST(round(score * 1000000, 0) AS BIGINT) AS si, CAST(label AS BIGINT) AS y FROM qm), " +
+        "g AS (SELECT bin, count(*) AS n_docs, sum(si) AS ss, sum(y) AS np, " +
+        "sum((si - y * 1000000) * (si - y * 1000000)) AS sq FROM b GROUP BY bin) " +
+        "SELECT bin, CAST(n_docs AS BIGINT) AS n_docs, " +
+        "round(CAST(ss AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 1000000.0), 6) AS mean_score, " +
+        "round(CAST(np AS DOUBLE) / n_docs, 6) AS frac_pos, " +
+        "round(CAST(sq AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 1000000000000.0), 6) AS brier " +
+        "FROM g ORDER BY bin"),
     "q_bm25_search" -> Bm25OracleSql,
     // the index probe computes the identical arithmetic from stored
     // postings, so the from-scratch oracle verifies it too
@@ -1185,16 +1378,60 @@ object SparkEntry {
         "ratios AS (SELECT token, ln((ct + 1.0) / (nt + v)) - ln((cc + 1.0) / (nc + v)) AS r FROM stats, norms) " +
         "SELECT doc_id, count(*) AS n_tokens, round(sum(r), 6) AS log_weight " +
         "FROM toks JOIN ratios USING (token) GROUP BY doc_id ORDER BY doc_id"),
-    "q_lm_score" ->
-      ("WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk FROM documents), " +
-        "bi AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2 FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM toks WHERE len(tk) >= 2)), " +
-        "c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2), " +
-        "c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1), " +
-        "v AS (SELECT count(DISTINCT w) AS vocab FROM (SELECT w1 AS w FROM bi UNION ALL SELECT w2 FROM bi)) " +
-        "SELECT doc_id, count(*) AS n_bigrams, " +
-        "round(avg(-ln((c2 + 1) * 1.0 / (c1 + vocab))), 6) AS avg_nll " +
-        "FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v " +
-        "GROUP BY doc_id ORDER BY doc_id"),
+    "q_lm_score" -> LmScoreOracleSql,
+    // BLOCKLIST SCREEN: generated from the SAME Scala pattern list the
+    // engine's automaton is built from (one source of truth). replace()
+    // counts non-overlapping occurrences left-to-right — equal to the
+    // AC count because every shipped pattern is border-free (spec-checked)
+    "q_blocklist" -> {
+      val terms = operators.TextAnalysis.DefaultBlocklist.zipWithIndex
+      val occs = terms.map { case (p, i) =>
+        s"(length(t) - length(replace(t, '$p', ''))) // ${p.length} AS o$i"
+      }.mkString(", ")
+      val total = terms.map { case (_, i) => s"o$i" }.mkString(" + ")
+      val hits = terms.map { case (_, i) =>
+        s"(CASE WHEN o$i > 0 THEN 1 ELSE 0 END)"
+      }.mkString(" + ")
+      "WITH base AS (SELECT doc_id, lower(trim(text)) AS t FROM documents), " +
+        s"m AS (SELECT doc_id, $occs FROM base) " +
+        s"SELECT doc_id, CAST($hits AS BIGINT) AS n_patterns_hit, " +
+        s"CAST($total AS BIGINT) AS n_occurrences, " +
+        s"CAST(CASE WHEN $total > 0 THEN 1 ELSE 0 END AS BIGINT) AS blocked " +
+        "FROM m ORDER BY doc_id"
+    },
+    // MI TERM SELECTION: all probabilities are exact-integer ratios
+    // (IEEE-exact products/divisions — the lift argmax cannot drift);
+    // only ln() is 1-ulp exposed, round-6 per the q_lm_score precedent.
+    // The per-lang cell sum parenthesizes (absent + present) in BOTH
+    // engines before folding into the accumulator.
+    "q_mi_terms" ->
+      ("WITH dt AS (SELECT doc_id, lang, unnest(list_distinct(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> ''))) AS token FROM documents), " +
+        "dfq AS (SELECT token, count(*) AS df FROM dt GROUP BY token), " +
+        "topv AS (SELECT token, df FROM (SELECT token, df, row_number() OVER (ORDER BY df DESC, token ASC) AS rk FROM dfq) WHERE rk <= 200), " +
+        "nlt AS (SELECT lang, count(*) AS nl FROM documents GROUP BY lang), " +
+        "nt AS (SELECT count(*) AS n FROM documents), " +
+        "c1 AS (SELECT token, lang, count(*) AS n1 FROM dt JOIN topv USING (token) GROUP BY token, lang), " +
+        "grid AS (SELECT t.token, t.df, l.lang, l.nl, coalesce(c1.n1, 0) AS n1, nt.n FROM topv t CROSS JOIN nlt l LEFT JOIN c1 ON c1.token = t.token AND c1.lang = l.lang CROSS JOIN nt), " +
+        "mi AS (SELECT token, df, round(list_reduce(list_prepend(0.0, list(" +
+        "(CASE WHEN (nl - n1) > 0 THEN ((nl - n1) * 1.0 / n) * ln((nl - n1) * 1.0 * n / ((n - df) * 1.0 * nl)) ELSE 0.0 END) + " +
+        "(CASE WHEN n1 > 0 THEN (n1 * 1.0 / n) * ln(n1 * 1.0 * n / (df * 1.0 * nl)) ELSE 0.0 END) " +
+        "ORDER BY lang)), (a, b) -> a + b), 6) AS mi FROM grid GROUP BY token, df), " +
+        "lift AS (SELECT token, lang AS best_lang, round(lf, 6) AS best_lift FROM (" +
+        "SELECT token, lang, (n1 * 1.0 / nl) / (df * 1.0 / n) AS lf, " +
+        "row_number() OVER (PARTITION BY token ORDER BY (n1 * 1.0 / nl) / (df * 1.0 / n) DESC, lang ASC) AS rk FROM grid) WHERE rk = 1) " +
+        "SELECT m.token, CAST(m.df AS BIGINT) AS df, m.mi, l.best_lang, l.best_lift " +
+        "FROM mi m JOIN lift l USING (token) ORDER BY m.token"),
+    // CCNET BUCKETS: the q_lm_score oracle verbatim as a subquery, cut
+    // into per-language thirds by ntile over the ROUNDED score (the
+    // hash-matched values — the ordering cannot 1-ulp-flip) + doc_id
+    "q_ccnet_buckets" ->
+      (s"WITH lm AS (SELECT * FROM ($LmScoreOracleSql)), " +
+        "nt AS (SELECT lm.doc_id, d.lang, lm.avg_nll, " +
+        "ntile(3) OVER (PARTITION BY d.lang ORDER BY lm.avg_nll ASC, lm.doc_id ASC) AS b " +
+        "FROM lm JOIN documents d USING (doc_id)) " +
+        "SELECT doc_id, lang, avg_nll, " +
+        "CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket " +
+        "FROM nt ORDER BY doc_id"),
     "q_chunk_docs" ->
       ("WITH base AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk FROM documents), " +
         "nn AS (SELECT doc_id, tk, CASE WHEN len(tk) <= 8 THEN 1 ELSE 1 + CAST(floor((len(tk) - 9) / 24.0) AS INT) END AS nc FROM base WHERE len(tk) > 0), " +
@@ -1609,6 +1846,20 @@ object SparkEntry {
       ("SELECT label, CAST(i AS BIGINT) AS dim, count(*) AS n_vecs, round(avg(x), 6) AS centroid " +
         "FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x, generate_subscripts(embedding, 1) AS i FROM embeddings) " +
         "GROUP BY label, i ORDER BY label, dim"),
+    // MAHALANOBIS: moments rounded to 6 dp FIRST (the hash-matched
+    // centroid values), then variance/ratio/sum all derive from them with
+    // a sequential dim-ascending fold — bit-identical to the engine's
+    // aggregate(), so even the unrounded threshold compare agrees
+    "q_mahalanobis" ->
+      ("WITH x AS (SELECT label, generate_subscripts(embedding, 1) AS j, unnest(CAST(embedding AS DOUBLE[])) AS x FROM embeddings), " +
+        "mom AS (SELECT label, j, round(avg(x), 6) AS m1, round(avg(x*x), 6) AS m2 FROM x GROUP BY label, j), " +
+        "arrs AS (SELECT label, list(m1 ORDER BY j) AS m1l, list(m2 ORDER BY j) AS m2l FROM mom GROUP BY label), " +
+        "d AS (SELECT e.vec_id, e.label, list_reduce(list_prepend(0.0, " +
+        "[((CAST(e.embedding[j] AS DOUBLE) - a.m1l[j]) * (CAST(e.embedding[j] AS DOUBLE) - a.m1l[j])) / (a.m2l[j] - a.m1l[j]*a.m1l[j] + 0.000001) FOR j IN range(1, 65)]), " +
+        "(p, q) -> p + q) AS maha2 FROM embeddings e JOIN arrs a USING (label)) " +
+        "SELECT vec_id, label, round(maha2, 6) AS maha2, " +
+        "CAST(CASE WHEN maha2 > 98.0 THEN 1 ELSE 0 END AS BIGINT) AS outlier " +
+        "FROM d ORDER BY vec_id"),
     "q_asof_join" ->
       ("SELECT e.event_id, e.user_id, strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts, " +
         "round(p.value, 4) AS purchase_value, strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts " +
@@ -1648,6 +1899,21 @@ object SparkEntry {
         "tr AS (SELECT u, v, w FROM wg WHERE EXISTS (SELECT 1 FROM ce WHERE ce.v = wg.v AND ce.w = wg.w)), " +
         "pc AS (SELECT part, count(*) AS n_triangles FROM (SELECT unnest([u, v, w]) AS part FROM tr) GROUP BY part) " +
         "SELECT part, n_triangles FROM pc ORDER BY n_triangles DESC, part LIMIT 20"),
+    // LABEL PROPAGATION: fixed-round synchronous updates unrolled — the
+    // plurality pick is pure integer counts + min-label ties, so each
+    // round (and therefore the fixpoint of the unroll) is exact
+    "q_label_prop" -> {
+      val rounds = (1 to 3).map { r =>
+        s"c$r AS (SELECT e.src, l.label, count(*) AS c FROM eb e JOIN l${r - 1} l ON l.node = e.dst GROUP BY e.src, l.label), " +
+          s"l$r AS (SELECT src AS node, label FROM (SELECT src, label, row_number() OVER (PARTITION BY src ORDER BY c DESC, label ASC) AS rn FROM c$r) WHERE rn = 1)"
+      }.mkString(", ")
+      "WITH pr AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem), " +
+        "e AS MATERIALIZED (SELECT DISTINCT a.p AS pa, b.p AS pb FROM pr a JOIN pr b ON a.ok = b.ok AND a.p < b.p), " +
+        "eb AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM e UNION ALL SELECT pb, pa FROM e), " +
+        "l0 AS (SELECT DISTINCT src AS node, src AS label FROM eb), " +
+        rounds + " " +
+        "SELECT node AS part, label AS community FROM l3 ORDER BY part"
+    },
     // the n-free scaled recurrence (rank·n): rankN' = 0.15 + 0.85·Σ rankN/deg
     // with rankN₀ ≡ 1 — identical values to the textbook 1/n form (n
     // cancels), no node-count scalar anywhere, same as the engine
@@ -1663,6 +1929,27 @@ object SparkEntry {
         "r3 AS (SELECT e.dst AS node, 0.15 + 0.85 * sum(r.rank / g.deg) AS rank FROM edges e " +
         "JOIN deg g ON e.src = g.src JOIN r2 r ON r.node = e.src GROUP BY e.dst) " +
         "SELECT node, round(rank, 6) AS rank_x_n FROM r3 ORDER BY node"),
+    // K-CORE: integer-degree peel to the EXACT fixpoint — the recursive
+    // CTE reruns the engine's peel verbatim (working table = current
+    // survivor degrees; recursion stops when no degree is below k), so
+    // unlike the float-iteration graph oracles this one replays the
+    // converged result, not a fixed round count
+    "q_kcore" ->
+      ("WITH RECURSIVE pairs AS MATERIALIZED (SELECT DISTINCT l_suppkey*2 AS a, o_custkey*2+1 AS b " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), " +
+        "eb AS MATERIALIZED (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs), " +
+        "d0 AS (SELECT src AS n, count(*) AS deg FROM eb GROUP BY src), " +
+        "s(r, n, deg) AS (SELECT 0, n, deg FROM d0 " +
+        "UNION ALL SELECT prev.r + 1, nd.n, nd.deg " +
+        "FROM (SELECT max(r) AS r FROM s) prev, " +
+        "(SELECT eb.src AS n, count(*) AS deg FROM eb " +
+        "JOIN (SELECT n FROM s WHERE deg >= 8) a ON a.n = eb.src " +
+        "JOIN (SELECT n FROM s WHERE deg >= 8) b ON b.n = eb.dst " +
+        "GROUP BY eb.src) nd " +
+        "WHERE EXISTS (SELECT 1 FROM s WHERE deg < 8)) " +
+        "SELECT CASE WHEN n % 2 = 0 THEN 's' ELSE 'c' END || CAST(n // 2 AS VARCHAR) AS node, " +
+        "CAST(deg AS BIGINT) AS core_deg " +
+        "FROM s WHERE r = (SELECT max(r) FROM s) AND deg >= 8 ORDER BY node"),
     "q_argmax_doc" ->
       ("SELECT source, count(*) AS n_docs, max(n_chars) AS max_chars, " +
         "arg_max(doc_id, n_chars * 100000000 + doc_id) AS longest_doc_id " +
@@ -1874,6 +2161,15 @@ object SparkEntry {
         "round((mean_treatment - mean_control) / sqrt(se2), 6) AS welch_t, " +
         "round(pow(se2, 2) / (pow(vc / n_control, 2) / (n_control - 1) + pow(vt / n_treatment, 2) / (n_treatment - 1)), 6) AS welch_df " +
         "FROM p ORDER BY event_type"),
+    // BURSTINESS: mean/variance from exact integer sums with the same
+    // operation order in both engines -- the unrounded Fano ratio is
+    // bit-identical before the round
+    "q_burstiness" ->
+      ("WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS c FROM events GROUP BY 1, 2), " +
+        "agg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours, CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS s2 FROM hourly GROUP BY 1) " +
+        "SELECT event_type, n_hours, round(CAST(s AS DOUBLE) / n_hours, 6) AS mean_per_hour, " +
+        "round(((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * s / n_hours) / n_hours) / (CAST(s AS DOUBLE) / n_hours), 6) AS fano " +
+        "FROM agg ORDER BY event_type"),
     "q_rate_anomaly" ->
       ("WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n_events FROM events GROUP BY 1, 2), " +
         "m AS (SELECT event_type, avg(n_events) AS mu, stddev_samp(n_events) AS sd FROM hourly GROUP BY 1) " +

@@ -462,6 +462,23 @@ object HashImpl {
     math.sqrt(s)
   }
 
+  /** 1-bit sign quantization of a float vector into a packed 64-bit code:
+    * bit j is set iff element j is strictly positive (zeros and negatives
+    * clear — the comparison is exact on floats, so every engine agrees).
+    * Dimensions beyond 64 are ignored: one long IS the production binary
+    * code (64 dims × 1 bit = 8 bytes/vector vs 256 raw — the memory-traffic
+    * ratio that makes Hamming shortlisting a coarse-stage win). */
+  def signPack64(vec: ArrayData): Long = {
+    val n = math.min(vec.numElements(), 64)
+    var code = 0L
+    var j = 0
+    while (j < n) {
+      if (vec.getFloat(j) > 0f) code |= (1L << j)
+      j += 1
+    }
+    code
+  }
+
   /** L2 norm of the ±1 signed-random-projection of a raw float vector into
     * `nBits` dimensions, scaled 1/√nBits (Achlioptas 2003 database-friendly
     * JL projection — the signs are EXACTLY [[srpBucket]]'s hyperplanes, so
@@ -957,6 +974,18 @@ case class NormF(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** SignPack64(array<float>) → long: packed 1-bit sign quantization code —
+  * see [[HashImpl.signPack64]]. */
+case class SignPack64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpl.signPack64(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.signPack64($c)")
+  override protected def withNewChildInternal(newChild: Expression): SignPack64 =
+    copy(child = newChild)
+}
+
 /** SrpProjNorm(array<float>) → double: JL-projection norm — see
   * [[HashImpl.srpProjNorm]]. */
 case class SrpProjNorm(child: Expression, nBits: Int, seed: Long)
@@ -1120,6 +1149,9 @@ object HashFunctions {
     col(NearestCellUnit(expr(vec), centroids.flatten.toArray, d))
   }
   def normF(vec: Column): Column = col(NormF(expr(vec)))
+  def signPack64(vec: Column): Column = col(SignPack64(expr(vec)))
+  def multiPatternCount(text: Column, patterns: Seq[String]): Column =
+    col(MultiPatternCount(expr(text), patterns))
   def srpProjNorm(vec: Column, nBits: Int, seed: Long): Column =
     col(SrpProjNorm(expr(vec), nBits, seed))
   def minCellDistUnit(vec: Column, centroids: Seq[Seq[Double]]): Column = {

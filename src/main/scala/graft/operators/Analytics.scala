@@ -1467,4 +1467,139 @@ object Analytics {
           .as("first_flag_hour"))
       .orderBy("event_type")
   }
+
+  /** BURSTINESS (Fano factor) of event arrivals per type: the variance-
+    * to-mean ratio of hourly event counts — the standard dispersion
+    * index (Fano 1947). F ≈ 1 is Poisson (arrivals are memoryless,
+    * capacity plans can use averages); F ≫ 1 is bursty (peak provisioning
+    * must follow the bursts, and rate-anomaly thresholds like row 107's
+    * need wider bands). Observed hours only — the same bucket domain as
+    * q_rate_anomaly.
+    *
+    * Float discipline: hourly counts are exact integers; mean and
+    * variance derive from the exact sums (Σc, Σc², n) with the SAME
+    * operation order in both engines (one subtraction, two divisions —
+    * all IEEE-exact on identical operands), so even the unrounded
+    * Fano ratio is bit-identical; outputs round at 6. One (type, hour)
+    * aggregation then a type-cardinality reduction. */
+  def burstiness(t: Tables): DataFrame = {
+    val hc = t.events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("_h"))
+      .agg(count(lit(1)).as("_c"))
+    hc.groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"), sum(col("_c")).as("_s"),
+        sum(col("_c") * col("_c")).as("_s2"))
+      .select(col("event_type"), col("n_hours"),
+        round(col("_s").cast("double") / col("n_hours"), 6).as("mean_per_hour"),
+        round(((col("_s2").cast("double") -
+          col("_s").cast("double") * col("_s") / col("n_hours")) / col("n_hours")) /
+          (col("_s").cast("double") / col("n_hours")), 6).as("fano"))
+      .orderBy("event_type")
+  }
+
+  /** HILL TAIL-INDEX estimator (Hill 1975 — the standard heavy-tail
+    * exponent estimate) for the event-value distribution per type:
+    * α̂ = k / Σ_{i=1..k} ln(x_(i) / x_(k+1)) over the k largest values.
+    * The capacity-planning read this suite's skew family motivates:
+    * α ≤ 2 means the value distribution has infinite variance — mean-
+    * based sizing (and mean-based CIs) are unstable, and hot-key
+    * mitigation must assume the tail keeps growing; α clearly above 3
+    * means moments are tame.
+    *
+    * Determinism: the top-(k+1) order statistics cut on (value desc,
+    * event_id) — exact; ratios are IEEE-exact divisions; the k ln-terms
+    * fold in RANK order via a sorted-array aggregate (the orderedMean
+    * discipline), so the only cross-engine exposure is ln's 1-ulp,
+    * handled by round-6. Types with fewer than k+1 positive values drop
+    * (both engines — the estimator is undefined there).
+    *
+    * Scale shape: one bounded per-type window (k+1 rows survive per
+    * type), then type-cardinality aggregation. The corpus streams once. */
+  def hillTail(t: Tables, k: Int = 100): DataFrame = {
+    val pos = t.events.filter(col("value") > 0)
+      .select(col("event_type"), col("event_id"), col("value"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("value").desc, col("event_id").asc)
+    val ranked = pos.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k + 1)
+      .localCheckpoint() // the threshold row and the top-k both read it
+    val xk1 = ranked.filter(col("_rn") === k + 1)
+      .select(col("event_type"), col("value").as("_xk1"))
+    ranked.filter(col("_rn") <= k)
+      .join(xk1, Seq("event_type"))
+      .groupBy("event_type")
+      .agg(
+        aggregate(
+          transform(array_sort(collect_list(
+            struct(col("_rn"), col("value"), col("_xk1")))),
+            e => log(e.getField("value") / e.getField("_xk1"))),
+          lit(0.0), (a, x) => a + x).as("_s"),
+        min(col("_xk1")).as("_xt"))
+      .select(col("event_type"), lit(k).cast("long").as("k"),
+        round(col("_xt"), 6).as("x_tail"),
+        round(lit(k.toDouble) / col("_s"), 6).as("alpha"))
+      .orderBy("event_type")
+  }
+
+  /** DETERMINISTIC POISSON BOOTSTRAP confidence intervals for the mean
+    * event value per type (the Poisson-bootstrap formulation — Chamandy
+    * et al. 2012, Google's "Estimating Uncertainty for Massive Data
+    * Streams" — IS the distributed-bootstrap method: per (row,
+    * replicate), an independent Poisson(1) weight stands in for the
+    * multinomial resample, so no replicate ever needs the corpus
+    * assembled in one place). RNG is replaced by the suite's hash
+    * discipline: the weight for (event, replicate b) inverts the
+    * Poisson(1) CDF at `u = pmod(xxhash64(event_id·128 + b), 1e6)` —
+    * pure INTEGER threshold compares (CDF·1e6 precomputed), bit-equal in
+    * any engine that reproduces xxhash64 (the oracle's SqlInt64 chain).
+    *
+    * Float discipline: values integerize at e4 (round-then-cast, the
+    * q_rfm rule) so every weighted sum is an exact integer under any
+    * aggregation order; each replicate mean is ONE division of exact
+    * integers (IEEE-exact, identical cross-engine); the CI picks order
+    * statistics by integer rank (floor(α·B)+1, tie-broken by replicate
+    * id) — nothing anywhere depends on float accumulation order.
+    *
+    * Scale shape: replicate fan-out is a map-side explode (B× rows but
+    * zero extra shuffles — the (type, b) aggregation partial-combines
+    * before shuffling ≤ types·B rows); the CI is a bounded window over
+    * B rows per type. B=100 replicates ⇒ the shuffle carries ~types·100
+    * rows regardless of corpus size. */
+  def bootstrapCi(t: Tables, b: Int = 100): DataFrame = {
+    val base = t.events.select(col("event_type"), col("event_id"),
+      round(col("value") * 10000, 0).cast("long").as("_vi"))
+    val rep = base
+      .withColumn("_b", explode(sequence(lit(0L), lit(b - 1L))))
+      .withColumn("_u",
+        pmod(xxhash64(col("event_id") * 128 + col("_b")), lit(1000000L)))
+      .withColumn("_w",
+        when(col("_u") < 367879L, 0L).when(col("_u") < 735759L, 1L)
+          .when(col("_u") < 919699L, 2L).when(col("_u") < 981012L, 3L)
+          .when(col("_u") < 996340L, 4L).when(col("_u") < 999406L, 5L)
+          .otherwise(6L))
+    val means = rep.groupBy("event_type", "_b")
+      .agg(sum(col("_w")).as("_sw"), sum(col("_w") * col("_vi")).as("_swv"))
+      .filter(col("_sw") > 0)
+      .withColumn("_mean_b",
+        col("_swv").cast("double") / (col("_sw").cast("double") * lit(10000.0)))
+    val ranked = means
+      .withColumn("_rn", row_number().over(Window.partitionBy("event_type")
+        .orderBy(col("_mean_b").asc, col("_b").asc)))
+      .withColumn("_nb", count(lit(1)).over(Window.partitionBy("event_type")))
+      .withColumn("_lo", (floor((lit(25L) * col("_nb")) / lit(1000.0)) + 1).cast("long"))
+      .withColumn("_hi", (floor((lit(975L) * col("_nb")) / lit(1000.0)) + 1).cast("long"))
+    val cis = ranked.groupBy("event_type")
+      .agg(min(when(col("_rn") === col("_lo"), col("_mean_b"))).as("_ci_lo"),
+        min(when(col("_rn") === col("_hi"), col("_mean_b"))).as("_ci_hi"),
+        count(lit(1)).as("n_replicates"))
+    val point = base.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum(col("_vi")).as("_sv"))
+      .withColumn("mean", round(
+        col("_sv").cast("double") / (col("n_events").cast("double") * lit(10000.0)), 6))
+    point.join(cis, Seq("event_type"))
+      .select(col("event_type"), col("n_events"), col("n_replicates"),
+        col("mean"), round(col("_ci_lo"), 6).as("ci_lo"),
+        round(col("_ci_hi"), 6).as("ci_hi"))
+      .orderBy("event_type")
+  }
 }

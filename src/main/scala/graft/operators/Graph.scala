@@ -379,4 +379,123 @@ object Graph {
     oriented.unpersist(blocking = false)
     out
   }
+
+  /** SYNCHRONOUS LABEL-PROPAGATION community detection (Raghavan et al.
+    * 2007 — public algorithm) over the part CO-PURCHASE graph (the
+    * clustering-bearing graph [[triangleCounts]] uses — the bipartite
+    * trade graph has no communities to find): labels start as node ids;
+    * each round every node adopts its neighbors' PLURALITY label
+    * (count desc, then min label — the deterministic tie the async
+    * textbook variant lacks), synchronously, for a FIXED `iters` rounds.
+    * Fixed-round sync updates on purpose: async/convergence-stopped LPA
+    * is order-dependent and can oscillate, while the fixed-round sync
+    * form is a pure function of the graph — the oracle unrolls the same
+    * rounds. The curation read: co-purchase communities are the
+    * product-affinity clusters a mixture/curriculum can stratify on.
+    *
+    * Scale shape: the edge cache lays out on `dst` — the per-round JOIN
+    * key — so every round's neighbor join is exchange-free on the edge
+    * side and only the node-cardinality label table moves; the plurality
+    * pick is a hash aggregation (`max(struct(count, −label))` — max
+    * count, min label on ties, lexicographically), never a sorted
+    * window, and it partial-aggregates map-side. Labels localCheckpoint
+    * per round with predecessor release — the [[pageRankConverged]]
+    * loop discipline. */
+  def labelPropagation(t: Tables, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"labelPropagation: iters must be >= 1, got $iters")
+    val pairs = t.lineitem.select(col("l_orderkey").as("ok"),
+      col("l_partkey").as("p")).distinct()
+    val e = pairs.toDF("ok", "pa").join(pairs.toDF("ok", "pb"), Seq("ok"))
+      .filter(col("pa") < col("pb"))
+      .select("pa", "pb").distinct()
+    val eb = e.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionAll(e.select(col("pb").as("src"), col("pa").as("dst")))
+      .repartition(col("dst"))
+      .localCheckpoint() // every round's neighbor join reads it
+    var labels = eb.select(col("dst").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val counts = eb
+        .join(labels.select(col("node").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src"), col("label")).agg(count(lit(1)).as("_c"))
+      val next = counts
+        .groupBy(col("src"))
+        .agg(max(struct(col("_c"), (-col("label")).as("_nl"))).as("_m"))
+        .select(col("src").as("node"), (-col("_m._nl")).as("label"))
+        .localCheckpoint()
+      labels.unpersist(blocking = false)
+      labels = next
+    }
+    val out = labels
+      .select(col("node").as("part"), col("label").as("community"))
+      .orderBy("part")
+      .localCheckpoint()
+    labels.unpersist(blocking = false)
+    eb.unpersist(blocking = false)
+    out
+  }
+
+  /** K-CORE DECOMPOSITION (Seidman 1983 — public algorithm) of the
+    * undirected supplier↔customer trade graph: the maximal subgraph in
+    * which every node keeps at least `k` neighbors, found by iterated
+    * peeling — drop every node whose CURRENT induced degree is below `k`,
+    * recompute degrees over the survivors, repeat to the fixpoint. The
+    * curation read: the k-core is the load-bearing interaction backbone
+    * (dense trading community / mutually-reinforcing near-dup cluster);
+    * everything peeled is periphery.
+    *
+    * The fixpoint is EXACT — degrees are integers, so unlike the
+    * float-iteration family ([[pageRankConverged]]) the converged result
+    * is bit-identical across engines and the SQL oracle replays it as a
+    * recursive CTE running the same peel to the same fixpoint. Each round
+    * is two semi-joins of the edge cache against the survivor set plus a
+    * count aggregate: the edge cache keeps its src-keyed layout
+    * ([[tradeEdgesDeg]]) so the src-side probe is exchange-free; only the
+    * node-cardinality survivor table moves. Rounds to fixpoint are
+    * bounded by the peel depth (observed ≤3 here; O(graph degeneracy) in
+    * general), each removing at least one node — `maxRounds` is a
+    * deterministic safety cap, not a tuning knob, and hitting it throws
+    * rather than silently returning a non-core. */
+  def kCore(t: Tables, k: Int = 8, maxRounds: Int = 1000): DataFrame = {
+    require(k >= 1, s"kCore: k must be >= 1, got $k")
+    val (edgesDeg, release) = tradeEdgesDeg(t)
+    // one row per node: its full-graph degree (the window is per-src over
+    // the src-laid-out cache, so the distinct collapses partition-locally)
+    var survivors = edgesDeg.select(col("src").as("node"), col("_deg").as("deg"))
+      .distinct()
+      .localCheckpoint()
+    var rounds = 0
+    var done = false
+    while (!done) {
+      val minDeg = survivors.agg(min(col("deg"))).head()
+      if (minDeg.isNullAt(0) || minDeg.getLong(0) >= k) {
+        done = true // fixpoint (or empty core): nothing left to peel
+      } else {
+        rounds += 1
+        if (rounds > maxRounds)
+          throw new IllegalStateException(
+            s"kCore: no fixpoint within $maxRounds rounds — raise maxRounds")
+        val keep = survivors.filter(col("deg") >= k).select(col("node"))
+        val next = edgesDeg
+          .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
+          .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
+          .groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("deg"))
+          .localCheckpoint()
+        survivors.unpersist(blocking = false)
+        survivors = next
+      }
+    }
+    val out = survivors
+      .select(
+        concat(when(col("node") % 2 === 0, "s").otherwise("c"),
+          shiftright(col("node"), 1).cast("string")).as("node"),
+        col("deg").as("core_deg"))
+      .orderBy("node")
+      .localCheckpoint()
+    survivors.unpersist(blocking = false)
+    release()
+    out
+  }
 }

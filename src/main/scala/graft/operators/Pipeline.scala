@@ -86,6 +86,47 @@ object Pipeline {
     * arms (each bounded: broadcast query side, corpus streamed once)
     * plus two k·nQueries-row windows — fusion itself is free at any
     * corpus size. */
+  /** RANK-BIASED OVERLAP (Webber, Moffat & Zobel, TOIS 2010 — the
+    * standard top-weighted rank-agreement measure) between the lexical
+    * and semantic retrieval arms, per query: truncated RBO@k with
+    * persistence p — (1−p)·Σ_{d=1..k} p^{d−1}·|A_:d ∩ B_:d|/d. The
+    * eval read: queries where the arms agree (high RBO) gain little
+    * from hybrid fusion; low-RBO queries are where [[hybridSearch]]
+    * changes outcomes — this is the diagnostic that sizes that set.
+    *
+    * Determinism: arm ranks come from each arm's own hash-verified
+    * ordering (rounded scores + id ties); prefix overlaps are exact
+    * integers; the depth weights p^{d−1} and the (1−p) factor are
+    * Scala-computed doubles interpolated VERBATIM into the SQL oracle
+    * (so even `1−0.9 = 0.09999999999999998` is the same double on both
+    * sides), and the d-term sum folds left-associated in both. Cost:
+    * the two arms + one k·nQueries-row join — free at any corpus size. */
+  def rboEval(t: Tables, k: Int = 5, p: Double = 0.9): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def ranked(df: DataFrame, score: String, rname: String) = df
+      .withColumn(rname, row_number().over(Window.partitionBy("query_id")
+        .orderBy(col(score).desc, col("neighbor_id").asc)))
+      .select(col("query_id"), col("neighbor_id"), col(rname))
+    val a = ranked(TextAnalysis.bm25Search(t), "bm25", "_ra")
+    val b = ranked(Similarity.bruteForceTopK(t), "cosine", "_rb")
+    val matched = a.join(b, Seq("query_id", "neighbor_id"))
+    val ovs = (1 to k).map { d =>
+      sum(when(col("_ra") <= d && col("_rb") <= d, 1L).otherwise(0L)).as(s"_o$d")
+    }
+    val agg = matched.groupBy("query_id").agg(ovs.head, ovs.tail: _*)
+    val universe = a.select("query_id").distinct()
+    val filled = universe.join(agg, Seq("query_id"), "left")
+      .select(col("query_id") +:
+        (1 to k).map(d => coalesce(col(s"_o$d"), lit(0L)).as(s"_o$d")): _*)
+    val rbo = (1 to k).map { d =>
+      lit(math.pow(p, d - 1)) * col(s"_o$d") / lit(d.toDouble)
+    }.reduce(_ + _) * lit(1 - p)
+    filled
+      .select(col("query_id"), col(s"_o$k").as("n_common"),
+        round(rbo, 6).as("rbo"))
+      .orderBy("query_id")
+  }
+
   def hybridSearch(t: Tables, k: Int = 5, kRrf: Int = 60): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def contrib(df: DataFrame, score: String): DataFrame = df

@@ -142,6 +142,52 @@ object Similarity {
       .orderBy("query_id", "neighbor_id")
   }
 
+  /** BINARY-QUANTIZATION ANN (1-bit sign codes + Hamming shortlist + exact
+    * rerank — the "binary quantization" coarse stage production vector
+    * stores ship, 32× smaller than float32): every vector's 64 sign bits
+    * pack into ONE long ([[graft.functions.HashImpl.signPack64]], fused
+    * codegen kernel), the coarse stage ranks candidates by
+    * `bit_count(code XOR qcode)` — an 8-byte read + one POPCNT per
+    * candidate instead of 256 bytes + 64 FMAs — and only the per-query
+    * `shortlist` Hamming-nearest survivors pay the exact float cosine.
+    *
+    * Scale shape, same contract as [[twoStageTopK]]: bounded query side
+    * broadcast; corpus streams ONCE through the packed-code projection
+    * (at real scale the 8-byte code column is precomputed and stored, so
+    * the coarse scan reads 1/32 of the vector bytes); both stages rank in
+    * bounded per-query windows with id tie-breaks, so a SQL oracle
+    * replays them exactly (its dimension-wise sign-mismatch count equals
+    * the XOR popcount by construction). Hamming ties at the shortlist
+    * boundary cut deterministically on neighbor_id — recall is graded by
+    * the spec against [[bruteForceTopK]], not assumed. */
+  def binaryTopK(t: Tables, nQueries: Int = 10, k: Int = 5,
+                 shortlist: Int = 100): DataFrame = {
+    val emb = t.embeddings
+    val coded = emb.select(col("vec_id"), col("embedding"),
+      HashFunctions.signPack64(col("embedding")).as("code"))
+    val q = coded.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("code").as("q_code"))
+    val coarse = coded.select(col("vec_id").as("neighbor_id"),
+        col("embedding"), col("code"))
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("hamming",
+        bit_count(col("code").bitwiseXOR(col("q_code"))).cast("long"))
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("neighbor_id").asc)
+    val listed = coarse.withColumn("_rn", row_number().over(w1))
+      .filter(col("_rn") <= shortlist)
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("_cos").desc, col("neighbor_id").asc)
+    listed
+      .withColumn("_cos", HashFunctions.cosineSim(col("q_emb"), col("embedding")))
+      .withColumn("_rk", row_number().over(w2))
+      .filter(col("_rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("hamming"),
+        round(col("_cos"), 6).as("cosine"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
   /** MARGIN-BASED ALIGNMENT MINING (Artetxe & Schwenk 2019 — the
     * LASER/CCMatrix bitext-mining criterion, public method): for each
     * query vector x, the best candidate y ranked NOT by raw cosine but by
@@ -872,6 +918,137 @@ object Similarity {
       .groupBy(col("label"), (col("_pos") + 1).cast("long").as("dim"))
       .agg(count(lit(1)).as("n_vecs"), round(avg(col("_x").cast("double")), 6).as("centroid"))
       .orderBy("label", "dim")
+
+  /** MAXIMAL MARGINAL RELEVANCE re-ranking (Carbonell & Goldstein,
+    * SIGIR 1998 — the diversified-retrieval standard): from each query's
+    * top-`m` relevance shortlist, greedily select `k` results maximizing
+    * `λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)` — every pick is penalized by
+    * its similarity to what is ALREADY picked, so near-duplicate results
+    * can't crowd the list (the retrieval-side twin of the dedup family).
+    *
+    * Determinism: rel and sim are raw cosines (the fused kernel and the
+    * SQL oracle agree bitwise — the suite-wide precedent); λ and the
+    * penalty weight are the LITERALS 0.7/0.3 in both engines (not
+    * `1 − λ` computed in floating point, which is not 0.3); score
+    * arithmetic is two exact-rounded multiplies and a subtract; ties cut
+    * on neighbor_id. The oracle replays the greedy loop as `k` unrolled
+    * CTE steps — selection is inherently sequential, and the unroll IS
+    * the sequential semantics.
+    *
+    * Scale shape: one corpus scan builds the shortlist (bounded window);
+    * everything after — the m² pairwise sims and the k greedy steps —
+    * touches only m·nQueries rows. At real scale the shortlist generator
+    * swaps for [[AnnIndex]]/[[GraphAnn]] probes; the MMR loop downstream
+    * is unchanged and stays shortlist-sized. */
+  def mmrTopK(t: Tables, nQueries: Int = 10, k: Int = 5, m: Int = 20,
+              lam: Double = 0.7, lamPen: Double = 0.3): DataFrame = {
+    val emb = t.embeddings
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("rel", HashFunctions.cosineSim(col("q_emb"), col("embedding")))
+    val wRel = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("neighbor_id").asc)
+    val cand = scored
+      .withColumn("_rn", row_number().over(wRel))
+      .filter(col("_rn") <= m)
+      .select(col("query_id"), col("neighbor_id"), col("rel"), col("embedding"))
+      .localCheckpoint() // sims + every greedy step read it
+    val sims = cand.select(col("query_id"), col("neighbor_id").as("ca"),
+        col("embedding").as("_ea"))
+      .join(cand.select(col("query_id"), col("neighbor_id").as("cb"),
+        col("embedding").as("_eb")), Seq("query_id"))
+      .filter(col("ca") =!= col("cb"))
+      .withColumn("sim", HashFunctions.cosineSim(col("_ea"), col("_eb")))
+      .select(col("query_id"), col("ca"), col("cb"), col("sim"))
+      .localCheckpoint() // k−1 penalty joins read it
+    val candSlim = cand.select("query_id", "neighbor_id", "rel")
+    var sel = candSlim
+      .withColumn("_rn", row_number().over(wRel))
+      .filter(col("_rn") === 1)
+      .select(col("query_id"), col("neighbor_id"), col("rel"),
+        (lit(lam) * col("rel")).as("score"), lit(1).as("rank"))
+      .localCheckpoint()
+    for (r <- 2 to k) {
+      val remaining = candSlim.join(sel.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      val pen = sims.join(sel.select(col("query_id"),
+          col("neighbor_id").as("cb")), Seq("query_id", "cb"))
+        .groupBy(col("query_id"), col("ca").as("neighbor_id"))
+        .agg(max(col("sim")).as("_ms"))
+      val wScore = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("neighbor_id").asc)
+      val next = remaining.join(pen, Seq("query_id", "neighbor_id"))
+        .withColumn("score", lit(lam) * col("rel") - lit(lamPen) * col("_ms"))
+        .withColumn("_rn", row_number().over(wScore))
+        .filter(col("_rn") === 1)
+        .select(col("query_id"), col("neighbor_id"), col("rel"),
+          col("score"), lit(r).as("rank"))
+      val grown = sel.unionByName(next).localCheckpoint()
+      sel.unpersist(blocking = false)
+      sel = grown
+    }
+    val out = sel.select(col("query_id"), col("rank").cast("bigint").as("rank"),
+        col("neighbor_id"), round(col("rel"), 6).as("rel"),
+        round(col("score"), 6).as("mmr"))
+      .orderBy("query_id", "rank")
+      .localCheckpoint()
+    sel.unpersist(blocking = false)
+    cand.unpersist(blocking = false)
+    sims.unpersist(blocking = false)
+    out
+  }
+
+  /** PER-LABEL MAHALANOBIS OUTLIER SCORING (diagonal covariance — the
+    * standardized-distance member of the embedding-hygiene family;
+    * public textbook statistic): each vector's squared distance from its
+    * label's centroid, per-dimension standardized by that label's
+    * variance — the score curation uses to prune mislabeled / corrupted
+    * vectors (E[maha2] ≈ d for in-distribution points, so a fixed
+    * threshold like d + 3σ flags the far tail).
+    *
+    * Float discipline (the q_ab_test rounded-moment rule): the per-
+    * (label, dim) moments are ROUNDED to 6 dp first — the same values
+    * the q_embed_centroids oracle hash-matches — and every downstream
+    * term (variance m2−m1², the per-dim ratio, the d-term sum) derives
+    * from those rounded moments with a SEQUENTIAL dim-ascending fold
+    * (`aggregate`), so engine and oracle are bit-identical; the flag
+    * compares the unrounded-but-deterministic sum. λ regularizes empty
+    * variance (constant dimension ⇒ ratio ≈ 0 contribution only if the
+    * point sits on the constant; a deviation on a zero-variance dim
+    * correctly explodes the score).
+    *
+    * Scale shape: moments are a (label·d)-key partial+final aggregation
+    * (corpus never shuffles on more than label·d keys); the label-space
+    * moment arrays broadcast back; scoring is one narrow codegen'd
+    * projection per row. No window, no corpus shuffle at all. */
+  def mahalanobisOutliers(t: Tables, lambda: Double = 1e-6,
+                          tau2: Double = 98.0): DataFrame = {
+    val x = t.embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("_j", "_x")))
+      .select(col("label"), col("_j"), col("_x").cast("double").as("x"))
+    val mom = x.groupBy("label", "_j")
+      .agg(round(avg(col("x")), 6).as("m1"),
+        round(avg(col("x") * col("x")), 6).as("m2"))
+    val arrs = mom.groupBy("label")
+      .agg(
+        transform(array_sort(collect_list(struct(col("_j"), col("m1")))),
+          e => e.getField("m1")).as("m1l"),
+        transform(array_sort(collect_list(struct(col("_j"), col("m2")))),
+          e => e.getField("m2")).as("m2l"))
+    val xd = transform(col("embedding"), e => e.cast("double"))
+    val diff2 = zip_with(xd, col("m1l"), (x, m) => (x - m) * (x - m))
+    val varr = zip_with(col("m2l"), col("m1l"), (b, a) => b - a * a + lambda)
+    t.embeddings.join(broadcast(arrs), Seq("label"))
+      .withColumn("_maha2",
+        aggregate(zip_with(diff2, varr, (d, v) => d / v), lit(0.0),
+          (acc, r) => acc + r))
+      .select(col("vec_id"), col("label"),
+        round(col("_maha2"), 6).as("maha2"),
+        when(col("_maha2") > tau2, 1L).otherwise(0L).as("outlier"))
+      .orderBy("vec_id")
+  }
 
   /** Per-label embedding-centroid drift — the embedding-space monitoring
     * scalar (a label whose centroid swings away from the corpus centroid

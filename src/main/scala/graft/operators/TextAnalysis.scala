@@ -516,6 +516,200 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** The shipped demo blocklist: phrases drawn from the corpus
+    * vocabulary, deliberately including a pattern ("scan") that is a
+    * proper suffix of others ("slow scan", "row scan") so the automaton's
+    * output links are exercised on real data. Every pattern is
+    * border-free (cannot overlap itself), so per-pattern AC counts equal
+    * the non-overlapping `replace`-count the SQL oracle computes —
+    * asserted by the spec, not assumed. */
+  val DefaultBlocklist: Seq[String] = Seq(
+    "slow scan", "row scan", "hash merge", "sort table", "window table",
+    "scan", "spark")
+
+  /** BLOCKLIST SCREEN via Aho–Corasick multi-pattern matching
+    * ([[graft.functions.AhoCorasick]]): per document, how many blocklist
+    * patterns hit, total occurrences, and the block flag — the content-
+    * filter pass (banned phrases / compliance terms) every curation
+    * pipeline runs. ONE automaton pass per document regardless of
+    * blocklist size — O(len + matches), vs K substring scans for K
+    * patterns — and the automaton rides the serialized plan as a codegen
+    * reference object, so the kernel stays inside whole-stage codegen
+    * with zero per-row setup. Narrow projection, no shuffle, no UDF. */
+  def blocklistScreen(t: Tables,
+                      patterns: Seq[String] = DefaultBlocklist): DataFrame = {
+    t.documents
+      .select(col("doc_id"),
+        HashFunctions.multiPatternCount(lower(trim(col("text"))), patterns)
+          .as("_m"))
+      .select(col("doc_id"),
+        col("_m.n_patterns_hit").as("n_patterns_hit"),
+        col("_m.n_occurrences").as("n_occurrences"),
+        when(col("_m.n_occurrences") > 0, 1L).otherwise(0L).as("blocked"))
+      .orderBy("doc_id")
+  }
+
+  /** HEAPS'-LAW TYPE GROWTH (Heaps 1978 — V(n) ≈ K·n^β, the sublinear
+    * types-vs-corpus-size law) over word-TRIGRAM types: distinct trigram
+    * count at ten doc-id-prefix cutoffs, with the fitted β and K — the
+    * companion curve to the n-gram novelty row (how fast do NEW types
+    * arrive as the corpus grows; β falling toward 0 = saturation, more
+    * data buys fewer new types — measured here: β≈0.8 while the corpus
+    * is fresh, ≈0.2 once it saturates at 10×). Trigram types rather
+    * than unigrams deliberately: this synthetic vocabulary is 31 words
+    * (unigram V is constant — a flat curve fits β=0 and measures
+    * nothing), while trigram types keep arriving corpus-long, which is
+    * also the regime real web corpora live in for any n ≥ 1.
+    *
+    * The prefix trick that makes this ONE pass instead of ten: a type
+    * is in the prefix vocabulary iff its FIRST document (min doc_id) is
+    * below the cutoff — so V(cutoff) is a filter-count over the
+    * type-bounded first-doc table, never a re-scan. Token and doc
+    * counts per prefix are the same shape over the doc-length table.
+    * Cutoffs are integer arithmetic ((i·N)/10); the β/K fit is
+    * regr_slope/intercept over ln of exact integers, 10 points, round-6
+    * (the q_zipf_slope precedent). */
+  def heapsLaw(t: Tables, points: Int = 10): DataFrame = {
+    val dt = t.documents
+      .withColumn("_tk", tokens(col("text")))
+      .filter(size(col("_tk")) >= 3)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("_tk")) - 3), i =>
+          concat_ws(" ", element_at(col("_tk"), i + 1),
+            element_at(col("_tk"), i + 2),
+            element_at(col("_tk"), i + 3)))).as("token"))
+    val firstDoc = dt.groupBy("token").agg(min(col("doc_id")).as("_fd"))
+    val docLen = t.documents
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("_len"))
+    val total = t.documents.agg(count(lit(1)).as("_n"))
+    val cuts = total.select(explode(sequence(lit(1), lit(points))).as("decile"),
+        col("_n"))
+      .select(col("decile"),
+        floor(col("decile").cast("long") * col("_n") / lit(points.toDouble))
+          .cast("long").as("_cut"))
+      .localCheckpoint() // both prefix aggregations read it
+    val vocab = cuts.join(firstDoc, col("_fd") < col("_cut"))
+      .groupBy("decile", "_cut").agg(count(lit(1)).as("vocab_prefix"))
+    val toks = cuts.join(docLen, col("doc_id") < col("_cut"))
+      .groupBy("decile", "_cut")
+      .agg(count(lit(1)).as("n_docs_prefix"), sum(col("_len")).as("n_tokens_prefix"))
+    val curve = vocab.join(toks, Seq("decile", "_cut"))
+    val fit = curve.agg(
+      round(regr_slope(log(col("vocab_prefix")), log(col("n_tokens_prefix"))), 6)
+        .as("heaps_beta"),
+      round(exp(regr_intercept(log(col("vocab_prefix")),
+        log(col("n_tokens_prefix")))), 6).as("heaps_k"))
+    curve.crossJoin(broadcast(fit))
+      .select(col("decile").cast("long").as("decile"), col("n_docs_prefix"),
+        col("n_tokens_prefix"), col("vocab_prefix"),
+        col("heaps_beta"), col("heaps_k"))
+      .orderBy("decile")
+  }
+
+  /** MUTUAL-INFORMATION TERM SELECTION (the information-gain feature
+    * selector — Yang & Pedersen 1997's IG, the classic text-
+    * classification screen): for the top-`vocab` document-frequency
+    * terms, I(T;L) between term PRESENCE (t ∈ {0,1}) and the language
+    * label, plus the term's most-over-represented language by lift.
+    * The curation read: high-MI terms are the lang-discriminative
+    * vocabulary (lang-ID features, contamination tells); near-zero MI
+    * terms spread evenly.
+    *
+    * Float discipline: every probability is a ratio of exact integer
+    * counts; products and divisions are IEEE-exact for identical
+    * operands, so the lift argmax cannot drift cross-engine — only the
+    * ln() terms are libm-vs-JVM 1-ulp exposed, handled by the suite's
+    * round-6 precedent (q_lm_score). The 2·|langs| MI cells fold in a
+    * FIXED order (lang ascending, absent-cell then present-cell); empty
+    * cells contribute exactly 0 in both engines (the x·ln x → 0 limit),
+    * guarded identically.
+    *
+    * Scale shape: (doc, distinct-term) explode → vocabulary-bounded df
+    * aggregation; the top-V cut sorts only the vocabulary; the
+    * (token × lang) grid is V·|langs| rows with the label marginals
+    * broadcast. The corpus never shuffles on more than (token, lang)
+    * keys. */
+  def miTerms(t: Tables, vocab: Int = 200): DataFrame = {
+    val dt = t.documents
+      .select(col("doc_id"), col("lang"),
+        explode(array_distinct(tokens(col("text")))).as("token"))
+      .localCheckpoint() // df cut + per-lang counts both read it
+    val topV = dt.groupBy("token").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("token").asc).limit(vocab)
+    val nl = t.documents.groupBy("lang").agg(count(lit(1)).as("nl"))
+    val nTotal = t.documents.agg(count(lit(1)).as("n")).
+      select(col("n")).as("g")
+    val n1 = dt.join(topV.select("token"), Seq("token"), "left_semi")
+      .groupBy("token", "lang").agg(count(lit(1)).as("n1"))
+    val grid = topV.crossJoin(broadcast(nl))
+      .join(n1, Seq("token", "lang"), "left")
+      .withColumn("n1", coalesce(col("n1"), lit(0L)))
+      .crossJoin(broadcast(nTotal))
+    // one struct per lang, folded in lang-ascending order; each struct
+    // contributes its absent cell (n0 = nl − n1, marginal N − df) then
+    // its present cell (n1, marginal df)
+    val cells = grid.groupBy("token", "df", "n")
+      .agg(array_sort(collect_list(struct(col("lang"), col("nl"), col("n1"))))
+        .as("_cells"))
+    def term(cnt: Column, nt: Column, nlc: Column, n: Column): Column =
+      when(cnt > 0,
+        (cnt.cast("double") / n) *
+          log(cnt.cast("double") * n / (nt.cast("double") * nlc)))
+        .otherwise(0.0)
+    val mi = cells.withColumn("mi", round(
+      aggregate(col("_cells"), lit(0.0), (acc, c) => {
+        val nlc = c.getField("nl"); val c1 = c.getField("n1")
+        // acc + (absent + present): the parenthesization matches the
+        // oracle's per-lang element sum — float addition re-associates
+        acc + (term(nlc - c1, col("n") - col("df"), nlc, col("n")) +
+          term(c1, col("df"), nlc, col("n")))
+      }), 6))
+    val lift = grid.withColumn("_lift",
+      (col("n1").cast("double") / col("nl")) / (col("df").cast("double") / col("n")))
+      .withColumn("_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("token"))
+          .orderBy(col("_lift").desc, col("lang").asc)))
+      .filter(col("_rk") === 1)
+      .select(col("token"), col("lang").as("best_lang"),
+        round(col("_lift"), 6).as("best_lift"))
+    mi.join(lift, Seq("token"))
+      .select(col("token"), col("df"), col("mi"), col("best_lang"),
+        col("best_lift"))
+      .orderBy("token")
+  }
+
+  /** CCNet-style perplexity BUCKETING (Wenzek et al. 2020, public
+    * method): each language's documents split into head / middle / tail
+    * thirds by the self-trained LM score ([[lmScore]]'s avg per-bigram
+    * NLL — CCNet uses a KenLM perplexity; the partition logic is
+    * identical). Head is the most-predictable third (cleanest prose
+    * under the model), tail the least; pipelines keep head+middle or
+    * sample tail at a reduced rate. Emits the per-document assignment —
+    * the actual partition downstream filters on.
+    *
+    * Determinism discipline (the cross-engine float trap this suite
+    * documents): the thirds are cut by `ntile(3)` ordered on the ROUNDED
+    * score + doc_id — the rounded values are the ones the q_lm_score
+    * oracle already hash-matches, so the ordering (and therefore the
+    * cut) cannot 1-ulp-flip between engines. Scale shape: everything up
+    * to the scores is [[lmScore]]; the bucketing itself is one
+    * per-language window (bounded partitions) — at corpus scale swap
+    * ntile for percentile-sketch thresholds (the q_decile_bands
+    * pattern) to avoid sorting whole languages. */
+  def ccnetBuckets(t: Tables): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("avg_nll").asc, col("doc_id").asc)
+    lmScore(t)
+      .join(t.documents.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .withColumn("_nt", ntile(3).over(w))
+      .select(col("doc_id"), col("lang"), col("avg_nll"),
+        when(col("_nt") === 1, "head")
+          .when(col("_nt") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy("doc_id")
+  }
+
   /** Unicode NFC normalization report — the text-hygiene pass that makes
     * visually-identical strings byte-identical BEFORE any hash-based
     * dedup ("e"+combining-acute and "é" are one character to a reader
@@ -906,6 +1100,38 @@ object TextAnalysis {
     feat.select(col("doc_id"), col("y").cast("int").as("label"),
         round(lit(1.0) / (lit(1.0) + exp(-zExpr)), 6).as("score"))
       .orderBy("doc_id")
+  }
+
+  /** CALIBRATION / RELIABILITY report for the trained quality classifier
+    * ([[qualityModel]]'s scores): predicted-probability deciles vs the
+    * observed positive rate per bin, plus the per-bin Brier contribution
+    * — the standard check before a score thresholds a corpus (a model
+    * can rank well and still be MIScalibrated: bin 0.9 containing 40%
+    * positives means "keep score>0.9" keeps junk at 60%).
+    *
+    * Float discipline: bins cut on the ROUNDED 6-dp scores (the values
+    * the q_quality_model oracle hash-matches — floor(score·10) cannot
+    * drift); per-bin means and Brier sums run over the e6-INTEGERIZED
+    * scores, so every sum is exact under any aggregation order and only
+    * the final per-bin ratios round. Scale: one (bin)-key aggregation
+    * over doc-cardinality rows — nothing else. */
+  def qualityCalibration(t: Tables): DataFrame = {
+    val y6 = col("label").cast("long") * lit(1000000L)
+    qualityModel(t)
+      .withColumn("bin", least(floor(col("score") * 10), lit(9L)))
+      .withColumn("_si", round(col("score") * 1000000, 0).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_si")).as("_ss"),
+        sum(col("label").cast("long")).as("_np"),
+        sum((col("_si") - y6) * (col("_si") - y6)).as("_sq"))
+      .select(col("bin"), col("n_docs"),
+        round(col("_ss").cast("double") /
+          (col("n_docs").cast("double") * lit(1000000.0)), 6).as("mean_score"),
+        round(col("_np").cast("double") / col("n_docs"), 6).as("frac_pos"),
+        round(col("_sq").cast("double") /
+          (col("n_docs").cast("double") * lit(1000000000000.0)), 6).as("brier"))
+      .orderBy("bin")
   }
 
   /** TF-IDF cosine text retrieval over an INVERTED INDEX — the classic

@@ -165,6 +165,22 @@ object CorpusStreams {
         .filter(col("pass") === 1L)
         .drop("n_tokens", "mean_tok_len", "dup3_frac", "has_stop", "pass"))
 
+  /** Streaming BLOCKLIST screen: drop any document matching the banned-
+    * phrase list at ingest time, via the same Aho–Corasick automaton the
+    * batch row runs ([[graft.functions.AhoCorasick]] — one pass per
+    * document regardless of blocklist size). STATELESS narrow projection:
+    * the automaton rides the serialized plan as a codegen reference, so
+    * the stream holds no state, needs no watermark, and is semantically
+    * identical to filtering on the batch operator's `blocked` flag
+    * (spec-asserted over split micro-batches in StreamingSpec). */
+  def blocklistScreened(docs: DataFrame,
+      patterns: Seq[String] = TextAnalysis.DefaultBlocklist): DataFrame =
+    docs.withColumn("_m",
+        graft.functions.HashFunctions.multiPatternCount(
+          lower(trim(col("text"))), patterns))
+      .filter(col("_m.n_occurrences") === 0L)
+      .drop("_m")
+
   /** Streaming trending terms: the SpaceSaving frequent-items sketch
     * ([[graft.functions.FreqItemsSketch]]) as a GLOBAL streaming aggregate
     * in complete mode — each micro-batch's tokens merge into the sketch

@@ -1098,4 +1098,82 @@ class AnalyticsSpec extends SparkSpec {
       assert(r.getLong(3) == flagged, s"$et n_flagged")
     }
   }
+
+  test("bootstrapCi: exact point mean, ordered non-degenerate CI, deterministic replay") {
+    val got = graft.operators.Analytics.bootstrapCi(tables).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got.nonEmpty)
+    val byType = tables.events.select("event_type", "value").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1))).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got.foreach { case (tpe, n, nb, mean, lo, hi) =>
+      val vs = byType(tpe)
+      assert(n == vs.length)
+      assert(nb == 100L, s"$tpe: expected 100 live replicates, got $nb")
+      val vi = vs.map(v => BigDecimal(v * 10000)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      assert(mean == r6(vi.sum.toDouble / (vi.length.toDouble * 10000.0)),
+        s"$tpe: point mean drifted")
+      assert(lo <= hi, s"$tpe: CI inverted")
+      assert(lo < hi, s"$tpe: CI degenerate — resampling is vacuous")
+      assert(lo <= mean && mean <= hi, s"$tpe: mean outside its own CI")
+      // Poisson-bootstrap CI of a mean over n draws ~ mean +- few sd/sqrt(n)
+      val sd = math.sqrt(vs.map(v => (v - vs.sum / vs.length) *
+        (v - vs.sum / vs.length)).sum / vs.length)
+      assert(hi - lo < 10 * sd / math.sqrt(vs.length.toDouble) + 1e-9,
+        s"$tpe: CI implausibly wide")
+    }
+    val again = graft.operators.Analytics.bootstrapCi(tables).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got.toSeq == again.toSeq, "hash bootstrap must be bit-deterministic")
+  }
+
+  test("hillTail matches a local recompute; alpha positive and tail-ordered") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = tables.events.select("event_type", "event_id", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .filter(_._3 > 0)
+    val want = rows.groupBy(_._1).flatMap { case (tpe, xs) =>
+      val sorted = xs.sortBy { case (_, id, v) => (-v, id) }
+      if (sorted.length < 101) None
+      else {
+        val xk1 = sorted(100)._3
+        val sm = sorted.take(100).map(x => math.log(x._3 / xk1)).sum
+        Some((tpe, 100L, r6(xk1), r6(100.0 / sm)))
+      }
+    }.toSeq.sortBy(_._1)
+    val got = graft.operators.Analytics.hillTail(tables).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.length == want.length && got.nonEmpty)
+    got.zip(want).foreach { case ((gt, gk, gx, ga), (wt, wk, wx, wa)) =>
+      assert(gt == wt && gk == wk && math.abs(gx - wx) < 1e-9 &&
+        math.abs(ga - wa) < 1e-5, s"$gt: engine ($gx,$ga) vs local ($wx,$wa)")
+      assert(ga > 0, s"$gt: Hill alpha must be positive")
+    }
+  }
+
+  test("burstiness matches a local Fano recompute over hourly counts") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = tables.events.select("event_type", "ts").collect()
+      .map(r => (r.getString(0),
+        r.getAs[java.time.LocalDateTime](1)
+          .truncatedTo(java.time.temporal.ChronoUnit.HOURS)))
+    val want = rows.groupBy(_._1).map { case (tpe, xs) =>
+      val counts = xs.groupBy(_._2).values.map(_.length.toLong).toSeq
+      val n = counts.length.toLong
+      val s = counts.sum; val s2 = counts.map(c => c * c).sum
+      val mean = s.toDouble / n
+      val fano = ((s2.toDouble - s.toDouble * s / n) / n) / mean
+      (tpe, n, r6(mean), r6(fano))
+    }.toSeq.sortBy(_._1)
+    val got = graft.operators.Analytics.burstiness(tables).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq == want, s"engine ${got.toSeq} vs local $want")
+    assert(got.forall(_._4 > 0))
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Graph
+import org.apache.spark.sql.functions.col
 
 class GraphSpec extends SparkSpec {
 
@@ -153,5 +154,68 @@ class GraphSpec extends SparkSpec {
     val plan = planOf(Graph.triangleCounts(tables))
     assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in plan:\n$plan")
+  }
+
+  /** Local reference peel: the textbook k-core by repeated removal. */
+  private def refKCore(k: Int): Map[String, Long] = {
+    val pairs = tables.lineitem.select("l_orderkey", "l_suppkey")
+      .join(tables.orders.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select("l_suppkey", "o_custkey").distinct().collect()
+      .map(r => (r.getLong(0) * 2, r.getLong(1) * 2 + 1))
+    val adj = scala.collection.mutable.Map[Long, scala.collection.mutable.Set[Long]]()
+    pairs.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, scala.collection.mutable.Set()) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.Set()) += a
+    }
+    var changed = true
+    while (changed) {
+      val rem = adj.collect { case (n, v) if v.size < k => n }.toSeq
+      changed = rem.nonEmpty
+      rem.foreach { n => adj(n).foreach(m => adj(m) -= n); adj -= n }
+    }
+    adj.map { case (n, v) =>
+      (if (n % 2 == 0) "s" else "c") + (n >> 1) -> v.size.toLong
+    }.toMap
+  }
+
+  test("kCore equals the reference peel at several k (incl. the trivial and empty cores)") {
+    // k=1: nothing peels (every node in the edge list has a neighbor);
+    // k=8: one peel round on this fixture; k=15: peels to EMPTY — the
+    // operator must converge to the empty core, not loop or throw
+    Seq(1, 8, 15).foreach { k =>
+      val got = Graph.kCore(tables, k = k).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == refKCore(k), s"k=$k: engine core != reference peel")
+    }
+  }
+
+  test("kCore: maxRounds cap throws rather than returning a non-core") {
+    intercept[IllegalStateException] {
+      Graph.kCore(tables, k = 15, maxRounds = 0)
+    }
+  }
+
+  test("labelPropagation equals a local synchronous 3-round replay; communities coalesce") {
+    val pairs = tables.lineitem.select("l_orderkey", "l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = pairs.groupBy(_._1).values.flatMap { xs =>
+      val ps = xs.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var labels: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+    (1 to 3).foreach { _ =>
+      labels = adj.map { case (n, nbrs) =>
+        val counts = nbrs.groupBy(labels).view.mapValues(_.size).toMap
+        n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val got = Graph.labelPropagation(tables).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == labels, "engine diverged from the synchronous reference replay")
+    val nCommunities = got.values.toSet.size
+    assert(nCommunities < got.size, "propagation never merged any labels")
   }
 }

@@ -247,4 +247,26 @@ class PackingSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"hot set not broadcast:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
   }
+
+  test("paddingWasteAudit matches a local recompute; bucketing beats global-max padding") {
+    val lens = tables.documents.collect().map { r =>
+      val t = r.getAs[String]("text").trim.toLowerCase.split("\\s+").count(_.nonEmpty)
+      t.toLong
+    }.filter(_ > 0)
+    def cap(l: Long) = Seq(16L, 32L, 64L, 128L, 256L).find(l <= _).getOrElse(512L)
+    val want = lens.groupBy(cap).toSeq.sortBy(_._1).map { case (c, ls) =>
+      val n = ls.length.toLong; val s = ls.sum
+      (c, n, s, c * n - s)
+    }
+    val gmax = lens.max; val gn = lens.length.toLong; val gsum = lens.sum
+    val naive = (gmax * gn - gsum).toDouble / (gmax * gn)
+    val got = graft.operators.Packing.paddingWasteAudit(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == want, s"engine ${got.toSeq} vs naive $want")
+    val rows = graft.operators.Packing.paddingWasteAudit(tables).collect()
+    val bucketWaste = rows.map(r => r.getLong(3)).sum.toDouble /
+      rows.map(r => r.getLong(0) * r.getLong(1)).sum
+    assert(bucketWaste < naive, "bucketed batching must beat global-max padding")
+    assert(math.abs(rows.head.getDouble(5) - naive) < 1e-6)
+  }
 }

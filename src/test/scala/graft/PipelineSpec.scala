@@ -101,4 +101,35 @@ class PipelineSpec extends SparkSpec {
     assert(got.keySet.exists(!lexSet.contains(_)) ||
       got.keySet.exists(!semSet.contains(_)))
   }
+
+  test("rboEval matches a local recompute; identical lists give RBO ~ (1-p^k) prefix sum") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def rankOf(rows: Array[(Long, Long, Double)]): Map[Long, Seq[Long]] =
+      rows.groupBy(_._1).view.mapValues(_.sortBy { case (_, id, sc) => (-sc, id) }
+        .map(_._2).toSeq).toMap
+    val lex = rankOf(graft.operators.TextAnalysis.bm25Search(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))))
+    val sem = rankOf(graft.operators.Similarity.bruteForceTopK(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))))
+    val want = (0L until 10L).map { q =>
+      val a = lex.getOrElse(q, Seq()); val b = sem.getOrElse(q, Seq())
+      val terms = (1 to 5).map { d =>
+        val ov = (a.take(d).toSet intersect b.take(d).toSet).size
+        math.pow(0.9, d - 1) * ov / d.toDouble
+      }
+      val nc = (a.take(5).toSet intersect b.take(5).toSet).size.toLong
+      (q, nc, r6(terms.sum * (1 - 0.9)))
+    }
+    val got = graft.operators.Pipeline.rboEval(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == want.length)
+    got.zip(want).foreach { case ((gq, gn, gr), (wq, wn, wr)) =>
+      assert(gq == wq && gn == wn && math.abs(gr - wr) < 1e-6,
+        s"query $gq: engine ($gn,$gr) vs local ($wn,$wr)")
+    }
+    // sanity: RBO is bounded by the identical-lists value
+    val maxRbo = (1 to 5).map(d => math.pow(0.9, d - 1)).sum * 0.1
+    assert(got.forall(r => r._3 >= 0.0 && r._3 <= maxRbo + 1e-9))
+  }
 }

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import graft.operators.Privacy
+import graft.functions.HashImpl
+
+class PrivacySpec extends SparkSpec {
+
+  test("kAnonymityAudit matches a local recompute; risk shrinks as k shrinks") {
+    val rows = tables.documents.select("lang", "source", "n_chars").collect()
+      .map { r =>
+        val b = r.getLong(2) match {
+          case n if n <= 100 => 100L
+          case n if n <= 200 => 200L
+          case n if n <= 400 => 400L
+          case _             => 800L
+        }
+        (r.getString(0), r.getString(1), b)
+      }
+    val groups = rows.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val want = Seq(2, 5, 10).map { k =>
+      val risky = groups.filter(_._2 < k)
+      (k.toLong, risky.size.toLong, risky.values.sum,
+        groups.size.toLong, groups.values.sum)
+    }
+    val got = Privacy.kAnonymityAudit(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == want, s"engine ${got.toSeq} vs local $want")
+    // monotone: raising k can only put MORE groups at risk
+    assert(got.sliding(2).forall(p => p(0)._2 <= p(1)._2))
+  }
+
+  test("dpNoisyCounts: hash-seeded Laplace matches a local inverse-CDF recompute") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Privacy.dpNoisyCounts(tables).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    val counts = tables.documents.groupBy("lang", "source").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got.length == counts.size)
+    got.foreach { case (lang, source, nTrue, noise, noisy) =>
+      assert(nTrue == counts((lang, source)))
+      val h = HashImpl.rollingHash(UTF8String.fromString(s"$lang|$source"))
+      val ui = java.lang.Math.floorMod(h, 1000000L)
+      val u = (ui.toDouble + 0.5) / 1000000.0
+      val wantNoise = if (u < 0.5) 1.0 * math.log(2.0 * u)
+                      else -1.0 * math.log(2.0 * (1.0 - u))
+      assert(math.abs(noise - r6(wantNoise)) < 1e-9,
+        s"($lang,$source): engine noise $noise vs local $wantNoise")
+      assert(math.abs(noisy - r6(nTrue + wantNoise)) < 1e-9)
+    }
+    // Laplace(1): noise is symmetric-ish and bounded in practice by ~ln(1e6)
+    assert(got.map(_._4).max > 0 && got.map(_._4).min < 0,
+      "noise never changed sign — the hash-uniform is degenerate")
+    assert(got.map(_._4).forall(n => math.abs(n) <= math.log(2.0e6)))
+  }
+}

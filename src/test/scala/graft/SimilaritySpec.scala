@@ -663,4 +663,123 @@ class SimilaritySpec extends SparkSpec {
     val tiny = Similarity.twoStageTopK(tables, k = 1, shortlist = 1).collect()
     assert(tiny.length > 0)
   }
+
+  test("binaryTopK: packed sign codes match a local bit-pack; hamming = sign mismatches") {
+    val rows = tables.embeddings
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.HashFunctions.signPack64(col("embedding")).as("code"))
+      .collect()
+    def pack(v: Seq[Float]): Long =
+      v.take(64).zipWithIndex.foldLeft(0L) { case (c, (x, j)) =>
+        if (x > 0f) c | (1L << j) else c
+      }
+    rows.foreach { r =>
+      assert(r.getLong(2) == pack(r.getSeq[Float](1)),
+        s"code mismatch for vec ${r.getLong(0)}")
+    }
+    // XOR popcount of the packed codes IS the dimension-wise sign-mismatch
+    // count the SQL oracle computes
+    val a = rows(0); val b = rows(1)
+    val va = a.getSeq[Float](1); val vb = b.getSeq[Float](1)
+    val mismatches = va.zip(vb).count { case (x, y) => (x > 0f) != (y > 0f) }
+    assert(java.lang.Long.bitCount(a.getLong(2) ^ b.getLong(2)) == mismatches)
+  }
+
+  test("binaryTopK: full-probe equals brute force; default funnel holds recall") {
+    val brute = Similarity.bruteForceTopK(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Similarity.binaryTopK(tables, shortlist = Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == brute, "full-probe binary rerank must equal exact top-k")
+    val funnel = Similarity.binaryTopK(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (funnel intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"binary coarse stage recall collapsed: $recall")
+  }
+
+  test("mmrTopK replays a local greedy MMR exactly; rank 1 is the relevance argmax") {
+    val vecs = tables.embeddings.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = (0L until 10L).flatMap { qid =>
+      val cand = vecs.keys.filter(_ != qid).toSeq
+        .map(c => c -> cos(vecs(qid), vecs(c)))
+        .sortBy { case (id, r) => (-r, id) }.take(20)
+      var sel = Vector[(Long, Double, Double)]() // (id, rel, score)
+      (1 to 5).foreach { r =>
+        val pick =
+          if (r == 1) { val (id, rel) = cand.head; (id, rel, 0.7 * rel) }
+          else {
+            cand.filterNot(c => sel.exists(_._1 == c._1)).map { case (id, rel) =>
+              val ms = sel.map(s => cos(vecs(id), vecs(s._1))).max
+              (id, rel, 0.7 * rel - 0.3 * ms)
+            }.minBy { case (id, _, sc) => (-sc, id) }
+          }
+        sel :+= pick
+      }
+      sel.zipWithIndex.map { case ((id, rel, sc), i) => (qid, (i + 1).toLong, id, rel, sc) }
+    }
+    val got = Similarity.mmrTopK(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.length == want.length)
+    got.zip(want).foreach { case ((gq, gr, gi, grel, gs), (wq, wr, wi, wrel, ws)) =>
+      assert(gq == wq && gr == wr && gi == wi &&
+        math.abs(grel - wrel) < 1e-6 && math.abs(gs - ws) < 1e-6,
+        s"query $gq rank $gr: engine ($gi,$gs) vs local ($wi,$ws)")
+    }
+    // diversification is non-vacuous on this corpus: at least one query's
+    // MMR list diverges from its pure-relevance top-5
+    val rel5 = want.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSet)
+    val byRel = (0L until 10L).map { qid =>
+      vecs.keys.filter(_ != qid).toSeq.map(c => c -> cos(vecs(qid), vecs(c)))
+        .sortBy { case (id, r) => (-r, id) }.take(5).map(_._1).toSet
+    }
+    assert((0L until 10L).exists(q => rel5(q) != byRel(q.toInt)),
+      "MMR never diverged from pure relevance — penalty is vacuous here")
+  }
+
+  test("mahalanobisOutliers matches a local rounded-moment recompute; E[maha2] ~ d") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vecs = tables.embeddings.collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val byLabel = vecs.groupBy(_._2)
+    val moments = byLabel.map { case (lab, vs) =>
+      val d = vs.head._3.length
+      lab -> (0 until d).map { j =>
+        val xs = vs.map(_._3(j))
+        (r6(xs.sum / xs.length), r6(xs.map(x => x * x).sum / xs.length))
+      }.toArray
+    }
+    val want = vecs.map { case (id, lab, v) =>
+      val m = moments(lab)
+      var s = 0.0
+      v.indices.foreach { j =>
+        val (m1, m2) = m(j)
+        s += (v(j) - m1) * (v(j) - m1) / (m2 - m1 * m1 + 1e-6)
+      }
+      (id, lab, r6(s), if (s > 98.0) 1L else 0L)
+    }.sortBy(_._1)
+    val got = Similarity.mahalanobisOutliers(tables).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+    // local naive sums accumulate in the same j-ascending order but not
+    // necessarily with identical rounding of intermediate doubles; compare
+    // to 1e-6 rather than bit-exact (the SQL oracle IS the bit-exact gate)
+    assert(got.length == want.length)
+    got.zip(want).foreach { case ((gi, gl, gm, gf), (wi, wl, wm, wf)) =>
+      assert(gi == wi && gl == wl && math.abs(gm - wm) < 2e-6 && gf == wf,
+        s"vec $gi: engine ($gm,$gf) vs local ($wm,$wf)")
+    }
+    val mean = got.map(_._3).sum / got.length
+    val d = vecs.head._3.length
+    assert(mean > d * 0.5 && mean < d * 1.5,
+      s"mean maha2 $mean should be near the dimension $d")
+  }
 }

@@ -233,6 +233,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming blocklist screen matches the batch flags over split micro-batches") {
+    import graft.streaming.CorpusStreams
+    import graft.operators.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    val docs = tables.documents.select("doc_id", "text")
+    val flags = TextAnalysis.blocklistScreen(tables).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val want = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+      .filter { case (id, _) => flags(id) == 0L }.toSet
+    assert(want.nonEmpty && want.size < flags.size,
+      "fixture must contain both blocked and clean docs")
+    val input = MemoryStream[(Long, String)]
+    val q = CorpusStreams.blocklistScreened(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("blscreen").outputMode("append").start()
+    try {
+      val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+      input.addData(rows.take(rows.length / 2).toSeq)
+      q.processAllAvailable()
+      input.addData(rows.drop(rows.length / 2).toSeq)
+      q.processAllAvailable()
+      val got = spark.table("blscreen").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == want, s"stream/batch diverged: ${got.size} vs ${want.size}")
+    } finally q.stop()
+  }
+
   test("windowed trending terms: each closed window equals the batch sketch of its docs") {
     import graft.streaming.CorpusStreams
     import graft.operators.TextAnalysis

@@ -779,4 +779,105 @@ class TextAnalysisSpec extends SparkSpec {
     // the audit must be informative: collisions shrink as d grows
     assert(got.head._4 >= got.last._4)
   }
+
+  test("ccnetBuckets: per-language thirds, ordered head <= middle <= tail, full coverage") {
+    val scored = TextAnalysis.lmScore(tables).collect().map(_.getLong(0)).toSet
+    val rows = TextAnalysis.ccnetBuckets(tables).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+    assert(rows.map(_._1).toSet == scored, "every scored doc gets a bucket")
+    rows.groupBy(_._2).foreach { case (lang, rs) =>
+      val sizes = rs.groupBy(_._4).view.mapValues(_.length).toMap
+      val ns = Seq("head", "middle", "tail").map(sizes.getOrElse(_, 0))
+      assert(ns.max - ns.min <= 1, s"$lang thirds unbalanced: $sizes")
+      def scores(b: String) = rs.filter(_._4 == b).map(_._3)
+      if (scores("head").nonEmpty && scores("tail").nonEmpty) {
+        assert(scores("head").max <= scores("tail").min + 1e-9,
+          s"$lang: head not the most-predictable third")
+      }
+    }
+  }
+
+  test("miTerms matches a local recompute; discriminative terms outrank uniform ones") {
+    val docs = tables.documents.select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).trim.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSet))
+    val n = docs.length.toLong
+    val nl = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val df = docs.flatMap(_._3).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val topV = df.toSeq.sortBy { case (t, d) => (-d, t) }.take(200)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = topV.map { case (tok, d) =>
+      val langs = nl.keys.toSeq.sorted
+      var mi = 0.0
+      var bestLang = ""; var bestLift = -1.0
+      langs.foreach { l =>
+        val n1 = docs.count(x => x._2 == l && x._3(tok)).toLong
+        val n0 = nl(l) - n1
+        def term(c: Long, mt: Long): Double =
+          if (c > 0) (c.toDouble / n) * math.log(c.toDouble * n / (mt.toDouble * nl(l))) else 0.0
+        mi += term(n0, n - d) + term(n1, d)
+        val lift = (n1.toDouble / nl(l)) / (d.toDouble / n)
+        if (lift > bestLift) { bestLift = lift; bestLang = l }
+      }
+      (tok, d, r6(mi), bestLang, r6(bestLift))
+    }.sortBy(_._1)
+    val got = TextAnalysis.miTerms(tables).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getString(3), r.getDouble(4)))
+    assert(got.length == want.length)
+    got.zip(want).foreach { case ((gt, gd, gm, gl, gf), (wt, wd, wm, wl, wf)) =>
+      assert(gt == wt && gd == wd && math.abs(gm - wm) < 2e-6 && gl == wl &&
+        math.abs(gf - wf) < 2e-6, s"term $gt: engine ($gm,$gl,$gf) vs local ($wm,$wl,$wf)")
+    }
+    // the MI ordering is informative: some term separates languages
+    assert(got.map(_._3).max > got.map(_._3).min)
+  }
+
+  test("qualityCalibration matches a local recompute from the model scores") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val scored = TextAnalysis.qualityModel(tables).collect()
+      .map(r => (r.getInt(1).toLong, r.getDouble(2)))
+    val want = scored.groupBy { case (_, s) => math.min(math.floor(s * 10).toLong, 9L) }
+      .toSeq.sortBy(_._1).map { case (bin, xs) =>
+        val si = xs.map { case (_, s) =>
+          BigDecimal(s * 1000000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong }
+        val np = xs.map(_._1).sum
+        val sq = xs.zip(si).map { case ((y, _), v) =>
+          (v - y * 1000000L) * (v - y * 1000000L) }.sum
+        (bin, xs.length.toLong,
+          r6(si.sum.toDouble / (xs.length.toDouble * 1000000.0)),
+          r6(np.toDouble / xs.length),
+          r6(sq.toDouble / (xs.length.toDouble * 1000000000000.0)))
+      }
+    val got = TextAnalysis.qualityCalibration(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq == want, s"engine ${got.toSeq} vs local $want")
+    assert(got.length >= 2, "calibration collapsed to one bin")
+  }
+
+  test("heapsLaw matches a local prefix recompute; vocabulary growth is sublinear") {
+    val docs = tables.documents.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).trim.toLowerCase.split("\\s+").filter(_.nonEmpty)))
+    val n = docs.length
+    def trigrams(tk: Array[String]): Seq[String] =
+      if (tk.length < 3) Seq()
+      else (0 to tk.length - 3).map(i => s"${tk(i)} ${tk(i + 1)} ${tk(i + 2)}")
+    val want = (1 to 10).map { i =>
+      val cut = math.floor(i.toLong * n / 10.0).toLong
+      val prefix = docs.filter(_._1 < cut)
+      (i.toLong, prefix.length.toLong, prefix.map(_._2.length.toLong).sum,
+        prefix.flatMap(d => trigrams(d._2)).distinct.length.toLong)
+    }
+    val got = TextAnalysis.heapsLaw(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got.map(g => (g._1, g._2, g._3, g._4)).toSeq == want,
+      s"curve mismatch: ${got.toSeq} vs $want")
+    val beta = got.head._5
+    assert(beta > 0 && beta < 1, s"Heaps beta out of (0,1): $beta")
+    // every row repeats the same fit
+    assert(got.map(_._5).distinct.length == 1 && got.map(_._6).distinct.length == 1)
+  }
 }
