@@ -171,6 +171,7 @@ object SparkEntry {
     "q_date_parts" -> ((s, d) => Relational.dateParts(Tables(s, d))),
     // — dedup (SURVEY §2 rows 15–18) —
     "q_dedup_exact" -> ((s, d) => Dedup.exactGroups(Tables(s, d))),
+    "q_dup_inflation" -> ((s, d) => Dedup.dupInflation(Tables(s, d))),
     "q_dedup_exact_rows" -> ((s, d) => Dedup.exactRows(Tables(s, d))),
     "q_dedup_jaccard" -> ((s, d) => Dedup.jaccardPairs(Tables(s, d).documents, 0.5)),
     "q_fuzzy_join" -> ((s, d) => SetSimilarity.fuzzyNameJoin(Tables(s, d))),
@@ -307,6 +308,7 @@ object SparkEntry {
     "q_mi_terms" -> ((s, d) => TextAnalysis.miTerms(Tables(s, d))),
     "q_quality_calibration" -> ((s, d) => TextAnalysis.qualityCalibration(Tables(s, d))),
     "q_heaps_law" -> ((s, d) => TextAnalysis.heapsLaw(Tables(s, d))),
+    "q_vocab_coverage" -> ((s, d) => TextAnalysis.vocabCoverage(Tables(s, d))),
     "q_dsir_weights" -> ((s, d) => TextAnalysis.importanceWeights(Tables(s, d))),
     "q_source_kl" -> ((s, d) => TextAnalysis.sourceKlDivergence(Tables(s, d))),
     "q_tfidf_search" -> ((s, d) => TextAnalysis.tfidfSearch(Tables(s, d))),
@@ -899,6 +901,17 @@ object SparkEntry {
       ("SELECT year(o_orderdate) AS o_year, month(o_orderdate) AS o_month, " +
         "count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue " +
         "FROM orders GROUP BY 1, 2 ORDER BY o_year, o_month"),
+    // DUP INFLATION: the nearDupGroups oracle verbatim as a subquery
+    // (keeper = min-id group representative); integer sums; the one
+    // division guards the kept-nothing edge identically
+    "q_dup_inflation" ->
+      (s"WITH g AS (SELECT * FROM (${MinhashOracleSql.nearDupGroups()})), " +
+        "b AS (SELECT doc_id, source, CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS BIGINT) AS tok FROM documents), " +
+        "j AS (SELECT b.source, b.tok, CASE WHEN g.doc_id = g.group_id THEN 1 ELSE 0 END AS kept FROM b JOIN g ON g.doc_id = b.doc_id) " +
+        "SELECT source, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(kept) AS BIGINT) AS n_kept_docs, CAST(sum(kept * tok) AS BIGINT) AS n_kept_tokens, " +
+        "CASE WHEN sum(kept * tok) > 0 THEN round(CAST(sum(tok) AS DOUBLE) / sum(kept * tok), 6) END AS inflation " +
+        "FROM j GROUP BY source ORDER BY source"),
     "q_dedup_exact" ->
       "SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1 ORDER BY fp",
     // the hash-kernel pipelines, re-derived in portable SQL (HUGEINT
@@ -1170,6 +1183,15 @@ object SparkEntry {
         "f AS (SELECT query_id, neighbor_id, round(sum(c), 6) AS rrf FROM (SELECT * FROM lr UNION ALL SELECT * FROM sr) GROUP BY query_id, neighbor_id), " +
         "rk AS (SELECT query_id, neighbor_id, rrf, row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, neighbor_id ASC) AS rn FROM f) " +
         "SELECT query_id, neighbor_id, rrf FROM rk WHERE rn <= 5 ORDER BY query_id, neighbor_id"),
+    // VOCAB COVERAGE: windowed running sum over INTEGER counts (exact
+    // under any association); shares divide at the end only
+    "q_vocab_coverage" ->
+      ("WITH c AS (SELECT token, count(*) AS n FROM (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS token FROM documents) GROUP BY token), " +
+        "t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c), " +
+        "r AS (SELECT token, n, CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS BIGINT) AS rank, " +
+        "CAST(sum(n) OVER (ORDER BY n DESC, token ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM c) " +
+        "SELECT rank, token, n, round(CAST(cum AS DOUBLE) / t.tot, 6) AS cum_share " +
+        "FROM r CROSS JOIN t ORDER BY rank"),
     // HEAPS' LAW: prefix vocabulary via the min-first-doc trick (one
     // pass); cutoffs are exact integer arithmetic; the fit is
     // regr_slope/intercept over ln of exact integers (zipf precedent)

@@ -19,6 +19,37 @@ object Dedup {
   /** Normalized-text md5 fingerprint (hex string — matches SQL `md5()`). */
   def fingerprint(text: Column): Column = md5(norm(text))
 
+  /** DUPLICATION INFLATION per source — the token multiplier a training
+    * budget silently pays when NEAR-dedup is skipped (this corpus has
+    * zero exact duplicates — measured — so the accounting that matters
+    * is near-dup-aware): every document attributes its tokens to its
+    * source; "kept" tokens are those of near-dup cluster REPRESENTATIVES
+    * ([[nearDupGroups]]' min-id keepers, singletons keep themselves), so
+    * a source whose documents are mostly near-copies of content kept
+    * elsewhere shows its inflation. Integer sums end to end; the one
+    * division guards the kept-nothing edge in both engines.
+    *
+    * Scale shape: the grouping is row 43's (LSH-banded candidates →
+    * connected components — never all-pairs); the accounting adds one
+    * doc-keyed join + a source-keyed aggregation. */
+  def dupInflation(t: Tables): DataFrame = {
+    val groups = nearDupGroups(t).select(col("doc_id"), col("group_id"))
+    val toks = t.documents.select(col("doc_id"), col("source"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("_tok"))
+    toks.join(groups, Seq("doc_id"))
+      .withColumn("_kept", (col("doc_id") === col("group_id")).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("_tok")).as("n_tokens"),
+        sum(col("_kept")).as("n_kept_docs"),
+        sum(col("_kept") * col("_tok")).as("n_kept_tokens"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_kept_docs"), col("n_kept_tokens"),
+        when(col("n_kept_tokens") > 0,
+          round(col("n_tokens").cast("double") / col("n_kept_tokens"), 6))
+          .as("inflation"))
+      .orderBy("source")
+  }
+
   /** Exact dedup, group view: one row per distinct content fingerprint with
     * the surviving doc_id (min) and the duplicate count. Partial-aggregating
     * hash groupBy on the fingerprint — the canonical shuffle-safe dedup. */

@@ -549,6 +549,35 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** VOCABULARY COVERAGE CURVE (the Zipf-coverage companion to the
+    * top-terms and OOV rows — "how many types cover X% of all tokens"):
+    * every vocabulary type ranked by frequency with its CUMULATIVE share
+    * of corpus tokens — the curve that sizes stopword lists (the top
+    * handful of types usually covers half the tokens) and tokenizer
+    * budgets (where the curve flattens, additional vocab stops paying).
+    *
+    * Integer-exact: counts are longs, the running sum is a windowed sum
+    * over INTEGERS (exact under any re-association — the q_cusum lesson
+    * is why the shares divide only at the end), ranked on (count desc,
+    * token asc). One vocabulary-bounded aggregation + one
+    * vocabulary-sized window. */
+  def vocabCoverage(t: Tables): DataFrame = {
+    val counts = t.documents
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("token").asc)
+    val total = counts.agg(sum(col("n")).as("_tot"))
+    counts
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("_cum", sum(col("n")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("token"), col("n"),
+        round(col("_cum").cast("double") / col("_tot"), 6).as("cum_share"))
+      .orderBy("rank")
+  }
+
   /** HEAPS'-LAW TYPE GROWTH (Heaps 1978 — V(n) ≈ K·n^β, the sublinear
     * types-vs-corpus-size law) over word-TRIGRAM types: distinct trigram
     * count at ten doc-id-prefix cutoffs, with the fitted β and K — the

@@ -576,4 +576,30 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(0L -> ((1L, 1.0)), 3L -> ((1L, 0.0)), 6L -> ((1L, 1.0))),
       got.toString)
   }
+
+  test("dupInflation: per-source accounting matches the near-dup grouping it rides on") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val groups = Dedup.nearDupGroups(tables).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = tables.documents.select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).trim.toLowerCase.split("\\s+").count(_.nonEmpty).toLong))
+    val want = docs.groupBy(_._2).toSeq.sortBy(_._1).map { case (src, xs) =>
+      val kept = xs.filter(d => groups(d._1) == d._1)
+      (src, xs.length.toLong, xs.map(_._3).sum, kept.length.toLong,
+        kept.map(_._3).sum,
+        if (kept.map(_._3).sum > 0) Some(r6(xs.map(_._3).sum.toDouble / kept.map(_._3).sum))
+        else None)
+    }
+    val got = graft.operators.Dedup.dupInflation(tables).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+    assert(got.toSeq == want, s"engine ${got.toSeq.take(3)} vs local ${want.take(3)}")
+    assert(got.forall(_._6.forall(_ >= 1.0)))
+    // non-vacuous whenever the grouping found any cluster (it does at the
+    // verify SF; at this fixture SF the assert is conditional)
+    if (groups.exists { case (d, g) => d != g })
+      assert(got.exists(_._6.exists(_ > 1.0)), "clusters exist but no inflation showed")
+  }
 }

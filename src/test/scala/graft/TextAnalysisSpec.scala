@@ -880,4 +880,23 @@ class TextAnalysisSpec extends SparkSpec {
     // every row repeats the same fit
     assert(got.map(_._5).distinct.length == 1 && got.map(_._6).distinct.length == 1)
   }
+
+  test("vocabCoverage: exact cumulative shares; the head covers most tokens") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val toks = tables.documents.select("text").collect()
+      .flatMap(_.getString(0).trim.toLowerCase.split("\\s+").filter(_.nonEmpty))
+    val counts = toks.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (t, n) => (-n, t) }
+    val tot = counts.map(_._2).sum
+    val want = counts.zipWithIndex.map { case ((t, n), i) =>
+      (i + 1L, t, n, r6(counts.take(i + 1).map(_._2).sum.toDouble / tot))
+    }
+    val got = TextAnalysis.vocabCoverage(tables).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == want, "coverage curve mismatch")
+    assert(got.last._4 == 1.0)
+    assert(got.take(got.length / 2).last._4 > 0.5,
+      "head types should cover the majority of tokens")
+  }
 }
