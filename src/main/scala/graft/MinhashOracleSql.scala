@@ -182,6 +182,24 @@ vpairs AS (SELECT doc_a, doc_b, n_common / (sa.sz + sb.sz - n_common) AS jac FRO
     s"""WITH ${verifiedCtes(k, bands, seed, minEst, minJaccard)}
 SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM vpairs ORDER BY doc_a, doc_b"""
 
+  /** Oracle for q_minhash_bbit ([[graft.operators.Dedup.bbitMinhashAudit]]):
+    * the verified-pairs chain plus full-width and parity-bit signature
+    * agreements over the SAME sig relation — estimates are exact 64ths,
+    * the 1-bit correction 2·A−1 and the error columns derive from the
+    * rounded emitted values, exactly as the engine computes them. */
+  def bbitAudit(k: Int = 64, bands: Int = 16, seed: Long = 42L,
+                minEst: Double = 0.2, minJaccard: Double = 0.5): String =
+    s"""WITH ${verifiedCtes(k, bands, seed, minEst, minJaccard)},
+agr AS (SELECT v.doc_a, v.doc_b, round(v.jac, 6) AS jaccard,
+round(sum(CASE WHEN sa.sv = sb.sv THEN 1 ELSE 0 END) / $k.0, 6) AS est_full,
+round(2.0 * (sum(CASE WHEN ((sa.sv % 2) + 2) % 2 = ((sb.sv % 2) + 2) % 2 THEN 1 ELSE 0 END) / $k.0) - 1.0, 6) AS est_1bit
+FROM vpairs v JOIN sig sa ON sa.doc_id = v.doc_a JOIN sig sb ON sb.doc_id = v.doc_b AND sa.j = sb.j
+GROUP BY v.doc_a, v.doc_b, v.jac)
+SELECT doc_a, doc_b, jaccard, est_full, est_1bit,
+round(abs(est_full - jaccard), 6) AS err_full,
+round(abs(est_1bit - jaccard), 6) AS err_1bit
+FROM agr ORDER BY doc_a, doc_b"""
+
   /** Oracle for q_lsh_recall ([[graft.operators.Dedup.lshRecallReport]]):
     * raw band-collision candidates (no estimate threshold) vs the exact
     * all-pairs shingle-Jaccard ≥ minJaccard truth, intersected; counts and

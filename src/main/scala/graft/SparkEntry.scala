@@ -172,6 +172,7 @@ object SparkEntry {
     // — dedup (SURVEY §2 rows 15–18) —
     "q_dedup_exact" -> ((s, d) => Dedup.exactGroups(Tables(s, d))),
     "q_dup_inflation" -> ((s, d) => Dedup.dupInflation(Tables(s, d))),
+    "q_minhash_bbit" -> ((s, d) => Dedup.bbitMinhashAudit(Tables(s, d))),
     "q_dedup_exact_rows" -> ((s, d) => Dedup.exactRows(Tables(s, d))),
     "q_dedup_jaccard" -> ((s, d) => Dedup.jaccardPairs(Tables(s, d).documents, 0.5)),
     "q_fuzzy_join" -> ((s, d) => SetSimilarity.fuzzyNameJoin(Tables(s, d))),
@@ -918,6 +919,7 @@ object SparkEntry {
     // wrapping arithmetic) — see MinhashOracleSql / KernelOracleSql
     "q_dedup_minhash" -> MinhashOracleSql.minhashCandidates(),
     "q_dedup_lsh_verified" -> MinhashOracleSql.lshVerifiedPairs(),
+    "q_minhash_bbit" -> MinhashOracleSql.bbitAudit(),
     "q_lsh_recall" -> MinhashOracleSql.lshRecall(),
     "q_lsh_recall_sampled" -> MinhashOracleSql.lshRecall(samplePct = Some(50)),
     "q_dedup_rates" -> MinhashOracleSql.nearDupRates(),

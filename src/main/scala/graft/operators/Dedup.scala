@@ -50,6 +50,44 @@ object Dedup {
       .orderBy("source")
   }
 
+  /** B-BIT MINHASH AUDIT (Li & König, WWW 2010 — store only the lowest
+    * b bits of each minhash component; b=1 is 64× smaller signatures):
+    * for every VERIFIED near-dup pair ([[lshVerifiedPairs]] — exact
+    * Jaccard ground truth attached), the full-width signature estimate
+    * next to the bias-corrected 1-bit estimate Ĵ₁ = 2·A₁ − 1 (agreement
+    * A₁ of the parity bits; E[A₁] = J + (1−J)/2, inverted). The sizing
+    * read: if err_1bit ≈ err_full on your pair population, ship 1-bit
+    * signatures and cut index storage 64× (Li & König's k·b tradeoff).
+    *
+    * Determinism: agreements are integer counts over the same fused
+    * minhash kernel the whole family uses; estimates are exact 64ths;
+    * the correction and the error columns derive from the ROUNDED
+    * emitted values in both engines. Cost on top of the verified-pairs
+    * plan: one signature projection + a pair-keyed join of two
+    * 64-long arrays. */
+  def bbitMinhashAudit(t: Tables, w: Int = 2, k: Int = 64): DataFrame = {
+    val pairs = lshVerifiedPairs(t, w = w)
+    val sigs = t.documents.select(col("doc_id"),
+      HashFunctions.minhashSigText(col("text"), w, k).as("_sig"))
+    def agree(a: Column, b: Column, bit: Boolean): Column = {
+      val eq = zip_with(a, b, (x, y) =>
+        when(if (bit) pmod(x, lit(2L)) === pmod(y, lit(2L)) else x === y, 1L)
+          .otherwise(0L))
+      aggregate(eq, lit(0L), (acc, v) => acc + v)
+    }
+    pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("_sig").as("_sa")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("_sig").as("_sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        round(agree(col("_sa"), col("_sb"), bit = false).cast("double") / k, 6)
+          .as("est_full"),
+        round(lit(2.0) * (agree(col("_sa"), col("_sb"), bit = true)
+          .cast("double") / k) - lit(1.0), 6).as("est_1bit"))
+      .withColumn("err_full", round(abs(col("est_full") - col("jaccard")), 6))
+      .withColumn("err_1bit", round(abs(col("est_1bit") - col("jaccard")), 6))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Exact dedup, group view: one row per distinct content fingerprint with
     * the surviving doc_id (min) and the duplicate count. Partial-aggregating
     * hash groupBy on the fingerprint — the canonical shuffle-safe dedup. */

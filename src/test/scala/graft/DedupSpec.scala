@@ -602,4 +602,34 @@ class DedupSpec extends SparkSpec {
     if (groups.exists { case (d, g) => d != g })
       assert(got.exists(_._6.exists(_ > 1.0)), "clusters exist but no inflation showed")
   }
+
+  test("bbitMinhashAudit: agreements match a local recompute; 1-bit correction is unbiased-form") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sigs = tables.documents
+      .select(col("doc_id"), graft.functions.HashFunctions
+        .minhashSigText(col("text"), 2, 64).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val pairs = Dedup.lshVerifiedPairs(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.nonEmpty, "need verified pairs for the audit to be non-vacuous")
+    val got = Dedup.bbitMinhashAudit(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(got.length == pairs.length)
+    got.foreach { case (a, b, j, ef, e1, errF, err1) =>
+      val (sa, sb) = (sigs(a), sigs(b))
+      val full = sa.zip(sb).count { case (x, y) => x == y }
+      val par = sa.zip(sb).count { case (x, y) =>
+        java.lang.Math.floorMod(x, 2L) == java.lang.Math.floorMod(y, 2L) }
+      assert(ef == r6(full / 64.0), s"pair ($a,$b) full agreement")
+      assert(e1 == r6(2.0 * (par / 64.0) - 1.0), s"pair ($a,$b) 1-bit estimate")
+      assert(errF == r6(math.abs(ef - j)) && err1 == r6(math.abs(e1 - j)))
+    }
+    // the 1-bit estimator works at all: its mean error stays within a few
+    // 1/sqrt(k) of the full-width estimator's on this pair population
+    val mf = got.map(_._6).sum / got.length
+    val m1 = got.map(_._7).sum / got.length
+    assert(m1 < mf + 3.0 / math.sqrt(64.0), s"1-bit err $m1 vs full err $mf")
+  }
 }
