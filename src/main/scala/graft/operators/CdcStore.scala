@@ -67,20 +67,27 @@ object CdcStore {
     val prev = attachStore(spark, prefix, dir, buckets)
     val entries = IndexFiles.readSegEntries(spark, listPath(dir))
     if (batchTag.exists(entries.flatMap(_._2).contains)) return prev
-    if (changes.isEmpty) return prev
-    // stored count wins over the parameter (the TextIndex meta-wins rule)
-    val b = storedBuckets(spark, dir, buckets)
-    val id = prev.ids.lastOption.getOrElse(-1) + 1
-    val table = s"${prefix}_cdc$id"
-    changes.write.mode(SaveMode.Overwrite)
-      .bucketBy(b, "k").sortBy("k")
-      .option("path", new HPath(dir, table).toString)
-      .saveAsTable(table)
-    if (!IndexFiles.exists(spark, bucketsPath(dir)))
-      IndexFiles.writeString(spark, bucketsPath(dir), b.toString)
-    IndexFiles.writeSegEntries(spark, listPath(dir),
-      entries :+ ((id, batchTag.toSeq)))
-    Store(prefix, dir, prev.ids :+ id)
+    // ONE evaluation of the change plan serves both the emptiness probe
+    // and the segment write (r13 advice: a bare `changes.isEmpty` ran the
+    // wide batch plan once for the probe and AGAIN for the write —
+    // doubling per-batch latency on wide CDC extractors)
+    val batch = changes.localCheckpoint()
+    try {
+      if (batch.isEmpty) return prev
+      // stored count wins over the parameter (the TextIndex meta-wins rule)
+      val b = storedBuckets(spark, dir, buckets)
+      val id = prev.ids.lastOption.getOrElse(-1) + 1
+      val table = s"${prefix}_cdc$id"
+      batch.write.mode(SaveMode.Overwrite)
+        .bucketBy(b, "k").sortBy("k")
+        .option("path", new HPath(dir, table).toString)
+        .saveAsTable(table)
+      if (!IndexFiles.exists(spark, bucketsPath(dir)))
+        IndexFiles.writeString(spark, bucketsPath(dir), b.toString)
+      IndexFiles.writeSegEntries(spark, listPath(dir),
+        entries :+ ((id, batchTag.toSeq)))
+      Store(prefix, dir, prev.ids :+ id)
+    } finally batch.unpersist(blocking = false)
   }
 
   /** Attach the store: re-registers any segment table a fresh session's

@@ -333,16 +333,28 @@ object Graph {
     * the apex, closed = wedges ⋈ edges on (v, w). Per-order co-purchase
     * pairs are bounded by lineitems-per-order (single digits in this
     * schema), so edge generation is linear in lineitem. */
-  def triangleCounts(t: Tables, topK: Int = 20): DataFrame = {
+  /** The part CO-PURCHASE edge list `(pa < pb)` — an undirected edge for
+    * every distinct pair of parts sharing an order — shared by
+    * [[triangleCounts]] and [[labelPropagation]] (r13 verdict item 5:
+    * both built this identical pairs-self-join + distinct independently;
+    * at corpus scale the edge derivation is the bulk of either query's
+    * cost, so the pipeline shape is build-ONCE, persist, attach — the
+    * stored-artifact pattern every index here follows). Per-order
+    * co-purchase pairs are bounded by lineitems-per-order (single digits
+    * in this schema), so edge generation is linear in lineitem. */
+  def coPurchaseEdges(t: Tables): DataFrame = {
     val pairs = t.lineitem.select(col("l_orderkey").as("ok"),
       col("l_partkey").as("p"))
       .distinct()
-    val a = pairs.toDF("ok", "pa")
-    val b = pairs.toDF("ok", "pb")
-    val edges = a.join(b, Seq("ok"))
+    pairs.toDF("ok", "pa").join(pairs.toDF("ok", "pb"), Seq("ok"))
       .filter(col("pa") < col("pb"))
       .select(col("pa"), col("pb"))
       .distinct()
+  }
+
+  def triangleCounts(t: Tables, topK: Int = 20,
+                     prebuiltEdges: Option[DataFrame] = None): DataFrame = {
+    val edges = prebuiltEdges.getOrElse(coPurchaseEdges(t))
       .localCheckpoint() // degree agg + orientation + 2 joins read it
     val deg = edges.select(col("pa").as("n")).unionAll(
         edges.select(col("pb").as("n")))
@@ -401,13 +413,10 @@ object Graph {
     * window, and it partial-aggregates map-side. Labels localCheckpoint
     * per round with predecessor release — the [[pageRankConverged]]
     * loop discipline. */
-  def labelPropagation(t: Tables, iters: Int = 3): DataFrame = {
+  def labelPropagation(t: Tables, iters: Int = 3,
+                       prebuiltEdges: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1, s"labelPropagation: iters must be >= 1, got $iters")
-    val pairs = t.lineitem.select(col("l_orderkey").as("ok"),
-      col("l_partkey").as("p")).distinct()
-    val e = pairs.toDF("ok", "pa").join(pairs.toDF("ok", "pb"), Seq("ok"))
-      .filter(col("pa") < col("pb"))
-      .select("pa", "pb").distinct()
+    val e = prebuiltEdges.getOrElse(coPurchaseEdges(t))
     val eb = e.select(col("pa").as("src"), col("pb").as("dst"))
       .unionAll(e.select(col("pb").as("src"), col("pa").as("dst")))
       .repartition(col("dst"))

@@ -15,15 +15,22 @@ import graft.functions.HashFunctions
   * beam × degree × hops per query, INDEPENDENT of corpus size.
   *
   * Index layout (the [[TextIndex]] storage conventions):
-  *  - `<prefix>_gadj(node_id, neighbor_id, cos)` — adjacency, bucketed
-  *    AND sorted by `node_id`: a hop's expansion is an `isin` over the
-  *    frontier's node ids, so the scan gets bucket pruning + sorted
-  *    row-group pruning — each hop reads frontier-adjacent rows, never
-  *    the graph.
-  *  - `<prefix>_gnodes(vec_id, embedding)` — vectors, bucketed+sorted by
-  *    `vec_id`, probed the same way for candidate scoring: the index is
-  *    self-contained (DiskANN stores vectors beside adjacency for the
-  *    same reason — one seek per candidate, no side lookup).
+  *  - `<prefix>_gadj(node_id, neighbor_id, cos, n_emb)` — adjacency WITH
+  *    the neighbor's vector DENORMALIZED beside the edge (DiskANN's
+  *    layout choice, for DiskANN's reason: expanding a node must yield
+  *    its neighbors' vectors in the same read — one seek per hop, no
+  *    side lookup). Bucketed AND sorted by `node_id`: a hop's expansion
+  *    is an `isin` over the frontier's node ids, so the scan gets bucket
+  *    pruning + sorted row-group pruning — each hop reads
+  *    frontier-adjacent rows, never the graph. The storage cost is
+  *    ≤ 2·degree vector copies per node — the constant-factor trade that
+  *    buys hop fusion (r13 verdict item 3: the two-scans-per-hop shape
+  *    paid the ~0.35 s bucketed-scan floor TWICE per hop; with vectors
+  *    in the adjacency row a hop expands AND scores in ONE job).
+  *  - `<prefix>_gnodes(vec_id, embedding)` — the vector source of truth,
+  *    bucketed+sorted by `vec_id`: build/append/compaction read it, and
+  *    search probes it exactly once per batch (the entry point's vector
+  *    seeds the beams).
   *  - `graph_ann.meta` — "entry degree nNodes" via [[IndexFiles]]
   *    (staged-temp atomic commit, state beside data).
   *
@@ -41,10 +48,14 @@ import graft.functions.HashFunctions
   * Search keeps per-query beam state ON THE DRIVER — bounded by
   * queries × beam × degree × hops, NEVER corpus-sized (the
   * [[Similarity.fitCentroids]] / kCenterSelect precedent): beam search
-  * is inherently sequential in its hops, and each hop is two
-  * bucket-pruned Spark jobs (adjacency expansion, candidate scoring)
-  * over literal `isin` id lists. Stops when no candidate improves any
-  * query's current top-`beam` (greedy convergence) or after `maxHops`.
+  * is inherently sequential in its hops, and each hop is ONE
+  * bucket-pruned Spark job over a literal `isin` id list — the
+  * frontier-adjacent `gadj` rows carry the neighbor vectors, so the
+  * same scan computes every candidate cosine map-side (expansion and
+  * scoring fused; r13 this was two jobs per hop and the driver
+  * round-trip floor was the whole sf0.1 cost). Stops when no candidate
+  * improves any query's current top-`beam` (greedy convergence) or
+  * after `maxHops`.
   *
   * Build-only, like [[TextIndex.buildIndex]]: appending vectors to a
   * neighbor graph requires re-linking their neighborhoods (the insert
@@ -92,13 +103,17 @@ object GraphAnn {
       .withColumn("rn", row_number().over(Window.partitionBy("node_id")
         .orderBy(col("cos").desc, col("neighbor_id").asc)))
       .filter(col("rn") <= n).drop("rn")
-    // LOG-SPACED rank selection, not plain top-degree: half the edges are
-    // the closest candidates (local navigability), half sit at
-    // exponentially spaced similarity ranks (12, 16, 24, 32, 48, 64 for
-    // degree 16) — cheap long-range links that approximate the HNSW
-    // neighbor-diversity heuristic without candidate-pairwise distances,
-    // so beam search can cross between similarity regions instead of
-    // saturating inside the first one it enters
+    // LOG-SPACED rank selection, not plain top-degree: three quarters of
+    // the edges are the closest candidates (ranks 1..12 for degree 16 —
+    // local navigability), the rest sit at exponentially spaced
+    // similarity ranks (near << i: 24, 48, 96, 192 for degree 16) —
+    // cheap long-range links that approximate the HNSW neighbor-diversity
+    // heuristic without candidate-pairwise distances, so beam search can
+    // cross between similarity regions instead of saturating inside the
+    // first one it enters. A spread rank beyond a node's LSH candidate
+    // count is simply absent (row_number never reaches it), so sparse-
+    // bucket nodes carry fewer than `degree` directed edges — the
+    // symmetrize step below backfills most of that.
     val near = degree - degree / 4
     val spread = (1 to degree / 4).map(i => near << i)
     val ranks = ((1 to near) ++ spread).distinct.take(degree)
@@ -133,8 +148,14 @@ object GraphAnn {
       .unionByName(bridgeCos.select(col("rep").as("node_id"),
         lit(entry).as("neighbor_id"), col("cos")))
     val idx0 = Index(prefix, dir, entry, degree, 0L)
+    // denormalize the neighbor vector beside each edge (see the layout
+    // scaladoc): one |E|-row equi-join at BUILD time buys one-job hops
+    // at SEARCH time
     sym.unionByName(bridges)
       .groupBy("node_id", "neighbor_id").agg(max("cos").as("cos"))
+      .join(vecOf.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("n_emb")), "neighbor_id")
+      .select("node_id", "neighbor_id", "cos", "n_emb")
       .write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, "node_id").sortBy("node_id")
       .option("path", new HPath(dir, idx0.adjTable).toString)
@@ -184,10 +205,20 @@ object GraphAnn {
       col("embedding").as("q_emb"))
     val found = beamSearchWithCandidateCount(spark, idx, q,
       k = idx.degree, beam = math.max(idx.degree, 16))._1
+    // forward edges carry the STORED neighbor's vector, reverse edges the
+    // NEW vector's — both joins are batch-sized (the adjacency layout's
+    // n_emb denormalization, maintained through the append path)
+    val storedVec = spark.table(idx.nodesTable)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
     val fwd = found.select(col("query_id").as("node_id"),
       col("neighbor_id"), col("cosine").as("cos"))
+      .join(storedVec, "neighbor_id")
+      .select("node_id", "neighbor_id", "cos", "n_emb")
     val rev = found.select(col("neighbor_id").as("node_id"),
       col("query_id").as("neighbor_id"), col("cosine").as("cos"))
+      .join(q.select(col("query_id").as("neighbor_id"),
+        col("q_emb").as("n_emb")), "neighbor_id")
+      .select("node_id", "neighbor_id", "cos", "n_emb")
     val b = storedBuckets(spark, idx.dir)
     fwd.unionByName(rev)
       .write.mode(SaveMode.Append)
@@ -223,8 +254,10 @@ object GraphAnn {
   def compactIndex(spark: SparkSession, idx: Index): Index = {
     val adj = spark.table(idx.adjTable)
     import org.apache.spark.sql.expressions.Window
+    // n_emb is identical across duplicate (node, neighbor) rows (a
+    // vec_id's embedding never changes), so `first` is value-determinate
     val compacted = adj.groupBy("node_id", "neighbor_id")
-      .agg(max("cos").as("cos"))
+      .agg(max("cos").as("cos"), first("n_emb").as("n_emb"))
       .withColumn("_rn", row_number().over(Window.partitionBy("node_id")
         .orderBy(col("cos").desc, col("neighbor_id").asc)))
       .filter(col("_rn") <= 2 * idx.degree).drop("_rn")
@@ -300,7 +333,7 @@ object GraphAnn {
     if (!spark.catalog.tableExists(s"${prefix}_gadj"))
       spark.sql(
         s"""CREATE TABLE ${prefix}_gadj (node_id BIGINT, neighbor_id BIGINT,
-           |cos DOUBLE) USING PARQUET
+           |cos DOUBLE, n_emb ARRAY<FLOAT>) USING PARQUET
            |CLUSTERED BY (node_id) SORTED BY (node_id) INTO $b BUCKETS
            |LOCATION '${new HPath(dir, s"${prefix}_gadj")}'""".stripMargin)
     if (!spark.catalog.tableExists(s"${prefix}_gnodes"))
@@ -371,22 +404,6 @@ object GraphAnn {
       qids.map(q => q -> Set(idx.entry)).toMap
     var nScored = 0L
 
-    def score(pairs: Seq[(Long, Long)]): Seq[(Long, Long, Double)] = {
-      if (pairs.isEmpty) return Seq.empty
-      nScored += pairs.length
-      val candIds = pairs.map(_._2).distinct
-      val candDf = pairs.toDF("query_id", "neighbor_id")
-      withBucketPruning(spark) {
-        nodes.filter(col("vec_id").isin(candIds: _*))
-          .join(broadcast(candDf), col("vec_id") === col("neighbor_id"))
-          .join(broadcast(qv), Seq("query_id"))
-          .withColumn("cos", HashFunctions.cosineSim(col("q_emb"), col("embedding")))
-          .select(col("query_id"), col("neighbor_id"), col("cos"))
-          .collect().toSeq
-          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-      }
-    }
-
     def mergeBest(scored: Seq[(Long, Long, Double)]): Unit =
       scored.groupBy(_._1).foreach { case (q, rows) =>
         val merged = (best(q) ++ rows.map(r => (r._2, r._3)))
@@ -394,28 +411,57 @@ object GraphAnn {
         best += q -> merged
       }
 
-    // seed: the entry point itself is a candidate (unless it IS the query)
-    mergeBest(score(qids.filter(_ != idx.entry).map(q => (q, idx.entry))))
+    // seed: the entry point is every query's first candidate (unless it
+    // IS the query) — the batch's single gnodes probe; every later hop
+    // reads only gadj, whose rows carry the neighbor vectors
+    val seed = withBucketPruning(spark) {
+      nodes.filter(col("vec_id") === idx.entry)
+        .crossJoin(broadcast(qv))
+        .withColumn("cos",
+          HashFunctions.cosineSim(col("q_emb"), col("embedding")))
+        .select(col("query_id"), col("vec_id"), col("cos"))
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .filter(_._1 != idx.entry)
+    }
+    nScored += seed.length
+    mergeBest(seed)
     var frontier: Map[Long, Seq[Long]] = qids.map(q => q -> Seq(idx.entry)).toMap
     var hop = 0
     while (hop < maxHops && frontier.valuesIterator.exists(_.nonEmpty)) {
       val fIds = frontier.valuesIterator.flatten.toSeq.distinct
-      val adjRows = withBucketPruning(spark) {
+      val fAssign = frontier.toSeq
+        .flatMap { case (q, ns) => ns.map(n => (q, n)) }
+        .toDF("query_id", "node_id")
+      // ONE fused job per hop (r13 this was two): the frontier-adjacent
+      // gadj rows (bucket + sorted-row-group pruned literal `isin`) join
+      // the broadcast frontier assignment and broadcast query vectors,
+      // and the candidate cosine computes MAP-SIDE against the
+      // denormalized neighbor vector — expansion and scoring share the
+      // scan, halving the per-hop driver-round-trip floor
+      val rows = withBucketPruning(spark) {
         adj.filter(col("node_id").isin(fIds: _*))
-          .select("node_id", "neighbor_id")
-          .collect().map(r => (r.getLong(0), r.getLong(1)))
+          .join(broadcast(fAssign), "node_id")
+          .join(broadcast(qv), Seq("query_id"))
+          .withColumn("cos",
+            HashFunctions.cosineSim(col("q_emb"), col("n_emb")))
+          .select(col("query_id"), col("neighbor_id"), col("cos"))
+          .collect()
       }
-      val adjMap = adjRows.groupBy(_._1).map { case (n, rs) => n -> rs.map(_._2) }
-      val pairs = for {
-        q <- qids
-        n <- frontier(q)
-        nb <- adjMap.getOrElse(n, Array.empty[Long])
-        if nb != q && !visited(q)(nb)
-      } yield (q, nb)
+      // visited/self filtering is driver-side over frontier-adjacency-
+      // sized rows (bounded by frontier × 2·degree × queries-per-node);
+      // re-reached pairs cost map-side flops in the shared scan, never an
+      // extra job. nScored counts NEW (query, candidate) scorings only —
+      // the same candidate-work metric as the unfused form reported.
+      val scored = rows.iterator
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .filter { case (q, nb, _) => nb != q && !visited(q)(nb) }
+        .toSeq.distinct
+      nScored += scored.length
+      val newByQ = scored.groupBy(_._1)
       visited = visited.map { case (q, vs) =>
-        q -> (vs ++ pairs.collect { case (`q`, nb) => nb })
+        q -> (vs ++ newByQ.getOrElse(q, Nil).map(_._2))
       }
-      val scored = score(pairs.distinct)
       // greedy convergence: only NEW candidates that beat the query's
       // current worst-of-beam (or fill an underfull beam) expand next
       val prevWorst = best.map { case (q, b) =>
@@ -423,7 +469,8 @@ object GraphAnn {
       }.withDefaultValue(Double.NegativeInfinity)
       mergeBest(scored)
       frontier = qids.map { q =>
-        q -> scored.collect { case (`q`, nb, cos) if cos > prevWorst(q) => (nb, cos) }
+        q -> newByQ.getOrElse(q, Nil)
+          .collect { case (_, nb, cos) if cos > prevWorst(q) => (nb, cos) }
           .sorted(ord).take(beam).map(_._1)
       }.toMap
       hop += 1
