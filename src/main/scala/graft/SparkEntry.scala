@@ -316,7 +316,10 @@ object SparkEntry {
     "q_tfidf" -> ((s, d) => TextAnalysis.tfIdfTopTerms(Tables(s, d))),
     "q_pii_redact" -> ((s, d) => TextAnalysis.piiCounts(Tables(s, d))),
     "q_lm_score" -> ((s, d) => TextAnalysis.lmScore(Tables(s, d))),
-    "q_ccnet_buckets" -> ((s, d) => TextAnalysis.ccnetBuckets(Tables(s, d))),
+    // the shipped plan is the SCALE path (rank-addressed threshold cuts,
+    // no whole-language sort in one partition); exact equal to the ntile
+    // witness by construction, so the ntile-based oracle is unchanged
+    "q_ccnet_buckets" -> ((s, d) => TextAnalysis.ccnetBucketsThreshold(Tables(s, d))),
     "q_blocklist" -> ((s, d) => TextAnalysis.blocklistScreen(Tables(s, d))),
     "q_mi_terms" -> ((s, d) => TextAnalysis.miTerms(Tables(s, d))),
     "q_quality_calibration" -> ((s, d) => TextAnalysis.qualityCalibration(Tables(s, d))),

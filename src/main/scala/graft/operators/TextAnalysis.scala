@@ -720,11 +720,12 @@ object TextAnalysis {
     * documents): the thirds are cut by `ntile(3)` ordered on the ROUNDED
     * score + doc_id — the rounded values are the ones the q_lm_score
     * oracle already hash-matches, so the ordering (and therefore the
-    * cut) cannot 1-ulp-flip between engines. Scale shape: everything up
-    * to the scores is [[lmScore]]; the bucketing itself is one
-    * per-language window (bounded partitions) — at corpus scale swap
-    * ntile for percentile-sketch thresholds (the q_decile_bands
-    * pattern) to avoid sorting whole languages. */
+    * cut) cannot 1-ulp-flip between engines. Scale note: the ntile
+    * window puts EACH LANGUAGE in one partition (a 10B-doc language
+    * sorts on one task) — this form is the exact SPEC WITNESS;
+    * [[ccnetBucketsThreshold]] is the shipped operating mode, equal by
+    * construction (spec-pinned) without ever holding a language in one
+    * partition. */
   def ccnetBuckets(t: Tables): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang"))
@@ -735,6 +736,108 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("avg_nll"),
         when(col("_nt") === 1, "head")
           .when(col("_nt") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy("doc_id")
+  }
+
+  /** The SCALE operating mode of [[ccnetBuckets]] — r13 verdict item 7:
+    * the ntile plan was the shipped plan, with the threshold swap only a
+    * scaladoc note. This form never sorts a whole language in one
+    * partition: the per-language tertile CUT ROWS are found by
+    * rank-addressed selection (the [[Analytics.quantilesBySort]]
+    * machinery at integer ranks — one `repartitionByRange` over the slim
+    * (lang, score, doc_id) table, partition-local sorts that spread each
+    * language across many partitions, a per-(partition, lang) count pass,
+    * and a fetch that touches only the addressed partitions), then every
+    * document bands MAP-SIDE against its language's broadcast cuts.
+    *
+    * EXACT, not approximate — and that is the point of cutting at the
+    * boundary PAIR (avg_nll, doc_id) rather than a value threshold: ntile
+    * orders by (rounded score, doc_id), a total order, so "rank ≤ s1" is
+    * exactly "(v, id) lexicographically ≤ the rank-s1 row" even when
+    * rounded scores TIE at the boundary (a pure value cut would dump all
+    * ties into the lower band and drift from ntile by up to the tie-run
+    * length; the q_decile_bands percentile-sketch swap has the same
+    * boundary blur PLUS rank error). Spec pins this row-identical to the
+    * ntile witness on the corpus AND on a deliberately tie-heavy fixture.
+    * Driver state: partitions × languages counters + 2 cut rows per
+    * language — never data-sized. */
+  def ccnetBucketsThreshold(t: Tables, nParts: Int = 32): DataFrame =
+    tertileBandThreshold(
+      lmScore(t)
+        .join(t.documents.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .localCheckpoint(), // the cut passes and the banding scan share it
+      nParts)
+
+  /** The rank-addressed banding core over a (doc_id, lang, avg_nll)
+    * frame — split out so the spec can drive it with a tie-heavy
+    * synthetic score table (boundary ties are where a naive value
+    * threshold would drift from ntile; the pair cut must not). */
+  private[graft] def tertileBandThreshold(scored: DataFrame,
+                                          nParts: Int = 32): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    // ntile(3) tile sizes: the first (n mod 3) tiles get ceil(n/3) rows
+    def tileBounds(n: Long): (Long, Long) = {
+      val q = n / 3; val r = n % 3
+      (q + (if (r >= 1) 1L else 0L), 2 * q + math.min(r, 2L))
+    }
+    val sorted = scored.select(col("lang"), col("avg_nll"), col("doc_id"))
+      .repartitionByRange(nParts, col("lang"), col("avg_nll"), col("doc_id"))
+      .sortWithinPartitions("lang", "avg_nll", "doc_id")
+      .rdd
+    // pass 1: per-(partition, lang) counts — partitions × languages rows
+    val counts = sorted.mapPartitionsWithIndex { (pid, it) =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      it.foreach { r =>
+        val g = r.getString(0); m.update(g, m.getOrElse(g, 0L) + 1L)
+      }
+      m.iterator.map { case (g, c) => (pid, g, c) }
+    }.collect()
+    val totals = counts.groupBy(_._2).map { case (g, cs) => g -> cs.map(_._3).sum }
+    def address(g: String, rank0: Long): (Int, Long) = {
+      var cum = 0L
+      counts.filter(_._2 == g).sortBy(_._1).collectFirst {
+        case (pid, _, c) if { val in = rank0 < cum + c; if (!in) cum += c; in } =>
+          (pid, rank0 - cum)
+      }.getOrElse(throw new IllegalStateException(
+        s"ccnetBucketsThreshold: rank $rank0 out of range for language $g"))
+    }
+    val wanted = totals.toSeq.flatMap { case (g, n) =>
+      val (s1, s2) = tileBounds(n)
+      Seq((g, s1), (g, s2)).distinct.map { case (gg, r) => (gg, r, address(gg, r - 1)) }
+    }
+    val byPid = wanted.groupBy(_._3._1)
+      .map { case (pid, ws) => pid -> ws.map(w => (w._1, w._3._2)).toSet }
+    val byPidB = spark.sparkContext.broadcast(byPid)
+    // pass 2: fetch only the addressed partitions / offsets (shares pass
+    // 1's shuffle files — the map stage is skipped)
+    val picked = sorted.mapPartitionsWithIndex { (pid, it) =>
+      byPidB.value.get(pid) match {
+        case None => Iterator.empty
+        case Some(want) =>
+          val ctr = scala.collection.mutable.HashMap.empty[String, Long]
+          it.flatMap { r =>
+            val g = r.getString(0)
+            val i = ctr.getOrElse(g, 0L); ctr.update(g, i + 1L)
+            if (want.contains((g, i))) Some((pid, g, i, r.getDouble(1), r.getLong(2)))
+            else None
+          }
+      }
+    }.collect().map { case (pid, g, i, v, id) => (pid, g, i) -> ((v, id)) }.toMap
+    val cutRows = totals.toSeq.sorted.map { case (g, n) =>
+      val (s1, s2) = tileBounds(n)
+      val (v1, i1) = picked((address(g, s1 - 1)._1, g, address(g, s1 - 1)._2))
+      val (v2, i2) = picked((address(g, s2 - 1)._1, g, address(g, s2 - 1)._2))
+      (g, v1, i1, v2, i2)
+    }
+    val cutDf = cutRows.toDF("lang", "_v1", "_i1", "_v2", "_i2")
+    def le(v: org.apache.spark.sql.Column, id: org.apache.spark.sql.Column) =
+      col("avg_nll") < v || (col("avg_nll") === v && col("doc_id") <= id)
+    scored.join(broadcast(cutDf), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("avg_nll"),
+        when(le(col("_v1"), col("_i1")), "head")
+          .when(le(col("_v2"), col("_i2")), "middle")
           .otherwise("tail").as("bucket"))
       .orderBy("doc_id")
   }

@@ -797,6 +797,41 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("ccnetBucketsThreshold: the scale path is row-identical to the ntile witness") {
+    val want = TextAnalysis.ccnetBuckets(tables).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3))).toSeq
+    val got = TextAnalysis.ccnetBucketsThreshold(tables).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3))).toSeq
+    assert(got == want, "threshold banding must equal the ntile witness on the corpus")
+  }
+
+  test("tertileBandThreshold: boundary TIES band exactly like ntile (pair cut, not value cut)") {
+    // two languages; language "aa" has ALL-TIED scores (the worst case for
+    // a value threshold: a pure `score <= cut` would dump every doc into
+    // head; the (score, doc_id) pair cut must split 4/3/3 like ntile),
+    // language "bb" ties exactly AT the first tertile boundary
+    val spark = tables.spark
+    import spark.implicits._
+    val rows =
+      (1L to 10L).map(i => (i, "aa", 5.0)) ++
+        (Seq(1.0, 2.0, 2.0, 2.0, 3.0, 4.0, 5.0).zipWithIndex
+          .map { case (v, i) => (100L + i, "bb", v) })
+    val scored = rows.toDF("doc_id", "lang", "avg_nll")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("avg_nll").asc, col("doc_id").asc)
+    val want = scored.withColumn("_nt", ntile(3).over(w))
+      .select(col("doc_id"),
+        when(col("_nt") === 1, "head").when(col("_nt") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = TextAnalysis.tertileBandThreshold(scored, nParts = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(got == want, s"engine $got vs ntile $want")
+    // non-vacuity: the fixture really does tie across a boundary
+    assert(want.count(_._2 == "head") == 4 + 3,
+      "fixture must split tied runs across bands")
+  }
+
   test("miTerms matches a local recompute; discriminative terms outrank uniform ones") {
     val docs = tables.documents.select("doc_id", "lang", "text").collect()
       .map(r => (r.getLong(0), r.getString(1),
