@@ -612,6 +612,28 @@ object SparkEntry {
           sum(length(col("text")).cast("long")).as("sum_text_chars"))
         .orderBy("source")
     }),
+    "q_avro_roundtrip" -> ((s, d) => {
+      // orders → AVRO container files → read-back (the Kafka-ecosystem
+      // record format; the distribution lacks the spark-avro module, so
+      // graft.sources.AvroTables is a self-contained sink/source on the
+      // bundled public Avro 1.12 container-file API — one standard .avro
+      // file per partition, executor-side, no driver materialization).
+      // The oracle runs against the ORIGINAL parquet: equality proves
+      // the Avro path is lossless, including the timestamp-micros
+      // logical-type round trip and the double payloads the sum covers.
+      import graft.sources.AvroTables
+      val t = Tables(s, d)
+      val dir = roundtripDir("graft_avro", d, "_SUCCESS") { out =>
+        AvroTables.write(t.orders, out)
+      }
+      AvroTables.read(s, dir)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("sum_price"),
+          date_format(min("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("first_ts"),
+          date_format(max("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("last_ts"))
+        .orderBy("o_orderpriority")
+    }),
     "q_bucketed_join" -> ((s, d) => {
       // both fact tables written bucketed on the join key ONCE per session
       // (the 100 TB amortization: every later join/agg on the key plans
@@ -1658,6 +1680,11 @@ object SparkEntry {
     "q_orc_roundtrip" ->
       ("SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
         "CAST(sum(length(text)) AS BIGINT) AS sum_text_chars FROM documents GROUP BY source ORDER BY source"),
+    "q_avro_roundtrip" ->
+      ("SELECT o_orderpriority, count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price, " +
+        "strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS first_ts, " +
+        "strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS last_ts " +
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     "q_csv_engine" ->
       ("SELECT c_nationkey, count(*) AS n_orders FROM orders JOIN customer " +
         "ON o_custkey = c_custkey GROUP BY c_nationkey ORDER BY c_nationkey"),
