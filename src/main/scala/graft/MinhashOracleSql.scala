@@ -679,6 +679,43 @@ round(CAST(sum(p.n_chars_presplit) AS DOUBLE) / sum(p.n_bpe_tokens), 6) AS compr
 FROM perdoc p JOIN documents d USING (doc_id) GROUP BY d.lang ORDER BY d.lang"""
   }
 
+  /** Oracle for q_bpe_bytes ([[graft.operators.TextAnalysis.bpeByteFallback]]):
+    * the bpeMerges round CTEs over HEX-BYTE initial symbols
+    * (`regexp_extract_all(hex(encode(word)), '..')` — the same primitive
+    * the engine uses), trained on the English subcorpus of the
+    * suffix-augmented documents, applied as a separate replace chain over
+    * the FULL corpus vocabulary; the closed-char-vocab UNK arm filters
+    * each word's chars against the trained alphabet list. */
+  def bpeByteFallback(nMerges: Int = 8): String = {
+    val d = "chr(31)"
+    val trainRounds = (1 to nMerges).map { r =>
+      s"""s$r AS (SELECT freq, list_filter(string_split(seq, $d), x -> x <> '') AS sy FROM v$r),
+p$r AS (SELECT sy[i] AS a, sy[i + 1] AS b, sum(freq) AS cnt FROM s$r, unnest(range(1, len(sy))) AS t(i) WHERE len(sy) >= 2 GROUP BY 1, 2),
+m$r AS MATERIALIZED (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+v${r + 1} AS MATERIALIZED (SELECT freq, replace(seq, $d || m.a || $d || $d || m.b || $d, $d || m.a || m.b || $d) AS seq FROM v$r CROSS JOIN m$r m)"""
+    }.mkString(",\n")
+    val applyRounds = (1 to nMerges).map { r =>
+      s"""a${r + 1} AS MATERIALIZED (SELECT word, replace(seq, $d || m.a || $d || $d || m.b || $d, $d || m.a || m.b || $d) AS seq FROM a$r CROSS JOIN m$r m)"""
+    }.mkString(",\n")
+    s"""WITH docs2 AS (SELECT doc_id, lang, text || CASE WHEN lang <> 'en' THEN ' café 中' ELSE '' END AS text FROM documents),
+toksd AS (SELECT doc_id, lang, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk FROM docs2),
+dw AS (SELECT doc_id, lang, unnest(tk) AS word FROM toksd),
+tw AS (SELECT word, count(*) AS freq FROM dw WHERE lang = 'en' GROUP BY word),
+v1 AS MATERIALIZED (SELECT freq, $d || array_to_string(regexp_extract_all(hex(encode(word)), '..'), $d || $d) || $d AS seq FROM tw),
+$trainRounds,
+alpha AS (SELECT list(DISTINCT c ORDER BY c) AS cs FROM (SELECT unnest(list_filter(string_split(word, ''), c -> c <> '')) AS c FROM tw)),
+a1 AS MATERIALIZED (SELECT word, $d || array_to_string(regexp_extract_all(hex(encode(word)), '..'), $d || $d) || $d AS seq FROM (SELECT DISTINCT word FROM dw)),
+$applyRounds,
+enc AS (SELECT word, octet_length(encode(word)) AS nb, len(list_filter(string_split(seq, $d), x -> x <> '')) AS nsym FROM a${nMerges + 1}),
+unk AS (SELECT word, len(list_filter(list_filter(string_split(word, ''), c -> c <> ''), c -> NOT list_contains(cs, c))) > 0 AS is_unk FROM (SELECT DISTINCT word FROM dw) CROSS JOIN alpha)
+SELECT dw.lang, count(DISTINCT dw.doc_id) AS n_docs, count(*) AS n_words,
+CAST(sum(CASE WHEN u.is_unk THEN 1 ELSE 0 END) AS BIGINT) AS n_unk_words_closed,
+CAST(sum(e.nb) AS BIGINT) AS n_bytes, CAST(sum(e.nsym) AS BIGINT) AS n_bpe_tokens,
+round(CAST(sum(e.nb) AS DOUBLE) / sum(e.nsym), 6) AS compression
+FROM dw JOIN enc e USING (word) JOIN unk u USING (word)
+GROUP BY dw.lang ORDER BY dw.lang"""
+  }
+
   /** Oracle for q_winnow ([[graft.operators.TextAnalysis.winnowFingerprints]]
     * defaults k=3, w=4): positioned 3-token shingles, Karp–Rabin fold +
     * mix64 per shingle (the rollingHash64 chain over the gram string),

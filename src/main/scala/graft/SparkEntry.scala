@@ -309,6 +309,10 @@ object SparkEntry {
     "q_tokenizer_fertility" -> ((s, d) =>
       TextAnalysis.tokenizerFertility(Tables(s, d),
         trained = Some(trainedBpeMerges(s, d)))),
+    // byte-level BPE with fallback (GPT-2-class UNK-free encoding):
+    // merges train on the EN subcorpus, apply cross-lingually — the
+    // closed-char-vocab UNK column is what byte fallback eliminates
+    "q_bpe_bytes" -> ((s, d) => TextAnalysis.bpeByteFallback(Tables(s, d))),
     "q_feature_hash" -> ((s, d) => TextAnalysis.featureHashAudit(Tables(s, d))),
     "q_quality_gopher" -> ((s, d) => TextAnalysis.gopherFilter(Tables(s, d))),
     "q_rep_coverage" -> ((s, d) => TextAnalysis.topBigramCoverage(Tables(s, d))),
@@ -1013,6 +1017,7 @@ object SparkEntry {
     "q_winnow" -> KernelOracleSql.winnowFingerprints(),
     "q_bpe_merges" -> KernelOracleSql.bpeMerges(),
     "q_bpe_encode" -> KernelOracleSql.bpeEncode(),
+    "q_bpe_bytes" -> KernelOracleSql.bpeByteFallback(),
     "q_tokenizer_fertility" -> KernelOracleSql.tokenizerFertility(),
     "q_feature_hash" -> KernelOracleSql.featureHashAudit(),
     "q_cdc_chunks" -> KernelOracleSql.cdcChunks(),

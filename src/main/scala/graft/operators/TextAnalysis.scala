@@ -173,19 +173,36 @@ object TextAnalysis {
   def bpeMerges(t: Tables, nMerges: Int = 8): DataFrame = {
     val spark = t.spark
     import spark.implicits._
-    val SEP = "\u001f" // ASCII unit separator — absent from any text corpus
-    def framed(a: String, b: String) = s"$SEP$a$SEP$SEP$b$SEP"
     val words = t.documents
       .select(explode(tokens(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
     // initial symbols = characters; frame each as ⟨c⟩ and concatenate
-    var vocab = words
+    val vocab0 = words
       .withColumn("seq",
-        concat(lit(SEP),
-          array_join(filter(split(col("word"), ""), c => c =!= ""), SEP + SEP),
-          lit(SEP)))
+        concat(lit(BpeSep),
+          array_join(filter(split(col("word"), ""), c => c =!= ""), BpeSep + BpeSep),
+          lit(BpeSep)))
       .select("freq", "seq")
-      .localCheckpoint()
+    learnMergesFromVocab(vocab0, nMerges)
+      .toDF("merge_order", "lhs", "rhs", "pair_count")
+      .orderBy("merge_order")
+  }
+
+  /** ASCII unit separator — absent from any text corpus; frames BPE
+    * symbols so the greedy left-to-right merge is one `replace`. */
+  private[graft] val BpeSep = "\u001f"
+  private[graft] def bpeFramed(a: String, b: String) =
+    s"$BpeSep$a$BpeSep$BpeSep$b$BpeSep"
+
+  /** The merge-learning loop of [[bpeMerges]] over an arbitrary framed
+    * (freq, seq) vocabulary — split out (r14) so the byte-level variant
+    * ([[bpeByteFallback]]) trains over hex-byte initial symbols with the
+    * IDENTICAL round arithmetic and argmax tie-break. */
+  private def learnMergesFromVocab(vocab0: DataFrame,
+                                   nMerges: Int): Seq[(Int, String, String, Long)] = {
+    val SEP = BpeSep
+    def framed(a: String, b: String) = bpeFramed(a, b)
+    var vocab = vocab0.localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var r = 1
     var exhausted = false
@@ -215,8 +232,7 @@ object TextAnalysis {
       }
     }
     vocab.unpersist(blocking = false)
-    merges.toSeq.toDF("merge_order", "lhs", "rhs", "pair_count")
-      .orderBy("merge_order")
+    merges.toSeq
   }
 
   /** BPE ENCODING (Sennrich ACL'16, application half): tokenize the corpus
@@ -285,6 +301,82 @@ object TextAnalysis {
         round(sum("n_chars_presplit").cast("double") / sum("n_bpe_tokens"), 6)
           .as("compression"))
       .orderBy("lang")
+
+  /** BYTE-LEVEL BPE with fallback — the UNK-free encoding GPT-2-class
+    * tokenizers actually ship (Radford et al. 2019: initial symbols are
+    * the 256 BYTES, so every string decomposes losslessly and apply-time
+    * characters unseen at train time fall back to raw byte symbols
+    * instead of an UNK token). The r13 gap: [[bpeMerges]]/[[bpeEncode]]
+    * train and apply CHARACTER-initial merges — a closed char alphabet —
+    * so a tokenizer shipped from corpus A meets corpus B's unseen
+    * characters with no symbol at all.
+    *
+    * The cross-lingual shipping scenario, made measurable: merges train
+    * on the ENGLISH subcorpus only, then encode the FULL corpus, where
+    * every non-English document carries a deterministic non-ASCII suffix
+    * (" café 中" — multi-byte UTF-8, absent from the ASCII corpus; both
+    * engines append the same suffix, so the oracle replays it). The
+    * report contrasts, per language: `n_unk_words_closed` — words a
+    * CLOSED char-vocab tokenizer (trained alphabet) cannot encode — vs
+    * the byte path, which encodes everything by construction (no UNK
+    * column exists because the count is structurally zero). Bytes
+    * surface as 2-hex-digit symbols (`hex(encode(word))` split in
+    * twos — the same primitive in both engines); merges learn over hex
+    * pairs with [[bpeMerges]]' exact round arithmetic and tie-break.
+    *
+    * Scale shape — identical to [[bpeEncode]]: training runs on the
+    * (bounded) distinct-word vocabulary of the training subcorpus, the
+    * apply chain on the full corpus's vocabulary, documents re-join by
+    * word; the trained alphabet is a driver-side constant (≤ charset
+    * size — it IS the shipped tokenizer artifact, like the merge
+    * table). */
+  def bpeByteFallback(t: Tables, nMerges: Int = 8): DataFrame = {
+    val SEP = BpeSep
+    val docs2 = t.documents.select(col("doc_id"), col("lang"),
+      concat(col("text"),
+        when(col("lang") =!= "en", lit(" café 中")).otherwise(lit("")))
+        .as("text"))
+    val docWords = docs2
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("word"))
+      .localCheckpoint() // train subcorpus + apply vocab + rollup read it
+    def byteSeq(w: org.apache.spark.sql.Column) =
+      concat(lit(SEP),
+        array_join(regexp_extract_all(hex(encode(w, "UTF-8")), lit(".."), lit(0)),
+          SEP + SEP),
+        lit(SEP))
+    val trainWords = docWords.filter(col("lang") === "en")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .localCheckpoint() // merges + alphabet both read it
+    val merges = learnMergesFromVocab(
+      trainWords.select(col("freq"), byteSeq(col("word")).as("seq")), nMerges)
+      .map(m => (m._2, m._3))
+    // the closed-vocab comparison arm's alphabet: every char the
+    // char-level tokenizer saw in training (driver-side constant — the
+    // shipped artifact, bounded by charset size)
+    val alphabet = trainWords
+      .select(explode(filter(split(col("word"), ""), c => c =!= "")).as("c"))
+      .distinct().collect().map(_.getString(0)).sorted
+    val vocab0 = docWords.select("word").distinct()
+      .withColumn("seq", byteSeq(col("word")))
+    val encoded = merges.foldLeft(vocab0) { case (df, (a, b)) =>
+      df.withColumn("seq",
+        call_function("replace", col("seq"), lit(bpeFramed(a, b)), lit(s"$SEP$a$b$SEP")))
+    }
+      .select(col("word"),
+        length(encode(col("word"), "UTF-8")).cast("bigint").as("_nb"),
+        size(filter(split(col("seq"), SEP), s => s =!= "")).cast("bigint").as("_nsym"),
+        (size(array_except(filter(split(col("word"), ""), c => c =!= ""),
+          array(alphabet.map(lit): _*))) > 0).as("_unk"))
+    docWords.join(encoded, Seq("word"))
+      .groupBy("lang")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_words"),
+        sum(when(col("_unk"), 1L).otherwise(0L)).as("n_unk_words_closed"),
+        sum("_nb").as("n_bytes"),
+        sum("_nsym").as("n_bpe_tokens"),
+        round(sum("_nb").cast("double") / sum("_nsym"), 6).as("compression"))
+      .orderBy("lang")
+  }
 
   /** Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken,
     * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD

@@ -832,6 +832,23 @@ class TextAnalysisSpec extends SparkSpec {
       "fixture must split tied runs across bands")
   }
 
+  test("bpeByteFallback: the byte path encodes everything; the closed char vocab cannot") {
+    val rows = TextAnalysis.bpeByteFallback(tables).collect()
+    val byLang = rows.map(r => r.getString(0) -> r).toMap
+    assert(byLang("en").getLong(3) == 0,
+      "the training language has no unseen chars by construction")
+    byLang.view.filterKeys(_ != "en").values.foreach { r =>
+      assert(r.getLong(3) > 0,
+        s"${r.getString(0)}: the unseen-char suffix must defeat the closed char vocab (non-vacuity)")
+    }
+    rows.foreach { r =>
+      // structural UNK-freeness of the byte path: every word decomposed
+      // into >= 1 symbols, never more symbols than bytes
+      assert(r.getLong(5) >= r.getLong(2) && r.getLong(4) >= r.getLong(5),
+        s"${r.getString(0)}: words=${r.getLong(2)} tokens=${r.getLong(5)} bytes=${r.getLong(4)}")
+    }
+  }
+
   test("miTerms matches a local recompute; discriminative terms outrank uniform ones") {
     val docs = tables.documents.select("doc_id", "lang", "text").collect()
       .map(r => (r.getLong(0), r.getString(1),
