@@ -320,6 +320,7 @@ object SparkEntry {
     "q_tfidf" -> ((s, d) => TextAnalysis.tfIdfTopTerms(Tables(s, d))),
     "q_pii_redact" -> ((s, d) => TextAnalysis.piiCounts(Tables(s, d))),
     "q_lm_score" -> ((s, d) => TextAnalysis.lmScore(Tables(s, d))),
+    "q_lm_kneser_ney" -> ((s, d) => TextAnalysis.lmScoreKneserNey(Tables(s, d))),
     // the shipped plan is the SCALE path (rank-addressed threshold cuts,
     // no whole-language sort in one partition); exact equal to the ntile
     // witness by construction, so the ntile-based oracle is unchanged
@@ -1463,6 +1464,21 @@ object SparkEntry {
         "SELECT doc_id, count(*) AS n_tokens, round(sum(r), 6) AS log_weight " +
         "FROM toks JOIN ratios USING (token) GROUP BY doc_id ORDER BY doc_id"),
     "q_lm_score" -> LmScoreOracleSql,
+    "q_lm_kneser_ney" ->
+      // identical bigram-extraction CTEs as LmScoreOracleSql; KN pieces:
+      // per-w1 continuation fan-out rides the c1 aggregation, the
+      // (D, continuation-total) pair is one 1-row CTE, and the per-bigram
+      // probability expression mirrors the engine token-for-token
+      ("WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk FROM documents), " +
+        "bi AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2 FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM toks WHERE len(tk) >= 2)), " +
+        "c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2), " +
+        "c1 AS (SELECT w1, sum(c2) AS c1, count(*) AS nw1 FROM c2 GROUP BY w1), " +
+        "cont AS (SELECT w2, count(*) AS cont FROM c2 GROUP BY w2), " +
+        "tcd AS (SELECT count(*) AS tc, CAST(sum(CASE WHEN c2 = 1 THEN 1 ELSE 0 END) AS DOUBLE) / (sum(CASE WHEN c2 = 1 THEN 1 ELSE 0 END) + 2 * sum(CASE WHEN c2 = 2 THEN 1 ELSE 0 END)) AS d FROM c2) " +
+        "SELECT doc_id, count(*) AS n_bigrams, " +
+        "round(avg(-ln((c2 - d) / c1 + ((d * nw1) / c1) * (cont / tc))), 6) AS avg_nll_kn " +
+        "FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1) JOIN cont USING (w2) CROSS JOIN tcd " +
+        "GROUP BY doc_id ORDER BY doc_id"),
     // BLOCKLIST SCREEN: generated from the SAME Scala pattern list the
     // engine's automaton is built from (one source of truth). replace()
     // counts non-overlapping occurrences left-to-right — equal to the

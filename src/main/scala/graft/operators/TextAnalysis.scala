@@ -608,6 +608,60 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** KNESER–NEY smoothed bigram LM scoring (Kneser & Ney, ICASSP 1995;
+    * interpolated form per Chen & Goodman 1998 — the smoothing KenLM
+    * ships, i.e. what CCNet's perplexity filter actually runs, next to
+    * [[lmScore]]'s add-one baseline). Absolute discount
+    * D = n1/(n1 + 2·n2) from the bigram count-of-counts (the
+    * Ney–Essen–Kneser estimate), interpolated with the CONTINUATION
+    * unigram — P_cont(w2) ∝ #distinct predecessors of w2 — the
+    * correction that makes "francisco" cheap despite raw frequency
+    * because it only ever follows "san":
+    *
+    *   P(w2|w1) = (c(w1,w2) − D)/c(w1)
+    *            + (D·N1+(w1,·)/c(w1)) · (N1+(·,w2)/N1+(·,·))
+    *
+    * Self-scoring means every scored bigram is in-corpus (c2 ≥ 1 > D),
+    * so the general form's max(c−D, 0) clamp never binds and P > 0
+    * everywhere — no OOV class needed (a cross-corpus scorer would add
+    * the unigram-KN backoff chain).
+    *
+    * Scale shape = [[lmScore]]: one bigram extraction pass, bounded
+    * count tables keyed on (w1,w2) / w1 / w2 — N1+(w1,·) rides the c1
+    * aggregation as a count(*) in the SAME pass — and a 1-row
+    * (D, continuation-total) aggregate broadcast as a crossJoin. Float
+    * discipline: the per-bigram probability is ONE expression whose
+    * parenthesization the oracle mirrors token-for-token; only ln() is
+    * 1-ulp exposed, round-6 per the q_lm_score precedent. */
+  def lmScoreKneserNey(t: Tables): DataFrame = {
+    val bi = t.documents
+      .withColumn("_tk", tokens(col("text")))
+      .filter(size(col("_tk")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("_tk")) - 2),
+          i => struct(element_at(col("_tk"), i + 1).as("w1"),
+            element_at(col("_tk"), i + 2).as("w2")))).as("_b"))
+      .select(col("doc_id"), col("_b.w1").as("w1"), col("_b.w2").as("w2"))
+      .localCheckpoint()
+    val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .localCheckpoint() // c1/cont/discount/score join all read it
+    val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"), count(lit(1)).as("nw1"))
+    val cont = c2.groupBy("w2").agg(count(lit(1)).as("cont"))
+    val tcd = c2.agg(count(lit(1)).as("tc"),
+        sum(when(col("c2") === 1, 1L).otherwise(0L)).as("_n1"),
+        sum(when(col("c2") === 2, 1L).otherwise(0L)).as("_n2"))
+      .select(col("tc"),
+        (col("_n1").cast("double") / (col("_n1") + lit(2) * col("_n2"))).as("d"))
+    bi.join(c2, Seq("w1", "w2")).join(c1, Seq("w1")).join(cont, Seq("w2"))
+      .crossJoin(broadcast(tcd))
+      .withColumn("_nll", -log(
+        (col("c2") - col("d")) / col("c1") +
+          ((col("d") * col("nw1")) / col("c1")) * (col("cont") / col("tc"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), round(avg("_nll"), 6).as("avg_nll_kn"))
+      .orderBy("doc_id")
+  }
+
   /** The shipped demo blocklist: phrases drawn from the corpus
     * vocabulary, deliberately including a pattern ("scan") that is a
     * proper suffix of others ("slow scan", "row scan") so the automaton's

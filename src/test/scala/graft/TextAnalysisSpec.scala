@@ -832,6 +832,47 @@ class TextAnalysisSpec extends SparkSpec {
       "fixture must split tied runs across bands")
   }
 
+  test("lmScoreKneserNey matches a naive driver recompute; continuation differs from frequency") {
+    val docs = tables.documents.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq))
+      .filter(_._2.length >= 2)
+    val bis = docs.flatMap { case (id, tk) => tk.zip(tk.tail).map(b => (id, b)) }
+    val c2 = bis.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val c1 = c2.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val nw1 = c2.groupBy(_._1._1).view.mapValues(_.size.toLong).toMap
+    val cont = c2.groupBy(_._1._2).view.mapValues(_.size.toLong).toMap
+    val tc = c2.size.toLong
+    val n1 = c2.values.count(_ == 1L).toLong
+    val n2 = c2.values.count(_ == 2L).toLong
+    val d = n1.toDouble / (n1 + 2 * n2)
+    def p(b: (String, String)): Double =
+      (c2(b) - d) / c1(b._1) + ((d * nw1(b._1)) / c1(b._1)) * (cont(b._2).toDouble / tc)
+    val want = bis.groupBy(_._1).view.mapValues { rows =>
+      val nll = rows.map(r => -math.log(p(r._2)))
+      (rows.length.toLong,
+        BigDecimal(nll.sum / nll.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toMap
+    val got = TextAnalysis.lmScoreKneserNey(tables).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, (n, nll)) =>
+      assert(n == want(id)._1 && math.abs(nll - want(id)._2) < 2e-6,
+        s"doc $id: engine ($n, $nll) vs naive ${want(id)}")
+    }
+    // the KN ingredient is non-vacuous on this corpus: the continuation
+    // distribution (distinct predecessors) must differ from the raw
+    // frequency unigram — i.e. cont is not simply proportional to freq
+    // for every pair (if it were, the interpolation would reduce to the
+    // frequency unigram and the smoothing would add nothing)
+    val freq = bis.groupBy(_._2._2).view.mapValues(_.length.toLong).toMap
+    val ws = cont.keys.toSeq.sorted
+    assert(ws.combinations(2).exists { case Seq(a, b) =>
+      cont(a) * freq(b) != cont(b) * freq(a)
+    }, "continuation distribution is exactly the frequency unigram — fixture vacuous")
+  }
+
   test("bpeByteFallback: the byte path encodes everything; the closed char vocab cannot") {
     val rows = TextAnalysis.bpeByteFallback(tables).collect()
     val byLang = rows.map(r => r.getString(0) -> r).toMap
