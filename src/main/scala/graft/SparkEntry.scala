@@ -510,6 +510,8 @@ object SparkEntry {
     "q_pivot" -> ((s, d) => Analytics.pivotEvents(Tables(s, d))),
     "q_funnel" -> ((s, d) => Analytics.funnelSteps(Tables(s, d))),
     "q_retention" -> ((s, d) => Analytics.retentionCohorts(Tables(s, d))),
+    "q_kaplan_meier" -> ((s, d) => Analytics.kaplanMeier(Tables(s, d))),
+    "q_attribution" -> ((s, d) => Analytics.touchAttribution(Tables(s, d))),
     "q_pagerank" -> ((s, d) => Graph.pageRank(Tables(s, d))),
     "q_kcore" -> ((s, d) => Graph.kCore(Tables(s, d))),
     // label_prop + triangles share the identical co-purchase edge list:
@@ -1991,6 +1993,35 @@ object SparkEntry {
         "SELECT strftime(a.cohort, '%Y-%m-%d') AS cohort_day, a.day_offset, a.n_active, " +
         "round(a.n_active / s.sz, 6) AS retention " +
         "FROM active a JOIN sizes s ON a.cohort = s.cohort ORDER BY cohort_day, day_offset"),
+    "q_kaplan_meier" ->
+      ("WITH ue AS (SELECT user_id, min(ts) AS t0 FROM events GROUP BY user_id), " +
+        "fp AS (SELECT user_id, min(ts) AS tp FROM events WHERE event_type = 'purchase' GROUP BY user_id), " +
+        "h AS (SELECT max(ts) AS horizon FROM events), " +
+        "uo AS (SELECT ue.user_id, t0, tp, least(t0 + INTERVAL 5 DAY, horizon) AS obs_end " +
+        "FROM ue LEFT JOIN fp ON ue.user_id = fp.user_id CROSS JOIN h), " +
+        "u AS (SELECT CASE WHEN tp IS NOT NULL AND tp <= obs_end " +
+        "THEN date_diff('day', CAST(t0 AS DATE), CAST(tp AS DATE)) " +
+        "ELSE date_diff('day', CAST(t0 AS DATE), CAST(obs_end AS DATE)) END AS dur, " +
+        "NOT (tp IS NOT NULL AND tp <= obs_end) AS censored FROM uo), " +
+        "lv AS (SELECT dur AS t, count(*) AS all_at, sum(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS d FROM u GROUP BY dur), " +
+        "r AS (SELECT t, d, sum(all_at) OVER (ORDER BY t DESC) AS n FROM lv), " +
+        "s AS (SELECT t, n, d, exp(sum(ln((n - d) / n)) OVER (ORDER BY t ASC)) AS surv FROM r WHERE d > 0) " +
+        "SELECT t AS t_days, CAST(n AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS n_events, " +
+        "round(surv, 6) AS survival FROM s ORDER BY t_days"),
+    "q_attribution" ->
+      ("WITH tagged AS (SELECT user_id, ts, event_id, event_type, " +
+        "coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) " +
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) AS after " +
+        "FROM events), " +
+        "touches AS (SELECT * FROM tagged WHERE event_type IN ('click', 'view') AND after >= 1), " +
+        "ranked AS (SELECT event_type, " +
+        "row_number() OVER (PARTITION BY user_id, after ORDER BY ts, event_id) AS rn, " +
+        "count(*) OVER (PARTITION BY user_id, after) AS k FROM touches) " +
+        "SELECT event_type, count(*) AS n_touches, " +
+        "CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS first_credit, " +
+        "CAST(sum(CASE WHEN rn = k THEN 1 ELSE 0 END) AS BIGINT) AS last_credit, " +
+        "round(sum(1.0 / k), 6) AS linear_credit " +
+        "FROM ranked GROUP BY event_type ORDER BY event_type"),
     "q_hits" -> KernelOracleSql.hits(),
     "q_triangles" ->
       ("WITH pr AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem), " +

@@ -1335,6 +1335,107 @@ object Analytics {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** KAPLAN–MEIER survival estimation (Kaplan & Meier, JASA 1958 — the
+    * standard right-censored survival curve) for TIME-TO-FIRST-PURCHASE:
+    * a user's clock starts at their first event; the "death" is their
+    * first purchase; users whose purchase falls outside a `windowDays`
+    * observation window (or who never purchase before the stream
+    * horizon) are RIGHT-CENSORED at the window end — textbook
+    * administrative censoring, and exactly the estimand a conversion
+    * dashboard needs, where the naive "avg days to purchase" silently
+    * drops every not-yet-converted user and biases the answer fast.
+    * (Inactivity churn would be the other classic estimand, but this
+    * corpus's users are all active through the horizon — measured, not
+    * assumed — so conversion is the survival question the data can
+    * actually pose; the spec pins BOTH classes non-empty.) Emits one row
+    * per conversion time: at-risk count, events, and
+    * Ŝ(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ).
+    *
+    * Scale shape: per-user firsts are one user-keyed aggregation over
+    * the stream; everything after runs on the DURATION-LEVEL table —
+    * bounded by the window length in days, NOT the corpus — so the two
+    * unpartitioned cumulative windows (at-risk from the top, log-product
+    * from the bottom) act on a days-cardinality frame. Float
+    * discipline: nᵢ/dᵢ arithmetic is all-integer; the product is
+    * exp(running sum of ln((n−d)/n)) — both engines run the ordered
+    * RANGE window sequentially over identical doubles, magnitudes stay
+    * ≤ O(10), round-6 per the q_lm_score ln-ulp precedent. */
+  def kaplanMeier(t: Tables, windowDays: Int = 5): DataFrame = {
+    val ev = t.events.select(col("user_id"), col("ts"), col("event_type"))
+    val ue = ev.groupBy("user_id").agg(min("ts").as("t0"))
+    val fp = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min("ts").as("tp"))
+    val h = ev.agg(max("ts").as("horizon"))
+    val converted = col("tp").isNotNull && col("tp") <= col("_obs_end")
+    val u = ue.join(fp, Seq("user_id"), "left").crossJoin(broadcast(h))
+      .withColumn("_obs_end",
+        least(col("t0") + expr(s"INTERVAL $windowDays DAYS"), col("horizon")))
+      .select(
+        when(converted, datediff(to_date(col("tp")), to_date(col("t0"))))
+          .otherwise(datediff(to_date(col("_obs_end")), to_date(col("t0"))))
+          .cast("long").as("dur"),
+        (!converted).as("censored"))
+    val lv = u.groupBy(col("dur").as("t"))
+      .agg(count(lit(1)).as("all_at"),
+        sum(when(!col("censored"), 1L).otherwise(0L)).as("d"))
+    val n = sum("all_at").over(Window.orderBy(col("t").desc))
+    lv.withColumn("n", n)
+      .filter(col("d") > 0)
+      .withColumn("survival",
+        exp(sum(log((col("n") - col("d")) / col("n")))
+          .over(Window.orderBy(col("t").asc))))
+      .select(col("t").as("t_days"), col("n").cast("long").as("n_risk"),
+        col("d").cast("long").as("n_events"),
+        round(col("survival"), 6).as("survival"))
+      .orderBy("t_days")
+  }
+
+  /** MULTI-TOUCH MARKETING ATTRIBUTION (first-touch / last-touch /
+    * linear — the three standard position-based credit models): every
+    * purchase is a conversion; the touches credited to it are the
+    * user's click/view events since their PREVIOUS purchase (each touch
+    * credits exactly one conversion). Emits per touch type the touch
+    * count and the credit mass under each model — the table a channel
+    * budget review reads.
+    *
+    * The conversion assignment avoids any as-of join: with one per-user
+    * window ordered (ts, event_id), a touch's conversion is identified
+    * by the NUMBER OF PURCHASES STRICTLY AFTER it (integer cumulative
+    * sum over the following frame — a touch with 0 later purchases is
+    * unattributed and drops, the standard rule), so touches of the same
+    * conversion share a (user, purchases-after) key with no purchase
+    * table round trip. Rank/count windows over that key give first/last
+    * flags and the linear 1/k share. All-integer until the final 1/k —
+    * and the per-conversion k is exact, so the only float is one
+    * bounded-magnitude division summed per type (round-6).
+    *
+    * Scale shape: two window passes over the user-clustered event
+    * stream (per-user partitions; per-conversion partitions bounded by
+    * a user's inter-purchase activity) + one type-cardinality
+    * aggregation. No joins, no driver state. */
+  def touchAttribution(t: Tables): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val isP = when(col("event_type") === "purchase", 1L).otherwise(0L)
+    val tagged = t.events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("_after",
+        coalesce(sum(isP).over(w.rowsBetween(1, Window.unboundedFollowing)), lit(0L)))
+    val touches = tagged
+      .filter(col("event_type").isin("click", "view") && col("_after") >= 1)
+    val wc = Window.partitionBy("user_id", "_after")
+      .orderBy(col("ts"), col("event_id"))
+    val wk = Window.partitionBy("user_id", "_after")
+    touches
+      .withColumn("_rn", row_number().over(wc))
+      .withColumn("_k", count(lit(1)).over(wk))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_touches"),
+        sum(when(col("_rn") === 1, 1L).otherwise(0L)).as("first_credit"),
+        sum(when(col("_rn") === col("_k"), 1L).otherwise(0L)).as("last_credit"),
+        round(sum(lit(1.0) / col("_k")), 6).as("linear_credit"))
+      .orderBy("event_type")
+  }
+
   /** TPC-H Q6 (forecast revenue change) — the pure-pushdown benchmark: no
     * join, no groupBy. All three predicates (shipdate range, discount
     * band, quantity cap) reach the parquet reader as `PushedFilters`

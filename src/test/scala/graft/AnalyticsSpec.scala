@@ -952,6 +952,86 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.map(r => (r._1, r._2, r._3)).length == expected.size)
   }
 
+  test("kaplanMeier matches a naive recompute; censored and event classes both non-empty") {
+    import java.time.temporal.ChronoUnit
+    val evs = tables.events.select("user_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1), r.getString(2)))
+    val horizon = evs.map(_._2).max
+    val byUser = evs.groupBy(_._1)
+    val durs = byUser.values.map { rows =>
+      val t0 = rows.map(_._2).min
+      val tp = rows.filter(_._3 == "purchase").map(_._2).minOption
+      val obsEnd = Seq(t0.plusDays(2), horizon).min
+      val conv = tp.exists(p => !p.isAfter(obsEnd))
+      val end = if (conv) tp.get else obsEnd
+      (ChronoUnit.DAYS.between(t0.toLocalDate, end.toLocalDate), !conv)
+    }.toSeq
+    assert(durs.exists(_._2) && durs.exists(!_._2),
+      "fixture vacuous: need both censored and converted users")
+    val times = durs.filter(!_._2).map(_._1).distinct.sorted
+    var surv = 1.0
+    val want = times.map { t =>
+      val n = durs.count(_._1 >= t).toLong
+      val d = durs.count(x => !x._2 && x._1 == t).toLong
+      surv *= (n - d).toDouble / n
+      (t, n, d, surv)
+    }
+    val got = Analytics.kaplanMeier(tables, windowDays = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got.length == want.length)
+    got.zip(want).foreach { case ((gt, gn, gd, gs), (wt, wn, wd, ws)) =>
+      assert(gt == wt && gn == wn && gd == wd && math.abs(gs - ws) < 2e-6,
+        s"t=$gt: engine ($gn,$gd,$gs) vs naive ($wn,$wd,$ws)")
+    }
+    // survival strictly decreases at every event time (d >= 1 rows only)
+    assert(got.map(_._4).sliding(2).forall(p => p.length < 2 || p(1) < p(0)))
+  }
+
+  test("touchAttribution matches a naive recompute; credit mass conserves across models") {
+    val evs = tables.events.select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1), r.getLong(2), r.getString(3)))
+    // naive: walk each user's ordered stream, bucket touches by their
+    // next purchase, credit first/last/linear within each bucket
+    val credits = scala.collection.mutable.Map.empty[String, (Long, Long, Long, Double)]
+      .withDefaultValue((0L, 0L, 0L, 0.0))
+    evs.groupBy(_._1).values.foreach { rows =>
+      val ordered = rows.sortBy(r => (r._2, r._3))
+      var bucket = scala.collection.mutable.ArrayBuffer.empty[String]
+      ordered.foreach {
+        case (_, _, _, "purchase") =>
+          val k = bucket.length
+          bucket.zipWithIndex.foreach { case (ty, i) =>
+            val (n, f, l, lin) = credits(ty)
+            credits(ty) = (n + 1,
+              f + (if (i == 0) 1L else 0L),
+              l + (if (i == k - 1) 1L else 0L),
+              lin + 1.0 / k)
+          }
+          bucket.clear()
+        case (_, _, _, ty) if ty == "click" || ty == "view" => bucket += ty
+        case _ => ()
+      }
+      // trailing touches with no later purchase are unattributed: dropped
+    }
+    val got = Analytics.touchAttribution(tables).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.keySet == credits.keySet)
+    got.foreach { case (ty, (n, f, l, lin)) =>
+      val (wn, wf, wl, wlin) = credits(ty)
+      assert(n == wn && f == wf && l == wl && math.abs(lin - wlin) < 2e-6,
+        s"$ty: engine ($n,$f,$l,$lin) vs naive ($wn,$wf,$wl,$wlin)")
+    }
+    // conservation: every attributed conversion hands out exactly one
+    // unit under each model
+    val totF = got.values.map(_._2).sum
+    val totL = got.values.map(_._3).sum
+    val totLin = got.values.map(_._4).sum
+    assert(totF == totL && math.abs(totLin - totF) < 1e-4,
+      s"credit mass differs across models: first=$totF last=$totL linear=$totLin")
+    assert(totF > 0, "fixture vacuous: no attributed conversions")
+  }
+
   test("retentionCohorts: offset-0 rows are the cohorts themselves at rate 1") {
     val rows = Analytics.retentionCohorts(tables).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
