@@ -328,6 +328,7 @@ object SparkEntry {
     "q_blocklist" -> ((s, d) => TextAnalysis.blocklistScreen(Tables(s, d))),
     "q_mi_terms" -> ((s, d) => TextAnalysis.miTerms(Tables(s, d))),
     "q_quality_calibration" -> ((s, d) => TextAnalysis.qualityCalibration(Tables(s, d))),
+    "q_quality_auc" -> ((s, d) => TextAnalysis.qualityAuc(Tables(s, d))),
     "q_heaps_law" -> ((s, d) => TextAnalysis.heapsLaw(Tables(s, d))),
     "q_vocab_coverage" -> ((s, d) => TextAnalysis.vocabCoverage(Tables(s, d))),
     "q_dsir_weights" -> ((s, d) => TextAnalysis.importanceWeights(Tables(s, d))),
@@ -513,6 +514,7 @@ object SparkEntry {
     "q_kaplan_meier" -> ((s, d) => Analytics.kaplanMeier(Tables(s, d))),
     "q_attribution" -> ((s, d) => Analytics.touchAttribution(Tables(s, d))),
     "q_pagerank" -> ((s, d) => Graph.pageRank(Tables(s, d))),
+    "q_ppr" -> ((s, d) => Graph.personalizedPageRank(Tables(s, d))),
     "q_kcore" -> ((s, d) => Graph.kCore(Tables(s, d))),
     // label_prop + triangles share the identical co-purchase edge list:
     // derived ONCE per dataset and persisted (r13 verdict item 5 — the
@@ -1420,6 +1422,15 @@ object SparkEntry {
         "round(CAST(np AS DOUBLE) / n_docs, 6) AS frac_pos, " +
         "round(CAST(sq AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 1000000000000.0), 6) AS brier " +
         "FROM g ORDER BY bin"),
+    "q_quality_auc" ->
+      (s"WITH qm AS (SELECT * FROM (${KernelOracleSql.qualityModel()})), " +
+        "lv AS (SELECT score, sum(CASE WHEN CAST(label AS BIGINT) = 1 THEN 1 ELSE 0 END) AS p, " +
+        "sum(CASE WHEN CAST(label AS BIGINT) = 0 THEN 1 ELSE 0 END) AS n FROM qm GROUP BY score), " +
+        "c AS (SELECT p, n, coalesce(sum(n) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb FROM lv) " +
+        "SELECT CAST(sum(p) AS BIGINT) AS n_pos, CAST(sum(n) AS BIGINT) AS n_neg, " +
+        "round(CAST(sum(p * (2 * nb + n)) AS DOUBLE) / (2.0 * sum(p) * sum(n)), 6) AS auc, " +
+        "round(CAST(sum(p * (2 * nb + n)) AS DOUBLE) / CAST(sum(p) * sum(n) AS DOUBLE) - 1.0, 6) AS gini " +
+        "FROM c"),
     "q_bm25_search" -> Bm25OracleSql,
     // the index probe computes the identical arithmetic from stored
     // postings, so the from-scratch oracle verifies it too
@@ -2069,6 +2080,26 @@ object SparkEntry {
     // the n-free scaled recurrence (rank·n): rankN' = 0.15 + 0.85·Σ rankN/deg
     // with rankN₀ ≡ 1 — identical values to the textbook 1/n form (n
     // cancels), no node-count scalar anywhere, same as the engine
+    "q_ppr" ->
+      // seeds = 3 smallest supplier keys; p0 = 1 per seed; each round is
+      // damp * contribution + teleport re-injection on the seeds (two
+      // float terms per node — IEEE-commutative, order-free)
+      ("WITH pairs AS (SELECT DISTINCT 's' || l_suppkey AS a, 'c' || o_custkey AS b " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), " +
+        "edges AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs), " +
+        "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src), " +
+        "seeds AS (SELECT 's' || k AS node FROM (SELECT DISTINCT l_suppkey AS k FROM lineitem) ORDER BY k LIMIT 3), " +
+        "r0 AS (SELECT node, 1.0 AS rank FROM seeds), " +
+        "c1 AS (SELECT e.dst AS node, 0.85 * sum(r.rank / g.deg) AS v FROM edges e " +
+        "JOIN deg g ON e.src = g.src JOIN r0 r ON r.node = e.src GROUP BY e.dst), " +
+        "r1 AS (SELECT node, sum(v) AS rank FROM (SELECT node, v FROM c1 UNION ALL SELECT node, 0.15 AS v FROM seeds) GROUP BY node), " +
+        "c2 AS (SELECT e.dst AS node, 0.85 * sum(r.rank / g.deg) AS v FROM edges e " +
+        "JOIN deg g ON e.src = g.src JOIN r1 r ON r.node = e.src GROUP BY e.dst), " +
+        "r2 AS (SELECT node, sum(v) AS rank FROM (SELECT node, v FROM c2 UNION ALL SELECT node, 0.15 AS v FROM seeds) GROUP BY node), " +
+        "c3 AS (SELECT e.dst AS node, 0.85 * sum(r.rank / g.deg) AS v FROM edges e " +
+        "JOIN deg g ON e.src = g.src JOIN r2 r ON r.node = e.src GROUP BY e.dst), " +
+        "r3 AS (SELECT node, sum(v) AS rank FROM (SELECT node, v FROM c3 UNION ALL SELECT node, 0.15 AS v FROM seeds) GROUP BY node) " +
+        "SELECT node, round(rank, 6) AS ppr FROM r3 ORDER BY node"),
     "q_pagerank" ->
       ("WITH pairs AS (SELECT DISTINCT 's' || l_suppkey AS a, 'c' || o_custkey AS b " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), " +

@@ -445,6 +445,63 @@ object Graph {
     out
   }
 
+  /** PERSONALIZED PAGERANK (random walk with restart — Page et al. 1999
+    * §6's personalization vector; Haveliwala WWW'02 topic-sensitive
+    * form): the [[pageRank]] recurrence with the teleport mass
+    * concentrated on a bounded SEED set instead of spread uniformly —
+    * the similarity-to-these-nodes score recommenders and
+    * graph-retrieval systems run (seed = a user's recent items; PPR mass
+    * = what to show next). Seeds here are the `nSeeds` smallest supplier
+    * keys (deterministic, oracle-replayable); fixed `iters` rounds:
+    *
+    *   p₀ = 1 on each seed;  pₖ = teleport·e_S + damp·Σ pₖ₋₁/deg
+    *
+    * `teleport`/`damp` are SEPARATE literal parameters (not 1−d — the
+    * q_rbo lesson: `1.0 − 0.85` and the literal `0.15` are different
+    * doubles; both engines must parse the same literal). Each round's
+    * teleport re-injection is a union + node-keyed sum whose two terms
+    * per node make the float addition order-free (IEEE addition is
+    * commutative; there is never a third term).
+    *
+    * Scale shape: identical to [[pageRank]] — the edge cache keeps
+    * hashpartitioning(src), rounds join exchange-free on the edge side —
+    * EXCEPT the moving table is the REACHABLE set (grows one hop per
+    * round from the seeds), not the node set: on a large graph with few
+    * seeds the per-round join is a broadcast of a frontier, which is the
+    * whole point of PPR at scale. */
+  def personalizedPageRank(t: Tables, nSeeds: Int = 3, iters: Int = 3,
+                           teleport: Double = 0.15,
+                           damp: Double = 0.85): DataFrame = {
+    val (edgesDeg, release) = tradeEdgesDeg(t)
+    val seeds = t.lineitem.select(col("l_suppkey").cast("long").as("k"))
+      .distinct().orderBy("k").limit(nSeeds)
+      .select((col("k") * 2).as("node")) // packed supplier ids (see tradeEdgesDeg)
+      .localCheckpoint() // every round's teleport union reads it
+    var ranks = seeds.withColumn("rank", lit(1.0))
+    for (_ <- 1 to iters) {
+      val contr = edgesDeg
+        .join(ranks.select(col("node").as("src"), col("rank")), "src")
+        .groupBy(col("dst").as("node"))
+        .agg((lit(damp) * sum(col("rank") / col("_deg"))).as("v"))
+      val next = contr
+        .unionByName(seeds.select(col("node"), lit(teleport).as("v")))
+        .groupBy("node").agg(sum("v").as("rank"))
+        .localCheckpoint()
+      ranks.unpersist(blocking = false)
+      ranks = next
+    }
+    val out = ranks.select(
+        concat(when(col("node") % 2 === 0, "s").otherwise("c"),
+          shiftright(col("node"), 1).cast("string")).as("node"),
+        round(col("rank"), 6).as("ppr"))
+      .orderBy("node")
+      .localCheckpoint()
+    ranks.unpersist(blocking = false)
+    seeds.unpersist(blocking = false)
+    release()
+    out
+  }
+
   /** ADAMIC–ADAR LINK PREDICTION (Adamic & Adar 2003; evaluated for
     * link prediction by Liben-Nowell & Kleinberg, CIKM 2003) over the
     * part co-purchase graph: for a bounded set of QUERY nodes, rank

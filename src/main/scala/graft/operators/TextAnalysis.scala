@@ -1412,6 +1412,42 @@ object TextAnalysis {
       .orderBy("bin")
   }
 
+  /** Exact ROC-AUC for the trained quality classifier (row 135's scores)
+    * — the threshold-free discrimination metric next to
+    * [[qualityCalibration]]'s reliability report (a classifier can be
+    * well-calibrated and useless, or sharp and miscalibrated; a corpus
+    * filter wants both numbers). Computed by the rank-sum identity
+    * AUC = P(s⁺ > s⁻) + ½P(s⁺ = s⁻) — equal to the Mann–Whitney U
+    * normalization with midrank tie handling.
+    *
+    * Scale shape — NO global rank window (the textbook rank-sum sorts
+    * the corpus in one partition): scores collapse to a SCORE-LEVEL
+    * table (bounded by distinct rounded scores, never corpus size; the
+    * hash-stable ROUNDED score is the tie domain, the q_pmi_bigrams
+    * lesson), one cumulative window over those levels counts negatives
+    * below each level, and the numerator Σ p·(2·n_below + n_at) is
+    * ALL-INTEGER — the only float in the query is the final division
+    * (exact rational, round-6). Emits one row: class sizes, AUC, Gini. */
+  def qualityAuc(t: Tables): DataFrame = {
+    val sc = qualityModel(t)
+      .select(col("score"), col("label").cast("long").as("_y"))
+    val lv = sc.groupBy("score")
+      .agg(sum(when(col("_y") === 1L, 1L).otherwise(0L)).as("p"),
+        sum(when(col("_y") === 0L, 1L).otherwise(0L)).as("n"))
+    val below = coalesce(
+      sum("n").over(org.apache.spark.sql.expressions.Window
+        .orderBy("score").rowsBetween(Window.unboundedPreceding, -1)),
+      lit(0L))
+    lv.withColumn("_nb", below)
+      .agg(sum("p").as("n_pos"), sum("n").as("n_neg"),
+        sum(col("p") * (lit(2L) * col("_nb") + col("n"))).as("_num2"))
+      .select(col("n_pos"), col("n_neg"),
+        round(col("_num2").cast("double") /
+          (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"),
+        round(col("_num2").cast("double") /
+          (col("n_pos") * col("n_neg")).cast("double") - 1.0, 6).as("gini"))
+  }
+
   /** TF-IDF cosine text retrieval over an INVERTED INDEX — the classic
     * sparse-vector IR ranking next to the dense-embedding ANN rows and
     * the minhash [[graft.operators.Dedup.textSimSearch]]: score = cosine

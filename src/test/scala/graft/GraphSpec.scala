@@ -219,6 +219,45 @@ class GraphSpec extends SparkSpec {
     assert(nCommunities < got.size, "propagation never merged any labels")
   }
 
+  test("personalizedPageRank matches a naive replay; mass stays concentrated near the seeds") {
+    val pairs = tables.lineitem.select("l_orderkey", "l_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val orders = tables.orders.select("o_orderkey", "o_custkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e = pairs.flatMap { case (ok, s) => orders.get(ok).map(c => (s * 2, c * 2 + 1)) }
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }.distinct
+    val deg = e.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val out: Map[Long, Seq[Long]] =
+      e.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val seeds = pairs.map(_._2 * 2).distinct.sorted.take(3)
+    var p: Map[Long, Double] = seeds.map(_ -> 1.0).toMap
+    (1 to 3).foreach { _ =>
+      val contr = scala.collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+      p.foreach { case (n, r) =>
+        out.getOrElse(n, Seq.empty).foreach { m =>
+          contr(m) = contr(m) + r / deg(n)
+        }
+      }
+      p = (contr.keySet ++ seeds).map { n =>
+        n -> (0.85 * contr(n) + (if (seeds.contains(n)) 0.15 else 0.0))
+      }.toMap
+    }
+    def label(n: Long) = (if (n % 2 == 0) "s" else "c") + (n >> 1)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = p.map { case (n, r) => label(n) -> r6(r) }
+    val got = Graph.personalizedPageRank(tables).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (n, r) =>
+      assert(math.abs(r - want(n)) < 2e-6, s"$n: engine $r vs naive ${want(n)}")
+    }
+    // locality: the walk restarts at the seeds, so the top-mass node is a seed
+    val top = got.maxBy(_._2)._1
+    assert(seeds.map(label).contains(top),
+      s"top PPR mass at non-seed $top — teleport concentration lost")
+  }
+
   test("adamicAdar matches a naive recompute; hubs weigh less than rare common neighbors") {
     val pairs = tables.lineitem.select("l_orderkey", "l_partkey").collect()
       .map(r => (r.getLong(0), r.getLong(1)))

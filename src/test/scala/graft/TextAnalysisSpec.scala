@@ -873,6 +873,26 @@ class TextAnalysisSpec extends SparkSpec {
     }, "continuation distribution is exactly the frequency unigram — fixture vacuous")
   }
 
+  test("qualityAuc equals the naive pairwise P(s+ > s-) + half-ties computation") {
+    val sc = TextAnalysis.qualityModel(tables).collect()
+      .map(r => (r.getAs[Number]("score").doubleValue(),
+        r.getAs[Number]("label").longValue()))
+    val pos = sc.filter(_._2 == 1L).map(_._1)
+    val neg = sc.filter(_._2 == 0L).map(_._1)
+    assert(pos.nonEmpty && neg.nonEmpty, "fixture vacuous: need both classes")
+    val wins = (for (p <- pos; n <- neg) yield
+      if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+    val want =
+      BigDecimal(wins / (pos.length.toDouble * neg.length))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = TextAnalysis.qualityAuc(tables).collect().head
+    assert(got.getLong(0) == pos.length && got.getLong(1) == neg.length)
+    assert(math.abs(got.getDouble(2) - want) < 2e-6,
+      s"engine AUC ${got.getDouble(2)} vs naive $want")
+    assert(math.abs(got.getDouble(3) - (2 * got.getDouble(2) - 1)) < 2e-6,
+      "gini must be 2*AUC - 1")
+  }
+
   test("bpeByteFallback: the byte path encodes everything; the closed char vocab cannot") {
     val rows = TextAnalysis.bpeByteFallback(tables).collect()
     val byLang = rows.map(r => r.getString(0) -> r).toMap
