@@ -560,6 +560,7 @@ object SparkEntry {
     }),
     "q_token_entropy" -> ((s, d) => TextAnalysis.tokenEntropy(Tables(s, d))),
     "q_kmeans" -> ((s, d) => Similarity.kmeans(Tables(s, d))),
+    "q_cluster_nmi" -> ((s, d) => Similarity.clusterLabelNmi(Tables(s, d))),
     "q_select_kcenter" -> ((s, d) => Similarity.kCenterSelect(Tables(s, d))),
     "q_embed_rp" -> ((s, d) => Similarity.randomProjectionReport(Tables(s, d))),
     "q_cumulative_users" -> ((s, d) => Analytics.cumulativeUsers(Tables(s, d))),
@@ -807,6 +808,22 @@ object SparkEntry {
         "sc AS (SELECT query_id, doc_id AS neighbor_id, round(sum(cc), 6) AS bm25 FROM contrib GROUP BY query_id, doc_id), " +
         "rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, neighbor_id ASC) AS rn FROM sc) " +
         "SELECT query_id, neighbor_id, bm25 FROM rk WHERE rn <= 5 ORDER BY query_id, neighbor_id"
+
+  /** The deterministic 2-round Lloyd training chain (x/c0 … c2/n2) —
+    * the q_kmeans oracle's CTEs, shared with q_cluster_nmi which extends
+    * the chain with a final assignment + contingency folds. */
+  private val KmeansChainSql: String =
+    "x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS j, unnest(CAST(embedding AS DOUBLE[])) AS xj FROM embeddings), " +
+      "c0 AS (SELECT CAST(vec_id AS INT) AS cell, j, xj AS cj FROM x WHERE vec_id < 8), " +
+      "d1 AS (SELECT x.vec_id, c.cell, sum((x.xj - c.cj) * (x.xj - c.cj)) AS dist FROM x JOIN c0 c ON x.j = c.j GROUP BY x.vec_id, c.cell), " +
+      "a1 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn FROM d1) t WHERE rn = 1), " +
+      "u1 AS (SELECT a.cell, x.j, avg(x.xj) AS cj FROM x JOIN a1 a ON x.vec_id = a.vec_id GROUP BY a.cell, x.j), " +
+      "c1 AS (SELECT c0.cell, c0.j, coalesce(u1.cj, c0.cj) AS cj FROM c0 LEFT JOIN u1 ON u1.cell = c0.cell AND u1.j = c0.j), " +
+      "d2 AS (SELECT x.vec_id, c.cell, sum((x.xj - c.cj) * (x.xj - c.cj)) AS dist FROM x JOIN c1 c ON x.j = c.j GROUP BY x.vec_id, c.cell), " +
+      "a2 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn FROM d2) t WHERE rn = 1), " +
+      "u2 AS (SELECT a.cell, x.j, avg(x.xj) AS cj FROM x JOIN a2 a ON x.vec_id = a.vec_id GROUP BY a.cell, x.j), " +
+      "c2 AS (SELECT c1.cell, c1.j, coalesce(u2.cj, c1.cj) AS cj FROM c1 LEFT JOIN u2 ON u2.cell = c1.cell AND u2.j = c1.j), " +
+      "n2 AS (SELECT cell, count(*) AS n FROM a2 GROUP BY cell)"
 
   private val LmScoreOracleSql: String =
     "WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk FROM documents), " +
@@ -2259,19 +2276,34 @@ object SparkEntry {
     "q_select_kcenter" -> KernelOracleSql.kCenterSelect(),
     "q_embed_rp" -> SrpOracleSql.rpReport(),
     "q_kmeans" ->
-      ("WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS j, unnest(CAST(embedding AS DOUBLE[])) AS xj FROM embeddings), " +
-        "c0 AS (SELECT CAST(vec_id AS INT) AS cell, j, xj AS cj FROM x WHERE vec_id < 8), " +
-        "d1 AS (SELECT x.vec_id, c.cell, sum((x.xj - c.cj) * (x.xj - c.cj)) AS dist FROM x JOIN c0 c ON x.j = c.j GROUP BY x.vec_id, c.cell), " +
-        "a1 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn FROM d1) t WHERE rn = 1), " +
-        "u1 AS (SELECT a.cell, x.j, avg(x.xj) AS cj FROM x JOIN a1 a ON x.vec_id = a.vec_id GROUP BY a.cell, x.j), " +
-        "c1 AS (SELECT c0.cell, c0.j, coalesce(u1.cj, c0.cj) AS cj FROM c0 LEFT JOIN u1 ON u1.cell = c0.cell AND u1.j = c0.j), " +
-        "d2 AS (SELECT x.vec_id, c.cell, sum((x.xj - c.cj) * (x.xj - c.cj)) AS dist FROM x JOIN c1 c ON x.j = c.j GROUP BY x.vec_id, c.cell), " +
-        "a2 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn FROM d2) t WHERE rn = 1), " +
-        "u2 AS (SELECT a.cell, x.j, avg(x.xj) AS cj FROM x JOIN a2 a ON x.vec_id = a.vec_id GROUP BY a.cell, x.j), " +
-        "c2 AS (SELECT c1.cell, c1.j, coalesce(u2.cj, c1.cj) AS cj FROM c1 LEFT JOIN u2 ON u2.cell = c1.cell AND u2.j = c1.j), " +
-        "n2 AS (SELECT cell, count(*) AS n FROM a2 GROUP BY cell) " +
+      (s"WITH $KmeansChainSql " +
         "SELECT c2.cell, CAST(c2.j AS BIGINT) AS dim, round(c2.cj, 6) AS centroid, coalesce(n2.n, 0) AS n_vecs " +
         "FROM c2 LEFT JOIN n2 ON n2.cell = c2.cell ORDER BY c2.cell, dim"),
+    "q_cluster_nmi" ->
+      // the SAME two-round training chain, a THIRD assignment pass
+      // against the final centroids, then the contingency folds: each
+      // ln-sum is a list_reduce over (cell, label)-ordered terms — the
+      // engine's sorted-struct aggregate() folds the identical order with
+      // the identical ((0+t1)+t2)... parenthesization
+      (s"WITH $KmeansChainSql, " +
+        "d3 AS (SELECT x.vec_id, c.cell, sum((x.xj - c.cj) * (x.xj - c.cj)) AS dist FROM x JOIN c2 c ON x.j = c.j GROUP BY x.vec_id, c.cell), " +
+        "a3 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn FROM d3) t WHERE rn = 1), " +
+        "cl AS (SELECT a3.cell, e.label, count(*) AS ncl FROM a3 JOIN embeddings e ON e.vec_id = a3.vec_id GROUP BY 1, 2), " +
+        "ncm AS (SELECT cell, sum(ncl) AS nc FROM cl GROUP BY cell), " +
+        "nlm AS (SELECT label, sum(ncl) AS nl FROM cl GROUP BY label), " +
+        "nt AS (SELECT sum(ncl) AS n FROM cl), " +
+        "mi AS (SELECT list_reduce(list_prepend(0.0, list((ncl * 1.0 / n) * ln(ncl * 1.0 * n / (nc * 1.0 * nl)) ORDER BY cell, label)), (a, b) -> a + b) AS mi " +
+        "FROM cl JOIN ncm USING (cell) JOIN nlm USING (label) CROSS JOIN nt), " +
+        "hc AS (SELECT list_reduce(list_prepend(0.0, list(-(nc * 1.0 / n) * ln(nc * 1.0 / n) ORDER BY cell)), (a, b) -> a + b) AS hc FROM ncm CROSS JOIN nt), " +
+        "hl AS (SELECT list_reduce(list_prepend(0.0, list(-(nl * 1.0 / n) * ln(nl * 1.0 / n) ORDER BY label)), (a, b) -> a + b) AS hl FROM nlm CROSS JOIN nt), " +
+        "pu AS (SELECT count(*) AS k_cells, sum(mx) AS sm FROM (SELECT cell, max(ncl) AS mx FROM cl GROUP BY cell)), " +
+        "ct AS (SELECT sum(ncl) AS n_vecs, count(DISTINCT label) AS n_labels FROM cl) " +
+        "SELECT CAST(ct.n_vecs AS BIGINT) AS n_vecs, CAST(pu.k_cells AS BIGINT) AS k_cells, " +
+        "CAST(ct.n_labels AS BIGINT) AS n_labels, round(mi.mi, 6) AS mi, " +
+        "round(hc.hc, 6) AS h_cluster, round(hl.hl, 6) AS h_label, " +
+        "round(mi.mi / sqrt(hc.hc * hl.hl), 6) AS nmi, " +
+        "round(sm * 1.0 / nt.n, 6) AS purity " +
+        "FROM ct, pu, mi, hc, hl, nt"),
     "q_token_entropy" ->
       ("WITH counts AS (SELECT doc_id, w, count(*) AS c FROM " +
         "(SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS w FROM documents) " +

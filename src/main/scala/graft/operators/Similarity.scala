@@ -1101,6 +1101,25 @@ object Similarity {
 
   private[graft] def kmeansCore(t: Tables, k: Int, maxIters: Int,
                                 eps: Double): (DataFrame, Int) = {
+    val (cents, counts, rounds) = kmeansFit(t, k, maxIters, eps)
+    val spark = t.spark
+    import spark.implicits._
+    val out = cents.zipWithIndex.flatMap { case (c, cell) =>
+      c.zipWithIndex.map { case (v, j) =>
+        (cell, j + 1L, v, counts.getOrElse(cell, 0L))
+      }
+    }.toSeq.toDF("cell", "dim", "_c", "n_vecs")
+      .select(col("cell"), col("dim"), round(col("_c"), 6).as("centroid"),
+        col("n_vecs"))
+      .orderBy("cell", "dim")
+    (out, rounds)
+  }
+
+  /** The Lloyd training loop alone — (final centroids, per-cell counts,
+    * rounds). Split out (r14) so [[clusterLabelNmi]] can assign with the
+    * UNROUNDED trained centroids. */
+  private[graft] def kmeansFit(t: Tables, k: Int, maxIters: Int,
+                               eps: Double): (Array[Array[Double]], Map[Int, Long], Int) = {
     val xa = t.embeddings.select(col("vec_id"),
       transform(col("embedding"), e => e.cast("double")).as("x"))
     val seedRows = xa.filter(col("vec_id") < k).orderBy("vec_id").collect()
@@ -1134,17 +1153,75 @@ object Similarity {
       rounds += 1
       converged = move <= eps
     }
-    val spark = t.spark
-    import spark.implicits._
-    val out = cents.zipWithIndex.flatMap { case (c, cell) =>
-      c.zipWithIndex.map { case (v, j) =>
-        (cell, j + 1L, v, counts.getOrElse(cell, 0L))
-      }
-    }.toSeq.toDF("cell", "dim", "_c", "n_vecs")
-      .select(col("cell"), col("dim"), round(col("_c"), 6).as("centroid"),
-        col("n_vecs"))
-      .orderBy("cell", "dim")
-    (out, rounds)
+    (cents, counts, rounds)
+  }
+
+  /** NORMALIZED MUTUAL INFORMATION + purity between the deterministic
+    * k-means clustering and the embeddings' ground-truth `label` column
+    * (Strehl & Ghosh JMLR'02's NMI — the standard external
+    * cluster-quality metric, completing the evaluation family beside the
+    * classifier's calibration and AUC rows): trains exactly like
+    * [[kmeans]], assigns every vector with the final UNROUNDED
+    * centroids, and reduces the k×L contingency table to
+    * MI = Σ (n_cl/N)·ln(n_cl·N/(n_c·n_l)), H(C), H(L),
+    * NMI = MI/√(H_C·H_L), purity = Σ_c max_l n_cl / N.
+    *
+    * Float discipline: the contingency is k×labels — TINY — so each
+    * ln-sum folds over a SORTED struct array in fixed (cell, label)
+    * order (the q_mi_terms fold-association pattern; the oracle's
+    * list_reduce folds the identical order with the identical
+    * parenthesization); purity is all-integer until one division.
+    * Scale shape: one corpus assignment pass (codegen'd NearestCell) +
+    * a (cell, label)-keyed count — the contingency and everything after
+    * it is bounded by k·|labels|, never the corpus. */
+  def clusterLabelNmi(t: Tables, k: Int = 8, iters: Int = 2): DataFrame = {
+    val (cents, _, _) = kmeansFit(t, k, iters, eps = -1.0)
+    val assigned = t.embeddings.select(col("label"),
+      HashFunctions.nearestCell(
+        transform(col("embedding"), e => e.cast("double")),
+        cents.toSeq.map(_.toSeq)).as("cell"))
+    val cl = assigned.groupBy("cell", "label").agg(count(lit(1)).as("ncl"))
+      .localCheckpoint() // marginals + folds + purity all read it
+    val nc = cl.groupBy("cell").agg(sum("ncl").as("nc"))
+    val nl = cl.groupBy("label").agg(sum("ncl").as("nl"))
+    val nTot = cl.agg(sum("ncl").as("n"))
+    val miRow = cl.join(nc, "cell").join(nl, "label")
+      .crossJoin(broadcast(nTot))
+      .agg(sort_array(collect_list(struct(
+        col("cell"), col("label"), col("ncl"), col("nc"), col("nl"), col("n"))))
+        .as("_cells"))
+      .select(aggregate(col("_cells"), lit(0.0), (acc, c) =>
+        acc + (c.getField("ncl").cast("double") / c.getField("n")) *
+          log(c.getField("ncl").cast("double") * c.getField("n") /
+            (c.getField("nc").cast("double") * c.getField("nl"))))
+        .as("mi"))
+    def entropyOf(m: DataFrame, key: String, cnt: String, out: String) = m
+      .crossJoin(broadcast(nTot))
+      .agg(sort_array(collect_list(struct(col(key), col(cnt), col("n"))))
+        .as("_e"))
+      .select(aggregate(col("_e"), lit(0.0), (acc, c) =>
+        acc - (c.getField(cnt).cast("double") / c.getField("n")) *
+          log(c.getField(cnt).cast("double") / c.getField("n"))).as(out))
+    val hcRow = entropyOf(nc, "cell", "nc", "hc")
+    val hlRow = entropyOf(nl, "label", "nl", "hl")
+    val purityRow = cl.groupBy("cell").agg(max("ncl").as("_mx"))
+      .crossJoin(broadcast(nTot))
+      .agg(sum("_mx").as("_sm"), first("n").as("_n"),
+        countDistinct("cell").as("k_cells"))
+      .select(col("k_cells"),
+        (col("_sm").cast("double") / col("_n")).as("_purity"))
+    val counts = cl.agg(sum("ncl").as("n_vecs"),
+      countDistinct("label").as("n_labels"))
+    counts.crossJoin(broadcast(purityRow))
+      .crossJoin(broadcast(miRow))
+      .crossJoin(broadcast(hcRow))
+      .crossJoin(broadcast(hlRow))
+      .select(col("n_vecs"), col("k_cells"), col("n_labels"),
+        round(col("mi"), 6).as("mi"),
+        round(col("hc"), 6).as("h_cluster"),
+        round(col("hl"), 6).as("h_label"),
+        round(col("mi") / sqrt(col("hc") * col("hl")), 6).as("nmi"),
+        round(col("_purity"), 6).as("purity"))
   }
 
   /** Johnson–Lindenstrauss random-projection report (Achlioptas 2003

@@ -782,4 +782,38 @@ class SimilaritySpec extends SparkSpec {
     assert(mean > d * 0.5 && mean < d * 1.5,
       s"mean maha2 $mean should be near the dimension $d")
   }
+
+  test("clusterLabelNmi matches a naive contingency recompute; metrics in range") {
+    val (cents, _, _) = Similarity.kmeansFit(tables, k = 8, maxIters = 2, eps = -1.0)
+    val vecs = tables.embeddings.select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    def cellOf(x: Array[Double]): Int =
+      cents.zipWithIndex.map { case (c, i) =>
+        (c.zip(x).map { case (a, b) => (b - a) * (b - a) }.sum, i)
+      }.minBy { case (dist, i) => (dist, i) }._2
+    val cl = vecs.map(v => (cellOf(v._2), v._3))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n = vecs.length.toDouble
+    val nc = cl.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val nl = cl.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val mi = cl.toSeq.sortBy(_._1).map { case ((c, l), m) =>
+      (m / n) * math.log(m * n / (nc(c).toDouble * nl(l)))
+    }.sum
+    def h(m: Map[_, Long]) = m.values.toSeq.map(v => -(v / n) * math.log(v / n)).sum
+    val purity = cl.groupBy(_._1._1).values.map(_.values.max).sum / n
+    val want = (mi, h(nc), h(nl), mi / math.sqrt(h(nc) * h(nl)), purity)
+    val got = Similarity.clusterLabelNmi(tables).collect().head
+    assert(got.getLong(0) == vecs.length && got.getLong(1) == nc.size &&
+      got.getLong(2) == nl.size)
+    assert(math.abs(got.getDouble(3) - want._1) < 2e-6, s"mi ${got.getDouble(3)} vs ${want._1}")
+    assert(math.abs(got.getDouble(4) - want._2) < 2e-6)
+    assert(math.abs(got.getDouble(5) - want._3) < 2e-6)
+    assert(math.abs(got.getDouble(6) - want._4) < 2e-6)
+    assert(math.abs(got.getDouble(7) - want._5) < 2e-6)
+    // information inequality bounds: 0 <= MI <= min(H), NMI in [0, 1],
+    // purity at least the majority-label share
+    assert(want._1 >= 0 && want._1 <= math.min(want._2, want._3) + 1e-9)
+    assert(got.getDouble(6) >= 0 && got.getDouble(6) <= 1.0)
+    assert(got.getDouble(7) >= nl.values.max / n - 1e-9)
+  }
 }
