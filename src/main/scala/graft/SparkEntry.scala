@@ -1507,7 +1507,7 @@ object SparkEntry {
         "c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2), " +
         "c1 AS (SELECT w1, sum(c2) AS c1, count(*) AS nw1 FROM c2 GROUP BY w1), " +
         "cont AS (SELECT w2, count(*) AS cont FROM c2 GROUP BY w2), " +
-        "tcd AS (SELECT count(*) AS tc, CAST(sum(CASE WHEN c2 = 1 THEN 1 ELSE 0 END) AS DOUBLE) / (sum(CASE WHEN c2 = 1 THEN 1 ELSE 0 END) + 2 * sum(CASE WHEN c2 = 2 THEN 1 ELSE 0 END)) AS d FROM c2) " +
+        "tcd AS (SELECT count(*) AS tc, CASE WHEN sum(CASE WHEN c2 = 1 THEN 1 ELSE 0 END) + 2 * sum(CASE WHEN c2 = 2 THEN 1 ELSE 0 END) = 0 THEN 0.5 ELSE CAST(sum(CASE WHEN c2 = 1 THEN 1 ELSE 0 END) AS DOUBLE) / (sum(CASE WHEN c2 = 1 THEN 1 ELSE 0 END) + 2 * sum(CASE WHEN c2 = 2 THEN 1 ELSE 0 END)) END AS d FROM c2) " +
         "SELECT doc_id, count(*) AS n_bigrams, " +
         "round(avg(-ln((c2 - d) / c1 + ((d * nw1) / c1) * (cont / tc))), 6) AS avg_nll_kn " +
         "FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1) JOIN cont USING (w2) CROSS JOIN tcd " +

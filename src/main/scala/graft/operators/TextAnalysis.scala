@@ -647,11 +647,21 @@ object TextAnalysis {
       .localCheckpoint() // c1/cont/discount/score join all read it
     val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"), count(lit(1)).as("nw1"))
     val cont = c2.groupBy("w2").agg(count(lit(1)).as("cont"))
+    // Ney–Essen–Kneser discount D = n1/(n1+2n2) is UNDEFINED when the
+    // corpus has no singleton/doubleton bigram types at all (n1 = n2 = 0
+    // — true of this synthetic corpus at sf0.1: 931 types, every one
+    // frequent; the sf0.1 close bench caught the 0/0). The standard
+    // guard: fall back to the fixed absolute discount D = 0.5 (any
+    // D ∈ (0,1) is valid absolute discounting — the estimate merely
+    // optimizes it; with no rare types there is nothing to estimate
+    // from). Both engines branch on the identical integer condition.
     val tcd = c2.agg(count(lit(1)).as("tc"),
         sum(when(col("c2") === 1, 1L).otherwise(0L)).as("_n1"),
         sum(when(col("c2") === 2, 1L).otherwise(0L)).as("_n2"))
       .select(col("tc"),
-        (col("_n1").cast("double") / (col("_n1") + lit(2) * col("_n2"))).as("d"))
+        when(col("_n1") + lit(2) * col("_n2") === 0L, lit(0.5))
+          .otherwise(col("_n1").cast("double") /
+            (col("_n1") + lit(2) * col("_n2"))).as("d"))
     bi.join(c2, Seq("w1", "w2")).join(c1, Seq("w1")).join(cont, Seq("w2"))
       .crossJoin(broadcast(tcd))
       .withColumn("_nll", -log(

@@ -873,6 +873,37 @@ class TextAnalysisSpec extends SparkSpec {
     }, "continuation distribution is exactly the frequency unigram — fixture vacuous")
   }
 
+  test("lmScoreKneserNey: no-rare-types corpus takes the fixed-discount fallback (sf0.1 regression)") {
+    // every bigram type occurs >= 3 times -> n1 = n2 = 0 -> the
+    // Ney-Essen estimate is 0/0; the fallback D = 0.5 must apply (the
+    // sf0.1 close-bench DIVIDE_BY_ZERO regression, pinned)
+    val spark = tables.spark
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y x y x y"), (2L, "x y x y"), (3L, "y x y x y x"))
+      .toDF("doc_id", "text")
+    val t2 = tables.withTable("documents", docs)
+    val rows = TextAnalysis.lmScoreKneserNey(t2).collect()
+    assert(rows.length == 3, "fallback path must score every doc, not throw")
+    // naive recompute with D = 0.5, checked on doc 1
+    val all = Seq("x y x y x y", "x y x y", "y x y x y x")
+      .flatMap(t => { val w = t.split(" "); w.zip(w.tail) })
+    val cc = all.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val c1 = cc.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val nw1 = cc.groupBy(_._1._1).view.mapValues(_.size.toLong).toMap
+    val cont = cc.groupBy(_._1._2).view.mapValues(_.size.toLong).toMap
+    val tc = cc.size.toLong
+    val d = 0.5
+    def p(b: (String, String)) =
+      (cc(b) - d) / c1(b._1) + ((d * nw1(b._1)) / c1(b._1)) * (cont(b._2).toDouble / tc)
+    val w1 = "x y x y x y".split(" ")
+    val doc1 = w1.zip(w1.tail).map(b => -math.log(p(b)))
+    val want1 = BigDecimal(doc1.sum / doc1.length)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got1 = rows.find(_.getLong(0) == 1L).get.getDouble(2)
+    assert(math.abs(got1 - want1) < 2e-6, s"doc1: engine $got1 vs naive $want1 (D=0.5)")
+  }
+
   test("qualityAuc equals the naive pairwise P(s+ > s-) + half-ties computation") {
     val sc = TextAnalysis.qualityModel(tables).collect()
       .map(r => (r.getAs[Number]("score").doubleValue(),
