@@ -95,6 +95,18 @@ object SparkEntry {
         .repartition(8).write.mode("overwrite").parquet(out)
     }
 
+  /** The distinct (supplier, customer) trade pair list for a dataset,
+    * derived once and persisted ([[graft.operators.Graph.tradePairs]]) —
+    * the shared upstream of q_pagerank / q_hits / q_kcore / q_ppr (each
+    * re-derived the lineitem⋈orders join + dedup per call; the r14
+    * listener evidence put that build at ~17 s of task time inside one
+    * query). */
+  private def tradePairsDir(s: SparkSession, d: String): String =
+    roundtripDir("graft_tradepairs", d, "_SUCCESS") { out =>
+      Graph.tradePairs(Tables(s, d))
+        .repartition(8).write.mode("overwrite").parquet(out)
+    }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // — relational surface (reference parity, SURVEY §2 rows 1–14) —
@@ -513,9 +525,12 @@ object SparkEntry {
     "q_retention" -> ((s, d) => Analytics.retentionCohorts(Tables(s, d))),
     "q_kaplan_meier" -> ((s, d) => Analytics.kaplanMeier(Tables(s, d))),
     "q_attribution" -> ((s, d) => Analytics.touchAttribution(Tables(s, d))),
-    "q_pagerank" -> ((s, d) => Graph.pageRank(Tables(s, d))),
-    "q_ppr" -> ((s, d) => Graph.personalizedPageRank(Tables(s, d))),
-    "q_kcore" -> ((s, d) => Graph.kCore(Tables(s, d))),
+    "q_pagerank" -> ((s, d) => Graph.pageRank(Tables(s, d),
+      prebuiltPairs = Some(s.read.parquet(tradePairsDir(s, d))))),
+    "q_ppr" -> ((s, d) => Graph.personalizedPageRank(Tables(s, d),
+      prebuiltPairs = Some(s.read.parquet(tradePairsDir(s, d))))),
+    "q_kcore" -> ((s, d) => Graph.kCore(Tables(s, d),
+      prebuiltPairs = Some(s.read.parquet(tradePairsDir(s, d))))),
     // label_prop + triangles share the identical co-purchase edge list:
     // derived ONCE per dataset and persisted (r13 verdict item 5 — the
     // edge build was the bulk of both queries' cost, paid twice); each
@@ -524,7 +539,8 @@ object SparkEntry {
     "q_label_prop" -> ((s, d) =>
       Graph.labelPropagation(Tables(s, d),
         prebuiltEdges = Some(s.read.parquet(coPurchaseEdgesDir(s, d))))),
-    "q_hits" -> ((s, d) => Graph.hits(Tables(s, d))),
+    "q_hits" -> ((s, d) => Graph.hits(Tables(s, d),
+      prebuiltPairs = Some(s.read.parquet(tradePairsDir(s, d))))),
     "q_adamic_adar" -> ((s, d) =>
       Graph.adamicAdar(Tables(s, d),
         prebuiltEdges = Some(s.read.parquet(coPurchaseEdgesDir(s, d))))),

@@ -36,8 +36,9 @@ object Graph {
     * outlives the call (SetSimilarity's eager-lifecycle pattern).
     * Undirected edges mean every node has out-degree ≥ 1: no dangling-mass
     * term, rank mass is conserved by construction. */
-  def pageRank(t: Tables, iters: Int = 3, d: Double = 0.85): DataFrame = {
-    val (ranks, release) = pageRankPlan(t, iters, d)
+  def pageRank(t: Tables, iters: Int = 3, d: Double = 0.85,
+               prebuiltPairs: Option[DataFrame] = None): DataFrame = {
+    val (ranks, release) = pageRankPlan(t, iters, d, prebuiltPairs)
     // eager: materializes the node-cardinality result, after which the
     // returned plan reads the checkpoint and holds no reference to the
     // edge cache — safe to release it before the caller executes anything
@@ -124,18 +125,35 @@ object Graph {
     * plans exchange-free on the edge side and only the node-cardinality
     * rank table moves. The window is per-KEY (src), bounded by the
     * hottest hub's degree. */
-  private def tradeEdgesDeg(t: Tables): (DataFrame, () => Unit) = {
-    val s2 = shiftleft(col("l_suppkey").cast("long"), 1)
-    val c2 = shiftleft(col("o_custkey").cast("long"), 1) + 1
-    val edges = t.lineitem.select(col("l_orderkey"), col("l_suppkey"))
+  /** The DISTINCT (supplier, customer) trade pair list — the shared
+    * upstream of every trade-graph operator (pagerank / hits / k-core /
+    * PPR all re-derived it per call: one lineitem⋈orders join + dedup
+    * each, the bulk of their per-query cost at sf0.1 — the r14 listener
+    * evidence put the build at ~17 s of task time inside q_ppr). Like
+    * [[coPurchaseEdges]], the pipeline shape is derive-ONCE, persist,
+    * attach; pairs are already distinct, so both the undirected packed
+    * explode and the directed layouts need NO further dedup. */
+  def tradePairs(t: Tables): DataFrame =
+    t.lineitem.select(col("l_orderkey"), col("l_suppkey"))
       .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").cast("long").as("s"),
+        col("o_custkey").cast("long").as("c"))
+      .distinct()
+
+  private def tradeEdgesDeg(t: Tables,
+                            prebuiltPairs: Option[DataFrame] = None): (DataFrame, () => Unit) = {
+    val s2 = shiftleft(col("s"), 1)
+    val c2 = shiftleft(col("c"), 1) + 1
+    // distinct (s, c) pairs ⟹ the exploded directed rows are distinct by
+    // construction — with a prebuilt pair artifact the per-query dedup
+    // shuffle disappears and only the src layout + degree window remain
+    val edges = prebuiltPairs.getOrElse(tradePairs(t))
       .select(explode(array(
         struct(s2.as("src"), c2.as("dst")),
         struct(c2.as("src"), s2.as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .repartition(col("src"))
-      .dropDuplicates("src", "dst")
     val edgesDeg = edges
       .withColumn("_deg",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("src")))
@@ -151,8 +169,9 @@ object Graph {
     .orderBy("node")
 
   private[graft] def pageRankPlan(
-      t: Tables, iters: Int, d: Double): (DataFrame, () => Unit) = {
-    val (edgesDeg, release) = tradeEdgesDeg(t)
+      t: Tables, iters: Int, d: Double,
+      prebuiltPairs: Option[DataFrame] = None): (DataFrame, () => Unit) = {
+    val (edgesDeg, release) = tradeEdgesDeg(t, prebuiltPairs)
     // the recurrence runs on rank·n directly: multiplying the textbook
     // update rank' = (1−d)/n + d·Σ rank/deg through by n gives
     // rankN' = (1−d) + d·Σ rankN/deg — n cancels, so the node count, the
@@ -203,14 +222,14 @@ object Graph {
     * on its src-keyed layout, dedups PARTITION-LOCALLY there
     * (hashpartitioning(src) satisfies ClusteredDistribution(src, dst)),
     * and the dst layout re-shuffles only the (smaller) deduped table. */
-  private def directedTradeEdges(t: Tables): (DataFrame, DataFrame, () => Unit) = {
-    val rawPairs = t.lineitem.select(col("l_orderkey"), col("l_suppkey"))
-      .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(col("l_suppkey").cast("long").as("src"),
-        col("o_custkey").cast("long").as("dst"))
-    val edgesS = rawPairs.repartition(col("src"))
-      .dropDuplicates("src", "dst").persist()
+  private def directedTradeEdges(t: Tables,
+      prebuiltPairs: Option[DataFrame] = None): (DataFrame, DataFrame, () => Unit) = {
+    // a prebuilt [[tradePairs]] artifact is already distinct — only the
+    // two cache layouts remain per query
+    val rawPairs = prebuiltPairs
+      .map(_.select(col("s").as("src"), col("c").as("dst")))
+      .getOrElse(tradePairs(t).select(col("s").as("src"), col("c").as("dst")))
+    val edgesS = rawPairs.repartition(col("src")).persist()
     val edgesD = edgesS.repartition(col("dst")).persist()
     edgesS.count(); edgesD.count()
     (edgesS, edgesD, () => {
@@ -219,11 +238,12 @@ object Graph {
     })
   }
 
-  def hits(t: Tables, iters: Int = 2): DataFrame = {
+  def hits(t: Tables, iters: Int = 2,
+           prebuiltPairs: Option[DataFrame] = None): DataFrame = {
     // the loop seeds the authority table on its first round; iters < 1
     // would leave it null and NPE deep in the output union
     require(iters >= 1, s"hits: iters must be >= 1, got $iters")
-    val (edgesS, edgesD, release) = directedTradeEdges(t)
+    val (edgesS, edgesD, release) = directedTradeEdges(t, prebuiltPairs)
     var a: DataFrame = null
     var h: DataFrame = null
     for (it <- 1 to iters) {
@@ -471,8 +491,9 @@ object Graph {
     * whole point of PPR at scale. */
   def personalizedPageRank(t: Tables, nSeeds: Int = 3, iters: Int = 3,
                            teleport: Double = 0.15,
-                           damp: Double = 0.85): DataFrame = {
-    val (edgesDeg, release) = tradeEdgesDeg(t)
+                           damp: Double = 0.85,
+                           prebuiltPairs: Option[DataFrame] = None): DataFrame = {
+    val (edgesDeg, release) = tradeEdgesDeg(t, prebuiltPairs)
     val seeds = t.lineitem.select(col("l_suppkey").cast("long").as("k"))
       .distinct().orderBy("k").limit(nSeeds)
       .select((col("k") * 2).as("node")) // packed supplier ids (see tradeEdgesDeg)
@@ -571,9 +592,10 @@ object Graph {
     * general), each removing at least one node — `maxRounds` is a
     * deterministic safety cap, not a tuning knob, and hitting it throws
     * rather than silently returning a non-core. */
-  def kCore(t: Tables, k: Int = 8, maxRounds: Int = 1000): DataFrame = {
+  def kCore(t: Tables, k: Int = 8, maxRounds: Int = 1000,
+            prebuiltPairs: Option[DataFrame] = None): DataFrame = {
     require(k >= 1, s"kCore: k must be >= 1, got $k")
-    val (edgesDeg, release) = tradeEdgesDeg(t)
+    val (edgesDeg, release) = tradeEdgesDeg(t, prebuiltPairs)
     // one row per node: its full-graph degree (the window is per-src over
     // the src-laid-out cache, so the distinct collapses partition-locally)
     var survivors = edgesDeg.select(col("src").as("node"), col("_deg").as("deg"))
