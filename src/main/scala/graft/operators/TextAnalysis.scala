@@ -330,7 +330,8 @@ object TextAnalysis {
     * word; the trained alphabet is a driver-side constant (≤ charset
     * size — it IS the shipped tokenizer artifact, like the merge
     * table). */
-  def bpeByteFallback(t: Tables, nMerges: Int = 8): DataFrame = {
+  def bpeByteFallback(t: Tables, nMerges: Int = 8,
+                      trained: Option[(Seq[(String, String)], Seq[String])] = None): DataFrame = {
     val SEP = BpeSep
     val docs2 = t.documents.select(col("doc_id"), col("lang"),
       concat(col("text"),
@@ -344,18 +345,10 @@ object TextAnalysis {
         array_join(regexp_extract_all(hex(encode(w, "UTF-8")), lit(".."), lit(0)),
           SEP + SEP),
         lit(SEP))
-    val trainWords = docWords.filter(col("lang") === "en")
-      .groupBy("word").agg(count(lit(1)).as("freq"))
-      .localCheckpoint() // merges + alphabet both read it
-    val merges = learnMergesFromVocab(
-      trainWords.select(col("freq"), byteSeq(col("word")).as("seq")), nMerges)
-      .map(m => (m._2, m._3))
-    // the closed-vocab comparison arm's alphabet: every char the
-    // char-level tokenizer saw in training (driver-side constant — the
-    // shipped artifact, bounded by charset size)
-    val alphabet = trainWords
-      .select(explode(filter(split(col("word"), ""), c => c =!= "")).as("c"))
-      .distinct().collect().map(_.getString(0)).sorted
+    // a tokenizer trains ONCE and ships: `trained` carries the persisted
+    // (merge table, training alphabet) pair — the q_bpe_encode contract;
+    // the from-scratch default re-learns for self-contained use
+    val (merges, alphabet) = trained.getOrElse(trainByteBpe(t, nMerges))
     val vocab0 = docWords.select("word").distinct()
       .withColumn("seq", byteSeq(col("word")))
     val encoded = merges.foldLeft(vocab0) { case (df, (a, b)) =>
@@ -376,6 +369,37 @@ object TextAnalysis {
         sum("_nsym").as("n_bpe_tokens"),
         round(sum("_nb").cast("double") / sum("_nsym"), 6).as("compression"))
       .orderBy("lang")
+  }
+
+  /** Train the byte-level tokenizer artifact from scratch: the
+    * rank-ordered hex-symbol merge table over the EN subcorpus (the
+    * [[bpeByteFallback]] training path, shared verbatim) plus the
+    * training-alphabet char set the closed-vocab UNK arm compares
+    * against. Both halves ship together as one persisted artifact. */
+  def trainByteBpe(t: Tables, nMerges: Int = 8): (Seq[(String, String)], Seq[String]) = {
+    val SEP = BpeSep
+    val docs2 = t.documents.select(col("lang"),
+      concat(col("text"),
+        when(col("lang") =!= "en", lit(" café 中")).otherwise(lit("")))
+        .as("text"))
+    val trainWords = docs2.filter(col("lang") === "en")
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .localCheckpoint() // merges + alphabet both read it
+    val seq0 = concat(lit(SEP),
+      array_join(regexp_extract_all(hex(encode(col("word"), "UTF-8")),
+        lit(".."), lit(0)), SEP + SEP),
+      lit(SEP))
+    val m = learnMergesFromVocab(
+      trainWords.select(col("freq"), seq0.as("seq")), nMerges)
+      .map(x => (x._2, x._3))
+    // the closed-vocab comparison arm's alphabet: every char the
+    // char-level tokenizer saw in training (driver-side constant — the
+    // shipped artifact, bounded by charset size)
+    val a = trainWords
+      .select(explode(filter(split(col("word"), ""), c => c =!= "")).as("c"))
+      .distinct().collect().map(_.getString(0)).sorted.toSeq
+    (m, a)
   }
 
   /** Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken,
