@@ -508,6 +508,7 @@ object SparkEntry {
     }),
     "q_rolling_window" -> ((s, d) => Analytics.rollingUserValue(Tables(s, d))),
     "q_zscore_outliers" -> ((s, d) => Analytics.zscoreOutliers(Tables(s, d))),
+    "q_mad_outliers" -> ((s, d) => Analytics.madOutliers(Tables(s, d))),
     "q_percent_rank" -> ((s, d) => Analytics.percentRankBands(Tables(s, d))),
     "q_decile_bands" -> ((s, d) => Analytics.globalDecileBands(Tables(s, d))),
     "q_pmi_bigrams" -> ((s, d) => TextAnalysis.pmiBigrams(Tables(s, d))),
@@ -2371,6 +2372,19 @@ object SparkEntry {
         "SELECT d.doc_id, d.lang, d.source, d.n_chars FROM ded d " +
         "JOIN qual ON qual.doc_id = d.doc_id JOIN bands b ON d.lang = b.lang " +
         "WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi ORDER BY d.doc_id"),
+    "q_mad_outliers" ->
+      // medians rounded to 6 BEFORE deviations in both engines (the
+      // quantilesBySort <-> quantile_cont proven pairing + the
+      // rounded-moment rule), so every downstream ratio starts from
+      // hash-matched inputs
+      ("WITH med AS (SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med FROM events GROUP BY event_type), " +
+        "dev AS (SELECT e.event_id, e.event_type, e.value, m.med, abs(e.value - m.med) AS dv FROM events e JOIN med m USING (event_type)), " +
+        "mad AS (SELECT event_type, round(quantile_cont(dv, 0.5), 6) AS mad FROM dev GROUP BY event_type) " +
+        "SELECT d.event_id, d.event_type, round(d.value, 4) AS value, d.med, a.mad, " +
+        "round(0.6745 * (d.value - d.med) / a.mad, 3) AS mod_zscore " +
+        "FROM dev d JOIN mad a USING (event_type) " +
+        "WHERE abs(0.6745 * (d.value - d.med) / a.mad) > 3.5 " +
+        "ORDER BY d.event_id"),
     "q_multi_distinct" ->
       ("SELECT l_returnflag, count(*) AS n_rows, " +
         "count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps, " +

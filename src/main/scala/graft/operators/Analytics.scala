@@ -987,6 +987,42 @@ object Analytics {
       .orderBy("decile")
   }
 
+  /** ROBUST OUTLIERS by the modified z-score (Iglewicz & Hoaglin 1993:
+    * Mᵢ = 0.6745·(xᵢ − median)/MAD, flag |M| > 3.5) — the
+    * median/absolute-deviation twin of [[zscoreOutliers]]: moment-based
+    * z-scores move WITH the outliers they hunt (one 1000× spike inflates
+    * σ enough to hide itself — the classic masking failure), while the
+    * median and MAD have 50% breakdown. Completes the outlier family
+    * beside the univariate z and the multivariate Mahalanobis rows.
+    *
+    * Scale shape: both medians come from the exact rank-selection
+    * machinery ([[quantilesBySort]] — range shuffle + addressed fetch,
+    * never a whole group buffered), each producing a type-cardinality
+    * cut table broadcast back onto the fact scan; two narrow passes over
+    * events plus those bounded selections. Float discipline: medians are
+    * the machinery's ROUNDED (6 dp) values — the oracle rounds its
+    * quantile_cont identically before deviations, so every downstream
+    * difference/ratio starts from hash-matched inputs (the
+    * rounded-moment rule); the score rounds at 3. */
+  def madOutliers(t: Tables, tau: Double = 3.5): DataFrame = {
+    val med = quantilesBySort(t.events, "event_type", "value",
+      Seq(0.5), Seq("med"))
+      .select(col("event_type"), col("med"))
+    val dev = t.events.join(broadcast(med), Seq("event_type"))
+      .withColumn("_dev", abs(col("value") - col("med")))
+    val mad = quantilesBySort(dev, "event_type", "_dev",
+      Seq(0.5), Seq("mad"))
+      .select(col("event_type"), col("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .withColumn("_m", lit(0.6745) * (col("value") - col("med")) / col("mad"))
+      .filter(abs(col("_m")) > tau)
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 4).as("value"),
+        col("med"), col("mad"),
+        round(col("_m"), 3).as("mod_zscore"))
+      .orderBy("event_id")
+  }
+
   /** As-of query over events: each click joined to the user's most recent
     * purchase at or before the click. */
   def eventsAsOf(t: Tables): DataFrame = {

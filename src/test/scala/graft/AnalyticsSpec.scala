@@ -1032,6 +1032,49 @@ class AnalyticsSpec extends SparkSpec {
     assert(totF > 0, "fixture vacuous: no attributed conversions")
   }
 
+  test("madOutliers matches a naive recompute; robust to the masking failure") {
+    val evs = tables.events.select("event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def medianOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val pos = (s.length - 1) * 0.5
+      val lo = s(math.floor(pos).toInt); val hi = s(math.ceil(pos).toInt)
+      lo + (pos - math.floor(pos)) * (hi - lo)
+    }
+    val byType = evs.groupBy(_._2)
+    val want: Map[Long, Double] = byType.toSeq.flatMap { case (_, rows) =>
+      val med = r6(medianOf(rows.map(_._3).toSeq))
+      val mad = r6(medianOf(rows.map(r => math.abs(r._3 - med)).toSeq))
+      rows.toSeq.map { case (id, _, v) => (id, 0.6745 * (v - med) / mad) }
+        .filter(x => math.abs(x._2) > 3.5)
+        .map { case (id, m) =>
+          id -> BigDecimal(m).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+    }.toMap
+    val got = Analytics.madOutliers(tables).collect()
+      .map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    assert(got.keySet == want.keySet,
+      s"flag sets differ: extra=${got.keySet -- want.keySet} missing=${want.keySet -- got.keySet}")
+    got.foreach { case (id, m) =>
+      assert(math.abs(m - want(id)) < 2e-3, s"$id: engine $m vs naive ${want(id)}")
+    }
+    assert(got.nonEmpty, "fixture vacuous: no outliers flagged")
+    // robustness witness: the extreme values the modified z flags barely
+    // move the MEDIAN (50% breakdown) while they DO inflate the stddev —
+    // the masking failure the moment-based z-score suffers
+    val ty = evs.groupBy(_._2).maxBy(_._2.count(r => got.contains(r._1)))._1
+    val vals = byType(ty).map(_._3)
+    val clean = byType(ty).filter(r => !got.contains(r._1)).map(_._3)
+    def sd(xs: Seq[Double]) = {
+      val m = xs.sum / xs.length
+      math.sqrt(xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1))
+    }
+    assert(sd(vals) / sd(clean) > 1.2,
+      "outliers should inflate the stddev the median ignores")
+  }
+
   test("retentionCohorts: offset-0 rows are the cohorts themselves at rate 1") {
     val rows = Analytics.retentionCohorts(tables).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
