@@ -509,6 +509,13 @@ object SparkEntry {
     "q_rolling_window" -> ((s, d) => Analytics.rollingUserValue(Tables(s, d))),
     "q_zscore_outliers" -> ((s, d) => Analytics.zscoreOutliers(Tables(s, d))),
     "q_mad_outliers" -> ((s, d) => Analytics.madOutliers(Tables(s, d))),
+    "q_gini" -> ((s, d) => Analytics.giniSpend(Tables(s, d))),
+    "q_hhi" -> ((s, d) => Analytics.hhiSupplierRevenue(Tables(s, d))),
+    "q_benford" -> ((s, d) => Analytics.benfordAudit(Tables(s, d))),
+    "q_mann_whitney" -> ((s, d) => Analytics.mannWhitney(Tables(s, d))),
+    "q_ks_test" -> ((s, d) => Analytics.ksTest(Tables(s, d))),
+    "q_chi2_lang" -> ((s, d) => Analytics.chi2LangLength(Tables(s, d))),
+    "q_autocorr" -> ((s, d) => Analytics.autocorrDailyRevenue(Tables(s, d))),
     "q_percent_rank" -> ((s, d) => Analytics.percentRankBands(Tables(s, d))),
     "q_decile_bands" -> ((s, d) => Analytics.globalDecileBands(Tables(s, d))),
     "q_pmi_bigrams" -> ((s, d) => TextAnalysis.pmiBigrams(Tables(s, d))),
@@ -2385,6 +2392,74 @@ object SparkEntry {
         "FROM dev d JOIN mad a USING (event_type) " +
         "WHERE abs(0.6745 * (d.value - d.med) / a.mad) > 3.5 " +
         "ORDER BY d.event_id"),
+    "q_gini" ->
+      // spend integerizes at cents so both rank sums are exact integers;
+      // gini is one closed-form division of exact operands (round 6)
+      ("WITH spend AS (SELECT o_custkey AS c_custkey, sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents FROM orders GROUP BY 1), " +
+        "pop AS (SELECT c.c_custkey, c.c_mktsegment, coalesce(s.cents, 0) AS cents FROM customer c LEFT JOIN spend s USING (c_custkey)), " +
+        "rk AS (SELECT c_mktsegment, c_custkey, cents, row_number() OVER (PARTITION BY c_mktsegment ORDER BY cents ASC, c_custkey ASC) AS i FROM pop) " +
+        "SELECT c_mktsegment, count(*) AS n_customers, round(sum(cents) / 100.0, 2) AS total_spend, " +
+        "round((2.0 * CAST(sum(i * cents) AS DOUBLE) - CAST(count(*) + 1 AS DOUBLE) * CAST(sum(cents) AS DOUBLE)) / (CAST(count(*) AS DOUBLE) * CAST(sum(cents) AS DOUBLE)), 6) AS gini " +
+        "FROM rk GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    "q_hhi" ->
+      ("WITH rev AS (SELECT l_suppkey, sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS sc FROM lineitem GROUP BY 1), " +
+        "j AS (SELECT n_name, sc FROM rev JOIN supplier ON s_suppkey = l_suppkey JOIN nation ON n_nationkey = s_nationkey), " +
+        "sh AS (SELECT n_name, CAST(sc AS DOUBLE) / CAST(sum(sc) OVER (PARTITION BY n_name) AS DOUBLE) AS share FROM j) " +
+        "SELECT n_name, count(*) AS n_suppliers, round(max(share), 6) AS top_share, " +
+        "round(sum(share * share), 6) AS hhi FROM sh GROUP BY n_name ORDER BY n_name"),
+    "q_benford" ->
+      // digit extraction is string-on-exact-cents (no log-boundary float
+      // risk); expected share mirrors the engine's ln(x)/ln(10) form
+      ("WITH d AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit FROM orders WHERE o_totalprice > 0), " +
+        "c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit), t AS (SELECT sum(n) AS nt FROM c), " +
+        "x AS (SELECT digit, n, nt, ln(1.0 + 1.0 / digit) / ln(10.0) AS es FROM c CROSS JOIN t) " +
+        "SELECT digit, n, round(CAST(n AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS share, " +
+        "round(es, 6) AS expected_share, " +
+        "round((CAST(n AS DOUBLE) - es * CAST(nt AS DOUBLE)) * (CAST(n AS DOUBLE) - es * CAST(nt AS DOUBLE)) / (es * CAST(nt AS DOUBLE)), 6) AS chi2_term " +
+        "FROM x ORDER BY digit"),
+    "q_mann_whitney" ->
+      // midranks are exact multiples of 0.5 (rank() + (ties-1)/2), so the
+      // rank sum is order-independent; tie correction is pure integers
+      ("WITH arms AS (SELECT event_type, value FROM events WHERE event_type IN ('purchase', 'click')), " +
+        "rk AS (SELECT event_type, value, rank() OVER (ORDER BY value ASC) AS r, count(*) OVER (PARTITION BY value) AS tc FROM arms), " +
+        "mid AS (SELECT event_type, CAST(r AS DOUBLE) + (CAST(tc AS DOUBLE) - 1.0) / 2.0 AS midrank FROM rk), " +
+        "ties AS (SELECT coalesce(sum(t * t * t - t), 0) AS tsum FROM (SELECT count(*) AS t FROM arms GROUP BY value)), " +
+        "ag AS (SELECT CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_a, " +
+        "CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_b, " +
+        "sum(CASE WHEN event_type = 'purchase' THEN midrank END) AS ra FROM mid) " +
+        "SELECT 'purchase' AS type_a, 'click' AS type_b, n_a, n_b, " +
+        "round(ra - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1.0) / 2.0, 1) AS u_a, " +
+        "round((ra - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1.0) / 2.0 - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0) / " +
+        "sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 * ((CAST(n_a + n_b AS DOUBLE) + 1.0) - CAST(tsum AS DOUBLE) / (CAST(n_a + n_b AS DOUBLE) * (CAST(n_a + n_b AS DOUBLE) - 1.0)))), 4) AS z " +
+        "FROM ag CROSS JOIN ties"),
+    "q_ks_test" ->
+      // D's numerator is max |c_a·n_b − c_b·n_a| over exact integers —
+      // the single division happens at the end (round 6)
+      ("WITH pv AS (SELECT value, sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS da, " +
+        "sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS db FROM events WHERE event_type IN ('purchase', 'click') GROUP BY value), " +
+        "cum AS (SELECT value, sum(da) OVER (ORDER BY value ASC ROWS UNBOUNDED PRECEDING) AS ca, " +
+        "sum(db) OVER (ORDER BY value ASC ROWS UNBOUNDED PRECEDING) AS cb FROM pv), " +
+        "t AS (SELECT CAST(max(ca) AS BIGINT) AS n_a, CAST(max(cb) AS BIGINT) AS n_b FROM cum), " +
+        "s AS (SELECT value, abs(ca * n_b - cb * n_a) AS num, n_a, n_b, " +
+        "row_number() OVER (ORDER BY abs(ca * n_b - cb * n_a) DESC, value ASC) AS rn FROM cum CROSS JOIN t) " +
+        "SELECT 'purchase' AS type_a, 'click' AS type_b, n_a, n_b, " +
+        "round(CAST(num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS ks_d, " +
+        "round(value, 6) AS at_value FROM s WHERE rn = 1"),
+    "q_chi2_lang" ->
+      ("WITH cells AS (SELECT lang, CASE WHEN n_chars <= 150 THEN 150 WHEN n_chars <= 300 THEN 300 WHEN n_chars <= 450 THEN 450 ELSE 900 END AS len_band, count(*) AS n FROM documents GROUP BY 1, 2), " +
+        "m AS (SELECT lang, len_band, n, CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE) * CAST(sum(n) OVER (PARTITION BY len_band) AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE) AS e FROM cells) " +
+        "SELECT lang, len_band, n, round(e, 4) AS expected, " +
+        "round((CAST(n AS DOUBLE) - e) * (CAST(n AS DOUBLE) - e) / e, 6) AS chi2_term " +
+        "FROM m ORDER BY lang, len_band"),
+    "q_autocorr" ->
+      // calendar-lag pairs via self-join on date − k (gaps drop the pair);
+      // daily revenue is exact integer cents; corr rounds to 4 (the
+      // q_corr_stats proven pairing)
+      ("WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d, sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev FROM orders GROUP BY 1), " +
+        "pairs AS (SELECT l.lag_days, a.rev AS rev, b.rev AS rev_t FROM (VALUES (1), (7), (30)) l(lag_days) " +
+        "JOIN daily b ON TRUE JOIN daily a ON a.d = b.d - l.lag_days) " +
+        "SELECT lag_days, count(*) AS n_pairs, round(corr(CAST(rev AS DOUBLE), CAST(rev_t AS DOUBLE)), 4) AS acf " +
+        "FROM pairs GROUP BY lag_days ORDER BY lag_days"),
     "q_multi_distinct" ->
       ("SELECT l_returnflag, count(*) AS n_rows, " +
         "count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps, " +

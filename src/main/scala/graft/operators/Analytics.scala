@@ -1739,4 +1739,248 @@ object Analytics {
         round(col("_ci_hi"), 6).as("ci_hi"))
       .orderBy("event_type")
   }
+
+  /** GINI COEFFICIENT of customer lifetime spend, per market segment —
+    * the standard inequality audit (how concentrated is revenue across
+    * the customer base?), and in the training-data reading, the
+    * concentration audit for any per-contributor document share. Uses
+    * the exact rank formula over the ASCENDING sort:
+    * G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx). Customers with no orders count
+    * as zero spend (they are part of the population the inequality is
+    * over — dropping them understates G).
+    *
+    * Float discipline: spend integerizes at cents (round-then-cast, the
+    * q_rfm rule), so Σx and Σi·xᵢ are exact integer sums under any
+    * aggregation order; G is ONE division of exact integers. The rank is
+    * a per-segment row_number with custkey tie-break — total order,
+    * engine-independent.
+    *
+    * Scale shape: one custkey-keyed aggregation over orders (fact-sized
+    * shuffle with map-side partials), then the rank/sum run over the
+    * CUSTOMER-cardinality table — the same "sort the aggregate, not the
+    * fact" shape as the decile family. At 1000 executors the per-segment
+    * sort is a range exchange of customer rows, not lineitems. */
+  def giniSpend(t: Tables): DataFrame = {
+    val spend = t.orders
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("_cents"))
+    val pop = t.customer.select(col("c_custkey"), col("c_mktsegment"))
+      .join(spend, Seq("c_custkey"), "left")
+      .na.fill(0L, Seq("_cents"))
+    val ranked = pop.withColumn("_i",
+      row_number().over(Window.partitionBy("c_mktsegment")
+        .orderBy(col("_cents").asc, col("c_custkey").asc)).cast("long"))
+    ranked.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        sum("_cents").as("_sx"),
+        sum(col("_i") * col("_cents")).as("_six"))
+      .withColumn("gini", round(
+        (lit(2.0) * col("_six").cast("double") -
+          (col("n_customers") + 1).cast("double") * col("_sx").cast("double")) /
+          (col("n_customers").cast("double") * col("_sx").cast("double")), 6))
+      .select(col("c_mktsegment"), col("n_customers"),
+        round(col("_sx") / 100.0, 2).as("total_spend"), col("gini"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** HERFINDAHL–HIRSCHMAN INDEX of supplier revenue concentration per
+    * nation — the antitrust-standard concentration measure (Σ shareᵢ² over
+    * suppliers; 1/n for perfect competition, 1.0 for monopoly), and the
+    * source-concentration audit shape for corpus mixtures. Revenue
+    * integerizes at cents BEFORE summing (each lineitem's
+    * extendedprice·(1−discount) is one identical double multiply in both
+    * engines, rounded once), so national totals are exact integers; each
+    * share is one exact-integer division and the Σ share² sum is over
+    * ≤ suppliers-per-nation terms of O(1) magnitude — round-6 safe.
+    *
+    * Scale: one (nation, supplier)-keyed aggregation over lineitem⋈supplier
+    * (broadcast supplier dim), then nation-level windows over the
+    * supplier-cardinality table. */
+  def hhiSupplierRevenue(t: Tables): DataFrame = {
+    val rev = t.lineitem
+      .select(col("l_suppkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+          .cast("long").as("_cents"))
+      .groupBy("l_suppkey").agg(sum("_cents").as("_sc"))
+      .join(broadcast(t.supplier.select(col("s_suppkey").as("l_suppkey"),
+        col("s_nationkey"))), Seq("l_suppkey"))
+      .join(broadcast(t.nation.select(col("n_nationkey").as("s_nationkey"),
+        col("n_name"))), Seq("s_nationkey"))
+    val w = Window.partitionBy("n_name")
+    rev.withColumn("_tot", sum("_sc").over(w))
+      .withColumn("_share", col("_sc").cast("double") / col("_tot").cast("double"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_suppliers"),
+        round(max("_share"), 6).as("top_share"),
+        round(sum(col("_share") * col("_share")), 6).as("hhi"))
+      .orderBy("n_name")
+  }
+
+  /** BENFORD'S-LAW FIRST-DIGIT AUDIT of order totals — the classic
+    * anomaly/fabrication screen (Benford 1938; Nigrini's forensic
+    * accounting use): observed leading-digit shares vs the log₁₀(1+1/d)
+    * expectation, with per-digit χ² contributions. Digit extraction is
+    * STRING-based on the exact cents integer (first char of the decimal
+    * rendering) — zero float/log boundary risk, bit-identical in any
+    * engine. Expected shares and χ² terms are closed-form doubles from
+    * exact integer counts — round-6 safe. One digit-keyed aggregation
+    * (9-row output) with map-side partials; nothing here grows with
+    * scale except the scan. */
+  def benfordAudit(t: Tables): DataFrame = {
+    val digits = t.orders
+      .filter(col("o_totalprice") > 0)
+      .select(substring(round(col("o_totalprice") * 100, 0).cast("long")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = digits.agg(sum("n").as("_nt"))
+    digits.crossJoin(broadcast(tot))
+      .withColumn("expected_share", log(10.0, lit(1.0) + lit(1.0) / col("digit")))
+      .withColumn("_e", col("expected_share") * col("_nt").cast("double"))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("_nt").cast("double"), 6).as("share"),
+        round(col("expected_share"), 6).as("expected_share"),
+        round((col("n").cast("double") - col("_e")) *
+          (col("n").cast("double") - col("_e")) / col("_e"), 6).as("chi2_term"))
+      .orderBy("digit")
+  }
+
+  /** MANN–WHITNEY U rank-sum test (Mann & Whitney 1947) between the value
+    * distributions of two event types — the distribution-free A/B
+    * comparison that complements the parametric [[abTest]]: no normality
+    * assumption, robust to the heavy tails event values actually have.
+    * Midranks for ties come from rank() + (tie_count−1)/2 (exact
+    * multiples of 0.5 — doubled they are exact integers, so the rank sum
+    * is order-independent); the tie-corrected normal approximation
+    * σ² = n₁n₂/12·((N+1) − Σ(t³−t)/(N(N−1))) uses only integer tie
+    * counts. No continuity correction (documented choice — both engines
+    * compute the same closed form).
+    *
+    * Scale: the global rank sorts ONLY the two arms under comparison
+    * (bounded by the filter, not the corpus); the suite's
+    * repartitionByRange rank machinery (quantilesBySort) is the drop-in
+    * when an arm outgrows one stage. */
+  def mannWhitney(t: Tables, typeA: String = "purchase",
+                  typeB: String = "click"): DataFrame = {
+    val arms = t.events
+      .filter(col("event_type").isin(typeA, typeB))
+      .select(col("event_type"), col("value"))
+    val ranked = arms
+      .withColumn("_r", rank().over(Window.orderBy(col("value").asc)))
+      .withColumn("_tc", count(lit(1)).over(Window.partitionBy(col("value"))))
+      .withColumn("_midrank",
+        col("_r").cast("double") + (col("_tc").cast("double") - 1.0) / 2.0)
+    val ties = ranked.groupBy("value").agg(first("_tc").as("_t"))
+      .agg(coalesce(sum(col("_t") * col("_t") * col("_t") - col("_t")), lit(0L))
+        .as("_tsum"))
+    val agg = ranked.groupBy()
+      .agg(sum(when(col("event_type") === typeA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("event_type") === typeB, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("event_type") === typeA, col("_midrank"))).as("_ra"))
+    agg.crossJoin(broadcast(ties))
+      .withColumn("u_a", col("_ra") - col("n_a").cast("double") *
+        (col("n_a").cast("double") + 1.0) / 2.0)
+      .withColumn("_nn", col("n_a").cast("double") * col("n_b").cast("double"))
+      .withColumn("_nt", (col("n_a") + col("n_b")).cast("double"))
+      .withColumn("_sigma2", col("_nn") / 12.0 * ((col("_nt") + 1.0) -
+        col("_tsum").cast("double") / (col("_nt") * (col("_nt") - 1.0))))
+      .select(lit(typeA).as("type_a"), lit(typeB).as("type_b"),
+        col("n_a"), col("n_b"), round(col("u_a"), 1).as("u_a"),
+        round((col("u_a") - col("_nn") / 2.0) / sqrt(col("_sigma2")), 4).as("z"))
+  }
+
+  /** KOLMOGOROV–SMIRNOV two-sample statistic between the value ECDFs of
+    * two event types — the max vertical ECDF gap, the standard
+    * drift/shift detector between data distributions (here: do purchases
+    * and clicks draw values from the same distribution?). ENTIRELY
+    * integer-exact: with cumulative per-arm counts c_a, c_b over distinct
+    * values in order, D's numerator is max |c_a·n_b − c_b·n_a| (integers),
+    * and the argmax value is picked by integer comparison with a value
+    * tie-break — the ONE division happens at the end. Evaluated at every
+    * distinct observed value (post-jump), which is where the sup of the
+    * step-function gap is attained.
+    *
+    * Scale: distinct-value aggregation first (the ECDF support), then the
+    * cumulative window runs over the support — bounded by distinct
+    * values, not events. */
+  def ksTest(t: Tables, typeA: String = "purchase",
+             typeB: String = "click"): DataFrame = {
+    val perValue = t.events
+      .filter(col("event_type").isin(typeA, typeB))
+      .groupBy("value")
+      .agg(sum(when(col("event_type") === typeA, 1L).otherwise(0L)).as("_da"),
+        sum(when(col("event_type") === typeB, 1L).otherwise(0L)).as("_db"))
+    val w = Window.orderBy(col("value").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perValue
+      .withColumn("_ca", sum("_da").over(w))
+      .withColumn("_cb", sum("_db").over(w))
+    val tots = cum.agg(max("_ca").as("n_a"), max("_cb").as("n_b"))
+    cum.crossJoin(broadcast(tots))
+      .withColumn("_num", abs(col("_ca") * col("n_b") - col("_cb") * col("n_a")))
+      .withColumn("_rn", row_number().over(
+        Window.orderBy(col("_num").desc, col("value").asc)))
+      .filter(col("_rn") === 1)
+      .select(lit(typeA).as("type_a"), lit(typeB).as("type_b"),
+        col("n_a"), col("n_b"),
+        round(col("_num").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 6).as("ks_d"),
+        round(col("value"), 6).as("at_value"))
+  }
+
+  /** χ² INDEPENDENCE TEST cells for language × document-length band —
+    * "is document length independent of language?", the contingency audit
+    * every stratified corpus report starts from. Fixed CASE banding (the
+    * q_pad_waste discipline — no data-dependent edges), integer cell/
+    * margin counts, expected = row·col/total as one exact-integer-ratio
+    * double, per-cell χ² contribution round-6. The margins are windows
+    * over the CELL table (langs × 4 bands — constant-size), so the only
+    * corpus-sized work is the banding scan + one aggregation. */
+  def chi2LangLength(t: Tables): DataFrame = {
+    val cells = t.documents
+      .select(col("lang"),
+        when(col("n_chars") <= 150, 150L).when(col("n_chars") <= 300, 300L)
+          .when(col("n_chars") <= 450, 450L).otherwise(900L).as("len_band"))
+      .groupBy("lang", "len_band").agg(count(lit(1)).as("n"))
+    cells
+      .withColumn("_rt", sum("n").over(Window.partitionBy("lang")))
+      .withColumn("_ct", sum("n").over(Window.partitionBy("len_band")))
+      .withColumn("_tot", sum("n").over(Window.partitionBy()))
+      .withColumn("_e", col("_rt").cast("double") * col("_ct").cast("double") /
+        col("_tot").cast("double"))
+      .select(col("lang"), col("len_band"), col("n"),
+        round(col("_e"), 4).as("expected"),
+        round((col("n").cast("double") - col("_e")) *
+          (col("n").cast("double") - col("_e")) / col("_e"), 6).as("chi2_term"))
+      .orderBy("lang", "len_band")
+  }
+
+  /** LAG-k AUTOCORRELATION of daily revenue (lags 1, 7, 30) — the
+    * seasonality/persistence screen run before any forecasting or
+    * anomaly model: ACF(1) ≈ day-to-day persistence, ACF(7) weekly
+    * seasonality, ACF(30) monthly. Daily totals integerize at cents
+    * (exact integer per day under any aggregation order); the lag pairs
+    * come from a self-JOIN on date − k (not a row-offset window), so
+    * calendar gaps drop the pair instead of silently comparing
+    * non-adjacent days, and the series table never needs a global sort.
+    * Pearson corr over the paired integer series rounds to 4 (the
+    * q_corr_stats precedent).
+    *
+    * Scale: the fact scan aggregates to DATE cardinality once; the lag
+    * explode (3 lags) and self-join run over the day-cardinality table. */
+  def autocorrDailyRevenue(t: Tables, lags: Seq[Int] = Seq(1, 7, 30)): DataFrame = {
+    val daily = t.orders
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("_rev"))
+      .localCheckpoint() // both sides of the lag join read it
+    val lagged = daily
+      .withColumn("lag_days", explode(array(lags.map(lit(_)): _*)))
+      .withColumn("_dlag", expr("date_sub(d, lag_days)"))
+      .select(col("lag_days"), col("_dlag").as("d"), col("_rev").as("_rev_t"))
+    daily.join(lagged, Seq("d"))
+      .groupBy("lag_days")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(corr(col("_rev").cast("double"), col("_rev_t").cast("double")), 4)
+          .as("acf"))
+      .orderBy("lag_days")
+  }
 }

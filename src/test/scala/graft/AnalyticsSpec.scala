@@ -1299,4 +1299,165 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.toSeq == want, s"engine ${got.toSeq} vs local $want")
     assert(got.forall(_._4 > 0))
   }
+
+  private def r6(x: Double) =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("giniSpend matches the local rank-formula recompute") {
+    val spend = tables.orders.groupBy("o_custkey")
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val custs = tables.customer.select("c_custkey", "c_mktsegment").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = custs.groupBy(_._2).map { case (seg, cs) =>
+      val xs = cs.map { case (ck, _) => (spend.getOrElse(ck, 0L), ck) }
+        .sortBy(identity).map(_._1)
+      val n = xs.length.toLong
+      val sx = xs.sum
+      val six = xs.zipWithIndex.map { case (x, i) => (i + 1L) * x }.sum
+      (seg, n, r6((2.0 * six - (n + 1).toDouble * sx) / (n.toDouble * sx)))
+    }.toSeq.sortBy(_._1)
+    val got = Analytics.giniSpend(tables).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
+    assert(got.toSeq == want, s"engine ${got.toSeq} vs local $want")
+    assert(got.forall(g => g._3 > 0.0 && g._3 < 1.0))
+  }
+
+  test("hhiSupplierRevenue matches a local share-squared recompute") {
+    val suppNat = tables.supplier.join(tables.nation,
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "n_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rev = tables.lineitem.groupBy("l_suppkey")
+      .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+        .cast("long")).as("c"))
+      .collect().map(r => (suppNat(r.getLong(0)), r.getLong(1)))
+    val want = rev.groupBy(_._1).map { case (nat, xs) =>
+      val tot = xs.map(_._2).sum
+      val shares = xs.map(_._2.toDouble / tot.toDouble)
+      (nat, xs.length.toLong, r6(shares.max), r6(shares.map(s => s * s).sum))
+    }.toSeq.sortBy(_._1)
+    val got = Analytics.hhiSupplierRevenue(tables).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    got.zip(want).foreach { case ((gn, gc, gt, gh), (wn, wc, wt, wh)) =>
+      assert(gn == wn && gc == wc && math.abs(gt - wt) < 1e-9 &&
+        math.abs(gh - wh) < 1e-9, s"$gn: engine ($gt,$gh) vs local ($wt,$wh)")
+      // HHI is bounded by [1/n, 1]; equality only under degenerate shares
+      assert(gh >= 1.0 / gc - 1e-9 && gh <= 1.0)
+    }
+    assert(got.length == want.length && got.nonEmpty)
+  }
+
+  test("benfordAudit digit shares sum to 1 and match local string-digit counts") {
+    val cents = tables.orders.filter(col("o_totalprice") > 0)
+      .select(round(col("o_totalprice") * 100, 0).cast("long")).collect()
+      .map(_.getLong(0))
+    val counts = cents.map(_.toString.head.asDigit).groupBy(identity)
+      .map { case (d, xs) => d -> xs.length.toLong }
+    val got = Analytics.benfordAudit(tables).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.map(_._1).toSeq == got.map(_._1).sorted.toSeq)
+    got.foreach { case (d, n, _, _) => assert(counts(d) == n, s"digit $d") }
+    assert(math.abs(got.map(_._3).sum - 1.0) < 1e-4)
+    // Benford monotonicity of the expectation: shares decline in d
+    assert(got.map(_._4).toSeq == got.map(_._4).sorted.reverse.toSeq)
+    // TPC-H-ish totals are NOT Benford-distributed — the audit must show
+    // a real discrepancy somewhere (the test of non-vacuity)
+    assert(got.exists { case (_, _, s, e) => math.abs(s - e) > 0.01 })
+  }
+
+  test("mannWhitney matches a local midrank recompute") {
+    val vals = tables.events
+      .filter(col("event_type").isin("purchase", "click"))
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val sorted = vals.map(_._2).sorted
+    val rankOf = sorted.zipWithIndex.groupBy(_._1)
+      .map { case (v, xs) => v -> (xs.map(_._2 + 1L).min + (xs.length - 1) / 2.0) }
+    val na = vals.count(_._1 == "purchase").toLong
+    val nb = vals.count(_._1 == "click").toLong
+    val ra = vals.filter(_._1 == "purchase").map(x => rankOf(x._2)).sum
+    val ua = ra - na.toDouble * (na.toDouble + 1.0) / 2.0
+    val tsum = vals.groupBy(_._2).values.map(_.length.toLong)
+      .map(t => t * t * t - t).sum
+    val nt = (na + nb).toDouble
+    val sigma2 = na.toDouble * nb.toDouble / 12.0 *
+      ((nt + 1.0) - tsum.toDouble / (nt * (nt - 1.0)))
+    val row = Analytics.mannWhitney(tables).collect().head
+    assert(row.getLong(2) == na && row.getLong(3) == nb)
+    assert(math.abs(row.getDouble(4) - ua) < 0.51) // engine rounds u to 1dp
+    assert(math.abs(row.getDouble(5) -
+      (ua - na.toDouble * nb.toDouble / 2.0) / math.sqrt(sigma2)) < 1e-3)
+  }
+
+  test("ksTest matches the local ECDF max-gap and lies in (0, 1)") {
+    val vals = tables.events
+      .filter(col("event_type").isin("purchase", "click"))
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val na = vals.count(_._1 == "purchase").toLong
+    val nb = vals.count(_._1 == "click").toLong
+    val support = vals.map(_._2).distinct.sorted
+    var ca = 0L; var cb = 0L; var best = 0L; var bestV = Double.NaN
+    val byV = vals.groupBy(_._2)
+    support.foreach { v =>
+      ca += byV(v).count(_._1 == "purchase")
+      cb += byV(v).count(_._1 == "click")
+      val num = math.abs(ca * nb - cb * na)
+      if (num > best) { best = num; bestV = v }
+    }
+    val row = Analytics.ksTest(tables).collect().head
+    assert(row.getLong(2) == na && row.getLong(3) == nb)
+    assert(math.abs(row.getDouble(4) -
+      r6(best.toDouble / (na.toDouble * nb.toDouble))) < 1e-9)
+    assert(math.abs(row.getDouble(5) - r6(bestV)) < 1e-9)
+    assert(row.getDouble(4) > 0.0 && row.getDouble(4) < 1.0)
+  }
+
+  test("chi2LangLength cells carry exact margins-product expectations") {
+    val rows = Analytics.chi2LangLength(tables).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    val tot = rows.map(_._3).sum.toDouble
+    val rowTot = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val colTot = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    rows.foreach { case (lang, band, n, e, c) =>
+      val want = rowTot(lang).toDouble * colTot(band).toDouble / tot
+      assert(math.abs(e - want) < 5e-4, s"($lang,$band)")
+      assert(math.abs(c - (n - want) * (n - want) / want) < 1e-4)
+    }
+    // expectations within each margin must sum back to the margin
+    rows.groupBy(_._1).foreach { case (lang, cs) =>
+      assert(math.abs(cs.map(_._4).sum - rowTot(lang)) < 0.01, lang)
+    }
+    assert(rows.map(_._2).distinct.sorted.toSeq == Seq(150L, 300L, 450L, 900L))
+  }
+
+  test("autocorrDailyRevenue matches a local Pearson over calendar-lag pairs") {
+    val daily = tables.orders
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("r"))
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1))).toMap
+    def pearson(pairs: Seq[(Double, Double)]): Double = {
+      val n = pairs.length.toDouble
+      val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+      val (mx, my) = (sx / n, sy / n)
+      val cov = pairs.map { case (x, y) => (x - mx) * (y - my) }.sum
+      val vx = pairs.map(p => (p._1 - mx) * (p._1 - mx)).sum
+      val vy = pairs.map(p => (p._2 - my) * (p._2 - my)).sum
+      cov / math.sqrt(vx * vy)
+    }
+    val got = Analytics.autocorrDailyRevenue(tables).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == Seq(1, 7, 30))
+    got.foreach { case (lag, nPairs, acf) =>
+      val pairs = daily.toSeq.flatMap { case (d, r) =>
+        daily.get(d.plusDays(lag.toLong)).map(rt => (r.toDouble, rt.toDouble))
+      }
+      assert(pairs.length.toLong == nPairs, s"lag $lag pair count")
+      assert(math.abs(acf - pearson(pairs)) < 1e-3, s"lag $lag")
+    }
+    // calendar gaps must actually drop pairs (the join-not-window claim)
+    assert(got.forall(g => g._2 < daily.size))
+  }
 }
