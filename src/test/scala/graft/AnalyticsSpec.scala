@@ -1460,4 +1460,107 @@ class AnalyticsSpec extends SparkSpec {
     // calendar gaps must actually drop pairs (the join-not-window claim)
     assert(got.forall(g => g._2 < daily.size))
   }
+
+  test("itemItemCf matches a naive cosine recompute over user-item sets") {
+    val ui = tables.orders.select("o_orderkey", "o_custkey")
+      .join(tables.lineitem.select(col("l_orderkey").as("o_orderkey"),
+        col("l_partkey")), Seq("o_orderkey"))
+      .select("o_custkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val usersOf = ui.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val qs = usersOf.keys.toSeq.sorted.take(10)
+    val want = qs.flatMap { q =>
+      usersOf.toSeq.collect {
+        case (c, us) if c != q && (us & usersOf(q)).nonEmpty =>
+          val co = (us & usersOf(q)).size.toLong
+          val sim = r6(co.toDouble /
+            math.sqrt(usersOf(q).size.toDouble * us.size.toDouble))
+          (q, c, co, sim)
+      }.sortBy { case (_, c, _, s) => (-s, c) }.take(5)
+    }.sortBy(x => (x._1, x._2))
+    val got = Analytics.itemItemCf(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == want, s"engine $got vs local $want")
+    // cosine must discriminate (not all equal) and stay in (0, 1]
+    assert(got.map(_._4).distinct.length > 1 &&
+      got.forall(g => g._4 > 0 && g._4 <= 1.0))
+  }
+
+  test("markovStationary sums to 1 and is a fixpoint of the transition matrix") {
+    val p = Analytics.eventTransitions(tables).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val outTot = p.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val got = Analytics.markovStationary(tables).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val pi = got.toMap
+    assert(math.abs(got.map(_._2).sum - 1.0) < 1e-4, "mass not conserved")
+    // stationarity: π ≈ πP under the exact transition ratios
+    pi.keys.foreach { s =>
+      val inflow = p.filter(_._2 == s)
+        .map { case (f, _, n) => pi(f) * (n.toDouble / outTot(f)) }.sum
+      assert(math.abs(inflow - pi(s)) < 1e-3, s"$s: πP=$inflow vs π=${pi(s)}")
+    }
+    // the chain must actually discriminate states (not uniform)
+    assert(got.map(_._2).max - got.map(_._2).min > 1e-4)
+  }
+
+  test("cuped matches a local moments recompute and reduces variance") {
+    val perUser = tables.events.collect()
+      .map { r =>
+        val day = r.getAs[java.time.LocalDateTime](1).getDayOfMonth
+        val tpe = r.getString(3)
+        val cents = if (tpe == "purchase")
+          math.round(r.getDouble(4) * 100) else 0L
+        (r.getLong(2), if (day < 16) cents else 0L, if (day >= 16) cents else 0L)
+      }
+      .groupBy(_._1).toSeq
+      .map { case (u, xs) => (u, xs.map(_._2).sum, xs.map(_._3).sum) }
+    val n = perUser.length.toDouble
+    val (sx, sy) = (perUser.map(_._2).sum.toDouble, perUser.map(_._3).sum.toDouble)
+    val sxy = perUser.map(u => u._2 * u._3).sum.toDouble
+    val sxx = perUser.map(u => u._2 * u._2).sum.toDouble
+    val syy = perUser.map(u => u._3 * u._3).sum.toDouble
+    val (cov, varx, vary) = (sxy - sx * sy / n, sxx - sx * sx / n, syy - sy * sy / n)
+    val theta = cov / varx
+    val got = Analytics.cuped(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got.map(_._1).toSeq == Seq(0L, 1L))
+    got.foreach { case (arm, nu, meanPost, meanAdj, th, vr) =>
+      val mine = perUser.filter(_._1 % 2 == arm)
+      assert(nu == mine.length.toLong, s"arm $arm size")
+      val mp = mine.map(_._3).sum.toDouble / (nu * 100.0)
+      val ma = mp - theta * (mine.map(_._2).sum.toDouble / (nu * 100.0) - sx / (n * 100.0))
+      assert(math.abs(meanPost - mp) < 1e-5 && math.abs(meanAdj - ma) < 1e-5,
+        s"arm $arm: engine ($meanPost,$meanAdj) vs local ($mp,$ma)")
+      assert(math.abs(th - theta) < 1e-5)
+      assert(math.abs(vr - (1.0 - cov * cov / (varx * vary))) < 1e-5)
+      // CUPED must actually reduce variance (pre/post correlate) but not
+      // degenerately (the covariate isn't the metric itself)
+      assert(vr > 0.0 && vr < 1.0, s"variance ratio $vr out of (0,1)")
+    }
+  }
+
+  test("theilIndex matches a local recompute and orders like inequality") {
+    val spend = tables.orders.groupBy("o_custkey")
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val custs = tables.customer.select("c_custkey", "c_mktsegment").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = custs.groupBy(_._2).toSeq.map { case (seg, cs) =>
+      val xs = cs.map { case (ck, _) => spend.getOrElse(ck, 0L) }
+      val mu = xs.sum.toDouble / xs.length
+      val t = xs.map(x => if (x > 0) (x / mu) * math.log(x / mu) else 0.0).sum /
+        xs.length
+      (seg, xs.length.toLong, t)
+    }.sortBy(_._1)
+    val got = Analytics.theilIndex(tables).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
+    got.zip(want).foreach { case ((gs, gn, gt), (ws, wn, wt)) =>
+      assert(gs == ws && gn == wn && math.abs(gt - wt) < 1e-5,
+        s"$gs: engine $gt vs local $wt")
+      assert(gt > 0.0, s"$gs: Theil must be positive on unequal spend")
+    }
+    assert(got.length == want.length && got.nonEmpty)
+  }
 }

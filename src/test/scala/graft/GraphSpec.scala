@@ -295,4 +295,99 @@ class GraphSpec extends SparkSpec {
       math.abs(aaA * cnB - aaB * cnA) > 1e-9
     }, "AA is exactly proportional to common-neighbor count — weighting vacuous")
   }
+
+  test("bfsHops matches a local BFS on the support-2 backbone; levels spread") {
+    val edges = Graph.coPurchaseEdgesWithSupport(tables, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val seed = adj.keys.min
+    var level = Map(seed -> 0)
+    var frontier = Set(seed)
+    var hop = 0
+    while (frontier.nonEmpty && hop < 12) {
+      hop += 1
+      val next = frontier.flatMap(adj(_)) -- level.keySet
+      level ++= next.map(_ -> hop)
+      frontier = next
+    }
+    val wantLevels = level.groupBy(_._2).map { case (h, m) =>
+      (h, m.size.toLong, m.keys.min, m.keys.max)
+    }.toSeq
+    val unreached = adj.keySet -- level.keySet
+    val want = (if (unreached.nonEmpty)
+        wantLevels :+ ((-1, unreached.size.toLong, unreached.min, unreached.max))
+      else wantLevels).sortBy(_._1)
+    val got = Graph.bfsHops(tables).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want, s"engine $got vs local $want")
+    // non-vacuity: the support-2 backbone must have real depth (≥3 hop
+    // levels) — on the support-1 near-clique this would be ~2
+    assert(got.count(_._1 >= 0) >= 3, s"degenerate hop spread: $got")
+  }
+
+  test("clusteringCoeffTop matches a naive neighbor-pair adjacency recompute") {
+    val edges = Graph.coPurchaseEdges(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edgeSet = edges.toSet
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val top = adj.toSeq.map { case (n, nb) => (n, nb.size) }
+      .sortBy { case (n, d) => (-d, n) }.take(20)
+    val want = top.map { case (n, d) =>
+      val nbs = adj(n).toSeq.sorted
+      val closed = nbs.combinations(2).count { case Seq(a, b) =>
+        edgeSet.contains((a, b)) || edgeSet.contains((b, a))
+      }
+      (n, d.toLong, closed.toLong,
+        BigDecimal(closed.toDouble * 2.0 / (d.toDouble * (d.toDouble - 1.0)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(_._1)
+    val got = Graph.clusteringCoeffTop(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == want, s"engine $got vs local $want")
+    // hubs on an order-induced-clique graph must close SOME wedges, and
+    // cc must discriminate between hubs (not all equal)
+    assert(got.forall(_._3 > 0) && got.map(_._4).distinct.length > 1)
+  }
+
+  test("modularity matches a local recompute; null on random baskets, high on planted cliques") {
+    def localQ(edges: Array[(Long, Long)], labels: Map[Long, Long]): Double = {
+      val m = edges.length.toDouble
+      val within = edges.filter { case (a, b) => labels(a) == labels(b) }
+        .groupBy { case (a, _) => labels(a) }.view.mapValues(_.length.toLong)
+        .toMap
+      val degSum = (edges.map(_._1) ++ edges.map(_._2))
+        .groupBy(labels).view.mapValues(_.length.toLong).toMap
+      degSum.map { case (c, dc) =>
+        within.getOrElse(c, 0L).toDouble / m -
+          (dc.toDouble / (2.0 * m)) * (dc.toDouble / (2.0 * m))
+      }.sum
+    }
+    val backbone = Graph.coPurchaseEdgesWithSupport(tables, 2).localCheckpoint()
+    val edges = backbone.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val labels = Graph.labelPropagation(tables, prebuiltEdges = Some(backbone))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val q = localQ(edges, labels)
+    val row = Graph.modularity(tables).collect().head
+    assert(row.getLong(0) == edges.length.toLong)
+    assert(row.getLong(1) == labels.values.toSet.size.toLong)
+    assert(math.abs(row.getDouble(2) - q) < 1e-5,
+      s"engine ${row.getDouble(2)} vs local $q")
+    // random baskets have NO community structure — near-zero Q is the
+    // CORRECT audit result here (bounds: Q ∈ [-0.5, 1])
+    assert(row.getDouble(2) >= -0.5 && row.getDouble(2) < 0.05)
+    assert(row.getLong(1) > 1, "partition degenerated to one community")
+    // ...and the metric must DISCRIMINATE: two planted 6-cliques joined
+    // by a single bridge edge score high through the same code path
+    import spark.implicits._
+    val cliq = (for {
+      base <- Seq(0L, 10L); a <- 0L to 5L; b <- 0L to 5L if a < b
+    } yield (base + a, base + b)) :+ ((5L, 10L))
+    val planted = Graph.modularity(tables,
+      prebuiltEdges = Some(cliq.toDF("pa", "pb"))).collect().head
+    assert(planted.getLong(1) == 2L, "label prop should find both cliques")
+    assert(planted.getDouble(2) > 0.4,
+      s"planted cliques scored ${planted.getDouble(2)} — metric not discriminating")
+  }
 }

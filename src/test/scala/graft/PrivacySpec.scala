@@ -55,4 +55,31 @@ class PrivacySpec extends SparkSpec {
       "noise never changed sign — the hash-uniform is degenerate")
     assert(got.map(_._4).forall(n => math.abs(n) <= math.log(2.0e6)))
   }
+
+  test("lDiversityAudit matches a local distinct-sensitive recompute") {
+    import org.apache.spark.sql.functions.col
+    val joined = tables.orders
+      .select(col("o_custkey").as("c_custkey"), col("o_orderpriority"))
+      .join(tables.customer.select("c_custkey", "c_nationkey", "c_mktsegment",
+        "c_acctbal"), Seq("c_custkey"))
+      .collect()
+      .map(r => ((r.getInt(2), r.getString(3),
+        math.floor(r.getDouble(4) / 50.0).toInt), r.getString(1)))
+    val groups = joined.groupBy(_._1).toSeq.map { case (_, xs) =>
+      (xs.map(_._2).distinct.length, xs.length.toLong)
+    }
+    val got = graft.operators.Privacy.lDiversityAudit(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.map(_._1).toSeq == Seq(2L, 3L, 5L))
+    got.foreach { case (l, gAtRisk, rAtRisk, gTot, rTot) =>
+      val below = groups.filter(_._1 < l)
+      assert(gAtRisk == below.length.toLong, s"l=$l group count")
+      assert(rAtRisk == below.map(_._2).sum, s"l=$l row count")
+      assert(gTot == groups.length.toLong && rTot == groups.map(_._2).sum)
+    }
+    // non-vacuity at this SF: some threshold must flag real groups, and
+    // the audit must not flag everything
+    assert(got.exists(_._2 > 0) && got.forall(g => g._2 < g._4))
+  }
 }

@@ -1043,4 +1043,96 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.take(got.length / 2).last._4 > 0.5,
       "head types should cover the majority of tokens")
   }
+
+  test("readability matches a local regex recompute; bands are non-trivial") {
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cnt(s: String, p: String) = p.r.findAllIn(s).length
+    val docs = tables.documents.select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val want = docs.map { case (lang, text) =>
+      val w = cnt(text, "[A-Za-z]+")
+      val sy = cnt(text, "[aeiouyAEIOUY]+")
+      val se = math.max(cnt(text, "[.!?]+"), 1)
+      (lang, 206.835 - 1.015 * (w.toDouble / se.toDouble) -
+        84.6 * (sy.toDouble / w.toDouble))
+    }.groupBy(_._1).map { case (lang, xs) =>
+      (lang, xs.length.toLong, r4(xs.map(_._2).sum / xs.length),
+        xs.count(_._2 >= 60.0).toLong, xs.count(_._2 < 30.0).toLong)
+    }.toSeq.sortBy(_._1)
+    val got = TextAnalysis.readability(tables).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    got.zip(want).foreach { case ((gl, gn, ga, ge, gh), (wl, wn, wa, we, wh)) =>
+      assert(gl == wl && gn == wn && ge == we && gh == wh,
+        s"$gl: engine counts ($gn,$ge,$gh) vs local ($wn,$we,$wh)")
+      assert(math.abs(ga - wa) < 1e-3, s"$gl: avg $ga vs $wa")
+    }
+    assert(got.length == want.length)
+    // the corpus must exercise both bands somewhere (screen non-vacuous)
+    assert(got.map(_._4).sum > 0 || got.map(_._5).sum > 0)
+  }
+
+  test("jsDivergence matches a local recompute; symmetric-bounded by ln 2") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val toks = tables.documents.select("lang", "text").collect()
+      .flatMap(r => r.getString(1).trim.toLowerCase.split("\\s+")
+        .filter(_.nonEmpty).map(w => (r.getString(0), w)))
+    val counts = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val byLang = toks.groupBy(_._1)
+    val tot = byLang.view.mapValues(_.length.toLong).toMap
+    val langs = byLang.keys.toSeq.sorted
+    val want = (for {
+      a <- langs; b <- langs if a < b
+    } yield {
+      val vocab = (byLang(a).map(_._2) ++ byLang(b).map(_._2)).distinct
+      val terms = vocab.map { w =>
+        val p = counts.getOrElse((a, w), 0L).toDouble / tot(a).toDouble
+        val q = counts.getOrElse((b, w), 0L).toDouble / tot(b).toDouble
+        (if (p > 0) p * math.log(2.0 * p / (p + q)) else 0.0,
+          if (q > 0) q * math.log(2.0 * q / (p + q)) else 0.0)
+      }
+      (a, b, vocab.length.toLong,
+        r6(0.5 * terms.map(_._1).sum + 0.5 * terms.map(_._2).sum))
+    }).sortBy(x => (x._1, x._2))
+    val got = TextAnalysis.jsDivergence(tables).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got.map(x => (x._1, x._2, x._3)) == want.map(x => (x._1, x._2, x._3)))
+    got.zip(want).foreach { case ((a, b, _, gj), (_, _, _, wj)) =>
+      assert(math.abs(gj - wj) < 1e-4, s"($a,$b): engine $gj vs local $wj")
+      assert(gj > 0.0 && gj <= math.log(2.0) + 1e-9, s"($a,$b): out of bounds")
+    }
+    // divergences must discriminate between pairs
+    assert(got.map(_._4).distinct.length > 1)
+  }
+
+  test("cohensKappa matches a local confusion recompute; labelers disagree") {
+    val docs = tables.documents.select("n_chars", "text").collect()
+      .map { r =>
+        val a = if (r.getLong(0) >= 300) 1L else 0L
+        val b = if (r.getString(1).trim.toLowerCase.split("\\s+")
+          .count(_.nonEmpty) >= 55) 1L else 0L
+        (a, b)
+      }
+    val n = docs.length.toLong
+    val n11 = docs.count(d => d._1 == 1 && d._2 == 1).toLong
+    val n10 = docs.count(d => d._1 == 1 && d._2 == 0).toLong
+    val n01 = docs.count(d => d._1 == 0 && d._2 == 1).toLong
+    val n00 = docs.count(d => d._1 == 0 && d._2 == 0).toLong
+    val po = (n11 + n00).toDouble / n
+    val pe = ((n11 + n10).toDouble / n) * ((n11 + n01).toDouble / n) +
+      ((n01 + n00).toDouble / n) * ((n10 + n00).toDouble / n)
+    val row = TextAnalysis.cohensKappa(tables).collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+      row.getLong(4)) == ((n, n11, n10, n01, n00)))
+    assert(math.abs(row.getDouble(5) - po) < 1e-6)
+    assert(math.abs(row.getDouble(6) - pe) < 1e-6)
+    assert(math.abs(row.getDouble(7) - (po - pe) / (1.0 - pe)) < 1e-5)
+    // non-vacuity: the labelers genuinely disagree on some docs, agree on
+    // others, and kappa beats chance without being perfect
+    assert(n10 + n01 > 0 && n11 + n00 > 0)
+    assert(row.getDouble(7) > 0.0 && row.getDouble(7) < 1.0)
+  }
 }
