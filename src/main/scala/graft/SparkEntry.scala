@@ -95,6 +95,17 @@ object SparkEntry {
         .repartition(8).write.mode("overwrite").parquet(out)
     }
 
+  /** The SUPPORT-2 co-purchase backbone for a dataset, derived once and
+    * persisted — the shared input of `q_bfs_hops` and `q_modularity`
+    * (same rationale as [[coPurchaseEdgesDir]]: the wedge self-join +
+    * support rollup is the expensive part; path/community analytics
+    * should attach it, not re-derive it per query). */
+  private def backboneEdgesDir(s: SparkSession, d: String): String =
+    roundtripDir("graft_cop2", d, "_SUCCESS") { out =>
+      Graph.coPurchaseEdgesWithSupport(Tables(s, d), 2)
+        .repartition(8).write.mode("overwrite").parquet(out)
+    }
+
   /** The byte-level BPE tokenizer artifact for a dataset — the rank-
     * ordered hex-symbol merge table plus the training-alphabet char set
     * (the [[trainedBpeMerges]] contract; both halves ship together
@@ -584,17 +595,22 @@ object SparkEntry {
     "q_clustering_coeff" -> ((s, d) =>
       Graph.clusteringCoeffTop(Tables(s, d),
         prebuiltEdges = Some(s.read.parquet(coPurchaseEdgesDir(s, d))))),
-    "q_bfs_hops" -> ((s, d) => Graph.bfsHops(Tables(s, d))),
+    "q_bfs_hops" -> ((s, d) => Graph.bfsHops(Tables(s, d),
+      prebuiltEdges = Some(s.read.parquet(backboneEdgesDir(s, d))))),
     "q_item_cf" -> ((s, d) => Analytics.itemItemCf(Tables(s, d))),
     "q_readability" -> ((s, d) => TextAnalysis.readability(Tables(s, d))),
     "q_js_divergence" -> ((s, d) => TextAnalysis.jsDivergence(Tables(s, d))),
     "q_cohens_kappa" -> ((s, d) => TextAnalysis.cohensKappa(Tables(s, d))),
+    "q_textrank" -> ((s, d) => TextAnalysis.textRank(Tables(s, d))),
     "q_ldiversity" -> ((s, d) =>
       graft.operators.Privacy.lDiversityAudit(Tables(s, d))),
     "q_markov_stationary" -> ((s, d) => Analytics.markovStationary(Tables(s, d))),
     "q_cuped" -> ((s, d) => Analytics.cuped(Tables(s, d))),
     "q_theil" -> ((s, d) => Analytics.theilIndex(Tables(s, d))),
-    "q_modularity" -> ((s, d) => Graph.modularity(Tables(s, d))),
+    "q_seasonal_naive" -> ((s, d) => Analytics.seasonalNaive(Tables(s, d))),
+    "q_mde" -> ((s, d) => Analytics.mdeReport(Tables(s, d))),
+    "q_modularity" -> ((s, d) => Graph.modularity(Tables(s, d),
+      prebuiltEdges = Some(s.read.parquet(backboneEdgesDir(s, d))))),
     "q_triangles" -> ((s, d) =>
       Graph.triangleCounts(Tables(s, d),
         prebuiltEdges = Some(s.read.parquet(coPurchaseEdgesDir(s, d))))),
@@ -2526,6 +2542,20 @@ object SparkEntry {
         "SELECT lang_a, lang_b, count(*) AS n_union_terms, " +
         "round(0.5 * sum(CASE WHEN p > 0 THEN p * ln(2.0 * p / (p + q)) ELSE 0.0 END) + 0.5 * sum(CASE WHEN q > 0 THEN q * ln(2.0 * q / (p + q)) ELSE 0.0 END), 6) AS jsd " +
         "FROM x GROUP BY lang_a, lang_b ORDER BY lang_a, lang_b"),
+    "q_textrank" ->
+      // weighted n-free PageRank over the co-occurrence graph, unrolled 3
+      // rounds (the q_pagerank discipline); graph CTEs MATERIALIZED (the
+      // q_markov_stationary inlining lesson)
+      ("WITH toks AS (SELECT list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '' AND t NOT IN ('the', 'a', 'an', 'of', 'and', 'or', 'to', 'in', 'is', 'it')) AS tk FROM documents), " +
+        "bg AS (SELECT tk[i] AS w1, tk[i+1] AS w2 FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM toks WHERE len(tk) >= 2) WHERE tk[i] <> tk[i+1]), " +
+        "und AS MATERIALIZED (SELECT src, dst, count(*) AS w FROM (SELECT w1 AS src, w2 AS dst FROM bg UNION ALL SELECT w2, w1 FROM bg) GROUP BY 1, 2), " +
+        "wt AS MATERIALIZED (SELECT src, sum(w) AS wt FROM und GROUP BY src), " +
+        "p AS MATERIALIZED (SELECT u.src, u.dst, CAST(u.w AS DOUBLE) / CAST(t.wt AS DOUBLE) AS p FROM und u JOIN wt t ON t.src = u.src), " +
+        "r1 AS MATERIALIZED (SELECT dst AS node, 0.15 + 0.85 * sum(p) AS rank FROM p GROUP BY dst), " +
+        "r2 AS MATERIALIZED (SELECT p.dst AS node, 0.15 + 0.85 * sum(r.rank * p.p) AS rank FROM p JOIN r1 r ON r.node = p.src GROUP BY p.dst), " +
+        "r3 AS MATERIALIZED (SELECT p.dst AS node, 0.15 + 0.85 * sum(r.rank * p.p) AS rank FROM p JOIN r2 r ON r.node = p.src GROUP BY p.dst) " +
+        "SELECT r.node AS token, CAST(w.wt AS BIGINT) AS weighted_degree, round(r.rank, 6) AS textrank " +
+        "FROM r3 r JOIN wt w ON w.src = r.node ORDER BY textrank DESC, token ASC LIMIT 25"),
     "q_cohens_kappa" ->
       ("WITH l AS (SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a, " +
         "CASE WHEN len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) >= 55 THEN 1 ELSE 0 END AS b FROM documents), " +
@@ -2572,6 +2602,33 @@ object SparkEntry {
         "(sxa / (CAST(n_users AS DOUBLE) * 100.0) - sx / (n * 100.0)) AS xdev, (1.0 - cov * cov / (varx * vary)) AS vr FROM k) " +
         "SELECT arm, n_users, round(mean_post, 6) AS mean_post, round(mean_post - theta * xdev, 6) AS mean_adjusted, " +
         "round(theta, 6) AS theta, round(vr, 6) AS var_ratio FROM f ORDER BY arm"),
+    "q_seasonal_naive" ->
+      ("WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d, sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev FROM orders GROUP BY 1), " +
+        "pr AS (SELECT a.d, a.rev, b.rev AS fc FROM daily a JOIN daily b ON b.d = a.d - 7) " +
+        "SELECT CAST(dayofweek(d) + 1 AS INT) AS dow, count(*) AS n_days, " +
+        "round(avg(CAST(rev AS DOUBLE)) / 100.0, 2) AS mean_revenue, " +
+        "round(avg(CAST(abs(fc - rev) AS DOUBLE) / CAST(rev AS DOUBLE)), 6) AS mape, " +
+        "round(avg(CAST(fc - rev AS DOUBLE) / CAST(rev AS DOUBLE)), 6) AS bias " +
+        "FROM pr GROUP BY 1 ORDER BY 1"),
+    "q_mde" ->
+      // z-constants are shared literals; all variances from the q_cuped
+      // exact-integer pooled sums (population form, ÷n in both engines)
+      ("WITH s AS (SELECT user_id, " +
+        "CAST(sum(CASE WHEN event_type = 'purchase' AND extract(day FROM ts) < 16 THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS x, " +
+        "CAST(sum(CASE WHEN event_type = 'purchase' AND extract(day FROM ts) >= 16 THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS y " +
+        "FROM events GROUP BY user_id), " +
+        "a AS (SELECT CAST(user_id % 2 AS BIGINT) AS arm, x, y FROM s), " +
+        "pl AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy, " +
+        "CAST(sum(x * y) AS DOUBLE) AS sxy, CAST(sum(x * x) AS DOUBLE) AS sxx, CAST(sum(y * y) AS DOUBLE) AS syy FROM a), " +
+        "na AS (SELECT CAST(min(CASE WHEN arm = 0 THEN cnt END) AS BIGINT) AS n_arm0, CAST(min(CASE WHEN arm = 1 THEN cnt END) AS BIGINT) AS n_arm1 " +
+        "FROM (SELECT arm, count(*) AS cnt FROM a GROUP BY arm)), " +
+        "k AS (SELECT na.n_arm0, na.n_arm1, (pl.syy - pl.sy * pl.sy / pl.n) / pl.n AS vary, " +
+        "(pl.sxx - pl.sx * pl.sx / pl.n) / pl.n AS varx, (pl.sxy - pl.sx * pl.sy / pl.n) / pl.n AS cov, " +
+        "sqrt(1.0 / CAST(na.n_arm0 AS DOUBLE) + 1.0 / CAST(na.n_arm1 AS DOUBLE)) AS se FROM pl CROSS JOIN na) " +
+        "SELECT n_arm0, n_arm1, round(sqrt(vary) / 100.0, 6) AS sigma_post, " +
+        "round((1.959964 + 0.841621) * sqrt(vary) * se / 100.0, 6) AS mde_raw, " +
+        "round((1.959964 + 0.841621) * sqrt(vary * (1.0 - cov * cov / (varx * vary))) * se / 100.0, 6) AS mde_cuped " +
+        "FROM k"),
     "q_theil" ->
       ("WITH spend AS (SELECT o_custkey AS c_custkey, sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents FROM orders GROUP BY 1), " +
         "pop AS (SELECT c.c_mktsegment, coalesce(s.cents, 0) AS cents FROM customer c LEFT JOIN spend s USING (c_custkey)), " +

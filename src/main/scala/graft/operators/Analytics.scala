@@ -2011,10 +2011,14 @@ object Analytics {
       .distinct()
       .localCheckpoint() // item counts + query expansion + co-counts read it
     val cnt = ui.groupBy("item").agg(count(lit(1)).as("n_users"))
-    val q = ui.select("item").distinct().orderBy("item").limit(nQueries)
+      .localCheckpoint() // query-pick + both sim sides read it
+    val q = cnt.select("item").orderBy("item").limit(nQueries)
     val qu = ui.join(broadcast(q), Seq("item"))
       .select(col("item").as("part"), col("user"))
-    val co = qu.join(ui, Seq("user"))
+    // the query-side (part, user) set is bounded (nQueries × their
+    // users), so it BROADCASTS onto the full user-item scan — the
+    // corpus-sized side is never shuffled by user for the expansion
+    val co = ui.join(broadcast(qu), Seq("user"))
       .filter(col("item") =!= col("part"))
       .groupBy("part", "item").agg(count(lit(1)).as("n_common_users"))
     val scored = co
@@ -2141,6 +2145,83 @@ object Analytics {
         round(col("_theta"), 6).as("theta"),
         round(lit(1.0) - covXy * covXy / (varX * varY), 6).as("var_ratio"))
       .orderBy("arm")
+  }
+
+  /** SEASONAL-NAIVE FORECAST BACKTEST (the Hyndman & Athanasopoulos
+    * baseline every forecasting effort must beat — ŷ_d = y_{d−7}): for
+    * each day with a same-weekday predecessor, the absolute percentage
+    * error of the week-ago value, rolled up per weekday with MAPE and
+    * bias. The day-of-week seasonality profile and the naive-model
+    * error floor in one report. Daily totals are exact integer cents;
+    * each APE is one closed-form double of two exact integers; the lag
+    * pair comes from a self-join on date−7 ([[autocorrDailyRevenue]]'s
+    * gap-honest discipline — calendar gaps drop the pair). */
+  def seasonalNaive(t: Tables): DataFrame = {
+    val daily = t.orders
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("_rev"))
+      .localCheckpoint() // both sides of the lag join read it
+    val lagged = daily.select(expr("date_add(d, 7)").as("d"),
+      col("_rev").as("_fc"))
+    // integer day-of-week (1 = Sunday), NOT a locale-formatted name —
+    // weekday strings depend on the engine's locale; integers don't
+    daily.join(lagged, Seq("d"))
+      .withColumn("dow", dayofweek(col("d")))
+      .groupBy("dow")
+      .agg(count(lit(1)).as("n_days"),
+        round(avg(col("_rev").cast("double")) / 100.0, 2).as("mean_revenue"),
+        round(avg(abs(col("_fc") - col("_rev")).cast("double") /
+          col("_rev").cast("double")), 6).as("mape"),
+        round(avg((col("_fc") - col("_rev")).cast("double") /
+          col("_rev").cast("double")), 6).as("bias"))
+      .orderBy("dow")
+  }
+
+  /** MINIMUM DETECTABLE EFFECT power analysis (the pre-experiment sizing
+    * report: with these arms and this metric variance, what lift can
+    * the test see at α = 0.05, power = 0.8?): MDE = (z_{α/2} + z_β)·
+    * σ·√(1/n₀ + 1/n₁), reported for the RAW post-period metric and for
+    * its [[cuped]]-adjusted twin (σ_adj = σ·√(1−ρ²)) — the concrete
+    * "CUPED buys you this much smaller detectable effect" number.
+    * z-constants are shared literals (1.959964, 0.841621 — both engines
+    * parse the same doubles); every variance derives from the same five
+    * exact-integer pooled sums as q_cuped, so nothing here depends on
+    * accumulation order. Population variance (÷n, mirrored). */
+  def mdeReport(t: Tables, splitDay: Int = 16): DataFrame = {
+    val cents = round(col("value") * 100, 0).cast("long")
+    val sums = t.events
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("event_type") === "purchase" &&
+          dayofmonth(col("ts")) < splitDay, cents).otherwise(0L)).as("_x"),
+        sum(when(col("event_type") === "purchase" &&
+          dayofmonth(col("ts")) >= splitDay, cents).otherwise(0L)).as("_y"))
+      .withColumn("arm", pmod(col("user_id"), lit(2L)))
+    val pooled = sums.agg(count(lit(1)).as("_n"),
+      sum("_x").as("_sx"), sum("_y").as("_sy"),
+      sum(col("_x") * col("_y")).as("_sxy"),
+      sum(col("_x") * col("_x")).as("_sxx"),
+      sum(col("_y") * col("_y")).as("_syy"))
+    val arms = sums.groupBy("arm").agg(count(lit(1)).as("_na"))
+    val byArm = arms.agg(
+      min(when(col("arm") === 0, col("_na"))).as("n_arm0"),
+      min(when(col("arm") === 1, col("_na"))).as("n_arm1"))
+    val n = col("_n").cast("double")
+    val varY = (col("_syy").cast("double") -
+      col("_sy").cast("double") * col("_sy").cast("double") / n) / n
+    val varX = (col("_sxx").cast("double") -
+      col("_sx").cast("double") * col("_sx").cast("double") / n) / n
+    val covXy = (col("_sxy").cast("double") -
+      col("_sx").cast("double") * col("_sy").cast("double") / n) / n
+    val zsum = lit(1.959964) + lit(0.841621)
+    pooled.crossJoin(broadcast(byArm))
+      .withColumn("_se", sqrt(lit(1.0) / col("n_arm0").cast("double") +
+        lit(1.0) / col("n_arm1").cast("double")))
+      .select(col("n_arm0"), col("n_arm1"),
+        round(sqrt(varY) / 100.0, 6).as("sigma_post"),
+        round(zsum * sqrt(varY) * col("_se") / 100.0, 6).as("mde_raw"),
+        round(zsum * sqrt(varY * (lit(1.0) - covXy * covXy / (varX * varY))) *
+          col("_se") / 100.0, 6).as("mde_cuped"))
   }
 
   /** THEIL T INEQUALITY INDEX of customer spend per market segment

@@ -673,8 +673,9 @@ object Graph {
     * eccentricity, maxHops) — 10 at sf0.01, corpus-size-logarithmic on
     * small-world graphs. The per-hop count() action is the same
     * convergence probe as [[kCore]]'s. */
-  def bfsHops(t: Tables, minSupport: Int = 2, maxHops: Int = 12): DataFrame = {
-    val e = coPurchaseEdgesWithSupport(t, minSupport)
+  def bfsHops(t: Tables, minSupport: Int = 2, maxHops: Int = 12,
+              prebuiltEdges: Option[DataFrame] = None): DataFrame = {
+    val e = prebuiltEdges.getOrElse(coPurchaseEdgesWithSupport(t, minSupport))
     val und = e.select(col("pa").as("u"), col("pb").as("v"))
       .unionAll(e.select(col("pb").as("u"), col("pa").as("v")))
       .localCheckpoint()

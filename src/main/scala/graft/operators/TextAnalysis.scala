@@ -1777,6 +1777,63 @@ object TextAnalysis {
     * by chance. Confusion cells are exact integers from ONE corpus
     * aggregation; p_o, p_e, κ are closed-form ratios of those integers
     * (round-6), mirrored term-for-term in the oracle. */
+  /** TEXTRANK KEYWORD EXTRACTION (Mihalcea & Tarau EMNLP'04 — PageRank
+    * over the word co-occurrence graph; the unsupervised keyword method
+    * every document-understanding pipeline reaches for before training a
+    * model): nodes = non-stopword tokens, edges = adjacent pairs in the
+    * filtered token sequence (weight = corpus co-occurrence count),
+    * score = 3 rounds of the weighted n-free PageRank recurrence
+    * rank' = 0.15 + 0.85·Σ rank(src)·w/W(src) — the EXACT q_pagerank
+    * discipline (separate damp/teleport literals, exact-integer-ratio
+    * transition weights, round-6 at the end, rank-then-tie-break on the
+    * ROUNDED score). Top-k tokens with their weighted degree.
+    *
+    * Scale shape: bigram extraction is a map-side transform of the
+    * token arrays (no positional self-join); the graph tables are
+    * vocabulary-sized; each round is one join + aggregation keyed by
+    * token, identical to the pageRank rounds. */
+  def textRank(t: Tables, iters: Int = 3, k: Int = 25): DataFrame = {
+    val toks = t.documents.select(
+      filter(tokens(col("text")),
+        w => !w.isInCollection(Stopwords)).as("tk"))
+    val bigrams = toks.filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(tk) - 2), i -> struct(tk[i] AS w1, tk[i + 1] AS w2))"))
+        .as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .filter(col("w1") =!= col("w2"))
+    val und = bigrams.select(col("w1").as("src"), col("w2").as("dst"))
+      .unionAll(bigrams.select(col("w2").as("src"), col("w1").as("dst")))
+      .groupBy("src", "dst").agg(count(lit(1)).as("_w"))
+    val wt = und.groupBy("src").agg(sum("_w").as("_wt"))
+      .localCheckpoint() // the transition build + the degree column read it
+    val p = und.join(wt, Seq("src"))
+      .select(col("src"), col("dst"),
+        (col("_w").cast("double") / col("_wt").cast("double")).as("_p"))
+      .localCheckpoint() // every round reads it
+    // round 1 fuses the uniform start (rank₀ ≡ 1) into a bare Σp — no
+    // node-list distinct pass, no join; later rounds stay unchecked-
+    // pointed (3-deep lineage over the checkpointed transition cache)
+    var r = p.groupBy(col("dst").as("node"))
+      .agg((lit(0.15) + lit(0.85) * sum(col("_p"))).as("_r"))
+    for (_ <- 2 to iters) {
+      r = p.join(r.select(col("node").as("src"), col("_r")), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg((lit(0.15) + lit(0.85) * sum(col("_r") * col("_p"))).as("_r"))
+    }
+    val out = r
+      .join(wt.select(col("src").as("node"), col("_wt").as("weighted_degree")),
+        Seq("node"))
+      .select(col("node").as("token"), col("weighted_degree"),
+        round(col("_r"), 6).as("textrank"))
+      .orderBy(col("textrank").desc, col("token").asc)
+      .limit(k)
+      .localCheckpoint()
+    p.unpersist(blocking = false)
+    wt.unpersist(blocking = false)
+    out
+  }
+
   def cohensKappa(t: Tables, charThreshold: Int = 300,
                   tokenThreshold: Int = 55): DataFrame = {
     val labeled = t.documents.select(

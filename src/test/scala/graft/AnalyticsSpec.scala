@@ -1541,6 +1541,50 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("seasonalNaive matches a local week-ago backtest; forecast is week-AGO") {
+    val daily = tables.orders
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("r"))
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1))).toMap
+    val pairs = daily.toSeq.flatMap { case (d, rev) =>
+      daily.get(d.minusDays(7)).map(fc => (d, rev, fc))
+    }
+    val want = pairs.groupBy(_._1.getDayOfWeek.getValue % 7 + 1).toSeq
+      .map { case (dow, xs) =>
+        (dow, xs.length.toLong,
+          xs.map(x => math.abs(x._3 - x._2).toDouble / x._2).sum / xs.length,
+          xs.map(x => (x._3 - x._2).toDouble / x._2).sum / xs.length)
+      }.sortBy(_._1)
+    val got = Analytics.seasonalNaive(tables).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(3), r.getDouble(4)))
+    assert(got.map(x => (x._1, x._2)).toSeq == want.map(x => (x._1, x._2)))
+    got.zip(want).foreach { case ((dw, _, gm, gb), (_, _, wm, wb)) =>
+      assert(math.abs(gm - wm) < 1e-5 && math.abs(gb - wb) < 1e-5,
+        s"dow $dw: engine ($gm,$gb) vs local ($wm,$wb)")
+    }
+    // all 7 weekdays present, and the naive model must have real error
+    assert(got.length == 7 && got.forall(_._3 > 0))
+  }
+
+  test("mdeReport is consistent with cuped moments; CUPED shrinks the MDE") {
+    val row = Analytics.mdeReport(tables).collect().head
+    val (n0, n1) = (row.getLong(0), row.getLong(1))
+    val users = tables.events.select("user_id").distinct().count()
+    assert(n0 + n1 == users, "arms must partition the user set")
+    val (sigma, mdeRaw, mdeCuped) =
+      (row.getDouble(2), row.getDouble(3), row.getDouble(4))
+    // closed-form consistency: mde_raw = 2.801585·σ·√(1/n0+1/n1)
+    val want = (1.959964 + 0.841621) * sigma *
+      math.sqrt(1.0 / n0 + 1.0 / n1)
+    assert(math.abs(mdeRaw - want) < 1e-5, s"$mdeRaw vs $want")
+    // CUPED must strictly shrink the detectable effect (ρ ≠ 0), but
+    // never to zero (the covariate is not the metric)
+    assert(mdeCuped < mdeRaw && mdeCuped > 0.0)
+    // var_ratio consistency with the cuped query itself
+    val vr = Analytics.cuped(tables).collect().head.getDouble(5)
+    assert(math.abs(mdeCuped / mdeRaw - math.sqrt(vr)) < 1e-3)
+  }
+
   test("theilIndex matches a local recompute and orders like inequality") {
     val spend = tables.orders.groupBy("o_custkey")
       .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("c"))

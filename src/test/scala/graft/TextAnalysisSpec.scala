@@ -1135,4 +1135,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(n10 + n01 > 0 && n11 + n00 > 0)
     assert(row.getDouble(7) > 0.0 && row.getDouble(7) < 1.0)
   }
+
+  test("textRank matches a local weighted-PageRank recompute") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val stop = TextAnalysis.Stopwords.toSet
+    val seqs = tables.documents.select("text").collect()
+      .map(_.getString(0).trim.toLowerCase.split("\\s+")
+        .filter(w => w.nonEmpty && !stop(w)))
+    val bigrams = seqs.flatMap(tk => tk.zip(tk.drop(1))).filter(p => p._1 != p._2)
+    val und = (bigrams ++ bigrams.map(_.swap)).groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap
+    val wt = und.toSeq.groupBy(_._1._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    val inEdges = und.toSeq.map { case ((s, d), w) =>
+      (d, s, w.toDouble / wt(s).toDouble)
+    }.groupBy(_._1)
+    var rank = wt.keys.map(_ -> 1.0).toMap
+    for (_ <- 1 to 3) {
+      rank = inEdges.view.mapValues(es =>
+        0.15 + 0.85 * es.map { case (_, s, p) => rank(s) * p }.sum).toMap
+    }
+    val want = rank.toSeq.map { case (tok, r) => (tok, wt(tok), r6(r)) }
+      .sortBy { case (tok, _, r) => (-r, tok) }.take(25)
+    val got = TextAnalysis.textRank(tables).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    got.zip(want).foreach { case ((gt, gd, gr), (wtk, wd, wr)) =>
+      assert(gt == wtk && gd == wd && math.abs(gr - wr) < 2e-6,
+        s"engine ($gt,$gd,$gr) vs local ($wtk,$wd,$wr)")
+    }
+    assert(got.length == want.length && got.nonEmpty)
+    // PageRank must disagree with raw degree somewhere in the top list
+    // (else the iteration is decorative)
+    val byDegree = rank.keys.toSeq.sortBy(tok => (-wt(tok), tok)).take(25)
+    assert(got.map(_._1) != byDegree, "textrank ordering equals raw degree")
+  }
 }
