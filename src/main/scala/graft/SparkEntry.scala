@@ -602,6 +602,10 @@ object SparkEntry {
     "q_js_divergence" -> ((s, d) => TextAnalysis.jsDivergence(Tables(s, d))),
     "q_cohens_kappa" -> ((s, d) => TextAnalysis.cohensKappa(Tables(s, d))),
     "q_textrank" -> ((s, d) => TextAnalysis.textRank(Tables(s, d))),
+    "q_rake" -> ((s, d) => TextAnalysis.rake(Tables(s, d))),
+    "q_mann_kendall" -> ((s, d) => Analytics.mannKendall(Tables(s, d))),
+    "q_sen_slope" -> ((s, d) => Analytics.senSlope(Tables(s, d))),
+    "q_odds_ratio" -> ((s, d) => Analytics.oddsRatio(Tables(s, d))),
     "q_ldiversity" -> ((s, d) =>
       graft.operators.Privacy.lDiversityAudit(Tables(s, d))),
     "q_markov_stationary" -> ((s, d) => Analytics.markovStationary(Tables(s, d))),
@@ -2556,6 +2560,51 @@ object SparkEntry {
         "r3 AS MATERIALIZED (SELECT p.dst AS node, 0.15 + 0.85 * sum(r.rank * p.p) AS rank FROM p JOIN r2 r ON r.node = p.src GROUP BY p.dst) " +
         "SELECT r.node AS token, CAST(w.wt AS BIGINT) AS weighted_degree, round(r.rank, 6) AS textrank " +
         "FROM r3 r JOIN wt w ON w.src = r.node ORDER BY textrank DESC, token ASC LIMIT 25"),
+    "q_rake" ->
+      // gaps-and-islands run segmentation (pos − row_number constant on
+      // contiguous stopword-free runs); phrase strings position-sorted
+      ("WITH tok AS (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS pos FROM (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk FROM documents)), " +
+        "alltok AS (SELECT doc_id, pos, tk[pos] AS w FROM tok), " +
+        "ns AS MATERIALIZED (SELECT doc_id, pos, w, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM alltok WHERE w NOT IN ('the', 'a', 'an', 'of', 'and', 'or', 'to', 'in', 'is', 'it')), " +
+        "plen AS (SELECT doc_id, grp, count(*) AS len FROM ns GROUP BY 1, 2), " +
+        "ws AS MATERIALIZED (SELECT w, count(*) AS freq, sum(len) AS deg FROM ns JOIN plen USING (doc_id, grp) GROUP BY w), " +
+        "ph AS (SELECT doc_id, grp, string_agg(w, ' ' ORDER BY pos) AS phrase FROM ns GROUP BY 1, 2), " +
+        "occ AS (SELECT phrase, count(*) AS n_occurrences FROM ph GROUP BY phrase), " +
+        "sc AS (SELECT phrase, n_occurrences, CAST(len(string_split(phrase, ' ')) AS INT) AS n_words, unnest(string_split(phrase, ' ')) AS w FROM occ) " +
+        "SELECT sc.phrase, sc.n_occurrences, sc.n_words, " +
+        "round(sum(CAST(ws.deg AS DOUBLE) / CAST(ws.freq AS DOUBLE)), 6) AS rake_score " +
+        "FROM sc JOIN ws ON ws.w = sc.w GROUP BY 1, 2, 3 ORDER BY rake_score DESC, phrase ASC LIMIT 20"),
+    "q_mann_kendall" ->
+      // S and both variance terms are integer arithmetic; the only
+      // floats are the /18 and the z division (continuity-corrected)
+      ("WITH daily AS MATERIALIZED (SELECT CAST(o_orderdate AS DATE) AS d, sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev FROM orders GROUP BY 1), " +
+        "s AS (SELECT CAST(coalesce(sum(CASE WHEN b.rev > a.rev THEN 1 WHEN b.rev < a.rev THEN -1 ELSE 0 END), 0) AS BIGINT) AS s_stat FROM daily a JOIN daily b ON a.d < b.d), " +
+        "n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily), " +
+        "ties AS (SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tsum FROM (SELECT count(*) AS t FROM daily GROUP BY rev)), " +
+        "k AS (SELECT s.s_stat, n.n_days, (CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5) AS DOUBLE) - CAST(ties.tsum AS DOUBLE)) / 18.0 AS var FROM s CROSS JOIN n CROSS JOIN ties), " +
+        "k2 AS (SELECT *, CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0) / sqrt(var) WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0) / sqrt(var) ELSE 0.0 END AS z FROM k) " +
+        "SELECT n_days, s_stat, round(var, 4) AS var_s, round(z, 4) AS z, " +
+        "CASE WHEN z > 1.959964 THEN 'increasing' WHEN z < -1.959964 THEN 'decreasing' ELSE 'no trend' END AS trend FROM k2"),
+    "q_sen_slope" ->
+      // every pairwise slope is one double division of exact integers —
+      // rank order engine-independent; median by addressed rank fetch
+      ("WITH daily AS MATERIALIZED (SELECT CAST(o_orderdate AS DATE) AS d, sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev FROM orders GROUP BY 1), " +
+        "sl AS MATERIALIZED (SELECT CAST(b.rev - a.rev AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS s FROM daily a JOIN daily b ON a.d < b.d), " +
+        "rk AS (SELECT s, row_number() OVER (ORDER BY s ASC) AS rn FROM sl), " +
+        "n AS (SELECT CAST(count(*) AS BIGINT) AS np FROM sl) " +
+        "SELECT n.np AS n_pairs, round(sum(rk.s) / count(*) / 100.0, 6) AS sen_slope " +
+        "FROM rk CROSS JOIN n WHERE rk.rn = (n.np + 1) // 2 OR rk.rn = n.np // 2 + 1 GROUP BY n.np"),
+    "q_odds_ratio" ->
+      ("WITH conv AS (SELECT user_id, CAST(max(CASE WHEN event_type = 'purchase' AND value > 150.0 THEN 1 ELSE 0 END) AS BIGINT) AS c, CAST(user_id % 2 AS BIGINT) AS arm FROM events GROUP BY user_id), " +
+        "cells AS (SELECT CAST(sum(CASE WHEN arm = 1 AND c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a, " +
+        "CAST(sum(CASE WHEN arm = 1 AND c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b, " +
+        "CAST(sum(CASE WHEN arm = 0 AND c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c, " +
+        "CAST(sum(CASE WHEN arm = 0 AND c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d FROM conv), " +
+        "k AS (SELECT *, (CAST(a AS DOUBLE) / CAST(b AS DOUBLE)) / (CAST(c AS DOUBLE) / CAST(d AS DOUBLE)) AS orr, " +
+        "sqrt(1.0 / CAST(a AS DOUBLE) + 1.0 / CAST(b AS DOUBLE) + 1.0 / CAST(c AS DOUBLE) + 1.0 / CAST(d AS DOUBLE)) AS se FROM cells) " +
+        "SELECT a AS n_treat_conv, b AS n_treat_nonconv, c AS n_ctrl_conv, d AS n_ctrl_nonconv, " +
+        "round(orr, 6) AS odds_ratio, round(exp(ln(orr) - 1.959964 * se), 6) AS ci_lo, " +
+        "round(exp(ln(orr) + 1.959964 * se), 6) AS ci_hi FROM k"),
     "q_cohens_kappa" ->
       ("WITH l AS (SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a, " +
         "CASE WHEN len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) >= 55 THEN 1 ELSE 0 END AS b FROM documents), " +

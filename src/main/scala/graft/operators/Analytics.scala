@@ -2224,6 +2224,116 @@ object Analytics {
           col("_se") / 100.0, 6).as("mde_cuped"))
   }
 
+  /** MANN–KENDALL TREND TEST (Mann 1945; Kendall 1975 — the
+    * distribution-free monotone-trend detector, the hydrology/climate
+    * standard and the right "is this metric drifting" screen when the
+    * series is non-normal): S = Σ_{i<j} sign(x_j − x_i) over the daily
+    * revenue series, tie-corrected variance
+    * Var(S) = [n(n−1)(2n+5) − Σ t(t−1)(2t+5)]/18, z with the ±1
+    * continuity correction. INTEGER-EXACT END TO END: daily totals are
+    * exact cents, S and both variance terms are integer arithmetic, the
+    * only floats are the final /18 and the z division.
+    *
+    * Scale: the pairwise comparison is a day×day self-join — bounded by
+    * the SERIES length squared (days², never corpus²); at 100 TB the
+    * series is still calendar-sized. (O(n log n) forms exist via rank
+    * statistics; the n² form is exact, honest, and series-bounded.) */
+  def mannKendall(t: Tables): DataFrame = {
+    val daily = t.orders
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("_rev"))
+      .localCheckpoint() // both join sides + the tie rollup read it
+    val s = daily.toDF("da", "ra").join(daily.toDF("db", "rb"),
+        col("da") < col("db"))
+      .agg(coalesce(sum(when(col("rb") > col("ra"), 1L)
+        .when(col("rb") < col("ra"), -1L).otherwise(0L)), lit(0L)).as("s_stat"))
+    val nTies = daily.groupBy("_rev").agg(count(lit(1)).as("_t"))
+      .agg(count(lit(1)).as("_distinct"),
+        coalesce(sum(col("_t") * (col("_t") - 1) * (col("_t") * 2 + 5)), lit(0L))
+          .as("_tsum"))
+    val n = daily.count()
+    s.crossJoin(broadcast(nTies))
+      .withColumn("n_days", lit(n))
+      .withColumn("_var",
+        (lit(n * (n - 1) * (2 * n + 5)).cast("double") -
+          col("_tsum").cast("double")) / 18.0)
+      .withColumn("_z",
+        when(col("s_stat") > 0,
+          (col("s_stat").cast("double") - 1.0) / sqrt(col("_var")))
+          .when(col("s_stat") < 0,
+            (col("s_stat").cast("double") + 1.0) / sqrt(col("_var")))
+          .otherwise(0.0))
+      .select(col("n_days"), col("s_stat"),
+        round(col("_var"), 4).as("var_s"), round(col("_z"), 4).as("z"),
+        when(col("_z") > 1.959964, "increasing")
+          .when(col("_z") < -1.959964, "decreasing")
+          .otherwise("no trend").as("trend"))
+  }
+
+  /** SEN'S SLOPE (Theil 1950; Sen 1968 — the robust trend MAGNITUDE
+    * beside [[mannKendall]]'s direction verdict: the median of all
+    * pairwise slopes, immune to outlier days that wreck least squares):
+    * slope_{ij} = (x_j − x_i)/(t_j − t_i) over every day pair, exact
+    * median by integer rank selection (avg of the two middles on even
+    * counts). Each slope is ONE double division of exact integers
+    * (identical in any engine), so the rank order is engine-independent;
+    * the median pick is row_number-addressed, never a buffered
+    * percentile aggregate. Pairs are SERIES-bounded (days²). Reported
+    * in dollars/day (cents → /100 at the end). */
+  def senSlope(t: Tables): DataFrame = {
+    val daily = t.orders
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("_rev"))
+      .localCheckpoint() // both join sides read it
+    val slopes = daily.toDF("da", "ra").join(daily.toDF("db", "rb"),
+        col("da") < col("db"))
+      .select(((col("rb") - col("ra")).cast("double") /
+        datediff(col("db"), col("da")).cast("double")).as("_s"))
+    val ranked = slopes
+      .withColumn("_rn", row_number().over(Window.orderBy(col("_s").asc)))
+      .localCheckpoint() // count + the two addressed fetches read it
+    val nPairs = ranked.count()
+    val (lo, hi) = ((nPairs + 1) / 2, nPairs / 2 + 1)
+    ranked.filter(col("_rn") === lo || col("_rn") === hi)
+      .agg(count(lit(1)).as("_k"), sum("_s").as("_sum"))
+      .select(lit(nPairs).as("n_pairs"),
+        round(col("_sum") / col("_k").cast("double") / 100.0, 6)
+          .as("sen_slope"))
+  }
+
+  /** ODDS RATIO of user conversion between the parity arms (the
+    * epidemiology-standard 2×2 effect measure, with the Wald
+    * log-interval — the categorical counterpart of [[abTest]]'s mean
+    * difference): conversion = "user made ≥1 HIGH-VALUE purchase
+    * (value > 150)" — chosen by measurement: plain any-purchase
+    * saturates (b = d = 0 at small SFs, the OR undefined), the
+    * high-value event keeps all four cells non-empty at every SF.
+    * OR = (a/b)/(c/d) over the exact-integer 2×2 cells, CI =
+    * exp(ln OR ± 1.959964·√(1/a+1/b+1/c+1/d)). Integer cells from one
+    * user-keyed aggregation; ln/exp/√ applied once to exact ratios. */
+  def oddsRatio(t: Tables, minValue: Double = 150.0): DataFrame = {
+    val conv = t.events
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase" &&
+        col("value") > minValue, 1L).otherwise(0L)).as("_c"))
+      .withColumn("arm", pmod(col("user_id"), lit(2L)))
+    val cells = conv.agg(
+      sum(when(col("arm") === 1 && col("_c") === 1, 1L).otherwise(0L)).as("a"),
+      sum(when(col("arm") === 1 && col("_c") === 0, 1L).otherwise(0L)).as("b"),
+      sum(when(col("arm") === 0 && col("_c") === 1, 1L).otherwise(0L)).as("c"),
+      sum(when(col("arm") === 0 && col("_c") === 0, 1L).otherwise(0L)).as("d"))
+    val or = (col("a").cast("double") / col("b").cast("double")) /
+      (col("c").cast("double") / col("d").cast("double"))
+    val se = sqrt(lit(1.0) / col("a").cast("double") +
+      lit(1.0) / col("b").cast("double") +
+      lit(1.0) / col("c").cast("double") + lit(1.0) / col("d").cast("double"))
+    cells.select(col("a").as("n_treat_conv"), col("b").as("n_treat_nonconv"),
+      col("c").as("n_ctrl_conv"), col("d").as("n_ctrl_nonconv"),
+      round(or, 6).as("odds_ratio"),
+      round(exp(log(or) - lit(1.959964) * se), 6).as("ci_lo"),
+      round(exp(log(or) + lit(1.959964) * se), 6).as("ci_hi"))
+  }
+
   /** THEIL T INEQUALITY INDEX of customer spend per market segment
     * (Theil 1967 — the entropy-based inequality measure beside
     * [[giniSpend]]; unlike Gini it is exactly DECOMPOSABLE into within/

@@ -1834,6 +1834,50 @@ object TextAnalysis {
     out
   }
 
+  /** RAKE KEYPHRASE EXTRACTION (Rose, Engel, Cramer & Cowley 2010 —
+    * Rapid Automatic Keyword Extraction; the PHRASE-level complement of
+    * [[textRank]]'s single-word ranking): candidate phrases are maximal
+    * stopword-free token runs (the stopwords act as delimiters), each
+    * word scores deg/freq (deg = Σ lengths of phrases containing it,
+    * freq = its occurrence count — co-occurrence-degree favors words
+    * living in long phrases), and a phrase scores the sum of its words'
+    * scores. Top-k distinct phrases.
+    *
+    * The run segmentation is the classic GAPS-AND-ISLANDS trick: within
+    * a document, position − row_number over the stopword-FILTERED
+    * sequence is constant exactly on contiguous runs — one window, no
+    * iterative chasing. Scores are ratios of exact integers summed over
+    * ≤phrase-length terms (round-6, rank on the rounded score with
+    * phrase tie-break). Phrase strings are rebuilt position-sorted
+    * (collect_list order is never trusted). */
+  def rake(t: Tables, k: Int = 20): DataFrame = {
+    val toks = t.documents.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+    val ns = toks.filter(!col("w").isInCollection(Stopwords))
+      .withColumn("_grp", col("pos") - row_number().over(
+        Window.partitionBy("doc_id").orderBy("pos")))
+      .localCheckpoint() // phrase build + word stats read it
+    val plen = ns.groupBy("doc_id", "_grp").agg(count(lit(1)).as("_len"))
+    val ws = ns.join(plen, Seq("doc_id", "_grp"))
+      .groupBy("w").agg(count(lit(1)).as("_freq"), sum("_len").as("_deg"))
+    val phrases = ns.groupBy("doc_id", "_grp")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("w")))),
+        s => s("w")), " ").as("phrase"))
+    val occ = phrases.groupBy("phrase").agg(count(lit(1)).as("n_occurrences"))
+    val scored = occ.select(col("phrase"), col("n_occurrences"),
+        split(col("phrase"), " ").as("_ws"))
+      .select(col("phrase"), col("n_occurrences"), size(col("_ws")).as("n_words"),
+        explode(col("_ws")).as("w"))
+      .join(ws, Seq("w"))
+      .groupBy("phrase", "n_occurrences", "n_words")
+      .agg(round(sum(col("_deg").cast("double") / col("_freq").cast("double")), 6)
+        .as("rake_score"))
+    scored
+      .orderBy(col("rake_score").desc, col("phrase").asc)
+      .limit(k)
+  }
+
   def cohensKappa(t: Tables, charThreshold: Int = 300,
                   tokenThreshold: Int = 55): DataFrame = {
     val labeled = t.documents.select(

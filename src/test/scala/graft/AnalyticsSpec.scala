@@ -1585,6 +1585,74 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(mdeCuped / mdeRaw - math.sqrt(vr)) < 1e-3)
   }
 
+  test("mannKendall matches a local pairwise recompute") {
+    val daily = tables.orders
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("r"))
+      .collect().map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getLong(1)))
+      .sortBy(_._1)
+    val n = daily.length.toLong
+    var s = 0L
+    for (i <- daily.indices; j <- (i + 1) until daily.length) {
+      s += java.lang.Long.signum(daily(j)._2 - daily(i)._2)
+    }
+    val tsum = daily.groupBy(_._2).values.map(_.length.toLong)
+      .map(t => t * (t - 1) * (2 * t + 5)).sum
+    val v = (n * (n - 1) * (2 * n + 5) - tsum).toDouble / 18.0
+    val z = if (s > 0) (s - 1.0) / math.sqrt(v)
+            else if (s < 0) (s + 1.0) / math.sqrt(v) else 0.0
+    val row = Analytics.mannKendall(tables).collect().head
+    assert(row.getLong(0) == n && row.getLong(1) == s,
+      s"engine (${row.getLong(0)},${row.getLong(1)}) vs local ($n,$s)")
+    assert(math.abs(row.getDouble(2) - v) < 0.51) // engine rounds var to 4
+    assert(math.abs(row.getDouble(3) - z) < 1e-3)
+    val wantTrend = if (z > 1.959964) "increasing"
+                    else if (z < -1.959964) "decreasing" else "no trend"
+    assert(row.getString(4) == wantTrend)
+  }
+
+  test("senSlope matches a local median-of-pairwise-slopes recompute") {
+    val daily = tables.orders
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("r"))
+      .collect().map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getLong(1)))
+      .sortBy(_._1)
+    val slopes = (for {
+      i <- daily.indices; j <- (i + 1) until daily.length
+    } yield (daily(j)._2 - daily(i)._2).toDouble /
+        (daily(j)._1 - daily(i)._1).toDouble).sorted
+    val n = slopes.length
+    val med = if (n % 2 == 1) slopes(n / 2)
+              else (slopes(n / 2 - 1) + slopes(n / 2)) / 2.0
+    val row = Analytics.senSlope(tables).collect().head
+    assert(row.getLong(0) == n.toLong)
+    assert(math.abs(row.getDouble(1) - med / 100.0) < 1e-5,
+      s"engine ${row.getDouble(1)} vs local ${med / 100.0}")
+  }
+
+  test("oddsRatio matches a local 2x2 recompute; CI brackets the estimate") {
+    val conv = tables.events.select("user_id", "event_type", "value").collect()
+      .groupBy(_.getLong(0)).toSeq.map { case (u, rs) =>
+        (u % 2, if (rs.exists(r =>
+          r.getString(1) == "purchase" && r.getDouble(2) > 150.0)) 1 else 0)
+      }
+    val a = conv.count(x => x._1 == 1 && x._2 == 1).toLong
+    val b = conv.count(x => x._1 == 1 && x._2 == 0).toLong
+    val c = conv.count(x => x._1 == 0 && x._2 == 1).toLong
+    val d = conv.count(x => x._1 == 0 && x._2 == 0).toLong
+    val or = (a.toDouble / b) / (c.toDouble / d)
+    val se = math.sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)
+    val row = Analytics.oddsRatio(tables).collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)) ==
+      ((a, b, c, d)))
+    assert(math.abs(row.getDouble(4) - or) < 1e-5)
+    assert(math.abs(row.getDouble(5) - math.exp(math.log(or) - 1.959964 * se)) < 1e-5)
+    assert(math.abs(row.getDouble(6) - math.exp(math.log(or) + 1.959964 * se)) < 1e-5)
+    // the interval must bracket the point estimate, and all cells non-empty
+    assert(row.getDouble(5) < row.getDouble(4) && row.getDouble(4) < row.getDouble(6))
+    assert(a > 0 && b > 0 && c > 0 && d > 0)
+  }
+
   test("theilIndex matches a local recompute and orders like inequality") {
     val spend = tables.orders.groupBy("o_custkey")
       .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("c"))

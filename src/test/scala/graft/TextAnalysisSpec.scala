@@ -1170,4 +1170,42 @@ class TextAnalysisSpec extends SparkSpec {
     val byDegree = rank.keys.toSeq.sortBy(tok => (-wt(tok), tok)).take(25)
     assert(got.map(_._1) != byDegree, "textrank ordering equals raw degree")
   }
+
+  test("rake matches a local runs/deg-freq recompute; finds multi-word phrases") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val stop = TextAnalysis.Stopwords.toSet
+    val seqs = tables.documents.select("text").collect()
+      .map(_.getString(0).trim.toLowerCase.split("\\s+").filter(_.nonEmpty))
+    // maximal stopword-free runs per document
+    val runs = seqs.flatMap { tk =>
+      val out = collection.mutable.ArrayBuffer.empty[List[String]]
+      var cur = List.empty[String]
+      tk.foreach { w =>
+        if (stop(w)) { if (cur.nonEmpty) out += cur.reverse; cur = Nil }
+        else cur = w :: cur
+      }
+      if (cur.nonEmpty) out += cur.reverse
+      out
+    }
+    val freq = runs.flatten.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val deg = runs.flatMap(r => r.map(w => (w, r.length.toLong)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val want = runs.map(r => r.mkString(" "))
+      .groupBy(identity).toSeq
+      .map { case (phrase, occs) =>
+        val wsCore = phrase.split(" ").map(w => deg(w).toDouble / freq(w)).sum
+        (phrase, occs.length.toLong, phrase.split(" ").length, r6(wsCore))
+      }
+      .sortBy { case (p, _, _, s) => (-s, p) }.take(20)
+    val got = TextAnalysis.rake(tables).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+    got.zip(want).foreach { case ((gp, go, gw, gs), (wp, wo, ww, wsc)) =>
+      assert(gp == wp && go == wo && gw == ww && math.abs(gs - wsc) < 2e-6,
+        s"engine ($gp,$go,$gw,$gs) vs local ($wp,$wo,$ww,$wsc)")
+    }
+    assert(got.length == want.length && got.nonEmpty)
+    // RAKE's point is PHRASES: the top list must contain multi-word ones
+    assert(got.exists(_._3 > 1), "no multi-word phrase in the top-20")
+  }
 }
