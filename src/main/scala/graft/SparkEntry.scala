@@ -606,6 +606,8 @@ object SparkEntry {
     "q_mann_kendall" -> ((s, d) => Analytics.mannKendall(Tables(s, d))),
     "q_sen_slope" -> ((s, d) => Analytics.senSlope(Tables(s, d))),
     "q_odds_ratio" -> ((s, d) => Analytics.oddsRatio(Tables(s, d))),
+    "q_shapley_attribution" -> ((s, d) =>
+      Analytics.shapleyAttribution(Tables(s, d))),
     "q_ldiversity" -> ((s, d) =>
       graft.operators.Privacy.lDiversityAudit(Tables(s, d))),
     "q_markov_stationary" -> ((s, d) => Analytics.markovStationary(Tables(s, d))),
@@ -2587,13 +2589,11 @@ object SparkEntry {
         "CASE WHEN z > 1.959964 THEN 'increasing' WHEN z < -1.959964 THEN 'decreasing' ELSE 'no trend' END AS trend FROM k2"),
     "q_sen_slope" ->
       // every pairwise slope is one double division of exact integers —
-      // rank order engine-independent; median by addressed rank fetch
+      // rank order engine-independent; quantile_cont is the proven
+      // quantilesBySort pairing (identical lo + frac·(hi−lo) form)
       ("WITH daily AS MATERIALIZED (SELECT CAST(o_orderdate AS DATE) AS d, sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev FROM orders GROUP BY 1), " +
-        "sl AS MATERIALIZED (SELECT CAST(b.rev - a.rev AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS s FROM daily a JOIN daily b ON a.d < b.d), " +
-        "rk AS (SELECT s, row_number() OVER (ORDER BY s ASC) AS rn FROM sl), " +
-        "n AS (SELECT CAST(count(*) AS BIGINT) AS np FROM sl) " +
-        "SELECT n.np AS n_pairs, round(sum(rk.s) / count(*) / 100.0, 6) AS sen_slope " +
-        "FROM rk CROSS JOIN n WHERE rk.rn = (n.np + 1) // 2 OR rk.rn = n.np // 2 + 1 GROUP BY n.np"),
+        "sl AS MATERIALIZED (SELECT CAST(b.rev - a.rev AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS s FROM daily a JOIN daily b ON a.d < b.d) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_pairs, round(quantile_cont(s, 0.5), 6) AS sen_slope_cents FROM sl"),
     "q_odds_ratio" ->
       ("WITH conv AS (SELECT user_id, CAST(max(CASE WHEN event_type = 'purchase' AND value > 150.0 THEN 1 ELSE 0 END) AS BIGINT) AS c, CAST(user_id % 2 AS BIGINT) AS arm FROM events GROUP BY user_id), " +
         "cells AS (SELECT CAST(sum(CASE WHEN arm = 1 AND c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a, " +
@@ -2605,6 +2605,33 @@ object SparkEntry {
         "SELECT a AS n_treat_conv, b AS n_treat_nonconv, c AS n_ctrl_conv, d AS n_ctrl_nonconv, " +
         "round(orr, 6) AS odds_ratio, round(exp(ln(orr) - 1.959964 * se), 6) AS ci_lo, " +
         "round(exp(ln(orr) + 1.959964 * se), 6) AS ci_hi FROM k"),
+    "q_shapley_attribution" -> {
+      // the coalition weight table is EMITTED from the same Scala
+      // computation the engine uses (identical literal doubles); v(S)
+      // is an exact integer ratio, absent coalitions coalesce to 0
+      val channels = Seq("click", "error", "signup", "view")
+      val weightRows = (for {
+        (c, i) <- channels.zipWithIndex
+        s <- 0 until 16 if (s & (1 << i)) == 0
+      } yield s"('$c', $s, ${s | (1 << i)}, CAST(${Analytics.shapleyWeight(Integer.bitCount(s), 4)} AS DOUBLE))")
+        .mkString(", ")
+      "WITH lagged AS (SELECT user_id, ts, event_id, event_type, " +
+        "lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us FROM events), " +
+        "brk AS (SELECT user_id, ts, event_id, event_type, " +
+        "CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END AS b FROM lagged), " +
+        "sid AS (SELECT user_id, event_type, sum(b) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS s FROM brk), " +
+        "ps AS (SELECT user_id, s, max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv, " +
+        "bit_or(CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2 WHEN 'signup' THEN 4 WHEN 'view' THEN 8 ELSE 0 END) AS mask " +
+        "FROM sid GROUP BY user_id, s), " +
+        "v AS (SELECT mask, count(*) AS n, CAST(sum(conv) AS BIGINT) AS k FROM ps GROUP BY mask), " +
+        s"w(channel, s0, s1, wt) AS (VALUES $weightRows), " +
+        "ch(channel, bit) AS (VALUES ('click', 1), ('error', 2), ('signup', 4), ('view', 8)), " +
+        "phi AS (SELECT w.channel, sum(w.wt * (coalesce(CAST(v1.k AS DOUBLE) / CAST(v1.n AS DOUBLE), 0.0) - coalesce(CAST(v0.k AS DOUBLE) / CAST(v0.n AS DOUBLE), 0.0))) AS phi " +
+        "FROM w LEFT JOIN v v1 ON v1.mask = w.s1 LEFT JOIN v v0 ON v0.mask = w.s0 GROUP BY w.channel), " +
+        "expo AS (SELECT ch.channel, CAST(coalesce(sum(v.n), 0) AS BIGINT) AS n_sessions_exposed FROM ch LEFT JOIN v ON (v.mask & ch.bit) <> 0 GROUP BY ch.channel) " +
+        "SELECT e.channel, e.n_sessions_exposed, round(p.phi, 6) AS shapley " +
+        "FROM expo e JOIN phi p ON p.channel = e.channel ORDER BY e.channel"
+    },
     "q_cohens_kappa" ->
       ("WITH l AS (SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a, " +
         "CASE WHEN len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) >= 55 THEN 1 ELSE 0 END AS b FROM documents), " +

@@ -2274,31 +2274,32 @@ object Analytics {
     * beside [[mannKendall]]'s direction verdict: the median of all
     * pairwise slopes, immune to outlier days that wreck least squares):
     * slope_{ij} = (x_j − x_i)/(t_j − t_i) over every day pair, exact
-    * median by integer rank selection (avg of the two middles on even
-    * counts). Each slope is ONE double division of exact integers
-    * (identical in any engine), so the rank order is engine-independent;
-    * the median pick is row_number-addressed, never a buffered
-    * percentile aggregate. Pairs are SERIES-bounded (days²). Reported
-    * in dollars/day (cents → /100 at the end). */
+    * interpolated median via [[quantilesBySort]] (the range-shuffle +
+    * addressed-fetch rank machinery — NEVER a single-partition global
+    * sort window; the first draft used one and measured 3.4 s vs this
+    * form's sub-second). Each slope is ONE double division of exact
+    * integers (identical in any engine), so the rank order is
+    * engine-independent and the quantile_cont pairing is exact. Pairs
+    * are SERIES-bounded (days²). Reported in cents/day (the slope's
+    * native integer-ratio unit — no second rounding). */
   def senSlope(t: Tables): DataFrame = {
     val daily = t.orders
       .groupBy(to_date(col("o_orderdate")).as("d"))
       .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("_rev"))
       .localCheckpoint() // both join sides read it
-    val slopes = daily.toDF("da", "ra").join(daily.toDF("db", "rb"),
-        col("da") < col("db"))
+    // the non-equi pair join is a broadcast nested loop whose streamed
+    // side is the day-cardinality aggregate in ONE post-groupBy
+    // partition — repartition it so the days² comparison work spreads
+    // across the executors instead of a single task
+    val slopes = daily.toDF("da", "ra").repartition(32)
+      .join(daily.toDF("db", "rb"), col("da") < col("db"))
       .select(((col("rb") - col("ra")).cast("double") /
         datediff(col("db"), col("da")).cast("double")).as("_s"))
-    val ranked = slopes
-      .withColumn("_rn", row_number().over(Window.orderBy(col("_s").asc)))
-      .localCheckpoint() // count + the two addressed fetches read it
-    val nPairs = ranked.count()
-    val (lo, hi) = ((nPairs + 1) / 2, nPairs / 2 + 1)
-    ranked.filter(col("_rn") === lo || col("_rn") === hi)
-      .agg(count(lit(1)).as("_k"), sum("_s").as("_sum"))
-      .select(lit(nPairs).as("n_pairs"),
-        round(col("_sum") / col("_k").cast("double") / 100.0, 6)
-          .as("sen_slope"))
+      .localCheckpoint() // the count + the rank machinery read it
+    val nPairs = slopes.count()
+    val med = quantilesBySort(slopes.withColumn("_g", lit("all")), "_g", "_s",
+      Seq(0.5), Seq("sen_slope_cents"))
+    med.select(lit(nPairs).as("n_pairs"), col("sen_slope_cents"))
   }
 
   /** ODDS RATIO of user conversion between the parity arms (the
@@ -2332,6 +2333,75 @@ object Analytics {
       round(or, 6).as("odds_ratio"),
       round(exp(log(or) - lit(1.959964) * se), 6).as("ci_lo"),
       round(exp(log(or) + lit(1.959964) * se), 6).as("ci_hi"))
+  }
+
+  /** SHAPLEY-VALUE CHANNEL ATTRIBUTION (Shapley 1953; the data-driven
+    * attribution of Zhao, Mahboobi & Bagheri 2018 — the game-theoretic
+    * answer to "which touch types actually drive conversion", with the
+    * axioms first/last/linear models violate): the characteristic
+    * function is the conversion rate of sessions whose exposure set is
+    * exactly S, and φ_channel = Σ_{S∌c} |S|!(n−|S|−1)!/n!·(v(S∪c)−v(S)).
+    * Sessions (not users — user-level exposure is measured DEGENERATE
+    * here: every user touches every channel over a month, one mask) via
+    * the [[sessionize]] gap logic; exposure = bit_or of channel codes.
+    *
+    * Scale honesty: the corpus pays the session window + ONE mask-keyed
+    * aggregation; the coalition lattice is 2^|channels| = 16 rows —
+    * CORPUS-INDEPENDENT — so the Shapley sum is driver math (the
+    * q_markov_stationary license). Exactness: v-values are exact
+    * integer ratios; the factorial weights are literal doubles shared
+    * with the oracle (the Scala builder EMITS the same doubles it
+    * computes); empty coalitions contribute v = 0 in both engines. */
+  def shapleyAttribution(t: Tables, gapMinutes: Int = 30): DataFrame = {
+    val channels = Seq("click", "error", "signup", "view")
+    val wOrder = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val wRun = wOrder.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapMicros = gapMinutes.toLong * 60L * 1000000L
+    val perSess = t.events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("_prev", lag(epochUs(col("ts")), 1).over(wOrder))
+      .withColumn("_brk",
+        when(col("_prev").isNull ||
+          epochUs(col("ts")) - col("_prev") > gapMicros, 1L).otherwise(0L))
+      .withColumn("_sid", sum(col("_brk")).over(wRun))
+      .groupBy("user_id", "_sid")
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("_conv"),
+        expr("bit_or(CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2 " +
+          "WHEN 'signup' THEN 4 WHEN 'view' THEN 8 ELSE 0 END)").cast("long")
+          .as("_mask"))
+    val stats = perSess.groupBy("_mask")
+      .agg(count(lit(1)).as("_n"), sum("_conv").as("_k"))
+      .collect() // ≤ 2^|channels| rows — corpus-independent
+      .map(r => r.getLong(0).toInt -> ((r.getLong(1), r.getLong(2)))).toMap
+    def v(mask: Int): Double =
+      stats.get(mask).map { case (n, k) => k.toDouble / n.toDouble }
+        .getOrElse(0.0)
+    def rnd(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val nC = channels.length
+    val rows = channels.zipWithIndex.map { case (c, i) =>
+      val bit = 1 << i
+      val phi = (0 until (1 << nC)).filter(s => (s & bit) == 0).map { s =>
+        Analytics.shapleyWeight(Integer.bitCount(s), nC) * (v(s | bit) - v(s))
+      }.sum
+      val exposed = stats.collect { case (m, (n, _)) if (m & bit) != 0 => n }
+        .sum
+      (c, exposed, rnd(phi))
+    }
+    val spark = t.spark
+    import spark.implicits._
+    rows.toDF("channel", "n_sessions_exposed", "shapley")
+      .orderBy("channel")
+  }
+
+  /** |S|!·(n−|S|−1)!/n! — the Shapley coalition weight; ONE shared
+    * computation feeds both the engine and the oracle-SQL builder so
+    * the literal doubles are identical by construction. */
+  private[graft] def shapleyWeight(sizeS: Int, n: Int): Double = {
+    def fact(x: Int): Long = (1 to x).product
+    fact(sizeS).toDouble * fact(n - sizeS - 1).toDouble / fact(n).toDouble
   }
 
   /** THEIL T INEQUALITY INDEX of customer spend per market segment

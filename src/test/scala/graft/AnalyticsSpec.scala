@@ -1622,12 +1622,15 @@ class AnalyticsSpec extends SparkSpec {
     } yield (daily(j)._2 - daily(i)._2).toDouble /
         (daily(j)._1 - daily(i)._1).toDouble).sorted
     val n = slopes.length
-    val med = if (n % 2 == 1) slopes(n / 2)
-              else (slopes(n / 2 - 1) + slopes(n / 2)) / 2.0
+    // the quantilesBySort/quantile_cont interpolation at p = 0.5
+    val pos = (n - 1) / 2.0
+    val r0 = math.floor(pos).toInt
+    val med = slopes(r0) + (pos - r0) *
+      (slopes(math.min(r0 + 1, n - 1)) - slopes(r0))
     val row = Analytics.senSlope(tables).collect().head
     assert(row.getLong(0) == n.toLong)
-    assert(math.abs(row.getDouble(1) - med / 100.0) < 1e-5,
-      s"engine ${row.getDouble(1)} vs local ${med / 100.0}")
+    assert(math.abs(row.getDouble(1) - med) < 1e-5,
+      s"engine ${row.getDouble(1)} vs local $med")
   }
 
   test("oddsRatio matches a local 2x2 recompute; CI brackets the estimate") {
@@ -1651,6 +1654,56 @@ class AnalyticsSpec extends SparkSpec {
     // the interval must bracket the point estimate, and all cells non-empty
     assert(row.getDouble(5) < row.getDouble(4) && row.getDouble(4) < row.getDouble(6))
     assert(a > 0 && b > 0 && c > 0 && d > 0)
+  }
+
+  test("shapleyAttribution matches a local lattice recompute; efficiency holds") {
+    val bitOf = Map("click" -> 1, "error" -> 2, "signup" -> 4, "view" -> 8)
+    val evs = tables.events
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1), r.getLong(2),
+        r.getString(3)))
+    val sessions = evs.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      val out = collection.mutable.ArrayBuffer.empty[List[String]]
+      var cur = List.empty[String]
+      var prev: java.time.LocalDateTime = null
+      sorted.foreach { case (_, ts, _, tpe) =>
+        if (prev != null &&
+          java.time.Duration.between(prev, ts).toNanos > 1800e9.toLong) {
+          out += cur; cur = Nil
+        }
+        cur = tpe :: cur
+        prev = ts
+      }
+      out += cur
+      out
+    }
+    val perSess = sessions.map { tps =>
+      (tps.map(t => bitOf.getOrElse(t, 0)).foldLeft(0)(_ | _),
+        if (tps.contains("purchase")) 1L else 0L)
+    }
+    val stats = perSess.groupBy(_._1).toSeq
+      .map { case (m, xs) => (m, xs.length.toLong, xs.map(_._2).sum) }
+    val vMap = stats.map { case (m, n, k) => m -> k.toDouble / n }.toMap
+    def v(m: Int) = vMap.getOrElse(m, 0.0)
+    val got = Analytics.shapleyAttribution(tables).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == Seq("click", "error", "signup", "view"))
+    got.foreach { case (c, exposed, phi) =>
+      val bit = bitOf(c)
+      val want = (0 until 16).filter(s => (s & bit) == 0).map { s =>
+        Analytics.shapleyWeight(Integer.bitCount(s), 4) * (v(s | bit) - v(s))
+      }.sum
+      assert(math.abs(phi - want) < 2e-6, s"$c: engine $phi vs local $want")
+      val wantExposed = stats.collect {
+        case (m, n, _) if (m & bit) != 0 => n
+      }.sum
+      assert(exposed == wantExposed, s"$c exposure count")
+    }
+    // efficiency axiom: Σφ = v(grand coalition) − v(empty coalition)
+    assert(math.abs(got.map(_._3).sum - (v(15) - v(0))) < 1e-4)
+    // the channels must be DIFFERENTIALLY credited (not all equal)
+    assert(got.map(_._3).distinct.length > 1)
   }
 
   test("theilIndex matches a local recompute and orders like inequality") {
