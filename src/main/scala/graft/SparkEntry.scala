@@ -614,6 +614,7 @@ object SparkEntry {
     "q_cuped" -> ((s, d) => Analytics.cuped(Tables(s, d))),
     "q_theil" -> ((s, d) => Analytics.theilIndex(Tables(s, d))),
     "q_seasonal_naive" -> ((s, d) => Analytics.seasonalNaive(Tables(s, d))),
+    "q_decompose" -> ((s, d) => Analytics.decomposeDaily(Tables(s, d))),
     "q_mde" -> ((s, d) => Analytics.mdeReport(Tables(s, d))),
     "q_modularity" -> ((s, d) => Graph.modularity(Tables(s, d),
       prebuiltEdges = Some(s.read.parquet(backboneEdgesDir(s, d))))),
@@ -2686,6 +2687,21 @@ object SparkEntry {
         "round(avg(CAST(abs(fc - rev) AS DOUBLE) / CAST(rev AS DOUBLE)), 6) AS mape, " +
         "round(avg(CAST(fc - rev AS DOUBLE) / CAST(rev AS DOUBLE)), 6) AS bias " +
         "FROM pr GROUP BY 1 ORDER BY 1"),
+    "q_decompose" ->
+      // trend kept only on full calendar weeks (7 rows AND 6-day span —
+      // row windows lie across calendar gaps); population variances as
+      // avg(x²) − avg(x)², mirrored expression-for-expression
+      ("WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d, sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev FROM orders GROUP BY 1), " +
+        "tr AS MATERIALIZED (SELECT *, CAST(dayofweek(d) + 1 AS INT) AS dow, CAST(rev AS DOUBLE) - tnd AS det FROM (" +
+        "SELECT d, rev, count(*) OVER w AS n7, max(d) OVER w - min(d) OVER w AS span, CAST(sum(rev) OVER w AS DOUBLE) / 7.0 AS tnd " +
+        "FROM daily WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) WHERE n7 = 7 AND span = 6), " +
+        "seas AS (SELECT dow, CAST(count(*) AS BIGINT) AS n_days, avg(det) AS s FROM tr GROUP BY dow), " +
+        "j AS MATERIALIZED (SELECT tr.dow, tr.det, tr.det - seas.s AS resid FROM tr JOIN seas ON seas.dow = tr.dow), " +
+        "pd AS (SELECT dow, sqrt(avg(resid * resid) - avg(resid) * avg(resid)) AS rsd FROM j GROUP BY dow), " +
+        "v AS (SELECT avg(det * det) - avg(det) * avg(det) AS vd, avg(resid * resid) - avg(resid) * avg(resid) AS vr FROM j) " +
+        "SELECT seas.dow, seas.n_days, round(seas.s / 100.0, 4) AS seasonal_usd, " +
+        "round(pd.rsd / 100.0, 4) AS resid_sd_usd, round(1.0 - v.vr / v.vd, 4) AS var_explained " +
+        "FROM seas JOIN pd ON pd.dow = seas.dow CROSS JOIN v ORDER BY seas.dow"),
     "q_mde" ->
       // z-constants are shared literals; all variances from the q_cuped
       // exact-integer pooled sums (population form, ÷n in both engines)

@@ -2404,6 +2404,56 @@ object Analytics {
     fact(sizeS).toDouble * fact(n - sizeS - 1).toDouble / fact(n).toDouble
   }
 
+  /** CLASSICAL ADDITIVE DECOMPOSITION of daily revenue (the textbook
+    * trend/seasonal/residual split — Hyndman & Athanasopoulos ch. 3;
+    * what every dashboard "deseasonalize" toggle computes): trend =
+    * CENTERED 7-day moving average, kept only where the window is a
+    * full calendar week (7 rows AND a 6-day span — row windows lie
+    * across calendar gaps, so gap-adjacent days are excluded rather
+    * than silently averaging 8-day stretches); seasonal = per-weekday
+    * mean of the detrended series; residual = what's left. Reports the
+    * per-weekday seasonal index, residual spread, and the variance
+    * share the decomposition explains.
+    *
+    * Float discipline: daily totals exact cents; trend = Σ(7 ints)/7.0
+    * (one exact-integer division); detrended/seasonal/residual chains
+    * are double means mirrored expression-for-expression (population
+    * variance as avg(x²) − avg(x)², round-4 outputs — the corrStats
+    * magnitude rule). All windows run over the DAY-cardinality series. */
+  def decomposeDaily(t: Tables): DataFrame = {
+    val daily = t.orders
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("_rev"))
+    val w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    val tr = daily
+      .withColumn("_n7", count(lit(1)).over(w7))
+      .withColumn("_span", datediff(max(col("d")).over(w7),
+        min(col("d")).over(w7)))
+      .withColumn("_trend", sum(col("_rev")).over(w7).cast("double") / 7.0)
+      .filter(col("_n7") === 7 && col("_span") === 6)
+      .withColumn("_det", col("_rev").cast("double") - col("_trend"))
+      .withColumn("dow", dayofweek(col("d")))
+      .localCheckpoint() // seasonal agg + residual join read it
+    val seas = tr.groupBy("dow")
+      .agg(count(lit(1)).as("n_days"), avg("_det").as("_seas"))
+    val joined = tr.join(broadcast(seas), Seq("dow"))
+      .withColumn("_resid", col("_det") - col("_seas"))
+      .localCheckpoint() // per-dow spread + global variances read it
+    val perDow = joined.groupBy("dow")
+      .agg(sqrt(avg(col("_resid") * col("_resid")) -
+        avg("_resid") * avg("_resid")).as("_rsd"))
+    val vars = joined.agg(
+      (avg(col("_det") * col("_det")) - avg("_det") * avg("_det")).as("_vd"),
+      (avg(col("_resid") * col("_resid")) -
+        avg("_resid") * avg("_resid")).as("_vr"))
+    seas.join(perDow, Seq("dow")).crossJoin(broadcast(vars))
+      .select(col("dow"), col("n_days"),
+        round(col("_seas") / 100.0, 4).as("seasonal_usd"),
+        round(col("_rsd") / 100.0, 4).as("resid_sd_usd"),
+        round(lit(1.0) - col("_vr") / col("_vd"), 4).as("var_explained"))
+      .orderBy("dow")
+  }
+
   /** THEIL T INEQUALITY INDEX of customer spend per market segment
     * (Theil 1967 — the entropy-based inequality measure beside
     * [[giniSpend]]; unlike Gini it is exactly DECOMPOSABLE into within/

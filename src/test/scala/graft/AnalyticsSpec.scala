@@ -1706,6 +1706,49 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.map(_._3).distinct.length > 1)
   }
 
+  test("decomposeDaily matches a local recompute; decomposition explains variance") {
+    val daily = tables.orders
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("r"))
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+      .sortBy(_._1.toEpochDay)
+    val det = daily.indices.flatMap { i =>
+      if (i >= 3 && i + 3 < daily.length &&
+        daily(i + 3)._1.toEpochDay - daily(i - 3)._1.toEpochDay == 6) {
+        val trend = (i - 3 to i + 3).map(daily(_)._2).sum.toDouble / 7.0
+        val dow = daily(i)._1.getDayOfWeek.getValue % 7 + 1
+        Some((dow, daily(i)._2.toDouble - trend))
+      } else None
+    }
+    val seas = det.groupBy(_._1).view.mapValues(xs =>
+      xs.map(_._2).sum / xs.length).toMap
+    val resid = det.map { case (dw, x) => (dw, x - seas(dw)) }
+    def popVar(xs: Seq[Double]) = {
+      val m = xs.sum / xs.length
+      xs.map(x => x * x).sum / xs.length - m * m
+    }
+    val wantVe = 1.0 - popVar(resid.map(_._2)) / popVar(det.map(_._2))
+    val got = Analytics.decomposeDaily(tables).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    // at the spec SF the calendar is sparse — only gap-free full weeks
+    // survive the span filter, so not every weekday need appear
+    assert(got.map(_._1).toSeq == det.map(_._1).distinct.sorted)
+    assert(got.length >= 3)
+    got.foreach { case (dw, n, s, rsd, ve) =>
+      val mine = det.filter(_._1 == dw)
+      assert(n == mine.length.toLong, s"dow $dw count")
+      assert(math.abs(s - seas(dw) / 100.0) < 1e-3, s"dow $dw seasonal")
+      val myRsd = math.sqrt(popVar(resid.filter(_._1 == dw).map(_._2))) / 100.0
+      assert(math.abs(rsd - myRsd) < 1e-3, s"dow $dw resid sd")
+      assert(math.abs(ve - wantVe) < 1e-3)
+    }
+    // the weekday signal must be real: some seasonal index is nonzero
+    // beyond noise, and the decomposition explains a positive share
+    assert(got.map(_._3).map(math.abs).max > 0.0)
+    assert(got.head._5 > 0.0 && got.head._5 < 1.0)
+  }
+
   test("theilIndex matches a local recompute and orders like inequality") {
     val spend = tables.orders.groupBy("o_custkey")
       .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("c"))
