@@ -615,6 +615,8 @@ object SparkEntry {
     "q_theil" -> ((s, d) => Analytics.theilIndex(Tables(s, d))),
     "q_seasonal_naive" -> ((s, d) => Analytics.seasonalNaive(Tables(s, d))),
     "q_decompose" -> ((s, d) => Analytics.decomposeDaily(Tables(s, d))),
+    "q_hurst" -> ((s, d) => Analytics.hurstExponent(Tables(s, d))),
+    "q_gumbel" -> ((s, d) => Analytics.gumbelTail(Tables(s, d))),
     "q_mde" -> ((s, d) => Analytics.mdeReport(Tables(s, d))),
     "q_modularity" -> ((s, d) => Graph.modularity(Tables(s, d),
       prebuiltEdges = Some(s.read.parquet(backboneEdgesDir(s, d))))),
@@ -2702,6 +2704,32 @@ object SparkEntry {
         "SELECT seas.dow, seas.n_days, round(seas.s / 100.0, 4) AS seasonal_usd, " +
         "round(pd.rsd / 100.0, 4) AS resid_sd_usd, round(1.0 - v.vr / v.vd, 4) AS var_explained " +
         "FROM seas JOIN pd ON pd.dow = seas.dow CROSS JOIN v ORDER BY seas.dow"),
+    "q_hurst" ->
+      // per-block Σx/Σx² are exact integers, the cumulative deviation is
+      // an ORDERED window (identical double sequence), and the log₂(m)
+      // regressor is a literal exponent — never a computed log
+      ("WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d, sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev FROM orders GROUP BY 1), " +
+        "idx AS MATERIALIZED (SELECT rev, row_number() OVER (ORDER BY d) AS i FROM daily), " +
+        "sz(m, xlog) AS (VALUES (8, 3.0), (16, 4.0), (32, 5.0), (64, 6.0)), " +
+        "r AS (SELECT sz.m, sz.xlog, idx.i, idx.rev, (idx.i - 1) // sz.m AS b FROM idx CROSS JOIN sz), " +
+        "w1 AS (SELECT *, count(*) OVER (PARTITION BY m, b) AS cnt, sum(rev) OVER (PARTITION BY m, b) AS sx, sum(CAST(rev AS DOUBLE) * CAST(rev AS DOUBLE)) OVER (PARTITION BY m, b) AS sxx FROM r), " +
+        "w2 AS (SELECT *, CAST(sx AS DOUBLE) / CAST(m AS DOUBLE) AS mu FROM w1 WHERE cnt = m), " +
+        "w3 AS (SELECT m, xlog, b, sx, sxx, sum(CAST(rev AS DOUBLE) - mu) OVER (PARTITION BY m, b ORDER BY i ROWS UNBOUNDED PRECEDING) AS cum FROM w2), " +
+        "bl AS (SELECT m, xlog, b, max(cum) - min(cum) AS rr, sqrt(max(sxx) / CAST(m AS DOUBLE) - (CAST(max(sx) AS DOUBLE) / CAST(m AS DOUBLE)) * (CAST(max(sx) AS DOUBLE) / CAST(m AS DOUBLE))) AS s FROM w3 GROUP BY m, xlog, b), " +
+        "ps AS MATERIALIZED (SELECT m, xlog, CAST(count(*) AS BIGINT) AS n_blocks, avg(rr / s) AS rs, ln(avg(rr / s)) / ln(2.0) AS y FROM bl WHERE s > 0 GROUP BY m, xlog), " +
+        "fit AS (SELECT (sum(xlog * y) - sum(xlog) * sum(y) / count(*)) / (sum(xlog * xlog) - sum(xlog) * sum(xlog) / count(*)) AS h FROM ps) " +
+        "SELECT ps.m, ps.n_blocks, round(ps.rs, 4) AS avg_rs, round(fit.h, 4) AS hurst " +
+        "FROM ps CROSS JOIN fit ORDER BY ps.m"),
+    "q_gumbel" ->
+      ("WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d, sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev FROM orders GROUP BY 1), " +
+        "wk AS (SELECT date_trunc('week', d) AS w, max(rev) AS wm FROM daily GROUP BY 1), " +
+        "ag AS (SELECT CAST(count(*) AS BIGINT) AS n_weeks, CAST(sum(wm) AS DOUBLE) AS sx, sum(CAST(wm AS DOUBLE) * CAST(wm AS DOUBLE)) AS sxx FROM wk), " +
+        "k AS (SELECT n_weeks, sx / CAST(n_weeks AS DOUBLE) AS mean, sqrt((sxx - sx * sx / CAST(n_weeks AS DOUBLE)) / (CAST(n_weeks AS DOUBLE) - 1.0)) AS s FROM ag), " +
+        "g AS (SELECT n_weeks, mean, s * sqrt(6.0) / 3.141592653589793 AS beta FROM k), " +
+        "h AS (SELECT n_weeks, mean, beta, mean - 0.5772156649015329 * beta AS mu FROM g) " +
+        "SELECT n_weeks, round(mean / 100.0, 2) AS mean_weekly_max, round(mu / 100.0, 4) AS gumbel_mu, " +
+        "round(beta / 100.0, 4) AS gumbel_beta, " +
+        "round(1.0 - exp(-1.0 * exp(-1.0 * (1.5 * mean - mu) / beta)), 6) AS p_exceed_150pct FROM h"),
     "q_mde" ->
       // z-constants are shared literals; all variances from the q_cuped
       // exact-integer pooled sums (population form, ÷n in both engines)

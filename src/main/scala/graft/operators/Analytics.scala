@@ -2454,6 +2454,101 @@ object Analytics {
       .orderBy("dow")
   }
 
+  /** HURST EXPONENT by rescaled-range analysis (Hurst 1951; Mandelbrot &
+    * Wallis 1969 — the long-range-dependence probe: H ≈ 0.5 for a
+    * memoryless series, > 0.5 persistent, < 0.5 mean-reverting; the
+    * check run before trusting any i.i.d.-assuming forecast interval):
+    * for block sizes m ∈ {8,16,32,64}, split the daily-revenue series
+    * into full blocks, compute R/S per block (range of cumulative
+    * mean-deviations over the population std), average per size, and
+    * fit log₂(R/S) against log₂(m) by closed-form least squares.
+    *
+    * Determinism by construction: per-block Σx and Σx² are EXACT integer
+    * sums (cents), so S is one closed form; the cumulative deviation
+    * runs in ORDERED window frames (identical double sequence in both
+    * engines); the log₂(m) regressor is a literal exponent (3.0–6.0),
+    * never a computed log; only the per-size R/S mean is
+    * accumulation-order-sensitive (≤1e-13 — round-4 outputs). All
+    * windows are day-cardinality. */
+  def hurstExponent(t: Tables): DataFrame = {
+    val daily = t.orders
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("_rev"))
+      .withColumn("_idx", row_number().over(Window.orderBy("d")))
+    val sizes = Seq((8, 3.0), (16, 4.0), (32, 5.0), (64, 6.0))
+    val spark = t.spark
+    import spark.implicits._
+    val sizeDf = sizes.toDF("m", "xlog")
+    val rows = daily.crossJoin(broadcast(sizeDf))
+      .withColumn("_b", ((col("_idx") - 1) / col("m")).cast("long"))
+    val wBlock = Window.partitionBy("m", "_b")
+    val wCum = wBlock.orderBy("_idx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val blocks = rows
+      .withColumn("_cnt", count(lit(1)).over(wBlock))
+      .filter(col("_cnt") === col("m"))
+      .withColumn("_sx", sum("_rev").over(wBlock))
+      .withColumn("_sxx", sum(col("_rev").cast("double") *
+        col("_rev").cast("double")).over(wBlock))
+      .withColumn("_mu", col("_sx").cast("double") / col("m").cast("double"))
+      .withColumn("_cum", sum(col("_rev").cast("double") - col("_mu")).over(wCum))
+      .groupBy("m", "xlog", "_b")
+      .agg((max("_cum") - min("_cum")).as("_r"),
+        sqrt(max(col("_sxx")) / max(col("m")).cast("double") -
+          (max(col("_sx")).cast("double") / max(col("m")).cast("double")) *
+            (max(col("_sx")).cast("double") / max(col("m")).cast("double")))
+          .as("_s"))
+      .filter(col("_s") > 0)
+    val perSize = blocks.groupBy("m", "xlog")
+      .agg(count(lit(1)).as("n_blocks"), avg(col("_r") / col("_s")).as("_rs"))
+      .withColumn("_y", log(col("_rs")) / log(lit(2.0)))
+      .localCheckpoint() // the 4-row slope aggregate + output read it
+    val fit = perSize.agg(count(lit(1)).as("_k"), sum("xlog").as("_sx"),
+        sum("_y").as("_sy"), sum(col("xlog") * col("_y")).as("_sxy"),
+        sum(col("xlog") * col("xlog")).as("_sxx"))
+      .select(((col("_sxy") - col("_sx") * col("_sy") / col("_k")) /
+        (col("_sxx") - col("_sx") * col("_sx") / col("_k"))).as("_h"))
+    perSize.crossJoin(broadcast(fit))
+      .select(col("m"), col("n_blocks"), round(col("_rs"), 4).as("avg_rs"),
+        round(col("_h"), 4).as("hurst"))
+      .orderBy("m")
+  }
+
+  /** GUMBEL EXTREME-VALUE TAIL FIT of weekly revenue maxima (Gumbel
+    * 1958; the Fisher–Tippett type-I limit for block maxima — the
+    * capacity-planning question "how bad is a 1-in-N week?" answered
+    * with the distribution theory says block maxima actually follow):
+    * method-of-moments fit β̂ = s·√6/π, μ̂ = x̄ − γ·β̂ (Euler–Mascheroni
+    * γ as a shared literal), plus the fitted exceedance probability of
+    * 1.5× the mean weekly max. Weekly maxima are exact integer maxima
+    * of exact integer cents; x̄ and s come from exact integer Σx / Σx²
+    * (sample variance, closed form) — nothing accumulation-order-
+    * sensitive anywhere; the fit is three literal-constant expressions
+    * (round-4/6). */
+  def gumbelTail(t: Tables): DataFrame = {
+    val daily = t.orders
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("_rev"))
+      .withColumn("w", date_trunc("week", col("d")))
+      .groupBy("w").agg(max("_rev").as("_wm"))
+    val agg = daily.agg(count(lit(1)).as("n_weeks"),
+      sum("_wm").as("_sx"), sum(col("_wm").cast("double") *
+        col("_wm").cast("double")).as("_sxx"))
+    val n = col("n_weeks").cast("double")
+    val mean = col("_sx").cast("double") / n
+    val s = sqrt((col("_sxx").cast("double") -
+      col("_sx").cast("double") * col("_sx").cast("double") / n) / (n - 1.0))
+    val beta = s * sqrt(lit(6.0)) / lit(3.141592653589793)
+    val mu = mean - lit(0.5772156649015329) * beta
+    val thr = lit(1.5) * mean
+    agg.select(col("n_weeks"),
+        round(mean / 100.0, 2).as("mean_weekly_max"),
+        round(mu / 100.0, 4).as("gumbel_mu"),
+        round(beta / 100.0, 4).as("gumbel_beta"),
+        round(lit(1.0) - exp(lit(-1.0) * exp(lit(-1.0) * (thr - mu) / beta)), 6)
+          .as("p_exceed_150pct"))
+  }
+
   /** THEIL T INEQUALITY INDEX of customer spend per market segment
     * (Theil 1967 — the entropy-based inequality measure beside
     * [[giniSpend]]; unlike Gini it is exactly DECOMPOSABLE into within/

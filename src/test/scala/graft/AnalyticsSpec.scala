@@ -1749,6 +1749,70 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.head._5 > 0.0 && got.head._5 < 1.0)
   }
 
+  test("hurstExponent matches a local R/S recompute; H in (0, 1)") {
+    val series = tables.orders
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("r"))
+      .collect().map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getLong(1)))
+      .sortBy(_._1).map(_._2)
+    val sizes = Seq((8, 3.0), (16, 4.0), (32, 5.0), (64, 6.0))
+    val perSize = sizes.flatMap { case (m, xlog) =>
+      val rss = series.grouped(m).filter(_.length == m).flatMap { blk =>
+        val mu = blk.sum.toDouble / m
+        val cums = blk.scanLeft(0.0)((acc, x) => acc + (x.toDouble - mu)).tail
+        val s = math.sqrt(
+          blk.map(x => x.toDouble * x.toDouble).sum / m - mu * mu)
+        if (s > 0) Some((cums.max - cums.min) / s) else None
+      }.toSeq
+      if (rss.nonEmpty)
+        Some((m, xlog, rss.length.toLong, rss.sum / rss.length))
+      else None
+    }
+    val xs = perSize.map(_._2); val ys = perSize.map(p => math.log(p._4) / math.log(2.0))
+    val k = xs.length
+    val h = (xs.zip(ys).map(p => p._1 * p._2).sum - xs.sum * ys.sum / k) /
+      (xs.map(x => x * x).sum - xs.sum * xs.sum / k)
+    val got = Analytics.hurstExponent(tables).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.map(_._1).toSeq == perSize.map(_._1))
+    got.zip(perSize).foreach { case ((m, n, rs, gh), (_, _, wn, wrs)) =>
+      assert(n == wn, s"m=$m block count")
+      assert(math.abs(rs - wrs) < 1e-3, s"m=$m: engine $rs vs local $wrs")
+      assert(math.abs(gh - h) < 1e-3)
+    }
+    assert(got.head._4 > 0.0 && got.head._4 < 1.0,
+      s"Hurst ${got.head._4} outside (0,1)")
+    // R/S must grow with block size (the scaling law the fit rests on)
+    assert(got.map(_._3).toSeq == got.map(_._3).sorted.toSeq)
+  }
+
+  test("gumbelTail matches a local method-of-moments recompute") {
+    val weekly = tables.orders
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("r"))
+      .collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+      .groupBy { case (d, _) =>
+        d.`with`(java.time.temporal.TemporalAdjusters.previousOrSame(
+          java.time.DayOfWeek.MONDAY))
+      }.toSeq.map { case (_, xs) => xs.map(_._2).max }
+    val n = weekly.length
+    val mean = weekly.sum.toDouble / n
+    val s = math.sqrt((weekly.map(x => x.toDouble * x.toDouble).sum -
+      weekly.sum.toDouble * weekly.sum.toDouble / n) / (n - 1.0))
+    val beta = s * math.sqrt(6.0) / math.Pi
+    val mu = mean - 0.5772156649015329 * beta
+    val p = 1.0 - math.exp(-math.exp(-(1.5 * mean - mu) / beta))
+    val row = Analytics.gumbelTail(tables).collect().head
+    assert(row.getLong(0) == n.toLong)
+    assert(math.abs(row.getDouble(1) - mean / 100.0) < 0.02)
+    assert(math.abs(row.getDouble(2) - mu / 100.0) < 1e-2)
+    assert(math.abs(row.getDouble(3) - beta / 100.0) < 1e-2)
+    assert(math.abs(row.getDouble(4) - p) < 1e-4)
+    // a real tail: some exceedance mass, but far from certain
+    assert(row.getDouble(4) > 0.0 && row.getDouble(4) < 0.5)
+  }
+
   test("theilIndex matches a local recompute and orders like inequality") {
     val spend = tables.orders.groupBy("o_custkey")
       .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("c"))
