@@ -27,6 +27,18 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // STRUCTURAL within-run-inflation fix (r15 verdict: the GC-cadence
+      // default didn't protect the driver's artifact). Even with the UI
+      // disabled, the in-memory AppStatusStore/SQLAppStatusListener retain
+      // up to 1000 jobs / 1000 stages / 1000 SQL executions WITH task
+      // metrics — a ~560-execution bench run accumulates hundreds of MB of
+      // live (unGCable) status data across the run, which is exactly the
+      // old-gen pressure the r15 close measured. Cap the retention so the
+      // live set stays flat no matter how many queries the run times.
+      .config("spark.ui.retainedJobs", "50")
+      .config("spark.ui.retainedStages", "50")
+      .config("spark.ui.retainedTasks", "2000")
+      .config("spark.sql.ui.retainedExecutions", "10")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -106,34 +118,56 @@ object Bench {
     val loadStart = loadAvg()
     val timings = Seq.newBuilder[(String, Seq[Double])]
     val errors = Seq.newBuilder[(String, String)]
-    // Periodic full GC BETWEEN queries (never inside a timing window):
-    // the r15 close observed within-run inflation — the embedding family
-    // measured 4-10× its isolated cost in one full 277-query pass and
-    // normal in the next, with other_cpu_frac ~0.001 ruling out external
-    // load. The suspect is old-gen/codegen-cache buildup across ~800
-    // query plans in one JVM; a bounded System.gc() cadence caps it.
-    // MEASURED (same idle box, back-to-back full runs): without GC the
-    // 277-query total swung 210.8–217.2 s with the embed family
-    // inflating 4–10× in one run; with GC every 20 queries the total
-    // dropped to 201.3 s and the r14-shared-250 subset beat the r14
-    // close (184.1 vs 191.4 s). Default ON; 0 disables.
-    val gcEvery = sys.env.getOrElse("SPARK_GRAFT_BENCH_GC_EVERY", "20").toInt
+    // Full GC BETWEEN queries (never inside a timing window): the r15
+    // close observed within-run inflation — the embedding family measured
+    // 4-10× its isolated cost in one full 277-query pass and normal in
+    // the next, with other_cpu_frac ~0.001 ruling out external load. A
+    // cadence-20 GC fixed the builder's close run but NOT the driver's
+    // r16 artifact (q_embed_drift 4.74 s vs 0.27 s isolated), so the
+    // default is now cadence 1 — a bounded ~50-200 ms pause before every
+    // query's timing windows, which caps old-gen/metaspace carryover at
+    // one query's worth regardless of run order. The status-store
+    // retention caps in the session builder above remove the main LIVE
+    // accumulation (AppStatusStore task metrics); the per-query GC clears
+    // the dead residue (evicted codegen classes, dropped blocks).
+    // 0 disables; N>1 restores a cadence.
+    val gcEvery = sys.env.getOrElse("SPARK_GRAFT_BENCH_GC_EVERY", "1").toInt
     var sinceGc = 0
+    // Per-query TASK-TIME accounting (r15 verdict item 6): a 0.1-0.4 s
+    // Spark scheduling floor dominates 200+ per-query wall ratios, so the
+    // artifact also records the sum of executor task durations per timed
+    // run ("tasksec"). busy ≈ tasksec/cpus is the floor-free signal: a
+    // wall regression with flat tasksec is scheduling/JVM noise, a tasksec
+    // regression is a real plan change. The listener bus is drained before
+    // each sample so tasks are charged to the query that ran them.
+    val taskMillis = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskInfo != null) taskMillis.addAndGet(te.taskInfo.duration)
+    })
+    def drainedTaskSec(): Double = {
+      org.apache.spark.graftbridge.ListenerBridge
+        .waitUntilListenerBusEmpty(spark.sparkContext)
+      taskMillis.get() / 1000.0
+    }
+    val taskSecs = scala.collection.mutable.Map.empty[String, Seq[Double]]
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       sinceGc += 1
       if (gcEvery > 0 && sinceGc >= gcEvery) { System.gc(); sinceGc = 0 }
       try {
-        val times = (1 to runs).map { _ =>
+        val measured = (1 to runs).map { _ =>
+          val busy0 = drainedTaskSec()
           val t0 = System.nanoTime()
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           val dt = (System.nanoTime() - t0) / 1e9
           // between timed executions, not inside them: a query's own
           // checkpoint blocks must not outlive its measurement window
           dropLingeringRdds()
-          dt
-        }.sorted
-        timings += name -> times
+          (dt, drainedTaskSec() - busy0)
+        }.sortBy(_._1)
+        timings += name -> measured.map(_._1)
+        taskSecs(name) = measured.map(_._2)
       } catch {
         case e: Throwable =>
           errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
@@ -159,6 +193,12 @@ object Bench {
     val spread = ts.map { case (k, v) =>
       s"${jstr(k)}:${v.map(fmt).mkString("[", ",", "]")}"
     }.mkString("{", ",", "}")
+    // per-run executor task seconds, index-aligned with `spread` (both are
+    // sorted by that run's wall time) — tasksec/cpus is the floor-free
+    // per-query busy signal the wall ratios can't provide
+    val taskJson = ts.map { case (k, _) =>
+      s"${jstr(k)}:${taskSecs.getOrElse(k, Seq.empty).map(fmt).mkString("[", ",", "]")}"
+    }.mkString("{", ",", "}")
     val ejson = es.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = ts.map(_._2.head).sum
     val medianTotal = ts.map(t => median(t._2)).sum
@@ -166,7 +206,7 @@ object Bench {
       s"""{"start":$loadStart,"end":$loadEnd,"ambient":$loadAmbient,""" +
         s""""other_cpu_frac":${fmt(otherCpuFrac)},"cpus":${Runtime.getRuntime.availableProcessors}}"""
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$runs,"median_total":${fmt(medianTotal)},"spread":$spread,"load":$loadJson,"failed":${es.size},"errors":$ejson,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$runs,"median_total":${fmt(medianTotal)},"spread":$spread,"tasksec":$taskJson,"load":$loadJson,"failed":${es.size},"errors":$ejson,"sf":${jstr(sfDir)}}"""
     println(full)
     // tail-truncation armor: the driver keeps only the LAST 4 KB of output,
     // which beheads the per-query map (96 queries ≈ 4.5 KB — the BENCH_r06
