@@ -820,24 +820,30 @@ ranked AS (SELECT query_id, neighbor_id, cos, row_number() OVER (PARTITION BY qu
 SELECT query_id, neighbor_id, round(cos, 6) AS cosine FROM ranked WHERE rn <= $topK ORDER BY query_id, neighbor_id"""
   }
 
-  /** Oracle for q_hits ([[graft.operators.Graph.hits]]): the alternating
-    * L2-normalized hub/authority updates replayed as a loop-built CTE
-    * chain over the distinct supplier→customer edge set; scalar-subquery
-    * norms mirror the engine's broadcast 1-row aggregates. */
+  /** Oracle for q_hits ([[graft.operators.Graph.hits]]): the DEFERRED-
+    * normalization chain the engine runs (r16 — per-round L2 scalars
+    * cancel on the linear recurrence, so both engines iterate the raw
+    * INTEGER recurrence a_r = E^T h_{r-1}, h_r = E a_r with h_0 ≡ 1 and
+    * normalize once at the end). Every intermediate is an exact integer
+    * sum (order-free below 2^53) and the final norm squares through
+    * HUGEINT (exact, mirroring the engine's decimal(38,0) square-sum),
+    * so the two engines agree bit-for-bit, not just to rounded ulps. */
   def hits(iters: Int = 2): String = {
     val rounds = (1 to iters).map { r =>
-      val hPrev = if (r == 1) "h0" else s"h${r - 1}"
-      s"""a${r}r AS (SELECT e.dst, sum(p.h) AS a0 FROM e JOIN $hPrev p ON p.src = e.src GROUP BY e.dst),
-a$r AS MATERIALIZED (SELECT dst, a0 / (SELECT sqrt(sum(a0 * a0)) FROM a${r}r) AS a FROM a${r}r),
-h${r}r AS (SELECT e.src, sum(p.a) AS hv FROM e JOIN a$r p ON p.dst = e.dst GROUP BY e.src),
-h$r AS MATERIALIZED (SELECT src, hv / (SELECT sqrt(sum(hv * hv)) FROM h${r}r) AS h FROM h${r}r)"""
+      val aPrev = if (r == 1)
+        s"a$r AS MATERIALIZED (SELECT dst, CAST(count(*) AS DOUBLE) AS a0 FROM e GROUP BY dst)"
+      else
+        s"a$r AS MATERIALIZED (SELECT e.dst, sum(p.h0) AS a0 FROM e JOIN h${r - 1} p ON p.src = e.src GROUP BY e.dst)"
+      s"""$aPrev,
+h$r AS MATERIALIZED (SELECT e.src, sum(p.a0) AS h0 FROM e JOIN a$r p ON p.dst = e.dst GROUP BY e.src)"""
     }.mkString(",\n")
     s"""WITH e AS MATERIALIZED (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src, CAST(o_custkey AS BIGINT) AS dst FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-h0 AS (SELECT DISTINCT src, 1.0 AS h FROM e),
-$rounds
-SELECT 's' || CAST(src AS VARCHAR) AS node, 'hub' AS kind, round(h, 6) AS score FROM h$iters
+$rounds,
+hn AS (SELECT CAST(sqrt(CAST(sum(CAST(h0 AS HUGEINT) * CAST(h0 AS HUGEINT)) AS DOUBLE)) AS DOUBLE) AS n FROM h$iters),
+an AS (SELECT CAST(sqrt(CAST(sum(CAST(a0 AS HUGEINT) * CAST(a0 AS HUGEINT)) AS DOUBLE)) AS DOUBLE) AS n FROM a$iters)
+SELECT 's' || CAST(src AS VARCHAR) AS node, 'hub' AS kind, round(h0 / (SELECT n FROM hn), 6) AS score FROM h$iters
 UNION ALL
-SELECT 'c' || CAST(dst AS VARCHAR) AS node, 'authority' AS kind, round(a, 6) AS score FROM a$iters
+SELECT 'c' || CAST(dst AS VARCHAR) AS node, 'authority' AS kind, round(a0 / (SELECT n FROM an), 6) AS score FROM a$iters
 ORDER BY kind, node"""
   }
 
