@@ -332,6 +332,25 @@ object SparkEntry {
         t.embeddings.filter(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
     }),
+    "q_ann_graph_recall" -> ((s, d) => {
+      // the HARD oracle signal for the graph-ANN index (r15 verdict item
+      // 4): the SAME stored index as q_ann_graph, searched at PINNED
+      // over-provisioned parameters (beam=64, maxHops=12 — several × the
+      // defaults) where the greedy beam exhausts its improvement
+      // frontier and must return the EXACT top-5; the brute-force SQL
+      // oracle then verifies the pair set. A regression anywhere in the
+      // stored graph, the entry seed, or the beam loop changes the pairs
+      // and fails the hash (spec: recall pinned to 1.0 at the fixture).
+      import graft.operators.GraphAnn
+      val t = Tables(s, d)
+      def prefix(dir: String) = "gann_" + dir.split('_').last
+      val dir = roundtripDir("graft_gann2", d, "graph_ann.meta") { out =>
+        GraphAnn.buildIndex(s, t.embeddings, prefix(out), out)
+      }
+      GraphAnn.beamSearchExactScored(s, GraphAnn.attachIndex(s, prefix(dir), dir),
+        t.embeddings.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+    }),
     "q_ann_pq" -> ((s, d) => Similarity.pqTopK(Tables(s, d))),
     "q_ann_ivfpq" -> ((s, d) => Similarity.ivfPqTopK(Tables(s, d))),
     "q_embed_neardup" -> ((s, d) => Similarity.embeddingNearDups(Tables(s, d))),
@@ -1274,6 +1293,9 @@ object SparkEntry {
           .mkString(" UNION ALL ") +
         ") ORDER BY dim, query_id"),
     "q_ann_topk" -> AnnTopkOracleSql,
+    // the graph beam at pinned over-provisioned parameters must equal
+    // the exact brute-force top-k — same oracle, hard recall signal
+    "q_ann_graph_recall" -> AnnTopkOracleSql,
     "q_ann_twostage" ->
       ("WITH s1 AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
         "list_cosine_similarity(CAST(q.embedding[1:32] AS DOUBLE[]), CAST(c.embedding[1:32] AS DOUBLE[])) AS ccos, " +
@@ -1744,6 +1766,30 @@ object SparkEntry {
         "round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty, " +
         "round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // the sketch variant's exact columns replay identically; the sketch
+    // rank-audit flag is pinned at 1 — a percentile_approx regression
+    // fails the engine side of the hash (r16, verdict item 7)
+    "q_percentiles_approx" ->
+      ("SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty, " +
+        "round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty, " +
+        "round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price, " +
+        "CAST(1 AS INT) AS sketch_rank_ok " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q_approx_distinct" ->
+      ("SELECT event_type, count(DISTINCT user_id) AS n_users, " +
+        "CAST(1 AS INT) AS approx_ok " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+    "q_decile_bands" ->
+      ("WITH dt AS (SELECT len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS n_tokens FROM documents), " +
+        "cuts AS (SELECT " + (1 to 9).map(i =>
+          s"round(quantile_cont(n_tokens, 0.${i}), 6) AS c$i").mkString(", ") + " FROM dt), " +
+        "banded AS (SELECT 1 + " + (1 to 9).map(i =>
+          s"(CASE WHEN n_tokens > c$i THEN 1 ELSE 0 END)").mkString(" + ") +
+        " AS decile, n_tokens FROM dt CROSS JOIN cuts) " +
+        "SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n_docs, " +
+        "min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens, " +
+        "CAST(1 AS INT) AS sketch_rank_ok " +
+        "FROM banded GROUP BY decile ORDER BY decile"),
     "q_rollup" ->
       ("SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty " +
         "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) " +

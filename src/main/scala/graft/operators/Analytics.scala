@@ -234,17 +234,51 @@ object Analytics {
   /** Approximate per-group percentiles — the corpus-scale path the exact
     * variant's scaladoc promises: `percentile_approx` keeps a bounded
     * (accuracy-sized) sketch per group instead of buffering every value,
-    * so memory per group is O(accuracy) regardless of group size. Error
-    * is rank-bounded by 1/accuracy (spec-asserted against the exact
-    * aggregate). Columns mirror [[groupPercentiles]]. */
-  def groupPercentilesApprox(t: Tables, accuracy: Int = 10000): DataFrame =
-    t.lineitem
+    * so memory per group is O(accuracy) regardless of group size.
+    *
+    * Output shape (r16 — r15 verdict item 7): sketch values are
+    * engine-specific, so the row carries [[groupPercentiles]]' exact
+    * columns plus a TIE-SAFE rank audit of the sketch: for each sketch
+    * value v at quantile q over n rows, count(x < v) ≤ q·n + ε and
+    * count(x ≤ v) ≥ q·n − ε with ε = n/accuracy + 1 — the rank-error
+    * contract percentile_approx guarantees, checked on the actual data
+    * (value-distance bounds would be meaningless on skewed columns; the
+    * two-sided form is exact under ties). The oracle replays the exact
+    * quantiles and pins the flag at 1, so a sketch regression fails the
+    * driver's hash. One extra broadcast-join pass over lineitem pays for
+    * the audit counts. */
+  def groupPercentilesApprox(t: Tables, accuracy: Int = 10000): DataFrame = {
+    val sk = t.lineitem
       .groupBy("l_returnflag")
       .agg(
-        round(expr(s"percentile_approx(l_quantity, 0.5, $accuracy)"), 6).as("p50_qty"),
-        round(expr(s"percentile_approx(l_quantity, 0.9, $accuracy)"), 6).as("p90_qty"),
-        round(expr(s"percentile_approx(l_extendedprice, 0.5, $accuracy)"), 6).as("p50_price"))
+        expr(s"percentile_approx(l_quantity, 0.5, $accuracy)").as("_a50q"),
+        expr(s"percentile_approx(l_quantity, 0.9, $accuracy)").as("_a90q"),
+        expr(s"percentile_approx(l_extendedprice, 0.5, $accuracy)").as("_a50p"),
+        count(lit(1)).as("_n"))
+    def lt(v: Column, cut: Column) = sum(when(v < cut, 1L).otherwise(0L))
+    def le(v: Column, cut: Column) = sum(when(v <= cut, 1L).otherwise(0L))
+    val audit = t.lineitem.join(broadcast(sk), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(max("_n").as("_n"),
+        lt(col("l_quantity"), col("_a50q")).as("_lt50q"),
+        le(col("l_quantity"), col("_a50q")).as("_le50q"),
+        lt(col("l_quantity"), col("_a90q")).as("_lt90q"),
+        le(col("l_quantity"), col("_a90q")).as("_le90q"),
+        lt(col("l_extendedprice"), col("_a50p")).as("_lt50p"),
+        le(col("l_extendedprice"), col("_a50p")).as("_le50p"))
+    val eps = col("_n") / accuracy + 1
+    def ok(q: Double, ltc: String, lec: String) =
+      (col(ltc) <= col("_n") * q + eps) && (col(lec) >= col("_n") * q - eps)
+    val flags = audit.select(col("l_returnflag"),
+      when(ok(0.5, "_lt50q", "_le50q") && ok(0.9, "_lt90q", "_le90q") &&
+        ok(0.5, "_lt50p", "_le50p"), 1).otherwise(0).cast("int")
+        .as("sketch_rank_ok"))
+    groupPercentiles(t)
+      .join(broadcast(flags), "l_returnflag")
+      .select(col("l_returnflag"), col("p50_qty"), col("p90_qty"),
+        col("p50_price"), col("sketch_rank_ok"))
       .orderBy("l_returnflag")
+  }
 
   /** Exact per-group percentiles via COUNT-COLLAPSE — the exact path for
     * BOUNDED-CARDINALITY columns (quantities, token counts, ratings):
@@ -624,12 +658,25 @@ object Analytics {
     * (measured: rsd 0.5% pushes HLL++ to p≥16 whose per-row update cost
     * exceeds the EXACT aggregation below ~10^5 rows/group — 3.1 s vs
     * 0.44 s at rsd 2% on 100k rows; the sketch's win is cardinality, not
-    * row count). The spec bounds the observed error against the exact
-    * count. Sketch internals are engine-specific → rows-only query. */
+    * row count).
+    *
+    * Output shape (r16 — r15 verdict item 7, sketch queries leave
+    * `no_oracle`): the sketch estimate itself is engine-specific, so the
+    * ROW carries the exact count plus a 3·rsd relative-error flag the
+    * sketch must satisfy — the oracle replays the exact count and pins
+    * the flag at 1, so an HLL++ regression (or a silently dropped rsd)
+    * fails the driver's hash, not just a local spec bound. The exact
+    * COUNT(DISTINCT) this harness pays to judge the sketch is the very
+    * shuffle the sketch replaces in production — a verification row
+    * measures, it doesn't model the 100 TB plan. */
   def approxDistinctUsers(t: Tables, rsd: Double = 0.02): DataFrame =
     t.events
       .groupBy("event_type")
-      .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        approx_count_distinct(col("user_id"), rsd).as("_approx"))
+      .select(col("event_type"), col("n_users"),
+        when(abs(col("_approx") - col("n_users")) <=
+          col("n_users") * (3 * rsd), 1).otherwise(0).cast("int").as("approx_ok"))
       .orderBy("event_type")
 
   /** Sliding-window event counts: hour-long windows every 30 minutes —
@@ -961,29 +1008,69 @@ object Analytics {
       .orderBy("c_custkey")
   }
 
-  /** Global document-length decile bands via SKETCH thresholds — the
-    * corpus-scale swap for [[sourceDeciles]]' exact ntile: one
-    * percentile_approx aggregation produces the 9 cut points (constant
-    * memory, mergeable), a broadcast of that single row bands every
-    * document map-side, and the final count is partial+final. No global
-    * sort anywhere, at any corpus size. Approximate by nature (band
-    * populations are ±sketch-rank-error of n/10, spec-bounded) → rows-only
-    * query. */
+  /** Global document-length decile bands. The BANDS are exact (r16 —
+    * r15 verdict item 7, the row leaves `no_oracle`): the 9 cut points
+    * come from a value-domain COUNT-COLLAPSE quantile (token counts are
+    * bounded-cardinality — group to (n_tokens, count), cumulative over
+    * the tiny domain table, quantile_cont interpolation on addressed
+    * ranks; no global sort, no per-group buffering, domain-sized at any
+    * corpus), each document bands map-side against the broadcast rounded
+    * cuts, and the oracle replays the identical arithmetic.
+    *
+    * The SKETCH path this operator originally demonstrated
+    * (percentile_approx cuts — constant memory, mergeable, the shape for
+    * a value domain too wide to collapse) still runs, as an AUDIT: each
+    * sketch cut's tie-safe rank interval must sit within n/accuracy of
+    * its target rank (the sketch's contract), and the flag rides the row
+    * with the oracle pinning it at 1 — a sketch regression fails the
+    * driver's hash, not just a spec bound. */
   def globalDecileBands(t: Tables, accuracy: Int = 10000): DataFrame = {
     val nTokens = size(filter(
       split(lower(trim(col("text"))), "\\s+"), tk => tk =!= ""))
-    val docs = t.documents.select(nTokens.as("n_tokens"))
-    val cuts = docs.agg(percentile_approx(
-      col("n_tokens"),
-      array((1 to 9).map(i => lit(i / 10.0)): _*),
-      lit(accuracy)).as("_cuts"))
+    val docs = t.documents.select(nTokens.as("n_tokens")).localCheckpoint()
+    // exact cuts: count-collapse + cumulative ranks over the value domain
+    val counts = docs.groupBy("n_tokens").agg(count(lit(1)).as("_c"))
+    val wv = Window.orderBy(col("n_tokens"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.withColumn("_cum", sum("_c").over(wv))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("_n"))))
+    def cutAt(q: Double): Column = {
+      // quantile_cont: pos = (n-1)·q; value at 0-based rank r is the
+      // smallest value whose cumulative count exceeds r
+      val pos = (col("_n") - 1) * q
+      val vAt = (r: Column) => min(when(col("_cum") > r, col("n_tokens")))
+      round(vAt(floor(pos)) +
+        min(pos - floor(pos)) * (vAt(ceil(pos)) - vAt(floor(pos))), 6)
+    }
+    val exactCuts = cum.agg(
+      array((1 to 9).map(i => cutAt(i / 10.0)): _*).as("_cuts"),
+      max("_n").as("_n"))
+    // sketch audit: every approx cut's tie-safe rank interval within eps
+    val approxCuts = docs.agg(percentile_approx(
+      col("n_tokens"), array((1 to 9).map(i => lit(i / 10.0)): _*),
+      lit(accuracy)).as("_acuts"))
+    val auditAggs = (0 until 9).flatMap(i => Seq(
+      sum(s"_lt$i").as(s"_lt$i"), sum(s"_le$i").as(s"_le$i")))
+    val audit = docs.crossJoin(broadcast(approxCuts))
+      .select((0 until 9).flatMap(i => Seq(
+        when(col("n_tokens") < col("_acuts")(i), 1L).otherwise(0L).as(s"_lt$i"),
+        when(col("n_tokens") <= col("_acuts")(i), 1L).otherwise(0L).as(s"_le$i"))): _*)
+      .agg(auditAggs.head, auditAggs.tail: _*)
+    val flag = audit.crossJoin(broadcast(exactCuts.select(col("_n"))))
+      .select((0 until 9).map { i =>
+        val target = col("_n") * ((i + 1) / 10.0)
+        val eps = col("_n") / accuracy + 1
+        (col(s"_lt$i") <= target + eps) && (col(s"_le$i") >= target - eps)
+      }.reduce(_ && _).as("_ok"))
+      .select(when(col("_ok"), 1).otherwise(0).cast("int").as("sketch_rank_ok"))
     val band = (lit(1) + aggregate(col("_cuts"), lit(0),
       (acc, c) => acc + when(col("n_tokens") > c, 1).otherwise(0))).cast("long")
-    docs.crossJoin(broadcast(cuts))
+    docs.crossJoin(broadcast(exactCuts.select(col("_cuts"))))
       .select(band.as("decile"), col("n_tokens"))
       .groupBy("decile")
       .agg(count(lit(1)).as("n_docs"),
         min("n_tokens").as("min_tokens"), max("n_tokens").as("max_tokens"))
+      .crossJoin(broadcast(flag))
       .orderBy("decile")
   }
 

@@ -65,6 +65,29 @@ object SuffixDedup {
     * floor of `q_dup_spans`. */
   def duplicateSubstrings(docs: DataFrame, minLen: Int = 32,
                           minDocs: Int = 2): DataFrame = {
+    // COST-BASED form switch (r15 verdict item 2). The direct form does
+    // ~L× less total work than the widening build below the point where
+    // its single corpus×L-byte exchange stops fitting a box — the r14
+    // crossover table (PLANS.md) measured the widening form 23× the
+    // direct cost at sf0.1 and still behind at ×30 corpus scale, with
+    // parity extrapolating to ~1 GB of text. Below the threshold
+    // (plan-stats estimate, free to read; env-overridable) run the
+    // direct derivation — row-identical by the spec's standing pin;
+    // above it, the widening build whose per-round state is fixed-width
+    // rank tuples and whose sharded mode is the 100 TB operating shape.
+    val directMax = sys.env.getOrElse(
+      "SPARK_GRAFT_SUFFIX_DIRECT_MAX_BYTES", (768L * 1024 * 1024).toString).toLong
+    if (docs.queryExecution.optimizedPlan.stats.sizeInBytes <= directMax)
+      duplicateSubstringsDirect(docs, minLen, minDocs)
+    else
+      duplicateSubstringsWidening(docs, minLen, minDocs)
+  }
+
+  /** The prefix-widening build itself — the above-threshold branch of
+    * [[duplicateSubstrings]], exposed so the spec pins it against the
+    * direct form regardless of where the cost switch lands. */
+  private[graft] def duplicateSubstringsWidening(docs: DataFrame, minLen: Int,
+                                                 minDocs: Int = 2): DataFrame = {
     val kept = keptPositions(docs, minLen)
     val dupRanks = kept.groupBy("rank")
       .agg(countDistinct("d").as("nd"))
@@ -207,9 +230,21 @@ object SuffixDedup {
                                                minLen: Int,
                                                minDocs: Int = 2): DataFrame = {
     // sequence(1, n) with n < 1 DESCENDS in Spark (step defaults to -1),
-    // so short documents must not reach the transform
+    // so short documents must not reach the transform.
+    // repartition BEFORE the explode, with an EXPLICIT partition count: a
+    // small corpus arrives as one parquet file = one input partition, and
+    // the L-per-position blowup happens AFTER the scan — without the
+    // spread the whole corpus×L explode runs (twice: the dup-count and
+    // join consumers each recompute it) on a single task (measured
+    // 2×~3.5 s of the query's 7.4 s at sf0.1). The count must be
+    // explicit: AQE sizes the coalesce from the PRE-explode bytes
+    // (~600 KB → 1 partition) and can't see the 32× downstream blowup.
+    // The shuffle moves only the RAW corpus bytes — bounded by the cost
+    // switch that routed here.
+    val spreadN = docs.sparkSession.sparkContext.defaultParallelism
     val grams = docs
       .filter(length(col("text")) >= minLen)
+      .repartition(spreadN, col("doc_id"))
       .select(col("doc_id").as("d"),
         posexplode(expr(
           s"transform(sequence(1, length(text) - ${minLen - 1}), i -> substring(text, i, $minLen))"))
@@ -284,7 +319,13 @@ object SuffixDedup {
     * are per-document and bounded by document length. */
   private def mergeSpans(marked: DataFrame, minLen: Int): DataFrame = {
     val w = Window.partitionBy("d").orderBy("p")
+    // explicit partition count on the window's own required exchange
+    // (hashpartitioning(d) — no extra shuffle, just a pinned N): AQE
+    // coalesces the ~25 MB of marked positions to ONE post-shuffle
+    // partition at sf0.1 and the lag/sum window runs single-threaded
+    // (measured 2.3 s of the direct form's wall)
     marked
+      .repartition(marked.sparkSession.sparkContext.defaultParallelism, col("d"))
       .withColumn("brk",
         when(col("p") - lag("p", 1).over(w) === 1, 0).otherwise(1))
       .withColumn("gid", sum("brk").over(w))

@@ -261,20 +261,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), s"no hash agg:\n$plan")
   }
 
-  test("approximate percentiles track the exact aggregate within sketch error") {
+  test("percentile sketch harness: exact columns replay, rank audit passes") {
+    // r16 shape: the row carries the EXACT percentiles (oracle-replayed)
+    // plus the sketch's tie-safe rank-audit flag; the flag failing would
+    // fail the driver hash, this spec pins it locally too
     val exact = Analytics.groupPercentiles(tables).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
-    val approx = Analytics.groupPercentilesApprox(tables).collect()
-      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
-    assert(approx.keySet == exact.keySet && approx.nonEmpty)
-    exact.foreach { case (g, (p50q, p90q, p50p)) =>
-      val (a50q, a90q, a50p) = approx(g)
-      // rank error 1/accuracy; on these value ranges that is a tight
-      // absolute bound (quantity spans ~1..50, price ~1k..100k)
-      assert(math.abs(a50q - p50q) <= 1.0, s"$g p50_qty $a50q vs $p50q")
-      assert(math.abs(a90q - p90q) <= 1.0, s"$g p90_qty $a90q vs $p90q")
-      assert(math.abs(a50p - p50p) / p50p <= 0.02, s"$g p50_price $a50p vs $p50p")
+    val rows = Analytics.groupPercentilesApprox(tables).collect()
+    assert(rows.nonEmpty && rows.map(_.getString(0)).toSet == exact.keySet)
+    rows.foreach { r =>
+      val g = r.getString(0)
+      assert((r.getDouble(1), r.getDouble(2), r.getDouble(3)) == exact(g), g)
+      assert(r.getInt(4) == 1, s"$g: percentile_approx violated its rank contract")
     }
+    // the audit is not vacuous: a deliberately wrong "sketch" value must
+    // fail the same two-sided rank-interval check the operator applies
+    import spark.implicits._
+    val n = tables.lineitem.count()
+    val eps = n / 10000.0 + 1
+    val badRank = tables.lineitem
+      .agg(sum(when(col("l_quantity") <= 1.0, 1L).otherwise(0L))).head().getLong(0)
+    assert(!(badRank >= n * 0.9 - eps), "fixture too degenerate to test the audit")
   }
 
   test("asOfJoin is permutation-invariant, including right-side (key, ts) ties") {
@@ -447,15 +454,18 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == expected)
   }
 
-  test("approxDistinctUsers tracks exact COUNT DISTINCT within the sketch rsd") {
+  test("approxDistinctUsers: exact counts replay, HLL++ flag within 3 rsd") {
+    // r16 shape: the row carries the exact distinct count (oracle-
+    // replayed) plus the sketch's 3·rsd relative-error flag
     val exact = tables.events.groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val approx = Analytics.approxDistinctUsers(tables).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(approx.keySet == exact.keySet)
-    exact.foreach { case (t, n) =>
-      assert(math.abs(approx(t) - n).toDouble / n <= 0.05, s"$t: ${approx(t)} vs $n")
+    val rows = Analytics.approxDistinctUsers(tables).collect()
+    assert(rows.map(_.getString(0)).toSet == exact.keySet)
+    rows.foreach { r =>
+      assert(r.getLong(1) == exact(r.getString(0)), r.getString(0))
+      assert(r.getInt(2) == 1,
+        s"${r.getString(0)}: HLL++ estimate outside 3×rsd of exact")
     }
   }
 
@@ -736,8 +746,11 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
-  test("globalDecileBands covers the corpus with near-balanced sketch bands") {
-    val rows = Analytics.globalDecileBands(tables).collect()
+  test("globalDecileBands: exact near-balanced bands; sketch rank audit passes") {
+    val full = Analytics.globalDecileBands(tables).collect()
+    assert(full.forall(_.getInt(4) == 1),
+      "percentile_approx cut outside its rank-error contract")
+    val rows = full
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
     val n = tables.documents.count()
     assert(rows.map(_._2).sum == n)

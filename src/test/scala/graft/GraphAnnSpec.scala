@@ -36,6 +36,38 @@ class GraphAnnSpec extends SparkSpec {
         "- not a bounded candidate set")
   }
 
+  test("large-batch frontier form (broadcast join, no literal isin) is row- and count-identical") {
+    // isinMax=0 forces every hop onto the join-only path the large-batch
+    // threshold selects (the literal-isin plan balloons at queries×beam
+    // ≈ 10⁵ — r15 verdict item 5); the frontier assignment join must
+    // restrict the adjacency scan to the identical row set, so results
+    // AND the per-hop candidate-scoring count both pin equal.
+    val dir = Files.createTempDirectory("gann_join").toString
+    val idx = GraphAnn.buildIndex(spark, tables.embeddings, "gann_join", dir)
+    val (outIsin, nIsin) = GraphAnn.beamSearchWithCandidateCount(
+      spark, idx, queries(), isinMax = Int.MaxValue)
+    val (outJoin, nJoin) = GraphAnn.beamSearchWithCandidateCount(
+      spark, idx, queries(), isinMax = 0)
+    assert(outIsin.collect().toSeq == outJoin.collect().toSeq)
+    assert(nIsin == nJoin, s"candidate counts diverge: $nIsin vs $nJoin")
+  }
+
+  test("exact-scored beam at pinned over-provisioned params equals brute-force top-k") {
+    // the q_ann_graph_recall contract: beam=64 / maxHops=12 exhausts the
+    // improvement frontier on any corpus the fixture family produces, so
+    // the pair set AND the rounded cosine column must match bruteForceTopK
+    // row-for-row — recall pinned to 1.0, not a tolerance
+    val dir = Files.createTempDirectory("gann_exact").toString
+    val idx = GraphAnn.buildIndex(spark, tables.embeddings, "gann_exact", dir)
+    val got = GraphAnn.beamSearchExactScored(spark, idx, queries())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val brute = Similarity.bruteForceTopK(tables)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == brute,
+      s"beam(64,12) != brute: only-beam=${(got.toSet diff brute.toSet).take(3)} " +
+        s"only-brute=${(brute.toSet diff got.toSet).take(3)}")
+  }
+
   test("beam search is deterministic") {
     val dir = Files.createTempDirectory("gann_det").toString
     val idx = GraphAnn.buildIndex(spark, tables.embeddings, "gann_det", dir)

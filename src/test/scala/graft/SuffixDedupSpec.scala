@@ -8,7 +8,10 @@ class SuffixDedupSpec extends SparkSpec {
 
   test("prefix-doubling equals the direct substring derivation on the corpus") {
     val docs = tables.documents
-    val doubled = SuffixDedup.duplicateSubstrings(docs, minLen = 32)
+    // the WIDENING branch explicitly: the shipped entry takes the direct
+    // form below the r16 cost switch's threshold, so the exactness pin
+    // must name the above-threshold path
+    val doubled = SuffixDedup.duplicateSubstringsWidening(docs, minLen = 32)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val direct = SuffixDedup.duplicateSubstringsDirect(docs, minLen = 32)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
