@@ -76,7 +76,15 @@ object GraftExtensions {
     ("dup3_frac", "dup3_frac(tokens) - fraction of positional 3-grams that are duplicates (repetition signal)",
       es => Dup3Frac(es.head)),
     ("jaro_winkler", "jaro_winkler(a, b) - Jaro-Winkler similarity (bit-exact with DuckDB's)",
-      es => JaroWinklerF(es.head, es(1))))
+      es => JaroWinklerF(es.head, es(1))),
+    // Spark's own runtime-filter pair, surfaced for explicit pipeline use
+    // (build once, keep the bytes, prune many scans — see
+    // operators/RuntimeFilter.scala); both sides take xxhash64 longs
+    ("bloom_agg", "bloom_agg(hashed_key, n_items, num_bits) - Bloom filter aggregate (binary) over xxhash64 longs",
+      es => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        es.head, foldableArg(es, 1, "bloom_agg"), foldableArg(es, 2, "bloom_agg"))),
+    ("bloom_might_contain", "bloom_might_contain(bloom_binary, hashed_key) - probe a bloom_agg filter; never false-negative",
+      es => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es.head, es(1))))
 
   /** Register all functions on an existing session (temp functions). */
   def registerTemp(spark: SparkSession): Unit =

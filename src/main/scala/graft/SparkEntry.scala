@@ -557,6 +557,10 @@ object SparkEntry {
     "q_range_join" -> ((s, d) => Analytics.clicksBeforePurchase(Tables(s, d))),
     "q_mode_user" -> ((s, d) => Analytics.modalEventType(Tables(s, d))),
     "q_approx_distinct" -> ((s, d) => Analytics.approxDistinctUsers(Tables(s, d))),
+    "q_rolling_median" -> ((s, d) => Analytics.rollingMedianDaily(Tables(s, d))),
+    "q_spearman" -> ((s, d) => Analytics.spearmanLengthVocab(Tables(s, d))),
+    "q_bloom_prefilter" -> ((s, d) =>
+      graft.operators.RuntimeFilter.bloomPrefilterRevenue(Tables(s, d))),
     "q_events_sliding" -> ((s, d) => Analytics.slidingWindowCounts(Tables(s, d))),
     "q_dedup_semantic" -> ((s, d) => Similarity.semanticDedup(Tables(s, d))),
     "q_semantic_decontam" -> ((s, d) => Similarity.semanticDecontaminate(Tables(s, d))),
@@ -1779,6 +1783,41 @@ object SparkEntry {
       ("SELECT event_type, count(DISTINCT user_id) AS n_users, " +
         "CAST(1 AS INT) AS approx_ok " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
+    // Bloom pre-filtered semi join: the oracle replays the EXACT semi
+    // join and pins the soundness + false-positive-rate flags at 1 —
+    // never-false-negative is the filter's contract, the engine proves
+    // it held on this data
+    "q_bloom_prefilter" ->
+      ("SELECT l_returnflag, count(*) AS n_rows, " +
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, " +
+        "CAST(1 AS INT) AS bloom_sound, CAST(1 AS INT) AS fp_rate_ok " +
+        "FROM lineitem WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1500) " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q_rolling_median" ->
+      ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, " +
+        "sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents FROM events GROUP BY 1, 2) " +
+        "SELECT event_type, strftime(day, '%Y-%m-%d') AS day, cents / 100.0 AS daily_value, " +
+        "quantile_cont(cents, 0.5) OVER (PARTITION BY event_type ORDER BY day " +
+        "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) / 100.0 AS med7 " +
+        "FROM daily ORDER BY event_type, day"),
+    "q_spearman" ->
+      ("WITH d AS (SELECT source, " +
+        "CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS BIGINT) AS x, " +
+        "CAST(len(list_distinct(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> ''))) AS BIGINT) AS y " +
+        "FROM documents), " +
+        "rx AS (SELECT source, x, 2 * (cum - c) + c + 1 AS rx FROM " +
+        "(SELECT source, x, count(*) AS c, sum(count(*)) OVER (PARTITION BY source ORDER BY x) AS cum FROM d GROUP BY source, x)), " +
+        "ry AS (SELECT source, y, 2 * (cum - c) + c + 1 AS ry FROM " +
+        "(SELECT source, y, count(*) AS c, sum(count(*)) OVER (PARTITION BY source ORDER BY y) AS cum FROM d GROUP BY source, y)), " +
+        "j AS (SELECT d.source, CAST(rx.rx AS HUGEINT) AS rx, CAST(ry.ry AS HUGEINT) AS ry FROM d " +
+        "JOIN rx ON rx.source = d.source AND rx.x = d.x " +
+        "JOIN ry ON ry.source = d.source AND ry.y = d.y), " +
+        "m AS (SELECT source, CAST(count(*) AS HUGEINT) AS n, sum(rx) AS sx, sum(ry) AS sy, " +
+        "sum(rx * rx) AS sxx, sum(ry * ry) AS syy, sum(rx * ry) AS sxy FROM j GROUP BY source) " +
+        "SELECT source, CAST(n AS BIGINT) AS n_docs, " +
+        "round(CAST(n * sxy - sx * sy AS DOUBLE) / " +
+        "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS spearman_rho " +
+        "FROM m ORDER BY source"),
     "q_decile_bands" ->
       ("WITH dt AS (SELECT len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS n_tokens FROM documents), " +
         "cuts AS (SELECT " + (1 to 9).map(i =>

@@ -2666,4 +2666,92 @@ object Analytics {
           .otherwise(0.0)) / count(lit(1)).cast("double"), 6).as("theil_t"))
       .orderBy("c_mktsegment")
   }
+
+  /** ROLLING 7-day MEDIAN of daily spend per event type — the robust
+    * trend line a monitoring dashboard overlays on a spiky daily series
+    * (a single flash-sale day drags a rolling MEAN for a week; the
+    * windowed median shrugs it off — the [[madOutliers]] robustness
+    * argument applied to smoothing). Frame semantics: the last up-to-7
+    * OBSERVATIONS per type (ROWS, not RANGE — identical in both engines
+    * whether or not the calendar is dense; leading rows use the shorter
+    * prefix window like any dashboard's warm-up).
+    *
+    * Scale shape: the fact table collapses to the (type, day) level in
+    * one partial+final aggregation — everything after runs on a
+    * calendar-sized table. Float discipline: daily sums integerize at
+    * cents BEFORE the window (the q_cusum lesson — windowed sums/medians
+    * re-associate differently across engines; integer inputs make the
+    * ≤7-element interpolated median exact in both), divided back only in
+    * the output projection. */
+  def rollingMedianDaily(t: Tables, window: Int = 7): DataFrame = {
+    val daily = t.events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("_cents"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-(window - 1), Window.currentRow)
+    // UNROUNDED divisions on purpose: cents are exact integers and the
+    // ≤7-element interpolated median lands on integers or half-integers,
+    // so value/100.0 is the same IEEE division in both engines — exact
+    // hash equality. A round(·, 2) here would be WORSE: half-cent
+    // medians sit exactly on the .005 HALF_UP boundary where Spark's
+    // BigDecimal(shortest-repr) rounding and DuckDB's double rounding
+    // can split.
+    daily
+      .withColumn("_med", expr("percentile(_cents, 0.5)").over(w))
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        (col("_cents") / 100.0).as("daily_value"),
+        (col("_med") / 100.0).as(s"med$window"))
+      .orderBy("event_type", "day")
+  }
+
+  /** SPEARMAN rank correlation (Spearman 1904) between document length
+    * and VOCABULARY size per source — the monotone-association audit
+    * behind Heaps'-law expectations (types grow sublinearly with
+    * tokens): rank-based, so one pathological megadoc cannot saturate it
+    * the way it would Pearson on raw values. Ties get textbook AVERAGE
+    * ranks, computed without any per-doc window: collapse to the
+    * (source, value) domain, cumulative-count the domain table, and join
+    * the dense, tie-shared rank back — fact-table work is two
+    * aggregations and two domain-sized joins at any corpus size.
+    *
+    * Exactness: DOUBLED average ranks are integers (2·avg = 2·cum_before
+    * + cnt + 1), Pearson's formula is affine-invariant so the doubling
+    * cancels, and every moment accumulates in decimal(38,0) (order-free,
+    * HUGEINT-mirrored in the oracle) — ρ is bit-deterministic up to the
+    * single closed-form division, rounded at 6. */
+  def spearmanLengthVocab(t: Tables): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val docs = t.documents.select(col("source"),
+        size(toks).cast("long").as("x"),
+        size(array_distinct(toks)).cast("long").as("y"))
+      .localCheckpoint()
+    def rank2(v: String): DataFrame = {
+      val counts = docs.groupBy(col("source"), col(v))
+        .agg(count(lit(1)).as("_c"))
+      val wv = Window.partitionBy("source").orderBy(col(v))
+      counts
+        .withColumn("_cum", sum("_c").over(wv))
+        .select(col("source"), col(v),
+          (lit(2) * (col("_cum") - col("_c")) + col("_c") + 1).as(s"r$v"))
+    }
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val ranked = docs
+      .join(rank2("x"), Seq("source", "x"))
+      .join(rank2("y"), Seq("source", "y"))
+      .select(col("source"), col("rx").cast(dec).as("rx"),
+        col("ry").cast(dec).as("ry"))
+    ranked.groupBy("source")
+      .agg(count(lit(1)).cast(dec).as("_n"),
+        sum(col("rx")).as("_sx"), sum(col("ry")).as("_sy"),
+        sum(col("rx") * col("rx")).as("_sxx"),
+        sum(col("ry") * col("ry")).as("_syy"),
+        sum(col("rx") * col("ry")).as("_sxy"))
+      .select(col("source"), col("_n").cast("long").as("n_docs"),
+        round(((col("_n") * col("_sxy") - col("_sx") * col("_sy")).cast("double")) /
+          sqrt((col("_n") * col("_sxx") - col("_sx") * col("_sx")).cast("double") *
+            (col("_n") * col("_syy") - col("_sy") * col("_sy")).cast("double")), 6)
+          .as("spearman_rho"))
+      .orderBy("source")
+  }
 }

@@ -261,6 +261,61 @@ class AnalyticsSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), s"no hash agg:\n$plan")
   }
 
+  test("rollingMedianDaily equals a driver-side sliding-window median") {
+    val got = Analytics.rollingMedianDaily(tables).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    // driver replay: daily cents per type, then the exact interpolated
+    // median over the trailing up-to-7 observations
+    val daily = tables.events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("c")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    def median(xs: Seq[Long]): Double = {
+      val s = xs.sorted
+      val pos = (s.length - 1) * 0.5
+      val (lo, hi) = (s(pos.toInt), s(math.ceil(pos).toInt))
+      lo + (pos - pos.toInt) * (hi - lo)
+    }
+    val expect = daily.groupBy(_._1).toSeq.flatMap { case (tpe, rs) =>
+      val sorted = rs.sortBy(_._2)
+      sorted.zipWithIndex.map { case ((_, day, c), i) =>
+        val w = sorted.slice(math.max(0, i - 6), i + 1).map(_._3)
+        (tpe, day, c / 100.0, median(w.toSeq) / 100.0)
+      }
+    }.toSet
+    assert(got.toSet == expect,
+      s"diff: ${(got.toSet diff expect).take(3)} / ${(expect diff got.toSet).take(3)}")
+  }
+
+  test("spearmanLengthVocab matches a driver-side tie-averaged rank correlation") {
+    val got = Analytics.spearmanLengthVocab(tables).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.nonEmpty)
+    val docs = tables.documents.select(col("source"),
+        graft.operators.TextAnalysis.tokens(col("text")).as("tk")).collect()
+      .map(r => (r.getString(0), r.getSeq[String](1)))
+      .map { case (s, tk) => (s, tk.length.toLong, tk.distinct.length.toLong) }
+    def avgRanks2(vs: Seq[Long]): Map[Long, Long] = {
+      // doubled average rank per value: 2*cumBefore + count + 1
+      val grouped = vs.groupBy(identity).view.mapValues(_.length.toLong).toSeq.sortBy(_._1)
+      var cum = 0L
+      grouped.map { case (v, c) => val r = 2 * cum + c + 1; cum += c; v -> r }.toMap
+    }
+    docs.groupBy(_._1).foreach { case (src, rs) =>
+      val (rx, ry) = (avgRanks2(rs.map(_._2).toSeq), avgRanks2(rs.map(_._3).toSeq))
+      val pairs = rs.map(r => (rx(r._2).toDouble, ry(r._3).toDouble))
+      val n = pairs.length.toDouble
+      val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val syy = pairs.map(p => p._2 * p._2).sum
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val rho = (n * sxy - sx * sy) / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+      assert(got(src)._1 == rs.length.toLong, src)
+      assert(math.abs(got(src)._2 - rho) < 1e-6, s"$src: ${got(src)._2} vs $rho")
+    }
+  }
+
   test("percentile sketch harness: exact columns replay, rank audit passes") {
     // r16 shape: the row carries the EXACT percentiles (oracle-replayed)
     // plus the sketch's tie-safe rank-audit flag; the flag failing would

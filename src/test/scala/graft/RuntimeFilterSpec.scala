@@ -1,56 +1,62 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import graft.functions.BloomFunctions
+import graft.operators.RuntimeFilter
 
-/** Runtime bloom-filter join pruning — the scan-reduction lever for
-  * selective shuffle joins at cluster scale.
-  *
-  * When a join's build side is filtered hard (here: urgent, high-value
-  * orders) and the probe side is a large fact scan, Spark's
-  * InjectRuntimeFilter plants a `bloom_filter_agg` over the build side's
-  * join keys and a `might_contain` predicate on the fact side, discarding
-  * non-joining fact rows BEFORE the shuffle. At 100 TB this is the
-  * difference between shuffling the whole lineitem table and shuffling the
-  * ~1% that can actually join. The feature is on by default
-  * (`spark.sql.optimizer.runtime.bloomFilter.enabled`); its size
-  * thresholds (`applicationSideScanSizeThreshold` 10 GB default) are what
-  * keep it out of toy-scale plans, so the spec lowers them to observe the
-  * cluster-scale plan shape locally.
-  */
 class RuntimeFilterSpec extends SparkSpec {
+  import spark.implicits._
 
-  private def selectiveJoin(t: graft.sources.Tables) =
-    t.lineitem
-      .join(t.orders.filter(col("o_orderpriority") === "1-URGENT" &&
-        col("o_totalprice") > 400000),
-        col("l_orderkey") === col("o_orderkey"))
-      .groupBy("l_returnflag")
-      .agg(round(sum("l_quantity"), 2).as("sum_qty"))
-      .orderBy("l_returnflag")
-
-  test("a selective shuffle join gets a bloom might_contain on the fact side") {
-    val conf = spark.conf
-    val saved = Seq(
-      "spark.sql.autoBroadcastJoinThreshold",
-      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
-      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
-      .map(k => k -> conf.getOption(k))
-    try {
-      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ (the 100 TB shape)
-      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
-      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB")
-      val plan = selectiveJoin(tables).queryExecution.optimizedPlan.toString
-      assert(plan.contains("bloom_filter_agg"), s"no bloom build:\n$plan")
-      assert(plan.contains("might_contain"), s"no bloom probe:\n$plan")
-      // and the pruned plan returns exactly what the unfiltered plan does
-      val withBloom = selectiveJoin(tables).collect().toSeq
-      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
-        "10GB")
-      val without = selectiveJoin(tables).collect().toSeq
-      assert(withBloom == without && withBloom.nonEmpty)
-    } finally saved.foreach {
-      case (k, Some(v)) => conf.set(k, v)
-      case (k, None) => conf.unset(k)
+  test("bloom prefilter revenue: audits pass and aggregates equal the exact semi join") {
+    val rows = RuntimeFilter.bloomPrefilterRevenue(tables).collect()
+    assert(rows.nonEmpty, "no low-balance suppliers in the fixture?")
+    rows.foreach { r =>
+      assert(r.getInt(3) == 1, s"${r.getString(0)}: bloom dropped a true match")
+      assert(r.getInt(4) == 1, s"${r.getString(0)}: false-positive rate above bound")
     }
+    // independent exact recompute of the semi-join aggregate
+    val negSupp = tables.supplier.filter($"s_acctbal" < 1500)
+      .select($"s_suppkey").collect().map(_.getLong(0)).toSet
+    assert(negSupp.nonEmpty)
+    val expect = tables.lineitem
+      .select($"l_returnflag", $"l_suppkey", $"l_extendedprice", $"l_discount")
+      .collect()
+      .filter(r => negSupp(r.getLong(1)))
+      .groupBy(_.getString(0))
+      .map { case (rf, rs) =>
+        rf -> (rs.length.toLong,
+          math.round(rs.map(r => r.getDouble(2) * (1 - r.getDouble(3))).sum * 100) / 100.0)
+      }
+    val got = rows.map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == expect, s"got $got expect $expect")
+  }
+
+  test("might_contain is never false-negative over every inserted key") {
+    // the soundness contract directly: build over one column, probe the
+    // SAME values — every probe must pass
+    val keys = tables.supplier.select($"s_suppkey".as("k"))
+    val n = keys.count()
+    val bytes = keys
+      .agg(BloomFunctions.bloomAgg(xxhash64($"k"), n, n * 10).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val misses = keys
+      .filter(!BloomFunctions.mightContain(lit(bytes), xxhash64($"k")))
+      .count()
+    assert(misses == 0, s"$misses false negatives - the build/probe hash paths split")
+  }
+
+  test("the filter actually prunes: a disjoint key set passes only at the fp rate") {
+    val keys = tables.supplier.select($"s_suppkey".as("k"))
+    val n = keys.count()
+    val bytes = keys
+      .agg(BloomFunctions.bloomAgg(xxhash64($"k"), n, n * 10).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    // keys shifted far past the supplier id range: all truly absent
+    val absent = keys.select(($"k" + 1000000L).as("k"))
+    val passed = absent
+      .filter(BloomFunctions.mightContain(lit(bytes), xxhash64($"k")))
+      .count()
+    assert(passed <= math.max(2L, (n * 0.03).toLong),
+      s"$passed of $n absent keys passed - filter not pruning")
   }
 }
