@@ -992,6 +992,22 @@ x5 AS MATERIALIZED (SELECT *, ${mulmod("xor(ha, ha >> 33)", P2)} AS hb FROM x4),
 x6 AS MATERIALIZED (SELECT *, ${mulmod("xor(hb, hb >> 29)", P3)} AS hc FROM x5),
 xx AS MATERIALIZED (SELECT *, xor(hc, hc >> 32) AS xxh FROM x6)"""
 
+  /** Oracle for q_negative_sample ([[graft.operators.Sampling.negativeSamples]]):
+    * the identical packed-key xxhash64 draw replayed through the shared
+    * chain — positives, k-way draw index unnest, signed-pmod into the
+    * part range, NOT EXISTS rejection, customer-level counts + the
+    * exact integer item-id checksum. */
+  def negativeSamples(k: Int = 2): String =
+    s"""WITH pos AS MATERIALIZED (SELECT DISTINCT o_custkey AS c, l_partkey AS p FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+np AS (SELECT CAST(max(p_partkey) AS BIGINT) AS np FROM part),
+src AS MATERIALIZED (SELECT c, p, i, (c * (np + 1) + p) * $k + i AS doc_id FROM pos CROSS JOIN np CROSS JOIN (SELECT unnest([${(0 until k).mkString(", ")}]) AS i)),
+${xxhCtes(42L)},
+cand AS MATERIALIZED (SELECT c, (((${signedB("xxh")}) % np) + np) % np + 1 AS neg FROM xx CROSS JOIN np),
+kept AS (SELECT cand.c, cand.neg FROM cand WHERE NOT EXISTS (SELECT 1 FROM pos WHERE pos.c = cand.c AND pos.p = cand.neg)),
+pa AS (SELECT c AS custkey, CAST(count(*) AS BIGINT) AS n_pos FROM pos GROUP BY c),
+na AS (SELECT c AS custkey, CAST(count(*) AS BIGINT) AS n_neg, CAST(sum(neg) AS BIGINT) AS neg_checksum FROM kept GROUP BY c)
+SELECT pa.custkey, pa.n_pos, coalesce(na.n_neg, 0) AS n_neg, coalesce(na.neg_checksum, 0) AS neg_checksum FROM pa LEFT JOIN na ON na.custkey = pa.custkey ORDER BY pa.custkey"""
+
   /** Oracle for q_lang_cap ([[graft.operators.Sampling.capPerGroup]] over
     * `lang`, cap 40): per-language row_number over (signed xxhash64(doc_id),
     * doc_id) — the window form of the engine's bounded-heap TopKPerGroup,

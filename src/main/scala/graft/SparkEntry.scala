@@ -558,6 +558,11 @@ object SparkEntry {
     "q_mode_user" -> ((s, d) => Analytics.modalEventType(Tables(s, d))),
     "q_approx_distinct" -> ((s, d) => Analytics.approxDistinctUsers(Tables(s, d))),
     "q_rolling_median" -> ((s, d) => Analytics.rollingMedianDaily(Tables(s, d))),
+    "q_assoc_rules" -> ((s, d) => Analytics.associationRules(Tables(s, d))),
+    "q_quantile_norm" -> ((s, d) =>
+      graft.operators.Sampling.quantileNormalizeLengths(Tables(s, d))),
+    "q_negative_sample" -> ((s, d) =>
+      graft.operators.Sampling.negativeSamples(Tables(s, d))),
     "q_spearman" -> ((s, d) => Analytics.spearmanLengthVocab(Tables(s, d))),
     "q_bloom_prefilter" -> ((s, d) =>
       graft.operators.RuntimeFilter.bloomPrefilterRevenue(Tables(s, d))),
@@ -1171,6 +1176,7 @@ object SparkEntry {
     "q_split_assign" -> KernelOracleSql.splitAssign,
     "q_split_groupsafe" -> MinhashOracleSql.groupSafeSplits(),
     "q_epoch_shuffle" -> KernelOracleSql.epochShuffle(),
+    "q_negative_sample" -> KernelOracleSql.negativeSamples(),
     "q_weighted_sample" -> KernelOracleSql.weightedSample(),
     "q_lang_cap" -> KernelOracleSql.capPerGroup(),
     "q_dedup_keep_best" -> MinhashOracleSql.clusterRepresentatives(),
@@ -1800,6 +1806,31 @@ object SparkEntry {
         "quantile_cont(cents, 0.5) OVER (PARTITION BY event_type ORDER BY day " +
         "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) / 100.0 AS med7 " +
         "FROM daily ORDER BY event_type, day"),
+    "q_assoc_rules" ->
+      ("WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem), " +
+        "n AS (SELECT count(DISTINCT ok) AS n FROM b), " +
+        "isup AS (SELECT p, count(*) AS supp FROM b GROUP BY p), " +
+        "psup AS (SELECT a.p AS pa, c.p AS pb, count(*) AS supp_ab FROM b a JOIN b c ON a.ok = c.ok AND a.p < c.p GROUP BY a.p, c.p HAVING count(*) >= 2), " +
+        "j AS (SELECT pa, pb, supp_ab, ia.supp AS sa, ib.supp AS sb FROM psup JOIN isup ia ON ia.p = pa JOIN isup ib ON ib.p = pb), " +
+        "rules AS (SELECT pa AS antecedent, pb AS consequent, supp_ab, CAST(supp_ab AS DOUBLE) / sa AS conf, CAST(supp_ab AS DOUBLE) * (SELECT n FROM n) / (sa * sb) AS lift FROM j " +
+        "UNION ALL SELECT pb, pa, supp_ab, CAST(supp_ab AS DOUBLE) / sb, CAST(supp_ab AS DOUBLE) * (SELECT n FROM n) / (sa * sb) FROM j), " +
+        "top AS (SELECT * FROM rules ORDER BY lift DESC, conf DESC, antecedent ASC, consequent ASC LIMIT 25) " +
+        "SELECT antecedent, consequent, supp_ab, round(conf, 6) AS confidence, round(lift, 6) AS lift " +
+        "FROM top ORDER BY lift DESC, confidence DESC, antecedent, consequent"),
+    "q_quantile_norm" ->
+      ("WITH d AS (SELECT doc_id, source, CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS BIGINT) AS n_tokens FROM documents), " +
+        "sc AS (SELECT source, n_tokens, count(*) AS c FROM d GROUP BY 1, 2), " +
+        "sr AS (SELECT source, n_tokens, 2 * (cum - c) + c + 1 AS r2 FROM " +
+        "(SELECT source, n_tokens, c, sum(c) OVER (PARTITION BY source ORDER BY n_tokens) AS cum FROM sc)), " +
+        "ns AS (SELECT source, count(*) AS ns FROM d GROUP BY source), " +
+        "ng AS (SELECT count(*) AS ng FROM d), " +
+        "dom AS (SELECT n_tokens AS norm_tokens, cumg - cg AS lo, cumg AS hi FROM " +
+        "(SELECT n_tokens, count(*) AS cg, sum(count(*)) OVER (ORDER BY n_tokens) AS cumg FROM d GROUP BY n_tokens)), " +
+        "p AS (SELECT d.doc_id, d.source, d.n_tokens, " +
+        "CASE WHEN ns.ns = 1 THEN (ng.ng - 1) // 2 ELSE ((sr.r2 - 2) * (ng.ng - 1)) // (2 * (ns.ns - 1)) END AS pos " +
+        "FROM d JOIN sr ON sr.source = d.source AND sr.n_tokens = d.n_tokens JOIN ns ON ns.source = d.source CROSS JOIN ng) " +
+        "SELECT p.doc_id, p.source, p.n_tokens, dom.norm_tokens FROM p " +
+        "JOIN dom ON p.pos >= dom.lo AND p.pos < dom.hi ORDER BY doc_id"),
     "q_spearman" ->
       ("WITH d AS (SELECT source, " +
         "CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS BIGINT) AS x, " +

@@ -2667,6 +2667,58 @@ object Analytics {
       .orderBy("c_mktsegment")
   }
 
+  /** ASSOCIATION-RULE MINING over order baskets (Agrawal & Srikant,
+    * VLDB'94 — support / confidence / lift, the classic market-basket
+    * read of the co-purchase graph the triangle/label-prop rows already
+    * mine): rules a→b among part pairs sharing an order, support-
+    * thresholded, ranked by lift. Lift is symmetric (supp_ab·N /
+    * supp_a·supp_b — how much more often the pair co-occurs than
+    * independence predicts); confidence is directional, so each
+    * qualifying pair emits both directions.
+    *
+    * Scale shape: the basket table collapses to DISTINCT (order, part)
+    * once; the pair fan-out is the [[Graph.coPurchaseEdges]] shape
+    * (per-order k², bounded by basket width — the accepted co-purchase
+    * cost), aggregated with map-side partial counts; item supports are
+    * one more aggregation of the same collapsed table; the final rank is
+    * a TakeOrdered top-k, never a global sort. Exactness: confidence and
+    * lift are single divisions of exact integer counts — deterministic
+    * doubles in both engines — rounded at 6 for the emitted columns
+    * while the ORDERING ties on the raw ratios with (antecedent,
+    * consequent) as the final tie-break. */
+  def associationRules(t: Tables, minSupport: Int = 2,
+                       topK: Int = 25): DataFrame = {
+    val baskets = t.lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+      .localCheckpoint() // pair fan-out + item supports + N read it
+    val nOrders = baskets.select("ok").distinct()
+      .agg(count(lit(1)).as("_n"))
+    val itemSupp = baskets.groupBy("p").agg(count(lit(1)).as("supp"))
+    val pairSupp = baskets.toDF("ok", "pa").join(baskets.toDF("ok", "pb"), Seq("ok"))
+      .filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("supp_ab"))
+      .filter(col("supp_ab") >= minSupport)
+    val joined = pairSupp
+      .join(itemSupp.select(col("p").as("pa"), col("supp").as("supp_a")), "pa")
+      .join(itemSupp.select(col("p").as("pb"), col("supp").as("supp_b")), "pb")
+      .crossJoin(broadcast(nOrders))
+    def dir(ant: String, cons: String, suppAnt: String) = joined.select(
+      col(ant).as("antecedent"), col(cons).as("consequent"),
+      col("supp_ab"),
+      (col("supp_ab").cast("double") / col(suppAnt)).as("_conf"),
+      (col("supp_ab").cast("double") * col("_n") /
+        (col("supp_a") * col("supp_b"))).as("_lift"))
+    dir("pa", "pb", "supp_a").unionByName(dir("pb", "pa", "supp_b"))
+      .orderBy(col("_lift").desc, col("_conf").desc,
+        col("antecedent").asc, col("consequent").asc)
+      .limit(topK)
+      .select(col("antecedent"), col("consequent"), col("supp_ab"),
+        round(col("_conf"), 6).as("confidence"), round(col("_lift"), 6).as("lift"))
+      .orderBy(col("lift").desc, col("confidence").desc,
+        col("antecedent").asc, col("consequent").asc)
+  }
+
   /** ROLLING 7-day MEDIAN of daily spend per event type — the robust
     * trend line a monitoring dashboard overlays on a spiky daily series
     * (a single flash-sale day drags a rolling MEAN for a week; the

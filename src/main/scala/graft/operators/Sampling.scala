@@ -393,4 +393,95 @@ object Sampling {
     asg.unpersist(blocking = false)
     out
   }
+  /** QUANTILE NORMALIZATION of document lengths across sources (the
+    * rank-matching transform of Bolstad et al. 2003, applied the way a
+    * corpus-mixing pipeline uses it: map every source's length
+    * distribution onto the GLOBAL length distribution so per-source
+    * length bias can't leak into a mixture as a length signal). Each
+    * document takes the global value at its source-relative rank
+    * fraction — nearest-rank (floor) method, tie-AVERAGED source ranks.
+    *
+    * Scale + exactness shape: both distributions live as VALUE-DOMAIN
+    * count-collapse tables (token counts are bounded-cardinality), so
+    * no global sort and no per-doc window ever touches the corpus; the
+    * per-doc global position computes in PURE INTEGER floor division —
+    * pos = (r2−2)·(N_g−1) ÷ (2·(n_s−1)) with r2 the doubled tie-average
+    * rank — and the value lookup is a broadcast range join against the
+    * domain table's [cum_before, cum) rank intervals. Zero float
+    * arithmetic end to end ⇒ bit-exact in any engine at any scale. A
+    * single-doc source pins to the global median position (the
+    * rank-fraction is undefined at n_s = 1). */
+  def quantileNormalizeLengths(t: Tables): DataFrame = {
+    val docs = t.documents.select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .localCheckpoint() // source ranks + global domain + output read it
+    val srcCounts = docs.groupBy("source", "n_tokens")
+      .agg(count(lit(1)).as("_c"))
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("n_tokens")
+    val srcRank = srcCounts
+      .withColumn("_cum", sum("_c").over(ws))
+      .select(col("source"), col("n_tokens"),
+        (lit(2) * (col("_cum") - col("_c")) + col("_c") + 1).as("_r2"))
+    val nS = docs.groupBy("source").agg(count(lit(1)).as("_ns"))
+    val nG = docs.agg(count(lit(1)).as("_ng"))
+    val wg = org.apache.spark.sql.expressions.Window.orderBy("n_tokens")
+    val dom = docs.groupBy("n_tokens").agg(count(lit(1)).as("_cg"))
+      .withColumn("_cumg", sum("_cg").over(wg))
+      .select(col("n_tokens").as("norm_tokens"),
+        (col("_cumg") - col("_cg")).as("_lo"), col("_cumg").as("_hi"))
+    // `div` (integral division), never `/`: on longs `/` is DOUBLE
+    // division, and floor(double-division) can cross an integer boundary
+    // at one ulp exactly where the true quotient sits 1/b below it
+    val pos = when(col("_ns") === 1, expr("(_ng - 1) div 2"))
+      .otherwise(expr("((_r2 - 2) * (_ng - 1)) div (2 * (_ns - 1))"))
+    docs
+      .join(srcRank, Seq("source", "n_tokens"))
+      .join(broadcast(nS), "source")
+      .crossJoin(broadcast(nG))
+      .withColumn("_pos", pos.cast("long"))
+      .join(broadcast(dom), col("_pos") >= col("_lo") && col("_pos") < col("_hi"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("norm_tokens"))
+      .orderBy("doc_id")
+  }
+  /** DETERMINISTIC NEGATIVE SAMPLING for contrastive/recommender
+    * training pairs (the skip-gram/BPR data-prep step — Mikolov et al.
+    * 2013, Rendle et al. 2009: every observed (customer, part) positive
+    * draws k uniform pseudo-negatives): the draw is xxhash64 over a
+    * packed (customer, part, draw-index) key mapped into the part-id
+    * range, so the sample is CONTENT-DETERMINISTIC — partition- and
+    * run-independent, reproducible across engines (the q_split_assign /
+    * q_weighted_sample hashing discipline; no RNG state to disagree
+    * on). Draws that collide with a TRUE positive are REJECTED without
+    * resampling (the standard with-replacement treatment — expected
+    * loss rate = the user's positive density, visible as n_neg <
+    * k·n_pos in the output). Output is customer-level: positive count,
+    * surviving negative count, and the exact integer checksum of the
+    * sampled item ids — the bounded witness that pins the sample's
+    * CONTENT, not just its size, into the oracle hash.
+    *
+    * Scale shape: one distinct-collapse of the interaction table, a
+    * k-way map-side explode, one anti-join back against positives, and
+    * customer-cardinality aggregates — no shuffle carries more than
+    * k × interactions rows. */
+  def negativeSamples(t: Tables, k: Int = 2): DataFrame = {
+    val pos = t.orders.select(col("o_orderkey").as("ok"), col("o_custkey").as("c"))
+      .join(t.lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("p")), "ok")
+      .select("c", "p").distinct()
+      .localCheckpoint() // candidate fan-out + anti-join + counts read it
+    val np = t.part.agg(max("p_partkey").as("_np"))
+    val cand = pos.crossJoin(broadcast(np))
+      .select(col("c"), col("p"), col("_np"),
+        explode(sequence(lit(0), lit(k - 1))).as("i"))
+      .withColumn("_key", (col("c") * (col("_np") + 1) + col("p")) * k + col("i"))
+      .withColumn("neg", pmod(xxhash64(col("_key")), col("_np")) + 1)
+    val kept = cand.select(col("c"), col("neg"))
+      .join(pos.select(col("c"), col("p").as("neg")), Seq("c", "neg"), "left_anti")
+    val posAgg = pos.groupBy(col("c").as("custkey")).agg(count(lit(1)).as("n_pos"))
+    val negAgg = kept.groupBy(col("c").as("custkey"))
+      .agg(count(lit(1)).as("n_neg"), sum("neg").as("neg_checksum"))
+    posAgg.join(negAgg, Seq("custkey"), "left")
+      .na.fill(0L, Seq("n_neg", "neg_checksum"))
+      .orderBy("custkey")
+  }
 }

@@ -261,6 +261,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), s"no hash agg:\n$plan")
   }
 
+  test("associationRules equals a driver-side support/confidence/lift recompute") {
+    val got = Analytics.associationRules(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.length == 25)
+    // local replay over the collected baskets
+    val baskets = tables.lineitem.select(col("l_orderkey"), col("l_partkey"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = baskets.map(_._1).distinct.length.toDouble
+    val isup = baskets.groupBy(_._2).map { case (p, rs) => p -> rs.length.toLong }
+    val psup = baskets.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+      val ps = rs.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).collect { case (pr, occ) if occ.length >= 2 => pr -> occ.length.toLong }
+    val rules = psup.toSeq.flatMap { case ((a, b), sab) =>
+      val lift = sab * n / (isup(a) * isup(b))
+      Seq((a, b, sab, sab.toDouble / isup(a), lift), (b, a, sab, sab.toDouble / isup(b), lift))
+    }
+    val expect = rules.sortBy(r => (-r._5, -r._4, r._1, r._2)).take(25)
+      .map(r => (r._1, r._2, r._3,
+        BigDecimal(r._4).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(r._5).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    assert(got.sortBy(r => (-r._5, -r._4, r._1, r._2)).toSeq == expect)
+    // lift ranking means the top rule beats independence by the most
+    assert(got.head._5 > 1.0, s"top lift ${got.head._5} <= 1 - nothing associates?")
+  }
+
   test("rollingMedianDaily equals a driver-side sliding-window median") {
     val got = Analytics.rollingMedianDaily(tables).collect()
       .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3)))

@@ -308,4 +308,80 @@ class SamplingSpec extends SparkSpec {
       .filter(col("_sa") =!= col("_sb")).count()
     assert(plainLeak > 0, "fixture vacuous: plain hash split doesn't leak here")
   }
+  test("quantileNormalizeLengths: rank-matched onto the global length distribution") {
+    import org.apache.spark.sql.functions._
+    val got = graft.operators.Sampling.quantileNormalizeLengths(tables).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val docs = tables.documents.select(col("doc_id"), col("source"),
+        size(graft.operators.TextAnalysis.tokens(col("text"))).cast("long").as("x"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.length == docs.length)
+    // driver replay: doubled tie-average source rank -> integer floor
+    // position -> global value at that 0-based rank
+    val globalSorted = docs.map(_._3).sorted
+    val ng = globalSorted.length.toLong
+    val bySrc = docs.groupBy(_._2)
+    val expect = bySrc.toSeq.flatMap { case (src, rs) =>
+      val ns = rs.length.toLong
+      val grouped = rs.map(_._3).groupBy(identity).view
+        .mapValues(_.length.toLong).toSeq.sortBy(_._1)
+      var cum = 0L
+      val r2 = grouped.map { case (v, c) =>
+        val r = 2 * cum + c + 1; cum += c; v -> r }.toMap
+      rs.map { case (id, _, x) =>
+        val pos = if (ns == 1) (ng - 1) / 2
+          else (r2(x) - 2) * (ng - 1) / (2 * (ns - 1))
+        (id, src, x, globalSorted(pos.toInt))
+      }
+    }.toSet
+    assert(got.toSet == expect,
+      s"diff ${(got.toSet diff expect).take(3)} / ${(expect diff got.toSet).take(3)}")
+    // the transform actually matches distributions: each source's
+    // normalized median sits near the global median
+    val gmed = globalSorted(((ng - 1) / 2).toInt)
+    got.groupBy(_._2).foreach { case (src, rs) =>
+      val m = rs.map(_._4).sorted.apply(rs.length / 2)
+      assert(math.abs(m - gmed) <= gmed * 0.25 + 2, s"$src median $m vs global $gmed")
+    }
+  }
+  test("negativeSamples: deterministic draws, true positives rejected, checksum pins content") {
+    import org.apache.spark.sql.functions._
+    val got = graft.operators.Sampling.negativeSamples(tables).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.nonEmpty)
+    // driver replay: same packed keys through the engine's public
+    // xxhash64 (the ORACLE replays the hash from scratch in SQL — this
+    // spec pins the packing/pmod/rejection/aggregation composition)
+    val pos = tables.orders.select(col("o_orderkey"), col("o_custkey")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val posPairs = tables.lineitem.select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (pos(r.getLong(0)), r.getLong(1))).distinct
+    val np = tables.part.agg(max(col("p_partkey"))).head().getLong(0)
+    val keys = posPairs.flatMap { case (c, p) =>
+      (0 until 2).map(i => (c, (c * (np + 1) + p) * 2 + i))
+    }
+    import spark.implicits._
+    val hashed = keys.map(_._2).toSeq.toDF("k")
+      .select(col("k"), xxhash64(col("k")).as("h")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val posSet = posPairs.toSet
+    val kept = keys.map { case (c, k) =>
+      (c, java.lang.Math.floorMod(hashed(k), np) + 1)
+    }.filterNot(posSet)
+    val expNeg = kept.groupBy(_._1).map { case (c, rs) =>
+      c -> (rs.length.toLong, rs.map(_._2).sum)
+    }
+    val expPos = posPairs.groupBy(_._1).map { case (c, rs) => c -> rs.length.toLong }
+    assert(got.keySet == expPos.keySet)
+    got.foreach { case (c, (nP, nN, ck)) =>
+      assert(nP == expPos(c), s"cust $c n_pos")
+      val (en, eck) = expNeg.getOrElse(c, (0L, 0L))
+      assert(nN == en, s"cust $c n_neg $nN vs $en")
+      assert(ck == eck, s"cust $c checksum $ck vs $eck")
+      assert(nN <= 2 * nP)
+    }
+    // rejection is non-vacuous on this fixture
+    assert(got.values.map(_._2).sum < 2 * got.values.map(_._1).sum,
+      "no draw collided with a positive - rejection untested")
+  }
 }
