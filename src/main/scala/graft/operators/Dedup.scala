@@ -481,8 +481,16 @@ object Dedup {
       .persist()
     val c = col("n_common").cast("double") /
       least(size(col("_sa")), size(col("_sb")))
+    // explicit partition counts on both join exchanges: the per-pair
+    // array_intersect over full shingle sets is the expensive kernel
+    // here, and AQE coalesced it onto TWO tasks at sf0.1 (5.6 task-sec
+    // serialized — the r16 probe's finding) because the candidate-pair
+    // bytes look tiny before the kernel runs
+    val n = cand.sparkSession.sparkContext.defaultParallelism
     val scored = cand
+      .repartition(n, col("doc_a"))
       .join(sets.select(col("doc_id").as("doc_a"), col("_sh").as("_sa")), "doc_a")
+      .repartition(n, col("doc_b"))
       .join(sets.select(col("doc_id").as("doc_b"), col("_sh").as("_sb")), "doc_b")
       .withColumn("n_common", size(array_intersect(col("_sa"), col("_sb"))).cast("long"))
       .filter(c >= minContainment)

@@ -450,7 +450,13 @@ object TextAnalysis {
   private[graft] def winnowedFpRows(docs: DataFrame, k: Int = 3,
                                     w: Int = 4): DataFrame = {
     val (gh, sel) = winnowExprs(k, w)
+    // explicit-count spread before the per-doc gram-hash/min-select
+    // kernels: a small corpus arrives as ONE parquet file and the whole
+    // winnow pass ran single-task (r16 probe: 1.0 s of q_containment's
+    // wall); AQE sizes from pre-kernel bytes and can't see the CPU
     docs.select(col("doc_id"), tokens(col("text")).as("_tk"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
       .filter(size(col("_tk")) >= k)
       .withColumn("_gh", gh)
       .select(col("doc_id"), explode(sel).as("fp"))
