@@ -148,17 +148,36 @@ object Graph {
     // distinct (s, c) pairs ⟹ the exploded directed rows are distinct by
     // construction — with a prebuilt pair artifact the per-query dedup
     // shuffle disappears and only the src layout + degree window remain
-    val edges = prebuiltPairs.getOrElse(tradePairs(t))
+    val pairs = prebuiltPairs.getOrElse(tradePairs(t))
+    val edges = pairs
       .select(explode(array(
         struct(s2.as("src"), c2.as("dst")),
         struct(c2.as("src"), s2.as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .repartition(col("src"))
-    val edgesDeg = edges
-      .withColumn("_deg",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("src")))
-      .persist()
-    (edgesDeg, () => edgesDeg.unpersist(blocking = false))
+    if (tradeGraphSmall(pairs)) {
+      // COST-BASED layout switch — the r16 HITS recipe applied to the
+      // undirected family (q_pagerank / q_ppr / q_kcore; r16 verdict item
+      // 2). Below the plan-stats threshold the edge table stays a LAZY
+      // scan and `_deg` comes from a node-cardinality aggregate joined
+      // back (AQE broadcasts it): the repartition, the per-src sort the
+      // degree window forces, and the cache fill — measured at more task
+      // time than all the rounds they serve at sf0.1 — disappear, and
+      // identical degree/scan subtrees across the composed rounds dedupe
+      // via ReusedExchange. Above the threshold (the 100 TB regime: node
+      // tables too big to broadcast) the cached src layout keeps every
+      // round's edge side exchange-free — the round-8 verdict contract.
+      val deg = edges.groupBy(col("src").as("_dn"))
+        .agg(count(lit(1)).as("_deg"))
+      val edgesDeg = edges.join(deg, col("src") === col("_dn")).drop("_dn")
+      (edgesDeg, () => ())
+    } else {
+      val edgesDeg = edges
+        .repartition(col("src"))
+        .withColumn("_deg",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("src")))
+        .persist()
+      (edgesDeg, () => edgesDeg.unpersist(blocking = false))
+    }
   }
 
   private def formatRanks(ranks: DataFrame): DataFrame = ranks
@@ -244,8 +263,12 @@ object Graph {
     * the checkpoint elision in [[hits]]: free to read (no job), scales
     * with the input, env-overridable for the large-graph path's specs. */
   private[graft] def tradeGraphSmall(pairs: DataFrame): Boolean = {
-    val minBytes = sys.env.getOrElse(
-      "SPARK_GRAFT_GRAPH_CACHE_MIN_BYTES", (256L * 1024 * 1024).toString).toLong
+    // session-conf override first (specs pin the LARGE-graph plan shape by
+    // setting it to 0 in-JVM — sys.env is immutable per process), env next
+    val minBytes = pairs.sparkSession.conf
+      .getOption("spark.graft.graphCacheMinBytes")
+      .orElse(sys.env.get("SPARK_GRAFT_GRAPH_CACHE_MIN_BYTES"))
+      .getOrElse((256L * 1024 * 1024).toString).toLong
     pairs.queryExecution.optimizedPlan.stats.sizeInBytes <= minBytes
   }
 
@@ -345,7 +368,17 @@ object Graph {
     * sensitivity returns, correctness doesn't change) past it. */
   private def l2NormCol(c: String): Column = {
     val d = col(c).cast(org.apache.spark.sql.types.DecimalType(38, 0))
-    sqrt(when(max(abs(col(c))) < 1e14 && sum(d * d).isNotNull,
+    val mx = max(abs(col(c)))
+    // LOUD exactness guard (r16 advice item 3): the deferred-normalization
+    // contract — bit-exact integer intermediates — holds only below 2^53
+    // in double, and magnitudes grow like (avg degree)^(2·iters). The
+    // per-round sums had no guard, so a larger graph or iters would have
+    // silently reverted to order-dependent double sums; assert_true rides
+    // the SAME 1-row norm aggregate (zero extra jobs) and aborts instead.
+    val guard = assert_true(mx < lit(9.007199254740992e15),
+      lit(s"hits: raw |$c| exceeds 2^53 — deferred normalization no longer " +
+        "exact; lower iters or normalize per round"))
+    sqrt(when(guard.isNull && mx < 1e14 && sum(d * d).isNotNull,
       sum(d * d).cast("double")).otherwise(sum(col(c) * col(c))))
   }
 
@@ -439,12 +472,15 @@ object Graph {
     * Scale shape — the one that makes triangle counting tractable at all:
     * every edge is ORIENTED from its lower-(degree, id) endpoint to the
     * higher one, so each wedge is generated at its lowest-degree apex —
-    * total wedge count is O(m^1.5) regardless of hub degrees (an
-    * unoriented node-iterator explodes quadratically at every hub). Three
-    * hash equi-joins on the oriented edge list: wedges = edges ⋈ edges on
-    * the apex, closed = wedges ⋈ edges on (v, w). Per-order co-purchase
-    * pairs are bounded by lineitems-per-order (single digits in this
-    * schema), so edge generation is linear in lineitem. */
+    * total wedge work is O(m^1.5) regardless of hub degrees (an
+    * unoriented node-iterator explodes quadratically at every hub). The
+    * closure runs IN-TASK over per-node out-neighbor arrays
+    * (array_intersect on each edge's endpoint adjacency — the forward
+    * algorithm), so only the m-row edge list and the node-cardinality
+    * adjacency table ever shuffle; the O(m^1.5) wedge set is never a
+    * moving table. Per-order co-purchase pairs are bounded by
+    * lineitems-per-order (single digits in this schema), so edge
+    * generation is linear in lineitem. */
   /** The part CO-PURCHASE edge list `(pa < pb)` — an undirected edge for
     * every distinct pair of parts sharing an order — shared by
     * [[triangleCounts]] and [[labelPropagation]] (r13 verdict item 5:
@@ -482,25 +518,62 @@ object Graph {
         when(col("da") < col("db") ||
           (col("da") === col("db") && col("pa") < col("pb")), col("pb"))
           .otherwise(col("pa")).as("v"))
-      .localCheckpoint() // wedge join + closing join read it
-    val wedges = oriented.toDF("u", "v")
-      .join(oriented.toDF("u", "w"), Seq("u"))
-      .filter(col("v") < col("w"))
-    // the closing edge may be oriented either way between v and w; the
-    // apex orientation already guarantees each triangle closes exactly once
-    val closingEdges = oriented
-      .select(least(col("u"), col("v")).as("v"),
-        greatest(col("u"), col("v")).as("w"))
-    val triangles = wedges
-      .join(closingEdges, Seq("v", "w"), "left_semi")
-      .select(explode(array(col("u"), col("v"), col("w"))).as("part"))
-      .groupBy("part").agg(count(lit(1)).as("n_triangles"))
+      // spread BEFORE checkpointing: the closure stage's intersect kernel
+      // dwarfs its input bytes, so AQE's byte-based coalescing would
+      // starve it (the r16 trap, fourth site — this WAS the r16 driver
+      // regression); a round-robin spread to the full core count pins the
+      // broadcast-join kernel at full width with no skew exposure
+      .repartition(edges.sparkSession.sparkContext.defaultParallelism / 2 max 1)
+      .localCheckpoint() // adjacency build + both probes read it
+    // FORWARD adjacency-intersection closure (Chiba & Nishizeki 1985 /
+    // Schank's thesis "forward" algorithm — public): group the oriented
+    // out-neighbors into ONE array per node and close triangles in-task
+    // with array_intersect over each oriented edge's endpoint arrays.
+    // Same O(m^1.5) arithmetic as the wedge equi-join (Σ outdeg² element
+    // probes, outdeg ≤ O(√m) by the degree orientation), but the wedge
+    // set never materializes into a shuffle: the only moving tables are
+    // the m-row edge list and the node-cardinality adjacency table. This
+    // replaced the wedges ⋈ closing-edges semi-join in r17 — the wedge
+    // shuffle was the round's one unexplained task-time doubling on the
+    // driver box (AQE sizing the post-shuffle stage from pre-explosion
+    // bytes, the r16 thrice-fixed trap) and costs strictly more CPU than
+    // the in-task intersection at every scale.
+    val adj = oriented.groupBy(col("u"))
+      .agg(sort_array(collect_list(col("v"))).as("nb"))
+      .localCheckpoint() // probed on both endpoints of every edge
+    // adjacency payload totals one long per oriented edge — broadcast it
+    // below the plan-stats gate (the probes then run map-side at the
+    // pinned width); above it (100 TB: adjacency is corpus-sized) both
+    // closure joins shuffle with EXPLICIT partition counts so the kernel
+    // width never depends on AQE's byte estimate
+    val par = edges.sparkSession.sparkContext.defaultParallelism
+    val small = tradeGraphSmall(edges)
+    def probe(side: DataFrame, key: String, nbAs: String) = {
+      val a = adj.select(col("u").as(key), col("nb").as(nbAs))
+      if (small) side.join(broadcast(a), Seq(key))
+      else side.repartition(par, col(key)).join(a.repartition(par, col(key)), Seq(key))
+    }
+    val closed = probe(probe(oriented, "u", "_nu"), "v", "_nv")
+      .select(col("u"), col("v"),
+        array_intersect(col("_nu"), col("_nv")).as("ws"))
+      .filter(size(col("ws")) > 0)
+    // per-triangle credit: the apex pair (u, v) each count the whole
+    // intersection, every closing node w counts once — identical totals
+    // to exploding (u, v, w) per triangle
+    val triangles = closed
+      .select(explode(concat(
+        array(struct(col("u").as("part"), size(col("ws")).cast("long").as("c")),
+          struct(col("v").as("part"), size(col("ws")).cast("long").as("c"))),
+        transform(col("ws"), w => struct(w.as("part"), lit(1L).as("c"))))).as("e"))
+      .groupBy(col("e.part").as("part"))
+      .agg(sum(col("e.c")).as("n_triangles"))
     val out = triangles
       .orderBy(col("n_triangles").desc, col("part").asc)
       .limit(topK)
       .localCheckpoint()
     edges.unpersist(blocking = false)
     oriented.unpersist(blocking = false)
+    adj.unpersist(blocking = false)
     out
   }
 
@@ -517,33 +590,48 @@ object Graph {
     * rounds. The curation read: co-purchase communities are the
     * product-affinity clusters a mixture/curriculum can stratify on.
     *
-    * Scale shape: the edge cache lays out on `dst` — the per-round JOIN
-    * key — so every round's neighbor join is exchange-free on the edge
-    * side and only the node-cardinality label table moves; the plurality
-    * pick is a hash aggregation (`max(struct(count, −label))` — max
-    * count, min label on ties, lexicographically), never a sorted
-    * window, and it partial-aggregates map-side. Labels localCheckpoint
-    * per round with predecessor release — the [[pageRankConverged]]
-    * loop discipline. */
+    * Scale shape: the plurality pick is ONE aggregation per round — the
+    * deterministic `mode` aggregate (max count, LOWEST label on ties —
+    * the exact tie the two-level `max(struct(count, −label))` form
+    * encoded; Spark's Mode partial-aggregates its per-group count map
+    * map-side), so each round is one neighbor join + one exchange of
+    * partial count maps instead of a (src, label)-keyed count shuffle
+    * plus a second src-keyed reduction. Round 1 never joins at all:
+    * labels START as node ids, so the first plurality is `mode(dst)`
+    * directly. Below the plan-stats gate ([[tradeGraphSmall]]) the edge
+    * table stays a lazy scan (AQE broadcasts the node-cardinality label
+    * table; identical scan subtrees dedupe); above it (100 TB: labels
+    * too big to broadcast) the edge list lays out checkpointed on `dst`
+    * — the per-round JOIN key — so the edge side never re-exchanges.
+    * Labels localCheckpoint per round with predecessor release — the
+    * [[pageRankConverged]] loop discipline. */
   def labelPropagation(t: Tables, iters: Int = 3,
                        prebuiltEdges: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1, s"labelPropagation: iters must be >= 1, got $iters")
     val e = prebuiltEdges.getOrElse(coPurchaseEdges(t))
-    val eb = e.select(col("pa").as("src"), col("pb").as("dst"))
+    val ebRaw = e.select(col("pa").as("src"), col("pb").as("dst"))
       .unionAll(e.select(col("pb").as("src"), col("pa").as("dst")))
-      .repartition(col("dst"))
-      .localCheckpoint() // every round's neighbor join reads it
-    var labels = eb.select(col("dst").as("node")).distinct()
-      .withColumn("label", col("node"))
+    val (eb, releaseEb) =
+      if (tradeGraphSmall(e)) (ebRaw, () => ())
+      else {
+        val c = ebRaw.repartition(col("dst")).localCheckpoint()
+        (c, () => c.unpersist(blocking = false))
+      }
+    // round 1 degenerates: labels start as node ids and the edge list is
+    // DISTINCT pairs, so every neighbor label occurs exactly once — the
+    // plurality is an all-way tie and the deterministic pick is simply
+    // min(neighbor id), a codegen'd aggregate instead of the mode map.
+    // Rounds checkpoint (measured: the lazily-composed form doubles task
+    // time — the un-materialized label subtree denies AQE the size
+    // evidence to broadcast it and the round join re-sorts the edge side).
+    var labels = eb.groupBy(col("src").as("node"))
+      .agg(min(col("dst")).as("label"))
       .localCheckpoint()
-    for (_ <- 1 to iters) {
-      val counts = eb
+    for (_ <- 2 to iters) {
+      val next = eb
         .join(labels.select(col("node").as("dst"), col("label")), Seq("dst"))
-        .groupBy(col("src"), col("label")).agg(count(lit(1)).as("_c"))
-      val next = counts
-        .groupBy(col("src"))
-        .agg(max(struct(col("_c"), (-col("label")).as("_nl"))).as("_m"))
-        .select(col("src").as("node"), (-col("_m._nl")).as("label"))
+        .groupBy(col("src").as("node"))
+        .agg(graft.functions.LongMode.longMode(col("label")).as("label"))
         .localCheckpoint()
       labels.unpersist(blocking = false)
       labels = next
@@ -553,7 +641,7 @@ object Graph {
       .orderBy("part")
       .localCheckpoint()
     labels.unpersist(blocking = false)
-    eb.unpersist(blocking = false)
+    releaseEb()
     out
   }
 
@@ -590,18 +678,20 @@ object Graph {
       .distinct().orderBy("k").limit(nSeeds)
       .select((col("k") * 2).as("node")) // packed supplier ids (see tradeEdgesDeg)
       .localCheckpoint() // every round's teleport union reads it
+    // the rounds compose LAZILY (the pageRankPlan discipline, r17):
+    // intermediate rank tables have exactly one consumer each, so
+    // per-round checkpoints bought nothing but job floors, and the
+    // identical edge-scan / degree subtrees across the unrolled rounds
+    // dedupe via ReusedExchange inside the one composed query
     var ranks = seeds.withColumn("rank", lit(1.0))
     for (_ <- 1 to iters) {
       val contr = edgesDeg
         .join(ranks.select(col("node").as("src"), col("rank")), "src")
         .groupBy(col("dst").as("node"))
         .agg((lit(damp) * sum(col("rank") / col("_deg"))).as("v"))
-      val next = contr
+      ranks = contr
         .unionByName(seeds.select(col("node"), lit(teleport).as("v")))
         .groupBy("node").agg(sum("v").as("rank"))
-        .localCheckpoint()
-      ranks.unpersist(blocking = false)
-      ranks = next
     }
     val out = ranks.select(
         concat(when(col("node") % 2 === 0, "s").otherwise("c"),
@@ -609,7 +699,6 @@ object Graph {
         round(col("rank"), 6).as("ppr"))
       .orderBy("node")
       .localCheckpoint()
-    ranks.unpersist(blocking = false)
     seeds.unpersist(blocking = false)
     release()
     out
@@ -629,26 +718,40 @@ object Graph {
     * graph at sf0.1 — which is why production systems either restrict
     * to a query set (this shape: wedges = Σ_{z∈Γ(Q)} deg(z), bounded by
     * |Q|·maxdeg²) or approximate with hub caps. The per-query form is
-    * also what a recommender actually serves. Scale shape: one degree
-    * aggregation, two neighbor-expansion equi-joins from the
-    * (broadcastable) query set, one anti-join against existing edges,
-    * one (query, candidate) aggregation; ranking on the ROUNDED score
-    * with id tie-break (the q_tfidf_search ulp-rank lesson). */
+    * also what a recommender actually serves. Scale shape (r17 rework —
+    * the r16 verdict measured the old corpus-keyed form at 23 task-s
+    * against a 0.3 s replay): every moving table is BOUNDED by the query
+    * set. Γ(Q) — |Q|·maxdeg rows, the frontier a recommender must hold
+    * to serve top-k at all — checkpoints once and serves as (a) the
+    * build side of the wedge-expansion join over the streamed edge scan,
+    * (b) the anti-join side (the distance-1 rows to drop are EXACTLY
+    * Γ(q), never the full edge list), and (c) the semi-filter that
+    * restricts the degree aggregation to wedge midpoints before its
+    * shuffle. The corpus-sized edge table is only ever SCANNED
+    * (column-pruned, filter-pushed) — it never shuffles and never
+    * checkpoints. Ranking on the ROUNDED score with id tie-break (the
+    * q_tfidf_search ulp-rank lesson). */
   def adamicAdar(t: Tables, nQueries: Int = 10, k: Int = 5,
                  prebuiltEdges: Option[DataFrame] = None): DataFrame = {
     val e = prebuiltEdges.getOrElse(coPurchaseEdges(t))
     val und = e.select(col("pa").as("u"), col("pb").as("v"))
       .unionAll(e.select(col("pb").as("u"), col("pa").as("v")))
-      .localCheckpoint() // degrees + two expansions + anti-join read it
-    val deg = und.groupBy(col("u").as("n")).agg(count(lit(1)).as("deg"))
     val q = und.select(col("u").as("qn")).distinct()
       .orderBy("qn").limit(nQueries)
     val qz = und.join(broadcast(q), col("u") === col("qn"))
       .select(col("qn"), col("v").as("z"))
-    val cand = qz.join(und.select(col("u").as("z"), col("v").as("c")), Seq("z"))
+      .localCheckpoint() // bounded |Q|·maxdeg; expansion + anti + semi read it
+    // full-graph degree, but only for the wedge midpoints Γ(Q): the
+    // broadcast semi-filter keeps the corpus-sized scan shuffle-free
+    val zs = qz.select(col("z")).distinct()
+    val deg = und
+      .join(broadcast(zs), col("u") === col("z"), "left_semi")
+      .groupBy(col("u").as("n")).agg(count(lit(1)).as("deg"))
+    val cand = und.select(col("u").as("z"), col("v").as("c"))
+      .join(qz, Seq("z"))
       .filter(col("c") =!= col("qn"))
-      .join(und.select(col("u").as("qn"), col("v").as("c")),
-        Seq("qn", "c"), "left_anti") // distance-2 only: drop existing edges
+      .join(qz.select(col("qn"), col("z").as("c")),
+        Seq("qn", "c"), "left_anti") // distance-2 only: drop Γ(q) itself
       .join(deg.select(col("n").as("z"), col("deg")), Seq("z"))
     val scored = cand.groupBy("qn", "c")
       .agg(count(lit(1)).as("common_neighbors"),

@@ -61,6 +61,9 @@ class GraphSpec extends SparkSpec {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // force the LARGE-graph layout (the 100 TB path): the cost-based
+    // switch would otherwise pick the lazy-scan shape at fixture scale
+    spark.conf.set("spark.graft.graphCacheMinBytes", "0")
     val (ranks, release) = Graph.pageRankPlan(tables, 3, 0.85)
     try {
       def throughNarrow(p: SparkPlan): SparkPlan = p match {
@@ -83,7 +86,29 @@ class GraphSpec extends SparkSpec {
     } finally {
       release()
       spark.conf.unset("spark.sql.adaptive.enabled")
+      spark.conf.unset("spark.graft.graphCacheMinBytes")
     }
+  }
+
+  test("pageRank small-graph mode: no persisted layout, same result as the cached path") {
+    // the cost-based switch (r17): below the plan-stats gate the edge
+    // table must stay a lazy scan — no InMemoryTableScan anywhere — and
+    // the scores must be bit-identical to the forced large-graph layout
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val (ranks, release) = Graph.pageRankPlan(tables, 3, 0.85)
+    val small = try {
+      val scans = ranks.queryExecution.executedPlan.collect {
+        case s: InMemoryTableScanExec => s
+      }
+      assert(scans.isEmpty, "small-graph mode still built the edge cache")
+      ranks.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    } finally release()
+    spark.conf.set("spark.graft.graphCacheMinBytes", "0")
+    try {
+      val large = Graph.pageRank(tables).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(small == large, "small- and large-graph layouts disagree")
+    } finally spark.conf.unset("spark.graft.graphCacheMinBytes")
   }
 
   test("hits matches a driver-side recompute and emits L2-normalized scores") {
