@@ -118,21 +118,49 @@ object Bench {
     val loadStart = loadAvg()
     val timings = Seq.newBuilder[(String, Seq[Double])]
     val errors = Seq.newBuilder[(String, String)]
-    // Full GC BETWEEN queries (never inside a timing window): the r15
+    // ADAPTIVE full GC BETWEEN timed windows (r16 verdict item 6): the r15
     // close observed within-run inflation — the embedding family measured
-    // 4-10× its isolated cost in one full 277-query pass and normal in
-    // the next, with other_cpu_frac ~0.001 ruling out external load. A
-    // cadence-20 GC fixed the builder's close run but NOT the driver's
-    // r16 artifact (q_embed_drift 4.74 s vs 0.27 s isolated), so the
-    // default is now cadence 1 — a bounded ~50-200 ms pause before every
-    // query's timing windows, which caps old-gen/metaspace carryover at
-    // one query's worth regardless of run order. The status-store
-    // retention caps in the session builder above remove the main LIVE
-    // accumulation (AppStatusStore task metrics); the per-query GC clears
-    // the dead residue (evicted codegen classes, dropped blocks).
-    // 0 disables; N>1 restores a cadence.
+    // 4-10× its isolated cost in one full 277-query pass — and r16's
+    // cadence-1 GC fixed it in the driver's own artifact (q_embed_drift
+    // 4.74 → 0.38 s), but taxed every SHORT query a fixed ~0.3-0.8 s
+    // pause (the r16 small-row creep: tpch q7/q8/q9/q21, q_cusum,
+    // q_winnow, q_textrank). What the GC actually buys is bounding
+    // OLD-GEN CARRYOVER between measurements, so the trigger is now that
+    // thing itself: collect only when heap use has grown past a quarter
+    // of max heap since the last collection — two long reads before each
+    // timed window, free when nothing accumulated, the same bounded pause
+    // when something did. The check runs before EVERY timed run, not just
+    // per query: the r16 artifact's systematic run-2 tasksec doubling on
+    // the graph family was run-1 residue that a per-query-only GC never
+    // saw. The status-store retention caps in the session builder above
+    // remove the main LIVE accumulation; this clears the dead residue
+    // (evicted codegen classes, dropped blocks).
+    // DEFAULT stays the forced per-query cadence (gcEvery=1): the r17
+    // A/B (full 286×2 runs, same box, same binary) measured adaptive-only
+    // at 290.4 s with tpch_q8/q9/token_budget/dup_inflation 2×-inflated,
+    // cadence-1 + adaptive-between-runs at 282.6 s with those rows back
+    // at their r16 cost — and the r16 "small-row creep" attributed to
+    // the GC pause did NOT reproduce (cusum/winnow/textrank moved at
+    // noise level between the two). SPARK_GRAFT_BENCH_GC_EVERY=0 selects
+    // adaptive-only; N>1 a sparser fixed cadence.
     val gcEvery = sys.env.getOrElse("SPARK_GRAFT_BENCH_GC_EVERY", "1").toInt
+    val rt = Runtime.getRuntime
+    // threshold low enough to keep the ContextCleaner serviced — its
+    // reference queue only drains on collections, and hundreds of stale
+    // broadcasts/RDD blocks from prior queries are exactly the carryover
+    // the r16 run-2 inflation was made of — while still skipping the
+    // pause across strings of sub-100 MB queries (the r16 creep)
+    val gcHeapDelta = math.max(rt.maxMemory() / 16, 256L * 1024 * 1024)
+    var usedAtGc = rt.totalMemory() - rt.freeMemory()
     var sinceGc = 0
+    def maybeGc(force: Boolean): Unit = {
+      val used = rt.totalMemory() - rt.freeMemory()
+      if (force || used - usedAtGc > gcHeapDelta) {
+        System.gc()
+        usedAtGc = rt.totalMemory() - rt.freeMemory()
+        sinceGc = 0
+      }
+    }
     // Per-query TASK-TIME accounting (r15 verdict item 6): a 0.1-0.4 s
     // Spark scheduling floor dominates 200+ per-query wall ratios, so the
     // artifact also records the sum of executor task durations per timed
@@ -154,9 +182,9 @@ object Bench {
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       sinceGc += 1
-      if (gcEvery > 0 && sinceGc >= gcEvery) { System.gc(); sinceGc = 0 }
       try {
         val measured = (1 to runs).map { _ =>
+          maybeGc(force = gcEvery > 0 && sinceGc >= gcEvery)
           val busy0 = drainedTaskSec()
           val t0 = System.nanoTime()
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()

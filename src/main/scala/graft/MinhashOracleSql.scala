@@ -992,6 +992,21 @@ x5 AS MATERIALIZED (SELECT *, ${mulmod("xor(ha, ha >> 33)", P2)} AS hb FROM x4),
 x6 AS MATERIALIZED (SELECT *, ${mulmod("xor(hb, hb >> 29)", P3)} AS hc FROM x5),
 xx AS MATERIALIZED (SELECT *, xor(hc, hc >> 32) AS xxh FROM x6)"""
 
+  /** Oracle for q_sample_stratified
+    * ([[graft.operators.Sampling.stratifiedEventsByHash]]): the identical
+    * xxhash64(event_id) membership replayed through the shared chain —
+    * keep iff pmod(hash, 10^6) is under the event type's scaled fraction
+    * — then per-type counts plus the exact event-id checksum (the
+    * [[negativeSamples]] content-pinning discipline). `fractions` carries
+    * the already-scaled integer thresholds. */
+  def stratifiedSample(fractions: Seq[(String, Long)]): String = {
+    val cases = fractions.map { case (t, thr) => s"WHEN '$t' THEN $thr" }.mkString(" ")
+    s"""WITH src AS MATERIALIZED (SELECT event_id AS doc_id, event_type FROM events),
+${xxhCtes(42L)},
+kept AS (SELECT doc_id, event_type FROM xx WHERE (((${signedB("xxh")}) % 1000000) + 1000000) % 1000000 < CASE event_type $cases ELSE -1 END)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(sum(doc_id) AS BIGINT) AS id_checksum FROM kept GROUP BY event_type ORDER BY event_type"""
+  }
+
   /** Oracle for q_negative_sample ([[graft.operators.Sampling.negativeSamples]]):
     * the identical packed-key xxhash64 draw replayed through the shared
     * chain — positives, k-way draw index unnest, signed-pmod into the

@@ -360,7 +360,7 @@ object SparkEntry {
     // — text analysis (SURVEY §2 rows 22–26) —
     "q_text_stats" -> ((s, d) => TextAnalysis.textStats(Tables(s, d))),
     "q_text_topterms" -> ((s, d) => TextAnalysis.topTerms(Tables(s, d))),
-    "q_text_topterms_sketch" -> ((s, d) => TextAnalysis.topTermsSketch(Tables(s, d))),
+    "q_text_topterms_sketch" -> ((s, d) => TextAnalysis.topTermsSketchVerified(Tables(s, d))),
     "q_text_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables(s, d))),
     "q_text_lang" -> ((s, d) => TextAnalysis.languageId(Tables(s, d))),
     "q_text_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(Tables(s, d))),
@@ -887,9 +887,14 @@ object SparkEntry {
     }),
     "q_sample_stratified" -> ((s, d) => {
       import graft.operators.Sampling
-      Sampling.stratifiedEvents(Tables(s, d),
+      // hash-membership stratification (r16 verdict item 5): the sample is
+      // a pure function of event_id, so the per-type counts AND the exact
+      // id checksum replay in the DuckDB oracle — the old sampleBy form's
+      // per-partition RNG stream could never leave rows-only
+      Sampling.stratifiedEventsByHash(Tables(s, d),
         Map("click" -> 0.5, "view" -> 0.2, "purchase" -> 1.0, "signup" -> 0.1, "error" -> 0.0))
-        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("event_id").as("id_checksum"))
         .orderBy("event_type")
     }),
     "q_mixture" -> ((s, d) => {
@@ -1177,6 +1182,9 @@ object SparkEntry {
     "q_split_groupsafe" -> MinhashOracleSql.groupSafeSplits(),
     "q_epoch_shuffle" -> KernelOracleSql.epochShuffle(),
     "q_negative_sample" -> KernelOracleSql.negativeSamples(),
+    "q_sample_stratified" -> KernelOracleSql.stratifiedSample(Seq(
+      "click" -> 500000L, "view" -> 200000L, "purchase" -> 1000000L,
+      "signup" -> 100000L, "error" -> 0L)),
     "q_weighted_sample" -> KernelOracleSql.weightedSample(),
     "q_lang_cap" -> KernelOracleSql.capPerGroup(),
     "q_dedup_keep_best" -> MinhashOracleSql.clusterRepresentatives(),
@@ -1505,6 +1513,13 @@ object SparkEntry {
         "FROM documents ORDER BY doc_id"),
     "q_text_topterms" ->
       ("SELECT token, count(*) AS n FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token FROM documents) WHERE token <> '' " +
+        "GROUP BY token ORDER BY n DESC, token ASC LIMIT 25"),
+    // SpaceSaving verification row: the oracle replays the EXACT top-k arm
+    // and pins the sketch's presence+bounds contract flag at 1 (the
+    // q_approx_distinct pattern — the theorem must hold on this data
+    // under whatever merge order the run produced)
+    "q_text_topterms_sketch" ->
+      ("SELECT token, count(*) AS n, CAST(1 AS INT) AS sketch_ok FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token FROM documents) WHERE token <> '' " +
         "GROUP BY token ORDER BY n DESC, token ASC LIMIT 25"),
     "q_text_quality" ->
       ("WITH base AS (SELECT doc_id, text, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS toks, " +

@@ -266,6 +266,42 @@ object HashImpl {
     mix64(h)
   }
 
+  /** Karp–Rabin window hashes: one 64-bit hash per `len`-CODE-POINT
+    * window of the text, position-aligned with SQL
+    * `substring(text, p, len)` (code points, not UTF-16 units — a
+    * supplementary char must not shift the window grid). O(n) total via
+    * the rolling recurrence h' = h·B − cp₀·B^len + cp_new, each window
+    * splitmix-finalized for avalanche. Equal windows ⟹ equal hashes;
+    * the (collision-safe) consumer confirms candidates on the actual
+    * substrings. Empty array when the text is shorter than `len`. */
+  def windowHashes(s: UTF8String, len: Int): ArrayData =
+    ArrayData.toArrayData(windowHashesArr(s.toString, len))
+
+  /** The String-input kernel behind [[windowHashes]] — also called
+    * directly from the mapPartitions candidate pass, which streams the
+    * hashes into a bounded map instead of materializing explode rows. */
+  def windowHashesArr(str: String, len: Int): Array[Long] = {
+    val cps = str.codePoints().toArray
+    val n = cps.length - len + 1
+    if (n <= 0) return Array.emptyLongArray
+    val B = 1000003L
+    var bl = 1L // B^len (wrapping)
+    var i = 0
+    while (i < len) { bl *= B; i += 1 }
+    val out = new Array[Long](n)
+    var h = 0L
+    i = 0
+    while (i < len) { h = h * B + cps(i); i += 1 }
+    out(0) = mix64(h)
+    i = 1
+    while (i < n) {
+      h = h * B - cps(i - 1) * bl + cps(i + len - 1)
+      out(i) = mix64(h)
+      i += 1
+    }
+    out
+  }
+
   /** The most frequent adjacent bigram of a token array — (w1, w2,
     * n_occ), ties broken by BINARY-ascending (w1, w2) (UTF8String order,
     * matching both Spark's string sort and DuckDB's default collation).
@@ -833,6 +869,19 @@ case class RollingHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** WindowHashes(string, len) → array<long>: Karp–Rabin hash of every
+  * len-code-point window, position-aligned with substring(text, p, len)
+  * (see [[HashImpl.windowHashes]]). */
+case class WindowHashes(child: Expression, len: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpl.windowHashes(input.asInstanceOf[UTF8String], len)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.windowHashes($c, $len)")
+  override protected def withNewChildInternal(newChild: Expression): WindowHashes =
+    copy(child = newChild)
+}
+
 /** NfcNormalize(string) → string — see [[HashImpl.nfcNormalize]]. */
 /** TopBigram(array<string>) → struct(w1, w2, n_occ): the most frequent
   * adjacent bigram, ties binary-ascending (see [[HashImpl.topBigram]]);
@@ -1121,6 +1170,8 @@ object HashFunctions {
   def bandKeys(sig: Column, bands: Int = 16): Column =
     col(BandKeys(expr(sig), bands))
   def rollingHash64(text: Column): Column = col(RollingHash64(expr(text)))
+  def windowHashes(text: Column, len: Int): Column =
+    col(WindowHashes(expr(text), len))
   def runFingerprints(tokens: Column, w: Int): Column =
     col(RunFingerprints(expr(tokens), w))
   def topBigram(tokens: Column): Column = col(TopBigram(expr(tokens)))

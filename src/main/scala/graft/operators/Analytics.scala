@@ -2695,7 +2695,24 @@ object Analytics {
     val nOrders = baskets.select("ok").distinct()
       .agg(count(lit(1)).as("_n"))
     val itemSupp = baskets.groupBy("p").agg(count(lit(1)).as("supp"))
-    val pairSupp = baskets.toDF("ok", "pa").join(baskets.toDF("ok", "pb"), Seq("ok"))
+      .localCheckpoint() // the apriori prune + both direction joins read it
+    // APRIORI ITEM PRUNE (Agrawal & Srikant'94 §2.1 — the downward-closure
+    // property): supp_ab ≤ min(supp_a, supp_b), so no pair containing an
+    // item with supp < minSupport can qualify; semi-joining baskets
+    // against the frequent items BEFORE the k² pair fan-out shrinks the
+    // self-join to frequent items only at zero semantic cost (r16 verdict
+    // item 3 — the prune is the difference between "self-join everything,
+    // filter after aggregation" and a candidate set that stays linear in
+    // the frequent-item basket mass at 100 TB).
+    // no broadcast hint: the frequent-item set is vocabulary-sized, not
+    // bounded — the checkpointed stats let the planner broadcast it while
+    // it fits and fall back to a shuffled semi-join when it doesn't
+    val freqBaskets = baskets.join(
+        itemSupp.filter(col("supp") >= minSupport).select(col("p")),
+        Seq("p"), "left_semi")
+      .select(col("ok"), col("p")) // USING-join moved the key first
+    val pairSupp = freqBaskets.toDF("ok", "pa")
+      .join(freqBaskets.toDF("ok", "pb"), Seq("ok"))
       .filter(col("pa") < col("pb"))
       .groupBy("pa", "pb").agg(count(lit(1)).as("supp_ab"))
       .filter(col("supp_ab") >= minSupport)

@@ -262,6 +262,17 @@ object Graph {
   /** Plan-stats size gate shared by the directed-edge layout switch and
     * the checkpoint elision in [[hits]]: free to read (no job), scales
     * with the input, env-overridable for the large-graph path's specs. */
+  /** Task count for a small-graph lazy stage, derived from the input's
+    * PLAN-STATS bytes (one task per ~MB, capped at the core count): a
+    * codegen aggregate task pays a fixed ~quarter-second of setup before
+    * touching a row, so fanning a few-MB edge list across 32 cores
+    * multiplies dead cost (the q_dup_substrings r17 lesson). Free to
+    * read — no job. A 100 TB input saturates the cluster unchanged. */
+  private def smallSpread(df: DataFrame): Int =
+    math.max(1L, math.min(
+      df.sparkSession.sparkContext.defaultParallelism.toLong,
+      df.queryExecution.optimizedPlan.stats.sizeInBytes.toLong / (1L << 20))).toInt
+
   private[graft] def tradeGraphSmall(pairs: DataFrame): Boolean = {
     // session-conf override first (specs pin the LARGE-graph plan shape by
     // setting it to 0 in-JVM — sys.env is immutable per process), env next
@@ -612,8 +623,20 @@ object Graph {
     val ebRaw = e.select(col("pa").as("src"), col("pb").as("dst"))
       .unionAll(e.select(col("pb").as("src"), col("pa").as("dst")))
     val (eb, releaseEb) =
-      if (tradeGraphSmall(e)) (ebRaw, () => ())
-      else {
+      if (tradeGraphSmall(e)) {
+        // small mode lays the edge CACHE out on src — the AGGREGATION
+        // key — at the byte-derived width ([[smallSpread]]): the label
+        // table broadcasts (node-cardinality), a broadcast join preserves
+        // the src partitioning, and the per-round plurality therefore
+        // aggregates COMPLETE in one exchange-free pass — no partial
+        // maps, no shuffle of mode buffers, no final-merge stage. persist
+        // (not localCheckpoint): a cached plan RETAINS hashpartitioning,
+        // a checkpoint leaf reports unknown (the round-8 lesson).
+        val c = ebRaw.repartition(smallSpread(e), col("src")).persist()
+        (c, () => c.unpersist(blocking = false))
+      } else {
+        // 100 TB mode: labels are too big to broadcast, so the layout
+        // key is the JOIN key (dst) and the edge side never re-exchanges
         val c = ebRaw.repartition(col("dst")).localCheckpoint()
         (c, () => c.unpersist(blocking = false))
       }
@@ -627,9 +650,16 @@ object Graph {
     var labels = eb.groupBy(col("src").as("node"))
       .agg(min(col("dst")).as("label"))
       .localCheckpoint()
+    val small = tradeGraphSmall(e)
     for (_ <- 2 to iters) {
+      // small mode HINTS the broadcast: a checkpointed label table
+      // reports unknown size, so the planner would otherwise place a
+      // sort-merge join whose eb-side exchange AQE's late broadcast
+      // conversion cannot un-pay — and with labels broadcast the cached
+      // src layout satisfies the aggregation outright
+      val lbl = labels.select(col("node").as("dst"), col("label"))
       val next = eb
-        .join(labels.select(col("node").as("dst"), col("label")), Seq("dst"))
+        .join(if (small) broadcast(lbl) else lbl, Seq("dst"))
         .groupBy(col("src").as("node"))
         .agg(graft.functions.LongMode.longMode(col("label")).as("label"))
         .localCheckpoint()
@@ -734,8 +764,12 @@ object Graph {
   def adamicAdar(t: Tables, nQueries: Int = 10, k: Int = 5,
                  prebuiltEdges: Option[DataFrame] = None): DataFrame = {
     val e = prebuiltEdges.getOrElse(coPurchaseEdges(t))
-    val und = e.select(col("pa").as("u"), col("pb").as("v"))
+    val undRaw = e.select(col("pa").as("u"), col("pb").as("v"))
       .unionAll(e.select(col("pb").as("u"), col("pa").as("v")))
+    // below the plan-stats gate, coalesce the lazy scans to the
+    // byte-derived width — the degree/expansion stages otherwise pay the
+    // fixed per-task aggregate setup at one task per parquet split
+    val und = if (tradeGraphSmall(e)) undRaw.coalesce(smallSpread(e)) else undRaw
     val q = und.select(col("u").as("qn")).distinct()
       .orderBy("qn").limit(nQueries)
     val qz = und.join(broadcast(q), col("u") === col("qn"))

@@ -66,18 +66,25 @@ object RuntimeFilter {
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n_rows"),
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"))
+          .as("revenue"),
+        // order-free soundness checksum: per-row cents are exact longs, so
+        // the sum is identical under ANY partition/summation order — the
+        // rounded double `revenue` is NOT (two differently-planned sums
+        // can land on opposite sides of a half-cent boundary; r16 advice)
+        sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+          .cast("long")).as("_cents"))
 
     val pre = t.lineitem.filter(probe).localCheckpoint()
     val viaBloom = revenueAgg(pre)
     val plain = revenueAgg(t.lineitem)
     // soundness: never-false-negative means the two aggregates are equal
-    // row-for-row; compare via full outer join on the group key
+    // row-for-row; compare via full outer join on the group key, on the
+    // exact row count + integer checksum (never the rounded double)
     val sound = viaBloom.select(col("l_returnflag"), col("n_rows").as("_nb"),
-        col("revenue").as("_rb"))
+        col("_cents").as("_cb"))
       .join(plain.select(col("l_returnflag"), col("n_rows").as("_np"),
-        col("revenue").as("_rp")), Seq("l_returnflag"), "full_outer")
-      .agg(min(when(col("_nb") === col("_np") && col("_rb") === col("_rp"), 1)
+        col("_cents").as("_cp")), Seq("l_returnflag"), "full_outer")
+      .agg(min(when(col("_nb") === col("_np") && col("_cb") === col("_cp"), 1)
         .otherwise(0)).as("_sound"))
     // fp audit: bloom-passing rows that the exact join rejects, over all
     // truly-non-matching scanned rows

@@ -100,6 +100,27 @@ object Sampling {
   def stratifiedEvents(t: Tables, fractions: Map[String, Double], seed: Long = 42L): DataFrame =
     t.events.stat.sampleBy("event_type", fractions, seed)
 
+  /** CONTENT-STABLE stratified sample (r16 verdict item 5 — the
+    * [[assignSplits]]/[[negativeSamples]] hash discipline applied to
+    * stratification): keep an event iff
+    * `pmod(xxhash64(event_id), 10^6) < round(frac(event_type) · 10^6)`.
+    * Membership is a pure function of the row's key — identical on any
+    * partitioning, row order, or re-run (what `sampleBy`'s per-partition
+    * RNG stream can never give), which makes the sample REPLAYABLE as
+    * plain SQL: the DuckDB oracle recomputes the same hash chain and the
+    * same membership, row for row. Event types absent from `fractions`
+    * drop, matching `sampleBy`. Still a narrow map-side filter — no
+    * shuffle, no RNG state. */
+  def stratifiedEventsByHash(t: Tables, fractions: Map[String, Double]): DataFrame = {
+    require(fractions.nonEmpty && fractions.values.forall(f => f >= 0.0 && f <= 1.0),
+      s"stratifiedEventsByHash: fractions must be in [0, 1], got $fractions")
+    val denom = 1000000L
+    val thr = fractions.foldLeft(lit(-1L): Column) { case (acc, (tpe, f)) =>
+      when(col("event_type") === tpe, lit(math.round(f * denom))).otherwise(acc)
+    }
+    t.events.filter(pmod(xxhash64(col("event_id")), lit(denom)) < thr)
+  }
+
   /** Token-weighted source-mixture rebalancing — the data-mixture step of
     * a pretraining pipeline ("web 60%, books 30%, code 10%" BY TOKENS, not
     * by documents): downsample each source so kept-token shares match

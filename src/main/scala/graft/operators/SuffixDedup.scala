@@ -241,18 +241,52 @@ object SuffixDedup {
     // (~600 KB → 1 partition) and can't see the 32× downstream blowup.
     // The shuffle moves only the RAW corpus bytes — bounded by the cost
     // switch that routed here.
-    val spreadN = docs.sparkSession.sparkContext.defaultParallelism
-    val grams = docs
+    // Spread derived from DATA BYTES, not core count (r17; the r16 driver
+    // burned 72 task-s here): a codegen hash-aggregate task pays a fixed
+    // ~quarter-second of aggregation-map setup (two-level map + page
+    // zeroing) before touching a row, so fanning a sub-megabyte corpus
+    // across all 32 cores multiplies dead cost — measured 8.4 task-s at
+    // 32 tasks vs 1.7 at 8 for the identical aggregate, with BETTER wall.
+    // One task per ~64 KB of (compressed) input, capped at the core
+    // count: small fixtures get a handful of tasks, a 100 TB corpus still
+    // saturates the cluster.
+    val spreadN = math.max(1L, math.min(
+      docs.sparkSession.sparkContext.defaultParallelism.toLong,
+      docs.queryExecution.optimizedPlan.stats.sizeInBytes.toLong / (64L * 1024))).toInt
+    // HASH-PREFILTER the heavy aggregation (r17): the old form
+    // materialized every L-char gram STRING (O(corpus×L) allocation) and
+    // shuffled it into a countDistinct(d) — twice (the mark join
+    // re-shuffled by g). Pass A never builds a substring at all:
+    // [[graft.functions.HashImpl.windowHashes]] emits one Karp–Rabin hash
+    // per position in O(corpus) total, and the candidate aggregate ships
+    // only (h, d) — 16 bytes/position — through ONE codegen'd aggregate:
+    // `n ≥ minDocs AND min(d) ≠ max(d)` is a SUPERSET of "appears in ≥
+    // minDocs distinct docs" (≥ that many occurrences, ≥ 2 docs) with no
+    // distinct expansion. Pass B extracts real substrings ONLY for the
+    // surviving positions (duplicate candidates — tiny next to the
+    // corpus) and confirms exactly, so a 64-bit collision can add a
+    // candidate but never a result row: the output stays bit-identical
+    // to the naive derivation the oracle replays.
+    val hpos = docs
       .filter(length(col("text")) >= minLen)
       .repartition(spreadN, col("doc_id"))
       .select(col("doc_id").as("d"),
-        posexplode(expr(
-          s"transform(sequence(1, length(text) - ${minLen - 1}), i -> substring(text, i, $minLen))"))
-          .as(Seq("p0", "g")))
-      .select(col("d"), (col("p0") + 1).as("p"), col("g"))
-    val dup = grams.groupBy("g").agg(countDistinct("d").as("nd"))
+        posexplode(graft.functions.HashFunctions.windowHashes(col("text"), minLen))
+          .as(Seq("p0", "h")))
+      .select(col("d"), (col("p0") + 1).as("p"), col("h"))
+    val candH = hpos
+      .groupBy("h")
+      .agg(count(lit(1)).as("_n"), min("d").as("_d0"), max("d").as("_d1"))
+      .filter(col("_n") >= minDocs && col("_d0") =!= col("_d1"))
+      .select("h")
+      .localCheckpoint() // duplicate-candidate hashes: small by construction
+    val surv = hpos.join(candH, Seq("h"), "left_semi")
+      .join(docs.select(col("doc_id").as("d"), col("text")), Seq("d"))
+      .select(col("d"), col("p"), expr(s"substring(text, p, $minLen)").as("g"))
+      .localCheckpoint() // candidate positions only — the exact pass reads it twice
+    val dup = surv.groupBy("g").agg(countDistinct("d").as("nd"))
       .filter(col("nd") >= minDocs).select("g")
-    mergeSpans(grams.join(dup, "g").select("d", "p"), minLen)
+    mergeSpans(surv.join(dup, "g").select("d", "p"), minLen, Some(spreadN))
   }
 
   /** CUT the duplicate spans out of the text — the REMOVAL step of Lee
@@ -317,15 +351,19 @@ object SuffixDedup {
     * spans: consecutive starts (step 1) are one run; a run of starts
     * [a..b] covers characters [a, b+L). One per-doc window — partitions
     * are per-document and bounded by document length. */
-  private def mergeSpans(marked: DataFrame, minLen: Int): DataFrame = {
+  private def mergeSpans(marked: DataFrame, minLen: Int,
+                         spread: Option[Int] = None): DataFrame = {
     val w = Window.partitionBy("d").orderBy("p")
     // explicit partition count on the window's own required exchange
     // (hashpartitioning(d) — no extra shuffle, just a pinned N): AQE
     // coalesces the ~25 MB of marked positions to ONE post-shuffle
     // partition at sf0.1 and the lag/sum window runs single-threaded
-    // (measured 2.3 s of the direct form's wall)
+    // (measured 2.3 s of the direct form's wall). The direct form passes
+    // its byte-derived spread so a tiny fixture doesn't pay 32 window
+    // sort setups either (the same fixed-cost-per-task lesson as pass A).
     marked
-      .repartition(marked.sparkSession.sparkContext.defaultParallelism, col("d"))
+      .repartition(spread.getOrElse(
+        marked.sparkSession.sparkContext.defaultParallelism), col("d"))
       .withColumn("brk",
         when(col("p") - lag("p", 1).over(w) === 1, 0).otherwise(1))
       .withColumn("gid", sum("brk").over(w))

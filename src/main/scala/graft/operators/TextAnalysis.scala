@@ -139,6 +139,40 @@ object TextAnalysis {
       .select(col("e.item").as("token"), col("e.est_count").as("est_count"),
         col("e.max_err").as("max_err"))
 
+  /** The ORACLE-ELIGIBLE verification form of [[topTermsSketch]] (r16
+    * verdict item 5 — the q_approx_distinct contract-flag pattern): the
+    * output ROWS are the exact top-k terms (deterministic, replayable as
+    * plain SQL), and the SpaceSaving sketch runs beside them to earn a
+    * pinned per-row flag. `sketch_ok` = 1 iff the SpaceSaving theorem
+    * held for that term under this run's merge order: a term with true
+    * count > n_tokens/capacity must be TRACKED, and any tracked term's
+    * bounds must bracket the truth (est − err ≤ true ≤ est); terms at or
+    * below the heavy-hitter threshold are exempt from presence (their
+    * tracking IS merge-order-sensitive — the documented SpaceSaving
+    * caveat — so pinning their presence would be flaky by construction).
+    * The oracle replays the exact arm and pins the flag at 1. */
+  def topTermsSketchVerified(t: Tables, capacity: Int = 64, k: Int = 25): DataFrame = {
+    val toks = t.documents.select(explode(tokens(col("text"))).as("token"))
+    val exact = toks.groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc).limit(k)
+    val sk = toks
+      .agg(graft.functions.FreqItemsSketch.freqItems(col("token"), capacity).as("sketch"))
+      .select(explode(col("sketch")).as("e"))
+      .select(col("e.item").as("token"), col("e.est_count").as("_est"),
+        col("e.max_err").as("_err"))
+    val total = toks.agg(count(lit(1)).as("_total"))
+    exact.join(sk, Seq("token"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("token"), col("n"),
+        when(col("_est").isNull,
+          // absent is allowed only at or below the guarantee threshold
+          when(col("n") * capacity <= col("_total"), 1).otherwise(0))
+          .otherwise(when(col("_est") - col("_err") <= col("n") &&
+            col("n") <= col("_est"), 1).otherwise(0))
+          .cast("int").as("sketch_ok"))
+      .orderBy(col("n").desc, col("token").asc)
+  }
+
   /** Document fingerprint: Karp–Rabin rolling hash of the normalized text
     * (custom codegen'd Catalyst expression — see
     * [[graft.functions.RollingHash64]]). */

@@ -47,6 +47,30 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
   }
 
+  test("hash-stratified sampling: content-stable membership, fractions hold, no shuffle") {
+    val fractions = Map("click" -> 0.5, "view" -> 0.2, "purchase" -> 1.0,
+      "signup" -> 0.1, "error" -> 0.0)
+    val kept = Sampling.stratifiedEventsByHash(tables, fractions)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    // membership is a pure function of event_id: identical on a
+    // repartitioned input (what sampleBy's per-partition RNG can't give)
+    val keptRepart = Sampling.stratifiedEventsByHash(
+        tables.withTable("events", tables.events.repartition(7)), fractions)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(kept == keptRepart, "membership changed under repartitioning")
+    val sampled = Sampling.stratifiedEventsByHash(tables, fractions)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = tables.events.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!sampled.contains("error")) // fraction 0 → stratum excluded
+    assert(sampled("purchase") == totals("purchase")) // fraction 1 → all rows
+    val clickFrac = sampled("click").toDouble / totals("click")
+    assert(math.abs(clickFrac - 0.5) < 0.15, s"click fraction $clickFrac")
+    val plan = planOf(Sampling.stratifiedEventsByHash(tables, fractions))
+    assert(!plan.contains("Exchange"), s"hash sampling must not shuffle:\n$plan")
+  }
+
   test("mixtureBySource: binding source keeps all, realized token shares track targets") {
     val targets = Map("src0" -> 0.6, "src1" -> 0.25, "src2" -> 0.15)
     val kept = Sampling.mixtureBySource(tables, targets).collect()

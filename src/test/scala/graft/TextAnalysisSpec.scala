@@ -65,6 +65,19 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("topTermsSketchVerified: rows are the exact top-k and every contract flag is earned") {
+    val exact = TextAnalysis.topTerms(tables, 25).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val got = TextAnalysis.topTermsSketchVerified(tables).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    // the output rows ARE the exact top-k (deterministic, oracle-replayable)
+    assert(got.map(g => (g._1, g._2)).toSeq == exact.toSeq,
+      "verified rows diverge from the exact top-k arm")
+    // the SpaceSaving presence+bounds contract held for every row
+    assert(got.forall(_._3 == 1),
+      s"sketch contract violated: ${got.filter(_._3 != 1).mkString(", ")}")
+  }
+
   test("freq sketch merge keeps est bounds when an item was evicted on one side") {
     import graft.functions.FreqSketchBuffer
     // capacity 2; A: x appears 100 times
