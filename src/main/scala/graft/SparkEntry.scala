@@ -192,11 +192,16 @@ object SparkEntry {
             lit("insert").as("op"), col("c_nationkey").as("nationkey"),
             round(col("c_acctbal"), 2).as("acctbal")))
       val dir = roundtripDir("graft_cdc", d, "_CDC_OK") { out =>
-        CorpusStreams.processCdcBatch(s, seed, 0L, prefix(out), out)
-        CorpusStreams.processCdcBatch(s, changes.filter(col("k") % 2 === 0),
-          1L, prefix(out), out)
-        CorpusStreams.processCdcBatch(s, changes.filter(col("k") % 2 === 1),
-          2L, prefix(out), out)
+        // bound the per-segment FILE count: a batch written at the
+        // session's full shuffle width leaves ~32 tiny files per delta
+        // segment, and every later resolve pays a fixed task setup per
+        // file (r17: the store built under a 32-partition bench session
+        // read back at 14 task-s vs 2 for the same bytes in fewer files)
+        CorpusStreams.processCdcBatch(s, seed.coalesce(4), 0L, prefix(out), out)
+        CorpusStreams.processCdcBatch(s,
+          changes.filter(col("k") % 2 === 0).coalesce(1), 1L, prefix(out), out)
+        CorpusStreams.processCdcBatch(s,
+          changes.filter(col("k") % 2 === 1).coalesce(1), 2L, prefix(out), out)
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(out, "_CDC_OK"), "ok")
       }
