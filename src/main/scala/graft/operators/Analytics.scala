@@ -349,13 +349,26 @@ object Analytics {
       ps.forall(p => p >= 0.0 && p <= 1.0),
       s"quantilesBySort: ps/outNames must align, ps in [0,1]; got $ps / $outNames")
     val spark = df.sparkSession
+    // size the sliver count from the input's PLAN-STATS bytes (floor at
+    // the core count, cap at the caller's nParts): each sliver task pays
+    // a fixed ~90 ms of setup before touching a row, so 96 slivers of a
+    // sub-100 MB table are dead cost, not parallelism (r17 measured the
+    // count pass of a 600k-row quantile at 8.9 task-s — ~95% setup).
+    // Unknown stats (checkpointed inputs report the default huge size)
+    // keep the caller's full width.
+    val par = spark.sparkContext.defaultParallelism
+    val statBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nPartsEff =
+      if (!statBytes.isValidLong) nParts
+      else math.max(par.toLong, math.min(nParts.toLong,
+        statBytes.toLong / (1L << 20))).toInt
     // no persist: the two passes share one RDD, so the fetch job reuses
     // the counts job's shuffle files (its map stage is skipped) and only
     // re-sorts the addressed partitions — each a 1/nParts sliver
     val sorted = df.select(col(groupCol).cast("string").as("g"),
         col(valueCol).cast("double").as("v"))
       .filter(col("v").isNotNull)
-      .repartitionByRange(nParts, col("g"), col("v"))
+      .repartitionByRange(nPartsEff, col("g"), col("v"))
       .sortWithinPartitions("g", "v")
       .rdd
     locally {
