@@ -358,10 +358,18 @@ object Analytics {
     // keep the caller's full width.
     val par = spark.sparkContext.defaultParallelism
     val statBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // floor = min(cores, caller) so a small input keeps full-box wall
+    // parallelism without paying 96 setups; ceiling = max(cores, caller)
+    // so a genuinely large input GROWS past the caller's single-box
+    // constant (at cluster scale the sliver count tracks bytes/32 MB,
+    // not a hardcoded 96 — 96 slivers of a 100 TB table would be the
+    // opposite failure). Unknown stats (checkpointed inputs report the
+    // default huge size) keep the caller's width.
     val nPartsEff =
       if (!statBytes.isValidLong) nParts
-      else math.max(par.toLong, math.min(nParts.toLong,
-        statBytes.toLong / (1L << 20))).toInt
+      else math.max(math.min(par, nParts).toLong,
+        math.min(math.max(par, nParts).toLong,
+          statBytes.toLong / (32L << 20) + par)).toInt
     // no persist: the two passes share one RDD, so the fetch job reuses
     // the counts job's shuffle files (its map stage is skipped) and only
     // re-sorts the addressed partitions — each a 1/nParts sliver
