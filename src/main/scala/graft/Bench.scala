@@ -126,8 +126,9 @@ object Bench {
     // pause (the r16 small-row creep: tpch q7/q8/q9/q21, q_cusum,
     // q_winnow, q_textrank). What the GC actually buys is bounding
     // OLD-GEN CARRYOVER between measurements, so the trigger is now that
-    // thing itself: collect only when heap use has grown past a quarter
-    // of max heap since the last collection — two long reads before each
+    // thing itself: collect only when heap use has grown past 1/16th of
+    // max heap (floored at 256 MB) since the last collection — the
+    // divisor the r17 A/B actually ran — two long reads before each
     // timed window, free when nothing accumulated, the same bounded pause
     // when something did. The check runs before EVERY timed run, not just
     // per query: the r16 artifact's systematic run-2 tasksec doubling on

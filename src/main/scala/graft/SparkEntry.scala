@@ -192,16 +192,14 @@ object SparkEntry {
             lit("insert").as("op"), col("c_nationkey").as("nationkey"),
             round(col("c_acctbal"), 2).as("acctbal")))
       val dir = roundtripDir("graft_cdc", d, "_CDC_OK") { out =>
-        // bound the per-segment FILE count: a batch written at the
-        // session's full shuffle width leaves ~32 tiny files per delta
-        // segment, and every later resolve pays a fixed task setup per
-        // file (r17: the store built under a 32-partition bench session
-        // read back at 14 task-s vs 2 for the same bytes in fewer files)
-        CorpusStreams.processCdcBatch(s, seed.coalesce(4), 0L, prefix(out), out)
+        // per-segment FILE counts are bounded INSIDE CdcStore.appendChanges
+        // (byte-derived, r18) — no call-site coalesce needed here or by
+        // any other caller, the streaming loop included
+        CorpusStreams.processCdcBatch(s, seed, 0L, prefix(out), out)
         CorpusStreams.processCdcBatch(s,
-          changes.filter(col("k") % 2 === 0).coalesce(1), 1L, prefix(out), out)
+          changes.filter(col("k") % 2 === 0), 1L, prefix(out), out)
         CorpusStreams.processCdcBatch(s,
-          changes.filter(col("k") % 2 === 1).coalesce(1), 2L, prefix(out), out)
+          changes.filter(col("k") % 2 === 1), 2L, prefix(out), out)
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(out, "_CDC_OK"), "ok")
       }
@@ -1830,7 +1828,11 @@ object SparkEntry {
       ("WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem), " +
         "n AS (SELECT count(DISTINCT ok) AS n FROM b), " +
         "isup AS (SELECT p, count(*) AS supp FROM b GROUP BY p), " +
-        "psup AS (SELECT a.p AS pa, c.p AS pb, count(*) AS supp_ab FROM b a JOIN b c ON a.ok = c.ok AND a.p < c.p GROUP BY a.p, c.p HAVING count(*) >= 2), " +
+        // the engine's RELATIVE support floor, re-derived from the oracle's
+        // own basket count: max(2, ceil(N * 2e-4)) — one integer threshold,
+        // identical in both engines (long*double product, ceil, max)
+        "ms AS (SELECT GREATEST(2, CAST(CEIL((SELECT n FROM n) * 0.0002) AS BIGINT)) AS ms), " +
+        "psup AS (SELECT a.p AS pa, c.p AS pb, count(*) AS supp_ab FROM b a JOIN b c ON a.ok = c.ok AND a.p < c.p GROUP BY a.p, c.p HAVING count(*) >= (SELECT ms FROM ms)), " +
         "j AS (SELECT pa, pb, supp_ab, ia.supp AS sa, ib.supp AS sb FROM psup JOIN isup ia ON ia.p = pa JOIN isup ib ON ib.p = pb), " +
         "rules AS (SELECT pa AS antecedent, pb AS consequent, supp_ab, CAST(supp_ab AS DOUBLE) / sa AS conf, CAST(supp_ab AS DOUBLE) * (SELECT n FROM n) / (sa * sb) AS lift FROM j " +
         "UNION ALL SELECT pb, pa, supp_ab, CAST(supp_ab AS DOUBLE) / sb, CAST(supp_ab AS DOUBLE) * (SELECT n FROM n) / (sa * sb) FROM j), " +

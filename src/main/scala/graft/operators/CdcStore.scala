@@ -67,6 +67,9 @@ object CdcStore {
     val prev = attachStore(spark, prefix, dir, buckets)
     val entries = IndexFiles.readSegEntries(spark, listPath(dir))
     if (batchTag.exists(entries.flatMap(_._2).contains)) return prev
+    // plan-stats BEFORE the checkpoint below hides them behind the
+    // unknown sentinel — they size the segment's file count
+    val statBytes = changes.queryExecution.optimizedPlan.stats.sizeInBytes
     // ONE evaluation of the change plan serves both the emptiness probe
     // and the segment write (r13 advice: a bare `changes.isEmpty` ran the
     // wide batch plan once for the probe and AGAIN for the write —
@@ -78,7 +81,12 @@ object CdcStore {
       val b = storedBuckets(spark, dir, buckets)
       val id = prev.ids.lastOption.getOrElse(-1) + 1
       val table = s"${prefix}_cdc$id"
-      batch.write.mode(SaveMode.Overwrite)
+      // file count bounded by the batch's BYTES, not the caller's width
+      // (r17: a store built under a 32-partition session read back at 14
+      // task-s vs 2 for the same bytes in fewer files) — in the store, so
+      // the streaming loop and every other caller is covered too
+      IndexFiles.boundBucketedWrite(batch, "k", b, statBytes)
+        .write.mode(SaveMode.Overwrite)
         .bucketBy(b, "k").sortBy("k")
         .option("path", new HPath(dir, table).toString)
         .saveAsTable(table)
@@ -139,7 +147,12 @@ object CdcStore {
     val entries = IndexFiles.readSegEntries(spark, listPath(store.dir))
     val id = store.ids.last + 1
     val table = store.tableOf(id)
-    currentState(spark, store)
+    // the compacted base's file count derives from the live segments'
+    // TRUE on-disk bytes (the resolved state is never larger)
+    val liveBytes = store.ids.map(i =>
+      IndexFiles.dirBytes(spark, new HPath(store.dir, store.tableOf(i)))).sum
+    IndexFiles.boundBucketedWrite(currentState(spark, store), "k", b,
+        BigInt(liveBytes))
       .write.mode(SaveMode.Overwrite)
       .bucketBy(b, "k").sortBy("k")
       .option("path", new HPath(store.dir, table).toString)

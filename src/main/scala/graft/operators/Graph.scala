@@ -386,7 +386,10 @@ object Graph {
     // per-round sums had no guard, so a larger graph or iters would have
     // silently reverted to order-dependent double sums; assert_true rides
     // the SAME 1-row norm aggregate (zero extra jobs) and aborts instead.
-    val guard = assert_true(mx < lit(9.007199254740992e15),
+    // mx is NULL on an empty/all-null rank table (degenerate fixture) —
+    // assert_true(NULL) THROWS, so the guard must pass-through that case
+    // and let the null norm fall out as an empty result
+    val guard = assert_true(mx.isNull || mx < lit(9.007199254740992e15),
       lit(s"hits: raw |$c| exceeds 2^53 — deferred normalization no longer " +
         "exact; lower iters or normalize per round"))
     sqrt(when(guard.isNull && mx < 1e14 && sum(d * d).isNotNull,
@@ -620,8 +623,13 @@ object Graph {
                        prebuiltEdges: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1, s"labelPropagation: iters must be >= 1, got $iters")
     val e = prebuiltEdges.getOrElse(coPurchaseEdges(t))
-    val ebRaw = e.select(col("pa").as("src"), col("pb").as("dst"))
-      .unionAll(e.select(col("pb").as("src"), col("pa").as("dst")))
+    // mirror in ONE scan: unionAll of two projections re-reads the edge
+    // source twice (16 fixed-cost tasks on the 8-file artifact for 5 MB);
+    // the explode emits both directions per input row in a single pass
+    val ebRaw = e.select(explode(array(
+        struct(col("pa").as("src"), col("pb").as("dst")),
+        struct(col("pb").as("src"), col("pa").as("dst")))).as("_e"))
+      .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
     val (eb, releaseEb) =
       if (tradeGraphSmall(e)) {
         // small mode lays the edge CACHE out on src — the AGGREGATION

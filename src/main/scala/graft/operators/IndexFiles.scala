@@ -136,4 +136,44 @@ private[graft] object IndexFiles {
 
   def delete(spark: SparkSession, p: Path): Unit =
     p.getFileSystem(conf(spark)).delete(p, false)
+
+  /** Byte-derived width for a bucketed segment WRITE (r17 verdict item 2,
+    * promoted from the q_cdc_apply fixture into the stores so EVERY
+    * caller — the streaming loops included — gets the bound). A bucketed
+    * write emits one file per (task, bucket) pair, so a batch arriving at
+    * the session's full shuffle width fans a few-MB delta into
+    * tasks×buckets tiny files, and every later resolve pays a fixed
+    * ~90-250 ms task setup per file. Small batches (fewer byte-derived
+    * tasks than buckets) COALESCE — no shuffle, one task writes at most
+    * one file per non-empty bucket. Larger ones REPARTITION on the bucket
+    * key at a MULTIPLE of the bucket count: Spark's shuffle hash and its
+    * bucketing hash are the same pmod(murmur3(_, 42)) family, so with
+    * n = m·buckets every write task holds exactly one bucket's rows and
+    * the file count is exactly n — growing with bytes (~1 file / 64 MB),
+    * never with the caller's width. `statBytes` is the caller's best
+    * PRE-CHECKPOINT estimate (a checkpointed plan reports the unknown
+    * sentinel); unknown keeps the core count, aligned. */
+  def boundBucketedWrite(out: org.apache.spark.sql.DataFrame, key: String,
+                         buckets: Int, statBytes: BigInt): org.apache.spark.sql.DataFrame = {
+    val spark = out.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val known = statBytes.isValidLong &&
+      statBytes.toLong < spark.sessionState.conf.defaultSizeInBytes
+    val tasks =
+      if (known) math.max(1L, statBytes.toLong / (64L << 20)) else par.toLong
+    if (tasks < buckets) out.coalesce(tasks.toInt)
+    else {
+      val n = ((tasks + buckets - 1) / buckets * buckets)
+      out.repartition(n.toInt, org.apache.spark.sql.functions.col(key))
+    }
+  }
+
+  /** Total on-disk bytes under `p` (0 if absent) — the TRUE size of a
+    * stored segment, used to pick probe plans by data volume where plan
+    * statistics can't see through a catalog table's bucket spec. One
+    * namenode round trip; never lists file contents. */
+  def dirBytes(spark: SparkSession, p: Path): Long = {
+    val fs = p.getFileSystem(conf(spark))
+    if (!fs.exists(p)) 0L else fs.getContentSummary(p).getLength
+  }
 }

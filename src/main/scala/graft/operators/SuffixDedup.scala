@@ -65,6 +65,11 @@ object SuffixDedup {
     * floor of `q_dup_spans`. */
   def duplicateSubstrings(docs: DataFrame, minLen: Int = 32,
                           minDocs: Int = 2): DataFrame = {
+    // minDocs = 1 would make the direct form's min(d) =!= max(d) hash
+    // prefilter WRONG (it silently drops every single-document gram), and
+    // "every position is a duplicate" is not a meaningful dedup query —
+    // reject loudly on every path rather than diverge between them
+    require(minDocs >= 2, s"duplicateSubstrings: minDocs must be >= 2 (got $minDocs)")
     // COST-BASED form switch (r15 verdict item 2). The direct form does
     // ~L× less total work than the widening build below the point where
     // its single corpus×L-byte exchange stops fitting a box — the r14
@@ -229,6 +234,9 @@ object SuffixDedup {
   private[graft] def duplicateSubstringsDirect(docs: DataFrame,
                                                minLen: Int,
                                                minDocs: Int = 2): DataFrame = {
+    // the min(d) =!= max(d) prefilter below is a superset of "appears in
+    // >= minDocs distinct docs" ONLY for minDocs >= 2
+    require(minDocs >= 2, s"duplicateSubstringsDirect: minDocs must be >= 2 (got $minDocs)")
     // sequence(1, n) with n < 1 DESCENDS in Spark (step defaults to -1),
     // so short documents must not reach the transform.
     // repartition BEFORE the explode, with an EXPLICIT partition count: a
@@ -250,9 +258,15 @@ object SuffixDedup {
     // One task per ~64 KB of (compressed) input, capped at the core
     // count: small fixtures get a handful of tasks, a 100 TB corpus still
     // saturates the cluster.
-    val spreadN = math.max(1L, math.min(
-      docs.sparkSession.sparkContext.defaultParallelism.toLong,
-      docs.queryExecution.optimizedPlan.stats.sizeInBytes.toLong / (64L * 1024))).toInt
+    // stats can exceed Long.MaxValue as a BigInt (estimation multiplies);
+    // an unguarded .toLong wraps NEGATIVE and would collapse the spread
+    // to 1 task on exactly the inputs that need width most — treat
+    // non-Long stats as "huge" and keep the full core count
+    val statBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val spreadN =
+      if (!statBytes.isValidLong) par
+      else math.max(1L, math.min(par.toLong, statBytes.toLong / (64L * 1024))).toInt
     // HASH-PREFILTER the heavy aggregation (r17): the old form
     // materialized every L-char gram STRING (O(corpus×L) allocation) and
     // shuffled it into a countDistinct(d) — twice (the mark join

@@ -95,12 +95,17 @@ object TextIndex {
     * checkpointed tf table (vocabulary- and doc-cardinality sides). */
   def buildIndex(spark: SparkSession, docs: DataFrame, prefix: String,
                  dir: String, buckets: Int = 32): Index = {
+    // postings bytes track the corpus text bytes; read the stats BEFORE
+    // the checkpoint hides them — they bound the written file count
+    val statBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
     val tf = termFreqs(docs).localCheckpoint()
     val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
     val lens = tf.groupBy("doc_id").agg(sum("tf").as("len"))
     val table = s"${prefix}_postings"
-    tf.join(dfreq, "w").join(lens, "doc_id")
-      .select(col("w"), col("doc_id"), col("tf"), col("df"), col("len"))
+    IndexFiles.boundBucketedWrite(
+        tf.join(dfreq, "w").join(lens, "doc_id")
+          .select(col("w"), col("doc_id"), col("tf"), col("df"), col("len")),
+        "w", buckets, statBytes)
       .write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, "w")
       .sortBy("w")
@@ -177,6 +182,8 @@ object TextIndex {
     // count than the declared spec would silently break bucket pruning
     val b = storedBuckets(spark, dir, buckets)
     val id = prev.ids.lastOption.getOrElse(-1) + 1
+    // batch bytes read BEFORE the checkpoint hides them (file-count bound)
+    val statBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
     val tf = termFreqs(docs).localCheckpoint()
     val lens = tf.groupBy("doc_id").agg(sum("tf").as("len"))
     // emptiness check BEFORE anything is written: a batch with zero
@@ -187,8 +194,14 @@ object TextIndex {
     val st = lens.agg(count(lit(1)).as("n"), sum("len").as("s")).head()
     if (st.getLong(0) == 0) return prev
     val table = s"${prefix}_seg$id"
-    tf.join(lens, "doc_id")
-      .select(col("w"), col("doc_id"), col("tf"), col("len"))
+    // file count bounded by the batch's bytes, not the caller's width —
+    // a streaming micro-batch written at full session width would fan
+    // tasks×buckets tiny files into the segment, and every later probe
+    // pays fixed task setup per file (the r17 CDC lesson, in the store)
+    IndexFiles.boundBucketedWrite(
+        tf.join(lens, "doc_id")
+          .select(col("w"), col("doc_id"), col("tf"), col("len")),
+        "w", b, statBytes)
       .write.mode(SaveMode.Overwrite)
       .bucketBy(b, "w")
       .sortBy("w")
@@ -282,7 +295,11 @@ object TextIndex {
     val all = seg.ids.map(i => spark.table(seg.tableOf(i)))
       .reduce(_.unionByName(_))
     val table = seg.tableOf(id)
-    all.write.mode(SaveMode.Overwrite)
+    // compacted file count derives from the live segments' TRUE bytes
+    val liveBytes = seg.ids.map(i =>
+      IndexFiles.dirBytes(spark, new HPath(seg.dir, seg.tableOf(i)))).sum
+    IndexFiles.boundBucketedWrite(all, "w", b, BigInt(liveBytes))
+      .write.mode(SaveMode.Overwrite)
       .bucketBy(b, "w")
       .sortBy("w")
       .option("path", new HPath(seg.dir, table).toString)
@@ -340,9 +357,40 @@ object TextIndex {
     val qTerms = termFreqs(queryDocs)
       .select(col("doc_id").as("query_id"), col("w"))
     val termList = qTerms.select("w").distinct().collect().map(_.getString(0))
-    val posts = seg.ids.map(id => spark.table(seg.tableOf(id))
-        .filter(col("w").isin(termList.toIndexedSeq: _*)))
-      .reduce(_.unionByName(_))
+    // BYTE-DERIVED probe width (r17 verdict item 1): a bucketed-table scan
+    // is ONE TASK PER BUCKET PER SEGMENT regardless of bytes — 2 tiny
+    // segments × 32 buckets read twice (df pass + scoring pass) is 128
+    // tasks of ~100 ms fixed setup for kilobytes of postings. Below the
+    // threshold, read the same parquet files WITHOUT the bucket spec: the
+    // scheduler file-packs them into a couple of tasks, the pushed `In`
+    // still row-group-prunes, and only bucket pruning is forfeited —
+    // worthless at these sizes. Above it (the 100 TB shape), the bucketed
+    // scans keep directory-level pruning: nTerms/nBuckets of the index
+    // bytes touched per probe. Threshold ≈ the point where a per-bucket
+    // task has real work (~8 MB/bucket at the default 32-bucket spec);
+    // session conf first (specs pin the large shape), env next.
+    val minBucketed = spark.conf.getOption("spark.graft.textIndexBucketedMinBytes")
+      .orElse(sys.env.get("SPARK_GRAFT_TEXT_INDEX_BUCKETED_MIN_BYTES"))
+      .getOrElse((256L * 1024 * 1024).toString).toLong
+    val segBytes = seg.ids.map(id =>
+      IndexFiles.dirBytes(spark, new HPath(seg.dir, seg.tableOf(id)))).sum
+    val posts =
+      if (segBytes <= minBucketed) {
+        // the scheduler still fans MANY tiny files across the core count
+        // (openCost-inflated packing targets one partition per core), so
+        // pin the scan width to the TRUE bytes: ~1 task / 8 MB
+        val scanW = math.max(1L, math.min(
+          spark.sparkContext.defaultParallelism.toLong,
+          segBytes / (8L << 20) + 1)).toInt
+        spark.read
+          .schema("w STRING, doc_id BIGINT, tf BIGINT, len BIGINT")
+          .parquet(seg.ids.map(id =>
+            new HPath(seg.dir, seg.tableOf(id)).toString): _*)
+          .coalesce(scanW)
+          .filter(col("w").isin(termList.toIndexedSeq: _*))
+      } else seg.ids.map(id => spark.table(seg.tableOf(id))
+          .filter(col("w").isin(termList.toIndexedSeq: _*)))
+        .reduce(_.unionByName(_))
     // df at query time: distinct docs per term over the probed postings.
     // (w, doc_id) is unique within AND across segments — segments
     // partition the corpus — so a plain count per term is the df. An

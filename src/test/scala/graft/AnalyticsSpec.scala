@@ -1727,6 +1727,19 @@ class AnalyticsSpec extends SparkSpec {
       s"engine ${row.getDouble(1)} vs local $med")
   }
 
+  test("senSlope: driver selection arm equals the distributed rank-machinery arm") {
+    // the day series is calendar-bounded, so the default path selects the
+    // median on the driver; maxDriverDays = 0 forces the distributed
+    // pair-join + quantilesBySort arm — identical multiset, identical
+    // interpolation + HALF_UP(6) rounding, so the rows must be bit-equal
+    val drv = Analytics.senSlope(tables).collect().head
+    val dist = Analytics.senSlope(tables, maxDriverDays = 0L).collect().head
+    assert(drv.getLong(0) == dist.getLong(0),
+      s"pair counts differ: ${drv.getLong(0)} vs ${dist.getLong(0)}")
+    assert(drv.getDouble(1) == dist.getDouble(1),
+      s"medians differ: ${drv.getDouble(1)} vs ${dist.getDouble(1)}")
+  }
+
   test("oddsRatio matches a local 2x2 recompute; CI brackets the estimate") {
     val conv = tables.events.select("user_id", "event_type", "value").collect()
       .groupBy(_.getLong(0)).toSeq.map { case (u, rs) =>

@@ -67,6 +67,20 @@ class CdcStoreSpec extends SparkSpec {
     assert(stateRows(store) == before)
   }
 
+  test("appendChanges bounds the delta-segment file count by batch bytes, not caller width") {
+    // the bound lives IN the store (r17 verdict item 2): a micro-batch
+    // arriving at the session's full shuffle width must still land as a
+    // handful of files — every later resolve pays a fixed task setup per
+    // file, and callers (the streaming loop included) should not need a
+    // call-site coalesce
+    val dir = Files.createTempDirectory("cdc_files").toString
+    CdcStore.appendChanges(spark, seed.repartition(32), "cdc_fc", dir,
+      buckets = 8, batchTag = Some("b0"))
+    val files = Files.list(java.nio.file.Paths.get(dir, "cdc_fc_cdc0"))
+      .toArray.map(_.toString).count(_.endsWith(".parquet"))
+    assert(files <= 8, s"delta segment written with $files files (> buckets)")
+  }
+
   test("an orphan segment (crash after table write, before list commit) is invisible") {
     val dir = Files.createTempDirectory("cdc_orphan").toString
     CorpusStreams.processCdcBatch(spark, seed, 0L, "cdc_or", dir)

@@ -107,7 +107,15 @@ class GraphSpec extends SparkSpec {
     try {
       val large = Graph.pageRank(tables).collect()
         .map(r => r.getString(0) -> r.getDouble(1)).toMap
-      assert(small == large, "small- and large-graph layouts disagree")
+      // tolerance, not bit-equality: the two physical plans sum doubles in
+      // different orders, so a rank landing on a 1e-6 rounding half-
+      // boundary can flip the last rounded digit between layouts
+      assert(small.keySet == large.keySet,
+        "small- and large-graph layouts disagree on the node set")
+      small.foreach { case (k, v) =>
+        assert(math.abs(v - large(k)) <= 1e-6,
+          s"small- and large-graph layouts disagree at $k: $v vs ${large(k)}")
+      }
     } finally spark.conf.unset("spark.graft.graphCacheMinBytes")
   }
 

@@ -290,6 +290,48 @@ class TextIndexSpec extends SparkSpec {
     }
   }
 
+  test("segmented probe: byte-derived flat scan equals the forced bucketed plan") {
+    // small segments take the file-packed parquet read (no per-bucket
+    // task fan-out); pinning conf to 0 forces the 100 TB bucketed arm —
+    // results must be identical, and only the forced arm reads buckets
+    val dir = Files.createTempDirectory("gtidx_small").toString
+    val half = tables.documents.count() / 2
+    TextIndex.appendSegment(spark, tables.documents.filter($"doc_id" < half),
+      "gtidx_sm", dir, buckets = 8)
+    val seg = TextIndex.appendSegment(spark,
+      tables.documents.filter($"doc_id" >= half), "gtidx_sm", dir, buckets = 8)
+    val q = tables.documents.filter($"doc_id" < 10)
+    val smallDf = TextIndex.bm25ProbeSegmented(spark, seg, q)
+    assert(!planOf(smallDf).contains("SelectedBucketsCount"),
+      s"small probe still reads through the bucket spec:\n${planOf(smallDf)}")
+    val small = smallDf.collect().map(_.toSeq).toSet
+    spark.conf.set("spark.graft.textIndexBucketedMinBytes", "0")
+    try {
+      val bigDf = TextIndex.bm25ProbeSegmented(spark, seg, q)
+      val bigPlan = planOf(bigDf)
+      assert(bigPlan.contains("SelectedBucketsCount") ||
+        bigPlan.contains("Bucketed: true"),
+        s"forced arm must read the bucketed tables:\n$bigPlan")
+      assert(small.nonEmpty && bigDf.collect().map(_.toSeq).toSet == small,
+        "flat-scan and bucketed probes disagree")
+    } finally spark.conf.unset("spark.graft.textIndexBucketedMinBytes")
+  }
+
+  test("appendSegment bounds the segment file count for a wide small batch") {
+    // a batch arriving at the session's full shuffle width must not fan
+    // tasks×buckets tiny files into the segment (the r17 CDC lesson,
+    // enforced in the store): a sub-64 MB batch coalesces to one write
+    // task — at most one file per non-empty bucket
+    val dir = Files.createTempDirectory("gtidx_files").toString
+    TextIndex.appendSegment(spark,
+      tables.documents.filter($"doc_id" < 100).repartition(16),
+      "gtidx_fc", dir, buckets = 8)
+    val files = java.nio.file.Files.list(
+        java.nio.file.Paths.get(dir, "gtidx_fc_seg0")).toArray
+      .map(_.toString).count(_.endsWith(".parquet"))
+    assert(files <= 8, s"segment written with $files files (> buckets)")
+  }
+
   test("single-term probe prunes to one bucket and pushes the In filter") {
     val dir = Files.createTempDirectory("gtidx_prune").toString
     val idx = TextIndex.buildIndex(spark, tables.documents, "gtidx_prune", dir,
