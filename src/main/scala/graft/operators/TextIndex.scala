@@ -415,8 +415,27 @@ object TextIndex {
     // bounded driver set: the query batch's distinct vocabulary — this
     // literal IN is what turns into bucket + row-group pruning on the scan
     val termList = qTerms.select("w").distinct().collect().map(_.getString(0))
-    val posts = spark.table(idx.postings)
-      .filter(col("w").isin(termList.toIndexedSeq: _*))
+    // same byte-derived probe width as [[bm25ProbeSegmented]]: a bucketed
+    // scan is one fixed-cost task per bucket whatever the bytes — below
+    // the threshold, read the postings flat and byte-coalesced (row-group
+    // pruning via the pushed In survives; bucket pruning is worthless at
+    // these sizes), above it keep the bucket-pruned catalog scan
+    val minBucketed = spark.conf.getOption("spark.graft.textIndexBucketedMinBytes")
+      .orElse(sys.env.get("SPARK_GRAFT_TEXT_INDEX_BUCKETED_MIN_BYTES"))
+      .getOrElse((256L * 1024 * 1024).toString).toLong
+    val postBytes = IndexFiles.dirBytes(spark, new HPath(idx.dir, idx.postings))
+    val posts =
+      if (postBytes <= minBucketed) {
+        val scanW = math.max(1L, math.min(
+          spark.sparkContext.defaultParallelism.toLong,
+          postBytes / (8L << 20) + 1)).toInt
+        spark.read
+          .schema("w STRING, doc_id BIGINT, tf BIGINT, df BIGINT, len BIGINT")
+          .parquet(new HPath(idx.dir, idx.postings).toString)
+          .coalesce(scanW)
+          .filter(col("w").isin(termList.toIndexedSeq: _*))
+      } else spark.table(idx.postings)
+        .filter(col("w").isin(termList.toIndexedSeq: _*))
     bm25Rank(posts, qTerms, idx.nDocs, idx.avgdl, topK, k1, b)
   }
 }

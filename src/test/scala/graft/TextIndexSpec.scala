@@ -341,10 +341,21 @@ class TextIndexSpec extends SparkSpec {
       .select(explode(TextAnalysis.tokens($"text")).as("w"))
       .groupBy("w").count().orderBy(desc("count")).head().getString(0)
     val q = Seq((900000L, term)).toDF("doc_id", "text")
-    val df = TextIndex.bm25Probe(spark, idx, q)
-    val plan = planOf(df)
-    assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
-      s"bucket pruning missing:\n$plan")
-    assert(df.count() > 0)
+    // pin the 100 TB arm: below the byte threshold the probe reads flat
+    // (r18), so force the bucketed plan to assert its pruning behavior
+    spark.conf.set("spark.graft.textIndexBucketedMinBytes", "0")
+    try {
+      val df = TextIndex.bm25Probe(spark, idx, q)
+      val plan = planOf(df)
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
+        s"bucket pruning missing:\n$plan")
+      assert(df.count() > 0)
+      // and the default (small-store) arm returns the same rows
+      spark.conf.unset("spark.graft.textIndexBucketedMinBytes")
+      val flat = TextIndex.bm25Probe(spark, idx, q)
+      assert(!planOf(flat).contains("SelectedBucketsCount"))
+      assert(flat.collect().map(_.toSeq).toSet ===
+        df.collect().map(_.toSeq).toSet)
+    } finally spark.conf.unset("spark.graft.textIndexBucketedMinBytes")
   }
 }
