@@ -1687,45 +1687,63 @@ object TextAnalysis {
     val tok = t.documents
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .withColumn("h", HashFunctions.rollingHash64(col("token")))
-      .localCheckpoint() // 1 vocab agg + dims × (distinct + sample) consumers
-    val vocab = tok.agg(countDistinct(col("token")).as("n_vocab"))
+      .localCheckpoint() // read twice: the distinct collapse + the sample
+    // ONE corpus-scale pass (r18): n_vocab and every dim arm's
+    // n_dims_used are all functions of the DISTINCT token set (h is a
+    // deterministic function of token, so distinct (token, h) rows ==
+    // distinct tokens) — the old form re-aggregated the full token table
+    // once for the vocabulary and once PER dim (4 corpus passes, the
+    // row's whole real CPU); the distinct collapse is map-side-partial
+    // and everything after runs on the vocabulary-sized table
+    val uniq = tok.select(col("token"), col("h")).distinct()
+      .localCheckpoint() // 1 vocab agg + dims arms read it
+    val vocab = uniq.agg(count(lit(1)).as("n_vocab"))
     val sample = tok.filter(col("doc_id") < 2L * nPairs)
+    // pairCos carries a `dim` arm column so ALL hashed arms flow through
+    // ONE plan (r18): the per-dim loop built an independent agg/join
+    // forest per dimension — ~20 one-task stages each, and stage count
+    // (scheduling + per-stage setup) was this row's whole cost profile
     def pairCos(keyed: DataFrame): DataFrame = {
-      // keyed: (doc_id, key) one row per token occurrence; integer counts
-      val cnts = keyed.groupBy("doc_id", "key").agg(count(lit(1)).as("c"))
-      val norms = cnts.groupBy("doc_id").agg(sum(col("c") * col("c")).as("n2"))
+      // keyed: (dim, doc_id, key) one row per token occurrence; integer
+      // counts; returns (dim, pair, cos)
+      val cnts = keyed.groupBy("dim", "doc_id", "key").agg(count(lit(1)).as("c"))
+      val norms = cnts.groupBy("dim", "doc_id").agg(sum(col("c") * col("c")).as("n2"))
       val a = cnts.filter(col("doc_id") < nPairs)
-        .select(col("doc_id").as("pair"), col("key"), col("c").as("ca"))
+        .select(col("dim"), col("doc_id").as("pair"), col("key"), col("c").as("ca"))
       val b = cnts.filter(col("doc_id") >= nPairs)
-        .select((col("doc_id") - nPairs).as("pair"), col("key"), col("c").as("cb"))
-      val dots = a.join(b, Seq("pair", "key"))
-        .groupBy("pair").agg(sum(col("ca") * col("cb")).as("dot"))
+        .select(col("dim"), (col("doc_id") - nPairs).as("pair"),
+          col("key"), col("c").as("cb"))
+      val dots = a.join(b, Seq("dim", "pair", "key"))
+        .groupBy("dim", "pair").agg(sum(col("ca") * col("cb")).as("dot"))
       val na = norms.filter(col("doc_id") < nPairs)
-        .select(col("doc_id").as("pair"), col("n2").as("na"))
+        .select(col("dim"), col("doc_id").as("pair"), col("n2").as("na"))
       val nb = norms.filter(col("doc_id") >= nPairs)
-        .select((col("doc_id") - nPairs).as("pair"), col("n2").as("nb"))
-      na.join(nb, Seq("pair")).join(dots, Seq("pair"), "left")
-        .select(col("pair"),
+        .select(col("dim"), (col("doc_id") - nPairs).as("pair"), col("n2").as("nb"))
+      na.join(nb, Seq("dim", "pair")).join(dots, Seq("dim", "pair"), "left")
+        .select(col("dim"), col("pair"),
           (coalesce(col("dot"), lit(0L)).cast("double") /
             sqrt(col("na").cast("double") * col("nb").cast("double"))).as("cos"))
     }
-    val exact = pairCos(sample.select(col("doc_id"), col("token").as("key")))
-      .withColumnRenamed("cos", "cos_exact")
-      .localCheckpoint() // one consumer per dim arm
-    val arms = dims.map { d =>
-      val used = tok
-        .agg(countDistinct(pmod(col("h"), lit(d.toLong))).as("n_dims_used"))
-      val hashed = pairCos(sample.select(col("doc_id"),
-        pmod(col("h"), lit(d.toLong)).as("key")))
-      val worst = exact.join(hashed, Seq("pair"))
-        .agg(max(abs(col("cos_exact") - col("cos"))).as("max_err"))
-      vocab.crossJoin(broadcast(used)).crossJoin(broadcast(worst))
-        .select(lit(d).as("dim"), col("n_vocab"), col("n_dims_used"),
-          round(lit(1.0) - col("n_dims_used").cast("double") /
-            least(col("n_vocab"), lit(d.toLong)), 6).as("collision_frac"),
-          round(col("max_err"), 6).as("max_abs_cos_err"))
-    }
-    arms.reduce(_.unionByName(_)).orderBy("dim")
+    val exact = pairCos(sample.select(lit(0).as("dim"), col("doc_id"),
+        col("token").as("key")))
+      .select(col("pair"), col("cos").as("cos_exact"))
+      .localCheckpoint() // joined against every hashed arm
+    def dimKeys(c: Column) = explode(array(dims.map(d =>
+      struct(lit(d).as("dim"), pmod(c, lit(d.toLong)).as("key"))): _*))
+    val hashed = pairCos(sample
+      .select(col("doc_id"), dimKeys(col("h")).as("dk"))
+      .select(col("dk.dim").as("dim"), col("doc_id"), col("dk.key").as("key")))
+    val used = uniq.select(dimKeys(col("h")).as("dk"))
+      .groupBy(col("dk.dim").as("dim"))
+      .agg(countDistinct(col("dk.key")).as("n_dims_used"))
+    val worst = broadcast(exact).join(hashed, Seq("pair"))
+      .groupBy("dim").agg(max(abs(col("cos_exact") - col("cos"))).as("max_err"))
+    used.join(worst, Seq("dim")).crossJoin(broadcast(vocab))
+      .select(col("dim"), col("n_vocab"), col("n_dims_used"),
+        round(lit(1.0) - col("n_dims_used").cast("double") /
+          least(col("n_vocab"), col("dim").cast("long")), 6).as("collision_frac"),
+        round(col("max_err"), 6).as("max_abs_cos_err"))
+      .orderBy("dim")
   }
 
   /** FLESCH READING-EASE per language (Flesch 1948 — the readability
