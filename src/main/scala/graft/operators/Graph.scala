@@ -625,8 +625,12 @@ object Graph {
     val e = prebuiltEdges.getOrElse(coPurchaseEdges(t))
     // mirror in ONE scan: unionAll of two projections re-reads the edge
     // source twice (16 fixed-cost tasks on the 8-file artifact for 5 MB);
-    // the explode emits both directions per input row in a single pass
-    val ebRaw = e.select(explode(array(
+    // the explode emits both directions per input row in a single pass.
+    // A small edge table also narrows the scan to its byte-derived width
+    // BEFORE the explode (8 file-splits of a 5 MB artifact are ~7 tasks
+    // of setup for one task of reading); a large one keeps its splits.
+    val eScan = if (tradeGraphSmall(e)) e.coalesce(smallSpread(e)) else e
+    val ebRaw = eScan.select(explode(array(
         struct(col("pa").as("src"), col("pb").as("dst")),
         struct(col("pb").as("src"), col("pa").as("dst")))).as("_e"))
       .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
