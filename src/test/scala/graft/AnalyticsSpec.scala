@@ -1727,6 +1727,33 @@ class AnalyticsSpec extends SparkSpec {
       s"engine ${row.getDouble(1)} vs local $med")
   }
 
+  test("quantileWidth: sub-box byte-derived, unknown-sentinel fallback, caller cap") {
+    val par = spark.sparkContext.defaultParallelism
+    // a known-stats parquet scan at spec scale is sub-box: width follows
+    // ~1 sliver / 4 MB with floor 1 — never the core-count or the caller
+    val small = Analytics.quantileWidth(tables.events, 96)
+    assert(small >= 1 && small <= par, s"sub-box width $small outside [1, $par]")
+    // an external-RDD frame reports the defaultSizeInBytes sentinel — a
+    // perfectly VALID Long, which MUST be treated as unknown: the
+    // caller's width survives (an eager localCheckpoint, by contrast,
+    // captures its REAL size in Spark 4 and takes the byte-derived arm)
+    val unknown = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row("a", 1.0))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("g",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.DoubleType))))
+    assert(Analytics.quantileWidth(unknown, 7) == 7,
+      "unknown-stats input must keep the caller's width")
+    // a broadcast-join output carries a PRODUCT estimate (big, valid,
+    // below the sentinel) — it must not exceed max(par, caller)
+    val med = tables.events.groupBy("event_type").count()
+    val joined = tables.events.join(broadcast(med), Seq("event_type"))
+    val w = Analytics.quantileWidth(joined, 96)
+    assert(w <= math.max(par, 96), s"join-estimate width $w escaped the cap")
+  }
+
   test("senSlope: driver selection arm equals the distributed rank-machinery arm") {
     // the day series is calendar-bounded, so the default path selects the
     // median on the driver; maxDriverDays = 0 forces the distributed

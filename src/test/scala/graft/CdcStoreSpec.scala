@@ -81,6 +81,29 @@ class CdcStoreSpec extends SparkSpec {
     assert(files <= 8, s"delta segment written with $files files (> buckets)")
   }
 
+  test("boundBucketedWrite aligned path: exactly one bucket per write task") {
+    // the helper's large-batch arm repartitions at a MULTIPLE of the
+    // bucket count, relying on Spark's shuffle hash and bucket hash being
+    // the same pmod(murmur3(_, 42)) family — if that alignment ever broke
+    // (a hash or seed change), each of the n tasks would hold rows of
+    // ~all buckets and the file count would explode toward n × buckets.
+    // Feeding fake "large" stats forces the aligned arm on a small batch:
+    // 1 GiB / 64 MiB = 16 tasks over 8 buckets ⇒ exactly 16 files iff
+    // every task held exactly one bucket.
+    import graft.operators.IndexFiles
+    val dir = Files.createTempDirectory("cdc_aligned").toString
+    IndexFiles.boundBucketedWrite(seed, "k", 8, BigInt(1L << 30))
+      .write.mode("overwrite")
+      .bucketBy(8, "k").sortBy("k")
+      .option("path", s"$dir/aligned_t")
+      .saveAsTable("aligned_t")
+    val files = Files.list(java.nio.file.Paths.get(dir, "aligned_t"))
+      .toArray.map(_.toString).count(_.endsWith(".parquet"))
+    assert(files == 16, s"aligned write produced $files files (want 16 = " +
+      "one bucket per task); the shuffle/bucket hash alignment broke")
+    spark.sql("DROP TABLE aligned_t")
+  }
+
   test("an orphan segment (crash after table write, before list commit) is invisible") {
     val dir = Files.createTempDirectory("cdc_orphan").toString
     CorpusStreams.processCdcBatch(spark, seed, 0L, "cdc_or", dir)
