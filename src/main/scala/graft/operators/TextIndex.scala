@@ -356,7 +356,6 @@ object TextIndex {
     val avgdl = stats.map(_._2).sum.toDouble / nDocs
     val qTerms = termFreqs(queryDocs)
       .select(col("doc_id").as("query_id"), col("w"))
-    val termList = qTerms.select("w").distinct().collect().map(_.getString(0))
     // BYTE-DERIVED probe width (r17 verdict item 1): a bucketed-table scan
     // is ONE TASK PER BUCKET PER SEGMENT regardless of bytes — 2 tiny
     // segments × 32 buckets read twice (df pass + scoring pass) is 128
@@ -378,7 +377,12 @@ object TextIndex {
       if (segBytes <= minBucketed) {
         // the scheduler still fans MANY tiny files across the core count
         // (openCost-inflated packing targets one partition per core), so
-        // pin the scan width to the TRUE bytes: ~1 task / 8 MB
+        // pin the scan width to the TRUE bytes: ~1 task / 8 MB. Pruning
+        // here is a broadcast SEMI-JOIN against the query vocabulary —
+        // same rows as the literal In, but no driver collect job (the
+        // collect was a whole extra Spark job of probe wall, and with the
+        // full flat read already this cheap, row-group pushdown buys
+        // nothing the semi-join doesn't)
         val scanW = math.max(1L, math.min(
           spark.sparkContext.defaultParallelism.toLong,
           segBytes / (8L << 20) + 1)).toInt
@@ -387,10 +391,16 @@ object TextIndex {
           .parquet(seg.ids.map(id =>
             new HPath(seg.dir, seg.tableOf(id)).toString): _*)
           .coalesce(scanW)
-          .filter(col("w").isin(termList.toIndexedSeq: _*))
-      } else seg.ids.map(id => spark.table(seg.tableOf(id))
-          .filter(col("w").isin(termList.toIndexedSeq: _*)))
-        .reduce(_.unionByName(_))
+          .join(broadcast(qTerms.select("w").distinct()), Seq("w"), "left_semi")
+      } else {
+        // the 100 TB arm NEEDS the literal In: it is what turns into
+        // bucket pruning + row-group pruning on the per-segment scans;
+        // the query vocabulary is a bounded driver set by construction
+        val termList = qTerms.select("w").distinct().collect().map(_.getString(0))
+        seg.ids.map(id => spark.table(seg.tableOf(id))
+            .filter(col("w").isin(termList.toIndexedSeq: _*)))
+          .reduce(_.unionByName(_))
+      }
     // df at query time: distinct docs per term over the probed postings.
     // (w, doc_id) is unique within AND across segments — segments
     // partition the corpus — so a plain count per term is the df. An
