@@ -379,17 +379,24 @@ object Analytics {
 
   def quantilesBySort(df: DataFrame, groupCol: String, valueCol: String,
                       ps: Seq[Double], outNames: Seq[String],
-                      nParts: Int = 96): DataFrame = {
+                      nParts: Int = 96,
+                      widthOverride: Option[Int] = None): DataFrame = {
     require(ps.nonEmpty && ps.length == outNames.length &&
       ps.forall(p => p >= 0.0 && p <= 1.0),
       s"quantilesBySort: ps/outNames must align, ps in [0,1]; got $ps / $outNames")
+    require(widthOverride.forall(_ >= 1),
+      s"quantilesBySort: widthOverride must be >= 1, got $widthOverride")
     val spark = df.sparkSession
     // sliver count from the input's PLAN-STATS bytes (see [[quantileWidth]]):
     // each sliver task pays a fixed ~90 ms of setup before touching a row,
     // so 96 slivers of a sub-100 MB table are dead cost, not parallelism
     // (r17 measured the count pass of a 600k-row quantile at 8.9 task-s —
-    // ~95% setup)
-    val nPartsEff = quantileWidth(df, nParts)
+    // ~95% setup). `widthOverride` pins the width VERBATIM for callers
+    // whose input is a derived frame with misleading plan stats (a
+    // broadcast-join product estimate lands in the byte arm and re-floors
+    // at the core count — the madOutliers second pass): the caller, not
+    // the estimator, knows the true cardinality there.
+    val nPartsEff = widthOverride.getOrElse(quantileWidth(df, nParts))
     // no persist: the two passes share one RDD, so the fetch job reuses
     // the counts job's shuffle files (its map stage is skipped) and only
     // re-sorts the addressed partitions — each a 1/nParts sliver
@@ -1133,19 +1140,21 @@ object Analytics {
     * difference/ratio starts from hash-matched inputs (the
     * rounded-moment rule); the score rounds at 3. */
   def madOutliers(t: Tables, tau: Double = 3.5): DataFrame = {
-    // BOTH median passes sized from the events scan (r17 verdict item 3):
-    // the deviation frame is row-for-row the events table, but as a
-    // broadcast-join output its plan stats are a product estimate, so an
-    // unhinted second pass kept the full 96-sliver width — ~5 task-s of
-    // pure setup at sf0.1 against ~2 of real selection work
+    // BOTH median passes PINNED to the events-scan width (r17 verdict
+    // item 3): the deviation frame is row-for-row the events table, but
+    // as a broadcast-join output its plan stats are a product estimate —
+    // an unhinted second pass kept the full 96-sliver width (~5 task-s of
+    // pure setup at sf0.1 against ~2 of real selection work), and even
+    // with nParts hinted the estimate re-floors the byte arm at the core
+    // count; the verbatim override is the only pin that holds
     val w = quantileWidth(t.events)
     val med = quantilesBySort(t.events, "event_type", "value",
-      Seq(0.5), Seq("med"), nParts = w)
+      Seq(0.5), Seq("med"), widthOverride = Some(w))
       .select(col("event_type"), col("med"))
     val dev = t.events.join(broadcast(med), Seq("event_type"))
       .withColumn("_dev", abs(col("value") - col("med")))
     val mad = quantilesBySort(dev, "event_type", "_dev",
-      Seq(0.5), Seq("mad"), nParts = w)
+      Seq(0.5), Seq("mad"), widthOverride = Some(w))
       .select(col("event_type"), col("mad"))
     dev.join(broadcast(mad), Seq("event_type"))
       .withColumn("_m", lit(0.6745) * (col("value") - col("med")) / col("mad"))
@@ -1384,12 +1393,13 @@ object Analytics {
     // let quantilesBySort's group column carry the axis — 3 rows out
     val melted = met.selectExpr(
       "stack(3, 'r', recency_days, 'f', frequency, 'm', _m_e4) AS (m, v)")
-    // melted reads from the checkpoint (unknown-sentinel stats), so size
-    // the rank machinery from the events scan it aggregates — a generous
+    // melted reads from the checkpoint (stats unreliable post-derivation),
+    // so pin the rank machinery to the events-scan width — a generous
     // upper bound for the 3-rows-per-user melt, and far below the
-    // 96-sliver fallback width the sentinel would otherwise keep
+    // 96-sliver fallback the estimator could otherwise keep
     val th = quantilesBySort(melted, "m", "v",
-        ps, ps.map(p => s"t${(p * 100).toInt}"), nParts = quantileWidth(t.events))
+        ps, ps.map(p => s"t${(p * 100).toInt}"),
+        widthOverride = Some(quantileWidth(t.events)))
       .collect().map(r => r.getString(0) -> (1 to 4).map(r.getDouble)).toMap
     val (rt, ft, mt) = (th("r"), th("f"), th("m"))
     def above(c: Column, ts: Seq[Double]): Column =
@@ -2427,9 +2437,11 @@ object Analytics {
     * tens of ms, versus 28-37 task-seconds for the old distributed pair
     * materialization (BNL join + checkpoint + 192-sliver rank machinery)
     * that DuckDB's in-process O(n²) was at CPU parity with. A series
-    * longer than `maxDriverDays` (≈67 M pairs, ~0.5 GB — no realistic
-    * daily calendar reaches it) falls back to that distributed arm,
-    * whose quantile pass is sized from the KNOWN pair count. */
+    * longer than `maxDriverDays` (8192 days ≈ 33.5 M pairs, ~0.27 GB —
+    * no realistic daily calendar reaches it) falls back to that
+    * distributed arm, whose quantile pass is sized from the KNOWN pair
+    * count; the same arm also catches any caller-raised `maxDriverDays`
+    * whose pair count would overflow the driver array. */
   def senSlope(t: Tables, maxDriverDays: Long = 8192L): DataFrame = {
     val spark = t.orders.sparkSession
     val daily = t.orders
@@ -2437,7 +2449,10 @@ object Analytics {
       .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("_rev"))
       .localCheckpoint() // read by the count and then one arm
     val nDays = daily.count()
-    if (nDays >= 2 && nDays <= maxDriverDays) {
+    // the pair array is Int-indexed: n(n−1)/2 must fit — a caller-raised
+    // maxDriverDays above ~65k would otherwise wrap the allocation size
+    if (nDays >= 2 && nDays <= maxDriverDays &&
+        nDays * (nDays - 1) / 2 <= Int.MaxValue.toLong) {
       // epoch-day int so the driver's pairwise denominator is EXACTLY
       // the datediff(db, da) the distributed arm and the oracle compute
       val pts = daily
@@ -2479,12 +2494,12 @@ object Analytics {
           datediff(col("db"), col("da")).cast("double")).as("_s"))
         .localCheckpoint() // the count + the rank machinery read it
       val nPairs = slopes.count()
-      // checkpointed input reports the unknown sentinel — size the rank
-      // machinery from the KNOWN pair count (~24 B/row of (g, v) rows)
+      // pin the rank machinery from the KNOWN pair count (~24 B/row of
+      // (g, v) rows) — checkpoint stats are not trustworthy post-derivation
       val w = math.max(spark.sparkContext.defaultParallelism.toLong,
         nPairs * 24L / (32L << 20)).toInt
       val med = quantilesBySort(slopes.withColumn("_g", lit("all")), "_g", "_s",
-        Seq(0.5), Seq("sen_slope_cents"), nParts = w)
+        Seq(0.5), Seq("sen_slope_cents"), widthOverride = Some(w))
       med.select(lit(nPairs).as("n_pairs"), col("sen_slope_cents"))
     }
   }

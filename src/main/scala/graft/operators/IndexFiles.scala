@@ -159,8 +159,18 @@ private[graft] object IndexFiles {
     val par = spark.sparkContext.defaultParallelism
     val known = statBytes.isValidLong &&
       statBytes.toLong < spark.sessionState.conf.defaultSizeInBytes
+    // CEILING at 32× the core count: plan stats on a JOIN-derived batch
+    // can be a product ESTIMATE (a perfectly valid Long below the unknown
+    // sentinel — the quantileWidth hazard), and an uncapped bytes/64 MB
+    // would re-create the tiny-file explosion this helper exists to
+    // prevent (or wrap n.toInt negative and crash the write). 32× cores
+    // still gives a genuine multi-TB batch thousands of ~full files per
+    // executor wave; a garbage estimate costs at most one bounded wave
+    // of small files, which the next compaction folds away.
+    val cap = math.max(buckets.toLong, par.toLong * 32)
     val tasks =
-      if (known) math.max(1L, statBytes.toLong / (64L << 20)) else par.toLong
+      if (known) math.min(cap, math.max(1L, statBytes.toLong / (64L << 20)))
+      else par.toLong
     if (tasks < buckets) out.coalesce(tasks.toInt)
     else {
       val n = ((tasks + buckets - 1) / buckets * buckets)

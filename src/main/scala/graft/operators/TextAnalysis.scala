@@ -1738,7 +1738,11 @@ object TextAnalysis {
       .agg(countDistinct(col("dk.key")).as("n_dims_used"))
     val worst = broadcast(exact).join(hashed, Seq("pair"))
       .groupBy("dim").agg(max(abs(col("cos_exact") - col("cos"))).as("max_err"))
-    used.join(worst, Seq("dim")).crossJoin(broadcast(vocab))
+    // LEFT join: an empty document-pair sample (ids offset or sparse)
+    // must still report every dim's vocab/occupancy row with a null
+    // distortion — the old per-dim crossJoin(agg-over-empty) emitted
+    // exactly that, and an inner join here would silently drop all rows
+    used.join(worst, Seq("dim"), "left").crossJoin(broadcast(vocab))
       .select(col("dim"), col("n_vocab"), col("n_dims_used"),
         round(lit(1.0) - col("n_dims_used").cast("double") /
           least(col("n_vocab"), col("dim").cast("long")), 6).as("collision_frac"),

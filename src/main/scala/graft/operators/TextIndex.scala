@@ -347,6 +347,47 @@ object TextIndex {
     * construction, so the derivation is exact — and N/avgdl sum from the
     * immutable per-segment metas. Scoring arithmetic is identical to
     * [[bm25Probe]], so the same from-scratch oracle verifies it. */
+  /** The shared byte-derived probe gate (r17 verdict item 1): a bucketed-
+    * table scan is ONE TASK PER BUCKET PER TABLE regardless of bytes —
+    * tiny stores pay ~100 ms of setup per bucket-task for kilobytes of
+    * postings. Below the threshold, read the same parquet files WITHOUT
+    * the bucket spec, width pinned to the TRUE bytes (~1 task / 8 MB —
+    * the scheduler's openCost packing otherwise fans tiny files across
+    * the core count), pruned by a broadcast SEMI-JOIN against the query
+    * vocabulary (same rows as the literal In, no driver collect job —
+    * with the full flat read this cheap, row-group pushdown buys nothing
+    * the semi-join doesn't). Above it (the 100 TB shape), the bucketed
+    * catalog scans keep directory-level pruning — nTerms/nBuckets of the
+    * index bytes touched — driven by the literal In over the collected
+    * query vocabulary (bounded by construction). Threshold ≈ the point
+    * where a per-bucket task has real work (~8 MB/bucket at the default
+    * 32-bucket spec); session conf first (specs pin the large shape),
+    * env next. */
+  private def prunedPostings(spark: SparkSession, dir: String,
+                             tables: Seq[String], schema: String,
+                             qTerms: DataFrame): DataFrame = {
+    val minBucketed = spark.conf.getOption("spark.graft.textIndexBucketedMinBytes")
+      .orElse(sys.env.get("SPARK_GRAFT_TEXT_INDEX_BUCKETED_MIN_BYTES"))
+      .getOrElse((256L * 1024 * 1024).toString).toLong
+    val bytes = tables.map(t =>
+      IndexFiles.dirBytes(spark, new HPath(dir, t))).sum
+    if (bytes <= minBucketed) {
+      val scanW = math.max(1L, math.min(
+        spark.sparkContext.defaultParallelism.toLong,
+        bytes / (8L << 20) + 1)).toInt
+      spark.read
+        .schema(schema)
+        .parquet(tables.map(t => new HPath(dir, t).toString): _*)
+        .coalesce(scanW)
+        .join(broadcast(qTerms.select("w").distinct()), Seq("w"), "left_semi")
+    } else {
+      val termList = qTerms.select("w").distinct().collect().map(_.getString(0))
+      tables.map(t => spark.table(t)
+          .filter(col("w").isin(termList.toIndexedSeq: _*)))
+        .reduce(_.unionByName(_))
+    }
+  }
+
   def bm25ProbeSegmented(spark: SparkSession, seg: Segments,
                          queryDocs: DataFrame, topK: Int = 5,
                          k1: Double = 1.2, b: Double = 0.75): DataFrame = {
@@ -356,51 +397,8 @@ object TextIndex {
     val avgdl = stats.map(_._2).sum.toDouble / nDocs
     val qTerms = termFreqs(queryDocs)
       .select(col("doc_id").as("query_id"), col("w"))
-    // BYTE-DERIVED probe width (r17 verdict item 1): a bucketed-table scan
-    // is ONE TASK PER BUCKET PER SEGMENT regardless of bytes — 2 tiny
-    // segments × 32 buckets read twice (df pass + scoring pass) is 128
-    // tasks of ~100 ms fixed setup for kilobytes of postings. Below the
-    // threshold, read the same parquet files WITHOUT the bucket spec: the
-    // scheduler file-packs them into a couple of tasks, the pushed `In`
-    // still row-group-prunes, and only bucket pruning is forfeited —
-    // worthless at these sizes. Above it (the 100 TB shape), the bucketed
-    // scans keep directory-level pruning: nTerms/nBuckets of the index
-    // bytes touched per probe. Threshold ≈ the point where a per-bucket
-    // task has real work (~8 MB/bucket at the default 32-bucket spec);
-    // session conf first (specs pin the large shape), env next.
-    val minBucketed = spark.conf.getOption("spark.graft.textIndexBucketedMinBytes")
-      .orElse(sys.env.get("SPARK_GRAFT_TEXT_INDEX_BUCKETED_MIN_BYTES"))
-      .getOrElse((256L * 1024 * 1024).toString).toLong
-    val segBytes = seg.ids.map(id =>
-      IndexFiles.dirBytes(spark, new HPath(seg.dir, seg.tableOf(id)))).sum
-    val posts =
-      if (segBytes <= minBucketed) {
-        // the scheduler still fans MANY tiny files across the core count
-        // (openCost-inflated packing targets one partition per core), so
-        // pin the scan width to the TRUE bytes: ~1 task / 8 MB. Pruning
-        // here is a broadcast SEMI-JOIN against the query vocabulary —
-        // same rows as the literal In, but no driver collect job (the
-        // collect was a whole extra Spark job of probe wall, and with the
-        // full flat read already this cheap, row-group pushdown buys
-        // nothing the semi-join doesn't)
-        val scanW = math.max(1L, math.min(
-          spark.sparkContext.defaultParallelism.toLong,
-          segBytes / (8L << 20) + 1)).toInt
-        spark.read
-          .schema("w STRING, doc_id BIGINT, tf BIGINT, len BIGINT")
-          .parquet(seg.ids.map(id =>
-            new HPath(seg.dir, seg.tableOf(id)).toString): _*)
-          .coalesce(scanW)
-          .join(broadcast(qTerms.select("w").distinct()), Seq("w"), "left_semi")
-      } else {
-        // the 100 TB arm NEEDS the literal In: it is what turns into
-        // bucket pruning + row-group pruning on the per-segment scans;
-        // the query vocabulary is a bounded driver set by construction
-        val termList = qTerms.select("w").distinct().collect().map(_.getString(0))
-        seg.ids.map(id => spark.table(seg.tableOf(id))
-            .filter(col("w").isin(termList.toIndexedSeq: _*)))
-          .reduce(_.unionByName(_))
-      }
+    val posts = prunedPostings(spark, seg.dir, seg.ids.map(seg.tableOf),
+      "w STRING, doc_id BIGINT, tf BIGINT, len BIGINT", qTerms)
     // df at query time: distinct docs per term over the probed postings.
     // (w, doc_id) is unique within AND across segments — segments
     // partition the corpus — so a plain count per term is the df. An
@@ -422,30 +420,9 @@ object TextIndex {
                 topK: Int = 5, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val qTerms = termFreqs(queryDocs)
       .select(col("doc_id").as("query_id"), col("w"))
-    // bounded driver set: the query batch's distinct vocabulary — this
-    // literal IN is what turns into bucket + row-group pruning on the scan
-    val termList = qTerms.select("w").distinct().collect().map(_.getString(0))
-    // same byte-derived probe width as [[bm25ProbeSegmented]]: a bucketed
-    // scan is one fixed-cost task per bucket whatever the bytes — below
-    // the threshold, read the postings flat and byte-coalesced (row-group
-    // pruning via the pushed In survives; bucket pruning is worthless at
-    // these sizes), above it keep the bucket-pruned catalog scan
-    val minBucketed = spark.conf.getOption("spark.graft.textIndexBucketedMinBytes")
-      .orElse(sys.env.get("SPARK_GRAFT_TEXT_INDEX_BUCKETED_MIN_BYTES"))
-      .getOrElse((256L * 1024 * 1024).toString).toLong
-    val postBytes = IndexFiles.dirBytes(spark, new HPath(idx.dir, idx.postings))
-    val posts =
-      if (postBytes <= minBucketed) {
-        val scanW = math.max(1L, math.min(
-          spark.sparkContext.defaultParallelism.toLong,
-          postBytes / (8L << 20) + 1)).toInt
-        spark.read
-          .schema("w STRING, doc_id BIGINT, tf BIGINT, df BIGINT, len BIGINT")
-          .parquet(new HPath(idx.dir, idx.postings).toString)
-          .coalesce(scanW)
-          .filter(col("w").isin(termList.toIndexedSeq: _*))
-      } else spark.table(idx.postings)
-        .filter(col("w").isin(termList.toIndexedSeq: _*))
+    // the same [[prunedPostings]] gate as the segmented probe — one table
+    val posts = prunedPostings(spark, idx.dir, Seq(idx.postings),
+      "w STRING, doc_id BIGINT, tf BIGINT, df BIGINT, len BIGINT", qTerms)
     bm25Rank(posts, qTerms, idx.nDocs, idx.avgdl, topK, k1, b)
   }
 }
