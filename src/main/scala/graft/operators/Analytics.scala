@@ -232,9 +232,15 @@ object Analytics {
   }
 
   /** Approximate per-group percentiles — the corpus-scale path the exact
-    * variant's scaladoc promises: `percentile_approx` keeps a bounded
-    * (accuracy-sized) sketch per group instead of buffering every value,
-    * so memory per group is O(accuracy) regardless of group size.
+    * variant's scaladoc promises: a bounded (accuracy-sized) GK sketch
+    * per group instead of buffering every value, so memory per group is
+    * O(accuracy) regardless of group size. The sketch is
+    * [[graft.functions.QuantileSketch]] — primitive-array buffers with
+    * rank error strictly under n/accuracy, inside `percentile_approx`'s
+    * n/accuracy + 1 contract but ~4× cheaper per row than its boxed
+    * `QuantileSummaries` buffer (r19: 710 → ~170 ms at sf0.1), and ONE
+    * shared sketch serves both l_quantity quantiles where
+    * `percentile_approx` builds a sketch per call.
     *
     * Output shape (r16 — r15 verdict item 7): sketch values are
     * engine-specific, so the row carries [[groupPercentiles]]' exact
@@ -245,39 +251,131 @@ object Analytics {
     * (value-distance bounds would be meaningless on skewed columns; the
     * two-sided form is exact under ties). The oracle replays the exact
     * quantiles and pins the flag at 1, so a sketch regression fails the
-    * driver's hash. One extra broadcast-join pass over lineitem pays for
-    * the audit counts. */
+    * driver's hash.
+    *
+    * Plan shape (r19): TWO passes over lineitem end-to-end. Pass 1
+    * builds both sketches and ships the O(accuracy)-byte summaries to
+    * the driver; the driver derives the audit cuts AND a rank window
+    * bracketing the exact p50_price (sketch-guided exact refinement —
+    * two rank-shifted probes of the summary bound the order statistic
+    * inside a ±~2n/accuracy rank window). Pass 2 is one fused
+    * union-armed count-collapse that yields both exact qty quantiles,
+    * the exact refined p50_price, and every audit count in a single
+    * aggregation (see the inline comment). The r18 shape instead
+    * delegated the exact columns to [[groupPercentiles]], paying
+    * [[quantilesBySort]]'s three driver-blocking jobs (range-sample,
+    * counts, fetch) on top of separate sketch and audit passes: 4.3
+    * run-1 task-s / 3.1 s wall at sf0.1 against ~1.1 / ~1.3 for this
+    * shape, same oracle row. The refinement inherits the sketch's
+    * contract: if the sketch broke its rank bound the window could miss
+    * the true bracket and the exact columns would drift — which the
+    * oracle hash would catch, so the row double-checks the sketch
+    * beyond the audit flag. */
   def groupPercentilesApprox(t: Tables, accuracy: Int = 10000): DataFrame = {
-    val sk = t.lineitem
+    import graft.functions.QuantileSketch
+    val spark = t.lineitem.sparkSession
+    import spark.implicits._
+    // pass 1: ONE sketch pass; per-group summaries collected to the
+    // driver (G rows × O(accuracy) bytes — cut-broadcast scale class)
+    val skRows = t.lineitem
       .groupBy("l_returnflag")
       .agg(
-        expr(s"percentile_approx(l_quantity, 0.5, $accuracy)").as("_a50q"),
-        expr(s"percentile_approx(l_quantity, 0.9, $accuracy)").as("_a90q"),
-        expr(s"percentile_approx(l_extendedprice, 0.5, $accuracy)").as("_a50p"),
+        QuantileSketch.sketchState(col("l_quantity").cast("double"), accuracy)
+          .as("_sq"),
+        QuantileSketch.sketchState(col("l_extendedprice").cast("double"), accuracy)
+          .as("_sp"),
         count(lit(1)).as("_n"))
-    def lt(v: Column, cut: Column) = sum(when(v < cut, 1L).otherwise(0L))
-    def le(v: Column, cut: Column) = sum(when(v <= cut, 1L).otherwise(0L))
-    val audit = t.lineitem.join(broadcast(sk), "l_returnflag")
-      .groupBy("l_returnflag")
-      .agg(max("_n").as("_n"),
-        lt(col("l_quantity"), col("_a50q")).as("_lt50q"),
-        le(col("l_quantity"), col("_a50q")).as("_le50q"),
-        lt(col("l_quantity"), col("_a90q")).as("_lt90q"),
-        le(col("l_quantity"), col("_a90q")).as("_le90q"),
-        lt(col("l_extendedprice"), col("_a50p")).as("_lt50p"),
-        le(col("l_extendedprice"), col("_a50p")).as("_le50p"))
-    val eps = col("_n") / accuracy + 1
-    def ok(q: Double, ltc: String, lec: String) =
-      (col(ltc) <= col("_n") * q + eps) && (col(lec) >= col("_n") * q - eps)
-    val flags = audit.select(col("l_returnflag"),
-      when(ok(0.5, "_lt50q", "_le50q") && ok(0.9, "_lt90q", "_le90q") &&
-        ok(0.5, "_lt50p", "_le50p"), 1).otherwise(0).cast("int")
-        .as("sketch_rank_ok"))
-    groupPercentiles(t)
-      .join(broadcast(flags), "l_returnflag")
-      .select(col("l_returnflag"), col("p50_qty"), col("p90_qty"),
-        col("p50_price"), col("sketch_rank_ok"))
-      .orderBy("l_returnflag")
+      .collect()
+    // driver: sketch cuts for the audit, plus a rank WINDOW [vlo, vhi]
+    // around the exact p50_price bracket ranks. The window is certain to
+    // contain both bracket order statistics: with margin > n/accuracy,
+    // count(< vlo) < rank(vlo) + n/acc ≤ rLo − margin + n/acc < rLo and
+    // count(≤ vhi) > rHi + margin − n/acc ≥ rHi. Clamped ends use ±∞
+    // (the window then just extends to the column extreme). Distinct
+    // values inside the window are rank-bounded (≤ ~5·n/accuracy), so
+    // the downstream collapse is sketch-resolution-sized regardless of
+    // ties or corpus size.
+    val cutRows = skRows.map { r =>
+      val sq = QuantileSketch.fromBytes(r.getAs[Array[Byte]](1))
+      val sp = QuantileSketch.fromBytes(r.getAs[Array[Byte]](2))
+      val n = sp.count
+      val pos = (n - 1) * 0.5
+      val rLo = math.floor(pos).toLong + 1 // 1-based bracket ranks
+      val rHi = math.ceil(pos).toLong + 1
+      val margin = (2.0 * n / accuracy).toLong + 2
+      val vLo = if (rLo - margin < 1L) Double.NegativeInfinity
+                else sp.queryRank(rLo - margin)
+      val vHi = if (rHi + margin > n) Double.PositiveInfinity
+                else sp.queryRank(rHi + margin)
+      (r.getString(0), r.getLong(3), sq.query(0.5), sq.query(0.9),
+        sp.query(0.5), vLo, vHi)
+    }.toSeq
+    val cuts = cutRows
+      .toDF("l_returnflag", "_n", "_a50q", "_a90q", "_a50p", "_vlo", "_vhi")
+    // pass 2: ONE fused action. Two union legs collapse to (group, arm,
+    // value, count): the 'q' leg is l_quantity's FULL bounded domain
+    // (the count-collapse exact path), the 'p' leg is l_extendedprice
+    // restricted to the sketch window [vlo, vhi] with everything below
+    // vlo folded into a NULL bucket — the bucket sorts first under the
+    // cumulative window, so running counts are GLOBAL ranks with no
+    // separate base join. One cumulative window plus one group-level
+    // aggregation then yield every exact quantile AND every audit count
+    // (a50p lies inside [vlo, vhi] by queryRank monotonicity, so the
+    // price-cut counts split exactly at the bucket boundary). The
+    // unfused r19 draft ran the audit, window and selection as separate
+    // jobs: ~22 AQE jobs and 2.4 s steady-state wall against ~1.3 here.
+    val legQ = t.lineitem.select(col("l_returnflag"), lit("q").as("_arm"),
+      col("l_quantity").cast("double").as("_v"))
+    val legP = t.lineitem.join(broadcast(cuts), "l_returnflag")
+      .filter(col("l_extendedprice") <= col("_vhi"))
+      .select(col("l_returnflag"), lit("p").as("_arm"),
+        when(col("l_extendedprice") >= col("_vlo"),
+          col("l_extendedprice").cast("double")).as("_v"))
+    val collapsed = legQ.unionByName(legP)
+      .groupBy("l_returnflag", "_arm", "_v")
+      .agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy(col("l_returnflag"), col("_arm"))
+      .orderBy(col("_v").asc_nulls_first)
+    val cum = collapsed.withColumn("_cum", sum("_c").over(w))
+      .join(broadcast(cuts), "l_returnflag")
+    // exact interpolated quantile of one arm: the count-collapse
+    // selection (smallest value whose global cumulative count exceeds
+    // the bracket rank) + quantile_cont interpolation, bit-identical to
+    // groupPercentilesLowCard / quantilesBySort rounding
+    def vAt(arm: String, r: Column) = min(when(col("_arm") === arm &&
+      col("_v").isNotNull && col("_cum") > r, col("_v")))
+    def quant(arm: String, p: Double) = {
+      val posRow = (col("_n") - 1) * p      // per-row (group-constant)
+      val posAgg = (min(col("_n")) - 1) * p // same value, post-agg side
+      round(vAt(arm, floor(posRow)) + (posAgg - floor(posAgg)) *
+        (vAt(arm, ceil(posRow)) - vAt(arm, floor(posRow))), 6)
+    }
+    def qArm(cond: Column) =
+      coalesce(sum(when(col("_arm") === "q" && cond, col("_c"))), lit(0L))
+    def pArm(cond: Column) =
+      coalesce(sum(when(col("_arm") === "p" && cond, col("_c"))), lit(0L))
+    val pBase = pArm(col("_v").isNull)
+    val nC = min(col("_n"))
+    val eps = nC / accuracy + 1
+    def okF(q: Double, ltV: Column, leV: Column) =
+      ltV <= nC * q + eps && leV >= nC * q - eps
+    cum.groupBy("l_returnflag").agg(
+        quant("q", 0.5).as("p50_qty"),
+        quant("q", 0.9).as("p90_qty"),
+        quant("p", 0.5).as("p50_price"),
+        when(
+          okF(0.5, qArm(col("_v") < col("_a50q")),
+            qArm(col("_v") <= col("_a50q"))) &&
+          okF(0.9, qArm(col("_v") < col("_a90q")),
+            qArm(col("_v") <= col("_a90q"))) &&
+          okF(0.5,
+            pBase + pArm(col("_v").isNotNull && col("_v") < col("_a50p")),
+            pBase + pArm(col("_v").isNotNull && col("_v") <= col("_a50p"))),
+          1).otherwise(0).cast("int").as("sketch_rank_ok"))
+      // single-sliver sort: a range-sampled orderBy re-executes the
+      // child subtree for partition bounds — pointless on a
+      // group-count-sized result
+      .coalesce(1).sortWithinPartitions("l_returnflag")
   }
 
   /** Exact per-group percentiles via COUNT-COLLAPSE — the exact path for
@@ -398,22 +496,43 @@ object Analytics {
     // the estimator, knows the true cardinality there.
     val nPartsEff = widthOverride.getOrElse(quantileWidth(df, nParts))
     // no persist: the two passes share one RDD, so the fetch job reuses
-    // the counts job's shuffle files (its map stage is skipped) and only
-    // re-sorts the addressed partitions — each a 1/nParts sliver
+    // the counts job's shuffle files (its map stage is skipped). Neither
+    // pass runs Spark's ROW sorter: range partitioning alone makes the
+    // partition SEQUENCE respect (g, v) order, which is all the rank
+    // addressing needs — per-partition counts don't care about row order,
+    // and the fetch pass selects the j-th smallest with a primitive
+    // `Arrays.sort(double[])` on just the addressed groups (~10 ms for a
+    // 200k-row sliver where the row sorter measured ~400 ms, r19 probe:
+    // 1.27 task-s per pass with `sortWithinPartitions`). The passes read
+    // INTERNAL rows (toRdd): the Row-converting `.rdd` path paid a full
+    // decode + a boxed map update per row. UnsafeRow backing buffers are
+    // reused by the scanner, so group keys are cloned once per group
+    // CHANGE (rows of a group arrive mostly contiguous), never per row.
     val sorted = df.select(col(groupCol).cast("string").as("g"),
         col(valueCol).cast("double").as("v"))
-      .filter(col("v").isNotNull)
+      .filter(col("v").isNotNull && col("g").isNotNull)
       .repartitionByRange(nPartsEff, col("g"), col("v"))
-      .sortWithinPartitions("g", "v")
-      .rdd
+      .queryExecution.toRdd
     locally {
       // pass 2: per-(partition, group) counts — partitions×groups rows
       val counts = sorted.mapPartitionsWithIndex { (pid, it) =>
-        val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-        it.foreach { r =>
-          val g = r.getString(0); m.update(g, m.getOrElse(g, 0L) + 1L)
+        final class Cnt(val key: org.apache.spark.unsafe.types.UTF8String) {
+          var n = 0L
         }
-        m.iterator.map { case (g, c) => (pid, g, c) }
+        val m = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Cnt]()
+        var last: Cnt = null
+        it.foreach { r =>
+          val g = r.getUTF8String(0)
+          if (last == null || g != last.key) {
+            var c = m.get(g)
+            if (c == null) { c = new Cnt(g.clone()); m.put(c.key, c) }
+            last = c
+          }
+          last.n += 1L
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+        m.forEach((k, c) => out += ((pid, k.toString, c.n)))
+        out.iterator
       }.collect()
       val totals = counts.groupBy(_._2).map { case (g, cs) => g -> cs.map(_._3).sum }
       // rank → (pid, local offset within the group's rows in that pid)
@@ -436,20 +555,37 @@ object Analytics {
         pid -> ws.map(w => (w._1, w._3._2)).toSet
       }
       val byPidB = spark.sparkContext.broadcast(byPid)
-      // pass 3: fetch only the addressed partitions / offsets
+      // pass 3: fetch only the addressed partitions / offsets. The local
+      // offset j addresses the j-th SMALLEST value of the group within
+      // the partition; the pass buffers just the addressed groups'
+      // values into primitive double arrays and sorts those — the only
+      // sort anywhere in the operator, partition-local and primitive
       val picked = sorted.mapPartitionsWithIndex { (pid, it) =>
         byPidB.value.get(pid) match {
           case None => Iterator.empty
           case Some(want) =>
-            val ctr = scala.collection.mutable.HashMap.empty[String, Long]
-            it.flatMap { r =>
-              val g = r.getString(0)
-              val i = ctr.getOrElse(g, 0L); ctr.update(g, i + 1L)
-              if (want.contains((g, i))) Some((pid, g, i, r.getDouble(1)))
-              else None
+            val bufs = want.groupBy(_._1).map { case (g, s) =>
+              org.apache.spark.unsafe.types.UTF8String.fromString(g) ->
+                ((g, s.map(_._2).toArray,
+                  new scala.collection.mutable.ArrayBuilder.ofDouble))
+            }
+            var lastK: org.apache.spark.unsafe.types.UTF8String = null
+            var lastB: scala.collection.mutable.ArrayBuilder.ofDouble = null
+            it.foreach { r =>
+              val g = r.getUTF8String(0)
+              if (lastK == null || g != lastK) {
+                lastK = g.clone()
+                lastB = bufs.get(lastK).map(_._3).orNull
+              }
+              if (lastB != null) lastB += r.getDouble(1)
+            }
+            bufs.valuesIterator.flatMap { case (g, offs, b) =>
+              val arr = b.result()
+              java.util.Arrays.sort(arr)
+              offs.iterator.map(j => (pid, g, j, arr(j.toInt)))
             }
         }
-      }.collect().map { case (pid, g, i, v) => (pid, g, i) -> v }.toMap
+      }.collect().map { case (pid, g, i, v) => (pid, g, i.toLong) -> v }.toMap
       // re-key fetched values by global rank for interpolation
       val rankVal = wanted.map { case (g, r, addr) =>
         (g, r) -> picked((addr._1, g, addr._2))
