@@ -411,6 +411,29 @@ object SparkEntry {
     "q_bm25_search" -> ((s, d) => TextAnalysis.bm25Search(Tables(s, d))),
     "q_hybrid_search" -> ((s, d) =>
       graft.operators.Pipeline.hybridSearch(Tables(s, d))),
+    "q_hybrid_indexed" -> ((s, d) => {
+      // hybrid retrieval over the STORED indexes: the lexical arm probes
+      // the persisted bucketed postings (q_bm25_indexed's index), the
+      // vector arm probes the persisted IVF cells (q_ann_ivf_indexed's
+      // index) — both warmup-built once per dataset and shared with
+      // those rows — fused by the same RRF arithmetic as q_hybrid_search
+      import graft.operators.{AnnIndex, TextIndex}
+      val t = Tables(s, d)
+      def prefix(dir: String) = "gtidx_" + dir.split('_').last
+      val tdir = roundtripDir("graft_textidx", d, "_TEXT_INDEX_OK") { out =>
+        TextIndex.buildIndex(s, t.documents, prefix(out), out)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(out, "_TEXT_INDEX_OK"), "ok")
+      }
+      val adir = roundtripDir("graft_annidx", d, "_ANN_INDEX_OK") { out =>
+        AnnIndex.buildIndex(s, t.embeddings, out)
+      }
+      graft.operators.Pipeline.hybridIndexedSearch(s,
+        TextIndex.attachIndex(s, prefix(tdir), tdir),
+        AnnIndex.attachIndex(s, adir),
+        t.documents.filter(col("doc_id") < 10),
+        t.embeddings.filter(col("vec_id") < 10))
+    }),
     "q_bm25_indexed" -> ((s, d) => {
       // the stored-index form of q_bm25_search: tf/df/len are computed
       // once per dataset into a bucketed+sorted postings table (warmup
@@ -1400,6 +1423,19 @@ object SparkEntry {
     "q_hybrid_search" ->
       (s"WITH lex AS (SELECT * FROM ($Bm25OracleSql)), " +
         s"sem AS (SELECT * FROM ($AnnTopkOracleSql)), " +
+        "lr AS (SELECT query_id, neighbor_id, 1.0 / (60 + row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, neighbor_id ASC)) AS c FROM lex), " +
+        "sr AS (SELECT query_id, neighbor_id, 1.0 / (60 + row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC)) AS c FROM sem), " +
+        "f AS (SELECT query_id, neighbor_id, round(sum(c), 6) AS rrf FROM (SELECT * FROM lr UNION ALL SELECT * FROM sr) GROUP BY query_id, neighbor_id), " +
+        "rk AS (SELECT query_id, neighbor_id, rrf, row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, neighbor_id ASC) AS rn FROM f) " +
+        "SELECT query_id, neighbor_id, rrf FROM rk WHERE rn <= 5 ORDER BY query_id, neighbor_id"),
+    // HYBRID over the STORED indexes: same fusion SQL, with the vector
+    // arm's brute-force text swapped for the IVF arm's (the exact
+    // oracle q_ann_ivf / q_ann_ivf_indexed share — fit, probe and rank
+    // replayed deterministically); the lexical arm text is unchanged
+    // because the postings probe reproduces bm25Search exactly
+    "q_hybrid_indexed" ->
+      (s"WITH lex AS (SELECT * FROM ($Bm25OracleSql)), " +
+        s"sem AS (SELECT * FROM (${KernelOracleSql.annIvf()})), " +
         "lr AS (SELECT query_id, neighbor_id, 1.0 / (60 + row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, neighbor_id ASC)) AS c FROM lex), " +
         "sr AS (SELECT query_id, neighbor_id, 1.0 / (60 + row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC)) AS c FROM sem), " +
         "f AS (SELECT query_id, neighbor_id, round(sum(c), 6) AS rrf FROM (SELECT * FROM lr UNION ALL SELECT * FROM sr) GROUP BY query_id, neighbor_id), " +

@@ -127,20 +127,51 @@ object Pipeline {
       .orderBy("query_id")
   }
 
-  def hybridSearch(t: Tables, k: Int = 5, kRrf: Int = 60): DataFrame = {
+  def hybridSearch(t: Tables, k: Int = 5, kRrf: Int = 60): DataFrame =
+    rrfFuse(TextAnalysis.bm25Search(t), "bm25",
+      Similarity.bruteForceTopK(t), "cosine", k, kRrf)
+
+  /** HYBRID RETRIEVAL OVER THE STORED INDEXES — the production twin of
+    * [[hybridSearch]]: the lexical arm probes the PERSISTED bucketed
+    * postings ([[TextIndex.bm25Probe]] — term-pruned scan, no corpus
+    * rescans) and the vector arm probes the PERSISTED IVF cells
+    * ([[AnnIndex.queryIndex]] — static `cell IN (probed)` partition
+    * pruning at the file listing), fused by the identical RRF window
+    * arithmetic. Per query batch the cost is the probed postings plus
+    * nProbe cell directories — independent of corpus size, the shape a
+    * daily 100 TB retrieval stack runs. The vector arm is IVF (its own
+    * hash-verified oracle replays the fit/probe deterministically), so
+    * the composed oracle swaps [[hybridSearch]]'s brute-force arm text
+    * for the IVF arm text verbatim; at nProbe = nList the IVF arm
+    * EQUALS brute force and this whole query matches [[hybridSearch]]
+    * row-for-row (spec-pinned). */
+  def hybridIndexedSearch(spark: org.apache.spark.sql.SparkSession,
+                          textIdx: TextIndex.Index, annIdx: AnnIndex.Index,
+                          queryDocs: DataFrame, queryVecs: DataFrame,
+                          k: Int = 5, kRrf: Int = 60,
+                          nProbe: Int = 4): DataFrame =
+    rrfFuse(TextIndex.bm25Probe(spark, textIdx, queryDocs), "bm25",
+      AnnIndex.queryIndex(spark, annIdx, queryVecs, k, nProbe), "cosine",
+      k, kRrf)
+
+  /** Reciprocal-rank fusion of two retrieval arms (see [[hybridSearch]]
+    * for the determinism/oracle story: ranks on rounded emitted scores
+    * with id tie-breaks, at most one term per arm per pair). */
+  private def rrfFuse(lex: DataFrame, lexScore: String,
+                      sem: DataFrame, semScore: String,
+                      k: Int, kRrf: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def contrib(df: DataFrame, score: String): DataFrame = df
       .withColumn("_r", row_number().over(Window.partitionBy("query_id")
         .orderBy(col(score).desc, col("neighbor_id").asc)))
       .select(col("query_id"), col("neighbor_id"),
         (lit(1.0) / (lit(kRrf) + col("_r"))).as("_c"))
-    val fused = contrib(TextAnalysis.bm25Search(t), "bm25")
-      .unionByName(contrib(Similarity.bruteForceTopK(t), "cosine"))
+    contrib(lex, lexScore)
+      .unionByName(contrib(sem, semScore))
       .groupBy("query_id", "neighbor_id")
       .agg(round(sum("_c"), 6).as("rrf"))
-    fused
       .withColumn("_rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+        Window.partitionBy("query_id")
           .orderBy(col("rrf").desc, col("neighbor_id").asc)))
       .filter(col("_rn") <= k)
       .select("query_id", "neighbor_id", "rrf")

@@ -102,6 +102,49 @@ class PipelineSpec extends SparkSpec {
       got.keySet.exists(!semSet.contains(_)))
   }
 
+  test("hybridIndexedSearch: both stored arms prune their probes, and " +
+      "full probe equals hybridSearch row-for-row") {
+    import graft.operators.{AnnIndex, TextIndex}
+    val tdir = java.nio.file.Files.createTempDirectory("gt_hyb_text").toString
+    val adir = java.nio.file.Files.createTempDirectory("gt_hyb_ann").toString
+    val tIdx = TextIndex.buildIndex(spark, tables.documents, "gt_hyb_text",
+      tdir, buckets = 8)
+    AnnIndex.buildIndex(spark, tables.embeddings, adir)
+    val aIdx = AnnIndex.attachIndex(spark, adir)
+    val qDocs = tables.documents.filter(col("doc_id") < 10)
+    val qVecs = tables.embeddings.filter(col("vec_id") < 10)
+    // plan pins on the FUSED query: the vector arm's cell predicate must
+    // be a PARTITION filter (pruned at directory listing) over a strict
+    // subset of cells, and — with the bucketed arm forced the way the
+    // 100 TB store reads — the lexical arm must show bucket pruning
+    spark.conf.set("spark.graft.textIndexBucketedMinBytes", "0")
+    try {
+      // two query vectors so nProbe·nQueries stays a strict cell subset
+      // (a larger batch legitimately probes almost every cell at this
+      // corpus size); IN prints as INSET past the conversion threshold
+      val plan = planOf(Pipeline.hybridIndexedSearch(spark, tIdx, aIdx,
+        qDocs, tables.embeddings.filter(col("vec_id") < 2)))
+      val pf = "PartitionFilters: \\[cell[^\\]]*?(?:INSET|IN \\(?)([0-9][0-9, ]*)"
+        .r.findFirstMatchIn(plan)
+      assert(pf.isDefined, s"no cell partition filter in fused plan:\n$plan")
+      val probed = pf.get.group(1).split(',').map(_.trim.toInt).toSet
+      assert(probed.size < aIdx.nList,
+        s"probed ${probed.size} cells — not a strict subset of ${aIdx.nList}")
+      assert(plan.contains("SelectedBucketsCount"),
+        s"no bucket pruning on the postings probe:\n$plan")
+    } finally spark.conf.unset("spark.graft.textIndexBucketedMinBytes")
+    // at nProbe = nList the IVF arm scans every cell and equals brute
+    // force, the postings probe always equals bm25Search — so the fused
+    // result must match the from-scratch hybrid row-for-row
+    val full = Pipeline.hybridIndexedSearch(spark, tIdx, aIdx, qDocs, qVecs,
+        nProbe = aIdx.nList).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val live = Pipeline.hybridSearch(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(full.nonEmpty && full == live,
+      s"diff=${(full diff live).take(3)} / ${(live diff full).take(3)}")
+  }
+
   test("rboEval matches a local recompute; identical lists give RBO ~ (1-p^k) prefix sum") {
     def r6(x: Double) =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
