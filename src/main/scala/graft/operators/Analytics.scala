@@ -2585,10 +2585,14 @@ object Analytics {
       .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("_rev"))
       .localCheckpoint() // read by the count and then one arm
     val nDays = daily.count()
-    // the pair array is Int-indexed: n(n−1)/2 must fit — a caller-raised
-    // maxDriverDays above ~65k would otherwise wrap the allocation size
+    // two caps beyond the day gate, both for caller-raised maxDriverDays:
+    // n(n−1)/2 must fit the Int-indexed array (above ~65k days the
+    // allocation size would wrap), and the slope array must fit a 2 GiB
+    // byte budget (the Int guard alone still admits ~17 GB of doubles —
+    // a driver OOM, not wrong results; r18 ADVICE). Either failure falls
+    // back to the distributed arm.
     if (nDays >= 2 && nDays <= maxDriverDays &&
-        nDays * (nDays - 1) / 2 <= Int.MaxValue.toLong) {
+        nDays * (nDays - 1) / 2 <= (2L << 30) / 8) {
       // epoch-day int so the driver's pairwise denominator is EXACTLY
       // the datediff(db, da) the distributed arm and the oracle compute
       val pts = daily

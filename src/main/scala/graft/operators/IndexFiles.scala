@@ -143,14 +143,15 @@ private[graft] object IndexFiles {
     * write emits one file per (task, bucket) pair, so a batch arriving at
     * the session's full shuffle width fans a few-MB delta into
     * tasks×buckets tiny files, and every later resolve pays a fixed
-    * ~90-250 ms task setup per file. Small batches (fewer byte-derived
-    * tasks than buckets) COALESCE — no shuffle, one task writes at most
-    * one file per non-empty bucket. Larger ones REPARTITION on the bucket
-    * key at a MULTIPLE of the bucket count: Spark's shuffle hash and its
+    * ~90-250 ms task setup per file. Every batch REPARTITIONS on the
+    * bucket key at a MULTIPLE of the bucket count (floored at the bucket
+    * count itself — r19, see the inline note on why the r18 small-batch
+    * coalesce arm was a width cliff): Spark's shuffle hash and its
     * bucketing hash are the same pmod(murmur3(_, 42)) family, so with
     * n = m·buckets every write task holds exactly one bucket's rows and
-    * the file count is exactly n — growing with bytes (~1 file / 64 MB),
-    * never with the caller's width. `statBytes` is the caller's best
+    * the file count is exactly the non-empty (task, bucket) pairs —
+    * growing with bytes (~1 file / 64 MB), never with the caller's
+    * width. `statBytes` is the caller's best
     * PRE-CHECKPOINT estimate (a checkpointed plan reports the unknown
     * sentinel); unknown keeps the core count, aligned. */
   def boundBucketedWrite(out: org.apache.spark.sql.DataFrame, key: String,
@@ -168,14 +169,22 @@ private[graft] object IndexFiles {
     // executor wave; a garbage estimate costs at most one bounded wave
     // of small files, which the next compaction folds away.
     val cap = math.max(buckets.toLong, par.toLong * 32)
+    // FLOOR at the bucket count, and ALWAYS repartition-aligned — never
+    // coalesce. coalesce(n) limits the width of the whole upstream
+    // stage, so a Catalyst UNDER-estimate (an over-selective filter
+    // guess on a join-derived batch) reaching tasks=1 would serialize
+    // the entire batch computation through one task — a cliff with no
+    // guard symmetric to the 32×-cores ceiling above (r18 ADVICE). An
+    // aligned shuffle instead leaves the upstream at its natural width,
+    // costs only the batch's own bytes (negligible exactly when the
+    // batch is genuinely small), and still lands exactly one file per
+    // non-empty bucket at the floor.
     val tasks =
-      if (known) math.min(cap, math.max(1L, statBytes.toLong / (64L << 20)))
-      else par.toLong
-    if (tasks < buckets) out.coalesce(tasks.toInt)
-    else {
-      val n = ((tasks + buckets - 1) / buckets * buckets)
-      out.repartition(n.toInt, org.apache.spark.sql.functions.col(key))
-    }
+      if (known) math.min(cap,
+        math.max(buckets.toLong, statBytes.toLong / (64L << 20)))
+      else math.max(par.toLong, buckets.toLong)
+    val n = ((tasks + buckets - 1) / buckets * buckets)
+    out.repartition(n.toInt, org.apache.spark.sql.functions.col(key))
   }
 
   /** Total on-disk bytes under `p` (0 if absent) — the TRUE size of a

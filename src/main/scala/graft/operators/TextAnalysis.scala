@@ -1738,12 +1738,20 @@ object TextAnalysis {
       .agg(countDistinct(col("dk.key")).as("n_dims_used"))
     val worst = broadcast(exact).join(hashed, Seq("pair"))
       .groupBy("dim").agg(max(abs(col("cos_exact") - col("cos"))).as("max_err"))
-    // LEFT join: an empty document-pair sample (ids offset or sparse)
-    // must still report every dim's vocab/occupancy row with a null
-    // distortion — the old per-dim crossJoin(agg-over-empty) emitted
-    // exactly that, and an inner join here would silently drop all rows
-    used.join(worst, Seq("dim"), "left").crossJoin(broadcast(vocab))
-      .select(col("dim"), col("n_vocab"), col("n_dims_used"),
+    // the dim axis is a LITERAL frame, so the one-row-per-dim contract
+    // holds even on an EMPTY corpus (uniq empty ⇒ `used` has zero rows;
+    // seeding from `used` alone would emit nothing, where the r17
+    // per-dim agg-without-groupBy + crossJoin emitted every dim with
+    // n_dims_used = 0 — r18 ADVICE). LEFT joins likewise keep an empty
+    // document-pair sample (ids offset or sparse) reporting every dim's
+    // vocab/occupancy row with a null distortion
+    val spark = t.documents.sparkSession
+    import spark.implicits._
+    dims.toDF("dim")
+      .join(used, Seq("dim"), "left")
+      .join(worst, Seq("dim"), "left").crossJoin(broadcast(vocab))
+      .select(col("dim"), col("n_vocab"),
+        coalesce(col("n_dims_used"), lit(0L)).as("n_dims_used"),
         round(lit(1.0) - col("n_dims_used").cast("double") /
           least(col("n_vocab"), col("dim").cast("long")), 6).as("collision_frac"),
         round(col("max_err"), 6).as("max_abs_cos_err"))

@@ -793,6 +793,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.head._4 >= got.last._4)
   }
 
+  test("featureHashAudit: an EMPTY corpus still emits one row per dim") {
+    // the dim axis is seeded from a literal frame (r18 ADVICE): with
+    // zero documents the occupancy aggregation has no rows, and a plan
+    // seeded from it would emit nothing instead of the contract's
+    // per-dim (n_vocab = 0, n_dims_used = 0) rows
+    val empty = tables.withTable("documents",
+      tables.documents.filter(lit(false)))
+    val rows = TextAnalysis.featureHashAudit(empty).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(64, 256, 1024),
+      s"dim axis lost on empty corpus: ${rows.mkString(";")}")
+    rows.foreach { r =>
+      assert(r.getLong(1) == 0L && r.getLong(2) == 0L,
+        s"empty corpus must report zero vocab/occupancy: $r")
+    }
+  }
+
   test("ccnetBuckets: per-language thirds, ordered head <= middle <= tail, full coverage") {
     val scored = TextAnalysis.lmScore(tables).collect().map(_.getLong(0)).toSet
     val rows = TextAnalysis.ccnetBuckets(tables).collect()
