@@ -1229,10 +1229,14 @@ object Analytics {
     val exactCuts = cum.agg(
       array((1 to 9).map(i => cutAt(i / 10.0)): _*).as("_cuts"),
       max("_n").as("_n"))
-    // sketch audit: every approx cut's tie-safe rank interval within eps
-    val approxCuts = docs.agg(percentile_approx(
-      col("n_tokens"), array((1 to 9).map(i => lit(i / 10.0)): _*),
-      lit(accuracy)).as("_acuts"))
+    // sketch audit: every approx cut's tie-safe rank interval within eps.
+    // One shared primitive-buffer GK sketch answers all nine fractions
+    // (r19 — the [[graft.functions.QuantileSketch]] swap; same
+    // n/accuracy + 1 contract the audit formula checks, ~4× cheaper per
+    // row than percentile_approx's boxed buffer)
+    val approxCuts = docs.agg(graft.functions.QuantileSketch.sketchQuantiles(
+      col("n_tokens").cast("double"), (1 to 9).map(_ / 10.0),
+      accuracy).as("_acuts"))
     val auditAggs = (0 until 9).flatMap(i => Seq(
       sum(s"_lt$i").as(s"_lt$i"), sum(s"_le$i").as(s"_le$i")))
     val audit = docs.crossJoin(broadcast(approxCuts))
