@@ -23,6 +23,18 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Max collected edge count for the driver union-find arm (r19): below
+    * it, components are solved in one collect + one parallelize instead of
+    * O(log n) distributed rounds. The distributed loop costs ~8 scheduler
+    * stages PLUS two driver actions PER ROUND, which on the near-dup edge
+    * sets (thousands of rows at sf0.1) is pure stage floor — measured 2-3 s
+    * of wall per caller against milliseconds of actual work. 2M edges is
+    * ~200 MB of transient driver Rows, the same bounded-state license as
+    * the senSlope/centroid collects; past it the alternating-star loop is
+    * unchanged (the 100 TB arm). Conf-gated so specs can force either arm. */
+  private def driverMaxEdges(edges: DataFrame): Long =
+    edges.sparkSession.conf.get("spark.graft.cc.driverMaxEdges", "2000000").toLong
+
   /** Star-contract the edge list to (node, component-min) pairs.
     *
     * @param edges two numeric columns (src, dst); direction and duplicates
@@ -41,6 +53,8 @@ object ConnectedComponents {
     val ecp = edges
       .select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
       .localCheckpoint()
+    val nEdges = ecp.count()
+    if (nEdges <= driverMaxEdges(edges)) return runOnDriver(ecp)
     // every node mentioned by ANY edge — including nodes whose only edges
     // are self-loops, which the contraction below never sees (they'd
     // otherwise be silently dropped from the output, breaking the
@@ -109,5 +123,49 @@ object ConnectedComponents {
       .join(nodes, Seq("id"), "right")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
       .distinct()
+  }
+
+  /** Driver union-find arm: identical contract to the distributed loop
+    * (one (id, component-min) row per node mentioned in `ecp`, self-loops
+    * included), solved with path-halving union-find over the collected
+    * edges. The alternating-star fixed point IS min-id labeling, so the two
+    * arms are bit-equal (spec-pinned, including the GraphX differential).
+    * `ecp` is already checkpointed, so the collect never re-runs the
+    * caller's candidate/verify pipeline. */
+  private def runOnDriver(ecp: DataFrame): DataFrame = {
+    val spark = ecp.sparkSession
+    val rows = ecp.collect()
+    val idx = new java.util.HashMap[Long, Integer](rows.length * 2)
+    val ids = new scala.collection.mutable.ArrayBuffer[Long]()
+    def nodeOf(x: Long): Int = {
+      val got = idx.get(x)
+      if (got != null) got.intValue()
+      else { val i = ids.length; idx.put(x, Integer.valueOf(i)); ids += x; i }
+    }
+    val parent = new scala.collection.mutable.ArrayBuffer[Int]()
+    def find(i0: Int): Int = {
+      var i = i0
+      while (parent(i) != i) { parent(i) = parent(parent(i)); i = parent(i) }
+      i
+    }
+    rows.foreach { r =>
+      val a = nodeOf(r.getLong(0)); val b = nodeOf(r.getLong(1))
+      while (parent.length < ids.length) parent += parent.length
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(ra) = rb
+    }
+    while (parent.length < ids.length) parent += parent.length
+    val n = ids.length
+    val minOf = Array.fill(n)(Long.MaxValue)
+    var i = 0
+    while (i < n) { val r = find(i); if (ids(i) < minOf(r)) minOf(r) = ids(i); i += 1 }
+    val out = new Array[org.apache.spark.sql.Row](n)
+    i = 0
+    while (i < n) { out(i) = org.apache.spark.sql.Row(ids(i), minOf(find(i))); i += 1 }
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    spark.createDataFrame(
+      java.util.Arrays.asList(out: _*),
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("component", LongType, nullable = false))))
   }
 }

@@ -798,8 +798,32 @@ object Similarity {
       .withColumn("bucket",
         HashFunctions.srpBucketSeeded(col("embedding"), nBits, col("tbl")))
       .select(col("vec_id"), col("embedding"), col("tbl"), col("bucket"))
-    emb.as("a")
-      .join(emb.as("b"),
+    // A sub-broadcast-threshold embeddings table scans as ONE split, so the
+    // whole collision probe — ~n²/2^nBits per table exact-cosine
+    // verifications, the quadratic core of this operator — runs serially in
+    // that single map task (measured 1.0 s of a 3.3 s q_embed_groups at
+    // sf0.1 while 31 cores idle). When the build side is going to broadcast
+    // anyway, spread the probe side first: the exchange moves only
+    // |emb|·nTables sub-threshold bytes, and (vec_id, tbl) is uniform so
+    // every task carries an equal probe share. Width is byte-derived
+    // (~1 task per MB of exploded probe rows, capped at the core count —
+    // the [[Graph]] smallSpread heuristic: each probe task pays a fixed
+    // broadcast-relation + codegen setup, so full fan-out on a few-MB frame
+    // multiplies dead task-seconds for no extra wall). At scale the gate is
+    // false: the join is a wide shuffle join and the extra exchange would
+    // move nTables× the corpus for nothing.
+    val spark = t.spark
+    val embStats = t.embeddings.queryExecution.optimizedPlan.stats.sizeInBytes
+    val probeWide = embStats <= spark.sessionState.conf.autoBroadcastJoinThreshold
+    val spread = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      embStats.toLong * nTables / (1L << 20))).toInt
+    val probe =
+      if (probeWide) emb.repartition(spread, col("vec_id"), col("tbl"))
+      else emb
+    val build = if (probeWide) broadcast(emb.as("b")) else emb.as("b")
+    probe.as("a")
+      .join(build,
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
       // verify BEFORE dedup: the exact-cosine filter runs map-side on each

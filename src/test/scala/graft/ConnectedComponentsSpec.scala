@@ -54,6 +54,21 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(ccMap(e1) == ccMap(e2))
   }
 
+  test("driver union-find arm and distributed star loop are bit-equal") {
+    val rnd = new scala.util.Random(7L)
+    val edges = Seq.fill(300) {
+      (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong)
+    } ++ Seq((500L, 500L), (600L, 601L)) // self-loop-only node + isolated pair
+    val viaDriver = ccMap(edges) // default threshold: driver arm
+    val viaDistributed =
+      try {
+        spark.conf.set("spark.graft.cc.driverMaxEdges", "0")
+        ccMap(edges)
+      } finally spark.conf.unset("spark.graft.cc.driverMaxEdges")
+    assert(viaDriver == viaDistributed)
+    assert(viaDriver == graphxMap(edges) + (500L -> 500L))
+  }
+
   test("nearDupGroups produces identical groups on both component engines") {
     val docs = tables.documents
     // transitive chain: A ~ B ~ C via one-word deltas (same as DedupSpec)
