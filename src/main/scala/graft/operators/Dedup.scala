@@ -271,10 +271,31 @@ object Dedup {
     * token self-join whose cost is quadratic in per-token document
     * frequency. `maxDf` optionally drops corpus-scale stopwords first
     * (changes the result; mirror it in any oracle). */
+  /** Spread a SMALL document frame across tasks before a per-row text
+    * kernel (tokenize / shingle / gram / 64-hash minhash): a sub-split-size
+    * corpus arrives as ONE scan task, so each kernel pass over it runs
+    * serially while the rest of the box idles — measured as three
+    * back-to-back ~0.8 s one-task stages in q_lsh_recall at sf0.1 (r19;
+    * the same one-small-file disease as the SRP probe spread in
+    * [[Similarity.embeddingNearDupsCore]]). Width is byte-derived (~1 task
+    * per 128 KB of plan-stats bytes — these kernels are CPU-heavy per byte,
+    * far finer than a 128 MB scan split — capped at the core count; an
+    * explicit numbered repartition, so AQE never re-coalesces it). Above
+    * 64 MB of stats the frame is left alone: the scan is already wide and
+    * re-shuffling corpus text costs more than it saves. Results are
+    * unchanged — partitioning never feeds any downstream semantics. */
+  private[graft] def kernelSpread(docs: DataFrame): DataFrame = {
+    val bytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes > BigInt(64L << 20)) docs
+    else docs.repartition(math.max(1L, math.min(
+      docs.sparkSession.sparkContext.defaultParallelism.toLong,
+      (bytes >> 17).toLong)).toInt, col("doc_id"))
+  }
+
   def jaccardPairs(docs: DataFrame, minJaccard: Double,
                    maxDf: Option[Long] = None): DataFrame =
     SetSimilarity.jaccardSelfJoin(
-      docs.select(col("doc_id"),
+      kernelSpread(docs).select(col("doc_id"),
         explode(array_distinct(TextAnalysis.tokens(col("text")))).as("token")),
       minJaccard, maxDf)
 
@@ -303,8 +324,8 @@ object Dedup {
   def lshRecallReport(t: Tables, w: Int = 2, k: Int = 64, bands: Int = 16,
                       minJaccard: Double = 0.5,
                       samplePct: Option[Int] = None): DataFrame = {
-    val docs = samplePct.fold(t.documents)(p =>
-      t.documents.filter(pmod(xxhash64(col("doc_id")), lit(100)) < p))
+    val docs = kernelSpread(samplePct.fold(t.documents)(p =>
+      t.documents.filter(pmod(xxhash64(col("doc_id")), lit(100)) < p)))
     val t2 = t.withTable("documents", docs)
     val truth = SetSimilarity.jaccardSelfJoin(
       docs.select(col("doc_id"),
@@ -338,7 +359,7 @@ object Dedup {
     // the kernel records code-point offsets once and is property-tested
     // equal to the compositional form (HashProperties)
     SetSimilarity.jaccardSelfJoin(
-      docs.select(col("doc_id"),
+      kernelSpread(docs).select(col("doc_id"),
         explode(HashFunctions.charNgrams(col("text"), n)).as("token")),
       minJaccard, maxDf)
 
