@@ -521,10 +521,19 @@ object Graph {
     val deg = edges.select(col("pa").as("n")).unionAll(
         edges.select(col("pb").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
+    val small = tradeGraphSmall(edges)
+    // small graph: the degree table is node-cardinality — broadcast it so
+    // BOTH orientation joins run map-side at the edge checkpoint's width.
+    // The shuffle form AQE-coalesced the tiny-byte orientation stage to 2
+    // tasks carrying 1.7 task-s of projection work (~1 s of the query's
+    // wall, r19 StageBreakdown — the r16 kernel-vs-bytes trap on yet
+    // another stage). At scale the gate flips and the equi-joins shuffle
+    // as before.
+    def degJ(df: DataFrame) = if (small) broadcast(df) else df
     // orient u -> v when (deg(u), u) < (deg(v), v): every edge exactly once
     val oriented = edges
-      .join(deg.select(col("n").as("pa"), col("deg").as("da")), Seq("pa"))
-      .join(deg.select(col("n").as("pb"), col("deg").as("db")), Seq("pb"))
+      .join(degJ(deg.select(col("n").as("pa"), col("deg").as("da"))), Seq("pa"))
+      .join(degJ(deg.select(col("n").as("pb"), col("deg").as("db"))), Seq("pb"))
       .select(
         when(col("da") < col("db") ||
           (col("da") === col("db") && col("pa") < col("pb")), col("pa"))
@@ -561,7 +570,6 @@ object Graph {
     // closure joins shuffle with EXPLICIT partition counts so the kernel
     // width never depends on AQE's byte estimate
     val par = edges.sparkSession.sparkContext.defaultParallelism
-    val small = tradeGraphSmall(edges)
     def probe(side: DataFrame, key: String, nbAs: String) = {
       val a = adj.select(col("u").as(key), col("nb").as(nbAs))
       if (small) side.join(broadcast(a), Seq(key))
