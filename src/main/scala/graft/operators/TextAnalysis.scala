@@ -498,7 +498,9 @@ object TextAnalysis {
 
   def winnowFingerprints(t: Tables, k: Int = 3, w: Int = 4): DataFrame = {
     val (gh, sel) = winnowExprs(k, w)
-    val perDoc = t.documents
+    // kernelSpread (r19): the tokenize+gram-hash+winnow-select kernel ran
+    // as ONE 0.8 s task on the single scan split of a sub-split corpus
+    val perDoc = Dedup.kernelSpread(t.documents)
       .select(col("doc_id"), tokens(col("text")).as("_tk"))
       .filter(size(col("_tk")) >= k)
       .withColumn("_gh", gh)
