@@ -723,7 +723,12 @@ object Dedup {
     * doc- and decile-keyed rollups. The decile index derives from the
     * broadcast max doc_id, not a global rank window. */
   def ngramNovelty(t: Tables, w: Int = 3): DataFrame = {
-    val sh = t.documents
+    // kernelSpread (r19): the tokenize+shingle+fingerprint pass runs twice
+    // (the first-owner aggregation and the novelty join project different
+    // columns, so their exchanges don't canonicalize equal and ReuseExchange
+    // can't fire) and each pass ran as ONE ~0.6 s task on the single scan
+    // split — spread both across the byte-derived width
+    val sh = kernelSpread(t.documents)
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_tk"))
       .select(col("doc_id"),
         explode(shinglesOfTokens(col("_tk"), w)).as("s"))

@@ -651,7 +651,9 @@ object TextAnalysis {
     * vocabulary makes them big); the per-document score is one more
     * aggregation. Nothing is quadratic in corpus size. */
   def lmScore(t: Tables): DataFrame = {
-    val bi = t.documents
+    // kernelSpread (r19): the bigram-extraction checkpoint materialized as
+    // ONE ~0.6 s task on the single scan split of a sub-split corpus
+    val bi = Dedup.kernelSpread(t.documents)
       .withColumn("_tk", tokens(col("text")))
       .filter(size(col("_tk")) >= 2)
       .select(col("doc_id"),
@@ -700,7 +702,9 @@ object TextAnalysis {
     * parenthesization the oracle mirrors token-for-token; only ln() is
     * 1-ulp exposed, round-6 per the q_lm_score precedent. */
   def lmScoreKneserNey(t: Tables): DataFrame = {
-    val bi = t.documents
+    // kernelSpread (r19): same single-task bigram-extraction checkpoint
+    // as [[lmScore]]
+    val bi = Dedup.kernelSpread(t.documents)
       .withColumn("_tk", tokens(col("text")))
       .filter(size(col("_tk")) >= 2)
       .select(col("doc_id"),
