@@ -228,7 +228,7 @@ object Multimodal {
     * contract: PNG is lossless, so decoding must recover it exactly. */
   def syntheticImages(spark: SparkSession, t: Tables): Dataset[MediaRecord] = {
     import spark.implicits._
-    t.documents.select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+    Dedup.kernelSpread(t.documents).select(col("doc_id"), col("n_chars")).as[(Long, Long)]
       .mapPartitions(_.map { case (id, nChars) =>
         val w = (nChars % 16 + 1).toInt
         val h = (id % 12 + 1).toInt
@@ -262,6 +262,9 @@ object Multimodal {
         col("width").cast("long").as("width"),
         col("height").cast("long").as("height"),
         round(col("mean_gray"), 6).as("mean_gray"))
+      // decode once (r19): the global sort's range-sampling pass would
+      // otherwise re-run the whole encode+decode pipeline a second time
+      .localCheckpoint()
       .orderBy("doc_id")
   }
 
@@ -326,7 +329,7 @@ object Multimodal {
     * s(i) = ((31·doc_id + 17·i) mod 2048) − 1024. */
   def syntheticAudio(spark: SparkSession, t: Tables): Dataset[MediaRecord] = {
     import spark.implicits._
-    t.documents.select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+    Dedup.kernelSpread(t.documents).select(col("doc_id"), col("n_chars")).as[(Long, Long)]
       .mapPartitions(_.map { case (id, nChars) =>
         val rate = (8000 * (1 + id % 3)).toInt
         val n = ((nChars % 400) + 100).toInt
@@ -361,6 +364,9 @@ object Multimodal {
         col("n_frames"),
         round(col("duration_ms"), 6).as("duration_ms"),
         round(col("rms"), 6).as("rms"))
+      // decode once (r19): the global sort's range-sampling pass would
+      // otherwise re-run the whole encode+decode pipeline a second time
+      .localCheckpoint()
       .orderBy("doc_id")
   }
 
@@ -553,7 +559,7 @@ object Multimodal {
   def syntheticVideos(spark: SparkSession, t: Tables): Dataset[MediaRecord] = {
     import spark.implicits._
     val fpsTable = Array(8, 10, 16, 20, 25)
-    t.documents.select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+    Dedup.kernelSpread(t.documents).select(col("doc_id"), col("n_chars")).as[(Long, Long)]
       .mapPartitions(_.map { case (id, nChars) =>
         val w = (nChars % 8 + 2).toInt
         val h = (id % 6 + 2).toInt
@@ -576,6 +582,9 @@ object Multimodal {
       .select(col("doc_id"), col("n_frames"), col("width"), col("height"),
         round(col("fps"), 6).as("fps"),
         round(col("mean_gray"), 6).as("mean_gray"))
+      // decode once (r19): the global sort's range-sampling pass would
+      // otherwise re-run the whole encode+decode pipeline a second time
+      .localCheckpoint()
       .orderBy("doc_id")
   }
 }
