@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver greps the bench's stdout for its one-line JSON. The default
+// forked-run output strategy routes the app's stdout through sbt's logger,
+// which prefixes every line with "[info] " — that prefix has broken the
+// driver's JSON parse in every round so far (BENCH_r01..r19 all end
+// "parsed": null). StdoutOutput passes the forked JVM's stdout through raw.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -236,16 +236,19 @@ object Bench {
         s""""other_cpu_frac":${fmt(otherCpuFrac)},"cpus":${Runtime.getRuntime.availableProcessors}}"""
     val full =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$runs,"median_total":${fmt(medianTotal)},"spread":$spread,"tasksec":$taskJson,"load":$loadJson,"failed":${es.size},"errors":$ejson,"sf":${jstr(sfDir)}}"""
-    println(full)
-    // tail-truncation armor: the driver keeps only the LAST 4 KB of output,
-    // which beheads the per-query map (96 queries ≈ 4.5 KB — the BENCH_r06
-    // artifact lost its 29 alphabetically-first queries). Persist the full
-    // JSON to a file and END stdout with a compact line that always fits,
-    // so both the aggregate and the complete per-query map survive.
+    // Measurement-contract fix (r19 verdict item 1, "parsed": null in every
+    // round so far): stdout carries exactly ONE JSON line — the full contract
+    // line with the complete per-query map — and it is the LAST thing this
+    // process prints, with no sbt "[info] " prefix (see run/outputStrategy in
+    // build.sbt). The previous layout printed the full line mid-stream and a
+    // second, queries-less summary line after it, so a parser that keeps the
+    // last JSON object found no per-query map. The sidecar file keeps the
+    // identical payload for humans and for per-round archiving. Timing
+    // methodology (noop sink, min-of-2 runs, per-query GC cadence) unchanged.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full + "\n")
-    catch { case e: Throwable => println(s"bench_full write failed: $e") }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${ts.size},"runs":$runs,"median_total":${fmt(medianTotal)},"load":$loadJson,"failed":${es.size},"errors":$ejson,"sf":${jstr(sfDir)},"full_json":${jstr(outPath)}}""")
+    catch { case e: Throwable => System.err.println(s"bench_full write failed: $e") }
     spark.stop()
+    println(full)
   }
 }
