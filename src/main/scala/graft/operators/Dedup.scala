@@ -752,6 +752,21 @@ object Dedup {
       .orderBy("decile")
   }
 
+  /** One surviving row per distinct fingerprint — the min-doc_id row — via
+    * a single min_by aggregation: ONE exchange, no join. The previous form
+    * (groupBy(fp).agg(min(doc_id)) + self-left-semi-join on (fp, doc_id))
+    * paid two exchanges and a join per CONSUMER of the batch lineage
+    * (guide §2.4: remove stages outright). doc_id is unique per row, so
+    * min_by is deterministic and row-for-row equal to the join form
+    * (spec-pinned in DedupSpec). Column order preserved. */
+  private[graft] def keepMinPerFp(withFp: DataFrame): DataFrame = {
+    val payload = withFp.columns.filter(_ != "fp")
+    withFp.groupBy("fp")
+      .agg(min_by(struct(payload.map(col): _*), col("doc_id")).as("_r"))
+      .select(withFp.columns.map(c =>
+        (if (c == "fp") col("fp") else col(s"_r.$c")).as(c)): _*)
+  }
+
   /** (doc_id, sig) minhash signatures of a (doc_id, text, …) frame —
     * shared by the incremental paths and [[DedupIndex]]. */
   private[graft] def minhashSigs(d: DataFrame, w: Int, k: Int): DataFrame =
@@ -849,9 +864,7 @@ object Dedup {
                       minJaccard: Double = 0.5,
                       maxBucketSize: Option[Long] = None): DataFrame = {
     val withFp = incoming.withColumn("fp", fingerprint(col("text")))
-    val batchExact = withFp
-      .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
-    val inBatch = withFp.join(batchExact, Seq("fp", "doc_id"), "left_semi")
+    val inBatch = keepMinPerFp(withFp)
     val crossExact = inBatch.join(
       existing.select(fingerprint(col("text")).as("fp")),
       Seq("fp"), "left_anti")

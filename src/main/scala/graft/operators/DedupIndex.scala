@@ -431,8 +431,9 @@ object DedupIndex {
     // probe plans against the tables (one fs existence check when clean)
     recoverCompaction(spark, idx)
     val withFp = incoming.withColumn("fp", Dedup.fingerprint(col("text")))
-    val batchExact = withFp.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
-    val inBatch = withFp.join(batchExact, Seq("fp", "doc_id"), "left_semi")
+    // one min_by aggregation instead of groupBy + self-semi-join — one
+    // exchange, no join, per consumer of the batch lineage (guide §2.4)
+    val inBatch = Dedup.keepMinPerFp(withFp)
     val crossExact = loadBloom(spark, idx.dir) match {
       case Some(bf) =>
         val probe = mightContainFp(bloomBytes(bf))

@@ -146,6 +146,28 @@ class DedupSpec extends SparkSpec {
       "consuming the result must not leave caches behind")
   }
 
+  test("keepMinPerFp equals the groupBy + self-semi-join form, row for row") {
+    // the r20 single-aggregation rewrite of the in-batch exact pass must be
+    // row-equal to the two-exchange original on a frame with real dup mix
+    val docs = tables.documents.limit(200)
+    val dups = docs.filter($"doc_id" < 20)
+      .withColumn("doc_id", $"doc_id" + 100000L)
+    val withFp = docs.unionByName(dups)
+      .withColumn("fp", Dedup.fingerprint($"text"))
+    val batchExact = withFp.groupBy("fp").agg(min($"doc_id").as("doc_id"))
+    // the using-column semi-join reorders columns (join keys first); align
+    // before comparing — downstream consumers select by name
+    val joinForm = withFp.join(batchExact, Seq("fp", "doc_id"), "left_semi")
+      .select(withFp.columns.map(col): _*)
+    val aggForm = Dedup.keepMinPerFp(withFp)
+    assert(aggForm.columns.toSeq == withFp.columns.toSeq,
+      "column order must be preserved")
+    val a = aggForm.collect().map(_.toSeq).toSet
+    val b = joinForm.collect().map(_.toSeq).toSet
+    assert(a == b, s"min_by form diverges: only-agg=${(a -- b).take(3)} " +
+      s"only-join=${(b -- a).take(3)}")
+  }
+
   test("dedupeIncrement: exact, in-batch, and near dups drop; fresh docs survive") {
     val existing = tables.documents.filter($"doc_id" < 50)
     val ex = existing.select("doc_id", "text").collect()
