@@ -2961,8 +2961,13 @@ object Analytics {
     // the identical threshold from its own COUNT(DISTINCT ok)
     val nOrders = baskets.select("ok").distinct().count()
     val minSupport = math.max(2L, math.ceil(nOrders * minSupportFrac).toLong)
+    // NO checkpoint (r20): within the one composed output query, the three
+    // consumers of this aggregate (apriori prune + the two direction joins)
+    // share identical canonical subtrees over the checkpointed baskets, so
+    // AQE stage reuse computes it once — the r19 q_dedup_indexed lesson
+    // that explicit materialization barriers only add a driver action and
+    // serialize the stage graph (guide §2.4)
     val itemSupp = baskets.groupBy("p").agg(count(lit(1)).as("supp"))
-      .localCheckpoint() // the apriori prune + both direction joins read it
     // APRIORI ITEM PRUNE (Agrawal & Srikant'94 §2.1 — the downward-closure
     // property): supp_ab ≤ min(supp_a, supp_b), so no pair containing an
     // item with supp < minSupport can qualify; semi-joining baskets
@@ -2986,13 +2991,22 @@ object Analytics {
     val joined = pairSupp
       .join(itemSupp.select(col("p").as("pa"), col("supp").as("supp_a")), "pa")
       .join(itemSupp.select(col("p").as("pb"), col("supp").as("supp_b")), "pb")
-    def dir(ant: String, cons: String, suppAnt: String) = joined.select(
+    // both rule directions in ONE pass: an explode of two per-row structs
+    // instead of unionByName of two copies of the whole pairSupp+joins
+    // subtree — the duplicated-subtree half of the plan disappears
+    // outright (guide §2.4); same rows, same types
+    def dirStruct(ant: String, cons: String, suppAnt: String) = struct(
       col(ant).as("antecedent"), col(cons).as("consequent"),
       col("supp_ab"),
       (col("supp_ab").cast("double") / col(suppAnt)).as("_conf"),
       (col("supp_ab").cast("double") * lit(nOrders) /
         (col("supp_a") * col("supp_b"))).as("_lift"))
-    dir("pa", "pb", "supp_a").unionByName(dir("pb", "pa", "supp_b"))
+    joined.select(explode(array(
+        dirStruct("pa", "pb", "supp_a"),
+        dirStruct("pb", "pa", "supp_b"))).as("_r"))
+      .select(col("_r.antecedent").as("antecedent"),
+        col("_r.consequent").as("consequent"), col("_r.supp_ab").as("supp_ab"),
+        col("_r._conf").as("_conf"), col("_r._lift").as("_lift"))
       .orderBy(col("_lift").desc, col("_conf").desc,
         col("antecedent").asc, col("consequent").asc)
       .limit(topK)

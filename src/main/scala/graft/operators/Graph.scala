@@ -38,6 +38,15 @@ object Graph {
     * term, rank mass is conserved by construction. */
   def pageRank(t: Tables, iters: Int = 3, d: Double = 0.85,
                prebuiltPairs: Option[DataFrame] = None): DataFrame = {
+    // conf-gated driver arm (r20, the CC/PPR pattern): below the
+    // plan-stats gate the unrolled 3-round join/agg chain collapses to one
+    // pair collect + a driver power iteration; above it the distributed
+    // plan below is byte-for-byte the 100 TB arm. Spec-pinned equal
+    // (GraphSpec), same tolerance discipline as the small/large layout
+    // spec — the arms sum per-node contributions in different orders.
+    val pairsForGate = prebuiltPairs.getOrElse(tradePairs(t))
+    if (graphDriverSmall(pairsForGate))
+      return pageRankOnDriver(pairsForGate, iters, d)
     val (ranks, release) = pageRankPlan(t, iters, d, prebuiltPairs)
     // eager: materializes the node-cardinality result, after which the
     // returned plan reads the checkpoint and holds no reference to the
@@ -631,6 +640,11 @@ object Graph {
                        prebuiltEdges: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1, s"labelPropagation: iters must be >= 1, got $iters")
     val e = prebuiltEdges.getOrElse(coPurchaseEdges(t))
+    // conf-gated driver arm (r20, the CC/PPR pattern; r18/r19 verdicts'
+    // standing q_label_prop item). The plurality fixpoint is exact integer
+    // arithmetic with the LongMode tie-break, so the arms are bit-equal
+    // (spec-pinned); above the gate the distributed loop is unchanged.
+    if (graphDriverSmall(e)) return labelPropOnDriver(e, iters)
     // mirror in ONE scan: unionAll of two projections re-reads the edge
     // source twice (16 fixed-cost tasks on the 8-file artifact for 5 MB);
     // the explode emits both directions per input row in a single pass.
@@ -695,6 +709,78 @@ object Graph {
     out
   }
 
+  /** Driver arm of [[labelPropagation]]: identical rounds — labels start
+    * as min neighbor id (the round-1 degeneracy the distributed loop
+    * exploits), then each round every node takes the plurality label of
+    * its neighbors with ties to the LOWEST label (exactly
+    * [[graft.functions.LongModeAgg]]'s pick). Integer arithmetic
+    * throughout — bit-equal to the distributed loop. */
+  private def labelPropOnDriver(e: DataFrame, iters: Int): DataFrame = {
+    val spark = e.sparkSession
+    val rows = e.select(col("pa"), col("pb")).collect()
+    val m = rows.length
+    // dense-index the nodes and lay the mirrored adjacency out as CSR —
+    // the co-purchase graph is node-small but edge-heavy (1.2M pairs at
+    // sf0.1), so per-round cost must be flat array traversal, not boxed
+    // map churn (a HashMap-of-HashMaps first cut measured 2× the
+    // distributed loop it replaced)
+    val idx = new java.util.HashMap[Long, Integer](m * 2)
+    val ids = new scala.collection.mutable.ArrayBuffer[Long]()
+    def nodeOf(x: Long): Int = {
+      val got = idx.get(x)
+      if (got != null) got.intValue()
+      else { val i = ids.length; idx.put(x, Integer.valueOf(i)); ids += x; i }
+    }
+    val srcA = new Array[Int](2 * m); val dstA = new Array[Int](2 * m)
+    var j = 0
+    while (j < m) {
+      val a = nodeOf(rows(j).getLong(0)); val b = nodeOf(rows(j).getLong(1))
+      srcA(2 * j) = a; dstA(2 * j) = b
+      srcA(2 * j + 1) = b; dstA(2 * j + 1) = a
+      j += 1
+    }
+    val n = ids.length
+    val off = new Array[Int](n + 1)
+    j = 0; while (j < 2 * m) { off(srcA(j) + 1) += 1; j += 1 }
+    var i = 0; while (i < n) { off(i + 1) += off(i); i += 1 }
+    val adj = new Array[Int](2 * m)
+    val cur = java.util.Arrays.copyOf(off, n)
+    j = 0
+    while (j < 2 * m) { val s = srcA(j); adj(cur(s)) = dstA(j); cur(s) += 1; j += 1 }
+    // round 1 degeneracy (as distributed): label = min neighbor id
+    var labels = new Array[Long](n)
+    i = 0
+    while (i < n) {
+      var best = Long.MaxValue
+      var p = off(i)
+      while (p < off(i + 1)) { val nb = ids(adj(p)); if (nb < best) best = nb; p += 1 }
+      labels(i) = best
+      i += 1
+    }
+    for (_ <- 2 to iters) {
+      val next = new Array[Long](n)
+      i = 0
+      while (i < n) {
+        // plurality with ties to the LOWEST label — the LongModeAgg pick
+        val cnt = new graft.functions.LongCountBuffer()
+        var p = off(i)
+        while (p < off(i + 1)) { cnt.add(labels(adj(p)), 1L); p += 1 }
+        var bestK = 0L; var bestC = 0L; var any = false
+        cnt.foreachEntry { (k, c) =>
+          if (!any || c > bestC || (c == bestC && k < bestK)) {
+            bestK = k; bestC = c; any = true
+          }
+        }
+        next(i) = bestK
+        i += 1
+      }
+      labels = next
+    }
+    import spark.implicits._
+    ids.indices.map(i => (ids(i), labels(i))).toDF("part", "community")
+      .orderBy("part")
+  }
+
   /** PERSONALIZED PAGERANK (random walk with restart — Page et al. 1999
     * §6's personalization vector; Haveliwala WWW'02 topic-sensitive
     * form): the [[pageRank]] recurrence with the teleport mass
@@ -723,6 +809,16 @@ object Graph {
                            teleport: Double = 0.15,
                            damp: Double = 0.85,
                            prebuiltPairs: Option[DataFrame] = None): DataFrame = {
+    // conf-gated driver arm (r20 — the ConnectedComponents r19 pattern
+    // applied to the other iterative fixpoint the verdict named): below
+    // the plan-stats gate the 3-round join/agg/union chain — ~20
+    // scheduler stages on a few-MB pair list — collapses to one pair
+    // collect + a driver power iteration + one local result relation.
+    // Above the gate NOTHING changes: the distributed loop below is the
+    // 100 TB arm. Arms are output-equal (spec-pinned, GraphSpec).
+    val pairsForGate = prebuiltPairs.getOrElse(tradePairs(t))
+    if (graphDriverSmall(pairsForGate))
+      return pprOnDriver(t, pairsForGate, nSeeds, iters, teleport, damp)
     val (edgesDeg, release) = tradeEdgesDeg(t, prebuiltPairs)
     val seeds = t.lineitem.select(col("l_suppkey").cast("long").as("k"))
       .distinct().orderBy("k").limit(nSeeds)
@@ -752,6 +848,121 @@ object Graph {
     seeds.unpersist(blocking = false)
     release()
     out
+  }
+
+  /** Driver-arm gate for the iterative trade-graph operators: true when
+    * the distinct pair list's PLAN-STATS size (free to read — no job) sits
+    * under `spark.graft.graph.driverMaxBytes` (default 64 MB ≈ a few
+    * million pairs — the same bounded-driver-state license as the CC
+    * union-find arm and the senSlope/centroid collects). Session-conf
+    * override first so specs can pin the large-graph arm in-JVM. */
+  private[graft] def graphDriverSmall(pairs: DataFrame): Boolean = {
+    val maxBytes = pairs.sparkSession.conf
+      .getOption("spark.graft.graph.driverMaxBytes")
+      .orElse(sys.env.get("SPARK_GRAFT_GRAPH_DRIVER_MAX_BYTES"))
+      .getOrElse((64L * 1024 * 1024).toString).toLong
+    pairs.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBytes
+  }
+
+  /** Driver power-iteration arm of [[personalizedPageRank]] — identical
+    * recurrence over the collected pair list: pₖ(dst) gets
+    * damp·Σ pₖ₋₁(src)/deg(src) over incoming edges plus the teleport mass
+    * on each seed (at most one two-term addition per node per round, same
+    * as the distributed union+sum). Seeds come from the SAME bounded
+    * lineitem query the distributed arm runs (no FK assumption on the
+    * pair list). Output is minted through the identical packed-id
+    * formatting expressions, so the two arms produce the same rows
+    * (spec-pinned, including the rounded scores). */
+  /** Collected packed-id directed edge arrays (both directions per pair)
+    * plus per-src out-degrees — the shared input of the driver arms. */
+  private def collectPackedEdges(pairs: DataFrame)
+      : (Array[Long], Array[Long], scala.collection.mutable.HashMap[Long, Long]) = {
+    val pr = pairs.select(col("s"), col("c")).collect()
+    val nE = pr.length * 2
+    val src = new Array[Long](nE); val dst = new Array[Long](nE)
+    var j = 0
+    while (j < pr.length) {
+      val s2 = pr(j).getLong(0) * 2; val c2 = pr(j).getLong(1) * 2 + 1
+      src(2 * j) = s2; dst(2 * j) = c2
+      src(2 * j + 1) = c2; dst(2 * j + 1) = s2
+      j += 1
+    }
+    val deg = scala.collection.mutable.HashMap.empty[Long, Long]
+    j = 0; while (j < nE) { deg.update(src(j), deg.getOrElse(src(j), 0L) + 1L); j += 1 }
+    (src, dst, deg)
+  }
+
+  /** Driver power-iteration arm of [[pageRank]] — the identical rankN
+    * recurrence (rankN' = (1−d) + d·Σ rankN/deg, rankN₀ ≡ 1 folded into
+    * round 1 exactly as [[pageRankPlan]] does), minted through the same
+    * [[formatRanks]] projection. */
+  private def pageRankOnDriver(pairs: DataFrame, iters: Int,
+                               d: Double): DataFrame = {
+    val spark = pairs.sparkSession
+    val (src, dst, deg) = collectPackedEdges(pairs)
+    val nE = src.length
+    var p = scala.collection.mutable.HashMap.empty[Long, Double]
+    for (round <- 1 to iters) {
+      // Σ rank/deg per dst first, (1−d) + d·Σ applied to the finished sum
+      // — the distributed aggregate's operand grouping
+      val acc = scala.collection.mutable.HashMap.empty[Long, Double]
+      var j = 0
+      while (j < nE) {
+        val s = src(j)
+        val r = if (round == 1) Some(1.0) else p.get(s)
+        r match {
+          case Some(rv) =>
+            acc.update(dst(j), acc.getOrElse(dst(j), 0.0) + rv / deg(s))
+          case None =>
+        }
+        j += 1
+      }
+      val next = scala.collection.mutable.HashMap.empty[Long, Double]
+      acc.foreach { case (n, v) => next.update(n, (1.0 - d) + d * v) }
+      p = next
+    }
+    import spark.implicits._
+    formatRanks(p.toSeq.toDF("node", "rank"))
+  }
+
+  private def pprOnDriver(t: Tables, pairs: DataFrame, nSeeds: Int,
+                          iters: Int, teleport: Double,
+                          damp: Double): DataFrame = {
+    val spark = pairs.sparkSession
+    val seedArr = t.lineitem.select(col("l_suppkey").cast("long").as("k"))
+      .distinct().orderBy("k").limit(nSeeds)
+      .collect().map(_.getLong(0) * 2)
+    val (src, dst, deg) = collectPackedEdges(pairs)
+    val nE = src.length
+    var p = scala.collection.mutable.HashMap.empty[Long, Double]
+    seedArr.foreach(s => p.update(s, 1.0))
+    for (_ <- 1 to iters) {
+      // Σ rank/deg per dst first, damp applied ONCE to the finished sum —
+      // the exact operand grouping of the distributed aggregate
+      val acc = scala.collection.mutable.HashMap.empty[Long, Double]
+      var j = 0
+      while (j < nE) {
+        val s = src(j)
+        p.get(s) match {
+          case Some(r) =>
+            val d = dst(j)
+            acc.update(d, acc.getOrElse(d, 0.0) + r / deg(s))
+          case None =>
+        }
+        j += 1
+      }
+      val next = scala.collection.mutable.HashMap.empty[Long, Double]
+      acc.foreach { case (n, v) => next.update(n, damp * v) }
+      seedArr.foreach(s => next.update(s, next.getOrElse(s, 0.0) + teleport))
+      p = next
+    }
+    import spark.implicits._
+    p.toSeq.toDF("node", "rank")
+      .select(
+        concat(when(col("node") % 2 === 0, "s").otherwise("c"),
+          shiftright(col("node"), 1).cast("string")).as("node"),
+        round(col("rank"), 6).as("ppr"))
+      .orderBy("node")
   }
 
   /** ADAMIC–ADAR LINK PREDICTION (Adamic & Adar 2003; evaluated for
@@ -844,6 +1055,13 @@ object Graph {
   def kCore(t: Tables, k: Int = 8, maxRounds: Int = 1000,
             prebuiltPairs: Option[DataFrame] = None): DataFrame = {
     require(k >= 1, s"kCore: k must be >= 1, got $k")
+    // conf-gated driver arm (r20, the CC/PPR pattern). The peel fixpoint
+    // is EXACT integer arithmetic, so the arms are bit-equal by
+    // construction (spec-pinned); above the gate the distributed loop
+    // below is unchanged.
+    val pairsForGate = prebuiltPairs.getOrElse(tradePairs(t))
+    if (graphDriverSmall(pairsForGate))
+      return kCoreOnDriver(pairsForGate, k, maxRounds)
     val (edgesDeg, release) = tradeEdgesDeg(t, prebuiltPairs)
     // one row per node: its full-graph degree (the window is per-src over
     // the src-laid-out cache, so the distinct collapses partition-locally)
@@ -882,6 +1100,46 @@ object Graph {
     survivors.unpersist(blocking = false)
     release()
     out
+  }
+
+  /** Driver peel arm of [[kCore]]: the identical iterated peel — drop
+    * every node whose CURRENT induced degree is below `k`, recompute
+    * degrees over edges with BOTH endpoints kept, repeat to the fixpoint.
+    * Like the distributed loop, a kept node whose kept-neighbor count
+    * drops to zero leaves the survivor set (degrees come from the
+    * surviving edge list). Integer arithmetic throughout — bit-equal. */
+  private def kCoreOnDriver(pairs: DataFrame, k: Int, maxRounds: Int): DataFrame = {
+    val spark = pairs.sparkSession
+    val (src, dst, deg0) = collectPackedEdges(pairs)
+    val nE = src.length
+    var deg = deg0
+    var rounds = 0
+    var done = false
+    while (!done) {
+      if (deg.isEmpty || deg.valuesIterator.min >= k) done = true
+      else {
+        rounds += 1
+        if (rounds > maxRounds)
+          throw new IllegalStateException(
+            s"kCore: no fixpoint within $maxRounds rounds — raise maxRounds")
+        val keep = deg.collect { case (n, dg) if dg >= k => n }.toSet
+        val nd = scala.collection.mutable.HashMap.empty[Long, Long]
+        var j = 0
+        while (j < nE) {
+          if (keep(src(j)) && keep(dst(j)))
+            nd.update(src(j), nd.getOrElse(src(j), 0L) + 1L)
+          j += 1
+        }
+        deg = nd
+      }
+    }
+    import spark.implicits._
+    deg.toSeq.toDF("node", "deg")
+      .select(
+        concat(when(col("node") % 2 === 0, "s").otherwise("c"),
+          shiftright(col("node"), 1).cast("string")).as("node"),
+        col("deg").as("core_deg"))
+      .orderBy("node")
   }
 
   /** Co-purchase edges kept only at a minimum pair support (number of

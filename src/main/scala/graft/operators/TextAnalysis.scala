@@ -1585,7 +1585,14 @@ object TextAnalysis {
     * same near-duplicate determinism reason as [[tfidfSearch]]. */
   def bm25Search(t: Tables, nQueries: Long = 10, topK: Int = 5,
                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val tf = t.documents
+    // kernelSpread (r20): the tokenize+explode tf build ran as ONE task on
+    // the single corpus scan split (~0.45 s serial inside every consumer of
+    // this lineage — bm25Search feeds q_bm25_search, q_hybrid_search, and
+    // q_rbo); byte-gated no-op at corpus scale (guide §2.5). A/B kept it
+    // here and NOT in tfidfSearch: the same spread there measured +0.2 s
+    // (its one consumer re-reads the checkpointed tf five ways and the
+    // spread only taxed the checkpoint write).
+    val tf = Dedup.kernelSpread(t.documents)
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("_tf"))
       .localCheckpoint()

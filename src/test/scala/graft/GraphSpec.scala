@@ -119,6 +119,54 @@ class GraphSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.graphCacheMinBytes")
   }
 
+  test("pageRank / kCore / labelPropagation: driver arms match the distributed loops") {
+    // fixture sits under the driver-arm gate → first calls run on the
+    // driver; forcing the gate to 0 runs the unchanged distributed loops
+    val prD = Graph.pageRank(tables).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val kcD = Graph.kCore(tables, k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val lpD = Graph.labelPropagation(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set("spark.graft.graph.driverMaxBytes", "0")
+    try {
+      val prX = Graph.pageRank(tables).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(prD.keySet == prX.keySet)
+      // float tolerance as in the layout spec: different summation orders
+      prD.foreach { case (k, v) => assert(math.abs(v - prX(k)) <= 1e-6,
+        s"pageRank arms disagree at $k: $v vs ${prX(k)}") }
+      // integer fixpoints: bit-equal, no tolerance
+      val kcX = Graph.kCore(tables, k = 2).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(kcD == kcX, "kCore arms diverge")
+      val lpX = Graph.labelPropagation(tables).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(lpD == lpX, "labelPropagation arms diverge")
+    } finally spark.conf.unset("spark.graft.graph.driverMaxBytes")
+  }
+
+  test("personalizedPageRank: driver arm and distributed loop agree") {
+    // fixture sits under the driver-arm gate → first call runs on the
+    // driver; forcing the gate to 0 runs the unchanged distributed loop
+    val viaDriver = Graph.personalizedPageRank(tables).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    spark.conf.set("spark.graft.graph.driverMaxBytes", "0")
+    try {
+      val viaDist = Graph.personalizedPageRank(tables).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(viaDriver.keySet == viaDist.keySet,
+        "driver and distributed PPR arms disagree on the reachable set")
+      // same tolerance discipline as the pageRank layout spec above: the
+      // arms sum each node's contributions in different orders, so a rank
+      // on a 1e-6 rounding half-boundary may flip the last rounded digit
+      viaDriver.foreach { case (k, v) =>
+        assert(math.abs(v - viaDist(k)) <= 1e-6,
+          s"PPR arms disagree at $k: $v vs ${viaDist(k)}")
+      }
+    } finally spark.conf.unset("spark.graft.graph.driverMaxBytes")
+  }
+
   test("hits matches a driver-side recompute and emits L2-normalized scores") {
     val got = Graph.hits(tables).collect()
       .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
