@@ -549,12 +549,16 @@ object Dedup {
     * Edge count is bounded by the LSH candidate volume, not n².
     *
     * Two interchangeable component engines (spec-asserted equal):
-    *  - GraphX Pregel (`useGraphx = true`, default) — the established tool;
     *  - [[ConnectedComponents]] alternating large-star/small-star on plain
-    *    DataFrames — the de-risked path (GraphX is in maintenance mode
-    *    upstream) with O(log n) rounds and AQE skew handling. */
+    *    DataFrames — the DEFAULT since r20: it carries the r19 driver
+    *    union-find arm (one collect instead of a Pregel stage chain on
+    *    edge sets under the 2M gate — the GraphX path paid ~12 Pregel/
+    *    VertexRDD stages per call in every caller's breakdown), is AQE-
+    *    aware at scale, and GraphX is in maintenance mode upstream;
+    *  - GraphX Pregel (`useGraphx = true`) — kept as the differential
+    *    witness the spec compares against. */
   def nearDupGroups(t: Tables, w: Int = 2, minEstJaccard: Double = 0.5,
-                    useGraphx: Boolean = true,
+                    useGraphx: Boolean = false,
                     maxBucketSize: Option[Long] = None): DataFrame = {
     val spark = t.spark
     import spark.implicits._

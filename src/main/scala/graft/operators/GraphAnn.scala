@@ -557,6 +557,32 @@ object GraphAnn {
     }
     nScored += seed.length
     mergeBest(seed)
+    // conf-gated driver scoring arm (r20, the CC/graph driver-arm
+    // pattern): the hop LOOP is already driver-side — only the per-hop
+    // expand+score ran as a Spark job, so a 12-hop search paid ~12 job
+    // round-trips (~40-60 ms of scheduling each) to score a few thousand
+    // candidates. Below the adjacency table's plan-stats gate the whole
+    // adjacency collects ONCE and hops score on the driver through the
+    // SAME HashImpl.cosineF kernel the codegen'd expression calls —
+    // bit-identical floats, so beam decisions and the output pair set
+    // are unchanged (spec-pinned). Above the gate (the 100 TB regime)
+    // every hop stays a bucket-pruned distributed probe, byte-for-byte.
+    val scoreOnDriver = Graph.graphDriverSmall(adj)
+    val adjMap: Map[Long, Array[(Long, org.apache.spark.sql.catalyst.util.ArrayData)]] =
+      if (!scoreOnDriver) Map.empty
+      else withBucketPruning(spark) {
+        adj.select(col("node_id"), col("neighbor_id"), col("n_emb")).collect()
+      }.groupBy(_.getLong(0)).map { case (n, rs) =>
+        n -> rs.map(r => (r.getLong(1),
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            r.getSeq[Float](2).toArray[Float]))).toArray
+      }
+    val qEmbArr: Map[Long, org.apache.spark.sql.catalyst.util.ArrayData] =
+      if (!scoreOnDriver) Map.empty
+      else qv.collect().map(r => r.getLong(0) ->
+        (new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          r.getSeq[Float](1).toArray[Float])
+          : org.apache.spark.sql.catalyst.util.ArrayData)).toMap
     var frontier: Map[Long, Seq[Long]] = qids.map(q => q -> Seq(idx.entry)).toMap
     var hop = 0
     while (hop < maxHops && frontier.valuesIterator.exists(_.nonEmpty)) {
@@ -581,22 +607,30 @@ object GraphAnn {
       val adjFront =
         if (fIds.length <= isinMax) adj.filter(col("node_id").isin(fIds: _*))
         else adj
-      val rows = withBucketPruning(spark) {
-        adjFront
-          .join(broadcast(fAssign), "node_id")
-          .join(broadcast(qv), Seq("query_id"))
-          .withColumn("cos",
-            HashFunctions.cosineSim(col("q_emb"), col("n_emb")))
-          .select(col("query_id"), col("neighbor_id"), col("cos"))
-          .collect()
-      }
+      val rawScored: Iterator[(Long, Long, Double)] =
+        if (scoreOnDriver)
+          frontier.iterator.flatMap { case (q, ns) =>
+            val qe = qEmbArr(q)
+            ns.iterator.flatMap(n =>
+              adjMap.getOrElse(n, Array.empty[(Long,
+                org.apache.spark.sql.catalyst.util.ArrayData)]).iterator
+                .map { case (nb, e) => (q, nb, graft.functions.HashImpl.cosineF(qe, e)) })
+          }
+        else withBucketPruning(spark) {
+          adjFront
+            .join(broadcast(fAssign), "node_id")
+            .join(broadcast(qv), Seq("query_id"))
+            .withColumn("cos",
+              HashFunctions.cosineSim(col("q_emb"), col("n_emb")))
+            .select(col("query_id"), col("neighbor_id"), col("cos"))
+            .collect()
+        }.iterator.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       // visited/self filtering is driver-side over frontier-adjacency-
       // sized rows (bounded by frontier × 2·degree × queries-per-node);
       // re-reached pairs cost map-side flops in the shared scan, never an
       // extra job. nScored counts NEW (query, candidate) scorings only —
       // the same candidate-work metric as the unfused form reported.
-      val scored = rows.iterator
-        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val scored = rawScored
         .filter { case (q, nb, _) => nb != q && !visited(q)(nb) }
         .toSeq.distinct
       nScored += scored.length

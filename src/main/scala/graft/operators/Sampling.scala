@@ -486,10 +486,13 @@ object Sampling {
     * customer-cardinality aggregates — no shuffle carries more than
     * k × interactions rows. */
   def negativeSamples(t: Tables, k: Int = 2): DataFrame = {
+    // no checkpoint (r20): all three consumers (candidate fan-out,
+    // anti-join, counts) consume the identical distinct subtree, which AQE
+    // stage reuse shares within the one composed query — the barrier only
+    // added a driver action and a materialization (guide §2.4)
     val pos = t.orders.select(col("o_orderkey").as("ok"), col("o_custkey").as("c"))
       .join(t.lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("p")), "ok")
       .select("c", "p").distinct()
-      .localCheckpoint() // candidate fan-out + anti-join + counts read it
     val np = t.part.agg(max("p_partkey").as("_np"))
     val cand = pos.crossJoin(broadcast(np))
       .select(col("c"), col("p"), col("_np"),

@@ -68,6 +68,23 @@ class GraphAnnSpec extends SparkSpec {
         s"only-brute=${(brute.toSet diff got.toSet).take(3)}")
   }
 
+  test("driver-scored and distributed-scored hops are row- and count-identical") {
+    // the r20 driver scoring arm calls the same HashImpl.cosineF kernel
+    // the codegen'd expression does, so beam decisions — and with them
+    // the pair set AND the candidate-scoring count — must pin EXACTLY
+    // equal to the distributed per-hop probe form
+    val dir = Files.createTempDirectory("gann_drv").toString
+    val idx = GraphAnn.buildIndex(spark, tables.embeddings, "gann_drv", dir)
+    val (outDrv, nDrv) = GraphAnn.beamSearchWithCandidateCount(
+      spark, idx, queries())
+    spark.conf.set("spark.graft.graph.driverMaxBytes", "0")
+    val (outDist, nDist) = try GraphAnn.beamSearchWithCandidateCount(
+      spark, idx, queries())
+    finally spark.conf.unset("spark.graft.graph.driverMaxBytes")
+    assert(outDrv.collect().toSeq == outDist.collect().toSeq)
+    assert(nDrv == nDist, s"candidate counts diverge: $nDrv vs $nDist")
+  }
+
   test("beam search is deterministic") {
     val dir = Files.createTempDirectory("gann_det").toString
     val idx = GraphAnn.buildIndex(spark, tables.embeddings, "gann_det", dir)
