@@ -974,6 +974,62 @@ object Similarity {
       .withColumn("rel", HashFunctions.cosineSim(col("q_emb"), col("embedding")))
     val wRel = Window.partitionBy(col("query_id"))
       .orderBy(col("rel").desc, col("neighbor_id").asc)
+    // Driver greedy arm (r20): everything below the shortlist window is
+    // PARAMETER-bounded — m·nQueries rows by construction, independent of
+    // corpus size (the scale story above: at real scale only the shortlist
+    // generator changes). The distributed greedy loop paid ~7 checkpointed
+    // rounds of windows/joins on those ~200 rows; below the parameter gate
+    // the shortlist collects once and the identical greedy recurrence runs
+    // on the driver through the same HashImpl.cosineF kernel — identical
+    // floats, identical picks (spec-pinned vs the distributed loop).
+    val mmrDriverMaxRows = emb.sparkSession.conf
+      .getOption("spark.graft.mmr.driverMaxRows").map(_.toLong)
+      .getOrElse(100000L)
+    if (nQueries.toLong * m <= mmrDriverMaxRows) {
+      val rows = scored
+        .withColumn("_rn", row_number().over(wRel))
+        .filter(col("_rn") <= m)
+        .select(col("query_id"), col("neighbor_id"), col("rel"), col("embedding"))
+        .collect()
+      val picked = rows.groupBy(_.getLong(0)).toSeq.flatMap { case (qid, rs) =>
+        val cands = rs.map { r =>
+          (r.getLong(1), r.getDouble(2),
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(
+              r.getSeq[Float](3).toArray[Float])
+              : org.apache.spark.sql.catalyst.util.ArrayData)
+        }
+        // pick 1: max rel, ties to the lowest id (the wRel ordering)
+        val first = cands.minBy { case (nb, rel, _) => (-rel, nb) }
+        val sel = scala.collection.mutable.ArrayBuffer(
+          (first._1, first._2, lam * first._2))
+        val selEmb = scala.collection.mutable.ArrayBuffer(first._3)
+        for (_ <- 2 to k) {
+          val selIds = sel.map(_._1).toSet
+          val remaining = cands.filter(c => !selIds.contains(c._1))
+          if (remaining.nonEmpty && selEmb.nonEmpty) {
+            // score = λ·rel − (1−λ as the LITERAL lamPen)·max sim-to-selected,
+            // the max over exact cosineF doubles (order-free)
+            val next = remaining.map { case (nb, rel, e) =>
+              val ms = selEmb.iterator
+                .map(se => graft.functions.HashImpl.cosineF(e, se)).max
+              (nb, rel, lam * rel - lamPen * ms, e)
+            }.minBy { case (nb, _, score, _) => (-score, nb) }
+            sel += ((next._1, next._2, next._3))
+            selEmb += next._4
+          }
+        }
+        sel.iterator.zipWithIndex.map { case ((nb, rel, score), i) =>
+          (qid, i + 1, nb, rel, score)
+        }
+      }
+      import emb.sparkSession.implicits._
+      return picked
+        .toDF("query_id", "_rank", "neighbor_id", "_rel", "_score")
+        .select(col("query_id"), col("_rank").cast("bigint").as("rank"),
+          col("neighbor_id"), round(col("_rel"), 6).as("rel"),
+          round(col("_score"), 6).as("mmr"))
+        .orderBy("query_id", "rank")
+    }
     val cand = scored
       .withColumn("_rn", row_number().over(wRel))
       .filter(col("_rn") <= m)

@@ -1876,7 +1876,9 @@ object TextAnalysis {
     * vocabulary-sized; each round is one join + aggregation keyed by
     * token, identical to the pageRank rounds. */
   def textRank(t: Tables, iters: Int = 3, k: Int = 25): DataFrame = {
-    val toks = t.documents.select(
+    // kernelSpread (r20): the tokenize+bigram kernel ran as ~2 tasks on
+    // the corpus scan split; byte-gated no-op at corpus scale (guide §2.5)
+    val toks = Dedup.kernelSpread(t.documents).select(
       filter(tokens(col("text")),
         w => !w.isInCollection(Stopwords)).as("tk"))
     val bigrams = toks.filter(size(col("tk")) >= 2)
@@ -1885,11 +1887,16 @@ object TextAnalysis {
         .as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .filter(col("w1") =!= col("w2"))
+    // checkpoint the co-occurrence table itself (r20), not its degree
+    // roll-up: with only wt checkpointed, the tokenize+bigram kernel ran
+    // TWICE — once into wt's materialization, once more when p rebuilt
+    // `und` (two ~0.75 task-s serial stages in the breakdown). und is
+    // vocabulary-pair-bounded; wt and p now both derive from it cheaply.
     val und = bigrams.select(col("w1").as("src"), col("w2").as("dst"))
       .unionAll(bigrams.select(col("w2").as("src"), col("w1").as("dst")))
       .groupBy("src", "dst").agg(count(lit(1)).as("_w"))
+      .localCheckpoint()
     val wt = und.groupBy("src").agg(sum("_w").as("_wt"))
-      .localCheckpoint() // the transition build + the degree column read it
     val p = und.join(wt, Seq("src"))
       .select(col("src"), col("dst"),
         (col("_w").cast("double") / col("_wt").cast("double")).as("_p"))
@@ -1913,7 +1920,7 @@ object TextAnalysis {
       .limit(k)
       .localCheckpoint()
     p.unpersist(blocking = false)
-    wt.unpersist(blocking = false)
+    und.unpersist(blocking = false)
     out
   }
 

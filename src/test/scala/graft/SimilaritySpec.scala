@@ -237,6 +237,19 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("mmrTopK: driver greedy arm equals the distributed loop row-for-row") {
+    // both arms run the same greedy recurrence over the same shortlist
+    // through the same cosine kernel — picks, ranks, and rounded scores
+    // must pin EXACTLY equal
+    val viaDriver = Similarity.mmrTopK(tables).collect().map(_.toSeq).toSeq
+    spark.conf.set("spark.graft.mmr.driverMaxRows", "0")
+    val viaDist = try Similarity.mmrTopK(tables).collect().map(_.toSeq).toSeq
+    finally spark.conf.unset("spark.graft.mmr.driverMaxRows")
+    assert(viaDriver == viaDist,
+      s"MMR arms diverge: only-driver=${(viaDriver.toSet -- viaDist.toSet).take(2)} " +
+        s"only-dist=${(viaDist.toSet -- viaDriver.toSet).take(2)}")
+  }
+
   test("knnClassify is the majority label of the brute-force neighbor set") {
     val neighbors = Similarity.bruteForceTopK(tables).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
