@@ -330,6 +330,17 @@ object Graph {
     // the loop seeds the authority table on its first round; iters < 1
     // would leave it null and NPE deep in the output union
     require(iters >= 1, s"hits: iters must be >= 1, got $iters")
+    // conf-gated driver arm (r20, the CC/PPR pattern): the raw recurrence
+    // is exact integer arithmetic, so the driver computes the identical
+    // scores in Long and the float-sensitive normalization runs through
+    // the UNCHANGED formatHits expressions over a local frame — bit-equal
+    // (spec-pinned). Overflow past 2^53 falls back to the distributed arm
+    // so the l2NormCol exactness guard fires exactly as before.
+    val pairsForGate = prebuiltPairs.getOrElse(tradePairs(t))
+    if (graphDriverSmall(pairsForGate)) {
+      val arm = hitsOnDriver(pairsForGate, iters)
+      if (arm.isDefined) return arm.get
+    }
     val (edgesS, edgesD, release) = directedTradeEdges(t, prebuiltPairs)
     // The last round's tables always checkpoint — each has THREE readers
     // (its norm, the output, and for a_iters the h-step), and a fully
@@ -345,6 +356,49 @@ object Graph {
       release()
       out
     }
+  }
+
+  /** Driver arm of [[hits]]: the identical integer recurrence (a₁ =
+    * in-degree; hᵣ = E·aᵣ; aᵣ = Eᵀ·hᵣ₋₁) in exact Long arithmetic —
+    * below 2^53 these are the same values the distributed double sums
+    * produce (integer-valued doubles sum exactly there, which is the
+    * operator's own deferred-normalization contract). Returns None on
+    * any overflow past 2^53 so the caller's distributed arm — and its
+    * loud l2NormCol guard — take over unchanged. */
+  private def hitsOnDriver(pairs: DataFrame, iters: Int): Option[DataFrame] = {
+    val spark = pairs.sparkSession
+    val pr = pairs.select(col("s"), col("c")).collect()
+    val m = pr.length
+    val src = new Array[Long](m); val dst = new Array[Long](m)
+    var j = 0
+    while (j < m) { src(j) = pr(j).getLong(0); dst(j) = pr(j).getLong(1); j += 1 }
+    val lim = 1L << 53
+    try {
+      var a = scala.collection.mutable.HashMap.empty[Long, Long]
+      var h = scala.collection.mutable.HashMap.empty[Long, Long]
+      for (it <- 1 to iters) {
+        val aN = scala.collection.mutable.HashMap.empty[Long, Long]
+        j = 0
+        while (j < m) {
+          val add = if (it == 1) 1L else h(src(j))
+          aN.update(dst(j), Math.addExact(aN.getOrElse(dst(j), 0L), add))
+          j += 1
+        }
+        val hN = scala.collection.mutable.HashMap.empty[Long, Long]
+        j = 0
+        while (j < m) {
+          hN.update(src(j), Math.addExact(hN.getOrElse(src(j), 0L), aN(dst(j))))
+          j += 1
+        }
+        a = aN; h = hN
+      }
+      if (a.valuesIterator.exists(_ >= lim) || h.valuesIterator.exists(_ >= lim))
+        return None
+      import spark.implicits._
+      Some(formatHits(
+        h.toSeq.map { case (n, v) => (n, v.toDouble) }.toDF("src", "h0"),
+        a.toSeq.map { case (n, v) => (n, v.toDouble) }.toDF("dst", "a0")))
+    } catch { case _: ArithmeticException => None }
   }
 
   /** The un-normalized HITS recurrence after `iters` rounds: a_r = E^T

@@ -146,6 +146,16 @@ class GraphSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.graph.driverMaxBytes")
   }
 
+  test("hits: driver arm equals the distributed chain bit-for-bit") {
+    // exact integer recurrence + the shared formatHits normalization —
+    // no tolerance: the arms must produce identical rows
+    val viaDriver = Graph.hits(tables).collect().map(_.toSeq).toSeq
+    spark.conf.set("spark.graft.graph.driverMaxBytes", "0")
+    val viaDist = try Graph.hits(tables).collect().map(_.toSeq).toSeq
+    finally spark.conf.unset("spark.graft.graph.driverMaxBytes")
+    assert(viaDriver == viaDist, "HITS arms diverge")
+  }
+
   test("personalizedPageRank: driver arm and distributed loop agree") {
     // fixture sits under the driver-arm gate → first call runs on the
     // driver; forcing the gate to 0 runs the unchanged distributed loop
